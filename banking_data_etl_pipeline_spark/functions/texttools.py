@@ -1,0 +1,133 @@
+"""Text-analysis Column builders for the ``documents`` table: token
+counting, quality scoring, language ID, fingerprinting, shingling.
+
+All native higher-order functions (transform/filter/aggregate) — no
+Python UDFs — so they run JVM-side at 100 TB. Every builder has an
+ANSI-SQL twin in ``__spark_entry__.oracle_sql`` (DuckDB list lambdas);
+regex is avoided where Java-regex vs RE2 semantics could diverge
+(punctuation counting uses ``translate``, which is exact in both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ASCII punctuation, for translate()-based counting (identical semantics
+# in Spark and DuckDB, unlike regex character classes).
+PUNCT_CHARS = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+# Tiny stopword lists for the n-gram-free language-ID heuristic.
+# Deliberately small and hard-coded so the SQL twin is identical.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "por", "con", "para"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break order
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed (so '' -> [])."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.translate(text, PUNCT_CHARS, ""))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct_count(text) / n.cast("double"))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        stopword_hits(toks, lang) / n.cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length saturation (40%), low
+    punctuation (30%), English stopword density saturating at 0.4 (30%).
+    """
+    n_tok = token_count(text).cast("double")
+    length_factor = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_factor = F.lit(1.0) - F.least(punct_ratio(text) * F.lit(4.0), F.lit(1.0))
+    stop_factor = F.least(stopword_ratio(text, "en") / F.lit(0.4), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_factor
+        + F.lit(0.3) * punct_factor
+        + F.lit(0.3) * stop_factor
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    n = F.size(toks)
+    return {
+        lang: F.when(n == 0, F.lit(0.0)).otherwise(
+            stopword_hits(toks, lang) / n.cast("double")
+        )
+        for lang in LANG_ORDER
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language stopword density; 'und' (undetermined)
+    when no language scores > 0. Ties break by LANG_ORDER."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def _index_seq(cnt: Column) -> Column:
+    """[1..cnt], or [] when cnt < 1. (Bare ``sequence(1, 0)`` would
+    generate a *descending* [1, 0] in Spark — guard against it.)"""
+    return F.when(cnt < 1, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), cnt)
+    )
+
+
+def char_shingles(text: Column, n: int) -> Column:
+    """All character n-grams of the lowercased text (empty array when
+    shorter than n)."""
+    low = F.lower(text)
+    cnt = F.length(low) - F.lit(n - 1)
+    return F.transform(
+        _index_seq(cnt),
+        lambda i: F.substring(low, i, F.lit(n)),
+    )
+
+
+def word_shingles(toks: Column, n: int) -> Column:
+    """All word n-grams (space-joined) of a token array."""
+    cnt = F.size(toks) - F.lit(n - 1)
+    return F.transform(
+        _index_seq(cnt),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def fingerprint(text: Column, n: int = 8) -> Column:
+    """Document fingerprint: lexicographic min of md5 over character
+    n-gram shingles (a deterministic min-hash; stands in for the
+    rolling-hash winnowing step — md5-hex min is order-portable across
+    engines, which a custom rolling hash modulus is not). Null for
+    texts shorter than n."""
+    return F.array_min(F.transform(char_shingles(text, n), F.md5))

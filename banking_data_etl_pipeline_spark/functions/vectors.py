@@ -1,0 +1,49 @@
+"""Vector math over ``array<float>`` embedding columns as native
+higher-order functions — JVM-side, codegen-friendly, no UDFs.
+
+Accumulation is strictly sequential left-to-right (``aggregate``) so
+results are bit-identical to a DuckDB oracle written with the same
+order (``list_reduce`` / indexed ``list_sum``). Elements are cast
+float->double before multiplying (exact), all arithmetic in double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _to_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm (instead
+    of an ANSI division-by-zero error)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def sign_bits(v: Column, n_bits: int) -> Column:
+    """Sign-quantization sketch of the first ``n_bits`` dimensions —
+    '1' where v[i] >= 0 else '0', as a compact string bucket key.
+
+    Sign quantization by fixed coordinate axes is a valid (if crude)
+    LSH family for cosine similarity: vectors with high cosine agree on
+    most signs. Used to pre-bucket near-duplicate search so the
+    pairwise join is per-bucket instead of all-pairs.
+    """
+    bits = F.transform(
+        F.slice(v, 1, n_bits),
+        lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")

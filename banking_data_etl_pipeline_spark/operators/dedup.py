@@ -1,0 +1,228 @@
+"""Deduplication operators over the ``documents`` table — the
+LLM-training-data extensions (exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup).
+
+Scale notes (100 TB posture):
+- Exact dedup keys on md5(text) — a fixed-width shuffle key instead of
+  shuffling full document bodies; map-side partial aggregation applies.
+- MinHash: signatures are computed map-side in one projection (no
+  shuffle); only ``bands`` small band-key rows per doc shuffle for the
+  bucket self-join. Bucket sizes are bounded in practice; a hot bucket
+  (all-identical boilerplate) is handled by AQE skew-join splitting.
+- n-gram Jaccard joins on shared shingles, never all-pairs; the
+  candidate space is |pairs sharing >=1 shingle|.
+- Embedding near-dup pre-buckets with a sign-bit LSH so the pairwise
+  cosine join is per-bucket (misses cross-bucket pairs by design —
+  the recall/throughput trade-off of any LSH; raise n_bits for
+  precision, lower for recall).
+
+Everything is deterministic (md5-based) so a DuckDB oracle can
+replicate results exactly — see ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing, texttools, vectors
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact text; returns
+    (doc_id, n_copies) per distinct text, keyed for determinism.
+
+    GroupBy on md5(text) (not the body) keeps the shuffle narrow."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "n_copies", "text_hash")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    Signature component i = min over word-3-gram shingles of
+    md5('mh{i}:' || shingle); band key = md5 of its signature slice;
+    docs sharing any band key are candidates. Estimated Jaccard =
+    fraction of matching signature components.
+    """
+    rows = num_hashes // bands
+    toks = texttools.tokens(F.col(text_col))
+    shingles = F.array_distinct(texttools.word_shingles(toks, 3))
+    sig = hashing.minhash_signature(shingles, num_hashes)
+    sigd = docs.select(
+        F.col(id_col),
+        F.array(*sig).alias("sig"),
+        *[
+            k.alias(f"band{b}")
+            for b, k in enumerate(
+                hashing.band_keys(sig, bands, rows)
+            )
+        ],
+    ).filter(F.col("sig")[0].isNotNull())  # empty docs have no signature
+
+    # explode to (band_index, band_key) and self-join per bucket
+    bandcols = F.array(*[F.col(f"band{b}") for b in range(bands)])
+    exploded = sigd.select(
+        id_col, "sig", F.posexplode(bandcols).alias("band_idx", "band_key")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = F.zip_with(
+        F.col("sig_a"), F.col("sig_b"), lambda x, y: F.when(x == y, 1).otherwise(0)
+    )
+    est = F.aggregate(matches, F.lit(0), lambda acc, x: acc + x) / F.lit(float(num_hashes))
+    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-gram shingles for all pairs
+    sharing at least one shingle (inverted-index join, never all-pairs).
+    """
+    toks = texttools.tokens(F.col(text_col))
+    with_sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(texttools.word_shingles(toks, n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sizes = with_sh.select(id_col, F.size("shingles").alias("n_sh"), "shingles")
+
+    inv = sizes.select(id_col, "n_sh", F.explode("shingles").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 32
+) -> DataFrame:
+    """Per-document SimHash bit-string (see functions.hashing)."""
+    toks = F.array_distinct(texttools.tokens(F.col(text_col)))
+    return docs.select(
+        F.col(id_col),
+        hashing.simhash_bits(toks, n_bits).alias("simhash"),
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block the bit-string into ``blocks``
+    segments (pigeonhole: any pair within ``max_hamming`` <= blocks-1
+    shares a block), join per block, filter exact Hamming distance."""
+    fp = simhash_fingerprints(docs, text_col, id_col, n_bits)
+    seg = n_bits // blocks
+    blocked = fp.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[F.substring("simhash", i * seg + 1, seg) for i in range(blocks)]
+            )
+        ).alias("block_idx", "block_key"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = hashing.hamming_distance_bits(F.col("sh_a"), F.col("sh_b"))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicates: sign-bit LSH bucket, then exact cosine
+    within bucket. Deterministic; oracle-replicable."""
+    with_b = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        vectors.sign_bits(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    a = with_b.alias("a")
+    b = with_b.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        vectors.cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+    )
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,439 @@
+"""ANSI-SQL (DuckDB) oracle twins for every query in
+``__spark_entry__.queries()``.
+
+Parity rules that keep value hashes identical between engines:
+- Every division/float literal is wrapped in CAST(.. AS DOUBLE) —
+  DuckDB types bare ``10.0`` as DECIMAL, whose exact arithmetic would
+  *diverge* from Spark's double arithmetic.
+- Double SUMs go through DECIMAL(18,6) (exact, order-independent) and
+  are cast back to double; per-row arithmetic keeps Spark's exact
+  association order so IEEE-754 results are bit-identical.
+- Hashing/fingerprints use md5 hex strings (identical in both) and
+  lexicographic comparisons instead of hex->int conversions.
+- Left folds: DuckDB ``list_reduce`` == Spark ``aggregate`` with 0.0
+  init (adding 0.0 first preserves IEEE bits).
+"""
+
+from __future__ import annotations
+
+from .functions.texttools import LANG_ORDER, PUNCT_CHARS, STOPWORDS
+from .sources.synthetic import bank_cte, raw_lines_cte
+
+# ---------------------------------------------------------------- bank
+
+NORM_COLS = [
+    "job", "marital", "education", "housing", "loan", "contact",
+    "month", "poutcome", "y",
+]
+PASS_COLS = ["bank_id", "age", "balance", "day", "duration", "campaign", "pdays", "previous"]
+
+
+def _norm_select() -> str:
+    cols = ", ".join(PASS_COLS) + ", " + ", ".join(
+        f"lower(trim({c})) AS {c}" for c in NORM_COLS
+    )
+    return f"SELECT {cols} FROM bank"
+
+
+BANK_PREFIX = (
+    f"WITH bank AS (\n{bank_cte()}\n),\n"
+    f"norm AS ({_norm_select()}),\n"
+    "valid AS (SELECT * FROM norm WHERE age BETWEEN 18 AND 100)"
+)
+
+AGE_GROUP = (
+    "CASE WHEN age < 30 THEN 'young' WHEN age < 50 THEN 'middle_aged'"
+    " ELSE 'senior' END"
+)
+WEALTH = (
+    "CASE WHEN balance > 50000 THEN 'high_net_worth'"
+    " WHEN balance > 10000 THEN 'mass_affluent' ELSE 'mass_market' END"
+)
+DAY_TYPE = "CASE WHEN day % 7 IN (0, 6) THEN 'weekend' ELSE 'weekday' END"
+HAS_LOANS = "(housing = 'yes' OR loan = 'yes')"
+ENGAGEMENT = (
+    "(least(previous, 10) / CAST(10.0 AS DOUBLE)"
+    " + least(campaign, 10) / CAST(10.0 AS DOUBLE)"
+    " + least(duration, 1000) / CAST(1000.0 AS DOUBLE)"
+    " + CASE WHEN y = 'yes' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+    " / CAST(4.0 AS DOUBLE)"
+)
+RECENCY = (
+    "CASE WHEN pdays <= -1 THEN 1 WHEN pdays <= 7 THEN 5 WHEN pdays <= 30 THEN 4"
+    " WHEN pdays <= 90 THEN 3 WHEN pdays <= 180 THEN 2 ELSE 1 END"
+)
+FREQUENCY = (
+    "CASE WHEN previous <= 3 THEN 2 WHEN previous <= 5 THEN 3"
+    " WHEN previous <= 7 THEN 4 WHEN previous <= 10 THEN 5 ELSE 1 END"
+)
+MONETARY = (
+    "CASE WHEN balance <= 5000 THEN 2 WHEN balance <= 10000 THEN 3"
+    " WHEN balance <= 25000 THEN 4 WHEN balance <= 50000 THEN 5 ELSE 1 END"
+)
+SEGMENT = (
+    "CASE WHEN (_r + _f + _m) / CAST(3.0 AS DOUBLE) >= 4 THEN 'premium'"
+    " WHEN (_r + _f + _m) / CAST(3.0 AS DOUBLE) >= 3 THEN 'high_value'"
+    " WHEN (_r + _f + _m) / CAST(3.0 AS DOUBLE) >= 2 THEN 'medium_value'"
+    " ELSE 'low_value' END"
+)
+RFM_JSON = "to_json(struct_pack(recency := _r, frequency := _f, monetary := _m))"
+
+PIPELINE_ENRICHED = f"""{BANK_PREFIX},
+seg AS (
+  SELECT *, {RECENCY} AS _r, {FREQUENCY} AS _f, {MONETARY} AS _m FROM valid
+)
+SELECT
+  bank_id, age, job, marital, education, balance, housing, loan, contact,
+  day, month, duration, campaign, pdays, previous, poutcome, y,
+  {AGE_GROUP} AS age_group,
+  {WEALTH} AS wealth_segment,
+  {DAY_TYPE} AS contact_day_type,
+  {HAS_LOANS} AS has_loans,
+  round({ENGAGEMENT}, 6) AS engagement_score,
+  {RFM_JSON} AS rfm_scores,
+  {SEGMENT} AS customer_segment
+FROM seg"""
+
+AGE_GROUP_Q = f"{BANK_PREFIX}\nSELECT bank_id, age, {AGE_GROUP} AS age_group FROM valid"
+WEALTH_Q = f"{BANK_PREFIX}\nSELECT bank_id, balance, {WEALTH} AS wealth_segment FROM valid"
+DAY_TYPE_Q = f"{BANK_PREFIX}\nSELECT bank_id, day, {DAY_TYPE} AS contact_day_type FROM valid"
+HAS_LOANS_Q = f"{BANK_PREFIX}\nSELECT bank_id, housing, loan, {HAS_LOANS} AS has_loans FROM valid"
+ENGAGEMENT_Q = (
+    f"{BANK_PREFIX}\nSELECT bank_id, round({ENGAGEMENT}, 6) AS engagement_score FROM valid"
+)
+RFM_Q = f"""{BANK_PREFIX},
+seg AS (SELECT *, {RECENCY} AS _r, {FREQUENCY} AS _f, {MONETARY} AS _m FROM valid)
+SELECT bank_id, _r AS recency, _f AS frequency, _m AS monetary,
+       {RFM_JSON} AS rfm_scores
+FROM seg"""
+SEGMENT_Q = f"""{BANK_PREFIX},
+seg AS (SELECT *, {RECENCY} AS _r, {FREQUENCY} AS _f, {MONETARY} AS _m FROM valid)
+SELECT bank_id, {SEGMENT} AS customer_segment FROM seg"""
+
+NORMALIZE_Q = (
+    f"WITH bank AS (\n{bank_cte()}\n)\n"
+    "SELECT bank_id, "
+    + ", ".join(f"lower(trim({c})) AS {c}" for c in NORM_COLS)
+    + ' , lower(trim("default")) AS default_flag FROM bank'
+)
+
+RANGE_FILTER_Q = (
+    f"WITH bank AS (\n{bank_cte()}\n)\n"
+    "SELECT bank_id, age FROM bank WHERE age BETWEEN 18 AND 100"
+)
+
+REQUIRED_FILTER_Q = (
+    "WITH ev AS (SELECT event_id,"
+    " CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value,"
+    " CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS event_type"
+    " FROM events)\n"
+    "SELECT event_id, event_type, value FROM ev"
+    " WHERE value IS NOT NULL AND event_type IS NOT NULL"
+)
+
+LINEAGE_Q = (
+    f"WITH bank AS (\n{bank_cte()}\n)\n"
+    "SELECT bank_id, md5(CAST(bank_id AS VARCHAR)) AS _batch_id,"
+    " '1.2' AS _pipeline_version,"
+    " '2026-01-01T00:00:00Z' AS processing_timestamp FROM bank"
+)
+
+# ------------------------------------------------------- parse / errors
+
+_PARSE_CLASSIFY = (
+    "CASE WHEN len(parts) != 17 THEN 'parsing_error'"
+    " WHEN TRY_CAST(trim(parts[1]) AS BIGINT) IS NULL THEN 'parsing_error'"
+    " WHEN TRY_CAST(trim(parts[1]) AS BIGINT) < 18"
+    "   OR TRY_CAST(trim(parts[1]) AS BIGINT) > 100 THEN 'data_validation'"
+    " ELSE 'valid' END"
+)
+
+PARSE_TYPED_Q = f"""WITH lines AS (
+{raw_lines_cte()}
+), p AS (SELECT line_id, line, str_split(line, ';') AS parts FROM lines)
+SELECT line_id, CAST(len(parts) AS INT) AS ncols,
+       TRY_CAST(trim(parts[1]) AS BIGINT) AS age,
+       TRY_CAST(trim(parts[6]) AS DOUBLE) AS balance,
+       {_PARSE_CLASSIFY} AS error_type
+FROM p"""
+
+ERROR_SPLIT_Q = f"""WITH lines AS (
+{raw_lines_cte()}
+), p AS (SELECT line_id, str_split(line, ';') AS parts FROM lines)
+SELECT {_PARSE_CLASSIFY} AS error_type, count(*) AS n
+FROM p GROUP BY 1"""
+
+ERROR_RECORDS_Q = f"""WITH lines AS (
+{raw_lines_cte()}
+), p AS (SELECT line_id, line, str_split(line, ';') AS parts FROM lines),
+cls AS (SELECT line_id, line, parts, {_PARSE_CLASSIFY} AS error_type FROM p)
+SELECT line AS raw_data,
+  CASE
+    WHEN len(parts) != 17 THEN 'ParseError: expected 17 columns'
+    WHEN TRY_CAST(trim(parts[1]) AS BIGINT) IS NULL
+      THEN concat('ParseError: invalid value for ''age'': ', parts[1])
+    ELSE concat('ValidationError: age out of range [18, 100]: ',
+                CAST(TRY_CAST(trim(parts[1]) AS BIGINT) AS VARCHAR))
+  END AS error_message,
+  error_type,
+  '2026-01-01T00:00:00Z' AS timestamp
+FROM cls WHERE error_type != 'valid'"""
+
+# ------------------------------------------------------------ documents
+
+TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+
+def _word_shingles(toks: str, n: int) -> str:
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1),"
+        f" i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
+DEDUP_EXACT_Q = (
+    "SELECT min(doc_id) AS doc_id, count(*) AS n_copies, md5(text) AS text_hash"
+    " FROM documents GROUP BY md5(text)"
+)
+
+NGRAM_JACCARD_Q = f"""WITH sh AS (
+  SELECT doc_id, list_distinct({_word_shingles(TOKS, 3)}) AS shingles FROM documents
+), sized AS (
+  SELECT doc_id, len(shingles) AS n_sh, shingles FROM sh WHERE len(shingles) > 0
+), inv AS (
+  SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sized
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS n_inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
+FROM pairs
+WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) >= 0.5"""
+
+
+def minhash_lsh_sql(num_hashes: int = 12, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    sig = (
+        f"list_transform(range(0, {num_hashes}), i -> list_min(list_transform("
+        "shingles, s -> md5('mh' || CAST(i AS VARCHAR) || ':' || s))))"
+    )
+    band_exprs = []
+    for b in range(bands):
+        parts = ", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        band_exprs.append(f"md5(concat_ws('|', 'b{b}', {parts})) AS band{b}")
+    band_list = ", ".join(f"band{b}" for b in range(bands))
+    matches = (
+        f"list_sum(list_transform(range(1, {num_hashes} + 1),"
+        " i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))"
+    )
+    return f"""WITH sh AS (
+  SELECT doc_id, list_distinct({_word_shingles(TOKS, 3)}) AS shingles FROM documents
+), sigs AS (
+  SELECT doc_id, {sig} AS sig FROM sh WHERE len(shingles) > 0
+), banded AS (
+  SELECT doc_id, sig, {", ".join(band_exprs)} FROM sigs
+), keys AS (
+  SELECT doc_id, sig, unnest([{band_list}]) AS band_key FROM banded
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(CAST({matches} AS DOUBLE) / CAST({num_hashes} AS DOUBLE), 6) AS est_jaccard
+FROM cand c JOIN sigs a ON a.doc_id = c.id_a JOIN sigs b ON b.doc_id = c.id_b"""
+
+
+def simhash_sql(n_bits: int = 32) -> str:
+    bits = ", ".join(
+        "CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN"
+        f" substring(md5(t), {j}, 1) >= '8' THEN 1 ELSE -1 END)) > 0"
+        " THEN '1' ELSE '0' END"
+        for j in range(1, n_bits + 1)
+    )
+    return f"""WITH tk AS (
+  SELECT doc_id, list_distinct({TOKS}) AS toks FROM documents
+)
+SELECT doc_id, concat({bits}) AS simhash FROM tk WHERE len(toks) > 0"""
+
+
+# ----------------------------------------------------------- embeddings
+
+def _dot(a: str, b: str) -> str:
+    """Sequential-order dot product, bit-identical to Spark's
+    zip_with+aggregate left fold (0.0 + x1 + x2 + ...)."""
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _cosine(a: str, b: str) -> str:
+    dot = _dot(a, b)
+    na = f"sqrt({_dot(a, a)})"
+    nb = f"sqrt({_dot(b, b)})"
+    return (
+        f"CASE WHEN {na} * {nb} = 0 THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE {dot} / ({na} * {nb}) END"
+    )
+
+
+def _sign_bits(v: str, n_bits: int) -> str:
+    return (
+        f"array_to_string(list_transform(list_slice({v}, 1, {n_bits}),"
+        " x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+    )
+
+
+EMB_NEAR_DUP_Q = f"""WITH e AS (
+  SELECT vec_id, embedding AS v, {_sign_bits('embedding', 8)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cosine('a.v', 'b.v')}, 6) AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_cosine('a.v', 'b.v')}, 6) >= 0.9"""
+
+ANN_BRUTE_Q = f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_cosine('e.embedding', 'q.qvec')}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10"""
+
+ANN_LSH_Q = f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec,
+         {_sign_bits('embedding', 4)} AS bucket
+  FROM embeddings ORDER BY vec_id LIMIT 5
+), c AS (
+  SELECT vec_id, embedding AS v, {_sign_bits('embedding', 4)} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id, round({_cosine('c.v', 'q.qvec')}, 6) AS cosine
+  FROM c JOIN q ON c.bucket = q.bucket WHERE c.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10"""
+
+# ------------------------------------------------------------- text ops
+
+_SQL_PUNCT = PUNCT_CHARS.replace("'", "''")
+
+
+def _stop_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _hits(lang: str) -> str:
+    return f"len(list_filter(toks, t -> list_contains({_stop_list(lang)}, t)))"
+
+
+TEXT_STATS_Q = f"""WITH tk AS (
+  SELECT doc_id, text, {TOKS} AS toks FROM documents
+), st AS (
+  SELECT doc_id, text, toks,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE (length(text) - length(translate(text, '{_SQL_PUNCT}', '')))
+              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE {_hits('en')} / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
+  FROM tk
+)
+SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio,
+  round(stopword_ratio, 6) AS stopword_ratio,
+  round(
+    CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+    + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+    + CAST(0.3 AS DOUBLE) * least(stopword_ratio / CAST(0.4 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+  6) AS quality_score
+FROM st"""
+
+
+def langid_sql() -> str:
+    scores = {
+        lang: (
+            f"CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)"
+            f" ELSE {_hits(lang)} / CAST(len(toks) AS DOUBLE) END"
+        )
+        for lang in LANG_ORDER
+    }
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und'"
+    for lang in LANG_ORDER:
+        case += f" WHEN s_{lang} = {best} THEN '{lang}'"
+    case += " ELSE 'und' END"
+    sel = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    return f"""WITH tk AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), sc AS (SELECT doc_id, {sel} FROM tk)
+SELECT doc_id, {case} AS lang_id FROM sc"""
+
+
+FINGERPRINT_Q = """SELECT doc_id,
+  list_min(list_transform(range(1, greatest(length(lower(text)) - 7, 0) + 1),
+           i -> md5(substring(lower(text), i, 8)))) AS fingerprint
+FROM documents WHERE length(text) >= 8"""
+
+# --------------------------------------------------------------- events
+
+WINDOW_AGG_Q = """SELECT
+  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+  event_type,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+SESSIONIZE_Q = """WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+  CAST(epoch(min(ts)) AS BIGINT) AS session_start_epoch,
+  CAST(epoch(max(ts)) AS BIGINT) AS session_end_epoch
+FROM s GROUP BY user_id, session_seq"""
+
+TOPK_PER_GROUP_Q = """WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3"""
+
+# ----------------------------------------------------------- multimodal
+
+MEDIA_META_Q = """SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  sha256(text) AS sha256
+FROM documents"""
+
+FRAME_SAMPLE_Q = """SELECT doc_id AS media_id,
+  unnest(range(0, greatest(octet_length(encode(text)) - 1, 0) + 1, 1024)) AS frame_offset
+FROM documents"""

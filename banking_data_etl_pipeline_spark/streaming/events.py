@@ -1,0 +1,123 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference is batch-only (DirectRunner pinned,
+``batch_pipeline1.py:326``) — streaming here covers the unbounded
+analogue of its pipeline plus the windowed aggregations a production
+events feed needs: watermarked tumbling-window aggregation and
+sessionization.
+
+Batch/stream parity: ``windowed_agg_batch`` is the exact batch twin of
+``windowed_agg_stream`` (same expressions), which is what the DuckDB
+oracle checks; the streaming variant is exercised by tests with a
+file source + ``availableNow`` trigger + memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _window_agg(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window x event_type: count + sum(value).
+
+    Output keys the window by epoch seconds (timezone-independent) so
+    results hash-match an oracle regardless of session TZ."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # sum through DECIMAL: exact and order-independent, so the
+            # result is identical across partitionings AND engines
+            # (double sums would drift in the last bits per merge order)
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_agg_batch(events: DataFrame) -> DataFrame:
+    return _window_agg(events)
+
+
+def windowed_agg_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """The same aggregation as an unbounded plan: file source +
+    10-minute watermark (late-data bound; state for a window is freed
+    once the watermark passes its end)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(events_dir)
+    )
+    return _window_agg(stream.withWatermark("ts", "10 minutes"))
+
+
+def run_stream_to_memory(spark: SparkSession, events_dir: str, name: str) -> DataFrame:
+    """Drive the streaming agg to completion on the (bounded) events
+    dir via availableNow, collect from a memory sink. Test harness for
+    the unbounded plan."""
+    q = (
+        windowed_agg_stream(spark, events_dir)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization (batch): per-user sessions split on inactivity
+    gaps > gap_minutes, via lag + cumulative sum — the standard
+    shuffle-once window-function formulation. Streaming twin would use
+    ``session_window(ts, gap)``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    with_gap = events.withColumn(
+        "_new_session",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+            > gap_s,
+            1,
+        )
+        .otherwise(0),
+    )
+    with_sid = with_gap.withColumn(
+        "session_seq",
+        F.sum("_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
+            F.unix_timestamp(F.max("ts")).alias("session_end_epoch"),
+        )
+    )
