@@ -41,19 +41,31 @@ def error_entry(stage: str, error_type: str, message: Column) -> Column:
     )
 
 
-def append_error_when(
-    df: DataFrame, cond: Column, stage: str, error_type: str, message: Column
-) -> DataFrame:
-    """Append an error entry to rows matching ``cond`` (only rows that
-    are still clean — short-circuit semantics, see module docstring)."""
-    clean = F.size(F.col(ERRORS_COL)) == 0
-    return df.withColumn(
-        ERRORS_COL,
-        F.when(
-            clean & cond,
-            F.array_append(F.col(ERRORS_COL), error_entry(stage, error_type, message)),
-        ).otherwise(F.col(ERRORS_COL)),
-    )
+def first_error_chain(pairs: list[tuple[Column, str, str, Column]]) -> Column:
+    """A single CASE chain producing the ``_errors`` array: the first
+    matching (cond, stage, error_type, message) wins; no match -> empty.
+
+    Because the reference short-circuits on the first exception, a row
+    carries AT MOST ONE error — so the channel is one linear-size
+    expression instead of iterated self-referencing appends (which
+    Catalyst's projection collapse would expand to a 3^n-node tree:
+    guard + append + otherwise each copy the previous expression).
+    """
+    expr: Column | None = None
+    for cond, stage, error_type, message in pairs:
+        entry = F.array(error_entry(stage, error_type, message))
+        expr = F.when(cond, entry) if expr is None else expr.when(cond, entry)
+    assert expr is not None, "need at least one error condition"
+    return expr.otherwise(empty_errors())
+
+
+def set_errors(df: DataFrame, pairs: list[tuple[Column, str, str, Column]]) -> DataFrame:
+    """Install/extend the error channel in ONE projection. Rows already
+    carrying an error keep it (short-circuit across stages)."""
+    chain = first_error_chain(pairs)
+    if ERRORS_COL in df.columns:
+        chain = F.when(F.size(F.col(ERRORS_COL)) > 0, F.col(ERRORS_COL)).otherwise(chain)
+    return df.withColumn(ERRORS_COL, chain)
 
 
 def is_clean() -> Column:

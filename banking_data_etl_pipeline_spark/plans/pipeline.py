@@ -79,41 +79,53 @@ def parse_stage(lines: DataFrame, cfg: PipelineConfig, line_col: str = "line") -
         F.from_csv(F.col(line_col), wide_ddl, {"sep": ";", "quote": '"'}).alias("p"),
     )
 
+    # The column-count condition must be materialized in the same select
+    # that drops the struct `p` — referencing p.c16/p.c17 afterwards
+    # would be an unresolved column.
     ncols_bad = F.col("p.c16").isNull() | F.col("p.c17").isNotNull()
     df = parsed.select(
         "_raw",
+        ncols_bad.alias("_ncols_bad"),
         *[F.col(f"p.c{i}").alias(f"_s_{name}") for i, (name, _) in enumerate(BANK_COLUMNS)],
-    ).withColumn(ERRORS_COL, E.empty_errors())
-
-    df = E.append_error_when(
-        df,
-        ncols_bad,
-        stage="ParseError",
-        error_type="parsing_error",
-        message=F.lit(f"expected {NUM_CSV_COLUMNS} columns"),
     )
 
-    # Typed casts; a failed cast on a present value is a parsing_error.
+    # Typed casts (try_cast so ANSI mode routes bad values to the error
+    # channel instead of aborting); categoricals lower+trim (:123-138).
+    typed_cols = []
     for name, dtype in BANK_COLUMNS:
         raw = F.trim(F.col(f"_s_{name}"))
         if name in INT_FIELDS or name in FLOAT_FIELDS:
-            typed = raw.try_cast(dtype)
-            df = df.withColumn(name, typed)
-            df = E.append_error_when(
-                df,
-                F.col(name).isNull() & raw.isNotNull() & (raw != ""),
-                stage="ParseError",
-                error_type="parsing_error",
-                message=F.concat(
-                    F.lit(f"invalid value for '{name}': "), F.col(f"_s_{name}")
-                ),
-            )
+            typed_cols.append(raw.try_cast(dtype).alias(name))
         else:
-            # categorical: lower + strip, reference :123-138
-            df = df.withColumn(name, F.lower(raw))
+            typed_cols.append(F.lower(raw).alias(name))
+    df = df.select("_raw", "_ncols_bad", *[F.col(f"_s_{n}") for n, _ in BANK_COLUMNS], *typed_cols)
+
+    # Error channel in ONE expression, first-match-wins in the
+    # reference's evaluation order: column count (:118-119), then the
+    # numeric casts in column order (:121-138).
+    pairs: list = [
+        (
+            F.col("_ncols_bad"),
+            "ParseError",
+            "parsing_error",
+            F.lit(f"expected {NUM_CSV_COLUMNS} columns"),
+        )
+    ]
+    for name, _ in BANK_COLUMNS:
+        if name in INT_FIELDS or name in FLOAT_FIELDS:
+            raw = F.trim(F.col(f"_s_{name}"))
+            pairs.append(
+                (
+                    F.col(name).isNull() & raw.isNotNull() & (raw != ""),
+                    "ParseError",
+                    "parsing_error",
+                    F.concat(F.lit(f"invalid value for '{name}': "), F.col(f"_s_{name}")),
+                )
+            )
+    df = E.set_errors(df, pairs)
 
     df = df.withColumn("_ingestion_timestamp", E.when_clean(_ts(cfg)))
-    return df.drop(*[f"_s_{name}" for name, _ in BANK_COLUMNS])
+    return df.drop("_ncols_bad", *[f"_s_{name}" for name, _ in BANK_COLUMNS])
 
 
 def from_typed(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -134,24 +146,26 @@ def validate_stage(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Required-field + age-range validation (reference :142-145,
     :167-172). The isinstance type-check (:167-168) is subsumed by the
     typed schema."""
-    df = E.append_error_when(
+    return E.set_errors(
         df,
-        F.col("age").isNull() | F.col("job").isNull() | F.col("balance").isNull(),
-        stage="ValidationError",
-        error_type="data_validation",
-        message=F.lit("missing required field (age/job/balance)"),
+        [
+            (
+                F.col("age").isNull() | F.col("job").isNull() | F.col("balance").isNull(),
+                "ValidationError",
+                "data_validation",
+                F.lit("missing required field (age/job/balance)"),
+            ),
+            (
+                ~F.col("age").between(cfg.min_age, cfg.max_age),
+                "ValidationError",
+                "data_validation",
+                F.concat(
+                    F.lit(f"age out of range [{cfg.min_age}, {cfg.max_age}]: "),
+                    F.col("age").cast("string"),
+                ),
+            ),
+        ],
     )
-    df = E.append_error_when(
-        df,
-        ~F.col("age").between(cfg.min_age, cfg.max_age),
-        stage="ValidationError",
-        error_type="data_validation",
-        message=F.concat(
-            F.lit(f"age out of range [{cfg.min_age}, {cfg.max_age}]: "),
-            F.col("age").cast("string"),
-        ),
-    )
-    return df
 
 
 # --------------------------------------------------------------- enrich

@@ -31,6 +31,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # driver parquet stores INT64 TIMESTAMP(NANOS), which Spark 4
+        # rejects by default (PARQUET_TYPE_ILLEGAL); read as long nanos
+        # and convert explicitly in sources.tables.load
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
@@ -49,4 +53,5 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     session.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -1,1 +1,1 @@
-from . import bankcsv, tables, synthetic  # noqa: F401
+from . import bankcsv, synthetic, tables  # noqa: F401

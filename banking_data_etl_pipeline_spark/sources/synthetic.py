@@ -71,11 +71,15 @@ BANK_EXPRS: list[tuple[str, str]] = [
 # NB: `default` is a keyword in both engines — quote it where selected.
 
 
-def bank_projection_sql() -> str:
-    """The shared SELECT list (quotes the `default` keyword)."""
+def bank_projection_sql(dialect: str = "duckdb") -> str:
+    """The shared SELECT list. The expressions are identical in both
+    engines; only identifier quoting differs (`default` is a keyword):
+    DuckDB takes ANSI double quotes, Spark takes backticks."""
+    assert dialect in ("duckdb", "spark")
+    q = '"' if dialect == "duckdb" else "`"
     parts = []
     for name, expr in BANK_EXPRS:
-        quoted = f'"{name}"' if name == "default" else name
+        quoted = f"{q}{name}{q}" if name == "default" else name
         parts.append(f"{expr} AS {quoted}")
     return ",\n    ".join(parts)
 
@@ -83,14 +87,16 @@ def bank_projection_sql() -> str:
 def bank_cte() -> str:
     """DuckDB/ANSI CTE body producing the synthetic bank table from the
     pre-registered ``orders`` view."""
-    return f"SELECT\n    {bank_projection_sql()}\nFROM orders"
+    return f"SELECT\n    {bank_projection_sql('duckdb')}\nFROM orders"
 
 
 def bank_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same table via Spark, from the orders parquet."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     orders.createOrReplaceTempView("__bank_orders_src")
-    return spark.sql(f"SELECT\n    {bank_projection_sql()}\nFROM __bank_orders_src")
+    return spark.sql(
+        f"SELECT\n    {bank_projection_sql('spark')}\nFROM __bank_orders_src"
+    )
 
 
 # --- Raw CSV line synthesis (for the parse/error-channel operators) ---
