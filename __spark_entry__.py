@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()``
+registers one Spark builder per implemented operator (SURVEY.md §2 +
+the LLM-data-pipeline extensions); ``oracle_sql()`` gives the DuckDB
+twin for each (see ``banking_data_etl_pipeline_spark/oracle.py`` for
+the cross-engine float/hash parity rules).
+
+``stream_window_agg`` intentionally shares WINDOW_AGG_Q with the batch
+query: the availableNow streaming run must produce the identical
+result, which is a stronger check than rows-only.
 """
 
 from __future__ import annotations
@@ -13,26 +17,89 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from banking_data_etl_pipeline_spark import oracle, queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return Q.pipeline_enriched(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # bank-marketing reference pipeline (SURVEY.md §2 ops 1-19, 24)
+        "pipeline_enriched": Q.pipeline_enriched,
+        "age_group": Q.age_group,
+        "wealth_segment": Q.wealth_segment,
+        "contact_day_type": Q.contact_day_type,
+        "has_loans": Q.has_loans,
+        "engagement_score": Q.engagement_score,
+        "rfm_scores": Q.rfm_scores,
+        "customer_segment": Q.customer_segment,
+        "normalize": Q.normalize,
+        "range_filter": Q.range_filter,
+        "required_filter": Q.required_filter,
+        "lineage": Q.lineage,
+        "parse_typed": Q.parse_typed,
+        "error_split": Q.error_split,
+        "error_records": Q.error_records,
+        # dedup family
+        "dedup_exact": Q.dedup_exact,
+        "ngram_jaccard": Q.ngram_jaccard,
+        "minhash_lsh": Q.minhash_lsh,
+        "simhash": Q.simhash,
+        "emb_near_dup": Q.emb_near_dup,
+        # similarity search
+        "ann_brute": Q.ann_brute,
+        "ann_lsh": Q.ann_lsh,
+        # text analysis
+        "text_stats": Q.text_stats,
+        "lang_id": Q.lang_id,
+        "fingerprint": Q.fingerprint,
+        # events: windows, sessions, top-k, streaming twin
+        "window_agg": Q.window_agg,
+        "stream_window_agg": Q.stream_window_agg,
+        "sessionize": Q.sessionize,
+        "topk_per_group": Q.topk_per_group,
+        # multimodal plumbing
+        "media_metadata": Q.media_metadata,
+        "media_features": Q.media_features,
+        "frame_sample": Q.frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pipeline_enriched": oracle.PIPELINE_ENRICHED,
+        "age_group": oracle.AGE_GROUP_Q,
+        "wealth_segment": oracle.WEALTH_Q,
+        "contact_day_type": oracle.DAY_TYPE_Q,
+        "has_loans": oracle.HAS_LOANS_Q,
+        "engagement_score": oracle.ENGAGEMENT_Q,
+        "rfm_scores": oracle.RFM_Q,
+        "customer_segment": oracle.SEGMENT_Q,
+        "normalize": oracle.NORMALIZE_Q,
+        "range_filter": oracle.RANGE_FILTER_Q,
+        "required_filter": oracle.REQUIRED_FILTER_Q,
+        "lineage": oracle.LINEAGE_Q,
+        "parse_typed": oracle.PARSE_TYPED_Q,
+        "error_split": oracle.ERROR_SPLIT_Q,
+        "error_records": oracle.ERROR_RECORDS_Q,
+        "dedup_exact": oracle.DEDUP_EXACT_Q,
+        "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
+        "minhash_lsh": oracle.minhash_lsh_sql(),
+        "simhash": oracle.simhash_sql(),
+        "emb_near_dup": oracle.EMB_NEAR_DUP_Q,
+        "ann_brute": oracle.ANN_BRUTE_Q,
+        "ann_lsh": oracle.ANN_LSH_Q,
+        "text_stats": oracle.TEXT_STATS_Q,
+        "lang_id": oracle.langid_sql(),
+        "fingerprint": oracle.FINGERPRINT_Q,
+        "window_agg": oracle.WINDOW_AGG_Q,
+        "stream_window_agg": oracle.WINDOW_AGG_Q,
+        "sessionize": oracle.SESSIONIZE_Q,
+        "topk_per_group": oracle.TOPK_PER_GROUP_Q,
+        "media_metadata": oracle.MEDIA_META_Q,
+        "media_features": oracle.MEDIA_FEATURES_Q,
+        "frame_sample": oracle.FRAME_SAMPLE_Q,
+    }

@@ -31,11 +31,17 @@ def minhash_signature(tokens: Column, num_hashes: int) -> list[Column]:
     One pass per hash over the token array — all inside a single
     projection, no shuffle, no UDF. At 100 TB this is the map-side of
     the dedup; only the band keys shuffle.
+
+    NB: the per-hash salt must be bound via a closure FACTORY — a
+    ``lambda t, i=i:`` default arg makes PySpark see a 2-parameter
+    lambda and bind ``i`` to transform's array-index column instead.
     """
-    return [
-        F.array_min(F.transform(tokens, lambda t, i=i: salted_md5(t, f"mh{i}:")))
-        for i in range(num_hashes)
-    ]
+
+    def _hasher(i: int):
+        salt = f"mh{i}:"
+        return lambda t: salted_md5(t, salt)
+
+    return [F.array_min(F.transform(tokens, _hasher(i))) for i in range(num_hashes)]
 
 
 def band_keys(sig_cols: list[Column], bands: int, rows: int) -> list[Column]:
@@ -59,16 +65,17 @@ def simhash_bits(tokens: Column, n_bits: int = 32) -> Column:
     which is exactly the SimHash construction with 1-bit projections.
     """
     # hex digit >= '8' <=> top bit set ('0'..'9' < 'a'..'f' in ASCII, so
-    # plain string comparison is exact — and portable to the SQL twin)
+    # plain string comparison is exact — and portable to the SQL twin).
+    # Closure factory, NOT a default-arg lambda: aggregate's merge takes
+    # exactly (acc, x), and a default param changes the visible arity.
+    def _voter(j: int):
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), j, 1) >= "8", 1
+        ).otherwise(-1)
+
     bits = []
     for j in range(1, n_bits + 1):
-        # vote_j = sum over tokens of +1/-1
-        vote = F.aggregate(
-            tokens,
-            F.lit(0),
-            lambda acc, t, j=j: acc
-            + F.when(F.substring(F.md5(t), j, 1) >= "8", 1).otherwise(-1),
-        )
+        vote = F.aggregate(tokens, F.lit(0), _voter(j))
         bits.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 

@@ -90,7 +90,9 @@ def split_errors(
         F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"
     )
     good = df.filter(is_clean()).drop(ERRORS_COL)
-    first = F.element_at(F.col(ERRORS_COL), 1)
+    # try_element_at: null-safe even if the optimizer evaluates the
+    # projection before the size>0 filter (ANSI element_at would throw)
+    first = F.try_element_at(F.col(ERRORS_COL), F.lit(1))
     bad = (
         df.filter(~is_clean())
         .select(

@@ -400,20 +400,25 @@ WINDOW_AGG_Q = """SELECT
   round(CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE), 4) AS sum_value
 FROM events GROUP BY 1, 2"""
 
+#   Gap test + session bounds in INTEGER MICROSECONDS (epoch_us here,
+#   unix_micros in Spark) — exact in both engines, unlike epoch()
+#   doubles, whose CAST-to-BIGINT *rounds* in DuckDB but unix_timestamp
+#   *floors* in Spark.
 SESSIONIZE_Q = """WITH g AS (
   SELECT user_id, event_id, ts,
-    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM g
 )
 SELECT user_id, session_seq, count(*) AS n_events,
-  CAST(epoch(min(ts)) AS BIGINT) AS session_start_epoch,
-  CAST(epoch(max(ts)) AS BIGINT) AS session_end_epoch
+  epoch_us(min(ts)) // 1000000 AS session_start_epoch,
+  epoch_us(max(ts)) // 1000000 AS session_end_epoch
 FROM s GROUP BY user_id, session_seq"""
 
 TOPK_PER_GROUP_Q = """WITH r AS (
@@ -437,3 +442,19 @@ FROM documents"""
 FRAME_SAMPLE_Q = """SELECT doc_id AS media_id,
   unnest(range(0, greatest(octet_length(encode(text)) - 1, 0) + 1, 1024)) AS frame_offset
 FROM documents"""
+
+# Twin of multimodal.binaryops.extract_features with the deterministic
+# fake decode: (h, w, c) derived from payload length — SQL-expressible,
+# so even the Arrow-batched mapInPandas path gets a full value check.
+MEDIA_FEATURES_Q = """WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+    octet_length(encode(text)) AS nb
+  FROM documents
+)
+SELECT media_id, kind,
+  CAST(32 + nb % 97 AS INT) AS height,
+  CAST(32 + nb % 89 AS INT) AS width,
+  CAST(3 AS INT) AS channels,
+  CAST(nb AS BIGINT) AS n_bytes
+FROM m"""

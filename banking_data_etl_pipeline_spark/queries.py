@@ -1,0 +1,394 @@
+"""Spark-side query builders, one per oracle twin in ``oracle.py``.
+
+Every function takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column NAMES, TYPES and VALUES match the DuckDB oracle SQL of the same
+name (the driver sorts columns by name and value-hashes, so aliases
+must line up exactly — see oracle.py header for the float-parity
+rules).
+
+These are the registered entry points for the driver contract
+(``__spark_entry__.queries()``); each one routes through the operator
+library so the correctness gate exercises the real implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import hashing, scoring, texttools
+from .multimodal import binaryops
+from .operators import dedup, similarity
+from .oracle import NORM_COLS, PASS_COLS
+from .plans import pipeline as P
+from .session import tune_for_oracle
+from .sources import synthetic, tables
+from .streaming import events as EV
+
+FIXED_TS = "2026-01-01T00:00:00Z"
+
+# ------------------------------------------------------------ bank core
+
+
+def _bank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twin of the oracle's ``norm`` CTE: pass-through numerics +
+    lower(trim()) categoricals; drops `default` like the oracle."""
+    bank = synthetic.bank_table(spark, sf_dir)
+    return bank.select(
+        *PASS_COLS, *[F.lower(F.trim(F.col(c))).alias(c) for c in NORM_COLS]
+    )
+
+
+def _bank_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twin of the oracle's ``valid`` CTE (age-range filter, op 8)."""
+    return _bank_norm(spark, sf_dir).filter(F.col("age").between(18, 100))
+
+
+def _rfm(df: DataFrame) -> DataFrame:
+    return (
+        df.withColumn("_r", scoring.recency_score(F.col("pdays")))
+        .withColumn("_f", scoring.frequency_score(F.col("previous")))
+        .withColumn("_m", scoring.monetary_score(F.col("balance")))
+    )
+
+
+BANK_OUT_COLS = [
+    "bank_id", "age", "job", "marital", "education", "balance", "housing",
+    "loan", "contact", "day", "month", "duration", "campaign", "pdays",
+    "previous", "poutcome", "y",
+]
+
+
+def pipeline_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full reference pipeline (ops 4, 6, 8-16) on the
+    synthetic bank table — normalize, validate, enrich, segment."""
+    tune_for_oracle(spark)
+    seg = _rfm(_bank_valid(spark, sf_dir))
+    return seg.select(
+        *BANK_OUT_COLS,
+        scoring.age_group(F.col("age")).alias("age_group"),
+        scoring.wealth_segment(F.col("balance")).alias("wealth_segment"),
+        scoring.contact_day_type(F.col("day")).alias("contact_day_type"),
+        scoring.has_loans(F.col("housing"), F.col("loan")).alias("has_loans"),
+        F.round(
+            scoring.engagement_score(
+                F.col("previous"), F.col("campaign"), F.col("duration"), F.col("y")
+            ),
+            6,
+        ).alias("engagement_score"),
+        scoring.rfm_json(F.col("_r"), F.col("_f"), F.col("_m")).alias("rfm_scores"),
+        scoring.customer_segment(F.col("_r"), F.col("_f"), F.col("_m")).alias(
+            "customer_segment"
+        ),
+    )
+
+
+def age_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    v = _bank_valid(spark, sf_dir)
+    return v.select("bank_id", "age", scoring.age_group(F.col("age")).alias("age_group"))
+
+
+def wealth_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    v = _bank_valid(spark, sf_dir)
+    return v.select(
+        "bank_id", "balance", scoring.wealth_segment(F.col("balance")).alias("wealth_segment")
+    )
+
+
+def contact_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    v = _bank_valid(spark, sf_dir)
+    return v.select(
+        "bank_id", "day", scoring.contact_day_type(F.col("day")).alias("contact_day_type")
+    )
+
+
+def has_loans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    v = _bank_valid(spark, sf_dir)
+    return v.select(
+        "bank_id", "housing", "loan",
+        scoring.has_loans(F.col("housing"), F.col("loan")).alias("has_loans"),
+    )
+
+
+def engagement_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    v = _bank_valid(spark, sf_dir)
+    return v.select(
+        "bank_id",
+        F.round(
+            scoring.engagement_score(
+                F.col("previous"), F.col("campaign"), F.col("duration"), F.col("y")
+            ),
+            6,
+        ).alias("engagement_score"),
+    )
+
+
+def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    seg = _rfm(_bank_valid(spark, sf_dir))
+    return seg.select(
+        "bank_id",
+        F.col("_r").alias("recency"),
+        F.col("_f").alias("frequency"),
+        F.col("_m").alias("monetary"),
+        scoring.rfm_json(F.col("_r"), F.col("_f"), F.col("_m")).alias("rfm_scores"),
+    )
+
+
+def customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    seg = _rfm(_bank_valid(spark, sf_dir))
+    return seg.select(
+        "bank_id",
+        scoring.customer_segment(F.col("_r"), F.col("_f"), F.col("_m")).alias(
+            "customer_segment"
+        ),
+    )
+
+
+def normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String normalization (op 4) incl. the `default` keyword column."""
+    tune_for_oracle(spark)
+    bank = synthetic.bank_table(spark, sf_dir)
+    return bank.select(
+        "bank_id",
+        *[F.lower(F.trim(F.col(c))).alias(c) for c in NORM_COLS],
+        F.lower(F.trim(F.col("default"))).alias("default_flag"),
+    )
+
+
+def range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    bank = synthetic.bank_table(spark, sf_dir)
+    return bank.filter(F.col("age").between(18, 100)).select("bank_id", "age")
+
+
+def required_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Required-field filter (op 6) on events with synthetic nulls."""
+    tune_for_oracle(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    withnulls = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(F.col("event_type")).alias("event_type"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
+    )
+    return withnulls.filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select("event_id", "event_type", "value")
+
+
+def lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage stamps (op 18), deterministic mode: md5 batch ids +
+    fixed timestamp (the reference's uuid4-per-row + wall clock can't
+    hash-match any oracle)."""
+    tune_for_oracle(spark)
+    bank = synthetic.bank_table(spark, sf_dir)
+    return bank.select(
+        "bank_id",
+        F.md5(F.col("bank_id").cast("string")).alias("_batch_id"),
+        F.lit("1.2").alias("_pipeline_version"),
+        F.lit(FIXED_TS).alias("processing_timestamp"),
+    )
+
+
+# --------------------------------------------------------- parse / errors
+
+
+def _cfg() -> P.PipelineConfig:
+    return P.PipelineConfig(fixed_timestamp=FIXED_TS, id_col="_raw")
+
+
+def parse_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV split + typed casts + error classification (ops 2-3)."""
+    tune_for_oracle(spark)
+    lines = synthetic.raw_lines(spark, sf_dir)
+    parts = F.split(F.col("line"), ";")
+    age = F.trim(F.element_at(parts, 1)).try_cast("bigint")
+    balance = F.trim(F.element_at(parts, 6)).try_cast("double")
+    df = lines.select(
+        "line_id",
+        F.size(parts).alias("ncols"),
+        age.alias("age"),
+        balance.alias("balance"),
+    )
+    return df.withColumn(
+        "error_type",
+        F.when(F.col("ncols") != 17, "parsing_error")
+        .when(F.col("age").isNull(), "parsing_error")
+        .when((F.col("age") < 18) | (F.col("age") > 100), "data_validation")
+        .otherwise("valid"),
+    )
+
+
+def error_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-channel split counts (ops 17/19) through the REAL pipeline
+    (parse -> validate -> ... -> _errors column)."""
+    tune_for_oracle(spark)
+    lines = synthetic.raw_lines(spark, sf_dir)
+    df = P.run_stages(P.parse_stage(lines, _cfg()), _cfg())
+    etype = F.coalesce(
+        F.try_element_at(F.col("_errors"), F.lit(1))["error_type"], F.lit("valid")
+    )
+    return df.groupBy(etype.alias("error_type")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def error_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-field error sink records (op 17) from the real pipeline."""
+    tune_for_oracle(spark)
+    lines = synthetic.raw_lines(spark, sf_dir)
+    _good, bad = P.run_on_lines(lines, _cfg())
+    return bad
+
+
+# ----------------------------------------------------------------- dedup
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return dedup.exact_dedup(tables.load(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return dedup.ngram_jaccard_pairs(tables.load(spark, sf_dir, "documents"))
+
+
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return dedup.minhash_lsh_pairs(tables.load(spark, sf_dir, "documents"))
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = F.array_distinct(texttools.tokens(F.col("text")))
+    return (
+        docs.select("doc_id", toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select("doc_id", hashing.simhash_bits(F.col("_toks"), 32).alias("simhash"))
+    )
+
+
+def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return dedup.embedding_near_dup_pairs(tables.load(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------------------ similarity
+
+
+def ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    return similarity.brute_force_topk(emb, q, k=10)
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    return similarity.lsh_topk(emb, q, k=10, n_bits=4)
+
+
+# ------------------------------------------------------------------ text
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        texttools.token_count(text).alias("n_tokens"),
+        F.round(texttools.punct_ratio(text), 6).alias("punct_ratio"),
+        F.round(texttools.stopword_ratio(text, "en"), 6).alias("stopword_ratio"),
+        F.round(texttools.quality_score(text), 6).alias("quality_score"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select("doc_id", texttools.lang_id(F.col("text")).alias("lang_id"))
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.filter(F.length("text") >= 8).select(
+        "doc_id", texttools.fingerprint(F.col("text"), 8).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------- events
+
+
+def window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return EV.windowed_agg_batch(tables.load(spark, sf_dir, "events"))
+
+
+def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of window_agg (watermark + availableNow +
+    memory sink); checked against the same batch oracle SQL.
+
+    The streaming file source requires a DIRECTORY; the driver ships a
+    single events.parquet file, so stage a symlink dir under /tmp.
+    """
+    import os
+    import tempfile
+
+    tune_for_oracle(spark)
+    d = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    return EV.run_stream_to_memory(spark, d, "stream_window_agg_sink")
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return EV.sessionize_batch(tables.load(spark, sf_dir, "events"))
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer (window top-k operator)."""
+    tune_for_oracle(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    media = binaryops.synthesize_media(tables.load(spark, sf_dir, "documents"))
+    return binaryops.media_metadata(media)
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction (fake decode)."""
+    tune_for_oracle(spark)
+    media = binaryops.synthesize_media(tables.load(spark, sf_dir, "documents"))
+    return binaryops.extract_features(media)
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    media = binaryops.synthesize_media(tables.load(spark, sf_dir, "documents"))
+    return binaryops.frame_sample(media)

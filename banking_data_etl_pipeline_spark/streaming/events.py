@@ -29,6 +29,20 @@ EVENTS_SCHEMA = T.StructType(
     ]
 )
 
+# The driver parquet stores ts as INT64 TIMESTAMP(NANOS); under
+# spark.sql.legacy.parquet.nanosAsLong the stream source must declare it
+# LongType and convert (same micros truncation as sources.tables.load).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
 
 def _window_agg(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window x event_type: count + sum(value).
@@ -66,9 +80,10 @@ def windowed_agg_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     10-minute watermark (late-data bound; state for a window is freed
     once the watermark passes its end)."""
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
         .load(events_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
     return _window_agg(stream.withWatermark("ts", "10 minutes"))
 
@@ -97,12 +112,14 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = gap_minutes * 60
+    # gap test in integer MICROSECONDS: exact, and identical to the
+    # oracle's epoch_us arithmetic (double-seconds would round/floor
+    # differently between engines on sub-second timestamps)
+    gap_us = gap_minutes * 60 * 1_000_000
     with_gap = events.withColumn(
         "_new_session",
         F.when(
-            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
-            > gap_s,
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) > gap_us,
             1,
         )
         .otherwise(0),
@@ -117,7 +134,7 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         with_sid.groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
-            F.unix_timestamp(F.max("ts")).alias("session_end_epoch"),
+            F.expr("unix_micros(min(ts)) DIV 1000000").alias("session_start_epoch"),
+            F.expr("unix_micros(max(ts)) DIV 1000000").alias("session_end_epoch"),
         )
     )

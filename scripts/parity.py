@@ -1,0 +1,123 @@
+"""Local replica of the driver's correctness gate: run every
+``__spark_entry__.queries()`` builder AND its ``oracle_sql()`` DuckDB
+twin on the same sf dir; compare row count, column names, and an
+order-insensitive canonical value hash. Usage:
+
+    python scripts/parity.py [sf_dir] [query ...]
+
+Exit code = number of failing queries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return repr(v)
+        return repr(v)
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, (int,)):
+        return str(v)
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def canon_frame(df: pd.DataFrame) -> tuple[int, list[str], str, list[tuple]]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(canon_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    h = hashlib.md5()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return len(rows), cols, h.hexdigest(), rows
+
+
+def run(sf_dir: str, only: list[str]) -> int:
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    from banking_data_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("parity", cpus=16)
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entry.queries()
+    oq = entry.oracle_sql()
+    names = only or list(qs)
+    failures = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        if name not in oq:
+            print(f"SKIP {name}: rows-only ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oq[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        sn, sc, sh, srows = canon_frame(sdf)
+        on, oc, oh, orows = canon_frame(odf)
+        status = []
+        if sn != on:
+            status.append(f"rows {sn}!={on}")
+        if sc != oc:
+            status.append(f"cols {sc}!={oc}")
+        if sh != oh:
+            status.append("hash")
+        if status:
+            failures += 1
+            print(f"FAIL {name}: {', '.join(status)} [{time.time()-t0:.1f}s]")
+            if sc == oc and sn == on:
+                sset, oset = set(srows), set(orows)
+                extra = sorted(sset - oset)[:3]
+                missing = sorted(oset - sset)[:3]
+                print(f"  cols: {sc}")
+                for r in extra:
+                    print(f"  spark-only: {r}")
+                for r in missing:
+                    print(f"  oracle-only: {r}")
+        else:
+            print(f"PASS {name}: {sn} rows [{time.time()-t0:.1f}s]")
+    return failures
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf = args[0] if args else "/root/testdata/sf0.001"
+    sys.exit(run(sf, args[1:]))
