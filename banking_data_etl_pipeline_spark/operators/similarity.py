@@ -17,11 +17,27 @@ from ..functions import vectors
 
 
 def _ranked(scored: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
+    """Two-phase top-k per query.
+
+    A single ``Window.partitionBy(query_id)`` would shuffle EVERY
+    scored row into #queries partitions — with a handful of queries
+    that is a handful of reducers sorting the whole corpus. Phase 1
+    ranks within (query_id, input-partition) — the exchange spreads
+    over num_shuffle_partitions and each group keeps only k rows — so
+    phase 2's global rank touches at most k × n_input_partitions rows
+    per query. Results identical: phase 1 only discards rows that can
+    never reach the global top k.
+    """
+    order = [F.col("cosine").desc(), F.col("vec_id").asc()]
+    local = Window.partitionBy("query_id", "_part").orderBy(*order)
+    pruned = (
+        scored.withColumn("_part", F.spark_partition_id())
+        .withColumn("_lrank", F.row_number().over(local))
+        .filter(F.col("_lrank") <= k)
     )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )

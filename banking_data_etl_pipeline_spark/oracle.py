@@ -196,12 +196,22 @@ DEDUP_EXACT_Q = (
     " FROM documents GROUP BY md5(text)"
 )
 
+NGRAM_JACCARD_DF_CUTOFF = 20  # mirrors operators.dedup.ngram_jaccard_pairs
+
 NGRAM_JACCARD_Q = f"""WITH sh AS (
   SELECT doc_id, list_distinct({_word_shingles(TOKS, 3)}) AS shingles FROM documents
-), sized AS (
-  SELECT doc_id, len(shingles) AS n_sh, shingles FROM sh WHERE len(shingles) > 0
+), inv0 AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0
+), cold AS (
+  SELECT doc_id, shingle FROM inv0
+  WHERE shingle NOT IN (
+    SELECT shingle FROM inv0 GROUP BY shingle
+    HAVING count(*) > {NGRAM_JACCARD_DF_CUTOFF}
+  )
 ), inv AS (
-  SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sized
+  SELECT c.doc_id, n.n_sh, c.shingle
+  FROM cold c JOIN (SELECT doc_id, count(*) AS n_sh FROM cold GROUP BY doc_id) n
+    ON c.doc_id = n.doc_id
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
          count(*) AS n_inter
@@ -216,10 +226,18 @@ WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) >= 0.5"""
 
 def minhash_lsh_sql(num_hashes: int = 12, bands: int = 4) -> str:
     rows = num_hashes // bands
-    sig = (
-        f"list_transform(range(0, {num_hashes}), i -> list_min(list_transform("
-        "shingles, s -> md5('mh' || CAST(i AS VARCHAR) || ':' || s))))"
+    # component i = min over shingles of 8-hex-char chunk i%4 of salted
+    # md5 pass i//4 (4 components per md5 — hashing.minhash_components)
+    n_passes = (num_hashes + 3) // 4
+    passes = ", ".join(
+        f"list_transform(shingles, s -> md5('mh{p}:' || s)) AS md{p}"
+        for p in range(n_passes)
     )
+    comps = ", ".join(
+        f"list_min(list_transform(md{i // 4}, m -> substring(m, {1 + 8 * (i % 4)}, 8)))"
+        for i in range(num_hashes)
+    )
+    sig = f"[{comps}]"
     band_exprs = []
     for b in range(bands):
         parts = ", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
@@ -231,8 +249,10 @@ def minhash_lsh_sql(num_hashes: int = 12, bands: int = 4) -> str:
     )
     return f"""WITH sh AS (
   SELECT doc_id, list_distinct({_word_shingles(TOKS, 3)}) AS shingles FROM documents
+), md AS (
+  SELECT doc_id, {passes} FROM sh WHERE len(shingles) > 0
 ), sigs AS (
-  SELECT doc_id, {sig} AS sig FROM sh WHERE len(shingles) > 0
+  SELECT doc_id, {sig} AS sig FROM md
 ), banded AS (
   SELECT doc_id, sig, {", ".join(band_exprs)} FROM sigs
 ), keys AS (
@@ -247,16 +267,19 @@ FROM cand c JOIN sigs a ON a.doc_id = c.id_a JOIN sigs b ON b.doc_id = c.id_b"""
 
 
 def simhash_sql(n_bits: int = 32) -> str:
+    # one md5 per token (mds), then n_bits substring votes — mirrors the
+    # staged Spark plan (hashing.simhash_bits docstring)
     bits = ", ".join(
-        "CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN"
-        f" substring(md5(t), {j}, 1) >= '8' THEN 1 ELSE -1 END)) > 0"
+        "CASE WHEN list_sum(list_transform(mds, m -> CASE WHEN"
+        f" substring(m, {j}, 1) >= '8' THEN 1 ELSE -1 END)) > 0"
         " THEN '1' ELSE '0' END"
         for j in range(1, n_bits + 1)
     )
     return f"""WITH tk AS (
-  SELECT doc_id, list_distinct({TOKS}) AS toks FROM documents
+  SELECT doc_id, list_transform(list_distinct({TOKS}), t -> md5(t)) AS mds
+  FROM documents
 )
-SELECT doc_id, concat({bits}) AS simhash FROM tk WHERE len(toks) > 0"""
+SELECT doc_id, concat({bits}) AS simhash FROM tk WHERE len(mds) > 0"""
 
 
 # ----------------------------------------------------------- embeddings
@@ -294,7 +317,7 @@ EMB_NEAR_DUP_Q = f"""WITH e AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_cosine('a.v', 'b.v')}, 6) AS cosine
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round({_cosine('a.v', 'b.v')}, 6) >= 0.9"""
+WHERE round({_cosine('a.v', 'b.v')}, 6) >= 0.35"""
 
 ANN_BRUTE_Q = f"""WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings

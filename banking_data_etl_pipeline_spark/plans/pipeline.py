@@ -270,6 +270,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--stats_table", default=None)
     ap.add_argument("--min_age", type=int, default=DEFAULT_MIN_AGE)
     ap.add_argument("--max_age", type=int, default=DEFAULT_MAX_AGE)
+    # the reference sink contract is JSON-lines text files
+    # (batch_pipeline1.py:375-383 — though it actually writes Python
+    # repr with a .json suffix; we emit REAL JSON); parquet available
+    # for columnar consumers
+    ap.add_argument("--output_format", choices=["json", "parquet"], default="json")
     args = ap.parse_args(argv)
 
     from ..session import get_spark
@@ -277,8 +282,12 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("bank-etl")
     cfg = PipelineConfig(min_age=args.min_age, max_age=args.max_age)
     good, bad = run_on_lines(read_bank_lines(spark, args.input_path), cfg)
-    good.write.mode("overwrite").parquet(args.output_table)
-    bad.write.mode("overwrite").parquet(args.error_table)
+    # 29-field sink contract (reference PROCESSED_DATA_SCHEMA :48-78):
+    # the raw line is not part of the good-row schema
+    good = good.drop("_raw")
+    for df, path in ((good, args.output_table), (bad, args.error_table)):
+        w = df.write.mode("overwrite")
+        w.json(path) if args.output_format == "json" else w.parquet(path)
     if args.stats_table:
         stats = bad.groupBy("error_type").count()
         stats.write.mode("overwrite").parquet(args.stats_table)

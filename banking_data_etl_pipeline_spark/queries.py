@@ -265,13 +265,7 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
-    docs = tables.load(spark, sf_dir, "documents")
-    toks = F.array_distinct(texttools.tokens(F.col("text")))
-    return (
-        docs.select("doc_id", toks.alias("_toks"))
-        .filter(F.size("_toks") > 0)
-        .select("doc_id", hashing.simhash_bits(F.col("_toks"), 32).alias("simhash"))
-    )
+    return dedup.simhash_fingerprints(tables.load(spark, sf_dir, "documents"))
 
 
 def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

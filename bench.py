@@ -1,0 +1,86 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+Each query is forced end-to-end with a noop write (full computation,
+no driver-side collect). The flagship `pipeline_enriched` is the
+comparable for BASELINE.md's 1M-records-in-252s anchor (~3,970 rec/s
+on row-at-a-time Beam); rows/sec for it is reported alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative spread: the reference pipeline (narrow, shuffle-free),
+# the parse/error path, one of each extension family, and the shuffle
+# operators (agg/window/session/topk).
+BENCH_QUERIES = [
+    "pipeline_enriched",
+    "error_records",
+    "dedup_exact",
+    "minhash_lsh",
+    "ngram_jaccard",
+    "simhash",
+    "ann_brute",
+    "ann_lsh",
+    "text_stats",
+    "lang_id",
+    "window_agg",
+    "sessionize",
+    "topk_per_group",
+    "media_features",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from banking_data_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entry.queries()
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # plan, not first-call JIT (the driver anchor is steady-state too).
+    qs["range_filter"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    t_all = time.time()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    # rows/sec for the flagship against the 1M/252s baseline anchor
+    flag_rows = qs["pipeline_enriched"](spark, SF_DIR).count()
+    flag_rps = round(flag_rows / times["pipeline_enriched"], 1)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "flagship_rows": flag_rows,
+                "flagship_rows_per_sec": flag_rps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

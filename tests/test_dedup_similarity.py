@@ -1,0 +1,89 @@
+"""Dedup + similarity operators: semantic sanity on constructed
+fixtures and an exact numpy cross-check for brute-force ANN."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from banking_data_etl_pipeline_spark.operators import dedup, similarity
+from banking_data_etl_pipeline_spark.sources import tables
+
+from conftest import SF_DIR
+
+
+def test_exact_dedup_groups(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "something else"),
+         (5, "hello world")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.n_copies for r in dedup.exact_dedup(docs).collect()}
+    assert rows == {1: 3, 3: 1}  # min id kept, copies counted
+
+
+def test_ngram_jaccard_detects_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " today"
+    other = "completely different words entirely unrelated to anything here"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert 0.5 <= pairs[0].jaccard <= 1.0
+
+
+def test_minhash_lsh_finds_identical_docs(spark):
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs(docs).collect()
+    assert [(p.id_a, p.id_b, p.est_jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_shape_and_identity(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, "xx yy zz qq"), (4, " ")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs).collect()}
+    assert set(rows) == {1, 2, 3}  # empty doc dropped
+    assert all(len(v) == 32 and set(v) <= {"0", "1"} for v in rows.values())
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_ann_brute_matches_numpy(spark):
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    got = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in similarity.brute_force_topk(emb, q, k=10).collect()
+    )
+
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    expect = []
+    for qi in ids[:5]:
+        sims = Mn @ Mn[list(ids).index(qi)]
+        order = sorted(
+            ((round(s, 6), vid) for s, vid in zip(sims, ids) if vid != qi),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (_s, vid) in enumerate(order[:10], start=1):
+            expect.append((qi, rank, vid))
+    assert got == sorted(expect)
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    rows = similarity.lsh_topk(emb, q, k=10, n_bits=4).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r.rank <= 10
+        assert -1.0 <= r.cosine <= 1.0

@@ -1,0 +1,96 @@
+"""Multimodal plumbing + text analysis operators."""
+
+from __future__ import annotations
+
+import hashlib
+
+from banking_data_etl_pipeline_spark.multimodal import binaryops
+from banking_data_etl_pipeline_spark.sources import tables
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+def _media(spark):
+    return binaryops.synthesize_media(tables.load(spark, SF_DIR, "documents"))
+
+
+def test_media_metadata_matches_payload(spark):
+    media = _media(spark)
+    sample = media.limit(5).collect()
+    meta = {r.media_id: r for r in binaryops.media_metadata(media).collect()}
+    for r in sample:
+        m = meta[r.media_id]
+        assert m.n_bytes == len(r.payload)
+        assert m.sha256 == hashlib.sha256(bytes(r.payload)).hexdigest()
+        assert m.kind in ("image", "audio")
+        assert m.mime in ("image/png", "audio/wav")
+
+
+def test_extract_features_fake_decode(spark):
+    media = _media(spark)
+    feats = {r.media_id: r for r in binaryops.extract_features(media).collect()}
+    for r in media.limit(5).collect():
+        f = feats[r.media_id]
+        n = len(r.payload)
+        assert (f.height, f.width, f.channels) == (32 + n % 97, 32 + n % 89, 3)
+        assert f.n_bytes == n
+
+
+def test_frame_sample_counts(spark):
+    media = _media(spark)
+    counts = {
+        r.media_id: r.n
+        for r in binaryops.frame_sample(media)
+        .groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in media.select("media_id", F.octet_length("payload").alias("nb")).collect():
+        expect = max(r.nb - 1, 0) // 1024 + 1
+        assert counts[r.media_id] == expect
+
+
+def test_text_quality_and_langid(spark):
+    from banking_data_etl_pipeline_spark.functions import texttools
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy for a while"),
+            (2, "der hund ist nicht auf der couch und das ist gut"),
+            (3, "!!! ??? ;;; ###"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            texttools.lang_id(F.col("text")).alias("lang"),
+            texttools.quality_score(F.col("text")).alias("q"),
+            texttools.token_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    assert rows[1].lang == "en"
+    assert rows[2].lang == "de"
+    assert rows[3].lang == "und"
+    assert rows[4].n == 0 and rows[4].lang == "und"
+    assert rows[1].q > rows[3].q  # clean prose beats punctuation soup
+    assert all(0.0 <= rows[i].q <= 1.0 for i in rows)
+
+
+def test_fingerprint_deterministic(spark):
+    from banking_data_etl_pipeline_spark.functions import texttools
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zyxwvutsrq")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.fp
+        for r in docs.select(
+            "doc_id", texttools.fingerprint(F.col("text"), 8).alias("fp")
+        ).collect()
+    }
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    assert len(rows[1]) == 32
