@@ -56,9 +56,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": Q.text_stats,
         "lang_id": Q.lang_id,
         "fingerprint": Q.fingerprint,
+        "bpe_token_stats": Q.bpe_token_stats,
+        "corpus_filter": Q.corpus_filter,
+        # relational: joins, Q1-style agg, rollup
+        "revenue_by_nation": Q.revenue_by_nation,
+        "pricing_summary": Q.pricing_summary,
+        "rollup_orders": Q.rollup_orders,
         # events: windows, sessions, top-k, streaming twin
         "window_agg": Q.window_agg,
         "stream_window_agg": Q.stream_window_agg,
+        "stateful_totals": Q.stateful_totals,
         "sessionize": Q.sessionize,
         "topk_per_group": Q.topk_per_group,
         # multimodal plumbing
@@ -95,8 +102,14 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": oracle.TEXT_STATS_Q,
         "lang_id": oracle.langid_sql(),
         "fingerprint": oracle.FINGERPRINT_Q,
+        "bpe_token_stats": oracle.BPE_TOKEN_STATS_Q,
+        "corpus_filter": oracle.corpus_filter_sql(),
+        "revenue_by_nation": oracle.REVENUE_BY_NATION_Q,
+        "pricing_summary": oracle.PRICING_SUMMARY_Q,
+        "rollup_orders": oracle.ROLLUP_ORDERS_Q,
         "window_agg": oracle.WINDOW_AGG_Q,
         "stream_window_agg": oracle.WINDOW_AGG_Q,
+        "stateful_totals": oracle.STATEFUL_TOTALS_Q,
         "sessionize": oracle.SESSIONIZE_Q,
         "topk_per_group": oracle.TOPK_PER_GROUP_Q,
         "media_metadata": oracle.MEDIA_META_Q,

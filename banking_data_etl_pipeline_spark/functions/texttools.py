@@ -33,6 +33,22 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+# marks — the usual first pass before byte-pair merging. Restricted to
+# constructs with identical semantics in Java regex (Spark) and RE2
+# (DuckDB) so the oracle twin matches byte-for-byte.
+BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-style pre-tokens of the lowercased text."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 

@@ -389,7 +389,9 @@ SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio,
 FROM st"""
 
 
-def langid_sql() -> str:
+def _lang_sel_sql() -> str:
+    """Per-language stopword-density columns s_<lang> (from a CTE
+    exposing ``toks``)."""
     scores = {
         lang: (
             f"CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)"
@@ -397,22 +399,113 @@ def langid_sql() -> str:
         )
         for lang in LANG_ORDER
     }
+    return ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+
+
+def _lang_case_sql() -> str:
+    """Argmax CASE over the s_<lang> columns (ties break by LANG_ORDER)."""
     best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
     case = "CASE WHEN " + best + " <= 0 THEN 'und'"
     for lang in LANG_ORDER:
         case += f" WHEN s_{lang} = {best} THEN '{lang}'"
-    case += " ELSE 'und' END"
-    sel = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    return case + " ELSE 'und' END"
+
+
+def langid_sql() -> str:
     return f"""WITH tk AS (
   SELECT doc_id, {TOKS} AS toks FROM documents
-), sc AS (SELECT doc_id, {sel} FROM tk)
-SELECT doc_id, {case} AS lang_id FROM sc"""
+), sc AS (SELECT doc_id, {_lang_sel_sql()} FROM tk)
+SELECT doc_id, {_lang_case_sql()} AS lang_id FROM sc"""
 
 
 FINGERPRINT_Q = """SELECT doc_id,
   list_min(list_transform(range(1, greatest(length(lower(text)) - 7, 0) + 1),
            i -> md5(substring(lower(text), i, 8)))) AS fingerprint
 FROM documents WHERE length(text) >= 8"""
+
+# BPE-ish pre-tokenization (functions.texttools.BPE_TOKEN_PATTERN —
+# keep the literal in sync; restricted to Java-regex/RE2-identical
+# constructs)
+BPE_TOKEN_STATS_Q = r"""SELECT doc_id,
+  CAST(len({toks}) AS INT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+       AS INT) AS n_bpe_tokens
+FROM documents""".replace("{toks}", TOKS)
+
+_QUALITY = (
+    "CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))"
+    " + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))"
+    " + CAST(0.3 AS DOUBLE) * least(stopword_ratio / CAST(0.4 AS DOUBLE), CAST(1.0 AS DOUBLE))"
+)
+
+
+def corpus_filter_sql(min_quality: float = 0.5, lang: str = "en") -> str:
+    """Twin of operators.corpus.quality_filtered_corpus: quality cut on
+    the 6-dp-rounded score, language argmax filter, exact dedup keeping
+    the lowest doc_id."""
+    return f"""WITH tk AS (
+  SELECT doc_id, text, {TOKS} AS toks FROM documents
+), st AS (
+  SELECT doc_id, text, toks,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE (length(text) - length(translate(text, '{_SQL_PUNCT}', '')))
+              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE {_hits('en')} / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+    {_lang_sel_sql()}
+  FROM tk
+), q AS (
+  SELECT doc_id, text, round({_QUALITY}, 6) AS q,
+         {_lang_case_sql()} AS lang FROM st
+), f AS (
+  SELECT * FROM q WHERE q >= {min_quality} AND lang = '{lang}'
+)
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+       min(q) AS quality_score, md5(text) AS text_hash
+FROM f GROUP BY md5(text)"""
+
+
+# ------------------------------------------------------------ relational
+
+_DEC_SUM = "round(CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE), 4)"
+
+
+def _dec_sum_sql(expr: str, alias: str) -> str:
+    return _DEC_SUM.format(expr=expr) + f" AS {alias}"
+
+
+REVENUE_BY_NATION_Q = f"""SELECT n_name,
+  count(*) AS n_items,
+  {_dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
+PRICING_SUMMARY_Q = f"""SELECT l_returnflag, l_linestatus,
+  {_dec_sum_sql("l_quantity", "sum_qty")},
+  {_dec_sum_sql("l_extendedprice", "sum_base_price")},
+  {_dec_sum_sql("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+    AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+ROLLUP_ORDERS_Q = f"""SELECT o_orderstatus, o_orderpriority,
+  count(*) AS n_orders,
+  {_dec_sum_sql("o_totalprice", "total_price")}
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
+
+# Twin of streaming.events.stateful_user_totals: the final state of the
+# stateful streaming operator must equal the batch per-user totals.
+STATEFUL_TOTALS_Q = """SELECT user_id, count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id"""
 
 # --------------------------------------------------------------- events
 

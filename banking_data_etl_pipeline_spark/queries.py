@@ -16,9 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import hashing, scoring, texttools
+from .functions import scoring, texttools
 from .multimodal import binaryops
-from .operators import dedup, similarity
+from .operators import corpus, dedup, relational, similarity
 from .oracle import NORM_COLS, PASS_COLS
 from .plans import pipeline as P
 from .session import tune_for_oracle
@@ -320,6 +320,45 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        texttools.token_count(text).alias("n_ws_tokens"),
+        texttools.bpe_token_count(text).alias("n_bpe_tokens"),
+    )
+
+
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return corpus.quality_filtered_corpus(tables.load(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------ relational
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.revenue_by_nation(
+        tables.load(spark, sf_dir, "lineitem"),
+        tables.load(spark, sf_dir, "orders"),
+        tables.load(spark, sf_dir, "customer"),
+        tables.load(spark, sf_dir, "nation"),
+    )
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.pricing_summary(tables.load(spark, sf_dir, "lineitem"))
+
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.rollup_orders(tables.load(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------- events
 
 
@@ -344,6 +383,19 @@ def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
     )
     return EV.run_stream_to_memory(spark, d, "stream_window_agg_sink")
+
+
+def stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState)."""
+    import os
+    import tempfile
+
+    tune_for_oracle(spark)
+    d = tempfile.mkdtemp(prefix="stateful_events_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    return EV.stateful_user_totals(spark, d, "stateful_totals_sink")
 
 
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

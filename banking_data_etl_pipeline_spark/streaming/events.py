@@ -104,6 +104,62 @@ def run_stream_to_memory(spark: SparkSession, events_dir: str, name: str) -> Dat
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def stateful_user_totals(spark: SparkSession, events_dir: str, name: str) -> DataFrame:
+    """Custom STATEFUL streaming operator: per-user running totals via
+    ``applyInPandasWithState`` (Arrow-batched, update mode).
+
+    State is (count, cents) with the sum in INTEGER CENTS — exact under
+    any micro-batch split, so the final per-user totals equal the batch
+    groupBy exactly (the oracle cross-checks them). Emits the running
+    total on every update; the terminal select keeps each user's last
+    (max-count) emission, which is the final state regardless of how
+    availableNow chunked the input.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "cnt long, cents long"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cnt, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            cents += int(round(float(pdf["value"].sum() * 100)))
+        state.update((cnt, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "sum_value": [cents / 100.0]}
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(events_dir)
+    )
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        updates.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emission per user == final state (n_events is monotone)
+    final = F.max(F.struct("n_events", "sum_value")).alias("s")
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("user_id")
+        .agg(final)
+        .select("user_id", F.col("s.n_events").alias("n_events"),
+                F.col("s.sum_value").alias("sum_value"))
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization (batch): per-user sessions split on inactivity
     gaps > gap_minutes, via lag + cumulative sum — the standard
