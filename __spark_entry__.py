@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_agg": Q.window_agg,
         "stream_window_agg": Q.stream_window_agg,
         "stateful_totals": Q.stateful_totals,
+        "salted_totals": Q.salted_totals,
         "sessionize": Q.sessionize,
         "topk_per_group": Q.topk_per_group,
         # multimodal plumbing
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "window_agg": oracle.WINDOW_AGG_Q,
         "stream_window_agg": oracle.WINDOW_AGG_Q,
         "stateful_totals": oracle.STATEFUL_TOTALS_Q,
+        "salted_totals": oracle.SALTED_TOTALS_Q,
         "sessionize": oracle.SESSIONIZE_Q,
         "topk_per_group": oracle.TOPK_PER_GROUP_Q,
         "media_metadata": oracle.MEDIA_META_Q,

@@ -507,6 +507,12 @@ STATEFUL_TOTALS_Q = """SELECT user_id, count(*) AS n_events,
   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY user_id"""
 
+# Twin of operators.skew.salted_counts_sums: the whole point of the
+# two-phase salted aggregate is that it equals the PLAIN group-by.
+SALTED_TOTALS_Q = """SELECT event_type, count(*) AS n_rows,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY event_type"""
+
 # --------------------------------------------------------------- events
 
 WINDOW_AGG_Q = """SELECT

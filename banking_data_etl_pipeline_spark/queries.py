@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from .functions import scoring, texttools
 from .multimodal import binaryops
-from .operators import corpus, dedup, relational, similarity
+from .operators import corpus, dedup, relational, similarity, skew
 from .oracle import NORM_COLS, PASS_COLS
 from .plans import pipeline as P
 from .session import tune_for_oracle
@@ -401,6 +401,16 @@ def stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     return EV.sessionize_batch(tables.load(spark, sf_dir, "events"))
+
+
+def salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (skew mitigation); must equal the
+    plain GROUP BY, which is exactly what the oracle checks."""
+    tune_for_oracle(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    return skew.salted_counts_sums(
+        ev, key="event_type", value_col="value", unique_col="event_id", buckets=16
+    )
 
 
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,8 +36,13 @@ BENCH_QUERIES = [
     "ann_lsh",
     "text_stats",
     "lang_id",
+    "corpus_filter",
+    "revenue_by_nation",
+    "pricing_summary",
+    "rollup_orders",
     "window_agg",
     "sessionize",
+    "stateful_totals",
     "topk_per_group",
     "media_features",
 ]

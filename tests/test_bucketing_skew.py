@@ -1,0 +1,74 @@
+"""Scale-technique tests: bucketed co-located joins (no Exchange) and
+salted two-phase aggregation (identical to the plain aggregate)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from banking_data_etl_pipeline_spark.operators import bucketing, skew
+from banking_data_etl_pipeline_spark.sources import tables
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    d = tempfile.mkdtemp(prefix="bucketed_")
+    orders = tables.load(spark, SF_DIR, "orders")
+    lineitem = tables.load(spark, SF_DIR, "lineitem")
+    bucketing.write_bucketed(
+        orders, "t_orders_b", "o_orderkey", buckets=8, path=f"{d}/orders"
+    )
+    bucketing.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b", "o_orderkey", buckets=8, path=f"{d}/lineitem",
+    )
+    a = bucketing.read_table(spark, "t_orders_b")
+    b = bucketing.read_table(spark, "t_lineitem_b")
+    # force SMJ (tables are tiny at sf0.001, broadcast would hide the
+    # bucketing effect)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b, "o_orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+        # sanity: result is right
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_agg_equals_plain(spark):
+    ev = tables.load(spark, SF_DIR, "events")
+    salted = {
+        r.event_type: (r.n_rows, r.sum_value)
+        for r in skew.salted_counts_sums(
+            ev, "event_type", "value", "event_id", buckets=16
+        ).collect()
+    }
+    plain = {
+        r.event_type: (r.n_rows, r.sum_value)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .collect()
+    }
+    assert salted == plain
+    # the salt really spreads: phase-1 has more groups than keys
+    n_phase1 = (
+        ev.withColumn("_salt", skew.salt_column(F.col("event_id"), 16))
+        .groupBy("event_type", "_salt")
+        .count()
+        .count()
+    )
+    assert n_phase1 > len(plain)
