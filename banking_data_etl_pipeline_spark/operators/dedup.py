@@ -241,6 +241,18 @@ def simhash_pairs(
     )
 
 
+def lsh_bits_for(n_rows: int, target_bucket: int = 256, lo: int = 4, hi: int = 24) -> int:
+    """Sign-bit count so the EXPECTED bucket size is ~target_bucket:
+    2^bits ≈ n/target. Bounded: too few bits -> quadratic buckets, too
+    many -> recall collapses (each extra bit halves the chance two
+    near-dups share a bucket)."""
+    import math
+
+    if n_rows <= target_bucket:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket))))
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -253,7 +265,11 @@ def embedding_near_dup_pairs(
 
     Default threshold is tuned to the driver's near-random synthetic
     embeddings (max in-bucket cosine ≈0.43): 0.9 would be vacuously
-    empty; real embedding corpora should pass 0.9+."""
+    empty; real embedding corpora should pass 0.9+.
+
+    ``n_bits`` must GROW with the corpus or per-bucket pairing goes
+    quadratic: use ``lsh_bits_for(n)`` (buckets ≈ n/256) when the
+    corpus size is known; the fixed default matches the oracle twin."""
     with_b = emb.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),

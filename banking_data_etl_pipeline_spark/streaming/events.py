@@ -141,14 +141,24 @@ def stateful_user_totals(spark: SparkSession, events_dir: str, name: str) -> Dat
     updates = stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    q = (
-        updates.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The state-store partition count is pinned from shuffle.partitions
+    # at first trigger; every partition costs a store + commit files per
+    # micro-batch. Size it to the keyspace, not the CPU count (the
+    # per-batch overhead dominates wall-clock far below ~millions of
+    # keys — on a real cluster pick ~2-4x executors).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # last emission per user == final state (n_events is monotone)
     final = F.max(F.struct("n_events", "sum_value")).alias("s")
     return (
