@@ -62,6 +62,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": Q.revenue_by_nation,
         "pricing_summary": Q.pricing_summary,
         "rollup_orders": Q.rollup_orders,
+        "moving_avg": Q.moving_avg,
+        "repeat_customers": Q.repeat_customers,
+        "distinct_users": Q.distinct_users,
         # events: windows, sessions, top-k, streaming twin
         "window_agg": Q.window_agg,
         "stream_window_agg": Q.stream_window_agg,
@@ -108,6 +111,9 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": oracle.REVENUE_BY_NATION_Q,
         "pricing_summary": oracle.PRICING_SUMMARY_Q,
         "rollup_orders": oracle.ROLLUP_ORDERS_Q,
+        "moving_avg": oracle.MOVING_AVG_Q,
+        "repeat_customers": oracle.REPEAT_CUSTOMERS_Q,
+        "distinct_users": oracle.DISTINCT_USERS_Q,
         "window_agg": oracle.WINDOW_AGG_Q,
         "stream_window_agg": oracle.WINDOW_AGG_Q,
         "stateful_totals": oracle.STATEFUL_TOTALS_Q,

@@ -132,12 +132,20 @@ def char_shingles(text: Column, n: int) -> Column:
 
 
 def word_shingles(toks: Column, n: int) -> Column:
-    """All word n-grams (space-joined) of a token array."""
-    cnt = F.size(toks) - F.lit(n - 1)
-    return F.transform(
-        _index_seq(cnt),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    """All word n-grams (space-joined) of a token array.
+
+    Built as n-1 zip_with passes over shifted slices (shingle i =
+    toks[i] || ' ' || toks[i+1] || ...) instead of one slice+join PER
+    SHINGLE — n+1 array traversals total rather than O(len) slice
+    allocations, which matters because higher-order functions are
+    interpreted, not codegen'd."""
+    m = F.size(toks) - F.lit(n - 1)
+    acc = F.slice(toks, 1, m)
+    for k in range(2, n + 1):
+        acc = F.zip_with(
+            acc, F.slice(toks, k, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(m < 1, F.array().cast("array<string>")).otherwise(acc)
 
 
 def fingerprint(text: Column, n: int = 8) -> Column:

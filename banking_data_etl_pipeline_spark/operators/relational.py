@@ -70,6 +70,52 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1997-06-30") -> DataFram
     )
 
 
+def moving_avg_user_value(events: DataFrame, window_rows: int = 2) -> DataFrame:
+    """Per-user moving average of event value over the trailing
+    ``window_rows``+1 events (event-time ordered) — the window-function
+    family beyond rank: one shuffle on user_id, sort within partition.
+
+    The average is sum(DECIMAL)/count so the double division happens
+    once per row in both engines (identical bits)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-window_rows, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+                / F.count(F.lit(1)).over(w)
+            ),
+            4,
+        ).alias("moving_avg"),
+    )
+
+
+def repeat_customers(orders: DataFrame, split: str = "1997-01-01") -> DataFrame:
+    """Set operation: customers ordering BOTH before and after the
+    split date (INTERSECT — distinct-based, shuffles only custkeys)."""
+    cutoff = F.lit(split).cast("timestamp")
+    before = orders.filter(F.col("o_orderdate") < cutoff).select("o_custkey")
+    after = orders.filter(F.col("o_orderdate") >= cutoff).select("o_custkey")
+    return before.intersect(after)
+
+
+def distinct_users_by_type(events: DataFrame) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — expands to a two-phase
+    aggregate (partial distinct per partition, then merge), the plan
+    shape that survives hot keys at scale."""
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def rollup_orders(orders: DataFrame) -> DataFrame:
     """ROLLUP(status, priority): per-group, per-status subtotal and
     grand total in one pass (Spark expands to a single Expand +

@@ -513,6 +513,26 @@ SALTED_TOTALS_Q = """SELECT event_type, count(*) AS n_rows,
   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
 FROM events GROUP BY event_type"""
 
+MOVING_AVG_Q = """SELECT user_id, event_id,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+  4) AS moving_avg
+FROM events"""
+
+REPEAT_CUSTOMERS_Q = """SELECT o_custkey FROM orders
+WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"""
+
+DISTINCT_USERS_Q = """SELECT event_type,
+  count(DISTINCT user_id) AS n_users,
+  count(*) AS n_events
+FROM events GROUP BY event_type"""
+
 # --------------------------------------------------------------- events
 
 WINDOW_AGG_Q = """SELECT

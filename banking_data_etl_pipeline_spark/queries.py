@@ -359,6 +359,21 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.rollup_orders(tables.load(spark, sf_dir, "orders"))
 
 
+def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.moving_avg_user_value(tables.load(spark, sf_dir, "events"))
+
+
+def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.repeat_customers(tables.load(spark, sf_dir, "orders"))
+
+
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.distinct_users_by_type(tables.load(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------- events
 
 
