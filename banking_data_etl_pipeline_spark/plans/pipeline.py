@@ -73,10 +73,22 @@ def parse_stage(lines: DataFrame, cfg: PipelineConfig, line_col: str = "line") -
     """
     # Parse against an 18-column all-string schema: c17 non-null means
     # >17 columns; c16 (the 17th) null means <17.
+    #
+    # The explode(array(...)) wrapper is load-bearing: a Generate node
+    # is an optimizer barrier, so the terminal good/bad filters (which
+    # Catalyst pushes down through every projection, substituting
+    # aliases as it goes) stop at the generator instead of inlining
+    # from_csv once per reference — without it the pushed filter
+    # evaluates from_csv ~66x per row and the fused stage blows the
+    # JVM 64KB method limit (codegen falls back to interpreted).
+    # explode(array(x)) yields exactly one row per input, so semantics
+    # are unchanged.
     wide_ddl = ", ".join(f"c{i} string" for i in range(NUM_CSV_COLUMNS + 1))
     parsed = lines.select(
         F.col(line_col).alias("_raw"),
-        F.from_csv(F.col(line_col), wide_ddl, {"sep": ";", "quote": '"'}).alias("p"),
+        F.explode(
+            F.array(F.from_csv(F.col(line_col), wide_ddl, {"sep": ";", "quote": '"'}))
+        ).alias("p"),
     )
 
     # The column-count condition must be materialized in the same select
