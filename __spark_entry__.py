@@ -65,6 +65,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": Q.moving_avg,
         "repeat_customers": Q.repeat_customers,
         "distinct_users": Q.distinct_users,
+        "cube_orders": Q.cube_orders,
+        "semi_join": Q.semi_join_big_spenders,
+        "anti_join": Q.anti_join_no_orders,
+        "percentiles": Q.price_percentiles,
+        "asof_join": Q.asof_join,
+        "range_join": Q.range_join,
         # events: windows, sessions, top-k, streaming twin
         "window_agg": Q.window_agg,
         "stream_window_agg": Q.stream_window_agg,
@@ -114,6 +120,12 @@ def oracle_sql() -> dict[str, str]:
         "moving_avg": oracle.MOVING_AVG_Q,
         "repeat_customers": oracle.REPEAT_CUSTOMERS_Q,
         "distinct_users": oracle.DISTINCT_USERS_Q,
+        "cube_orders": oracle.CUBE_ORDERS_Q,
+        "semi_join": oracle.BIG_SPENDERS_Q,
+        "anti_join": oracle.NO_ORDERS_Q,
+        "percentiles": oracle.PRICE_PERCENTILES_Q,
+        "asof_join": oracle.ASOF_JOIN_Q,
+        "range_join": oracle.RANGE_JOIN_Q,
         "window_agg": oracle.WINDOW_AGG_Q,
         "stream_window_agg": oracle.WINDOW_AGG_Q,
         "stateful_totals": oracle.STATEFUL_TOTALS_Q,

@@ -127,3 +127,157 @@ def rollup_orders(orders: DataFrame) -> DataFrame:
             _dec_sum(F.col("o_totalprice"), "total_price"),
         )
     )
+
+
+def cube_orders(orders: DataFrame) -> DataFrame:
+    """CUBE(status, priority): all four grouping sets in one Expand +
+    hash-agg pass. ``grouping()`` flags disambiguate real NULL group
+    values from subtotal rows — at 100 TB you cannot afford a second
+    query per margin."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "total_price"),
+        )
+    )
+
+
+def big_spenders(customer: DataFrame, orders: DataFrame, min_total: float = 480000.0) -> DataFrame:
+    """LEFT SEMI join: customers with at least one order over
+    ``min_total``. Semi joins keep only the probe side — no row
+    multiplication, and Spark dedups the build side before the hash
+    join, so a customer with 50 qualifying orders still emits once."""
+    big = orders.filter(F.col("o_totalprice") > min_total).select("o_custkey")
+    return customer.join(
+        big, customer["c_custkey"] == big["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame, since: str = "2000-01-01"
+) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no order since
+    ``since`` — lapsed customers. Same single-shuffle hash join shape
+    as the semi join; the date filter pushes into the orders scan."""
+    keys = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    return customer.join(
+        keys, customer["c_custkey"] == keys["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def price_percentiles(lineitem: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles of extended price per return
+    flag. ``percentile`` is an exact sort-based aggregate (same linear
+    interpolation as ANSI ``quantile_cont``); for 100 TB pipelines the
+    one-pass sketch alternative is ``approx_percentile`` — same call
+    shape, bounded memory — but the oracle-checked path is exact."""
+    pcts = F.percentile(F.col("l_extendedprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(pcts[0], 4).alias("p25"),
+        F.round(pcts[1], 4).alias("p50"),
+        F.round(pcts[2], 4).alias("p75"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def asof_last_order(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of join: for each event, the customer's most recent order at
+    or before the event time (ties broken by highest orderkey).
+
+    Spark has no ASOF JOIN operator, and the naive formulation
+    (``e.user_id = o.o_custkey AND o.o_orderdate <= e.ts`` + top-1) is
+    a quadratic range join. This is the linear union trick instead:
+    stack both sides sorted by (key, time), carry the latest order
+    forward with ``last(..., ignoreNulls)`` over an unbounded-preceding
+    window, and keep the event rows. One shuffle on the key, one sort —
+    the same work as a sort-merge join, no row multiplication. A key
+    whose history exceeds one executor's partition needs time-range
+    chunking on top; below that, this shape holds at any scale."""
+    from pyspark.sql import Window
+
+    ev = events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("_t"),
+        F.lit(1).alias("_is_event"),
+        F.lit(None).cast("long").alias("_okey"),
+        F.lit(None).cast("double").alias("_oprice"),
+    )
+    od = orders.select(
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("_t"),
+        F.lit(0).alias("_is_event"),
+        F.col("o_orderkey").alias("_okey"),
+        F.col("o_totalprice").alias("_oprice"),
+    )
+    # order rows sort before events at the same instant (<= semantics);
+    # same-instant orders sort by orderkey so last() takes the highest
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_t", "_is_event", "_okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.unionByName(od)
+        .select(
+            "event_id",
+            "user_id",
+            "_t",
+            "_is_event",
+            F.last("_okey", ignorenulls=True).over(w).alias("last_orderkey"),
+            F.last("_oprice", ignorenulls=True).over(w).alias("last_totalprice"),
+        )
+        .filter(F.col("_is_event") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("_t").alias("ts"),
+            "last_orderkey",
+            "last_totalprice",
+        )
+    )
+
+
+def range_join_followers(events: DataFrame, hours: int = 24) -> DataFrame:
+    """Per event: how many OTHER events the same user produced within
+    the next ``hours`` (inclusive) — a time-range self-join.
+
+    A plain inequality join plans as a broadcast-nested-loop (all-pairs
+    per key). Banding instead: bucket both sides into ``hours``-wide
+    epoch bands; a follower within [t, t+hours] lands in the probe's
+    band or the next one, so each probe row joins exactly two candidate
+    bands on an equi-key and the exact range predicate filters after.
+    Candidate work per row is bounded by band density, never by table
+    size — the standard bounded-range-join rewrite."""
+    band = int(hours) * 3600
+    bucket = (F.unix_timestamp("ts") / band).cast("long")
+    probe = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.explode(F.array(bucket, bucket + 1)).alias("_band"),
+    )
+    cand = events.select(
+        F.col("user_id").alias("_cuser"),
+        F.col("event_id").alias("_cid"),
+        F.col("ts").alias("_cts"),
+        bucket.alias("_cband"),
+    )
+    joined = probe.join(
+        cand,
+        (F.col("user_id") == F.col("_cuser"))
+        & (F.col("_band") == F.col("_cband"))
+        & (F.col("_cts") >= F.col("ts"))
+        & (F.col("_cts") <= F.col("ts") + F.expr(f"INTERVAL {int(hours)} HOURS"))
+        & (F.col("_cid") != F.col("event_id")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count(F.col("_cid")).alias("n_followers")
+    )

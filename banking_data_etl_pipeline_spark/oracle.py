@@ -533,6 +533,48 @@ DISTINCT_USERS_Q = """SELECT event_type,
   count(*) AS n_events
 FROM events GROUP BY event_type"""
 
+CUBE_ORDERS_Q = f"""SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+  count(*) AS n_orders,
+  {_dec_sum_sql("o_totalprice", "total_price")}
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+
+BIG_SPENDERS_Q = """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 480000.0)"""
+
+NO_ORDERS_Q = """SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')"""
+
+PRICE_PERCENTILES_Q = """SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+  count(*) AS n_items
+FROM lineitem GROUP BY l_returnflag"""
+
+# Twin of relational.asof_last_order: latest order at-or-before each
+# event, ties broken by highest orderkey (rank formulation — DuckDB's
+# native ASOF JOIN has no deterministic tiebreak).
+ASOF_JOIN_Q = """SELECT event_id, user_id, ts, last_orderkey, last_totalprice FROM (
+  SELECT e.event_id, e.user_id, e.ts,
+         o.o_orderkey AS last_orderkey, o.o_totalprice AS last_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1"""
+
+RANGE_JOIN_Q = """SELECT e.event_id, e.user_id, count(c.event_id) AS n_followers
+FROM events e LEFT JOIN events c
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+ AND c.ts <= e.ts + INTERVAL 24 HOURS AND c.event_id <> e.event_id
+GROUP BY e.event_id, e.user_id"""
+
 # --------------------------------------------------------------- events
 
 WINDOW_AGG_Q = """SELECT

@@ -374,6 +374,42 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.distinct_users_by_type(tables.load(spark, sf_dir, "events"))
 
 
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.cube_orders(tables.load(spark, sf_dir, "orders"))
+
+
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.big_spenders(
+        tables.load(spark, sf_dir, "customer"), tables.load(spark, sf_dir, "orders")
+    )
+
+
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.customers_without_orders(
+        tables.load(spark, sf_dir, "customer"), tables.load(spark, sf_dir, "orders")
+    )
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.price_percentiles(tables.load(spark, sf_dir, "lineitem"))
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.asof_last_order(
+        tables.load(spark, sf_dir, "events"), tables.load(spark, sf_dir, "orders")
+    )
+
+
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.range_join_followers(tables.load(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------- events
 
 

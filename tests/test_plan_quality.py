@@ -70,3 +70,37 @@ def test_core_pipeline_is_shuffle_free(spark):
     good, _bad = P.run_on_lines(synthetic.raw_lines(spark, SF_DIR), cfg)
     plan = _plan(good)
     assert "Exchange" not in plan, "reference pipeline must stay one narrow stage"
+
+
+def test_raw_parse_evaluates_from_csv_once(spark):
+    # the explode(array(from_csv)) barrier must keep the pushed-down
+    # good/bad filters from inlining the parse once per reference
+    from banking_data_etl_pipeline_spark.plans import pipeline as P
+    from banking_data_etl_pipeline_spark.sources import synthetic
+
+    cfg = P.PipelineConfig(fixed_timestamp="2026-01-01T00:00:00Z", id_col="_raw")
+    _good, bad = P.run_on_lines(synthetic.raw_lines(spark, SF_DIR), cfg)
+    opt = bad._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("from_csv") == 1, opt.count("from_csv")
+
+
+def test_asof_join_is_single_shuffle(spark):
+    plan = _plan(
+        relational.asof_last_order(
+            tables.load(spark, SF_DIR, "events"), tables.load(spark, SF_DIR, "orders")
+        )
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
+
+
+def test_range_join_never_nested_loop(spark):
+    plan = _plan(relational.range_join_followers(tables.load(spark, SF_DIR, "events")))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cube_is_one_expand_pass(spark):
+    plan = _plan(relational.cube_orders(tables.load(spark, SF_DIR, "orders")))
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
