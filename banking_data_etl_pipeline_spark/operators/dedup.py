@@ -137,14 +137,20 @@ def ngram_jaccard_pairs(
     toks = texttools.tokens(F.col(text_col))
     # persist the postings: the plan fans out into 4 consumers (df
     # counts, anti-join, per-doc sizes, both self-join sides) and each
-    # would otherwise re-run the tokenize+shingle+explode chain
+    # would otherwise re-run the tokenize+shingle+explode chain.
+    # Postings carry xxhash64(shingle), not the shingle text: an 8-byte
+    # fixed-width shuffle/join key instead of a ~25-byte string (the
+    # distinct-shingle universe makes a 64-bit collision vanishingly
+    # unlikely, and sizes/intersections are over distinct shingles so
+    # semantics are unchanged).
     inv0 = (
         docs.select(
             F.col(id_col),
             F.array_distinct(texttools.word_shingles(toks, n)).alias("shingles"),
         )
         .filter(F.size("shingles") > 0)
-        .select(id_col, F.explode("shingles").alias("shingle"))
+        .select(id_col, F.explode("shingles").alias("_sh"))
+        .select(id_col, F.xxhash64("_sh").alias("shingle"))
         .persist()
     )
     hot = (
