@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_brute": Q.ann_brute,
         "ann_lsh": Q.ann_lsh,
+        "ann_ivf": Q.ann_ivf,
         # text analysis
         "text_stats": Q.text_stats,
         "lang_id": Q.lang_id,
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events: windows, sessions, top-k, streaming twin
         "window_agg": Q.window_agg,
         "stream_window_agg": Q.stream_window_agg,
+        "stream_dedup": Q.stream_dedup,
         "stateful_totals": Q.stateful_totals,
         "salted_totals": Q.salted_totals,
         "sessionize": Q.sessionize,
@@ -109,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup": oracle.EMB_NEAR_DUP_Q,
         "ann_brute": oracle.ANN_BRUTE_Q,
         "ann_lsh": oracle.ANN_LSH_Q,
+        "ann_ivf": oracle.ANN_IVF_Q,
         "text_stats": oracle.TEXT_STATS_Q,
         "lang_id": oracle.langid_sql(),
         "fingerprint": oracle.FINGERPRINT_Q,
@@ -128,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": oracle.RANGE_JOIN_Q,
         "window_agg": oracle.WINDOW_AGG_Q,
         "stream_window_agg": oracle.WINDOW_AGG_Q,
+        "stream_dedup": oracle.STREAM_DEDUP_Q,
         "stateful_totals": oracle.STATEFUL_TOTALS_Q,
         "salted_totals": oracle.SALTED_TOTALS_Q,
         "sessionize": oracle.SESSIONIZE_Q,

@@ -78,6 +78,81 @@ def corpus_queries(emb: DataFrame, n: int = 5, id_col: str = "vec_id",
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    centroid cells, probe only the ``nprobe`` cells nearest each query.
+
+    Centroids here are the ``n_centroids`` lowest-id corpus vectors —
+    deterministic (so the DuckDB oracle reproduces the exact cell
+    assignment) where a production build would k-means them; the
+    operator shape is identical either way. Centroids are collected to
+    the driver and inlined as a LITERAL array (they are model
+    parameters, kilobytes) so cell assignment is a map-only pass —
+    argmax over the literal per row, NO shuffle, no corpus×centroid
+    join. The only joins are probe-cell equi-joins against the tiny
+    broadcast query set. At 100 TB you'd persist the corpus partitioned
+    by cell so a probe touches nprobe/n_centroids of the data — the
+    classic IVF selectivity.
+    """
+    cents = sorted(
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[0],
+    )
+    # struct(s, -cid): array_max / array_sort order by score then -cid,
+    # so ties break toward the LOWEST centroid id in both engines
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r[0])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r[1]]).alias("cvec"),
+            )
+            for r in cents
+        ]
+    )
+
+    def scores_for(v):
+        return F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                F.round(vectors.cosine(v, c["cvec"]), 6).alias("s"),
+                (-c["cid"]).alias("nc"),
+            ),
+        )
+
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        (-F.array_max(scores_for(F.col(vec_col)))["nc"]).alias("cell"),
+    )
+    probes = queries.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(scores_for(F.col("qvec")))), 1, nprobe)
+        ).alias("p"),
+    ).select("query_id", "qvec", (-F.col("p.nc")).alias("cell"))
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(vectors.cosine(F.col("v"), F.col("qvec")), 6).alias("cosine"),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    return _ranked(scored, k)
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -335,6 +335,42 @@ ANN_BRUTE_Q = f"""WITH q AS (
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10"""
 
+# Twin of similarity.ivf_topk (n_centroids=16, nprobe=2): centroids =
+# 16 lowest-id vectors; cells by argmax rounded cosine (lowest-cid
+# tiebreak); each query probes its 2 nearest cells.
+ANN_IVF_Q = f"""WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+), assign AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cid FROM cents c
+          ORDER BY round({_cosine('e.embedding', 'c.cvec')}, 6) DESC, c.cid ASC
+          LIMIT 1) AS cell
+  FROM embeddings e
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT 5
+), probes AS (
+  SELECT query_id, qvec, cid AS cell FROM (
+    SELECT q.query_id, q.qvec, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({_cosine('q.qvec', 'c.cvec')}, 6) DESC,
+                                       c.cid ASC) AS pr
+    FROM q CROSS JOIN cents c
+  ) WHERE pr <= 2
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({_cosine('a.embedding', 'p.qvec')}, 6) AS cosine
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id != p.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10"""
+
 ANN_LSH_Q = f"""WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec,
          {_sign_bits('embedding', 4)} AS bucket
@@ -531,6 +567,13 @@ WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"""
 DISTINCT_USERS_Q = """SELECT event_type,
   count(DISTINCT user_id) AS n_users,
   count(*) AS n_events
+FROM events GROUP BY event_type"""
+
+# Twin of streaming.events.stream_dedup_totals: the stream plays every
+# event twice; after dropDuplicatesWithinWatermark the per-type totals
+# must equal the plain (single-copy) batch table.
+STREAM_DEDUP_Q = """SELECT event_type, count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
 FROM events GROUP BY event_type"""
 
 CUBE_ORDERS_Q = f"""SELECT o_orderstatus, o_orderpriority,

@@ -290,6 +290,13 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, q, k=10, n_bits=4)
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    return similarity.ivf_topk(emb, q, k=10, n_centroids=16, nprobe=2)
+
+
 # ------------------------------------------------------------------ text
 
 
@@ -447,6 +454,21 @@ def stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
     )
     return EV.stateful_user_totals(spark, d, "stateful_totals_sink")
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (dropDuplicatesWithinWatermark): the feed plays
+    the events file TWICE (two symlinks = exact duplicate rows); the
+    survivors' per-type totals must equal the plain batch table."""
+    import os
+    import tempfile
+
+    tune_for_oracle(spark)
+    d = tempfile.mkdtemp(prefix="stream_dup_events_")
+    src = os.path.join(sf_dir, "events.parquet")
+    os.symlink(src, os.path.join(d, "a.parquet"))
+    os.symlink(src, os.path.join(d, "b.parquet"))
+    return EV.stream_dedup_totals(spark, d, "stream_dedup_sink")
 
 
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

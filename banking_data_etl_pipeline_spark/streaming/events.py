@@ -170,6 +170,50 @@ def stateful_user_totals(spark: SparkSession, events_dir: str, name: str) -> Dat
     )
 
 
+def stream_dedup_totals(
+    spark: SparkSession, events_dir: str, name: str, watermark: str = "40 days"
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` on the
+    event key, then per-type totals of the surviving rows.
+
+    This is the streaming half of the dedup family (the batch ops live
+    in ``operators.dedup``): duplicate events arriving within the
+    watermark bound are suppressed with per-key state that is FREED
+    once the watermark passes — bounded state on an unbounded feed,
+    which plain ``dropDuplicates`` cannot promise. The test feed plays
+    the events table twice (two files of identical rows), so the
+    surviving rows must equal the plain batch table — the oracle checks
+    per-type counts and decimal-exact sums. ``watermark`` is the
+    dup-arrival bound; it exceeds the test data's 1-month span so
+    nothing is dropped as late."""
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(events_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization (batch): per-user sessions split on inactivity
     gaps > gap_minutes, via lag + cumulative sum — the standard

@@ -87,3 +87,27 @@ def test_lsh_topk_subset_of_bucket(spark):
     for r in rows:
         assert 1 <= r.rank <= 10
         assert -1.0 <= r.cosine <= 1.0
+
+
+def test_ivf_topk_candidates_come_from_probed_cells(spark):
+    from pyspark.sql import functions as F
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    q = similarity.corpus_queries(emb, n=3)
+    got = similarity.ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8).collect()
+    # nprobe == n_centroids probes every cell -> identical to brute force
+    brute = {
+        (r.query_id, r.rank): r.vec_id
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+        if r.query_id in {0, 1, 2}
+    }
+    assert {(r.query_id, r.rank): r.vec_id for r in got} == brute
+    # with few probes, results are a (possibly partial) subset ranked
+    # consistently: scores non-increasing per query
+    part = similarity.ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2).collect()
+    by_q: dict = {}
+    for r in part:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert all(a.cosine >= b.cosine for a, b in zip(rows, rows[1:]))

@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+from pyspark.sql import functions as F
+
 from banking_data_etl_pipeline_spark.sources import tables
 from banking_data_etl_pipeline_spark.streaming import events as EV
 
@@ -44,3 +46,29 @@ def test_sessionize_invariants(spark):
             assert b.session_start_epoch - a.session_end_epoch >= 1800 - 1
         for r in rows:
             assert r.session_start_epoch <= r.session_end_epoch
+
+
+def test_stream_dedup_removes_exact_duplicates(spark):
+    # feed every event TWICE; survivors' totals must equal the
+    # single-copy batch table
+    ev = tables.load(spark, SF_DIR, "events")
+    batch = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .collect()
+    }
+    d = tempfile.mkdtemp(prefix="test_stream_dup_")
+    src = os.path.join(SF_DIR, "events.parquet")
+    os.symlink(src, os.path.join(d, "a.parquet"))
+    os.symlink(src, os.path.join(d, "b.parquet"))
+    deduped = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in EV.stream_dedup_totals(spark, d, "test_stream_dedup_sink").collect()
+    }
+    assert deduped == batch
