@@ -72,6 +72,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": Q.price_percentiles,
         "asof_join": Q.asof_join,
         "range_join": Q.range_join,
+        "props_stats": Q.props_stats,
+        "regr_slope": Q.regr_slope,
+        "zscore": Q.zscore,
         # events: windows, sessions, top-k, streaming twin
         "window_agg": Q.window_agg,
         "stream_window_agg": Q.stream_window_agg,
@@ -129,6 +132,9 @@ def oracle_sql() -> dict[str, str]:
         "percentiles": oracle.PRICE_PERCENTILES_Q,
         "asof_join": oracle.ASOF_JOIN_Q,
         "range_join": oracle.RANGE_JOIN_Q,
+        "props_stats": oracle.PROPS_STATS_Q,
+        "regr_slope": oracle.REGR_SLOPE_Q,
+        "zscore": oracle.ZSCORE_Q,
         "window_agg": oracle.WINDOW_AGG_Q,
         "stream_window_agg": oracle.WINDOW_AGG_Q,
         "stream_dedup": oracle.STREAM_DEDUP_Q,

@@ -1,0 +1,41 @@
+"""Grouped-map custom operators via ``applyInPandas`` — the batch
+Arrow-vectorized escape hatch for per-group logic the built-in
+operators can't express.
+
+Shape: one shuffle on the group key, then each group is handed to
+Python as a pandas DataFrame in Arrow batches. This is the 10-100x
+faster path vs row-at-a-time Python UDFs, and the ONLY sane way to run
+model-ish per-group code (normalization, fitting, resampling) at
+scale. Rule of thumb stays: if a window function can express it (like
+this z-score — kept as a demonstrable reference implementation with a
+SQL oracle), the window function wins; ``applyInPandas`` is for when
+it can't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def zscore_by_user(events: DataFrame) -> DataFrame:
+    """Per-user z-score of event value (population stddev), computed
+    group-at-a-time in pandas. Single-event users and zero-variance
+    groups emit 0.0 — mirrored in the oracle twin."""
+    import pandas as pd
+
+    out_schema = "event_id long, user_id long, z double"
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].astype(float)
+        sd = float(v.std(ddof=0))
+        mean = float(v.mean())
+        z = (v - mean) / sd if sd > 0 else v * 0.0
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(4)}
+        )
+
+    return (
+        events.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(norm, out_schema)
+    )

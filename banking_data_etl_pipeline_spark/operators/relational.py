@@ -244,6 +244,40 @@ def asof_last_order(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON column with
+    a typed ``from_json`` (JVM-side Jackson parse, no UDF) and
+    aggregate the extracted field. The parse happens once in the scan
+    projection; at 100 TB prefer persisting extracted fields columnar
+    over re-parsing JSON per query."""
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+        )
+    )
+
+
+def user_value_trend(events: DataFrame, origin: str = "2024-01-01") -> DataFrame:
+    """Per-user linear trend: ``regr_slope`` of event value over time
+    (days since ``origin``) — the regression-aggregate family. X is
+    integer-micros arithmetic scaled to double days so both engines
+    accumulate identically-scaled co-moments."""
+    x = (
+        F.unix_micros(F.col("ts"))
+        - F.unix_micros(F.lit(origin).cast("timestamp"))
+    ).cast("double") / F.lit(86400.0 * 1_000_000)
+    return events.groupBy("user_id").agg(
+        F.round(F.regr_slope(F.col("value"), x), 4).alias("slope_per_day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def range_join_followers(events: DataFrame, hours: int = 24) -> DataFrame:
     """Per event: how many OTHER events the same user produced within
     the next ``hours`` (inclusive) — a time-range self-join.

@@ -612,6 +612,28 @@ ASOF_JOIN_Q = """SELECT event_id, user_id, ts, last_orderkey, last_totalprice FR
     ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
 ) WHERE rn = 1"""
 
+PROPS_STATS_Q = """SELECT event_type,
+  count(CAST(props->>'k' AS INT)) AS n_with_k,
+  min(CAST(props->>'k' AS INT)) AS min_k,
+  max(CAST(props->>'k' AS INT)) AS max_k,
+  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type"""
+
+REGR_SLOPE_Q = """SELECT user_id,
+  round(regr_slope(value,
+        CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS DOUBLE)
+        / 86400000000.0), 4) AS slope_per_day,
+  count(*) AS n_events
+FROM events GROUP BY user_id"""
+
+# Twin of operators.grouped.zscore_by_user (population stddev;
+# zero-variance and single-row groups -> 0.0).
+ZSCORE_Q = """SELECT event_id, user_id,
+  round(CASE WHEN stddev_pop(value) OVER w > 0
+             THEN (value - avg(value) OVER w) / (stddev_pop(value) OVER w)
+             ELSE 0.0 END, 4) AS z
+FROM events WINDOW w AS (PARTITION BY user_id)"""
+
 RANGE_JOIN_Q = """SELECT e.event_id, e.user_id, count(c.event_id) AS n_followers
 FROM events e LEFT JOIN events c
   ON c.user_id = e.user_id AND c.ts >= e.ts

@@ -417,6 +417,23 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.range_join_followers(tables.load(spark, sf_dir, "events"))
 
 
+def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.props_stats(tables.load(spark, sf_dir, "events"))
+
+
+def regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.user_value_trend(tables.load(spark, sf_dir, "events"))
+
+
+def zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import grouped
+
+    tune_for_oracle(spark)
+    return grouped.zscore_by_user(tables.load(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------- events
 
 
