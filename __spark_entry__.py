@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": Q.asof_join,
         "range_join": Q.range_join,
         "props_stats": Q.props_stats,
+        "multires_rollup": Q.multires_rollup,
         "regr_slope": Q.regr_slope,
         "zscore": Q.zscore,
         # events: windows, sessions, top-k, streaming twin
@@ -133,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": oracle.ASOF_JOIN_Q,
         "range_join": oracle.RANGE_JOIN_Q,
         "props_stats": oracle.PROPS_STATS_Q,
+        "multires_rollup": oracle.MULTIRES_ROLLUP_Q,
         "regr_slope": oracle.REGR_SLOPE_Q,
         "zscore": oracle.ZSCORE_Q,
         "window_agg": oracle.WINDOW_AGG_Q,

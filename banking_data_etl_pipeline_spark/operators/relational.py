@@ -244,6 +244,36 @@ def asof_last_order(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def multires_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly buckets, with the
+    daily resolution RE-AGGREGATED FROM THE HOURLY PARTIALS rather than
+    from raw rows — at 100 TB the raw table is read once and each
+    coarser resolution costs only the finer one's (tiny) output. Sums
+    stay DECIMAL until the terminal projection so the re-aggregation is
+    exact (double partials would drift vs a direct daily group-by).
+    Day boundary via epoch//86400 on UTC-truncated hour epochs ==
+    date_trunc('day') in the UTC session."""
+    hourly = events.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("bucket_epoch"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_sv"),
+    )
+    daily = hourly.groupBy(
+        (F.expr("bucket_epoch DIV 86400") * 86400).alias("bucket_epoch"),
+        "event_type",
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("_sv").alias("_sv"))
+    out = lambda df, res: df.select(  # noqa: E731
+        F.lit(res).alias("resolution"),
+        "bucket_epoch",
+        "event_type",
+        "n_events",
+        F.round(F.col("_sv").cast("double"), 4).alias("sum_value"),
+    )
+    return out(hourly, "hour").unionByName(out(daily, "day"))
+
+
 def props_stats(events: DataFrame) -> DataFrame:
     """Semi-structured extraction: parse the ``props`` JSON column with
     a typed ``from_json`` (JVM-side Jackson parse, no UDF) and

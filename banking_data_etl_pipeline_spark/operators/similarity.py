@@ -102,51 +102,93 @@ def ivf_topk(
     by cell so a probe touches nprobe/n_centroids of the data — the
     classic IVF selectivity.
     """
+    import math
+
     cents = sorted(
         emb.filter(F.col(id_col) < n_centroids)
         .select(id_col, vec_col)
         .collect(),
         key=lambda r: r[0],
     )
+
+    def _py_norm(vec) -> float:
+        # same left-to-right accumulation as vectors.dot / the oracle's
+        # list_reduce, so the double is bit-identical to computing it
+        # in-engine (parity depends on this)
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
     # struct(s, -cid): array_max / array_sort order by score then -cid,
     # so ties break toward the LOWEST centroid id in both engines
     cent_arr = F.array(
         *[
             F.struct(
                 F.lit(int(r[0])).alias("cid"),
+                F.lit(_py_norm(r[1])).alias("cnorm"),
                 F.array(*[F.lit(float(x)) for x in r[1]]).alias("cvec"),
             )
             for r in cents
         ]
     )
 
-    def scores_for(v):
-        return F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                F.round(vectors.cosine(v, c["cvec"]), 6).alias("s"),
-                (-c["cid"]).alias("nc"),
-            ),
-        )
+    def scores_for(v, vnorm):
+        # cosine = dot/(|v|*|c|) with |v| staged once per row and |c| a
+        # build-time constant — ~5x less work than recomputing both
+        # norms per centroid, same doubles to the last bit
+        def score(c):
+            denom = vnorm * c["cnorm"]
+            cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+                vectors.dot(v, c["cvec"]) / denom
+            )
+            return F.struct(F.round(cos, 6).alias("s"), (-c["cid"]).alias("nc"))
 
-    corpus = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        (-F.array_max(scores_for(F.col(vec_col)))["nc"]).alias("cell"),
+        return F.transform(cent_arr, score)
+
+    corpus = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            vectors.norm(F.col(vec_col)).alias("_nv"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            "_nv",
+            (-F.array_max(scores_for(F.col("v"), F.col("_nv")))["nc"]).alias("cell"),
+        )
     )
-    probes = queries.select(
-        "query_id",
-        "qvec",
-        F.explode(
-            F.slice(F.reverse(F.array_sort(scores_for(F.col("qvec")))), 1, nprobe)
-        ).alias("p"),
-    ).select("query_id", "qvec", (-F.col("p.nc")).alias("cell"))
+    probes = (
+        queries.select(
+            "query_id", "qvec", vectors.norm(F.col("qvec")).alias("_nq")
+        )
+        .select(
+            "query_id",
+            "qvec",
+            "_nq",
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(scores_for(F.col("qvec"), F.col("_nq")))),
+                    1,
+                    nprobe,
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "qvec", "_nq", (-F.col("p.nc")).alias("cell"))
+    )
+    denom = F.col("_nv") * F.col("_nq")
     scored = (
         corpus.join(F.broadcast(probes), "cell")
         .select(
             "query_id",
             "vec_id",
-            F.round(vectors.cosine(F.col("v"), F.col("qvec")), 6).alias("cosine"),
+            F.round(
+                F.when(denom == 0, F.lit(0.0)).otherwise(
+                    vectors.dot(F.col("v"), F.col("qvec")) / denom
+                ),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("vec_id") != F.col("query_id"))
     )

@@ -612,6 +612,20 @@ ASOF_JOIN_Q = """SELECT event_id, user_id, ts, last_orderkey, last_totalprice FR
     ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
 ) WHERE rn = 1"""
 
+# Twin of relational.multires_rollup: both resolutions from raw rows —
+# equivalent because the Spark side re-aggregates exact DECIMAL partials.
+MULTIRES_ROLLUP_Q = """SELECT 'hour' AS resolution,
+  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_epoch, event_type,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day' AS resolution,
+  CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_epoch, event_type,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 2, 3"""
+
 PROPS_STATS_Q = """SELECT event_type,
   count(CAST(props->>'k' AS INT)) AS n_with_k,
   min(CAST(props->>'k' AS INT)) AS min_k,

@@ -422,6 +422,11 @@ def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.props_stats(tables.load(spark, sf_dir, "events"))
 
 
+def multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.multires_rollup(tables.load(spark, sf_dir, "events"))
+
+
 def regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     return relational.user_value_trend(tables.load(spark, sf_dir, "events"))

@@ -40,9 +40,16 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "pricing_summary",
     "rollup_orders",
+    "cube_orders",
+    "asof_join",
+    "range_join",
+    "multires_rollup",
+    "zscore",
+    "ann_ivf",
     "window_agg",
     "sessionize",
     "stateful_totals",
+    "stream_dedup",
     "topk_per_group",
     "media_features",
 ]
