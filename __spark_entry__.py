@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational: joins, Q1-style agg, rollup
         "revenue_by_nation": Q.revenue_by_nation,
         "pricing_summary": Q.pricing_summary,
+        "brand_revenue": Q.brand_revenue,
         "rollup_orders": Q.rollup_orders,
         "moving_avg": Q.moving_avg,
         "repeat_customers": Q.repeat_customers,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": oracle.corpus_filter_sql(),
         "revenue_by_nation": oracle.REVENUE_BY_NATION_Q,
         "pricing_summary": oracle.PRICING_SUMMARY_Q,
+        "brand_revenue": oracle.BRAND_REVENUE_Q,
         "rollup_orders": oracle.ROLLUP_ORDERS_Q,
         "moving_avg": oracle.MOVING_AVG_Q,
         "repeat_customers": oracle.REPEAT_CUSTOMERS_Q,

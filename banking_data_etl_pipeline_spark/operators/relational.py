@@ -47,6 +47,28 @@ def revenue_by_nation(
     )
 
 
+def brand_revenue_by_nation(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q9-shaped profit rollup: one fact table joined to THREE
+    broadcast dimensions (part, supplier, nation) — the star-join shape
+    where the fact side never shuffles for the joins; the only exchange
+    is the final group-by. At 100 TB part may outgrow the broadcast
+    threshold, at which point AQE falls back to a shuffled hash join on
+    the sorted-key side only."""
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dec_sum(rev, "revenue"),
+        )
+    )
+
+
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1997-06-30") -> DataFrame:
     """TPC-H Q1-shaped pricing summary with a ship-date predicate that
     must push down into the parquet scan (check PushedFilters in

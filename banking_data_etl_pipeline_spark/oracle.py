@@ -531,6 +531,15 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
 
+BRAND_REVENUE_Q = f"""SELECT n_name, p_brand,
+  count(*) AS n_items,
+  {_dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name, p_brand"""
+
 ROLLUP_ORDERS_Q = f"""SELECT o_orderstatus, o_orderpriority,
   count(*) AS n_orders,
   {_dec_sum_sql("o_totalprice", "total_price")}

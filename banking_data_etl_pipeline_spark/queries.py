@@ -361,6 +361,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.pricing_summary(tables.load(spark, sf_dir, "lineitem"))
 
 
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.brand_revenue_by_nation(
+        tables.load(spark, sf_dir, "lineitem"),
+        tables.load(spark, sf_dir, "part"),
+        tables.load(spark, sf_dir, "supplier"),
+        tables.load(spark, sf_dir, "nation"),
+    )
+
+
 def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     return relational.rollup_orders(tables.load(spark, sf_dir, "orders"))
