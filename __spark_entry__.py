@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": Q.range_join,
         "props_stats": Q.props_stats,
         "multires_rollup": Q.multires_rollup,
+        "pivot_daily": Q.pivot_daily,
+        "ntile_deciles": Q.ntile_deciles,
         "regr_slope": Q.regr_slope,
         "zscore": Q.zscore,
         # events: windows, sessions, top-k, streaming twin
@@ -137,6 +139,8 @@ def oracle_sql() -> dict[str, str]:
         "range_join": oracle.RANGE_JOIN_Q,
         "props_stats": oracle.PROPS_STATS_Q,
         "multires_rollup": oracle.MULTIRES_ROLLUP_Q,
+        "pivot_daily": oracle.PIVOT_DAILY_Q,
+        "ntile_deciles": oracle.NTILE_DECILES_Q,
         "regr_slope": oracle.REGR_SLOPE_Q,
         "zscore": oracle.ZSCORE_Q,
         "window_agg": oracle.WINDOW_AGG_Q,

@@ -266,6 +266,47 @@ def asof_last_order(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def pivot_daily_values(events: DataFrame) -> DataFrame:
+    """PIVOT: per-day event-type value sums as columns. The pivot
+    values are DECLARED (not discovered) — at scale an undeclared
+    pivot needs an extra distinct-collect job before planning; a
+    declared one is a single conditional-aggregation pass."""
+    day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_epoch")
+    pivoted = (
+        events.select(day, "event_type", "value")
+        .groupBy("day_epoch")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4))
+    )
+    return pivoted.select(
+        "day_epoch", *[F.col(t).alias(f"{t}_sum") for t in EVENT_TYPES]
+    )
+
+
+def acctbal_deciles(customer: DataFrame) -> DataFrame:
+    """NTILE(10) decile stats over account balance — the rank-family
+    window beyond row_number. One global sort; at 100 TB you'd
+    approximate with percentile boundaries + a broadcast bucket map
+    instead of a single-partition window (noted, exact here)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        customer.select(
+            "c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
 def multires_rollup(events: DataFrame) -> DataFrame:
     """Hypertable-style continuous aggregate: hourly buckets, with the
     daily resolution RE-AGGREGATED FROM THE HOURLY PARTIALS rather than

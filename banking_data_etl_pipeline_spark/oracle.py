@@ -635,6 +635,25 @@ SELECT 'day' AS resolution,
   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
 FROM events GROUP BY 2, 3"""
 
+PIVOT_DAILY_Q = """SELECT
+  CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'click') AS DOUBLE), 4) AS click_sum,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'view') AS DOUBLE), 4) AS view_sum,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE), 4) AS purchase_sum,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'signup') AS DOUBLE), 4) AS signup_sum,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'error') AS DOUBLE), 4) AS error_sum
+FROM events GROUP BY 1"""
+
+NTILE_DECILES_Q = """SELECT decile,
+  count(*) AS n_customers,
+  round(min(c_acctbal), 2) AS min_bal,
+  round(max(c_acctbal), 2) AS max_bal
+FROM (
+  SELECT c_custkey, c_acctbal,
+         ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+  FROM customer
+) GROUP BY decile"""
+
 PROPS_STATS_Q = """SELECT event_type,
   count(CAST(props->>'k' AS INT)) AS n_with_k,
   min(CAST(props->>'k' AS INT)) AS min_k,

@@ -437,6 +437,16 @@ def multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.multires_rollup(tables.load(spark, sf_dir, "events"))
 
 
+def pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.pivot_daily_values(tables.load(spark, sf_dir, "events"))
+
+
+def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.acctbal_deciles(tables.load(spark, sf_dir, "customer"))
+
+
 def regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     return relational.user_value_trend(tables.load(spark, sf_dir, "events"))
