@@ -34,8 +34,14 @@ def zscore_by_user(events: DataFrame) -> DataFrame:
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(4)}
         )
 
+    # Pre-hash-partition on the group key with a task count sized to
+    # the KEYSPACE, not shuffle.partitions: the groupBy's exchange is
+    # then already satisfied, so one shuffle instead of two and far
+    # fewer Python workers to spawn (each task forks one). 16 tasks for
+    # ~150 users here; on a real cluster size to ~2-4x executors.
     return (
         events.select("event_id", "user_id", "value")
+        .repartition(16, "user_id")
         .groupBy("user_id")
         .applyInPandas(norm, out_schema)
     )
