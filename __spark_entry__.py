@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute": Q.ann_brute,
         "ann_lsh": Q.ann_lsh,
         "ann_ivf": Q.ann_ivf,
+        "kmeans": Q.kmeans,
         # text analysis
         "text_stats": Q.text_stats,
         "lang_id": Q.lang_id,

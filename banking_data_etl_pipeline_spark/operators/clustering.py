@@ -1,0 +1,118 @@
+"""Iterative clustering (Lloyd's k-means) over the embeddings table —
+the driver-loop-iterative operator family.
+
+Each iteration is one map-only assignment pass (centroids inlined as a
+literal, same pattern as ``similarity.ivf_topk`` — no corpus×centroid
+join, no shuffle for the argmax) plus one aggregation shuffle for the
+centroid update. The update sums components through DECIMAL(28,12), so
+centroids are EXACTLY order-independent: the result is a pure function
+of (data, k, iterations) regardless of partitioning — which is what
+makes an iterative distributed algorithm reproducible at any scale.
+
+Deliberately registered WITHOUT a DuckDB oracle: unrolling iterations
+into SQL is possible but each iteration's float averaging would need
+bit-replication across engines; the driver records the rows-only check
+for iterative algorithms by design.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
+            vec_col: str, id_col: str) -> DataFrame:
+    """Map-only nearest-centroid assignment (squared L2, lowest-cid
+    tiebreak) against a literal centroid array."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), c["cvec"], lambda a, b: (a.cast("double") - b) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    # array_min picks lowest distance, ties -> lowest cid (struct order)
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.array_min(dists)["cid"].alias("cluster"),
+    )
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means; init = the k lowest-id vectors.
+    Returns per-cluster size and the centroid (rounded), deterministic
+    across partitionings."""
+    dim = len(emb.select(vec_col).first()[0])
+    init = sorted(
+        emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in init]
+
+    for _ in range(iterations):
+        assigned = _assign(emb, centroids, vec_col, id_col)
+        # exact order-independent update: per-component DECIMAL sums
+        agg = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at(F.col("v"), i + 1).cast("decimal(28,12)")).alias(
+                    f"_s{i}"
+                )
+                for i in range(dim)
+            ],
+        )
+        rows = {r["cluster"]: r for r in agg.collect()}
+        new_centroids = []
+        for cid, old in centroids:
+            r = rows.get(cid)
+            if r is None or r["n"] == 0:  # empty cluster keeps its centroid
+                new_centroids.append((cid, old))
+            else:
+                n = r["n"]
+                new_centroids.append(
+                    (cid, [float(r[f"_s{i}"]) / n for i in range(dim)])
+                )
+        centroids = new_centroids
+
+    final = _assign(emb, centroids, vec_col, id_col)
+    cent_map = {cid: vec for cid, vec in centroids}
+    cent_arr = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in cent_map]),
+        F.array(
+            *[
+                F.array(*[F.round(F.lit(x), 6) for x in cent_map[c]])
+                for c in cent_map
+            ]
+        ),
+    )
+    return (
+        final.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .withColumn("centroid", cent_arr[F.col("cluster")])
+        .select("cluster", "n_members", "centroid")
+    )

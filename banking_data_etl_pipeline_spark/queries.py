@@ -447,6 +447,15 @@ def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.acctbal_deciles(tables.load(spark, sf_dir, "customer"))
 
 
+def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means (no SQL oracle by design — the driver
+    records the rows-only check for iterative algorithms)."""
+    from .operators import clustering
+
+    tune_for_oracle(spark)
+    return clustering.kmeans(tables.load(spark, sf_dir, "embeddings"), k=8)
+
+
 def regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     return relational.user_value_trend(tables.load(spark, sf_dir, "events"))

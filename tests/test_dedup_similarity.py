@@ -111,3 +111,36 @@ def test_ivf_topk_candidates_come_from_probed_cells(spark):
     for rows in by_q.values():
         rows.sort(key=lambda r: r.rank)
         assert all(a.cosine >= b.cosine for a, b in zip(rows, rows[1:]))
+
+
+def test_kmeans_deterministic_and_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from banking_data_etl_pipeline_spark.operators import clustering
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    got = {r.cluster: (r.n_members, r.centroid) for r in clustering.kmeans(emb, k=4, iterations=2).collect()}
+    # partitioning-invariance: DECIMAL-exact updates make the result a
+    # pure function of the data
+    re = {r.cluster: (r.n_members, r.centroid)
+          for r in clustering.kmeans(emb.repartition(7), k=4, iterations=2).collect()}
+    assert got == re
+    assert sum(n for n, _ in got.values()) == emb.count()
+
+    # numpy reference (same init, same argmin/tiebreak rules)
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r[0])
+    X = np.array([[float(x) for x in r[1]] for r in rows])
+    C = X[:4].copy()
+    for _ in range(2):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(4):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    sizes = {c: int((a == c).sum()) for c in range(4) if (a == c).any()}
+    assert {c: n for c, (n, _) in got.items()} == sizes
+    for c, (_, cent) in got.items():
+        assert np.allclose(np.array(cent), C[c], atol=1e-4)
