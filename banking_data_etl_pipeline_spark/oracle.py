@@ -682,6 +682,15 @@ FROM events e LEFT JOIN events c
  AND c.ts <= e.ts + INTERVAL 24 HOURS AND c.event_id <> e.event_id
 GROUP BY e.event_id, e.user_id"""
 
+# Twin of streaming.events.stream_interval_join_counts: the INNER form
+# (stream-stream joins emit matches only — zero-follower events absent).
+STREAM_INTERVAL_JOIN_Q = """SELECT e.event_id, e.user_id,
+  count(*) AS n_followers
+FROM events e JOIN events c
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+ AND c.ts <= e.ts + INTERVAL 24 HOURS AND c.event_id <> e.event_id
+GROUP BY e.event_id, e.user_id"""
+
 # --------------------------------------------------------------- events
 
 WINDOW_AGG_Q = """SELECT

@@ -522,6 +522,20 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.stream_dedup_totals(spark, d, "stream_dedup_sink")
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join, checked against the batch
+    inner range-join oracle."""
+    import os
+    import tempfile
+
+    tune_for_oracle(spark)
+    d = tempfile.mkdtemp(prefix="stream_join_events_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    return EV.stream_interval_join_counts(spark, d, "stream_interval_join_sink")
+
+
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     return EV.sessionize_batch(tables.load(spark, sf_dir, "events"))

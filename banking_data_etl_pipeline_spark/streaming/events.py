@@ -214,6 +214,57 @@ def stream_dedup_totals(
     )
 
 
+def stream_interval_join_counts(
+    spark: SparkSession, events_dir: str, name: str, hours: int = 24
+) -> DataFrame:
+    """Stream-stream interval self-join: per event, how many other
+    events the same user produced within the next ``hours``.
+
+    Both sides are watermarked and the join carries an event-time range
+    condition, so Spark's symmetric hash join can EVICT state once the
+    watermark passes a row's join window — bounded state on unbounded
+    feeds, the defining property of a production stream-stream join
+    (an unconstrained stream join would buffer forever). Batch twin:
+    the inner form of ``relational.range_join_followers`` — the oracle
+    checks the streamed counts equal the batch range join exactly."""
+    def side(alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .load(events_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+        )
+
+    left, right = side("l"), side("r")
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {int(hours)} HOURS"))
+        & (F.col("l_id") != F.col("r_id")),
+        "inner",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy(F.col("l_id").alias("event_id"), F.col("l_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_followers"))
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization (batch): per-user sessions split on inactivity
     gaps > gap_minutes, via lag + cumulative sum — the standard
