@@ -126,3 +126,30 @@ def test_partitioned_sink_prunes_partitions(spark):
     m = re.search(r"partition count: (\d+)", plan)
     if m:
         assert int(m.group(1)) == 1, plan
+
+
+def test_no_query_plans_cartesian_or_nested_loop(spark):
+    # sweep every registered batch query: the only nested-loop join
+    # allowed is ann_brute's intentional broadcast-scoring crossJoin
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    streaming_or_iterative = {
+        "stream_window_agg",
+        "stream_dedup",
+        "stateful_totals",
+        "stream_interval_join",
+        "kmeans",
+    }
+    allowed_bnlj = {"ann_brute"}
+    for name, fn in sorted(mod.queries().items()):
+        if name in streaming_or_iterative:
+            continue
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        if name not in allowed_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, name
