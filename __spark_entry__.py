@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue": Q.brand_revenue,
         "rollup_orders": Q.rollup_orders,
         "moving_avg": Q.moving_avg,
+        "trailing_hour": Q.trailing_hour,
         "repeat_customers": Q.repeat_customers,
         "distinct_users": Q.distinct_users,
         "cube_orders": Q.cube_orders,
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_revenue": oracle.BRAND_REVENUE_Q,
         "rollup_orders": oracle.ROLLUP_ORDERS_Q,
         "moving_avg": oracle.MOVING_AVG_Q,
+        "trailing_hour": oracle.TRAILING_HOUR_Q,
         "repeat_customers": oracle.REPEAT_CUSTOMERS_Q,
         "distinct_users": oracle.DISTINCT_USERS_Q,
         "cube_orders": oracle.CUBE_ORDERS_Q,

@@ -119,6 +119,28 @@ def moving_avg_user_value(events: DataFrame, window_rows: int = 2) -> DataFrame:
     )
 
 
+def trailing_hour_totals(events: DataFrame) -> DataFrame:
+    """RANGE-frame window: per event, the user's value total over the
+    trailing hour of EVENT TIME (not row count — a range frame over
+    epoch seconds, which unlike ``moving_avg``'s ROWS frame handles
+    irregular event spacing). One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    sec = F.unix_micros(F.col("ts")) / F.lit(1_000_000.0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 4
+        ).alias("hour_total"),
+    )
+
+
 def repeat_customers(orders: DataFrame, split: str = "1997-01-01") -> DataFrame:
     """Set operation: customers ordering BOTH before and after the
     split date (INTERSECT — distinct-based, shuffles only custkeys)."""

@@ -567,6 +567,14 @@ MOVING_AVG_Q = """SELECT user_id, event_id,
   4) AS moving_avg
 FROM events"""
 
+TRAILING_HOUR_Q = """SELECT event_id, user_id,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+      PARTITION BY user_id
+      ORDER BY CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+    AS hour_total
+FROM events"""
+
 REPEAT_CUSTOMERS_Q = """SELECT o_custkey FROM orders
 WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 INTERSECT

@@ -381,6 +381,11 @@ def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.moving_avg_user_value(tables.load(spark, sf_dir, "events"))
 
 
+def trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.trailing_hour_totals(tables.load(spark, sf_dir, "events"))
+
+
 def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     return relational.repeat_customers(tables.load(spark, sf_dir, "orders"))
