@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_hour": Q.trailing_hour,
         "repeat_customers": Q.repeat_customers,
         "distinct_users": Q.distinct_users,
+        "lapsed_customers": Q.lapsed_customers,
+        "listagg_users": Q.listagg_users,
         "cube_orders": Q.cube_orders,
         "semi_join": Q.semi_join_big_spenders,
         "anti_join": Q.anti_join_no_orders,
@@ -135,6 +137,8 @@ def oracle_sql() -> dict[str, str]:
         "trailing_hour": oracle.TRAILING_HOUR_Q,
         "repeat_customers": oracle.REPEAT_CUSTOMERS_Q,
         "distinct_users": oracle.DISTINCT_USERS_Q,
+        "lapsed_customers": oracle.LAPSED_CUSTOMERS_Q,
+        "listagg_users": oracle.LISTAGG_USERS_Q,
         "cube_orders": oracle.CUBE_ORDERS_Q,
         "semi_join": oracle.BIG_SPENDERS_Q,
         "anti_join": oracle.NO_ORDERS_Q,

@@ -150,6 +150,32 @@ def repeat_customers(orders: DataFrame, split: str = "1997-01-01") -> DataFrame:
     return before.intersect(after)
 
 
+def lapsed_customers(orders: DataFrame, split: str = "2000-07-01") -> DataFrame:
+    """Set operation: customers ordering BEFORE but not AFTER the
+    split (EXCEPT — the complement of ``repeat_customers``)."""
+    cutoff = F.lit(split).cast("timestamp")
+    before = orders.filter(F.col("o_orderdate") < cutoff).select("o_custkey")
+    after = orders.filter(F.col("o_orderdate") >= cutoff).select("o_custkey")
+    return before.subtract(after)  # EXCEPT (distinct) semantics
+
+
+def users_per_type_listagg(events: DataFrame) -> DataFrame:
+    """LISTAGG/STRING_AGG: per event type, the ordered comma-joined
+    distinct user list. Deterministic because the set is sorted
+    NUMERICALLY before joining — an unordered listagg is a parity (and
+    reproducibility) bug by construction."""
+    return events.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("user_id")),
+                lambda u: u.cast("string"),
+            ),
+            ",",
+        ).alias("users_csv"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def distinct_users_by_type(events: DataFrame) -> DataFrame:
     """Exact COUNT(DISTINCT) per group — expands to a two-phase
     aggregate (partial distinct per partition, then merge), the plan

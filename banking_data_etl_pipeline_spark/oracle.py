@@ -581,6 +581,23 @@ INTERSECT
 SELECT o_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"""
 
+LAPSED_CUSTOMERS_Q = """SELECT o_custkey FROM orders
+WHERE o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'"""
+
+LISTAGG_USERS_Q = """WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), agg AS (
+  SELECT event_type,
+         string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS users_csv
+  FROM d GROUP BY event_type
+), cnt AS (
+  SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+)
+SELECT agg.event_type, users_csv, n_events FROM agg JOIN cnt USING (event_type)"""
+
 DISTINCT_USERS_Q = """SELECT event_type,
   count(DISTINCT user_id) AS n_users,
   count(*) AS n_events

@@ -396,6 +396,16 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.distinct_users_by_type(tables.load(spark, sf_dir, "events"))
 
 
+def lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.lapsed_customers(tables.load(spark, sf_dir, "orders"))
+
+
+def listagg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.users_per_type_listagg(tables.load(spark, sf_dir, "events"))
+
+
 def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     return relational.cube_orders(tables.load(spark, sf_dir, "orders"))
