@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": Q.fingerprint,
         "bpe_token_stats": Q.bpe_token_stats,
         "corpus_filter": Q.corpus_filter,
+        "chunk_docs": Q.chunk_docs,
         # relational: joins, Q1-style agg, rollup
         "revenue_by_nation": Q.revenue_by_nation,
         "pricing_summary": Q.pricing_summary,
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": oracle.FINGERPRINT_Q,
         "bpe_token_stats": oracle.BPE_TOKEN_STATS_Q,
         "corpus_filter": oracle.corpus_filter_sql(),
+        "chunk_docs": oracle.CHUNK_DOCS_Q,
         "revenue_by_nation": oracle.REVENUE_BY_NATION_Q,
         "pricing_summary": oracle.PRICING_SUMMARY_Q,
         "brand_revenue": oracle.BRAND_REVENUE_Q,

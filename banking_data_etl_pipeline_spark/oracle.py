@@ -196,6 +196,23 @@ DEDUP_EXACT_Q = (
     " FROM documents GROUP BY md5(text)"
 )
 
+# Twin of operators.corpus.chunk_documents (size=32, stride=32):
+# disjoint token windows, short tails kept.
+CHUNK_DOCS_Q = f"""WITH t AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), t2 AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+), idx AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, GREATEST(
+           CAST(ceil((n - 32) / CAST(32.0 AS DOUBLE)) AS INT) + 1, 1))) AS ci
+  FROM t2
+)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+  array_to_string(list_slice(toks, ci * 32 + 1, ci * 32 + 32), ' ') AS chunk_text,
+  CAST(LEAST(n - ci * 32, 32) AS INT) AS n_tokens
+FROM idx"""
+
 NGRAM_JACCARD_DF_CUTOFF = 20  # mirrors operators.dedup.ngram_jaccard_pairs
 
 NGRAM_JACCARD_Q = f"""WITH sh AS (

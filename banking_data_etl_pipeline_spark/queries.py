@@ -406,6 +406,13 @@ def listagg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.users_per_type_listagg(tables.load(spark, sf_dir, "events"))
 
 
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus
+
+    tune_for_oracle(spark)
+    return corpus.chunk_documents(tables.load(spark, sf_dir, "documents"))
+
+
 def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     return relational.cube_orders(tables.load(spark, sf_dir, "orders"))
