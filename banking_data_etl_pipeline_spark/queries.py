@@ -563,6 +563,20 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.sessionize_batch(tables.load(spark, sf_dir, "events"))
 
 
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window twin, checked against the batch
+    sessionize oracle."""
+    import os
+    import tempfile
+
+    tune_for_oracle(spark)
+    d = tempfile.mkdtemp(prefix="stream_sess_events_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    return EV.stream_sessionize(spark, d, "stream_sessionize_sink")
+
+
 def salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (skew mitigation); must equal the
     plain GROUP BY, which is exactly what the oracle checks."""

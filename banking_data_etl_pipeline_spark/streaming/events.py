@@ -265,6 +265,53 @@ def stream_interval_join_counts(
     )
 
 
+def stream_sessionize(
+    spark: SparkSession, events_dir: str, name: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` — Spark's native
+    merging-session-state operator (vs the batch lag+cumsum twin in
+    ``sessionize_batch``; both split on inactivity > gap). Complete
+    output mode on the bounded test feed so trailing sessions emit
+    without watermark games; an unbounded deployment would use append
+    mode + a watermark sized to the max session length. The terminal
+    ``session_seq`` rank (per user, by start time) maps window
+    identities onto the batch oracle's sequence numbers."""
+    from pyspark.sql import Window
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(events_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    sessions = stream.groupBy(
+        F.col("user_id"), F.session_window("ts", f"{gap_minutes} minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("unix_micros(min(ts)) DIV 1000000").alias("session_start_epoch"),
+        F.expr("unix_micros(max(ts)) DIV 1000000").alias("session_end_epoch"),
+    )
+    q = (
+        sessions.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy("session_start_epoch")
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .select(
+            "user_id",
+            (F.row_number().over(w) - 1).cast("long").alias("session_seq"),
+            "n_events",
+            "session_start_epoch",
+            "session_end_epoch",
+        )
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization (batch): per-user sessions split on inactivity
     gaps > gap_minutes, via lag + cumulative sum — the standard
