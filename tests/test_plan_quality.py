@@ -143,6 +143,7 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "stream_dedup",
         "stateful_totals",
         "stream_interval_join",
+        "stream_sessionize",
         "kmeans",
     }
     allowed_bnlj = {"ann_brute"}
