@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_customers": Q.repeat_customers,
         "distinct_users": Q.distinct_users,
         "lapsed_customers": Q.lapsed_customers,
+        "above_avg_orders": Q.above_avg_orders,
         "listagg_users": Q.listagg_users,
         "cube_orders": Q.cube_orders,
         "semi_join": Q.semi_join_big_spenders,
@@ -141,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "repeat_customers": oracle.REPEAT_CUSTOMERS_Q,
         "distinct_users": oracle.DISTINCT_USERS_Q,
         "lapsed_customers": oracle.LAPSED_CUSTOMERS_Q,
+        "above_avg_orders": oracle.ABOVE_AVG_Q,
         "listagg_users": oracle.LISTAGG_USERS_Q,
         "cube_orders": oracle.CUBE_ORDERS_Q,
         "semi_join": oracle.BIG_SPENDERS_Q,

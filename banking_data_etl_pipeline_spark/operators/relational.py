@@ -186,6 +186,41 @@ def distinct_users_by_type(events: DataFrame) -> DataFrame:
     )
 
 
+def above_customer_avg(orders: DataFrame) -> DataFrame:
+    """Correlated-subquery pattern (orders above their own customer's
+    average), decorrelated the way Catalyst would: one window pass on
+    the correlation key instead of a per-row subquery — at scale this
+    is one shuffle, not a join back onto a re-aggregation. The average
+    is decimal-sum/count so both engines divide identical doubles."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey")
+    # exact cross-engine average: scale the exact decimal sum to
+    # integer 1e-4 units, floor-divide by the count (both engines floor
+    # positive integer division), then one double division — no
+    # round()-of-double, whose half-way cases Spark (shortest-repr
+    # BigDecimal) and DuckDB (true binary value) resolve differently
+    scaled = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w) * 10000
+    ).cast("long")
+    staged = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        scaled.alias("_scaled"),
+        F.count(F.lit(1)).over(w).alias("_cnt"),
+    )
+    return (
+        staged.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            (F.expr("_scaled DIV _cnt") / F.lit(10000.0)).alias("cust_avg"),
+        )
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+    )
+
+
 def rollup_orders(orders: DataFrame) -> DataFrame:
     """ROLLUP(status, priority): per-group, per-status subtotal and
     grand total in one pass (Spark expands to a single Expand +

@@ -598,6 +598,14 @@ INTERSECT
 SELECT o_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"""
 
+ABOVE_AVG_Q = """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+    (CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+          OVER (PARTITION BY o_custkey) * 10000 AS BIGINT)
+     // count(*) OVER (PARTITION BY o_custkey)) / CAST(10000.0 AS DOUBLE) AS cust_avg
+  FROM orders
+) WHERE o_totalprice > cust_avg"""
+
 LAPSED_CUSTOMERS_Q = """SELECT o_custkey FROM orders
 WHERE o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
 EXCEPT

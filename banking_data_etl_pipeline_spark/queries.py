@@ -396,6 +396,11 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.distinct_users_by_type(tables.load(spark, sf_dir, "events"))
 
 
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.above_customer_avg(tables.load(spark, sf_dir, "orders"))
+
+
 def lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     return relational.lapsed_customers(tables.load(spark, sf_dir, "orders"))
