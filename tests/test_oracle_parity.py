@@ -24,6 +24,12 @@ SUBSET = [
     "sessionize",
     "topk_per_group",
     "media_features",
+    "asof_join",
+    "cube_orders",
+    "percentiles",
+    "pivot_daily",
+    "chunk_docs",
+    "above_avg_orders",
 ]
 
 
