@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multires_rollup": Q.multires_rollup,
         "pivot_daily": Q.pivot_daily,
         "ntile_deciles": Q.ntile_deciles,
+        "price_histogram": Q.price_histogram,
         "regr_slope": Q.regr_slope,
         "zscore": Q.zscore,
         # events: windows, sessions, top-k, streaming twin
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "multires_rollup": oracle.MULTIRES_ROLLUP_Q,
         "pivot_daily": oracle.PIVOT_DAILY_Q,
         "ntile_deciles": oracle.NTILE_DECILES_Q,
+        "price_histogram": oracle.PRICE_HISTOGRAM_Q,
         "regr_slope": oracle.REGR_SLOPE_Q,
         "zscore": oracle.ZSCORE_Q,
         "window_agg": oracle.WINDOW_AGG_Q,

@@ -369,6 +369,21 @@ def pivot_daily_values(events: DataFrame) -> DataFrame:
     )
 
 
+def price_histogram(orders: DataFrame, width: float = 25000.0, n_buckets: int = 20) -> DataFrame:
+    """Fixed-width histogram of order totals — one map-side bucket
+    projection + one aggregation shuffle (vs NTILE's global sort; at
+    scale declared-bound histograms are the only shape that stays
+    map-parallel). Bucket = floor(x/width) clamped to the top bucket;
+    floor of the identical double division is engine-identical."""
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(width)), F.lit(n_buckets - 1)
+    ).cast("int")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
 def acctbal_deciles(customer: DataFrame) -> DataFrame:
     """NTILE(10) decile stats over account balance — the rank-family
     window beyond row_number. One global sort; at 100 TB you'd

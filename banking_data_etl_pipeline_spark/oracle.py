@@ -694,6 +694,12 @@ PIVOT_DAILY_Q = """SELECT
   round(CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'error') AS DOUBLE), 4) AS error_sum
 FROM events GROUP BY 1"""
 
+PRICE_HISTOGRAM_Q = f"""SELECT
+  CAST(LEAST(FLOOR(o_totalprice / CAST(25000.0 AS DOUBLE)), 19) AS INT) AS bucket,
+  count(*) AS n_orders,
+  {_dec_sum_sql("o_totalprice", "total_price")}
+FROM orders GROUP BY 1"""
+
 NTILE_DECILES_Q = """SELECT decile,
   count(*) AS n_customers,
   round(min(c_acctbal), 2) AS min_bal,

@@ -474,6 +474,11 @@ def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.acctbal_deciles(tables.load(spark, sf_dir, "customer"))
 
 
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_oracle(spark)
+    return relational.price_histogram(tables.load(spark, sf_dir, "orders"))
+
+
 def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd's k-means (no SQL oracle by design — the driver
     records the rows-only check for iterative algorithms)."""
