@@ -384,18 +384,76 @@ def price_histogram(orders: DataFrame, width: float = 25000.0, n_buckets: int = 
     )
 
 
-def acctbal_deciles(customer: DataFrame) -> DataFrame:
-    """NTILE(10) decile stats over account balance — the rank-family
-    window beyond row_number. One global sort; at 100 TB you'd
-    approximate with percentile boundaries + a broadcast bucket map
-    instead of a single-partition window (noted, exact here)."""
+def acctbal_deciles(customer: DataFrame, tiles: int = 10) -> DataFrame:
+    """NTILE(10) decile stats over account balance, EXACT but with no
+    single-reducer sort (a bare ``Window.orderBy`` ships every row to
+    one partition — the classic 100 TB scale-killer).
+
+    Distributed-rank construction instead:
+      1. ``repartitionByRange`` on the sort key — a parallel range
+         shuffle whose boundary sampling is deterministically seeded
+         (RangePartitioner XORShift per input partition), so repeated
+         jobs over the same input agree on boundaries;
+      2. per-range-partition row counts → cumulative offsets. This is
+         ≤ #partitions longs — model-parameter scale, pulled to the
+         driver and re-broadcast as a literal map (same pattern as the
+         IVF/k-means centroid pulls);
+      3. local ``row_number`` windows partitioned by partition id
+         (parallel across all reducers) + offset = exact global rank;
+      4. NTILE arithmetic on (rank, N): first N%t tiles get ⌈N/t⌉ rows.
+    Result is bit-identical to ``ntile(10) OVER (ORDER BY ...)`` while
+    every exchange in the plan stays parallel (asserted by
+    ``tests/test_plan_quality.py``)."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return (
-        customer.select(
-            "c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile")
+    key = [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
+    spark = customer.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        customer.select("c_custkey", "c_acctbal")
+        .repartitionByRange(shuffle_n, *key)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    acc, offsets, total = 0, {}, 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_n"]
+    total = acc
+    if total == 0:
+        return (
+            customer.select(
+                F.lit(1).alias("decile"),
+                F.lit(0).cast("long").alias("n_customers"),
+                F.lit(0.0).alias("min_bal"),
+                F.lit(0.0).alias("max_bal"),
+            ).limit(0)
         )
+    off_map = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in offsets]),
+        F.array(*[F.lit(v) for v in offsets.values()]),
+    )
+
+    w = Window.partitionBy("_pid").orderBy(*key)
+    rank = (F.row_number().over(w).cast("long") + off_map[F.col("_pid")]).alias(
+        "_rank"
+    )
+    base, rem = total // tiles, total % tiles
+    cut = rem * (base + 1)  # ranks 1..cut live in the (base+1)-sized tiles
+    # integer DIV, not `/`: double division truncation can misplace a
+    # boundary rank once N is large enough for FP error to matter
+    decile = (
+        F.when(
+            F.col("_rank") <= cut, F.expr(f"(_rank - 1) DIV {base + 1}")
+        )
+        .otherwise(F.expr(f"{rem} + (_rank - {cut} - 1) DIV {max(base, 1)}"))
+        .cast("int")
+        + 1
+    ).alias("decile")
+    return (
+        ranged.select("c_acctbal", rank)
+        .select("c_acctbal", decile)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

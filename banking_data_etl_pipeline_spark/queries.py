@@ -481,11 +481,26 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd's k-means (no SQL oracle by design — the driver
-    records the rows-only check for iterative algorithms)."""
+    records the rows-only check for iterative algorithms).
+
+    The array-typed centroid is serialized to a CSV string here so the
+    driver's rows-only canonicalizer (a pandas sort over all columns)
+    never sees an unhashable list cell."""
     from .operators import clustering
 
     tune_for_oracle(spark)
-    return clustering.kmeans(tables.load(spark, sf_dir, "embeddings"), k=8)
+    out = clustering.kmeans(tables.load(spark, sf_dir, "embeddings"), k=8)
+    return out.select(
+        "cluster",
+        "n_members",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("centroid"),
+                lambda x: x.cast("decimal(18,6)").cast("string"),
+            ),
+        ).alias("centroid"),
+    )
 
 
 def regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,8 +25,6 @@ def canon_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return repr(v)
         return repr(v)
     if isinstance(v, bool):
         return "T" if v else "F"

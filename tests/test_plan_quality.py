@@ -128,6 +128,15 @@ def test_partitioned_sink_prunes_partitions(spark):
         assert int(m.group(1)) == 1, plan
 
 
+def test_ntile_deciles_has_no_single_partition_exchange(spark):
+    # the distributed-rank NTILE must never collapse rows to one
+    # reducer — the bare Window.orderBy it replaces planned an
+    # `Exchange SinglePartition` over the whole table
+    plan = _plan(relational.acctbal_deciles(tables.load(spark, SF_DIR, "customer")))
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+
+
 def test_no_query_plans_cartesian_or_nested_loop(spark):
     # sweep every registered batch query: the only nested-loop join
     # allowed is ann_brute's intentional broadcast-scoring crossJoin
