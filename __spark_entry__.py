@@ -26,34 +26,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness harness checks the first
+    # 50 entries only, so the least-proven queries (new this round, or
+    # without a prior green CORRECTNESS row) come first; the tail holds
+    # long-green entries — bank-core singles subsumed by
+    # pipeline_enriched, and relational queries green since round 2.
     return {
-        # bank-marketing reference pipeline (SURVEY.md §2 ops 1-19, 24)
+        # flagship
         "pipeline_enriched": Q.pipeline_enriched,
-        "age_group": Q.age_group,
-        "wealth_segment": Q.wealth_segment,
-        "contact_day_type": Q.contact_day_type,
-        "has_loans": Q.has_loans,
-        "engagement_score": Q.engagement_score,
-        "rfm_scores": Q.rfm_scores,
-        "customer_segment": Q.customer_segment,
-        "normalize": Q.normalize,
-        "range_filter": Q.range_filter,
-        "required_filter": Q.required_filter,
-        "lineage": Q.lineage,
-        "parse_typed": Q.parse_typed,
-        "error_split": Q.error_split,
+        # no driver signal in r2 (past the 50-query window then)
+        "ntile_deciles": Q.ntile_deciles,
+        "price_histogram": Q.price_histogram,
+        "regr_slope": Q.regr_slope,
+        "zscore": Q.zscore,
+        "window_agg": Q.window_agg,
+        "stream_window_agg": Q.stream_window_agg,
+        "stream_dedup": Q.stream_dedup,
+        "stream_interval_join": Q.stream_interval_join,
+        "stream_sessionize": Q.stream_sessionize,
+        "stateful_totals": Q.stateful_totals,
+        "salted_totals": Q.salted_totals,
+        "sessionize": Q.sessionize,
+        "topk_per_group": Q.topk_per_group,
+        "media_metadata": Q.media_metadata,
+        "media_features": Q.media_features,
+        "frame_sample": Q.frame_sample,
+        # new in round 3
+        "stream_sessionize_append": Q.stream_sessionize_append,
+        "dedup_resolve": Q.dedup_resolve,
+        # red in r2 (harness canonicalization) — fixed, needs a row
+        "kmeans": Q.kmeans,
+        # reference pipeline distinct paths
         "error_records": Q.error_records,
+        "error_split": Q.error_split,
+        "parse_typed": Q.parse_typed,
         # dedup family
         "dedup_exact": Q.dedup_exact,
         "ngram_jaccard": Q.ngram_jaccard,
         "minhash_lsh": Q.minhash_lsh,
         "simhash": Q.simhash,
         "emb_near_dup": Q.emb_near_dup,
-        # similarity search
+        # similarity search (ann_lsh re-proven: multi-probe this round)
         "ann_brute": Q.ann_brute,
         "ann_lsh": Q.ann_lsh,
         "ann_ivf": Q.ann_ivf,
-        "kmeans": Q.kmeans,
         # text analysis
         "text_stats": Q.text_stats,
         "lang_id": Q.lang_id,
@@ -61,7 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": Q.bpe_token_stats,
         "corpus_filter": Q.corpus_filter,
         "chunk_docs": Q.chunk_docs,
-        # relational: joins, Q1-style agg, rollup
+        # relational
         "revenue_by_nation": Q.revenue_by_nation,
         "pricing_summary": Q.pricing_summary,
         "brand_revenue": Q.brand_revenue,
@@ -75,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listagg_users": Q.listagg_users,
         "cube_orders": Q.cube_orders,
         "semi_join": Q.semi_join_big_spenders,
+        # ---- driver checks the first 50 entries; below here every
+        # ---- query has a green CORRECTNESS_r02 row
         "anti_join": Q.anti_join_no_orders,
         "percentiles": Q.price_percentiles,
         "asof_join": Q.asof_join,
@@ -82,24 +100,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_stats": Q.props_stats,
         "multires_rollup": Q.multires_rollup,
         "pivot_daily": Q.pivot_daily,
-        "ntile_deciles": Q.ntile_deciles,
-        "price_histogram": Q.price_histogram,
-        "regr_slope": Q.regr_slope,
-        "zscore": Q.zscore,
-        # events: windows, sessions, top-k, streaming twin
-        "window_agg": Q.window_agg,
-        "stream_window_agg": Q.stream_window_agg,
-        "stream_dedup": Q.stream_dedup,
-        "stream_interval_join": Q.stream_interval_join,
-        "stream_sessionize": Q.stream_sessionize,
-        "stateful_totals": Q.stateful_totals,
-        "salted_totals": Q.salted_totals,
-        "sessionize": Q.sessionize,
-        "topk_per_group": Q.topk_per_group,
-        # multimodal plumbing
-        "media_metadata": Q.media_metadata,
-        "media_features": Q.media_features,
-        "frame_sample": Q.frame_sample,
+        # bank-core singles (subsumed by pipeline_enriched)
+        "age_group": Q.age_group,
+        "wealth_segment": Q.wealth_segment,
+        "contact_day_type": Q.contact_day_type,
+        "has_loans": Q.has_loans,
+        "engagement_score": Q.engagement_score,
+        "rfm_scores": Q.rfm_scores,
+        "customer_segment": Q.customer_segment,
+        "normalize": Q.normalize,
+        "range_filter": Q.range_filter,
+        "required_filter": Q.required_filter,
+        "lineage": Q.lineage,
     }
 
 
@@ -120,13 +132,14 @@ def oracle_sql() -> dict[str, str]:
         "parse_typed": oracle.PARSE_TYPED_Q,
         "error_split": oracle.ERROR_SPLIT_Q,
         "error_records": oracle.ERROR_RECORDS_Q,
+        "dedup_resolve": oracle.dedup_resolve_sql(),
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),
         "simhash": oracle.simhash_sql(),
         "emb_near_dup": oracle.EMB_NEAR_DUP_Q,
         "ann_brute": oracle.ANN_BRUTE_Q,
-        "ann_lsh": oracle.ANN_LSH_Q,
+        "ann_lsh": oracle.ann_lsh_sql(),
         "ann_ivf": oracle.ANN_IVF_Q,
         "text_stats": oracle.TEXT_STATS_Q,
         "lang_id": oracle.langid_sql(),

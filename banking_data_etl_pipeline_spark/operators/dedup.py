@@ -247,6 +247,93 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 15
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair edge list
+    via iterative min-label propagation; returns ``(id, component)``
+    where ``component`` is the lowest id reachable (so the component
+    representative is the lowest member id).
+
+    Scale shape: each iteration is one equi-join on the edge list + one
+    groupBy — both parallel hash shuffles keyed on node id, no
+    all-pairs step anywhere. Iteration count is bounded by the
+    component DIAMETER, and near-dup components are dense (duplicate
+    clusters are near-cliques, diameter ~2), so convergence is a few
+    rounds; the loop stops early on a changed-label count of zero
+    (per-iteration count actions are the same bounded-iteration pattern
+    as ``clustering.kmeans``). Labels persist per iteration and the
+    previous generation is unpersisted once the next is materialized.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    und = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("dst")  # pre-shuffle once; every iteration joins on dst
+        .persist()
+    )
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            und.join(labels, und["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("_m"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_m"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels
+
+
+def resolve_duplicates(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The end-to-end "dedup the corpus" decision: group near-dup
+    candidate pairs into connected components and keep exactly the
+    lowest-id document of each component.
+
+    Returns one row per document: ``(doc_id, canonical_id, is_kept)``
+    — downstream keeps ``is_kept`` rows, or rewrites references through
+    ``canonical_id``. Documents in no candidate pair are their own
+    canonical. The components come from ``connected_components`` (all
+    equi-joins); the final join is a left join on the (small relative
+    to the corpus) pair-member label table."""
+    comp = connected_components(pairs)
+    return (
+        docs.select(id_col)
+        .join(comp, docs[id_col] == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+        )
+        .withColumn("is_kept", F.col(id_col) == F.col("canonical_id"))
+    )
+
+
 def lsh_bits_for(n_rows: int, target_bucket: int = 256, lo: int = 4, hi: int = 24) -> int:
     """Sign-bit count so the EXPECTED bucket size is ~target_bucket:
     2^bits ≈ n/target. Bounded: too few bits -> quadratic buckets, too

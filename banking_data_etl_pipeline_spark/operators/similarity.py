@@ -195,6 +195,15 @@ def ivf_topk(
     return _ranked(scored, k)
 
 
+def _flip_bit(bucket, i: int, n_bits: int):
+    """Bucket key with 1-based bit ``i`` flipped (bit-string keys)."""
+    return F.concat(
+        F.substring(bucket, 1, i - 1),
+        F.when(F.substring(bucket, i, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+        F.substring(bucket, i + 1, n_bits),
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -202,11 +211,21 @@ def lsh_topk(
     n_bits: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-bit
-    bucket (recall < 1 by design; n_bits tunes bucket count 2^n).
-    At scale, write the corpus bucketed/partitioned by this key so a
-    query touches one partition — the IVF analogue."""
+    bucket neighborhood (recall < 1 by design; n_bits tunes bucket
+    count 2^n).
+
+    MULTI-PROBE: with ``probe_hamming=1`` each query also probes the
+    ``n_bits`` buckets at Hamming distance 1 — the standard recall
+    repair for LSH (near neighbors most often land one sign-flip away).
+    Crucially the fan-out is on the QUERY side only (tiny, broadcast):
+    every corpus vector still lives in exactly one bucket, so at scale
+    the corpus stays bucketed/partitioned by this key and a query
+    touches n_bits+1 partitions — the IVF-nprobe analogue. A corpus
+    vector can match a query through at most one probe key (its single
+    bucket), so no candidate dedup is needed."""
     corpus = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
@@ -215,6 +234,12 @@ def lsh_topk(
     q = queries.select(
         "query_id", "qvec", vectors.sign_bits(F.col("qvec"), n_bits).alias("bucket")
     )
+    if probe_hamming >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[_flip_bit(F.col("bucket"), i, n_bits) for i in range(1, n_bits + 1)],
+        )
+        q = q.select("query_id", "qvec", F.explode(probes).alias("bucket"))
     scored = corpus.join(F.broadcast(q), "bucket").select(
         "query_id",
         "vec_id",

@@ -283,6 +283,31 @@ SELECT c.id_a, c.id_b,
 FROM cand c JOIN sigs a ON a.doc_id = c.id_a JOIN sigs b ON b.doc_id = c.id_b"""
 
 
+def dedup_resolve_sql(threshold: float = 0.5) -> str:
+    """Twin of ``queries.dedup_resolve``: exact connected components via
+    a recursive transitive closure over the thresholded MinHash-LSH
+    candidate pairs; canonical id = min reachable id (incl. self).
+    The Spark side's min-label propagation converges to the identical
+    fixpoint, so values match exactly."""
+    return f"""WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({minhash_lsh_sql()}) WHERE est_jaccard >= {threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), walk AS (
+  SELECT src, dst AS lbl FROM edges
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.src = e.dst
+), comp AS (
+  SELECT src AS id, least(src, min(lbl)) AS canonical FROM walk GROUP BY src
+)
+SELECT d.doc_id,
+       coalesce(c.canonical, d.doc_id) AS canonical_id,
+       coalesce(c.canonical, d.doc_id) = d.doc_id AS is_kept
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"""
+
+
 def simhash_sql(n_bits: int = 32) -> str:
     # one md5 per token (mds), then n_bits substring votes — mirrors the
     # staged Spark plan (hashing.simhash_bits docstring)
@@ -388,16 +413,29 @@ ANN_IVF_Q = f"""WITH cents AS (
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10"""
 
-ANN_LSH_Q = f"""WITH q AS (
+def ann_lsh_sql(n_bits: int = 4, k: int = 10) -> str:
+    """Twin of ``similarity.lsh_topk`` incl. Hamming-1 multi-probe:
+    the query side expands to its bucket plus every one-bit flip."""
+    flips = ", ".join(
+        f"concat(substring(bucket, 1, {i - 1}),"
+        f" CASE WHEN substring(bucket, {i}, 1) = '1' THEN '0' ELSE '1' END,"
+        f" substring(bucket, {i + 1}, {n_bits}))"
+        for i in range(1, n_bits + 1)
+    )
+    return f"""WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec,
-         {_sign_bits('embedding', 4)} AS bucket
+         {_sign_bits('embedding', n_bits)} AS bucket
   FROM embeddings ORDER BY vec_id LIMIT 5
+), qp AS (
+  SELECT query_id, qvec,
+         unnest(list_prepend(bucket, [{flips}])) AS bucket
+  FROM q
 ), c AS (
-  SELECT vec_id, embedding AS v, {_sign_bits('embedding', 4)} AS bucket
+  SELECT vec_id, embedding AS v, {_sign_bits('embedding', n_bits)} AS bucket
   FROM embeddings
 ), scored AS (
-  SELECT q.query_id, c.vec_id, round({_cosine('c.v', 'q.qvec')}, 6) AS cosine
-  FROM c JOIN q ON c.bucket = q.bucket WHERE c.vec_id != q.query_id
+  SELECT qp.query_id, c.vec_id, round({_cosine('c.v', 'qp.qvec')}, 6) AS cosine
+  FROM c JOIN qp ON c.bucket = qp.bucket WHERE c.vec_id != qp.query_id
 ), ranked AS (
   SELECT query_id, vec_id, cosine,
          row_number() OVER (PARTITION BY query_id
@@ -405,7 +443,7 @@ ANN_LSH_Q = f"""WITH q AS (
   FROM scored
 )
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= 10"""
+FROM ranked WHERE rank <= {k}"""
 
 # ------------------------------------------------------------- text ops
 

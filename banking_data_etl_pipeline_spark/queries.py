@@ -263,6 +263,16 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(tables.load(spark, sf_dir, "documents"))
 
 
+def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: MinHash-LSH candidate pairs (est
+    Jaccard >= 0.5) -> connected components -> keep lowest id per
+    component. One row per document with its canonical id."""
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    return dedup.resolve_duplicates(docs, pairs)
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     return dedup.simhash_fingerprints(tables.load(spark, sf_dir, "documents"))
@@ -600,6 +610,24 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
     )
     return EV.stream_sessionize(spark, d, "stream_sessionize_sink")
+
+
+def stream_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape sessionization: session_window + watermark in
+    APPEND mode (bounded state; only closed sessions emit). No SQL
+    oracle by design — which sessions close depends on Spark's
+    ms-truncated watermark arithmetic, not SQL-expressible exactly;
+    the emitted-set/batch-twin relationship is pinned by
+    tests/test_events_streaming.py instead."""
+    import os
+    import tempfile
+
+    tune_for_oracle(spark)
+    d = tempfile.mkdtemp(prefix="stream_sess_app_events_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    return EV.stream_sessionize_append(spark, d, "stream_sessionize_append_sink")
 
 
 def salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:

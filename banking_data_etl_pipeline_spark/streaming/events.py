@@ -108,12 +108,17 @@ def stateful_user_totals(spark: SparkSession, events_dir: str, name: str) -> Dat
     """Custom STATEFUL streaming operator: per-user running totals via
     ``applyInPandasWithState`` (Arrow-batched, update mode).
 
-    State is (count, cents) with the sum in INTEGER CENTS — exact under
-    any micro-batch split, so the final per-user totals equal the batch
-    groupBy exactly (the oracle cross-checks them). Emits the running
-    total on every update; the terminal select keeps each user's last
-    (max-count) emission, which is the final state regardless of how
-    availableNow chunked the input.
+    State is (count, micros) with the sum in INTEGER MICRO-UNITS,
+    rounded PER ROW before summing — exact DECIMAL(18,6) semantics
+    under any micro-batch split (a per-chunk float sum rounded once
+    would silently drift for large chunks or sub-cent values), so the
+    final per-user totals equal the batch DECIMAL(18,6) groupBy
+    exactly (the oracle cross-checks them). Data contract: values are
+    decimals with <= 6 fractional digits (the events feed is 2dp);
+    finer precision would be truncated differently than the DECIMAL
+    oracle. Emits the running total on every update; the terminal
+    select keeps each user's last (max-count) emission, which is the
+    final state regardless of how availableNow chunked the input.
     """
     from collections.abc import Iterator
 
@@ -121,18 +126,24 @@ def stateful_user_totals(spark: SparkSession, events_dir: str, name: str) -> Dat
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "user_id long, n_events long, sum_value double"
-    state_schema = "cnt long, cents long"
+    state_schema = "cnt long, micros long"
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        cnt, cents = state.get if state.exists else (0, 0)
+        cnt, micros = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             cnt += len(pdf)
-            cents += int(round(float(pdf["value"].sum() * 100)))
-        state.update((cnt, cents))
+            micros += int(
+                pdf["value"].mul(1_000_000.0).round().astype("int64").sum()
+            )
+        state.update((cnt, micros))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [cnt], "sum_value": [cents / 100.0]}
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "sum_value": [micros / 1_000_000.0],
+            }
         )
 
     stream = (
@@ -275,7 +286,16 @@ def stream_sessionize(
     without watermark games; an unbounded deployment would use append
     mode + a watermark sized to the max session length. The terminal
     ``session_seq`` rank (per user, by start time) maps window
-    identities onto the batch oracle's sequence numbers."""
+    identities onto the batch oracle's sequence numbers.
+
+    Boundary semantics caveat: ``session_window`` starts a NEW session
+    when an event arrives EXACTLY ``gap`` after its predecessor (the
+    window end is exclusive), while the batch twin splits only on gap
+    strictly > ``gap``. Parity against the shared oracle therefore
+    requires no exact-boundary gaps in the data — true of the driver
+    testdata (microsecond timestamps make an exact 1800.000000 s gap
+    vanishingly unlikely) and asserted for the curious by
+    ``tests/test_events_streaming.py::test_no_exact_gap_boundaries``."""
     from pyspark.sql import Window
 
     stream = (
@@ -309,6 +329,63 @@ def stream_sessionize(
             "session_start_epoch",
             "session_end_epoch",
         )
+    )
+
+
+def stream_sessionize_append(
+    spark: SparkSession,
+    events_dir: str,
+    name: str,
+    gap_minutes: int = 30,
+    watermark_minutes: int = 1,
+) -> DataFrame:
+    """The PRODUCTION deployment shape of streaming sessionization:
+    ``session_window`` with a watermark and APPEND output mode.
+
+    A session emits exactly once, when the watermark passes its end
+    (last event + gap), and its state is then freed — bounded state on
+    an unbounded feed, unlike the complete-mode harness above which
+    buffers every session forever. The cost is that trailing sessions
+    still open at end-of-feed never emit; on the bounded test feed the
+    emitted set must therefore equal the batch sessions that CLOSED
+    before the final watermark (max event time - watermark), which is a
+    per-user suffix cut — asserted both directions by
+    ``tests/test_events_streaming.py::test_append_sessionize``.
+
+    ``watermark_minutes`` bounds late data; production would size it to
+    the feed's real disorder (and keep the gap >= watermark so session
+    merging still sees all late events)."""
+    from pyspark.sql import Window
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(events_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .withWatermark("ts", f"{watermark_minutes} minutes")
+    )
+    sessions = stream.groupBy(
+        F.col("user_id"), F.session_window("ts", f"{gap_minutes} minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("unix_micros(min(ts)) DIV 1000000").alias("session_start_epoch"),
+        F.expr("unix_micros(max(ts)) DIV 1000000").alias("session_end_epoch"),
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy("session_start_epoch")
+    return spark.sql(f"SELECT * FROM {name}").select(
+        "user_id",
+        (F.row_number().over(w) - 1).cast("long").alias("session_seq"),
+        "n_events",
+        "session_start_epoch",
+        "session_end_epoch",
     )
 
 

@@ -22,9 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Representative spread: the reference pipeline (narrow, shuffle-free),
-# the parse/error path, one of each extension family, and the shuffle
-# operators (agg/window/session/topk).
+# Every implemented family is represented so a regression anywhere is
+# visible round-over-round: the reference pipeline (narrow,
+# shuffle-free), the parse/error path, all dedup variants, ANN,
+# clustering, text, relational (agg/window/rollup/pivot/rank),
+# streaming, and multimodal.
 BENCH_QUERIES = [
     "pipeline_enriched",
     "error_records",
@@ -32,26 +34,46 @@ BENCH_QUERIES = [
     "minhash_lsh",
     "ngram_jaccard",
     "simhash",
+    "emb_near_dup",
+    "dedup_resolve",
     "ann_brute",
     "ann_lsh",
+    "ann_ivf",
+    "kmeans",
     "text_stats",
     "lang_id",
+    "fingerprint",
+    "bpe_token_stats",
     "corpus_filter",
+    "chunk_docs",
     "revenue_by_nation",
     "pricing_summary",
+    "brand_revenue",
     "rollup_orders",
     "cube_orders",
+    "pivot_daily",
+    "multires_rollup",
+    "ntile_deciles",
+    "price_histogram",
+    "percentiles",
+    "regr_slope",
+    "zscore",
     "asof_join",
     "range_join",
-    "multires_rollup",
-    "zscore",
-    "ann_ivf",
+    "moving_avg",
+    "trailing_hour",
     "window_agg",
     "sessionize",
+    "topk_per_group",
+    "salted_totals",
     "stateful_totals",
     "stream_dedup",
-    "topk_per_group",
+    "stream_interval_join",
+    "stream_sessionize",
+    "stream_sessionize_append",
+    "media_metadata",
     "media_features",
+    "frame_sample",
 ]
 
 
@@ -72,6 +94,9 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+        # blocks persisted inside operators (postings, signatures, CC
+        # labels) must not accumulate across — or subsidize — queries
+        spark.catalog.clearCache()
     total = round(time.time() - t_all, 3)
 
     # rows/sec for the flagship against the 1M/252s baseline anchor

@@ -80,6 +80,11 @@ def run(sf_dir: str, only: list[str]) -> int:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
+        finally:
+            # drop blocks persisted inside operators (minhash/ngram
+            # postings, CC labels) so the many-query session doesn't
+            # accumulate cache across unrelated queries
+            spark.catalog.clearCache()
         if name not in oq:
             print(f"SKIP {name}: rows-only ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
             continue

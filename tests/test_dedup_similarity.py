@@ -33,6 +33,25 @@ def test_ngram_jaccard_detects_near_dup(spark):
     assert 0.5 <= pairs[0].jaccard <= 1.0
 
 
+def test_connected_components_transitive_merge(spark):
+    # chain 1-2, 2-3 and a separate pair 10-11: components must merge
+    # transitively (the whole point vs per-pair dedup) and singletons
+    # keep themselves
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7, 10, 11)], "doc_id long"
+    )
+    out = {r.doc_id: (r.canonical_id, r.is_kept)
+           for r in dedup.resolve_duplicates(docs, pairs).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False),
+                   7: (7, True), 10: (10, True), 11: (10, False)}
+
+
 def test_minhash_lsh_finds_identical_docs(spark):
     text = "one two three four five six seven eight nine ten eleven twelve"
     docs = spark.createDataFrame(
@@ -111,6 +130,34 @@ def test_ivf_topk_candidates_come_from_probed_cells(spark):
     for rows in by_q.values():
         rows.sort(key=lambda r: r.rank)
         assert all(a.cosine >= b.cosine for a, b in zip(rows, rows[1:]))
+
+
+def test_ann_recall_vs_brute_force(spark):
+    # the approximate families are hash-exact vs their oracles by
+    # construction, but nothing else would catch a silent recall
+    # collapse when parameters change — pin recall@10 against the
+    # brute-force ground truth on the test corpus
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+
+    def topk_sets(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    truth = topk_sets(similarity.brute_force_topk(emb, q, k=10))
+
+    def recall(df) -> float:
+        got = topk_sets(df)
+        hits = sum(len(got.get(qid, set()) & t) for qid, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    # IVF probes nprobe=2 of 16 cells: high recall expected
+    assert recall(similarity.ivf_topk(emb, q, k=10, n_centroids=16, nprobe=2)) >= 0.5
+    # sign-bit LSH with 4 bits on near-random vectors: weaker, but a
+    # parameter regression (e.g. too many bits) craters this fast
+    assert recall(similarity.lsh_topk(emb, q, k=10, n_bits=4)) >= 0.3
 
 
 def test_kmeans_deterministic_and_matches_numpy(spark):

@@ -48,6 +48,51 @@ def test_sessionize_invariants(spark):
             assert r.session_start_epoch <= r.session_end_epoch
 
 
+def test_append_sessionize_emits_exactly_closed_sessions(spark):
+    # append + watermark: a session emits iff the final watermark
+    # passed its end + gap; emitted sessions must match the batch twin
+    # exactly, and the open trailing sessions are the only omissions
+    ev = tables.load(spark, SF_DIR, "events")
+    batch = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_start_epoch, r.session_end_epoch)
+        for r in EV.sessionize_batch(ev).collect()
+    }
+    d = tempfile.mkdtemp(prefix="test_stream_sess_")
+    os.symlink(os.path.join(SF_DIR, "events.parquet"), os.path.join(d, "events.parquet"))
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_start_epoch, r.session_end_epoch)
+        for r in EV.stream_sessionize_append(spark, d, "test_sess_append").collect()
+    }
+    assert len(got) > 0
+    # emitted ⊆ batch, value-exact
+    for k, v in got.items():
+        assert batch[k] == v, k
+    # every session strictly older than the final watermark emitted;
+    # 2s slack on the boundary (watermark is ms-truncated internally)
+    max_epoch = ev.agg(F.expr("unix_micros(max(ts)) DIV 1000000")).first()[0]
+    cutoff = max_epoch - 60 - 30 * 60  # watermark delay + session gap
+    must_emit = {k for k, v in batch.items() if v[2] < cutoff - 2}
+    assert must_emit <= set(got)
+    # trailing open sessions are the only thing withheld
+    withheld = set(batch) - set(got)
+    assert all(batch[k][2] >= cutoff - 2 for k in withheld)
+
+
+def test_no_exact_gap_boundaries(spark):
+    # session_window splits on gap >= 30min (exclusive window end), the
+    # batch twin on gap > 30min: parity relies on no user having two
+    # consecutive events EXACTLY 1800.000000s apart — assert that here
+    # so a future testdata regen that violates it fails loudly
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")
+    )
+    assert gaps.filter(F.col("gap_us") == 30 * 60 * 1_000_000).count() == 0
+
+
 def test_stream_dedup_removes_exact_duplicates(spark):
     # feed every event TWICE; survivors' totals must equal the
     # single-copy batch table
