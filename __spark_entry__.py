@@ -54,6 +54,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 3
         "stream_sessionize_append": Q.stream_sessionize_append,
         "dedup_resolve": Q.dedup_resolve,
+        "vocab_topn": Q.vocab_topn,
+        "tfidf_terms": Q.tfidf_terms,
+        "pii_redact": Q.pii_redact,
+        "stratified_sample": Q.stratified_sample,
+        "dataset_mix": Q.dataset_mix,
+        "pct_rank": Q.pct_rank,
+        "grouping_sets": Q.grouping_sets_orders,
+        "stream_static_join": Q.stream_static_join,
         # red in r2 (harness canonicalization) — fixed, needs a row
         "kmeans": Q.kmeans,
         # reference pipeline distinct paths
@@ -83,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue": Q.brand_revenue,
         "rollup_orders": Q.rollup_orders,
         "moving_avg": Q.moving_avg,
+        # ---- driver checks the first 50 entries; below here every
+        # ---- query has a green CORRECTNESS_r02 row
         "trailing_hour": Q.trailing_hour,
         "repeat_customers": Q.repeat_customers,
         "distinct_users": Q.distinct_users,
@@ -91,8 +101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listagg_users": Q.listagg_users,
         "cube_orders": Q.cube_orders,
         "semi_join": Q.semi_join_big_spenders,
-        # ---- driver checks the first 50 entries; below here every
-        # ---- query has a green CORRECTNESS_r02 row
         "anti_join": Q.anti_join_no_orders,
         "percentiles": Q.price_percentiles,
         "asof_join": Q.asof_join,
@@ -133,6 +141,14 @@ def oracle_sql() -> dict[str, str]:
         "error_split": oracle.ERROR_SPLIT_Q,
         "error_records": oracle.ERROR_RECORDS_Q,
         "dedup_resolve": oracle.dedup_resolve_sql(),
+        "vocab_topn": oracle.VOCAB_TOPN_Q,
+        "tfidf_terms": oracle.TFIDF_TERMS_Q,
+        "pii_redact": oracle.pii_redact_sql(),
+        "stratified_sample": oracle.stratified_sample_sql(),
+        "dataset_mix": oracle.dataset_mix_sql(),
+        "pct_rank": oracle.PCT_RANK_Q,
+        "grouping_sets": oracle.GROUPING_SETS_Q,
+        "stream_static_join": oracle.STREAM_STATIC_JOIN_Q,
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

@@ -155,3 +155,23 @@ def fingerprint(text: Column, n: int = 8) -> Column:
     engines, which a custom rolling hash modulus is not). Null for
     texts shorter than n."""
     return F.array_min(F.transform(char_shingles(text, n), F.md5))
+
+
+# PII masking patterns, restricted to constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): no backrefs, no
+# lookaround, ASCII classes only. \d is ASCII [0-9] in both (RE2
+# without the (?s) unicode-class flag, Java without UNICODE_CHARACTER_CLASS).
+EMAIL_PATTERN = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_PATTERN = r"\d{3}[-.]\d{3}[-.]\d{4}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails then phone numbers — the standard scrub step before
+    a corpus enters a training mix. Pure regexp_replace: JVM-side,
+    map-only, no UDF; at 100 TB this rides inside whole-stage codegen
+    next to the scan."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )

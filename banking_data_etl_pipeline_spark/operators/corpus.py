@@ -43,6 +43,70 @@ def quality_filtered_corpus(
     )
 
 
+def vocab_topn(
+    docs: DataFrame, text_col: str = "text", n: int = 100
+) -> DataFrame:
+    """Corpus vocabulary: the ``n`` most frequent whitespace tokens
+    with their total counts — the first pass of tokenizer/vocab
+    training over a corpus.
+
+    Scale shape: ``explode`` is map-only; the token groupBy does
+    map-side partial aggregation so hot tokens ("the") arrive at the
+    reducer pre-combined, one row per (partition, token) — no skew
+    blowup; the global top-n is a TakeOrdered (per-partition heaps +
+    driver merge of n rows), never a full sort. Ties break by token so
+    the cut is deterministic."""
+    toks = docs.select(F.explode(texttools.tokens(F.col(text_col))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(n)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", top: int = 3
+) -> DataFrame:
+    """Per-document top-``top`` terms by TF-IDF (tf * ln(N/df)) — the
+    classic keyword/feature extraction over a corpus.
+
+    Scale shape: term frequencies are one (doc, term) groupBy with
+    map-side combine; document frequencies aggregate THAT result (never
+    re-tokenize); the corpus size N enters as an uncorrelated SCALAR
+    SUBQUERY (computed once map-side-partial, injected as a literal —
+    no join, no driver-side collect); the final per-doc rank windows on
+    doc_id — maximally parallel. Ranking orders by the 6-dp-ROUNDED
+    score (then term) so an engine float edge can't flip which terms
+    make the cut.
+    """
+    from pyspark.sql import Window
+
+    terms = (
+        docs.select(
+            F.col(id_col), F.explode(texttools.tokens(F.col(text_col))).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).scalar()
+    scored = terms.join(dfreq, "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df_docs",
+        F.round(
+            F.col("tf") * F.log(n_docs / F.col("df_docs")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= top)
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,75 @@
+"""Deterministic sampling & dataset mixing for training-data curation.
+
+The sampling decision is a pure function of a stable row key: keep a
+row iff the first two hex chars of ``md5(key)`` fall below a threshold
+prefix, giving rates in 1/256 granularity. Properties that matter at
+100 TB:
+
+- **Map-only**: no shuffle, no RNG state, no seed coordination across
+  executors; the filter pushes into the scan stage.
+- **Reproducible & engine-portable**: md5 of the decimal string of the
+  key is identical in Spark and DuckDB (both emit lowercase hex), so
+  the oracle twin selects byte-identical samples — unlike
+  ``df.sample()`` (partition-dependent RNG) or engine-native hash
+  functions (xxhash64 vs murmur mismatch).
+- **Stable under reruns/backfills**: the same row is always in or out,
+  so incremental re-processing never flips sample membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_prefix(key: Column) -> Column:
+    """First two hex chars of md5(key-as-string): 256 equiprobable,
+    lexicographically ordered buckets ('00'..'ff')."""
+    return F.substring(F.md5(key.cast("string")), 1, 2)
+
+
+def threshold_hex(rate_num: int, denom: int = 256) -> str:
+    """2-char hex prefix bound for a rate of ``rate_num/denom``."""
+    if denom != 256 or not (0 <= rate_num <= 256):
+        raise ValueError("rates are expressed in 1/256 granularity")
+    return f"{rate_num:02x}" if rate_num < 256 else "zz"  # 'zz' > 'ff': keep all
+
+
+def deterministic_sample(df: DataFrame, key: str, rate_num: int) -> DataFrame:
+    """Keep ~rate_num/256 of rows, decided per-row by md5(key)."""
+    return df.filter(hash_prefix(F.col(key)) < F.lit(threshold_hex(rate_num)))
+
+
+def stratified_sample(
+    df: DataFrame, key: str, stratum: str, rates: dict[str, int], default_num: int = 0
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. downsample boilerplate
+    sources, keep all rare ones). ``rates`` maps stratum value ->
+    numerator over 256; unlisted strata get ``default_num``.
+
+    Map-only: the CASE threshold and the hash filter both evaluate
+    per-row with no shuffle, so this composes with partition pruning
+    and survives any scale-up.
+    """
+    thr: Column = F.lit(threshold_hex(default_num))
+    for value, num in sorted(rates.items()):
+        thr = F.when(F.col(stratum) == value, F.lit(threshold_hex(num))).otherwise(thr)
+    return df.filter(hash_prefix(F.col(key)) < thr)
+
+
+def weighted_mix(
+    parts: list[tuple[DataFrame, str, int]], key: str
+) -> DataFrame:
+    """Mix datasets at per-part sampling weights into one corpus with a
+    ``mix_part`` provenance tag — the "data mixture" step of a training
+    pipeline. Each part must share the schema; the union is map-only.
+    ``parts`` is a list of (df, part_name, rate_num_over_256)."""
+    out = None
+    for df, name, num in parts:
+        sampled = deterministic_sample(df, key, num).withColumn(
+            "mix_part", F.lit(name)
+        )
+        out = sampled if out is None else out.unionByName(sampled)
+    if out is None:
+        raise ValueError("weighted_mix needs at least one part")
+    return out

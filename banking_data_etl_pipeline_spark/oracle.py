@@ -852,3 +852,99 @@ SELECT media_id, kind,
   CAST(3 AS INT) AS channels,
   CAST(nb AS BIGINT) AS n_bytes
 FROM m"""
+
+
+# ------------------------------------------------ round 3: curation ops
+
+VOCAB_TOPN_Q = f"""WITH tk AS (
+  SELECT unnest({TOKS}) AS token FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM tk GROUP BY token ORDER BY n DESC, token ASC LIMIT 100"""
+
+TFIDF_TERMS_Q = f"""WITH terms AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df_docs), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df_docs, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df_docs, tfidf, CAST(term_rank AS INT) AS term_rank
+FROM ranked WHERE term_rank <= 3"""
+
+
+def pii_redact_sql() -> str:
+    """Twin of ``queries.pii_redact`` — plants the identical synthetic
+    email + phone per doc, then strips them with the same
+    (Java-regex/RE2-portable) patterns; 'g' = replace all, Spark's
+    default."""
+    from .functions.texttools import EMAIL_PATTERN, PHONE_PATTERN
+
+    return f"""SELECT doc_id,
+  regexp_replace(regexp_replace(
+    concat('user', CAST(doc_id AS VARCHAR), '@mail-', lang, '.com call 555-',
+           lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-0199 ', text),
+    '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+    '{PHONE_PATTERN}', '<PHONE>', 'g') AS clean_text
+FROM documents"""
+
+
+def stratified_sample_sql() -> str:
+    """Twin of ``queries.stratified_sample``: thresholds come from the
+    same ``sampling.threshold_hex`` so the rates can never drift."""
+    from .operators.sampling import threshold_hex
+
+    rates = {"en": 192, "de": 128, "fr": 128, "es": 128}
+    case = "CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN '{threshold_hex(num)}'"
+        for lang, num in sorted(rates.items())
+    ) + f" ELSE '{threshold_hex(64)}' END"
+    return f"""SELECT doc_id, lang, source FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {case}"""
+
+
+def dataset_mix_sql() -> str:
+    from .operators.sampling import threshold_hex
+
+    return f"""SELECT doc_id, lang, source, 'english' AS mix_part
+FROM documents
+WHERE lang = 'en'
+  AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{threshold_hex(96)}'
+UNION ALL
+SELECT doc_id, lang, source, 'multilingual' AS mix_part
+FROM documents
+WHERE lang <> 'en'
+  AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{threshold_hex(224)}'"""
+
+
+PCT_RANK_Q = """SELECT c_custkey, c_nationkey, c_acctbal,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)"""
+
+GROUPING_SETS_Q = f"""SELECT o_orderstatus, o_orderpriority,
+  count(*) AS n_orders,
+  {_dec_sum_sql("o_totalprice", "sum_price")}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+
+# Twin of streaming.events.stream_static_join: the stream-static
+# broadcast enrichment must equal the plain batch join + group-by.
+STREAM_STATIC_JOIN_Q = f"""SELECT c_mktsegment,
+  count(*) AS n_events,
+  {_dec_sum_sql("value", "sum_value")}
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment"""

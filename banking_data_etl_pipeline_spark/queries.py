@@ -675,3 +675,128 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     media = binaryops.synthesize_media(tables.load(spark, sf_dir, "documents"))
     return binaryops.frame_sample(media)
+
+
+# ------------------------------------------------ round 3: curation ops
+
+
+def vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency."""
+    tune_for_oracle(spark)
+    return corpus.vocab_topn(tables.load(spark, sf_dir, "documents"), n=100)
+
+
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (keyword extraction)."""
+    tune_for_oracle(spark)
+    return corpus.tfidf_top_terms(tables.load(spark, sf_dir, "documents"), top=3)
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over text carrying synthetic (deterministic) emails and
+    phone numbers — the testdata corpus has none, so the query plants
+    one of each per doc and the oracle twin plants the identical ones;
+    the redaction must strip them all back out."""
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("user"),
+        F.col("doc_id"),
+        F.lit("@mail-"),
+        F.col("lang"),
+        F.lit(".com call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-0199 "),
+        F.col("text"),
+    )
+    return docs.select(
+        "doc_id",
+        texttools.redact_pii(dirty).alias("clean_text"),
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling of the corpus (md5-hash
+    membership, 1/256 rate granularity): the language-rebalancing step
+    of a training-data mix."""
+    from .operators import sampling
+
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    rates = {"en": 192, "de": 128, "fr": 128, "es": 128}
+    return sampling.stratified_sample(
+        docs, key="doc_id", stratum="lang", rates=rates, default_num=64
+    ).select("doc_id", "lang", "source")
+
+
+def dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-part weighted dataset mixture with provenance tags: English
+    docs heavily sampled down (96/256), the multilingual remainder kept
+    nearly whole (224/256)."""
+    from .operators import sampling
+
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sampling.weighted_mix(
+        [
+            (docs.filter(F.col("lang") == "en"), "english", 96),
+            (docs.filter(F.col("lang") != "en"), "multilingual", 224),
+        ],
+        key="doc_id",
+    )
+
+
+def pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of customer balances within nation.
+    Both are integer-ratio doubles ((rank-1)/(n-1), n_le/n) over a
+    fully-tiebroken ordering, so the values are bit-identical across
+    engines. Windows partition by nation — parallel at any scale."""
+    tune_for_oracle(spark)
+    customer = tables.load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — (status), (priority), and grand total in
+    ONE pass (an Expand of 3 projections per input row, one shuffle;
+    never three scans + union). Complements the existing ROLLUP/CUBE."""
+    tune_for_oracle(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", "sum_price")
+    )
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events enriched against the static customer dim
+    (broadcast per micro-batch, zero streaming state), aggregated to
+    revenue per market segment; equals the batch join+groupBy, which is
+    what the oracle checks."""
+    import os
+    import tempfile
+
+    tune_for_oracle(spark)
+    d = tempfile.mkdtemp(prefix="stream_static_events_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    dim = tables.load(spark, sf_dir, "customer")
+    return EV.stream_static_join(spark, d, dim, "stream_static_join_sink")

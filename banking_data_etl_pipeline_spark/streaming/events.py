@@ -423,3 +423,45 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.expr("unix_micros(max(ts)) DIV 1000000").alias("session_end_epoch"),
         )
     )
+
+
+def stream_static_join(
+    spark: SparkSession, events_dir: str, dim: DataFrame, name: str
+) -> DataFrame:
+    """Streaming enrichment: join the unbounded events feed to a STATIC
+    dimension (customers), then aggregate revenue per market segment —
+    the standard "enrich the stream with reference data" deployment.
+
+    Scale shape: a stream-static equi-join needs NO streaming state at
+    all (the static side is just re-read/broadcast per micro-batch; the
+    dimension is small, so Spark broadcasts it under AQE and each
+    micro-batch is a map-only probe). The aggregation runs in complete
+    mode over low-cardinality segment keys — bounded state by key
+    cardinality, not feed length. Sums go through DECIMAL so the result
+    is micro-batch-split invariant and equals the batch twin exactly.
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(events_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    enriched = stream.join(
+        F.broadcast(dim.select("c_custkey", "c_mktsegment")),
+        stream["user_id"] == F.col("c_custkey"),
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("sum_value"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

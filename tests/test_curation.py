@@ -1,0 +1,130 @@
+"""Round-3 curation operators: deterministic sampling / dataset mixing,
+vocabulary + TF-IDF extraction, PII redaction, stream-static join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from banking_data_etl_pipeline_spark.functions import texttools
+from banking_data_etl_pipeline_spark.operators import corpus, sampling
+from banking_data_etl_pipeline_spark.sources import tables
+
+from conftest import SF_DIR
+
+
+def test_deterministic_sample_is_stable_and_close_to_rate(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    a = sampling.deterministic_sample(df, "k", 64)  # 25%
+    n = a.count()
+    # binomial(4000, .25): mean 1000, sd ~27 — very loose bounds
+    assert 850 <= n <= 1150, n
+    # identical membership on re-evaluation (no RNG state anywhere)
+    assert a.count() == n
+    ids = {r.k for r in a.collect()}
+    assert ids == {r.k for r in sampling.deterministic_sample(df, "k", 64).collect()}
+    # monotone: a higher rate strictly contains the lower-rate sample
+    wider = {r.k for r in sampling.deterministic_sample(df, "k", 128).collect()}
+    assert ids <= wider
+
+
+def test_deterministic_sample_is_map_only(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    plan = sampling.deterministic_sample(df, "k", 64)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_stratified_rates_apply_per_stratum(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "keep_all").otherwise("drop_all").alias("s"),
+    )
+    out = sampling.stratified_sample(
+        df, key="k", stratum="s", rates={"keep_all": 256, "drop_all": 0}
+    )
+    got = {r.s for r in out.select("s").distinct().collect()}
+    assert got == {"keep_all"}
+    assert out.count() == 1000
+
+
+def test_weighted_mix_tags_and_samples(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    mix = sampling.weighted_mix(
+        [(df, "full", 256), (df, "half", 128)], key="k"
+    )
+    by_part = {r.mix_part: r.n for r in mix.groupBy("mix_part").agg(F.count("*").alias("n")).collect()}
+    assert by_part["full"] == 1000
+    assert 400 <= by_part["half"] <= 600
+
+
+def test_vocab_topn_counts_and_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b z")], "doc_id long, text string"
+    )
+    rows = corpus.vocab_topn(docs, n=3).collect()
+    assert [(r.token, r.n) for r in rows] == [("a", 3), ("b", 3), ("c", 1)]
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    # 'rare' appears only in doc 1; 'common' is in every doc — the
+    # distinctive term must outrank the ubiquitous one (whose idf is 0)
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare rare"),
+            (2, "common common other"),
+            (3, "common other other"),
+        ],
+        "doc_id long, text string",
+    )
+    out = corpus.tfidf_top_terms(docs, top=1).collect()
+    top1 = {r.doc_id: r.term for r in out}
+    assert top1[1] == "rare"
+    common = [
+        r for r in corpus.tfidf_top_terms(docs, top=3).collect() if r.term == "common"
+    ]
+    assert all(r.tfidf == 0.0 for r in common)
+
+
+def test_redact_pii_masks_emails_and_phones(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail me at First.Last+tag@sub.example.co.uk today",),
+            ("call 415-555-0199 or 415.555.0199 now",),
+            ("no pii here",),
+        ],
+        "t string",
+    )
+    got = [r.c for r in df.select(texttools.redact_pii(F.col("t")).alias("c")).collect()]
+    assert got[0] == "mail me at <EMAIL> today"
+    assert got[1] == "call <PHONE> or <PHONE> now"
+    assert got[2] == "no pii here"
+
+
+def test_stream_static_join_equals_batch(spark):
+    import os
+    import tempfile
+
+    from banking_data_etl_pipeline_spark.streaming import events as EV
+
+    ev = tables.load(spark, SF_DIR, "events")
+    cust = tables.load(spark, SF_DIR, "customer")
+    batch = {
+        r.c_mktsegment: (r.n_events, r.sum_value)
+        for r in ev.join(cust, ev["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .collect()
+    }
+    d = tempfile.mkdtemp(prefix="test_stream_static_")
+    os.symlink(
+        os.path.join(SF_DIR, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    got = {
+        r.c_mktsegment: (r.n_events, r.sum_value)
+        for r in EV.stream_static_join(spark, d, cust, "test_ss_join").collect()
+    }
+    assert got == batch

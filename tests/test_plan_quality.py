@@ -153,7 +153,10 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "stateful_totals",
         "stream_interval_join",
         "stream_sessionize",
+        "stream_sessionize_append",
+        "stream_static_join",
         "kmeans",
+        "dedup_resolve",  # iterative label propagation (runs jobs eagerly)
     }
     allowed_bnlj = {"ann_brute"}
     for name, fn in sorted(mod.queries().items()):
