@@ -62,6 +62,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pct_rank": Q.pct_rank,
         "grouping_sets": Q.grouping_sets_orders,
         "stream_static_join": Q.stream_static_join,
+        "resample_ffill": Q.resample_ffill,
+        "funnel": Q.funnel,
+        "cohort_retention": Q.cohort_retention,
         # red in r2 (harness canonicalization) — fixed, needs a row
         "kmeans": Q.kmeans,
         # reference pipeline distinct paths
@@ -88,11 +91,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational
         "revenue_by_nation": Q.revenue_by_nation,
         "pricing_summary": Q.pricing_summary,
+        # ---- driver checks the first 50 entries; below here every
+        # ---- query has a green CORRECTNESS_r02 row
         "brand_revenue": Q.brand_revenue,
         "rollup_orders": Q.rollup_orders,
         "moving_avg": Q.moving_avg,
-        # ---- driver checks the first 50 entries; below here every
-        # ---- query has a green CORRECTNESS_r02 row
         "trailing_hour": Q.trailing_hour,
         "repeat_customers": Q.repeat_customers,
         "distinct_users": Q.distinct_users,
@@ -149,6 +152,9 @@ def oracle_sql() -> dict[str, str]:
         "pct_rank": oracle.PCT_RANK_Q,
         "grouping_sets": oracle.GROUPING_SETS_Q,
         "stream_static_join": oracle.STREAM_STATIC_JOIN_Q,
+        "resample_ffill": oracle.RESAMPLE_FFILL_Q,
+        "funnel": oracle.FUNNEL_Q,
+        "cohort_retention": oracle.COHORT_RETENTION_Q,
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

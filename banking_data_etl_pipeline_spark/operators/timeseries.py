@@ -1,0 +1,126 @@
+"""Time-series & behavioral analytics over the events feed: gap-filled
+resampling with forward fill, funnel analysis, cohort retention.
+
+Parity rules: all calendar math is integer arithmetic on epoch
+micros/seconds (``unix_micros(ts) DIV ...``) — never engine date
+functions, whose timezone/week conventions differ; all value sums go
+through DECIMAL. Windows partition by user/cohort keys, so every
+operator here parallelizes by key at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HOUR_US = 3_600 * 1_000_000
+DAY_S = 86_400
+
+
+def resample_ffill(events: DataFrame) -> DataFrame:
+    """Per-user hourly resample with forward fill: aggregate to hourly
+    means, generate the complete hour spine from each user's first to
+    last hour (gap rows included), and carry the last observed value
+    forward into gaps.
+
+    Scale shape: the hourly pre-aggregation shrinks the feed first
+    (map-side combine); the spine is a per-user ``sequence`` explode —
+    map-only row generation sized by that user's time span, no
+    driver-side calendar; the forward fill is one ``last(ignorenulls)``
+    running window per user. One shuffle on user_id end-to-end (the
+    window reuses the aggregation's partitioning)."""
+    hourly = (
+        events.withColumn("hour_epoch", F.expr(f"unix_micros(ts) DIV {HOUR_US}"))
+        .groupBy("user_id", "hour_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_value"),
+        )
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour_epoch").alias("h0"), F.max("hour_epoch").alias("h1")
+    )
+    spine = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour_epoch")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour_epoch"], "left")
+        .select(
+            "user_id",
+            "hour_epoch",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+def funnel(events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Ordered funnel: per user, the earliest time each stage was
+    reached STRICTLY AFTER the previous stage, plus the depth reached.
+
+    Scale shape: one conditional aggregation per stage over the same
+    user partitioning — stage k's threshold comes from a self-join-free
+    chain of ``min(CASE WHEN ...)`` aggregates computed iteratively on
+    the per-user event set; concretely each stage is a groupBy over the
+    (already user-partitioned) events, then a user-key equi-join of the
+    small per-user stage table back — joins on user_id reuse one
+    partitioning, no skew (per-user rows are bounded)."""
+    cur = events.filter(F.col("event_type") == stages[0]).groupBy("user_id").agg(
+        F.expr("unix_micros(min(ts)) DIV 1000000").alias("t_stage1")
+    )
+    out = cur
+    for i, stage in enumerate(stages[1:], start=2):
+        nxt = (
+            events.filter(F.col("event_type") == stage)
+            .withColumn("t", F.expr("unix_micros(ts) DIV 1000000"))
+            .join(out.select("user_id", F.col(f"t_stage{i-1}").alias("_prev")), "user_id")
+            .filter(F.col("t") > F.col("_prev"))
+            .groupBy("user_id")
+            .agg(F.min("t").alias(f"t_stage{i}"))
+        )
+        out = out.join(nxt, "user_id", "left")
+    depth = F.lit(1)
+    for i in range(2, len(stages) + 1):
+        depth = F.when(F.col(f"t_stage{i}").isNotNull(), F.lit(i)).otherwise(depth)
+    # depth is well-defined because t_stage{i} exists only if t_stage{i-1} did
+    return out.select(
+        "user_id",
+        *[F.col(f"t_stage{i}") for i in range(1, len(stages) + 1)],
+        depth.cast("int").alias("funnel_depth"),
+    )
+
+
+def cohort_retention(events: DataFrame, weeks: int = 8) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, and
+    for each week offset since, how many of them were active.
+
+    All-integer calendar math (epoch days / 7) — identical in any
+    engine and timezone. Two shuffles: first-seen per user, then the
+    (cohort_week, week_offset) distinct-user count."""
+    # literal precomputed in Python: 86400 * 1000000 as an inline INT *
+    # INT product overflows under ANSI mode
+    day_us = DAY_S * 1_000_000
+    days = events.select(
+        "user_id", F.expr(f"unix_micros(ts) DIV {day_us}").alias("day")
+    )
+    first = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        days.join(first, "user_id")
+        .select(
+            "user_id",
+            F.expr("first_day DIV 7").alias("cohort_week"),
+            F.expr("(day - first_day) DIV 7").alias("week_offset"),
+        )
+        .filter(F.col("week_offset") < weeks)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -948,3 +948,63 @@ STREAM_STATIC_JOIN_Q = f"""SELECT c_mktsegment,
   {_dec_sum_sql("value", "sum_value")}
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment"""
+
+
+# -------------------------------------------- round 3: time-series ops
+
+RESAMPLE_FFILL_Q = """WITH hourly AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour_epoch,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+           AS avg_value
+  FROM events GROUP BY user_id, hour_epoch
+), spans AS (
+  SELECT user_id, min(hour_epoch) AS h0, max(hour_epoch) AS h1
+  FROM hourly GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(range(h0, h1 + 1)) AS hour_epoch FROM spans
+)
+SELECT s.user_id, s.hour_epoch,
+  coalesce(h.n_events, 0) AS n_events,
+  last_value(h.avg_value IGNORE NULLS) OVER (
+    PARTITION BY s.user_id ORDER BY s.hour_epoch
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM spine s LEFT JOIN hourly h
+  ON s.user_id = h.user_id AND s.hour_epoch = h.hour_epoch"""
+
+FUNNEL_Q = """WITH s1 AS (
+  SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) // 1000000 AS t_stage1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(CAST(epoch_us(e.ts) AS BIGINT) // 1000000) AS t_stage2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click'
+    AND CAST(epoch_us(e.ts) AS BIGINT) // 1000000 > s1.t_stage1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(CAST(epoch_us(e.ts) AS BIGINT) // 1000000) AS t_stage3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(epoch_us(e.ts) AS BIGINT) // 1000000 > s2.t_stage2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t_stage1, s2.t_stage2, s3.t_stage3,
+  CAST(CASE WHEN s3.t_stage3 IS NOT NULL THEN 3
+            WHEN s2.t_stage2 IS NOT NULL THEN 2
+            ELSE 1 END AS INT) AS funnel_depth
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id"""
+
+COHORT_RETENTION_Q = """WITH days AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events
+), first AS (
+  SELECT user_id, min(day) AS first_day FROM days GROUP BY user_id
+)
+SELECT first_day // 7 AS cohort_week,
+       (day - first_day) // 7 AS week_offset,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
+FROM days d JOIN first f ON d.user_id = f.user_id
+WHERE (day - first_day) // 7 < 8
+GROUP BY cohort_week, week_offset"""

@@ -800,3 +800,27 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = tables.load(spark, sf_dir, "customer")
     return EV.stream_static_join(spark, d, dim, "stream_static_join_sink")
+
+
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-filled per-user resample with forward fill."""
+    from .operators import timeseries
+
+    tune_for_oracle(spark)
+    return timeseries.resample_ffill(tables.load(spark, sf_dir, "events"))
+
+
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase ordered funnel per user."""
+    from .operators import timeseries
+
+    tune_for_oracle(spark)
+    return timeseries.funnel(tables.load(spark, sf_dir, "events"))
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention counts (all-integer calendar math)."""
+    from .operators import timeseries
+
+    tune_for_oracle(spark)
+    return timeseries.cohort_retention(tables.load(spark, sf_dir, "events"))

@@ -14,6 +14,8 @@ file source + ``availableNow`` trigger + memory sink.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -75,6 +77,25 @@ def windowed_agg_batch(events: DataFrame) -> DataFrame:
     return _window_agg(events)
 
 
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = 8):
+    """Pin the state-store partition count for a streaming query start.
+
+    The count is frozen from ``spark.sql.shuffle.partitions`` at the
+    FIRST trigger and every partition costs a state store + commit
+    files per micro-batch — so size it to the KEYSPACE, not the CPU
+    count (per-batch store overhead dominates wall-clock far below
+    ~millions of keys; on a real cluster pick ~2-4x executors, and for
+    a stream-stream join remember each partition carries FOUR stores:
+    left/right keyToNumValues + keyWithIndexToValue)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def windowed_agg_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """The same aggregation as an unbounded plan: file source +
     10-minute watermark (late-data bound; state for a window is freed
@@ -92,15 +113,16 @@ def run_stream_to_memory(spark: SparkSession, events_dir: str, name: str) -> Dat
     """Drive the streaming agg to completion on the (bounded) events
     dir via availableNow, collect from a memory sink. Test harness for
     the unbounded plan."""
-    q = (
-        windowed_agg_stream(spark, events_dir)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            windowed_agg_stream(spark, events_dir)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -152,14 +174,7 @@ def stateful_user_totals(spark: SparkSession, events_dir: str, name: str) -> Dat
     updates = stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    # The state-store partition count is pinned from shuffle.partitions
-    # at first trigger; every partition costs a store + commit files per
-    # micro-batch. Size it to the keyspace, not the CPU count (the
-    # per-batch overhead dominates wall-clock far below ~millions of
-    # keys — on a real cluster pick ~2-4x executors).
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _state_partitions(spark):
         q = (
             updates.writeStream.outputMode("update")
             .format("memory")
@@ -168,8 +183,6 @@ def stateful_user_totals(spark: SparkSession, events_dir: str, name: str) -> Dat
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # last emission per user == final state (n_events is monotone)
     final = F.max(F.struct("n_events", "sum_value")).alias("s")
     return (
@@ -205,14 +218,17 @@ def stream_dedup_totals(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # keyspace here is EVERY event_id inside the watermark (large), so
+    # more state partitions pay off — unlike the per-user operators
+    with _state_partitions(spark, 16):
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.sql(f"SELECT * FROM {name}")
         .groupBy("event_type")
@@ -261,14 +277,15 @@ def stream_interval_join_counts(
         & (F.col("l_id") != F.col("r_id")),
         "inner",
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, 16):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.sql(f"SELECT * FROM {name}")
         .groupBy(F.col("l_id").alias("event_id"), F.col("l_user").alias("user_id"))
@@ -311,14 +328,15 @@ def stream_sessionize(
         F.expr("unix_micros(min(ts)) DIV 1000000").alias("session_start_epoch"),
         F.expr("unix_micros(max(ts)) DIV 1000000").alias("session_end_epoch"),
     )
-    q = (
-        sessions.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            sessions.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     w = Window.partitionBy("user_id").orderBy("session_start_epoch")
     return (
         spark.sql(f"SELECT * FROM {name}")
@@ -371,14 +389,15 @@ def stream_sessionize_append(
         F.expr("unix_micros(min(ts)) DIV 1000000").alias("session_start_epoch"),
         F.expr("unix_micros(max(ts)) DIV 1000000").alias("session_end_epoch"),
     )
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     w = Window.partitionBy("user_id").orderBy("session_start_epoch")
     return spark.sql(f"SELECT * FROM {name}").select(
         "user_id",
@@ -456,12 +475,13 @@ def stream_static_join(
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
         ).alias("sum_value"),
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")

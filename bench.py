@@ -74,6 +74,17 @@ BENCH_QUERIES = [
     "media_metadata",
     "media_features",
     "frame_sample",
+    "vocab_topn",
+    "tfidf_terms",
+    "pii_redact",
+    "stratified_sample",
+    "dataset_mix",
+    "pct_rank",
+    "grouping_sets",
+    "stream_static_join",
+    "resample_ffill",
+    "funnel",
+    "cohort_retention",
 ]
 
 
