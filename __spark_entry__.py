@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ffill": Q.resample_ffill,
         "funnel": Q.funnel,
         "cohort_retention": Q.cohort_retention,
+        "seq_pack": Q.seq_pack,
+        "contamination": Q.contamination,
         # red in r2 (harness canonicalization) — fixed, needs a row
         "kmeans": Q.kmeans,
         # reference pipeline distinct paths
@@ -155,6 +157,8 @@ def oracle_sql() -> dict[str, str]:
         "resample_ffill": oracle.RESAMPLE_FFILL_Q,
         "funnel": oracle.FUNNEL_Q,
         "cohort_retention": oracle.COHORT_RETENTION_Q,
+        "seq_pack": oracle.SEQ_PACK_Q,
+        "contamination": oracle.CONTAMINATION_Q,
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

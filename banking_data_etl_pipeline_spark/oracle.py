@@ -1008,3 +1008,37 @@ SELECT first_day // 7 AS cohort_week,
 FROM days d JOIN first f ON d.user_id = f.user_id
 WHERE (day - first_day) // 7 < 8
 GROUP BY cohort_week, week_offset"""
+
+
+# -------------------------------------- round 3b: packing, contamination
+
+# Twin of operators.packing.pack_documents (budget=256, shard=lang).
+# Integer division on both sides so the pack boundary can't float-drift.
+SEQ_PACK_Q = f"""WITH tk AS (
+  SELECT doc_id, lang, CAST(len({TOKS}) AS BIGINT) AS n_tok FROM documents
+), cum AS (
+  SELECT doc_id, lang, n_tok,
+    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tk
+)
+SELECT lang, CAST((cum - n_tok) // 256 AS BIGINT) AS pack_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM cum GROUP BY lang, pack_id"""
+
+# Twin of operators.contamination.benchmark_overlap (n=3, bench_mod=97).
+CONTAMINATION_Q = f"""WITH sh AS (
+  SELECT doc_id, list_distinct({_word_shingles(TOKS, 3)}) AS shingles FROM documents
+), inv AS (
+  SELECT doc_id, CAST(len(shingles) AS INT) AS n_sh,
+         unnest(shingles) AS shingle
+  FROM sh WHERE len(shingles) > 0
+), bench AS (
+  SELECT DISTINCT shingle FROM inv WHERE doc_id % 97 = 0
+)
+SELECT doc_id, n_sh, CAST(count(*) AS BIGINT) AS n_shared
+FROM inv JOIN bench USING (shingle)
+WHERE doc_id % 97 <> 0
+GROUP BY doc_id, n_sh"""

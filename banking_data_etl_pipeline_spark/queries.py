@@ -824,3 +824,31 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return timeseries.cohort_retention(tables.load(spark, sf_dir, "events"))
+
+
+# --------------------------------- round 3b: packing + contamination
+
+
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per-language token streams
+    chunked into 256-token packs (pack manifest out). The window cumsum
+    parallelizes across shards (languages here; sub-shard by hashed id
+    at corpus scale — see operators/packing.py)."""
+    from .operators import packing
+
+    tune_for_oracle(spark)
+    return packing.pack_documents(
+        tables.load(spark, sf_dir, "documents"), budget=256
+    )
+
+
+def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: docs sharing word 3-grams with the
+    benchmark subset (doc_id % 97 == 0), via a broadcast semi-join of
+    the benchmark shingle set against the corpus postings."""
+    from .operators import contamination as C
+
+    tune_for_oracle(spark)
+    return C.benchmark_overlap(
+        tables.load(spark, sf_dir, "documents"), n=3, bench_mod=97
+    )

@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "resample_ffill",
     "funnel",
     "cohort_retention",
+    "seq_pack",
+    "contamination",
 ]
 
 

@@ -128,3 +128,71 @@ def test_stream_static_join_equals_batch(spark):
         for r in EV.stream_static_join(spark, d, cust, "test_ss_join").collect()
     }
     assert got == batch
+
+
+def test_seq_pack_chunks_token_stream(spark):
+    # 3-token docs, budget 4: token starts 0,3,6,9 -> packs 0,0,1,2
+    from banking_data_etl_pipeline_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, "a b c", "en") for i in range(4)], "doc_id long, text string, lang string"
+    )
+    out = packing.pack_documents(docs, budget=4).orderBy("pack_id").collect()
+    assert [(r.pack_id, r.n_docs, r.pack_tokens) for r in out] == [
+        (0, 2, 6),
+        (1, 1, 3),
+        (2, 1, 3),
+    ]
+    # straddling pack 0 holds docs 0-1, first/last manifest correct
+    assert (out[0].first_doc, out[0].last_doc) == (0, 1)
+
+
+def test_seq_pack_shards_are_independent(spark):
+    # same docs in two shards -> identical per-shard pack layout, and
+    # the plan never funnels through a single partition (the window is
+    # shard-partitioned, not global)
+    from banking_data_etl_pipeline_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, "a b", lang) for lang in ("en", "de") for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    df = packing.pack_documents(docs, budget=5)
+    per_shard = {
+        lang: sorted(
+            (r.pack_id, r.n_docs, r.pack_tokens)
+            for r in df.filter(F.col("lang") == lang).collect()
+        )
+        for lang in ("en", "de")
+    }
+    assert per_shard["en"] == per_shard["de"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_contamination_flags_only_overlapping_corpus_docs(spark):
+    from banking_data_etl_pipeline_spark.operators import contamination
+
+    rows = [
+        (0, "alpha beta gamma delta"),      # benchmark (0 % 7 == 0)
+        (1, "alpha beta gamma epsilon"),    # shares only "alpha beta gamma"
+        (2, "zeta eta theta iota"),         # clean
+        (7, "unrelated benchmark text here"),  # benchmark too
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.n_shared
+        for r in contamination.benchmark_overlap(docs, n=3, bench_mod=7).collect()
+    }
+    assert out == {1: 1}  # only doc 1, exactly one shared shingle
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    from banking_data_etl_pipeline_spark.operators import contamination
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    plan = (
+        contamination.benchmark_overlap(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
