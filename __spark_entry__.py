@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": Q.cohort_retention,
         "seq_pack": Q.seq_pack,
         "contamination": Q.contamination,
+        "scd2_merge": Q.scd2_merge,
+        "fuzzy_join": Q.fuzzy_join,
         # red in r2 (harness canonicalization) — fixed, needs a row
         "kmeans": Q.kmeans,
         # reference pipeline distinct paths
@@ -159,6 +161,8 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": oracle.COHORT_RETENTION_Q,
         "seq_pack": oracle.SEQ_PACK_Q,
         "contamination": oracle.CONTAMINATION_Q,
+        "scd2_merge": oracle.SCD2_MERGE_Q,
+        "fuzzy_join": oracle.FUZZY_JOIN_Q,
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

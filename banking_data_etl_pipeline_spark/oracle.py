@@ -1042,3 +1042,38 @@ SELECT doc_id, n_sh, CAST(count(*) AS BIGINT) AS n_shared
 FROM inv JOIN bench USING (shingle)
 WHERE doc_id % 97 <> 0
 GROUP BY doc_id, n_sh"""
+
+
+# ------------------------------------------- round 3c: CDC, fuzzy match
+
+# Twin of operators.cdc.snapshot_diff over a synthetic "next snapshot"
+# of customer: keys %10==1 deleted, %10==0 get +100 balance (updates),
+# %10==2 re-inserted under key+10000000 (inserts).
+SCD2_MERGE_Q = """WITH cur AS (
+  SELECT c_custkey AS k, TRUE AS has_old, c_acctbal AS bal_old FROM customer
+), nxt AS (
+  SELECT c_custkey AS k, TRUE AS has_new,
+         CASE WHEN c_custkey % 10 = 0
+              THEN c_acctbal + CAST(100.0 AS DOUBLE) ELSE c_acctbal END AS bal_new
+  FROM customer WHERE c_custkey % 10 <> 1
+  UNION ALL
+  SELECT c_custkey + 10000000, TRUE, c_acctbal
+  FROM customer WHERE c_custkey % 10 = 2
+)
+SELECT coalesce(c.k, n.k) AS c_custkey,
+  CASE WHEN c.has_old IS NULL THEN 'insert'
+       WHEN n.has_new IS NULL THEN 'delete'
+       WHEN c.bal_old IS DISTINCT FROM n.bal_new THEN 'update'
+       ELSE 'unchanged' END AS op,
+  c.bal_old AS c_acctbal_old, n.bal_new AS c_acctbal_new
+FROM cur c FULL OUTER JOIN nxt n ON c.k = n.k"""
+
+# Twin of operators.fuzzy.fuzzy_name_pairs (first-token blocking,
+# levenshtein 1..3; distance 0 is exact dedup's job).
+FUZZY_JOIN_Q = """WITH p AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3"""

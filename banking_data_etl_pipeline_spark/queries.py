@@ -852,3 +852,38 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.benchmark_overlap(
         tables.load(spark, sf_dir, "documents"), n=3, bench_mod=97
     )
+
+
+# --------------------------------------- round 3c: CDC + fuzzy match
+
+
+def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style snapshot diff: classify every customer key as
+    insert/update/delete/unchanged between the current snapshot and a
+    deterministic synthetic next snapshot (%10==1 deleted, %10==0
+    balance+100, %10==2 re-keyed as inserts)."""
+    from .operators import cdc
+
+    tune_for_oracle(spark)
+    cust = tables.load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    key = F.col("c_custkey")
+    nxt = cust.filter(key % 10 != 1).withColumn(
+        "c_acctbal",
+        F.when(key % 10 == 0, F.col("c_acctbal") + F.lit(100.0)).otherwise(
+            F.col("c_acctbal")
+        ),
+    ).unionByName(
+        cust.filter(key % 10 == 2).withColumn("c_custkey", key + F.lit(10_000_000))
+    )
+    return cdc.snapshot_diff(cust, nxt, "c_custkey", ["c_acctbal"])
+
+
+def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-match of part names: first-token blocking +
+    levenshtein 1..3 — record linkage without an all-pairs compare."""
+    from .operators import fuzzy
+
+    tune_for_oracle(spark)
+    return fuzzy.fuzzy_name_pairs(
+        tables.load(spark, sf_dir, "part"), "p_partkey", "p_name"
+    )

@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "cohort_retention",
     "seq_pack",
     "contamination",
+    "scd2_merge",
+    "fuzzy_join",
 ]
 
 

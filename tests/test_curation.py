@@ -196,3 +196,58 @@ def test_contamination_broadcasts_benchmark_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_snapshot_diff_classifies_all_ops(spark):
+    from banking_data_etl_pipeline_spark.operators import cdc
+
+    cur = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "k long, v double"
+    )
+    nxt = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (4, 40.0)], "k long, v double"
+    )
+    out = {r.k: r.op for r in cdc.snapshot_diff(cur, nxt, "k", ["v"]).collect()}
+    # 3 had a NULL tracked value and is absent from nxt -> delete (the
+    # constant presence markers keep nulls from looking like absence)
+    assert out == {1: "unchanged", 2: "update", 3: "delete", 4: "insert"}
+
+
+def test_snapshot_diff_null_to_value_is_update(spark):
+    from banking_data_etl_pipeline_spark.operators import cdc
+
+    cur = spark.createDataFrame([(1, None)], "k long, v double")
+    nxt = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    [r] = cdc.snapshot_diff(cur, nxt, "k", ["v"]).collect()
+    assert r.op == "update"
+
+
+def test_fuzzy_pairs_block_and_threshold(spark):
+    from banking_data_etl_pipeline_spark.operators import fuzzy
+
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"),
+            (2, "red widgets"),   # dist 1 from #1, same block
+            (3, "red gizmo"),     # dist > 3 from both
+            (4, "blue widget"),   # different block: never compared
+            (5, "red widget"),    # dist 0 from #1: excluded by min_dist
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in fuzzy.fuzzy_name_pairs(df, "id", "name").collect()
+    }
+    assert got == {(1, 2): 1, (2, 5): 1}
+
+
+def test_fuzzy_hot_blocks_are_dropped(spark):
+    from banking_data_etl_pipeline_spark.operators import fuzzy
+
+    df = spark.createDataFrame(
+        [(i, f"hot name{i % 3}") for i in range(50)] + [(100, "cold name"), (101, "cold namez")],
+        "id long, name string",
+    )
+    out = fuzzy.fuzzy_name_pairs(df, "id", "name", max_block=10).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(100, 101)}
