@@ -69,6 +69,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": Q.contamination,
         "scd2_merge": Q.scd2_merge,
         "fuzzy_join": Q.fuzzy_join,
+        "unpivot_pricing": Q.unpivot_pricing,
+        "intersect_custs": Q.intersect_custs,
+        "winsorize": Q.winsorize,
+        "mad_outliers": Q.mad_outliers,
         # red in r2 (harness canonicalization) — fixed, needs a row
         "kmeans": Q.kmeans,
         # reference pipeline distinct paths
@@ -163,6 +167,10 @@ def oracle_sql() -> dict[str, str]:
         "contamination": oracle.CONTAMINATION_Q,
         "scd2_merge": oracle.SCD2_MERGE_Q,
         "fuzzy_join": oracle.FUZZY_JOIN_Q,
+        "unpivot_pricing": oracle.UNPIVOT_PRICING_Q,
+        "intersect_custs": oracle.INTERSECT_CUSTS_Q,
+        "winsorize": oracle.WINSORIZE_Q,
+        "mad_outliers": oracle.MAD_OUTLIERS_Q,
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

@@ -564,3 +564,91 @@ def range_join_followers(events: DataFrame, hours: int = 24) -> DataFrame:
     return joined.groupBy("event_id", "user_id").agg(
         F.count(F.col("_cid")).alias("n_followers")
     )
+
+
+def unpivot_pricing(lineitem: DataFrame) -> DataFrame:
+    """Wide-to-long reshape (UNPIVOT/melt) of a per-returnflag pricing
+    aggregate: (flag, sum_qty, sum_price) -> (flag, metric, value).
+
+    Spark's native ``unpivot`` is a map-only Expand (each input row
+    fans out to one row per value column in place) — no shuffle beyond
+    the upstream aggregate, so the reshape is free at any scale."""
+    wide = lineitem.groupBy("l_returnflag").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        _dec_sum(F.col("l_extendedprice"), "sum_price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def intersect_active_customers(
+    orders: DataFrame, year_a: int = 1996, year_b: int = 1999
+) -> DataFrame:
+    """INTERSECT set op: customers who ordered in BOTH years. Spark
+    plans intersect as a left-semi aggregate join on the full row —
+    one shuffle per side on the same key, co-partitioned."""
+    def custs(year: int) -> DataFrame:
+        return orders.filter(F.year("o_orderdate") == year).select("o_custkey")
+
+    return custs(year_a).intersect(custs(year_b))
+
+
+def winsorized_prices(lineitem: DataFrame) -> DataFrame:
+    """Winsorized (p01/p99-clipped) price stats per return flag — the
+    standard outlier-robust normalization before a model-feature sink.
+
+    Two grouped passes over 3 groups: exact percentile bounds, then a
+    broadcast join-back to clip. The bounds are ROUNDED to 4 dp before
+    clipping so the clip threshold is an engine-portable double; sums
+    of clipped values go through DECIMAL for order-independence."""
+    bounds = lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.01)), 4).alias("p01"),
+        F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.99)), 4).alias("p99"),
+    )
+    x = F.col("l_extendedprice")
+    clipped = lineitem.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        F.least(F.greatest(x, F.col("p01")), F.col("p99")).alias("w"),
+        (x < F.col("p01")).cast("int").alias("lo"),
+        (x > F.col("p99")).cast("int").alias("hi"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        _dec_sum(F.col("w"), "sum_winsorized"),
+        F.sum("lo").alias("n_clipped_low"),
+        F.sum("hi").alias("n_clipped_high"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def mad_outliers(events: DataFrame, k: float = 4.4478) -> DataFrame:
+    """Robust outlier counts per event type via Median Absolute
+    Deviation: flag |v - median| > k * MAD (k = 3 * 1.4826, the normal-
+    consistency constant). Medians are exact percentiles rounded to
+    4 dp so the deviation arithmetic is engine-portable.
+
+    Scale shape: two grouped aggregates over a handful of groups and a
+    broadcast join-back — the group count (event types) is model-
+    parameter scale, so both joins broadcast; the event scan stays
+    fully parallel. At extreme cardinality you'd swap the exact
+    percentile for ``approx_percentile`` (bounded-memory sketch)."""
+    med = events.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.round(F.percentile(F.col("adev"), F.lit(0.5)), 4).alias("mad"),
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum((F.col("adev") > F.lit(k) * F.col("mad")).cast("int")).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1077,3 +1077,61 @@ SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
 FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3"""
+
+
+# ------------------------------- round 3d: reshape + robust statistics
+
+# Twin of relational.unpivot_pricing (UNION ALL is the portable-ANSI
+# formulation of UNPIVOT; Spark side uses the native map-only unpivot).
+UNPIVOT_PRICING_Q = """WITH wide AS (
+  SELECT l_returnflag,
+    round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide"""
+
+# Twin of relational.intersect_active_customers.
+INTERSECT_CUSTS_Q = """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999"""
+
+# Twin of relational.winsorized_prices.
+WINSORIZE_Q = """WITH b AS (
+  SELECT l_returnflag,
+    round(quantile_cont(l_extendedprice, 0.01), 4) AS p01,
+    round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+  FROM lineitem GROUP BY l_returnflag
+), c AS (
+  SELECT l.l_returnflag,
+    least(greatest(l_extendedprice, p01), p99) AS w,
+    CASE WHEN l_extendedprice < p01 THEN 1 ELSE 0 END AS lo,
+    CASE WHEN l_extendedprice > p99 THEN 1 ELSE 0 END AS hi
+  FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+)
+SELECT l_returnflag,
+  round(CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_winsorized,
+  CAST(sum(lo) AS BIGINT) AS n_clipped_low,
+  CAST(sum(hi) AS BIGINT) AS n_clipped_high,
+  count(*) AS n_items
+FROM c GROUP BY l_returnflag"""
+
+# Twin of relational.mad_outliers (k = 3 * 1.4826).
+MAD_OUTLIERS_Q = """WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type, max(med) AS med, round(quantile_cont(adev, 0.5), 4) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, max(m.med) AS med, max(m.mad) AS mad,
+  CAST(sum(CASE WHEN d.adev > CAST(4.4478 AS DOUBLE) * m.mad
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  count(*) AS n_events
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type"""

@@ -887,3 +887,32 @@ def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy.fuzzy_name_pairs(
         tables.load(spark, sf_dir, "part"), "p_partkey", "p_name"
     )
+
+
+# ------------------------- round 3d: reshape + robust statistics
+
+
+def unpivot_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt of the per-flag pricing aggregate to long form."""
+    tune_for_oracle(spark)
+    return relational.unpivot_pricing(tables.load(spark, sf_dir, "lineitem"))
+
+
+def intersect_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers ordering in both 1996 and 1999."""
+    tune_for_oracle(spark)
+    return relational.intersect_active_customers(
+        tables.load(spark, sf_dir, "orders")
+    )
+
+
+def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p01/p99-winsorized price statistics per return flag."""
+    tune_for_oracle(spark)
+    return relational.winsorized_prices(tables.load(spark, sf_dir, "lineitem"))
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier counts per event type."""
+    tune_for_oracle(spark)
+    return relational.mad_outliers(tables.load(spark, sf_dir, "events"))

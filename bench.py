@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     "contamination",
     "scd2_merge",
     "fuzzy_join",
+    "unpivot_pricing",
+    "intersect_custs",
+    "winsorize",
+    "mad_outliers",
 ]
 
 

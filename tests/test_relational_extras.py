@@ -1,0 +1,64 @@
+"""Reshape (unpivot/intersect) and robust-statistics (winsorize/MAD)
+operators added in round 3."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from banking_data_etl_pipeline_spark.operators import relational
+
+
+def test_unpivot_is_two_rows_per_group_and_map_only(spark):
+    li = spark.createDataFrame(
+        [("A", 1.0, 10.0), ("A", 2.0, 20.0), ("B", 3.0, 30.0)],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    out = relational.unpivot_pricing(li)
+    rows = {(r.l_returnflag, r.metric): r.value for r in out.collect()}
+    assert rows == {
+        ("A", "sum_qty"): 3.0,
+        ("A", "sum_price"): 30.0,
+        ("B", "sum_qty"): 3.0,
+        ("B", "sum_price"): 30.0,
+    }
+    # the reshape itself adds no exchange beyond the aggregate's one
+    # (AQE prints Final + Initial plan sections — count only the final)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final
+    assert "Expand" in final, final
+
+
+def test_intersect_deduplicates(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, "1996-05-01"), (1, "1996-06-01"), (1, "1999-01-01"),
+            (2, "1996-02-01"),                      # 1996 only
+            (3, "1999-03-01"),                      # 1999 only
+        ],
+        "o_custkey long, d string",
+    ).select("o_custkey", F.col("d").cast("timestamp").alias("o_orderdate"))
+    got = [r.o_custkey for r in relational.intersect_active_customers(orders).collect()]
+    assert got == [1]
+
+
+def test_winsorize_clips_extremes(spark):
+    li = spark.createDataFrame(
+        [("A", float(v)) for v in range(101)],
+        "l_returnflag string, l_extendedprice double",
+    )
+    [r] = relational.winsorized_prices(li).collect()
+    # p01 = 1.0, p99 = 99.0 over 0..100 -> one clip each side, sum
+    # unchanged (0->1 cancels 100->99)
+    assert (r.n_clipped_low, r.n_clipped_high, r.n_items) == (1, 1, 101)
+    assert r.sum_winsorized == 5050.0
+
+
+def test_mad_flags_extreme_outlier(spark):
+    ev = spark.createDataFrame(
+        [("click", 10.0)] * 9 + [("click", 1000.0)],
+        "event_type string, value double",
+    )
+    [r] = relational.mad_outliers(ev).collect()
+    # median 10, MAD 0 -> only the 1000.0 point deviates
+    assert (r.med, r.mad, r.n_outliers, r.n_events) == (10.0, 0.0, 1, 10)
