@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_custs": Q.intersect_custs,
         "winsorize": Q.winsorize,
         "mad_outliers": Q.mad_outliers,
+        "pagerank": Q.pagerank,
         # red in r2 (harness canonicalization) — fixed, needs a row
         "kmeans": Q.kmeans,
         # reference pipeline distinct paths
@@ -171,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "intersect_custs": oracle.INTERSECT_CUSTS_Q,
         "winsorize": oracle.WINSORIZE_Q,
         "mad_outliers": oracle.MAD_OUTLIERS_Q,
+        "pagerank": oracle.pagerank_sql(),
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

@@ -1135,3 +1135,44 @@ SELECT d.event_type, max(m.med) AS med, max(m.mad) AS mad,
   count(*) AS n_events
 FROM dev d JOIN mad m ON d.event_type = m.event_type
 GROUP BY d.event_type"""
+
+
+# ------------------------------------------------- round 3e: pagerank
+
+
+def pagerank_sql(iters: int = 3) -> str:
+    """Unrolled-CTE twin of operators.graph.pagerank: identical
+    truncate-to-12dp contributions (floor(x*1e12)/1e12 — tie-free,
+    unlike round, so bit-deterministic across engines), exact DECIMAL
+    sums, same damping."""
+
+    def t12(expr: str) -> str:
+        return f"floor(({expr}) * 1e12) / 1e12"
+
+    parts = [
+        f"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+ed AS (SELECT e0.src, e0.dst, d.deg FROM edges e0 JOIN deg d ON e0.src = d.src),
+r0 AS (SELECT src AS node, {t12('CAST(1.0 AS DOUBLE) / nn.n')} AS r
+       FROM deg CROSS JOIN nn)"""
+    ]
+    for k in range(1, iters + 1):
+        newr = (
+            "CAST(0.15 AS DOUBLE) / max(nn.n) + CAST(0.85 AS DOUBLE)"
+            " * CAST(sum(CAST(" + t12("p.r / e.deg") + " AS DECIMAL(32,12))) AS DOUBLE)"
+        )
+        parts.append(
+            f""",
+r{k} AS (
+  SELECT e.dst AS node, {t12(newr)} AS r
+  FROM ed e JOIN r{k - 1} p ON e.src = p.node CROSS JOIN nn
+  GROUP BY e.dst
+)"""
+        )
+    parts.append(f"\nSELECT node, r FROM r{iters}")
+    return "".join(parts)

@@ -916,3 +916,16 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median-absolute-deviation outlier counts per event type."""
     tune_for_oracle(spark)
     return relational.mad_outliers(tables.load(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------ round 3e: pagerank
+
+
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (3 power iterations) over the part co-purchase
+    graph — the iterative graph algorithm whose model state (the rank
+    vector) stays distributed end-to-end."""
+    from .operators import graph
+
+    tune_for_oracle(spark)
+    return graph.pagerank(tables.load(spark, sf_dir, "lineitem"), iters=3)

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "intersect_custs",
     "winsorize",
     "mad_outliers",
+    "pagerank",
 ]
 
 

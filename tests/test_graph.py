@@ -1,0 +1,42 @@
+"""PageRank power iteration on the co-purchase graph."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from banking_data_etl_pipeline_spark.operators import graph
+
+
+def _lineitem(spark, orders):
+    # orders: list of (orderkey, [partkeys])
+    rows = [(ok, pk) for ok, pks in orders for pk in pks]
+    return spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+
+def test_copurchase_edges_symmetric_and_distinct(spark):
+    li = _lineitem(spark, [(1, [10, 20, 30]), (2, [10, 20])])  # dup pair 10-20
+    edges = {(r.src, r.dst) for r in graph.copurchase_edges(li).collect()}
+    assert edges == {
+        (10, 20), (20, 10), (10, 30), (30, 10), (20, 30), (30, 20),
+    }
+
+
+def test_pagerank_one_iteration_hand_checked(spark):
+    # triangle A(1)-B(2)-C(3) plus pendant D(4) on A
+    li = _lineitem(spark, [(1, [1, 2, 3]), (2, [1, 4])])
+    r = {row.node: row.r for row in graph.pagerank(li, iters=1).collect()}
+    # n=4, r0=0.25; deg: A=3, B=C=2, D=1
+    assert r[1] == pytest.approx(0.15 / 4 + 0.85 * (0.125 + 0.125 + 0.25), abs=1e-9)
+    assert r[2] == pytest.approx(0.15 / 4 + 0.85 * (0.25 / 3 + 0.125), abs=1e-9)
+    assert r[2] == r[3]
+    assert r[4] == pytest.approx(0.15 / 4 + 0.85 * (0.25 / 3), abs=1e-9)
+
+
+def test_pagerank_mass_is_conserved(spark):
+    li = _lineitem(spark, [(1, [1, 2, 3]), (2, [1, 4]), (3, [2, 5]), (4, [5, 6])])
+    out = graph.pagerank(li, iters=3)
+    total = out.agg(F.sum("r").alias("t")).collect()[0].t
+    # symmetric graph, no dangling nodes: total rank stays ~1
+    assert total == pytest.approx(1.0, abs=1e-6)
+    assert all(row.r > 0 for row in out.collect())
