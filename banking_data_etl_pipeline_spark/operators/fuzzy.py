@@ -33,10 +33,16 @@ def fuzzy_name_pairs(
     Blocks larger than ``max_block`` are dropped whole (a hot first
     token means the token is boilerplate and matches everything — same
     rationale as the hot-shingle cutoff in n-gram dedup)."""
+    # compare only the post-block SUFFIX: levenshtein(cP+a, cP+b) ==
+    # levenshtein(a, b) for a shared prefix (standard DP identity), and
+    # the quadratic per-pair cost drops with the square of the string
+    # length. The block token never needs re-comparing.
     keyed = df.select(
         F.col(id_col),
-        F.col(name_col).alias("_name"),
         F.element_at(F.split(F.col(name_col), " "), 1).alias("_block"),
+        F.expr(
+            f"substring({name_col}, length(split({name_col}, ' ')[0]) + 1)"
+        ).alias("_suffix"),
     )
     cold = keyed.join(
         keyed.groupBy("_block").agg(F.count(F.lit(1)).alias("_bn")).filter(
@@ -45,15 +51,24 @@ def fuzzy_name_pairs(
         "_block",
     )
     a = cold.select(
-        F.col("_block"), F.col(id_col).alias("id_a"), F.col("_name").alias("name_a")
+        F.col("_block"), F.col(id_col).alias("id_a"), F.col("_suffix").alias("sfx_a")
     )
     b = cold.select(
-        F.col("_block"), F.col(id_col).alias("id_b"), F.col("_name").alias("name_b")
+        F.col("_block"), F.col(id_col).alias("id_b"), F.col("_suffix").alias("sfx_b")
+    )
+    # the length-difference lower bound is O(1) per pair and short-
+    # circuits ahead of the quadratic levenshtein in codegen order
+    len_ok = (
+        F.abs(F.length("sfx_a") - F.length("sfx_b")) <= max_dist
     )
     return (
         a.join(b, "_block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & len_ok)
+        # threshold form runs the banded O(max_dist * n) DP and returns
+        # -1 over the threshold (excluded by the between filter)
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("sfx_a"), F.col("sfx_b"), max_dist)
+        )
         .filter(F.col("edit_dist").between(min_dist, max_dist))
         .select("id_a", "id_b", "edit_dist")
     )

@@ -50,24 +50,43 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def pagerank(lineitem: DataFrame, iters: int = 3) -> DataFrame:
+def pagerank(
+    lineitem: DataFrame, iters: int = 3, broadcast_nodes: int = 2_000_000
+) -> DataFrame:
     """Ranks after ``iters`` damped power iterations, over nodes that
-    have at least one co-purchase edge. Returns (node, r)."""
+    have at least one co-purchase edge. Returns (node, r).
+
+    When the node count is under ``broadcast_nodes`` the per-iteration
+    edges⋈ranks join BROADCASTS the rank vector (a few MB — iterations
+    become map-only over the cached edge list plus one small
+    aggregation); above it the join falls back to a shuffle that
+    co-partitions with the contribution aggregation. Node counts are
+    usually orders of magnitude below edge counts, so the broadcast
+    path is the common case."""
     edges = copurchase_edges(lineitem)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # fold outdegree into the edge list once: each iteration then needs
-    # only the single edges⋈ranks join
-    ed = edges.join(deg, "src")
+    # fold outdegree into the edge list once and PERSIST it: every
+    # iteration reuses this exact table, and without the cache each
+    # iteration would re-run the order self-join + distinct (the
+    # dominant cost). Callers running query batteries clear the cache
+    # between queries (bench.py / the parity gate); a production run
+    # would checkpoint the edge list to bucketed parquet instead.
+    ed = edges.join(deg, "src").persist()
 
-    # node count: a scalar model parameter (the one driver-side pull)
-    n_nodes = deg.count()
+    # node count: a scalar model parameter (the one driver-side pull);
+    # counting through `ed` also materializes the cache
+    n_nodes = ed.select("src").distinct().count()
     base = F.lit(0.15) / F.lit(float(n_nodes))
 
-    ranks = deg.select(
+    # derive the initial ranks from the cached edge table (going back
+    # through `deg` would re-run the uncached self-join)
+    ranks = ed.select("src").distinct().select(
         F.col("src").alias("node"),
         _trunc12(F.lit(1.0) / F.lit(float(n_nodes))).alias("r"),
     )
     for _ in range(iters):
+        if n_nodes <= broadcast_nodes:
+            ranks = F.broadcast(ranks)
         contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
             F.col("dst"),
             _trunc12(F.col("r") / F.col("deg")).alias("c"),
