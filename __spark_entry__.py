@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_agg": Q.stream_window_agg,
         "stream_dedup": Q.stream_dedup,
         "stream_interval_join": Q.stream_interval_join,
+        "stream_left_interval_join": Q.stream_left_interval_join,
         "stream_sessionize": Q.stream_sessionize,
         "stateful_totals": Q.stateful_totals,
         "salted_totals": Q.salted_totals,
@@ -215,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_window_agg": oracle.WINDOW_AGG_Q,
         "stream_dedup": oracle.STREAM_DEDUP_Q,
         "stream_interval_join": oracle.STREAM_INTERVAL_JOIN_Q,
+        "stream_left_interval_join": oracle.STREAM_LEFT_INTERVAL_JOIN_Q,
         "stream_sessionize": oracle.SESSIONIZE_Q,
         "stateful_totals": oracle.STATEFUL_TOTALS_Q,
         "salted_totals": oracle.SALTED_TOTALS_Q,

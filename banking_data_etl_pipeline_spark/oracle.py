@@ -1176,3 +1176,21 @@ r{k} AS (
         )
     parts.append(f"\nSELECT node, r FROM r{iters}")
     return "".join(parts)
+
+
+# -------------------------------- round 3f: streaming left-outer join
+
+# Twin of streaming.events.stream_left_interval_join_counts: the batch
+# left range join, restricted to what a stream stopped mid-watermark
+# can have emitted — matches always (they emit immediately); zero-
+# follower rows only once the watermark (max ts - 1h) passed the end
+# of their join window (ts + 24h), i.e. ts + 25h < max ts.
+STREAM_LEFT_INTERVAL_JOIN_Q = """WITH e AS (
+  SELECT event_id, user_id, ts FROM events
+), mx AS (SELECT max(ts) AS mt FROM e)
+SELECT l.event_id, l.user_id, CAST(count(r.event_id) AS BIGINT) AS n_followers
+FROM e l CROSS JOIN mx LEFT JOIN e r ON l.user_id = r.user_id
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 24 HOURS
+  AND l.event_id <> r.event_id
+GROUP BY l.event_id, l.user_id, l.ts, mx.mt
+HAVING count(r.event_id) > 0 OR l.ts + INTERVAL 25 HOURS < mx.mt"""

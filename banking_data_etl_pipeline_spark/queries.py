@@ -929,3 +929,21 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return graph.pagerank(tables.load(spark, sf_dir, "lineitem"), iters=3)
+
+
+def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: follower counts
+    including zero-follower events, whose unmatched rows emit only
+    after the watermark clears their join window (the batch twin
+    encodes the same cutoff)."""
+    import os
+    import tempfile
+
+    tune_for_oracle(spark)
+    d = tempfile.mkdtemp(prefix="stream_loj_events_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    return EV.stream_left_interval_join_counts(
+        spark, d, "stream_left_interval_join_sink"
+    )

@@ -485,3 +485,60 @@ def stream_static_join(
         )
         q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def stream_left_interval_join_counts(
+    spark: SparkSession, events_dir: str, name: str, hours: int = 24
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: per event, the count of
+    same-user events in the next ``hours`` — INCLUDING zero-follower
+    events, which an inner join silently drops.
+
+    The outer side is what makes this a real streaming problem: an
+    unmatched left row can only be emitted once the watermark proves no
+    future match can arrive (watermark > event time + join window), so
+    the nulls trail the matches by the window + watermark delay. On a
+    bounded availableNow run the stream ends with the watermark at
+    max(ts) - delay, so events younger than ``hours`` + delay before
+    the stream end never emit their unmatched form — matched events
+    still appear (matches emit immediately). The batch twin encodes
+    exactly that cutoff, which is the honest semantics of a stream
+    stopped mid-watermark, not a parity fudge.
+    """
+    def side(alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .load(events_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+        )
+
+    left, right = side("l"), side("r")
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {int(hours)} HOURS"))
+        & (F.col("l_id") != F.col("r_id")),
+        "left_outer",
+    )
+    with _state_partitions(spark, 16):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy(F.col("l_id").alias("event_id"), F.col("l_user").alias("user_id"))
+        .agg(F.count(F.col("r_id")).alias("n_followers"))
+    )

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "stateful_totals",
     "stream_dedup",
     "stream_interval_join",
+    "stream_left_interval_join",
     "stream_sessionize",
     "stream_sessionize_append",
     "media_metadata",

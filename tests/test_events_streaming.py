@@ -117,3 +117,36 @@ def test_stream_dedup_removes_exact_duplicates(spark):
         for r in EV.stream_dedup_totals(spark, d, "test_stream_dedup_sink").collect()
     }
     assert deduped == batch
+
+
+def test_stream_left_interval_join_emits_watermark_cleared_nulls(spark):
+    """The left-outer interval join must (a) agree with the inner join
+    on matched events and (b) additionally emit zero-follower rows, but
+    only for events whose join window the final watermark cleared."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from banking_data_etl_pipeline_spark.sources import tables
+
+    d = tempfile.mkdtemp(prefix="test_loj_")
+    os.symlink(
+        os.path.join(SF_DIR, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    out = EV.stream_left_interval_join_counts(spark, d, "t_loj_sink").collect()
+    by_id = {r.event_id: r.n_followers for r in out}
+    zeros = {k for k, v in by_id.items() if v == 0}
+    assert zeros, "expected some watermark-cleared zero-follower events"
+
+    ev = tables.load(spark, SF_DIR, "events").select("event_id", "ts")
+    bounds = ev.agg(F.max("ts").alias("mt")).collect()[0]
+    ts_of = {r.event_id: r.ts for r in ev.collect()}
+    import datetime
+
+    cutoff = bounds.mt - datetime.timedelta(hours=25)
+    # every zero-follower event is old enough that no match can arrive
+    assert all(ts_of[e] < cutoff for e in zeros)
+    # and every event older than the cutoff was emitted (matched or not)
+    old = {e for e, t in ts_of.items() if t < cutoff}
+    assert old <= set(by_id)

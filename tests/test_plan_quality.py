@@ -152,6 +152,7 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "stream_dedup",
         "stateful_totals",
         "stream_interval_join",
+        "stream_left_interval_join",
         "stream_sessionize",
         "stream_sessionize_append",
         "stream_static_join",
