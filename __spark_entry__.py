@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": Q.winsorize,
         "mad_outliers": Q.mad_outliers,
         "pagerank": Q.pagerank,
+        "salted_join": Q.salted_join,
+        "decay_totals": Q.decay_totals,
         # red in r2 (harness canonicalization) — fixed, needs a row
         "kmeans": Q.kmeans,
         # reference pipeline distinct paths
@@ -174,6 +176,8 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": oracle.WINSORIZE_Q,
         "mad_outliers": oracle.MAD_OUTLIERS_Q,
         "pagerank": oracle.pagerank_sql(),
+        "salted_join": oracle.SALTED_JOIN_Q,
+        "decay_totals": oracle.DECAY_TOTALS_Q,
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

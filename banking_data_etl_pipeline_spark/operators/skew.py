@@ -56,3 +56,30 @@ def salted_counts_sums(
             F.round(F.sum("_s").cast("double"), 4).alias("sum_value"),
         )
     )
+
+
+def salted_broadcast_replicate_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    unique_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof fact⋈dim join by SALT-AND-REPLICATE: each fact row
+    gets a deterministic salt, the (small) dim side is replicated once
+    per salt bucket, and the join keys on (key, salt) — a hot join key
+    spreads over ``buckets`` reducers instead of melting one.
+
+    This is the shuffle-join fallback for when the dim side is too big
+    to broadcast outright but hot fact keys overwhelm AQE's skew
+    splitting (which can only split a partition, not a single key).
+    The replicated dim is built with a map-only ``explode`` —
+    ``buckets`` × |dim| rows, still far below the fact side. Result is
+    row-identical to the plain join (the oracle twin)."""
+    salted_facts = facts.withColumn(
+        "_salt", salt_column(F.col(unique_col), buckets)
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>"))
+    )
+    return salted_facts.join(replicated_dim, [key, "_salt"]).drop("_salt")

@@ -124,3 +124,39 @@ def cohort_retention(events: DataFrame, weeks: int = 8) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+def half_life_decayed_totals(
+    events: DataFrame,
+    origin: str = "2024-03-01",
+    half_life_days: int = 7,
+) -> DataFrame:
+    """Recency-weighted per-user value: each event contributes
+    ``value / 2^k`` where ``k`` = whole half-lives between the event
+    and ``origin`` — the standard exponential-decay feature for
+    engagement/recency scoring, but with the decay quantized to whole
+    half-lives so it is ENGINE-PORTABLE: 2^k is exactly representable
+    and ``exp()``'s libm rounding differences never enter. Per-row
+    contributions are truncated to 12 dp (tie-free) and summed through
+    DECIMAL, same parity scheme as PageRank.
+
+    Map-only until the final per-user aggregation — one shuffle, keyed
+    on the uniform user id."""
+    k = F.least(
+        F.greatest(
+            F.expr(f"datediff(DATE'{origin}', CAST(ts AS DATE)) div {half_life_days}"),
+            F.lit(0),
+        ),
+        F.lit(50),
+    )
+    decayed = F.col("value") / F.pow(F.lit(2.0), k)
+    c = F.floor(decayed * F.lit(1e12)).cast("double") / F.lit(1e12)
+    return (
+        events.select(F.col("user_id"), c.alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("c").cast("decimal(32,12)")).cast("double"), 6
+            ).alias("decayed_value")
+        )
+    )

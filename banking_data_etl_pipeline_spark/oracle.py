@@ -1194,3 +1194,29 @@ FROM e l CROSS JOIN mx LEFT JOIN e r ON l.user_id = r.user_id
   AND l.event_id <> r.event_id
 GROUP BY l.event_id, l.user_id, l.ts, mx.mt
 HAVING count(r.event_id) > 0 OR l.ts + INTERVAL 25 HOURS < mx.mt"""
+
+
+# ------------------------------ round 3g: skew join + decay features
+
+# Twin of operators.skew.salted_broadcast_replicate_join composed into
+# a per-segment rollup: the salted (key, salt) join must be row-
+# identical to this plain join.
+SALTED_JOIN_Q = """SELECT c_mktsegment,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment"""
+
+# Twin of operators.timeseries.half_life_decayed_totals (origin
+# 2024-03-01, half-life 7 days, decay quantized to whole half-lives so
+# 2^k is exact in both engines; trunc-12dp + DECIMAL sum parity).
+DECAY_TOTALS_Q = """WITH d AS (
+  SELECT user_id,
+    floor((value / pow(CAST(2.0 AS DOUBLE),
+      least(greatest(CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-03-01')
+                     AS BIGINT) // 7, 0), 50))) * 1e12) / 1e12 AS c
+  FROM events
+)
+SELECT user_id,
+  round(CAST(sum(CAST(c AS DECIMAL(32,12))) AS DOUBLE), 6) AS decayed_value
+FROM d GROUP BY user_id"""

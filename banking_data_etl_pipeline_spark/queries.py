@@ -947,3 +947,37 @@ def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.stream_left_interval_join_counts(
         spark, d, "stream_left_interval_join_sink"
     )
+
+
+# ---------------------------- round 3g: skew join + decay features
+
+
+def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-and-replicate fact⋈dim join (hot fact keys spread over 8
+    salt buckets), rolled up per market segment. Row-identical to the
+    plain join, which is the oracle twin."""
+    ev = tables.load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    tune_for_oracle(spark)
+    joined = skew.salted_broadcast_replicate_join(
+        ev, cust, key="user_id", unique_col="event_id", buckets=8
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    )
+
+
+def decay_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed per-user value totals (recency-weighted
+    engagement feature, engine-portable decay)."""
+    from .operators import timeseries
+
+    tune_for_oracle(spark)
+    return timeseries.half_life_decayed_totals(
+        tables.load(spark, sf_dir, "events")
+    )

@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "winsorize",
     "mad_outliers",
     "pagerank",
+    "salted_join",
+    "decay_totals",
 ]
 
 

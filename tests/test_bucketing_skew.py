@@ -72,3 +72,30 @@ def test_salted_agg_equals_plain(spark):
         .count()
     )
     assert n_phase1 > len(plain)
+
+
+def test_salted_join_spreads_key_and_matches_plain_join(spark):
+    from banking_data_etl_pipeline_spark.operators import skew
+
+    facts = spark.createDataFrame(
+        [(i, "hot" if i % 10 != 0 else f"cold{i}", float(i)) for i in range(1000)],
+        "event_id long, k string, v double",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"cold{i}", "C") for i in range(0, 1000, 10)],
+        "k string, tag string",
+    )
+    plain = {(r.k, r.event_id, r.tag) for r in facts.join(dim, "k").collect()}
+    # force the shuffle path — the operator exists for dims too big to
+    # broadcast, so the test must exercise the (key, salt) exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = skew.salted_broadcast_replicate_join(
+            facts, dim, key="k", unique_col="event_id", buckets=8
+        )
+        got = {(r.k, r.event_id, r.tag) for r in salted.collect()}
+        assert got == plain
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan and "hashpartitioning(k" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -69,3 +69,22 @@ def test_cohort_retention_buckets_by_first_week(spark):
     cohort = min(k[0] for k in rows)
     assert rows[(cohort, 0)] == 2
     assert rows[(cohort, 1)] == 1
+
+
+def test_half_life_decay_halves_per_period(spark):
+    from banking_data_etl_pipeline_spark.operators import timeseries
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-02-29 00:00:00", 8.0),   # 1 day before origin: k=0
+            (1, "2024-02-22 00:00:00", 8.0),   # 8 days: k=1 -> 4.0
+            (1, "2024-02-08 00:00:00", 8.0),   # 22 days: k=3 -> 1.0
+            (2, "2024-03-05 00:00:00", 8.0),   # after origin: clamped k=0
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.user_id: r.decayed_value
+        for r in timeseries.half_life_decayed_totals(ev).collect()
+    }
+    assert got == {1: 8.0 + 4.0 + 1.0, 2: 8.0}
