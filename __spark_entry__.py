@@ -222,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_interval_join": oracle.STREAM_INTERVAL_JOIN_Q,
         "stream_left_interval_join": oracle.STREAM_LEFT_INTERVAL_JOIN_Q,
         "stream_sessionize": oracle.SESSIONIZE_Q,
+        "stream_sessionize_append": oracle.SESSIONIZE_APPEND_Q,
         "stateful_totals": oracle.STATEFUL_TOTALS_Q,
         "salted_totals": oracle.SALTED_TOTALS_Q,
         "sessionize": oracle.SESSIONIZE_Q,

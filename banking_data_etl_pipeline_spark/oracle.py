@@ -1220,3 +1220,33 @@ DECAY_TOTALS_Q = """WITH d AS (
 SELECT user_id,
   round(CAST(sum(CAST(c AS DECIMAL(32,12))) AS DOUBLE), 6) AS decayed_value
 FROM d GROUP BY user_id"""
+
+
+# Twin of streaming.events.stream_sessionize_append: the batch
+# sessionization restricted to sessions CLOSED before the final
+# watermark — a session emits once the watermark (max ts - 1 min)
+# strictly passes its window end (last event + 30 min gap). Emitted
+# sessions are a per-user prefix, so the 0-based session_seq numbering
+# agrees with the batch twin's. Calibrated exact at sf0.001 and
+# sf0.01 (no exact-boundary gaps in the testdata; see the boundary
+# note on stream_sessionize about gap == 1800.000000s).
+SESSIONIZE_APPEND_Q = """WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id,
+    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM g
+), sess AS (
+  SELECT user_id, session_seq, count(*) AS n_events,
+    epoch_us(min(ts)) // 1000000 AS session_start_epoch,
+    epoch_us(max(ts)) // 1000000 AS session_end_epoch,
+    max(epoch_us(ts)) AS end_us
+  FROM s GROUP BY user_id, session_seq
+), mx AS (SELECT max(epoch_us(ts)) AS mt FROM events)
+SELECT user_id, session_seq, n_events, session_start_epoch, session_end_epoch
+FROM sess, mx WHERE end_us + 1800000000 + 60000000 < mt"""
