@@ -178,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oracle.pagerank_sql(),
         "salted_join": oracle.SALTED_JOIN_Q,
         "decay_totals": oracle.DECAY_TOTALS_Q,
+        "kmeans": oracle.kmeans_sql(),
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

@@ -9,10 +9,11 @@ centroids are EXACTLY order-independent: the result is a pure function
 of (data, k, iterations) regardless of partitioning — which is what
 makes an iterative distributed algorithm reproducible at any scale.
 
-Deliberately registered WITHOUT a DuckDB oracle: unrolling iterations
-into SQL is possible but each iteration's float averaging would need
-bit-replication across engines; the driver records the rows-only check
-for iterative algorithms by design.
+The decimal-exact updates are what make a full value-hash oracle
+possible: ``oracle.kmeans_sql`` unrolls the iterations into CTEs that
+repeat the same nearest-double steps (DECIMAL component sums, double
+division by the count, one fold order for distances), so the DuckDB
+twin walks bit-identical centroids through every iteration.
 """
 
 from __future__ import annotations

@@ -1250,3 +1250,86 @@ SESSIONIZE_APPEND_Q = """WITH g AS (
 ), mx AS (SELECT max(epoch_us(ts)) AS mt FROM events)
 SELECT user_id, session_seq, n_events, session_start_epoch, session_end_epoch
 FROM sess, mx WHERE end_us + 1800000000 + 60000000 < mt"""
+
+
+# ------------------------------------------- round 3h: kmeans oracle
+
+
+def kmeans_sql(k: int = 8, dim: int = 64, iters: int = 3) -> str:
+    """Unrolled-CTE twin of operators.clustering.kmeans, made possible
+    by the operator's decimal-exact centroid updates:
+
+    - squared-L2 fold mirrors Spark's ``aggregate(zip_with(...), 0.0,
+      +)`` left fold (0.0 + x1 is bit-neutral, so DuckDB's
+      ``list_reduce`` matches);
+    - per-component updates sum float components through
+      DECIMAL(28,12) (order-independent) and divide the DOUBLE cast by
+      the bigint count — the same nearest-double steps the Spark
+      driver takes with ``float(Decimal)/n``;
+    - assignment tiebreak is (distance, cid) ascending in both.
+
+    Output is per-dimension rows (cluster, n_members, dim, val) so
+    every cell is a scalar the harness can canonicalize."""
+    # list_zip form: the outer (correlated) column must enter the
+    # lambda as its INPUT list — DuckDB cannot bind an outer table
+    # reference inside a range-indexed lambda in this position
+    d2 = (
+        "list_reduce(list_transform(list_zip({e}, {c}),"
+        " p -> power(CAST(p[1] AS DOUBLE) - p[2], 2)), (x, y) -> x + y)"
+    )
+
+    def sqdist(e: str, c: str) -> str:
+        return d2.format(e=e, c=c)
+
+    parts = [
+        f"""WITH dims AS (SELECT unnest(range(1, {dim} + 1)) AS i),
+emb AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings WHERE vec_id < {k}
+)"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        parts.append(
+            f""",
+a{t} AS (
+  SELECT e.vec_id, e.embedding,
+    (SELECT c.cid FROM {prev} c
+     ORDER BY {sqdist('e.embedding', 'c.cvec')} ASC, c.cid ASC
+     LIMIT 1) AS cluster
+  FROM emb e
+),
+u{t} AS (
+  SELECT a.cluster, d.i,
+    sum(CAST(a.embedding[d.i] AS DECIMAL(28,12))) AS s,
+    count(*) AS n
+  FROM a{t} a CROSS JOIN dims d
+  GROUP BY a.cluster, d.i
+),
+c{t} AS (
+  SELECT p.cid,
+    list(CASE WHEN u.n IS NULL THEN p.cvec[d.i]
+              ELSE CAST(u.s AS DOUBLE) / u.n END ORDER BY d.i) AS cvec
+  FROM {prev} p CROSS JOIN dims d
+  LEFT JOIN u{t} u ON u.cluster = p.cid AND u.i = d.i
+  GROUP BY p.cid
+)"""
+        )
+    last = f"c{iters}"
+    parts.append(
+        f""",
+afinal AS (
+  SELECT e.vec_id,
+    (SELECT c.cid FROM {last} c
+     ORDER BY {sqdist('e.embedding', 'c.cvec')} ASC, c.cid ASC
+     LIMIT 1) AS cluster
+  FROM emb e
+),
+sizes AS (SELECT cluster, count(*) AS n_members FROM afinal GROUP BY cluster)
+SELECT s.cluster, s.n_members, CAST(d.i - 1 AS INT) AS dim,
+       round(c.cvec[d.i], 6) AS val
+FROM sizes s JOIN {last} c ON c.cid = s.cluster CROSS JOIN dims d"""
+    )
+    return "".join(parts)

@@ -490,12 +490,11 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative Lloyd's k-means (no SQL oracle by design — the driver
-    records the rows-only check for iterative algorithms).
-
-    The array-typed centroid is serialized to a CSV string here so the
-    driver's rows-only canonicalizer (a pandas sort over all columns)
-    never sees an unhashable list cell."""
+    """Iterative Lloyd's k-means, HASH-CHECKED against an unrolled-CTE
+    DuckDB twin (possible because the centroid updates are decimal-
+    exact and the distance folds keep one association order — see
+    oracle.kmeans_sql). The centroid explodes to per-dimension rows so
+    every cell is a scalar the harness canonicalizes."""
     from .operators import clustering
 
     tune_for_oracle(spark)
@@ -503,13 +502,7 @@ def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "cluster",
         "n_members",
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.col("centroid"),
-                lambda x: x.cast("decimal(18,6)").cast("string"),
-            ),
-        ).alias("centroid"),
+        F.posexplode("centroid").alias("dim", "val"),
     )
 
 
