@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": Q.pagerank,
         "salted_join": Q.salted_join,
         "decay_totals": Q.decay_totals,
+        "emb_dim_stats": Q.emb_dim_stats,
+        "split_manifest": Q.split_manifest,
         # red in r2 (harness canonicalization) — fixed, needs a row
         "kmeans": Q.kmeans,
         # reference pipeline distinct paths
@@ -179,6 +181,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": oracle.SALTED_JOIN_Q,
         "decay_totals": oracle.DECAY_TOTALS_Q,
         "kmeans": oracle.kmeans_sql(),
+        "emb_dim_stats": oracle.EMB_DIM_STATS_Q,
+        "split_manifest": oracle.split_manifest_sql(),
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

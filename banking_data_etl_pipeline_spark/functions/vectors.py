@@ -47,3 +47,30 @@ def sign_bits(v: Column, n_bits: int) -> Column:
         lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
     )
     return F.array_join(bits, "")
+
+
+def dim_stats(emb, vec_col: str = "embedding"):
+    """Per-dimension feature statistics over an embedding corpus
+    (min / max / mean / count) — the profiling pass before feature
+    scaling or quantization.
+
+    ``posexplode`` is map-only (one row per component, no shuffle
+    until the per-dim groupBy, whose key count == the dimensionality —
+    model-parameter scale). The mean sums through DECIMAL so it is
+    order-independent; components are cast to double FIRST so min/max
+    compare the same values both engines see."""
+    from pyspark.sql import functions as F
+
+    ex = emb.select(F.posexplode(vec_col).alias("dim", "x0")).select(
+        "dim", F.col("x0").cast("double").alias("x")
+    )
+    return ex.groupBy("dim").agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.round(
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_x"),
+        F.count(F.lit(1)).alias("n"),
+    )

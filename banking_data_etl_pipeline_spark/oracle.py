@@ -1333,3 +1333,30 @@ SELECT s.cluster, s.n_members, CAST(d.i - 1 AS INT) AS dim,
 FROM sizes s JOIN {last} c ON c.cid = s.cluster CROSS JOIN dims d"""
     )
     return "".join(parts)
+
+
+# -------------------------- round 3h: feature stats + split manifest
+
+# Twin of functions.vectors.dim_stats (dim = 64 in the testdata).
+EMB_DIM_STATS_Q = """WITH ex AS (
+  SELECT CAST(d.i - 1 AS INT) AS dim, CAST(e.embedding[d.i] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+)
+SELECT dim, min(x) AS min_x, max(x) AS max_x,
+  round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_x,
+  count(*) AS n
+FROM ex GROUP BY dim"""
+
+
+def split_manifest_sql() -> str:
+    """Twin of queries.split_manifest: thresholds from the same
+    threshold_hex so the split can never drift."""
+    from .operators.sampling import threshold_hex
+
+    t16, t32 = threshold_hex(16), threshold_hex(32)
+    return f"""SELECT lang,
+  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{t16}' THEN 'test'
+       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{t32}' THEN 'val'
+       ELSE 'train' END AS split,
+  count(*) AS n_docs
+FROM documents GROUP BY 1, 2"""

@@ -974,3 +974,34 @@ def decay_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.half_life_decayed_totals(
         tables.load(spark, sf_dir, "events")
     )
+
+
+# ------------------------- round 3h: feature stats + split manifest
+
+
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (feature-scaling profile)."""
+    from .functions import vectors
+
+    tune_for_oracle(spark)
+    return vectors.dim_stats(tables.load(spark, sf_dir, "embeddings"))
+
+
+def split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split manifest per language:
+    membership by md5 hash range (16/256 test, 16/256 val, rest
+    train) — stable under reruns, portable across engines, map-only
+    until the tiny count aggregation."""
+    from .operators import sampling
+
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    pfx = sampling.hash_prefix(F.col("doc_id"))
+    split = (
+        F.when(pfx < F.lit(sampling.threshold_hex(16)), "test")
+        .when(pfx < F.lit(sampling.threshold_hex(32)), "val")
+        .otherwise("train")
+    )
+    return docs.select("lang", split.alias("split")).groupBy(
+        "lang", "split"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))

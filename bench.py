@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "pagerank",
     "salted_join",
     "decay_totals",
+    "emb_dim_stats",
+    "split_manifest",
 ]
 
 

@@ -251,3 +251,28 @@ def test_fuzzy_hot_blocks_are_dropped(spark):
     )
     out = fuzzy.fuzzy_name_pairs(df, "id", "name", max_block=10).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(100, 101)}
+
+
+def test_split_manifest_partitions_every_doc_exactly_once(spark):
+    from banking_data_etl_pipeline_spark import queries as Q
+
+    out = Q.split_manifest(spark, SF_DIR)
+    total = sum(r.n_docs for r in out.collect())
+    assert total == tables.load(spark, SF_DIR, "documents").count()
+    splits = {r.split for r in out.collect()}
+    assert splits == {"train", "val", "test"}
+    # deterministic: identical on re-evaluation
+    a = {(r.lang, r.split): r.n_docs for r in out.collect()}
+    b = {(r.lang, r.split): r.n_docs for r in Q.split_manifest(spark, SF_DIR).collect()}
+    assert a == b
+
+
+def test_dim_stats_bounds_and_mean(spark):
+    from banking_data_etl_pipeline_spark.functions import vectors
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    got = {r.dim: r for r in vectors.dim_stats(emb).collect()}
+    assert (got[0].min_x, got[0].max_x, got[0].mean_x, got[0].n) == (1.0, 3.0, 2.0, 2)
+    assert (got[1].min_x, got[1].max_x, got[1].mean_x, got[1].n) == (-2.0, 4.0, 1.0, 2)
