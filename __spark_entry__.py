@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_totals": Q.decay_totals,
         "emb_dim_stats": Q.emb_dim_stats,
         "split_manifest": Q.split_manifest,
+        "table_checksum": Q.table_checksum,
+        "grouped_checksum": Q.grouped_checksum,
         # red in r2 (harness canonicalization) — fixed, needs a row
         "kmeans": Q.kmeans,
         # reference pipeline distinct paths
@@ -183,6 +185,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": oracle.kmeans_sql(),
         "emb_dim_stats": oracle.EMB_DIM_STATS_Q,
         "split_manifest": oracle.split_manifest_sql(),
+        "table_checksum": oracle.TABLE_CHECKSUM_Q,
+        "grouped_checksum": oracle.GROUPED_CHECKSUM_Q,
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

@@ -1360,3 +1360,25 @@ def split_manifest_sql() -> str:
        ELSE 'train' END AS split,
   count(*) AS n_docs
 FROM documents GROUP BY 1, 2"""
+
+
+# ---------------------------------------- round 3i: reconciliation
+
+_CK_COLS = (
+    "CAST(c_custkey AS VARCHAR), c_name, CAST(c_nationkey AS VARCHAR), c_mktsegment"
+)
+_CK_HASH = (
+    "CAST(CAST('0x' || substring(md5(concat_ws('|', "
+    + ", ".join(f"coalesce({c.strip()}, '\\N')" for c in _CK_COLS.split(","))
+    + ")), 1, 15) AS BIGINT) AS DECIMAL(38,0))"
+)
+
+# Twin of operators.reconcile: orderless content checksums.
+TABLE_CHECKSUM_Q = f"""SELECT count(*) AS n_rows,
+  CAST(CAST(sum({_CK_HASH}) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+FROM customer"""
+
+GROUPED_CHECKSUM_Q = f"""SELECT c_custkey % 16 AS bucket,
+  count(*) AS n_rows,
+  CAST(CAST(sum({_CK_HASH}) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+FROM customer GROUP BY bucket"""

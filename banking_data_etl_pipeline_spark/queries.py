@@ -1005,3 +1005,32 @@ def split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("lang", split.alias("split")).groupBy(
         "lang", "split"
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ------------------------------------------ round 3i: reconciliation
+
+CHECKSUM_COLS = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+
+
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orderless whole-table content checksum of customer's non-float
+    columns (floats need a fixed-DECIMAL cast first — see
+    operators/reconcile.py)."""
+    from .operators import reconcile
+
+    tune_for_oracle(spark)
+    return reconcile.table_checksum(
+        tables.load(spark, sf_dir, "customer"), CHECKSUM_COLS
+    )
+
+
+def grouped_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed checksums (key % 16) for divergence localization."""
+    from .operators import reconcile
+
+    tune_for_oracle(spark)
+    return reconcile.grouped_checksum(
+        tables.load(spark, sf_dir, "customer"),
+        F.col("c_custkey") % 16,
+        CHECKSUM_COLS,
+    )

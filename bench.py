@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "decay_totals",
     "emb_dim_stats",
     "split_manifest",
+    "table_checksum",
+    "grouped_checksum",
 ]
 
 

@@ -62,3 +62,32 @@ def test_mad_flags_extreme_outlier(spark):
     [r] = relational.mad_outliers(ev).collect()
     # median 10, MAD 0 -> only the 1000.0 point deviates
     assert (r.med, r.mad, r.n_outliers, r.n_events) == (10.0, 0.0, 1, 10)
+
+
+def test_table_checksum_is_order_and_partitioning_invariant(spark):
+    from banking_data_etl_pipeline_spark.operators import reconcile
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(500)], "k long, name string"
+    )
+    [a] = reconcile.table_checksum(df, ["k", "name"]).collect()
+    [b] = reconcile.table_checksum(df.repartition(13, "name"), ["k", "name"]).collect()
+    assert (a.n_rows, a.checksum) == (b.n_rows, b.checksum)
+    # sensitive to any single-row change
+    changed = df.withColumn(
+        "name", F.when(F.col("k") == 250, "NAME250").otherwise(F.col("name"))
+    )
+    [c] = reconcile.table_checksum(changed, ["k", "name"]).collect()
+    assert c.checksum != a.checksum
+
+
+def test_grouped_checksums_sum_to_table_checksum(spark):
+    from banking_data_etl_pipeline_spark.operators import reconcile
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(300)], "k long, name string"
+    )
+    [t] = reconcile.table_checksum(df, ["k", "name"]).collect()
+    parts = reconcile.grouped_checksum(df, F.col("k") % 7, ["k", "name"]).collect()
+    assert sum(int(r.checksum) for r in parts) == int(t.checksum)
+    assert sum(r.n_rows for r in parts) == t.n_rows
