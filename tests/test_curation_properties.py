@@ -1,0 +1,80 @@
+"""Property tests for round-3 curation operators: packing invariants,
+CDC classification completeness, checksum decomposition. One Spark
+pass per generated example (small example counts — a Spark job per
+case is the cost driver, not the property logic)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from banking_data_etl_pipeline_spark.operators import cdc, packing, reconcile
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 12), min_size=1, max_size=60),  # tokens per doc
+    st.integers(2, 16),  # budget
+)
+def test_packing_invariants(spark, toks, budget):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), "en") for i, n in enumerate(toks)],
+        "doc_id long, text string, lang string",
+    )
+    out = packing.pack_documents(docs, budget=budget).collect()
+    # every doc lands in exactly one pack; token mass is conserved
+    assert sum(r.n_docs for r in out) == len(toks)
+    assert sum(r.pack_tokens for r in out) == sum(toks)
+    # pack ids are the doc-start offsets div budget: consecutive packs,
+    # each starting strictly within the budget boundary of its id
+    rows = sorted(out, key=lambda r: r.pack_id)
+    starts = [0]
+    for n in toks[:-1]:
+        starts.append(starts[-1] + n)
+    expect_ids = sorted({s // budget for s in starts})
+    assert [r.pack_id for r in rows] == expect_ids
+    # doc ranges are contiguous and ordered across packs
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_doc < b.first_doc
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 30), st.integers(0, 5), max_size=20),
+    st.dictionaries(st.integers(0, 30), st.integers(0, 5), max_size=20),
+)
+def test_snapshot_diff_reconstructs_both_sides(spark, cur_d, nxt_d):
+    cur = spark.createDataFrame(
+        [(k, float(v)) for k, v in cur_d.items()], "k long, v double"
+    )
+    nxt = spark.createDataFrame(
+        [(k, float(v)) for k, v in nxt_d.items()], "k long, v double"
+    )
+    out = {r.k: r for r in cdc.snapshot_diff(cur, nxt, "k", ["v"]).collect()}
+    assert set(out) == set(cur_d) | set(nxt_d)
+    for k, r in out.items():
+        if k not in cur_d:
+            assert r.op == "insert" and r.v_old is None
+        elif k not in nxt_d:
+            assert r.op == "delete" and r.v_new is None
+        elif cur_d[k] != nxt_d[k]:
+            assert r.op == "update"
+        else:
+            assert r.op == "unchanged"
+        # old/new faithfully reconstruct the snapshots
+        if k in cur_d:
+            assert r.v_old == float(cur_d[k])
+        if k in nxt_d:
+            assert r.v_new == float(nxt_d[k])
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=8), min_size=1, max_size=50))
+def test_checksum_decomposes_over_any_bucketing(spark, names):
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "k long, name string"
+    )
+    [t] = reconcile.table_checksum(df, ["k", "name"]).collect()
+    parts = reconcile.grouped_checksum(df, F.col("k") % 5, ["k", "name"]).collect()
+    assert sum(int(r.checksum) for r in parts) == int(t.checksum)
+    assert sum(r.n_rows for r in parts) == t.n_rows == len(names)
