@@ -46,3 +46,45 @@ def read_pruned(spark: SparkSession, path: str) -> DataFrame:
     become PartitionFilters (verify via .explain — no data files from
     non-matching partitions are opened)."""
     return spark.read.parquet(path)
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns,
+    JVM-side: bit i of each input lands at bits 2i / 2i+1 of the key.
+    Inputs must already be quantized to ``bits`` bits (rank or
+    fixed-width bucket them first).
+
+    The expression is 2*bits constant shifts — folded into one
+    codegen'd expression, no UDF."""
+    key = F.lit(0).cast("long")
+    av = a.cast("long")
+    bv = b.cast("long")
+    for i in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(av, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(bv, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return key
+
+
+def write_zordered(
+    df: DataFrame, path: str, col_a: str, col_b: str,
+    files: int = 8, bits: int = 16,
+) -> None:
+    """Write parquet clustered on the Z-curve of two columns: range-
+    partition on the interleaved key, sort within partitions. Each
+    output file then covers a bounded RECTANGLE in (a, b) space — so
+    parquet min/max row-group stats prune scans filtered on EITHER
+    column, which a single-column sort only gives you for its leading
+    column. This is the data-skipping layout for the two-predicate
+    scan pattern (e.g. time × tenant)."""
+    z = zorder_key(F.col(col_a), F.col(col_b), bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
