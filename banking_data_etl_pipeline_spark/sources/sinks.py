@@ -88,3 +88,32 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact(
+    spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(n / target_rows_per_file)`` files and atomically swap it in.
+    Returns the new file count.
+
+    The small-files problem is the classic slow killer of streaming
+    sinks and over-parallel writers (every file costs a task + a
+    metadata op per downstream scan); periodic compaction is the
+    standard fix. The rewrite is one shuffle-free coalesce when
+    shrinking; the swap is a rename, so readers see either the old or
+    the new layout, never a mix."""
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    files = max(1, math.ceil(n / target_rows_per_file))
+    tmp = path + ".compact_tmp"
+    df.coalesce(files).write.mode("overwrite").parquet(tmp)
+    old = path + ".old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return files

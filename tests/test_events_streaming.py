@@ -150,3 +150,43 @@ def test_stream_left_interval_join_emits_watermark_cleared_nulls(spark):
     # and every event older than the cutoff was emitted (matched or not)
     old = {e for e, t in ts_of.items() if t < cutoff}
     assert old <= set(by_id)
+
+
+def test_foreachbatch_upsert_is_exact_and_idempotent(spark):
+    """The foreachBatch-merged state must equal the batch aggregate
+    exactly (integer micro-units), and re-running over a completed
+    checkpoint must change nothing (exactly-once per checkpoint)."""
+    import shutil
+    import tempfile
+
+    from banking_data_etl_pipeline_spark.streaming import upsert
+
+    base = tempfile.mkdtemp(prefix="test_upsert_")
+    feed = os.path.join(base, "feed")
+    os.makedirs(feed)
+    os.symlink(
+        os.path.join(SF_DIR, "events.parquet"), os.path.join(feed, "events.parquet")
+    )
+    state = os.path.join(base, "state")
+    cp = os.path.join(base, "cp")
+
+    out = upsert.run_upsert_stream(spark, feed, state, cp)
+    got = {r.user_id: (r.cnt, r.micros) for r in out.collect()}
+
+    ev = tables.load(spark, SF_DIR, "events")
+    want = {
+        r.user_id: (r.cnt, r.micros)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("micros"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # idempotence: same checkpoint -> no batches replay, state unchanged
+    out2 = upsert.run_upsert_stream(spark, feed, state, cp)
+    got2 = {r.user_id: (r.cnt, r.micros) for r in out2.collect()}
+    assert got2 == got
+    shutil.rmtree(base, ignore_errors=True)

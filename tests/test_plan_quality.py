@@ -216,3 +216,21 @@ def test_zorder_layout_bounds_both_dimensions_per_file(spark):
     # filtered on either column for the bulk of the data
     bounded = [e for e in zext if e[0] <= 128 and e[1] <= 128]
     assert len(bounded) >= len(zext) * 0.6, zext
+
+
+def test_compaction_preserves_data_and_bounds_files(spark):
+    import glob
+    import tempfile
+
+    from banking_data_etl_pipeline_spark.sources import sinks
+
+    d = tempfile.mkdtemp(prefix="test_compact_")
+    p = d + "/t"
+    # 64 tiny files
+    spark.range(10_000).repartition(64).write.parquet(p)
+    assert len(glob.glob(p + "/part-*.parquet")) == 64
+    before = {r.id for r in spark.read.parquet(p).collect()}
+    n_files = sinks.compact(spark, p, target_rows_per_file=4_000)
+    assert n_files == 3
+    assert len(glob.glob(p + "/part-*.parquet")) == 3
+    assert {r.id for r in spark.read.parquet(p).collect()} == before
