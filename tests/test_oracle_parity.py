@@ -30,6 +30,18 @@ SUBSET = [
     "pivot_daily",
     "chunk_docs",
     "above_avg_orders",
+    # round-3 family representatives
+    "seq_pack",
+    "contamination",
+    "scd2_merge",
+    "fuzzy_join",
+    "pagerank",
+    "winsorize",
+    "mad_outliers",
+    "decay_totals",
+    "table_checksum",
+    "split_manifest",
+    "kmeans",
 ]
 
 
