@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_manifest": Q.split_manifest,
         "table_checksum": Q.table_checksum,
         "grouped_checksum": Q.grouped_checksum,
+        "dq_checks": Q.dq_checks,
         # red in r2 (harness canonicalization) — fixed, needs a row
         "kmeans": Q.kmeans,
         # reference pipeline distinct paths
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "split_manifest": oracle.split_manifest_sql(),
         "table_checksum": oracle.TABLE_CHECKSUM_Q,
         "grouped_checksum": oracle.GROUPED_CHECKSUM_Q,
+        "dq_checks": oracle.DQ_CHECKS_Q,
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

@@ -1382,3 +1382,43 @@ GROUPED_CHECKSUM_Q = f"""SELECT c_custkey % 16 AS bucket,
   count(*) AS n_rows,
   CAST(CAST(sum({_CK_HASH}) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
 FROM customer GROUP BY bucket"""
+
+
+# --------------------------------------- round 3j: data-quality gate
+
+# Twin of queries.dq_checks (same planted corruptions, same rules).
+DQ_CHECKS_Q = """WITH corrupted AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 37 = 0 THEN NULL
+         WHEN o_orderkey % 47 = 0 THEN o_custkey + 5000000
+         ELSE o_custkey END AS o_custkey,
+    CASE WHEN o_orderkey % 41 = 0 THEN CAST(-5.0 AS DOUBLE)
+         ELSE o_totalprice END AS o_totalprice,
+    CASE WHEN o_orderkey % 43 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 53 = 0
+)
+SELECT 'not_null(o_custkey)' AS rule,
+  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+FROM corrupted
+UNION ALL
+SELECT 'in_range(o_totalprice,0.0,10000000.0)',
+  CAST(sum(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 10000000.0
+           THEN 1 ELSE 0 END) AS BIGINT)
+FROM corrupted
+UNION ALL
+SELECT 'accepted_values(o_orderstatus)',
+  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+           THEN 1 ELSE 0 END) AS BIGINT)
+FROM corrupted
+UNION ALL
+SELECT 'unique(o_orderkey)',
+  CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+FROM corrupted
+UNION ALL
+SELECT 'ref_integrity(o_custkey->c_custkey)',
+  CAST((SELECT count(*) FROM corrupted c
+        LEFT JOIN customer p ON c.o_custkey = p.c_custkey
+        WHERE c.o_custkey IS NOT NULL AND p.c_custkey IS NULL) AS BIGINT)"""

@@ -1034,3 +1034,45 @@ def grouped_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey") % 16,
         CHECKSUM_COLS,
     )
+
+
+# --------------------------------------- round 3j: data-quality gate
+
+
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over a deterministically-corrupted
+    orders snapshot (nulls, out-of-range, bad enums, duplicates,
+    orphaned keys are all planted so every rule has real violations to
+    count). Row-level rules evaluate in ONE aggregation pass; the
+    referential check is one anti-join."""
+    from .operators import expectations as X
+
+    tune_for_oracle(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    key = F.col("o_orderkey")
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    corr = base.select(
+        key.alias("o_orderkey"),
+        F.when(key % 37 == 0, F.lit(None).cast("long"))
+        .when(key % 47 == 0, F.col("o_custkey") + F.lit(5_000_000))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(key % 41 == 0, F.lit(-5.0)).otherwise(F.col("o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        F.when(key % 43 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+    )
+    corrupted = corr.unionByName(base.filter(key % 53 == 0))
+    return X.run_checks(
+        corrupted,
+        [
+            X.not_null("o_custkey"),
+            X.in_range("o_totalprice", 0.0, 10000000.0),
+            X.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            X.unique("o_orderkey"),
+        ],
+        ref_integrity=[("o_custkey", cust, "c_custkey")],
+    )

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "split_manifest",
     "table_checksum",
     "grouped_checksum",
+    "dq_checks",
 ]
 
 

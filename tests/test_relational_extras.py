@@ -107,3 +107,36 @@ def test_observed_metrics_ride_the_single_pass(spark):
     assert got["n_rows"] == 4
     assert got["n_null"] == 2
     assert got["total"] == Decimal("12.750000")
+
+
+def test_expectations_single_pass_and_counts(spark):
+    from banking_data_etl_pipeline_spark.operators import expectations as X
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (1, -1.0, "A"),      # dup key + range violation
+            (2, None, "B"),      # range rule ignores nulls
+            (3, 5.0, "Z"),       # bad enum
+            (None, 2.0, "A"),    # null key
+        ],
+        "k long, v double, s string",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "p long")
+    out = X.run_checks(
+        df,
+        [X.not_null("k"), X.in_range("v", 0.0, 100.0),
+         X.accepted_values("s", ["A", "B"]), X.unique("k")],
+        ref_integrity=[("k", parent, "p")],
+    )
+    got = {r.rule: r.violations for r in out.collect()}
+    assert got == {
+        "not_null(k)": 1,
+        "in_range(v,0.0,100.0)": 1,
+        "accepted_values(s)": 1,
+        "unique(k)": 1,
+        "ref_integrity(k->p)": 1,
+    }
+    # all row-level rules ride ONE aggregation over one scan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") <= 3, plan  # row rules + ref count
