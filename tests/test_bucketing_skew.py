@@ -99,3 +99,32 @@ def test_salted_join_spreads_key_and_matches_plain_join(spark):
         assert "_salt" in plan and "hashpartitioning(k" in plan, plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_snapshot_diff_on_bucketed_snapshots_is_shuffle_free(spark):
+    """cdc.snapshot_diff's docstring claims the full-outer exchange
+    disappears on bucketed snapshots — pin it."""
+    from banking_data_etl_pipeline_spark.operators import cdc
+
+    d = tempfile.mkdtemp(prefix="cdc_bucketed_")
+    cust = tables.load(spark, SF_DIR, "customer").select("c_custkey", "c_acctbal")
+    nxt = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 2 == 0, F.col("c_acctbal") + 1.0).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    bucketing.write_bucketed(cust, "t_cdc_cur", "c_custkey", buckets=4, path=f"{d}/cur")
+    bucketing.write_bucketed(nxt, "t_cdc_nxt", "c_custkey", buckets=4, path=f"{d}/nxt")
+    a = bucketing.read_table(spark, "t_cdc_cur")
+    b = bucketing.read_table(spark, "t_cdc_nxt")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        diff = cdc.snapshot_diff(a, b, "c_custkey", ["c_acctbal"])
+        plan = _plan(diff)
+        assert "Exchange" not in plan, plan
+        ops = {r.op for r in diff.collect()}
+        assert ops == {"update", "unchanged"}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
