@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum": Q.table_checksum,
         "grouped_checksum": Q.grouped_checksum,
         "dq_checks": Q.dq_checks,
+        "fuzzy_resolve": Q.fuzzy_resolve,
         # red in r2 (harness canonicalization) — fixed, needs a row
         "kmeans": Q.kmeans,
         # reference pipeline distinct paths
@@ -189,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "table_checksum": oracle.TABLE_CHECKSUM_Q,
         "grouped_checksum": oracle.GROUPED_CHECKSUM_Q,
         "dq_checks": oracle.DQ_CHECKS_Q,
+        "fuzzy_resolve": oracle.fuzzy_resolve_sql(),
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

@@ -1422,3 +1422,25 @@ SELECT 'ref_integrity(o_custkey->c_custkey)',
   CAST((SELECT count(*) FROM corrupted c
         LEFT JOIN customer p ON c.o_custkey = p.c_custkey
         WHERE c.o_custkey IS NOT NULL AND p.c_custkey IS NULL) AS BIGINT)"""
+
+
+def fuzzy_resolve_sql() -> str:
+    """Twin of ``queries.fuzzy_resolve``: recursive transitive closure
+    over the blocked-levenshtein pairs, canonical = min reachable id."""
+    return f"""WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({FUZZY_JOIN_Q})
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), walk AS (
+  SELECT src, dst AS lbl FROM edges
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.src = e.dst
+), comp AS (
+  SELECT src AS id, least(src, min(lbl)) AS canonical FROM walk GROUP BY src
+)
+SELECT p.p_partkey,
+       coalesce(c.canonical, p.p_partkey) AS canonical_id,
+       coalesce(c.canonical, p.p_partkey) = p.p_partkey AS is_kept
+FROM part p LEFT JOIN comp c ON c.id = p.p_partkey"""

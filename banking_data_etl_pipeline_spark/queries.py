@@ -1076,3 +1076,16 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ref_integrity=[("o_custkey", cust, "c_custkey")],
     )
+
+
+def fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end record linkage: blocked levenshtein candidate pairs
+    -> connected components -> canonical (lowest) id per cluster of
+    near-identical part names. Same resolution machinery as
+    dedup_resolve, different candidate generator."""
+    from .operators import fuzzy
+
+    tune_for_oracle(spark)
+    part = tables.load(spark, sf_dir, "part")
+    pairs = fuzzy.fuzzy_name_pairs(part, "p_partkey", "p_name")
+    return dedup.resolve_duplicates(part, pairs, id_col="p_partkey")

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "table_checksum",
     "grouped_checksum",
     "dq_checks",
+    "fuzzy_resolve",
 ]
 
 
