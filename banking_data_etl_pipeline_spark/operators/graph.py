@@ -42,12 +42,15 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     li = lineitem.select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
-    return (
+    # dedupe only the src < dst half (halves the distinct's shuffle
+    # volume), then mirror map-only — the union adds no exchange
+    half = (
         a.join(b, "l_orderkey")
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
+    return half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
 def pagerank(
