@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_checksum": Q.grouped_checksum,
         "dq_checks": Q.dq_checks,
         "fuzzy_resolve": Q.fuzzy_resolve,
+        "event_deltas": Q.event_deltas,
         # red in r2 (harness canonicalization) — fixed, needs a row
         "kmeans": Q.kmeans,
         # reference pipeline distinct paths
@@ -191,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_checksum": oracle.GROUPED_CHECKSUM_Q,
         "dq_checks": oracle.DQ_CHECKS_Q,
         "fuzzy_resolve": oracle.fuzzy_resolve_sql(),
+        "event_deltas": oracle.EVENT_DELTAS_Q,
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

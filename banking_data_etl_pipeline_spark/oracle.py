@@ -1444,3 +1444,11 @@ SELECT p.p_partkey,
        coalesce(c.canonical, p.p_partkey) AS canonical_id,
        coalesce(c.canonical, p.p_partkey) = p.p_partkey AS is_kept
 FROM part p LEFT JOIN comp c ON c.id = p.p_partkey"""
+
+
+# Twin of queries.event_deltas (LAG/LEAD, integer-microsecond gaps).
+EVENT_DELTAS_Q = """SELECT user_id, event_id,
+  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+  lead(event_id) OVER w AS next_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""

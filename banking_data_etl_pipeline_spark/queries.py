@@ -1089,3 +1089,20 @@ def fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = tables.load(spark, sf_dir, "part")
     pairs = fuzzy.fuzzy_name_pairs(part, "p_partkey", "p_name")
     return dedup.resolve_duplicates(part, pairs, id_col="p_partkey")
+
+
+def event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD deltas: per user, microsecond gap to the previous event
+    and id of the next — the change-over-time window shape. Partitions
+    by user (parallel at any scale); integer-microsecond math keeps the
+    gap exact cross-engine."""
+    tune_for_oracle(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(ts)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )

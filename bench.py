@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "grouped_checksum",
     "dq_checks",
     "fuzzy_resolve",
+    "event_deltas",
 ]
 
 
