@@ -160,6 +160,7 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "stream_static_join",
         "kmeans",
         "dedup_resolve",  # iterative label propagation (runs jobs eagerly)
+        "fuzzy_resolve",  # same resolver over fuzzy pairs
     }
     allowed_bnlj = {"ann_brute"}
     for name, fn in sorted(mod.queries().items()):
