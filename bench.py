@@ -104,6 +104,30 @@ BENCH_QUERIES = [
     "dq_checks",
     "fuzzy_resolve",
     "event_deltas",
+    # remaining registered queries: cheap singles, included so EVERY
+    # query has a round-over-round regression record
+    "stream_window_agg",
+    "error_split",
+    "parse_typed",
+    "repeat_customers",
+    "distinct_users",
+    "lapsed_customers",
+    "above_avg_orders",
+    "listagg_users",
+    "semi_join",
+    "anti_join",
+    "props_stats",
+    "age_group",
+    "wealth_segment",
+    "contact_day_type",
+    "has_loans",
+    "engagement_score",
+    "rfm_scores",
+    "customer_segment",
+    "normalize",
+    "range_filter",
+    "required_filter",
+    "lineage",
 ]
 
 
