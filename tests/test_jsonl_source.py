@@ -49,3 +49,25 @@ def test_jsonl_quarantines_malformed_lines(spark):
     quarantined = [r[jsonl.CORRUPT_COL] for r in bad.collect()]
     assert "this is not json" in quarantined
     assert any("notanumber" in q for q in quarantined)
+
+
+def test_schema_evolution_merges_generations(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from banking_data_etl_pipeline_spark.sources import evolution
+
+    d = tempfile.mkdtemp(prefix="test_evolve_")
+    v1, v2 = d + "/gen1", d + "/gen2"
+    spark.range(5).select(F.col("id"), F.lit("old").alias("tag")).write.parquet(v1)
+    spark.range(5, 10).select(
+        F.col("id"), F.lit("new").alias("tag"), (F.col("id") * 2).alias("score")
+    ).write.parquet(v2)
+
+    merged = evolution.read_evolved(spark, v1, v2)
+    assert set(merged.columns) == {"id", "tag", "score"}
+    rows = {r.id: (r.tag, r.score) for r in merged.collect()}
+    assert rows[0] == ("old", None)     # new column null on old files
+    assert rows[7] == ("new", 14)
+    assert len(rows) == 10
