@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks": Q.dq_checks,
         "fuzzy_resolve": Q.fuzzy_resolve,
         "event_deltas": Q.event_deltas,
+        "media_resize": Q.media_resize,
         # red in r2 (harness canonicalization) — fixed, needs a row
         "kmeans": Q.kmeans,
         # reference pipeline distinct paths
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_checks": oracle.DQ_CHECKS_Q,
         "fuzzy_resolve": oracle.fuzzy_resolve_sql(),
         "event_deltas": oracle.EVENT_DELTAS_Q,
+        "media_resize": oracle.media_resize_sql(),
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

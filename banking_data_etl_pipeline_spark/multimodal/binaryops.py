@@ -140,3 +140,67 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
             )
         ).alias("frame_offset"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized_sha", T.StringType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    target_h: int = 64,
+    target_w: int = 64,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Arrow-batched 'resize': shrink each payload to the byte budget
+    implied by the target dimensions (deterministic fake — a real
+    deployment decodes, resamples, re-encodes inside the same batch
+    iterator; the Spark-side contract is identical: binary in, binary-
+    derived columns out, bounded memory per batch).
+
+    The fake keeps ``len * min(target_area / decoded_area, 1)`` leading
+    bytes (int-truncated) and reports the new dims + content hash, so
+    downstream dedup/integrity checks exercise real plumbing."""
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise DecodeNotAvailable(
+                    "image/audio codecs are not installed in this environment"
+                )
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                h, w, _c = _fake_decode_image(payload)
+                ratio = min((target_h * target_w) / (h * w), 1.0)
+                n_keep = max(1, int(len(payload) * ratio))
+                resized = payload[:n_keep]
+                rows.append(
+                    (
+                        mid, kind, target_h, target_w, n_keep,
+                        hashlib.sha256(resized).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "height", "width",
+                    "resized_bytes", "resized_sha",
+                ],
+            ).astype(
+                {"height": "int32", "width": "int32", "resized_bytes": "int64"}
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        op, RESIZE_SCHEMA
+    )

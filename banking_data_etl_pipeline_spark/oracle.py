@@ -1452,3 +1452,31 @@ EVENT_DELTAS_Q = """SELECT user_id, event_id,
   lead(event_id) OVER w AS next_event_id
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
+def media_resize_sql(target_h: int = 64, target_w: int = 64) -> str:
+    """Twin of multimodal.binaryops.resize_media over the synthesized
+    media table. Byte-slice == char-substring here because the corpus
+    is ASCII (asserted against the testdata); Python int() truncation
+    == SQL floor() for the non-negative byte count."""
+    area = f"CAST({float(target_h * target_w)} AS DOUBLE)"
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+    text, octet_length(encode(text)) AS nb
+  FROM documents
+), d AS (
+  SELECT media_id, kind, text, nb,
+    32 + nb % 97 AS h, 32 + nb % 89 AS w
+  FROM m
+), r AS (
+  SELECT media_id, kind, text,
+    CAST(greatest(1, floor(nb * least({area} / (h * w),
+         CAST(1.0 AS DOUBLE)))) AS BIGINT) AS n_keep
+  FROM d
+)
+SELECT media_id, kind, CAST({target_h} AS INT) AS height,
+  CAST({target_w} AS INT) AS width,
+  n_keep AS resized_bytes,
+  sha256(substring(text, 1, CAST(n_keep AS INT))) AS resized_sha
+FROM r"""

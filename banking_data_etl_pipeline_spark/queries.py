@@ -1106,3 +1106,11 @@ def event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         (us - F.lag(us).over(w)).alias("gap_us"),
         F.lead("event_id").over(w).alias("next_event_id"),
     )
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media resize plumbing (deterministic fake codec):
+    new dims, byte budget, and content hash per payload."""
+    tune_for_oracle(spark)
+    media = binaryops.synthesize_media(tables.load(spark, sf_dir, "documents"))
+    return binaryops.resize_media(media)

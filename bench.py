@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "dq_checks",
     "fuzzy_resolve",
     "event_deltas",
+    "media_resize",
     # remaining registered queries: cheap singles, included so EVERY
     # query has a round-over-round regression record
     "stream_window_agg",

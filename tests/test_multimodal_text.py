@@ -94,3 +94,19 @@ def test_fingerprint_deterministic(spark):
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
     assert len(rows[1]) == 32
+
+
+def test_resize_media_shrinks_and_hashes(spark):
+    import hashlib
+
+    media = binaryops.synthesize_media(tables.load(spark, SF_DIR, "documents"))
+    out = {r.media_id: r for r in binaryops.resize_media(media, 8, 8).collect()}
+    src = {r.media_id: bytes(r.payload) for r in media.select("media_id", "payload").collect()}
+    assert set(out) == set(src)
+    for mid, r in out.items():
+        assert (r.height, r.width) == (8, 8)
+        assert 1 <= r.resized_bytes <= len(src[mid])
+        assert r.resized_sha == hashlib.sha256(src[mid][: r.resized_bytes]).hexdigest()
+    # a small target must actually shrink a typical payload
+    shrunk = [m for m in out if out[m].resized_bytes < len(src[m])]
+    assert len(shrunk) > len(out) // 2
