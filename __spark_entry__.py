@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks": Q.dq_checks,
         "fuzzy_resolve": Q.fuzzy_resolve,
         "event_deltas": Q.event_deltas,
+        "event_transitions": Q.event_transitions,
         "media_resize": Q.media_resize,
         # red in r2 (harness canonicalization) — fixed, needs a row
         "kmeans": Q.kmeans,
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_resolve": oracle.fuzzy_resolve_sql(),
         "event_deltas": oracle.EVENT_DELTAS_Q,
         "media_resize": oracle.media_resize_sql(),
+        "event_transitions": oracle.EVENT_TRANSITIONS_Q,
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

@@ -1480,3 +1480,15 @@ SELECT media_id, kind, CAST({target_h} AS INT) AS height,
   n_keep AS resized_bytes,
   sha256(substring(text, 1, CAST(n_keep AS INT))) AS resized_sha
 FROM r"""
+
+
+# Twin of queries.event_transitions.
+EVENT_TRANSITIONS_Q = """WITH t AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n_transitions
+FROM t WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type"""

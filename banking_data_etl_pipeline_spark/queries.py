@@ -1114,3 +1114,21 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     media = binaryops.synthesize_media(tables.load(spark, sf_dir, "documents"))
     return binaryops.resize_media(media)
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts: per (event_type -> next event_type)
+    pair within each user's timeline — the behavioral-model input. One
+    user-partitioned window + one low-cardinality groupBy."""
+    tune_for_oracle(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

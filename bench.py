@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "fuzzy_resolve",
     "event_deltas",
     "media_resize",
+    "event_transitions",
     # remaining registered queries: cheap singles, included so EVERY
     # query has a round-over-round regression record
     "stream_window_agg",
