@@ -1068,14 +1068,28 @@ SELECT coalesce(c.k, n.k) AS c_custkey,
   c.bal_old AS c_acctbal_old, n.bal_new AS c_acctbal_new
 FROM cur c FULL OUTER JOIN nxt n ON c.k = n.k"""
 
-# Twin of operators.fuzzy.fuzzy_name_pairs (first-token blocking,
-# levenshtein 1..3; distance 0 is exact dedup's job).
+# Twin of operators.fuzzy.fuzzy_name_pairs: composite blocking key
+# (first token, floor(len/3) length band), hot composite blocks
+# (> 100k rows) dropped whole exactly like the Spark side, levenshtein
+# 1..3 (distance 0 is exact dedup's job). The Spark ±1-band probe is
+# expressed here as abs(band diff) <= 1 — same pair set; the band
+# restriction itself discards nothing the distance threshold keeps
+# (|len diff| <= 3 ⇒ adjacent bands at width 3).
 FUZZY_JOIN_Q = """WITH p AS (
-  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS tok,
+         CAST(floor(length(p_name) / 3.0) AS BIGINT) AS band
+  FROM part
+), cold AS (
+  SELECT p.* FROM p
+  JOIN (SELECT tok, band FROM p GROUP BY tok, band
+        HAVING count(*) <= 100000) sz
+  ON p.tok = sz.tok AND p.band = sz.band
 )
 SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
-FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+FROM cold a JOIN cold b
+  ON a.tok = b.tok AND abs(a.band - b.band) <= 1
+ AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3"""
 
 
