@@ -83,11 +83,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_checksum": Q.grouped_checksum,
         "dq_checks": Q.dq_checks,
         "fuzzy_resolve": Q.fuzzy_resolve,
+        # never driver-checked before r4 (sat at positions 51-52, just
+        # past the 50-query window) — promoted per the r3 verdict
+        "media_resize": Q.media_resize,
+        "kmeans": Q.kmeans,
+        # green r3 rows — demoted to make room above
         "event_deltas": Q.event_deltas,
         "event_transitions": Q.event_transitions,
-        "media_resize": Q.media_resize,
-        # red in r2 (harness canonicalization) — fixed, needs a row
-        "kmeans": Q.kmeans,
         # reference pipeline distinct paths
         "error_records": Q.error_records,
         "error_split": Q.error_split,

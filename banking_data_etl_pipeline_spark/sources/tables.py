@@ -23,16 +23,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     assert name in TABLES, f"unknown table {name}"
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # The driver parquet stores ts as INT64 TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos.
-        # DuckDB (the oracle) truncates nanos -> micros on read, so the
-        # parity-exact conversion is integer-div by 1000 (NOT float
-        # division: 1.7e18 ns exceeds double's 2^53 exact-int range).
+        # The driver parquet has shipped ts in different encodings
+        # across rounds; normalize every one to micros-precision
+        # TimestampType so downstream operators (unix_micros, windows)
+        # see one type:
+        #   - INT64 TIMESTAMP(NANOS): arrives as long nanos under
+        #     spark.sql.legacy.parquet.nanosAsLong. DuckDB (the oracle)
+        #     truncates nanos -> micros on read, so the parity-exact
+        #     conversion is integer-div by 1000 (NOT float division:
+        #     1.7e18 ns exceeds double's 2^53 exact-int range).
+        #   - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+        #     TIMESTAMP_NTZ; the session TZ is pinned UTC
+        #     (session.py:33), so a cast reinterprets the naive value
+        #     as UTC — exactly how DuckDB epochs a naive timestamp.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -31,9 +31,11 @@ EVENTS_SCHEMA = T.StructType(
     ]
 )
 
-# The driver parquet stores ts as INT64 TIMESTAMP(NANOS); under
-# spark.sql.legacy.parquet.nanosAsLong the stream source must declare it
-# LongType and convert (same micros truncation as sources.tables.load).
+# The driver parquet has shipped ts as INT64 TIMESTAMP(NANOS) in some
+# rounds and TIMESTAMP(MICROS) in others. A file-source stream must
+# declare its schema up front, so read ts as raw INT64 either way and
+# let events_stream() pick the units (the INT64 payload is nanos or
+# micros respectively; the declared LongType reads both).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -44,6 +46,28 @@ EVENTS_RAW_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming reader for an events dir with timestamp-unit sniffing.
+
+    Probes the parquet footer via a driver-side batch schema inference
+    (metadata-only, no data scan): under ``nanosAsLong`` a NANOS file
+    infers ts as LongType, a MICROS file as TimestampType. The stream
+    then declares ts as raw INT64 and applies the matching conversion
+    to micros-precision TimestampType — identical to what
+    ``sources.tables.load`` produces for the batch twins, which is what
+    the batch/stream parity tests and shared oracles require."""
+    nanos = isinstance(
+        spark.read.parquet(events_dir).schema["ts"].dataType, T.LongType
+    )
+    to_ts = "timestamp_micros(ts DIV 1000)" if nanos else "timestamp_micros(ts)"
+    return (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(events_dir)
+        .withColumn("ts", F.expr(to_ts))
+    )
 
 
 def _window_agg(events: DataFrame) -> DataFrame:
@@ -100,12 +124,7 @@ def windowed_agg_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """The same aggregation as an unbounded plan: file source +
     10-minute watermark (late-data bound; state for a window is freed
     once the watermark passes its end)."""
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(events_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    stream = events_stream(spark, events_dir)
     return _window_agg(stream.withWatermark("ts", "10 minutes"))
 
 
@@ -168,9 +187,7 @@ def stateful_user_totals(spark: SparkSession, events_dir: str, name: str) -> Dat
             }
         )
 
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(events_dir)
-    )
+    stream = events_stream(spark, events_dir)
     updates = stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
@@ -211,10 +228,7 @@ def stream_dedup_totals(
     dup-arrival bound; it exceeds the test data's 1-month span so
     nothing is dropped as late."""
     stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(events_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        events_stream(spark, events_dir)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
@@ -256,10 +270,7 @@ def stream_interval_join_counts(
     checks the streamed counts equal the batch range join exactly."""
     def side(alias: str) -> DataFrame:
         return (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .format("parquet")
-            .load(events_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            events_stream(spark, events_dir)
             .withWatermark("ts", "1 hour")
             .select(
                 F.col("event_id").alias(f"{alias}_id"),
@@ -315,12 +326,7 @@ def stream_sessionize(
     ``tests/test_events_streaming.py::test_no_exact_gap_boundaries``."""
     from pyspark.sql import Window
 
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(events_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    stream = events_stream(spark, events_dir)
     sessions = stream.groupBy(
         F.col("user_id"), F.session_window("ts", f"{gap_minutes} minutes").alias("w")
     ).agg(
@@ -375,12 +381,8 @@ def stream_sessionize_append(
     merging still sees all late events)."""
     from pyspark.sql import Window
 
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(events_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        .withWatermark("ts", f"{watermark_minutes} minutes")
+    stream = events_stream(spark, events_dir).withWatermark(
+        "ts", f"{watermark_minutes} minutes"
     )
     sessions = stream.groupBy(
         F.col("user_id"), F.session_window("ts", f"{gap_minutes} minutes").alias("w")
@@ -459,12 +461,7 @@ def stream_static_join(
     cardinality, not feed length. Sums go through DECIMAL so the result
     is micro-batch-split invariant and equals the batch twin exactly.
     """
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(events_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    stream = events_stream(spark, events_dir)
     enriched = stream.join(
         F.broadcast(dim.select("c_custkey", "c_mktsegment")),
         stream["user_id"] == F.col("c_custkey"),
@@ -507,10 +504,7 @@ def stream_left_interval_join_counts(
     """
     def side(alias: str) -> DataFrame:
         return (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .format("parquet")
-            .load(events_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            events_stream(spark, events_dir)
             .withWatermark("ts", "1 hour")
             .select(
                 F.col("event_id").alias(f"{alias}_id"),

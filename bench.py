@@ -5,6 +5,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>, ...}
 
+The same line is also written to bench_result.json next to this file:
+in r3 the stdout line interleaved with Spark progress output and the
+driver's parsed record was lost ("parsed": null), so the file is the
+durable copy and stdout the driver-facing one (progress bars are
+disabled below so they can't clobber the line again).
+
 Each query is forced end-to-end with a noop write (full computation,
 no driver-side collect). The flagship `pipeline_enriched` is the
 comparable for BASELINE.md's 1M-records-in-252s anchor (~3,970 rec/s
@@ -160,19 +166,27 @@ def main() -> None:
     flag_rps = round(flag_rows / times["pipeline_enriched"], 1)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf),
-                "flagship_rows": flag_rows,
-                "flagship_rows_per_sec": flag_rps,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": float(sf),
+            "flagship_rows": flag_rows,
+            "flagship_rows_per_sec": flag_rps,
+        }
     )
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"),
+        "w",
+        encoding="utf-8",
+    ) as f:
+        f.write(line + "\n")
+    # drain any buffered Spark/log noise before the one stdout line
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
