@@ -36,18 +36,24 @@ def _trunc12(col: F.Column) -> F.Column:
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Symmetric distinct edges between parts appearing in the same
-    order. The self-join keys on l_orderkey (bounded fan-out: orders
-    have ~7 lines, so the blowup is ≤ 7² per order — a constant, not a
-    skew risk)."""
-    li = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("dst"))
-    # dedupe only the src < dst half (halves the distinct's shuffle
-    # volume), then mirror map-only — the union adds no exchange
+    order.
+
+    Shape: ONE shuffle gathers each order's part set (``collect_set``
+    also dedupes within the order, so no pre-``distinct`` pass), the
+    per-order pairing is a map-side double ``explode`` (bounded
+    fan-out: orders have ~7 lines, so the blowup is ≤ 7² per order — a
+    constant, not a skew risk), and one more shuffle dedupes the
+    src < dst half across orders before the map-only mirror union.
+    Two exchanges total, vs four for the equivalent self-join
+    formulation (distinct + re-shuffle of both join sides + pair
+    distinct) — the pairing itself never touches the network."""
+    sets = lineitem.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
     half = (
-        a.join(b, "l_orderkey")
+        sets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
         .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
         .distinct()
     )
     return half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -65,20 +71,29 @@ def pagerank(
     aggregation); above it the join falls back to a shuffle that
     co-partitions with the contribution aggregation. Node counts are
     usually orders of magnitude below edge counts, so the broadcast
-    path is the common case."""
-    edges = copurchase_edges(lineitem)
+    path is the common case.
+
+    Each iteration's rank vector is persisted, materialized, and its
+    predecessor released — lineage truncation, the same discipline as
+    ``dedup.resolve_duplicates``. Without it the final action executes
+    a plan nested ``iters`` deep whose broadcast stages re-run every
+    earlier iteration (measured superlinear: the 3-deep chain cost
+    ~2x the sum of its per-iteration parts at sf0.1)."""
+    # PERSIST the raw edge list first: the degree aggregation and the
+    # deg-folded table both consume it, and without the cache the
+    # collect_set + pair-distinct build would run once per consumer
+    # (it is the dominant cost of the whole query).
+    edges = copurchase_edges(lineitem).persist()
+    # deg is node-count-sized -> broadcast the fold; the 2.4M-row (at
+    # sf0.1) edge side then never shuffles on the way into the cache
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # fold outdegree into the edge list once and PERSIST it: every
-    # iteration reuses this exact table, and without the cache each
-    # iteration would re-run the order self-join + distinct (the
-    # dominant cost). Callers running query batteries clear the cache
-    # between queries (bench.py / the parity gate); a production run
-    # would checkpoint the edge list to bucketed parquet instead.
-    ed = edges.join(deg, "src").persist()
+    ed = edges.join(F.broadcast(deg), "src").persist()
 
     # node count: a scalar model parameter (the one driver-side pull);
-    # counting through `ed` also materializes the cache
+    # counting through `ed` also materializes both caches — after
+    # which the raw edge cache has no further consumer
     n_nodes = ed.select("src").distinct().count()
+    edges.unpersist()
     base = F.lit(0.15) / F.lit(float(n_nodes))
 
     # derive the initial ranks from the cached edge table (going back
@@ -87,10 +102,10 @@ def pagerank(
         F.col("src").alias("node"),
         _trunc12(F.lit(1.0) / F.lit(float(n_nodes))).alias("r"),
     )
+    prev = None
     for _ in range(iters):
-        if n_nodes <= broadcast_nodes:
-            ranks = F.broadcast(ranks)
-        contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+        r_in = F.broadcast(ranks) if n_nodes <= broadcast_nodes else ranks
+        contrib = ed.join(r_in, ed["src"] == r_in["node"]).select(
             F.col("dst"),
             _trunc12(F.col("r") / F.col("deg")).alias("c"),
         )
@@ -103,5 +118,16 @@ def pagerank(
                 F.col("dst").alias("node"),
                 _trunc12(base + F.lit(DAMPING) * F.col("s")).alias("r"),
             )
+            .persist()
         )
+        ranks.count()  # materialize now; truncates the lineage
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    # Release the edge cache before returning: a long-lived session
+    # calling pagerank repeatedly must not accumulate edge-list-sized
+    # storage blocks per call. The returned DataFrame stays persisted —
+    # caller-owned, one row per node (unpersist it or clearCache when
+    # done, as bench.py and the parity gate already do).
+    ed.unpersist()
     return ranks
