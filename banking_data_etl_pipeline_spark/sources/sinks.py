@@ -78,8 +78,34 @@ def write_zordered(
     parquet min/max row-group stats prune scans filtered on EITHER
     column, which a single-column sort only gives you for its leading
     column. This is the data-skipping layout for the two-predicate
-    scan pattern (e.g. time × tenant)."""
-    z = zorder_key(F.col(col_a), F.col(col_b), bits)
+    scan pattern (e.g. time × tenant).
+
+    Inputs are QUANTIZED here before interleaving (fixed-width bucket
+    to ``bits`` bits from each column's observed min/max — an identity
+    mapping when the column already fits): ``zorder_key`` silently
+    drops bits above ``bits``, which would collapse distant values
+    onto one Morton key and void the bounded-rectangle property. The
+    min/max pull is two scalars per column — model-parameter scale,
+    same budget class as PageRank's node count."""
+    mm = df.agg(
+        F.min(col_a).alias("a_mn"), F.max(col_a).alias("a_mx"),
+        F.min(col_b).alias("b_mn"), F.max(col_b).alias("b_mx"),
+    ).collect()[0]
+
+    def quantized(c: str, mn, mx) -> F.Column:
+        # power-of-two bucket width -> the quantization is an exact
+        # integer shiftright (double division would round above 2^53);
+        # shift 0 (identity) when the span already fits in ``bits``
+        span = int(mx) - int(mn) + 1
+        shift = max(0, (span - 1).bit_length() - bits)
+        base = F.coalesce(F.col(c), F.lit(int(mn))).cast("long") - F.lit(int(mn))
+        return F.shiftright(base, shift)
+
+    z = zorder_key(
+        quantized(col_a, mm.a_mn, mm.a_mx),
+        quantized(col_b, mm.b_mn, mm.b_mx),
+        bits,
+    )
     (
         df.withColumn("_z", z)
         .repartitionByRange(files, F.col("_z"))
@@ -101,18 +127,36 @@ def compact(
     sinks and over-parallel writers (every file costs a task + a
     metadata op per downstream scan); periodic compaction is the
     standard fix. The rewrite is one shuffle-free coalesce when
-    shrinking; the swap is a rename, so readers see either the old or
-    the new layout, never a mix."""
+    shrinking.
+
+    Swap semantics, honestly stated: plain POSIX cannot exchange two
+    directories atomically, so there is a sub-millisecond window
+    between the two renames in which ``path`` does not exist and a
+    concurrent open fails (a reader mid-scan of already-opened files
+    is unaffected; it never sees a MIX of layouts). Crash recovery is
+    handled at entry instead of pretending the window away: a crash
+    inside the window leaves ``path`` missing and ``.old`` intact, and
+    the next call restores it; stale ``.old``/``.compact_tmp``
+    leftovers from any earlier crash are cleared so reruns cannot fail
+    on ENOTEMPTY. Single-compactor discipline assumed (run it from one
+    scheduler slot). For readers that cannot tolerate the window, use
+    the versioned-directory + pointer-file protocol in
+    ``streaming.upsert`` — at the price of pointer-aware reads."""
     import math
     import os
     import shutil
 
+    old = path + ".old"
+    tmp = path + ".compact_tmp"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)  # crashed inside a previous swap window
+    shutil.rmtree(tmp, ignore_errors=True)  # half-written rewrite
+    shutil.rmtree(old, ignore_errors=True)  # superseded layout
+
     df = spark.read.parquet(path)
     n = df.count()
     files = max(1, math.ceil(n / target_rows_per_file))
-    tmp = path + ".compact_tmp"
     df.coalesce(files).write.mode("overwrite").parquet(tmp)
-    old = path + ".old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)

@@ -235,3 +235,60 @@ def test_compaction_preserves_data_and_bounds_files(spark):
     assert n_files == 3
     assert len(glob.glob(p + "/part-*.parquet")) == 3
     assert {r.id for r in spark.read.parquet(p).collect()} == before
+
+
+def test_compact_recovers_from_crash_window(spark):
+    """A crash between compact()'s two renames leaves path missing and
+    .old intact; the next call must restore and proceed, and stale
+    leftovers must not fail the rerun with ENOTEMPTY."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from banking_data_etl_pipeline_spark.sources import sinks
+
+    d = tempfile.mkdtemp(prefix="test_compact_crash_")
+    p = d + "/t"
+    spark.range(8_000).repartition(16).write.parquet(p)
+    before = {r.id for r in spark.read.parquet(p).collect()}
+    # simulate the crash: path renamed away, stale tmp left behind
+    os.rename(p, p + ".old")
+    os.makedirs(p + ".compact_tmp")
+    n_files = sinks.compact(spark, p, target_rows_per_file=4_000)
+    assert n_files == 2
+    assert {r.id for r in spark.read.parquet(p).collect()} == before
+    assert not os.path.exists(p + ".old")
+    assert not os.path.exists(p + ".compact_tmp")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zorder_quantizes_out_of_range_inputs(spark):
+    """Columns wider than 2^bits must be bucketed, not bit-truncated:
+    with raw truncation rows 0 and 2^bits collide on one Morton key
+    and the per-file rectangles blow up. Quantized, a coarse grid of
+    huge values still yields bounded rectangles per file."""
+    import glob
+    import shutil
+    import tempfile
+
+    from banking_data_etl_pipeline_spark.sources import sinks
+
+    # 64x64 grid scaled far beyond 2^8: values in [0, 63*2**40]
+    grid = spark.range(64 * 64).select(
+        ((F.col("id") % 64) * (1 << 40)).alias("x"),
+        ((F.col("id") / 64).cast("long") * (1 << 40)).alias("y"),
+    )
+    d = tempfile.mkdtemp(prefix="test_zorder_q_")
+    sinks.write_zordered(grid, d + "/z", "x", "y", files=16, bits=8)
+    exts = []
+    for f in glob.glob(d + "/z/part-*.parquet"):
+        r = spark.read.parquet(f).agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        ).collect()[0]
+        exts.append((r.dx >> 40, r.dy >> 40))
+    full = 63
+    bounded = [e for e in exts if e[0] <= full // 2 and e[1] <= full // 2]
+    assert len(bounded) >= len(exts) * 0.6, exts
+    shutil.rmtree(d, ignore_errors=True)
