@@ -79,17 +79,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_totals": Q.decay_totals,
         "emb_dim_stats": Q.emb_dim_stats,
         "split_manifest": Q.split_manifest,
-        "table_checksum": Q.table_checksum,
-        "grouped_checksum": Q.grouped_checksum,
         "dq_checks": Q.dq_checks,
         "fuzzy_resolve": Q.fuzzy_resolve,
         # never driver-checked before r4 (sat at positions 51-52, just
         # past the 50-query window) — promoted per the r3 verdict
         "media_resize": Q.media_resize,
         "kmeans": Q.kmeans,
+        # new in round 4: source-layer paths, first driver rows
+        "jsonl_quarantine": Q.jsonl_quarantine,
+        "evolved_union": Q.evolved_union,
         # green r3 rows — demoted to make room above
         "event_deltas": Q.event_deltas,
         "event_transitions": Q.event_transitions,
+        "table_checksum": Q.table_checksum,
+        "grouped_checksum": Q.grouped_checksum,
         # reference pipeline distinct paths
         "error_records": Q.error_records,
         "error_split": Q.error_split,
@@ -199,6 +202,8 @@ def oracle_sql() -> dict[str, str]:
         "event_deltas": oracle.EVENT_DELTAS_Q,
         "media_resize": oracle.media_resize_sql(),
         "event_transitions": oracle.EVENT_TRANSITIONS_Q,
+        "jsonl_quarantine": oracle.JSONL_QUARANTINE_Q,
+        "evolved_union": oracle.EVOLVED_UNION_Q,
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

@@ -1506,3 +1506,25 @@ EVENT_TRANSITIONS_Q = """WITH t AS (
 SELECT from_type, to_type, count(*) AS n_transitions
 FROM t WHERE to_type IS NOT NULL
 GROUP BY from_type, to_type"""
+
+
+# Twin of queries.jsonl_quarantine: the JSONL round-trip is
+# deterministic end-to-end (to_json -> from_json on doc_id+lang is an
+# identity for well-formed rows; corrupt lines are literal
+# '{corrupt <id>' strings), so the oracle reconstructs both channels
+# straight from the documents table.
+JSONL_QUARANTINE_Q = """
+SELECT doc_id, lang AS payload, 'good' AS channel
+FROM documents WHERE doc_id % 97 <> 0
+UNION ALL
+SELECT NULL AS doc_id,
+       '{corrupt ' || CAST(doc_id AS VARCHAR) AS payload,
+       'quarantine' AS channel
+FROM documents WHERE doc_id % 97 = 0"""
+
+# Twin of queries.evolved_union: generation 1 (even doc_id) lacks
+# n_chars, so the merged scan surfaces it as NULL there.
+EVOLVED_UNION_Q = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE NULL END AS n_chars
+FROM documents"""

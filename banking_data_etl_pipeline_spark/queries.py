@@ -1132,3 +1132,70 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+def jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source path end-to-end: documents serialized to JSON-lines
+    with a deterministic corrupt subset (doc_id % 97 == 0 becomes an
+    unparseable line), read back through the text-scan + from_json
+    split (sources.jsonl.split_jsonl) — typed good rows and raw
+    quarantined lines re-joined under a channel tag so the oracle
+    checks BOTH sides row-by-row."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sources import jsonl
+
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.concat(F.lit("{corrupt "), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "lang")))
+        .alias("value")
+    )
+    d = tempfile.mkdtemp(prefix="jsonl_quarantine_")
+    lines.coalesce(4).write.mode("overwrite").text(d + "/feed")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    good, bad = jsonl.split_jsonl(spark, d + "/feed", schema)
+    return good.select(
+        "doc_id",
+        F.col("lang").alias("payload"),
+        F.lit("good").alias("channel"),
+    ).unionByName(
+        bad.select(
+            F.lit(None).cast("long").alias("doc_id"),
+            F.col(jsonl.CORRUPT_COL).alias("payload"),
+            F.lit("quarantine").alias("channel"),
+        )
+    )
+
+
+def evolved_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet writer generations (the
+    second adds n_chars) merged on scan via mergeSchema
+    (sources.evolution.read_evolved); the old generation surfaces the
+    added column as null — additive evolution without rewriting
+    history."""
+    import tempfile
+
+    from .sources import evolution
+
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="evolved_union_")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").coalesce(
+        2
+    ).write.mode("overwrite").parquet(d + "/gen1")
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    ).coalesce(2).write.mode("overwrite").parquet(d + "/gen2")
+    return evolution.read_evolved(spark, d + "/gen1", d + "/gen2")

@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "event_deltas",
     "media_resize",
     "event_transitions",
+    "jsonl_quarantine",
+    "evolved_union",
     # remaining registered queries: cheap singles, included so EVERY
     # query has a round-over-round regression record
     "stream_window_agg",

@@ -110,3 +110,18 @@ def test_resize_media_shrinks_and_hashes(spark):
     # a small target must actually shrink a typical payload
     shrunk = [m for m in out if out[m].resized_bytes < len(src[m])]
     assert len(shrunk) > len(out) // 2
+
+
+def test_real_decode_raises_through_spark(spark):
+    """The real-decode escape hatch must fail LOUDLY through a
+    mapInPandas task — a clean DecodeNotAvailable surfaced in the
+    driver-side error, not a silent fall-through to the fake decoder
+    (which would report fabricated dimensions as if decoded)."""
+    import pytest
+    from pyspark.errors import PythonException
+
+    media = _media(spark).limit(4)
+    with pytest.raises(PythonException) as ei:
+        binaryops.extract_features(media, real_decode=True).collect()
+    assert "DecodeNotAvailable" in str(ei.value)
+    assert "codecs are not installed" in str(ei.value)
