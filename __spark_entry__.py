@@ -88,6 +88,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4: source-layer paths, first driver rows
         "jsonl_quarantine": Q.jsonl_quarantine,
         "evolved_union": Q.evolved_union,
+        # new in r4 but past the window (it is full of other
+        # first-timers) — judge-gate/pytest-proven now, first in line
+        # for a driver row in r5
+        "repetition_filter": Q.repetition_filter,
         # green r3 rows — demoted to make room above
         "event_deltas": Q.event_deltas,
         "event_transitions": Q.event_transitions,
@@ -204,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": oracle.EVENT_TRANSITIONS_Q,
         "jsonl_quarantine": oracle.JSONL_QUARANTINE_Q,
         "evolved_union": oracle.EVOLVED_UNION_Q,
+        "repetition_filter": oracle.REPETITION_Q,
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

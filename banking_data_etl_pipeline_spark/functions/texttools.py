@@ -175,3 +175,48 @@ def redact_pii(text: Column) -> Column:
         PHONE_PATTERN,
         "<PHONE>",
     )
+
+
+
+def repetition_signals(text: Column) -> list[Column]:
+    """Gopher-style within-document repetition signals, entirely
+    map-side (zero shuffles: every quantity is a higher-order-function
+    fold over the doc's own token array — the scale shape you want for
+    a 100 TB quality-filter pass, one codegen stage riding the scan):
+
+    - ``top_bigram_frac``: share of bigram occurrences taken by the
+      most frequent bigram (boilerplate/chant detector),
+    - ``dup_trigram_frac``: share of trigram occurrences that are
+      repeats of an earlier trigram (loop detector).
+
+    Both are NULL for docs too short to form the n-gram. The max-
+    multiplicity scan is O(distinct × length) per doc — quadratic in
+    the doc, constant per corpus row, embarrassingly parallel.
+    Ratios round to 6 dp so the DuckDB twin (list_* lambdas over the
+    same integer counts) hash-matches bit-for-bit.
+    """
+    toks = tokens(text)
+    bg = word_shingles(toks, 2)
+    tg = word_shingles(toks, 3)
+    top_bg = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda b: F.size(F.filter(bg, lambda x: x == b)),
+        )
+    )
+    top_bigram_frac = F.when(
+        F.size(bg) > 0, F.round(top_bg / F.size(bg), 6)
+    )
+    dup_trigram_frac = F.when(
+        F.size(tg) > 0,
+        F.round((F.size(tg) - F.size(F.array_distinct(tg))) / F.size(tg), 6),
+    )
+    return [
+        F.size(toks).cast("long").alias("n_words"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        dup_trigram_frac.alias("dup_trigram_frac"),
+        (
+            (F.coalesce(top_bigram_frac, F.lit(0.0)) <= F.lit(0.18))
+            & (F.coalesce(dup_trigram_frac, F.lit(0.0)) <= F.lit(0.30))
+        ).alias("keep"),
+    ]

@@ -1528,3 +1528,30 @@ EVOLVED_UNION_Q = """
 SELECT doc_id, lang,
        CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE NULL END AS n_chars
 FROM documents"""
+
+
+# Twin of queries.repetition_filter / texttools.repetition_signals:
+# identical integer counts via list_* lambdas, ratios rounded to 6 dp
+# on both engines.
+REPETITION_Q = f"""WITH t AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, len(toks) AS n_words,
+         {_word_shingles('toks', 2)} AS bg,
+         {_word_shingles('toks', 3)} AS tg
+  FROM t
+), s AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+    CASE WHEN len(bg) > 0 THEN round(
+      list_max(list_transform(list_distinct(bg),
+                              b -> len(list_filter(bg, x -> x = b))))
+      * 1.0 / len(bg), 6) END AS top_bigram_frac,
+    CASE WHEN len(tg) > 0 THEN round(
+      (len(tg) - len(list_distinct(tg))) * 1.0 / len(tg), 6)
+    END AS dup_trigram_frac
+  FROM g
+)
+SELECT doc_id, n_words, top_bigram_frac, dup_trigram_frac,
+       (coalesce(top_bigram_frac, 0.0) <= 0.18
+        AND coalesce(dup_trigram_frac, 0.0) <= 0.30) AS keep
+FROM s"""

@@ -1199,3 +1199,14 @@ def evolved_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars"
     ).coalesce(2).write.mode("overwrite").parquet(d + "/gen2")
     return evolution.read_evolved(spark, d + "/gen1", d + "/gen2")
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition quality filter:
+    top-bigram occupancy and duplicate-trigram fraction per doc, plus
+    the keep/cull verdict. Entirely map-side (higher-order functions
+    over each doc's own token array) — zero shuffles, the ideal
+    100 TB quality-pass shape."""
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select("doc_id", *texttools.repetition_signals(F.col("text")))

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "jsonl_quarantine",
     "evolved_union",
+    "repetition_filter",
     # remaining registered queries: cheap singles, included so EVERY
     # query has a round-over-round regression record
     "stream_window_agg",

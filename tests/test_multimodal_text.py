@@ -125,3 +125,28 @@ def test_real_decode_raises_through_spark(spark):
         binaryops.extract_features(media, real_decode=True).collect()
     assert "DecodeNotAvailable" in str(ei.value)
     assert "codecs are not installed" in str(ei.value)
+
+
+def test_repetition_signals(spark):
+    """Repetition fractions bounded and the verdicts sort correctly: a
+    chanted bigram doc is culled, varied prose is kept, a too-short
+    doc gets null signals but survives (insufficient evidence)."""
+    from banking_data_etl_pipeline_spark.functions import texttools
+
+    rows = [
+        (1, "buy now " * 50),                       # one bigram everywhere
+        (2, "the quick brown fox jumps over a lazy dog near the riverbank"),
+        (3, "word"),                                # too short for bigrams
+        (4, ("a b c d e f g h " * 10)),             # loops trigrams hard
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", *texttools.repetition_signals(F.col("text"))
+    )
+    out = {r.doc_id: r for r in df.collect()}
+    for r in out.values():
+        for v in (r.top_bigram_frac, r.dup_trigram_frac):
+            assert v is None or 0.0 <= v <= 1.0
+    assert not out[1].keep and out[1].top_bigram_frac > 0.4
+    assert out[2].keep
+    assert out[3].keep and out[3].top_bigram_frac is None
+    assert not out[4].keep and out[4].dup_trigram_frac > 0.8
