@@ -1555,3 +1555,37 @@ SELECT doc_id, n_words, top_bigram_frac, dup_trigram_frac,
        (coalesce(top_bigram_frac, 0.0) <= 0.18
         AND coalesce(dup_trigram_frac, 0.0) <= 0.30) AS keep
 FROM s"""
+
+
+# Twin of queries.profile_orders: identical canonical string forms —
+# longs as digits, doubles through DECIMAL(18,4) fixed scale,
+# timestamps as epoch microseconds (UTC both engines).
+def _profile_col(c: str, canon_min: str, canon_max: str) -> str:
+    return (
+        f"SELECT '{c}' AS column_name,"
+        f" CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+        f" {canon_min} AS min_value, {canon_max} AS max_value FROM orders"
+    )
+
+
+def _canon_sql(c: str, kind: str, agg: str) -> str:
+    e = f"{agg}({c})"
+    if kind == "ts":
+        return f"CAST(epoch_us({e}) AS VARCHAR)"
+    if kind == "dbl":
+        return f"CAST(CAST(round({e}, 4) AS DECIMAL(18,4)) AS VARCHAR)"
+    return f"CAST({e} AS VARCHAR)"
+
+
+PROFILE_ORDERS_Q = " UNION ALL ".join(
+    _profile_col(c, _canon_sql(c, kind, "min"), _canon_sql(c, kind, "max"))
+    for c, kind in [
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "dbl"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ]
+)

@@ -1210,3 +1210,26 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     docs = tables.load(spark, sf_dir, "documents")
     return docs.select("doc_id", *texttools.repetition_signals(F.col("text")))
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of the orders table (null / distinct
+    counts, canonicalized min/max per column) — the PROFILE feature
+    that feeds data-quality rule authoring. Exact distincts here so
+    the oracle hash-matches; the operator's sketch mode is the wide-
+    table scale path."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    return profiling.profile_table(
+        orders,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "jsonl_quarantine",
     "evolved_union",
     "repetition_filter",
+    "profile_orders",
     # remaining registered queries: cheap singles, included so EVERY
     # query has a round-over-round regression record
     "stream_window_agg",

@@ -140,3 +140,27 @@ def test_expectations_single_pass_and_counts(spark):
     # all row-level rules ride ONE aggregation over one scan
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") <= 3, plan  # row rules + ref count
+
+
+def test_profile_table_exact_and_sketch(spark):
+    """Exact profile matches hand-computed stats; sketch mode stays
+    within HLL tolerance and avoids the exact-distinct Expand."""
+    from banking_data_etl_pipeline_spark.operators import profiling
+    from banking_data_etl_pipeline_spark.sources import tables
+
+    from conftest import SF_DIR
+
+    orders = tables.load(spark, SF_DIR, "orders")
+    cols = ["o_custkey", "o_orderstatus"]
+    prof = {r.column_name: r for r in profiling.profile_table(orders, cols).collect()}
+    want_distinct = orders.select("o_custkey").distinct().count()
+    assert prof["o_custkey"].n_distinct == want_distinct
+    assert prof["o_custkey"].n_nulls == 0
+    assert int(prof["o_custkey"].min_value) <= int(prof["o_custkey"].max_value)
+    approx = {
+        r.column_name: r
+        for r in profiling.profile_table(orders, cols, exact_distinct=False).collect()
+    }
+    assert abs(approx["o_custkey"].n_distinct - want_distinct) <= 0.1 * want_distinct
+    plan = profiling.profile_table(orders, cols, exact_distinct=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
