@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for a driver row in r5
         "repetition_filter": Q.repetition_filter,
         "profile_orders": Q.profile_orders,
+        "chunk_overlap": Q.chunk_overlap,
         # green r3 rows — demoted to make room above
         "event_deltas": Q.event_deltas,
         "event_transitions": Q.event_transitions,
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "evolved_union": oracle.EVOLVED_UNION_Q,
         "repetition_filter": oracle.REPETITION_Q,
         "profile_orders": oracle.PROFILE_ORDERS_Q,
+        "chunk_overlap": oracle.CHUNK_OVERLAP_Q,
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

@@ -1589,3 +1589,21 @@ PROFILE_ORDERS_Q = " UNION ALL ".join(
         ("o_orderpriority", "str"),
     ]
 )
+
+
+# Twin of queries.chunk_overlap (size=32, stride=16): overlapping token
+# windows; same construction as CHUNK_DOCS_Q with the stride split out.
+CHUNK_OVERLAP_Q = f"""WITH t AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), t2 AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+), idx AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, GREATEST(
+           CAST(ceil((n - 32) / CAST(16.0 AS DOUBLE)) AS INT) + 1, 1))) AS ci
+  FROM t2
+)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+  array_to_string(list_slice(toks, ci * 16 + 1, ci * 16 + 32), ' ') AS chunk_text,
+  CAST(LEAST(n - ci * 16, 32) AS INT) AS n_tokens
+FROM idx"""

@@ -1233,3 +1233,15 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         ],
     )
+
+
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunking (size=32, stride=16) — the RAG/embedding
+    windowing variant of chunk_docs (stride < size keeps context
+    across boundaries). Same map-only posexplode plan."""
+    from .operators import corpus
+
+    tune_for_oracle(spark)
+    return corpus.chunk_documents(
+        tables.load(spark, sf_dir, "documents"), size=32, stride=16
+    )

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "evolved_union",
     "repetition_filter",
     "profile_orders",
+    "chunk_overlap",
     # remaining registered queries: cheap singles, included so EVERY
     # query has a round-over-round regression record
     "stream_window_agg",
