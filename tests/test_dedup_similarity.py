@@ -191,3 +191,80 @@ def test_kmeans_deterministic_and_matches_numpy(spark):
     assert {c: n for c, (n, _) in got.items()} == sizes
     for c, (_, cent) in got.items():
         assert np.allclose(np.array(cent), C[c], atol=1e-4)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation (with its measured-edge-count partition
+    sizing) must equal a driver-side union-find, including singleton
+    handling via resolve_duplicates. The graph is CLUSTERED (random
+    near-cliques) — the operator's target shape, per its docstring:
+    near-dup components have diameter ~2-3, so the loop converges in a
+    few rounds (a long sparse path would instead need diameter
+    iterations — that regime belongs to a different algorithm)."""
+    import random
+
+    from banking_data_etl_pipeline_spark.operators import dedup
+
+    rng = random.Random(42)
+    n = 120
+    edge_set = set()
+    nodes = list(range(n))
+    rng.shuffle(nodes)
+    i = 0
+    while i < n:
+        k = rng.randrange(1, 9)  # cluster sizes 1..8 (1 = singleton)
+        cluster = nodes[i : i + k]
+        i += k
+        # a random spanning star + extra chords: connected, diameter <= 3
+        for v in cluster[1:]:
+            edge_set.add((min(cluster[0], v), max(cluster[0], v)))
+        for _ in range(len(cluster)):
+            a, b = rng.choice(cluster), rng.choice(cluster)
+            if a != b:
+                edge_set.add((min(a, b), max(a, b)))
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_set:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in range(n)}
+
+    pairs = spark.createDataFrame(sorted(edge_set), "id_a long, id_b long")
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {
+        r.doc_id: r.canonical_id
+        for r in dedup.resolve_duplicates(docs, pairs).collect()
+    }
+    assert got == want
+
+
+def test_run_stats_fold_matches_counter(spark):
+    """The sort+fold multiplicity/distinct stats must equal
+    collections.Counter on seeded random arrays (incl. empty)."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from banking_data_etl_pipeline_spark.functions import texttools
+
+    rng = random.Random(7)
+    arrays = [
+        [rng.choice("abcdef") for _ in range(rng.randrange(0, 40))]
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i long, arr array<string>"
+    ).select("i", texttools._run_stats(F.col("arr")).alias("s"))
+    got = {r.i: (r.s.best, r.s.nd) for r in df.collect()}
+    for i, a in enumerate(arrays):
+        c = Counter(a)
+        want = (max(c.values()) if c else 0, len(c))
+        assert got[i] == want, (i, a, got[i], want)
