@@ -261,14 +261,21 @@ def connected_components(
     representative is the lowest member id).
 
     Scale shape: each iteration is one equi-join on the edge list + one
-    groupBy — both parallel hash shuffles keyed on node id, no
-    all-pairs step anywhere. Iteration count is bounded by the
-    component DIAMETER, and near-dup components are dense (duplicate
-    clusters are near-cliques, diameter ~2), so convergence is a few
-    rounds; the loop stops early on a changed-label count of zero
-    (per-iteration count actions are the same bounded-iteration pattern
-    as ``clustering.kmeans``). Labels persist per iteration and the
-    previous generation is unpersisted once the next is materialized.
+    groupBy (both parallel hash shuffles keyed on node id, no all-pairs
+    step anywhere) followed by one POINTER-JUMPING self-join on the
+    node-sized label table (label' = min(label, label[label])), which
+    doubles the effective propagation distance per round — so rounds
+    are O(log diameter), not O(diameter). Near-dup components are
+    near-cliques (diameter ~2) and converge in 2-3 rounds regardless,
+    but the jump is what makes pathological chain components (a
+    diameter-10^4 path needs 14 rounds, not 10^4) safe at the default
+    ``max_iter``. The loop stops early on a changed-label count of
+    zero (per-iteration count actions are the same bounded-iteration
+    pattern as ``clustering.kmeans``) and RAISES if ``max_iter``
+    passes without convergence — unconverged labels silently split
+    components, which a dedup pipeline must never do. Labels persist
+    per iteration and the previous generation is unpersisted once the
+    next is materialized.
 
     The loop's shuffle width is sized to the MEASURED edge count
     (``edges_per_partition`` edges per task, capped by the session
@@ -311,21 +318,48 @@ def connected_components(
             .select("id", F.col("id").alias("component"))
             .persist()
         )
+        converged = False
         for _ in range(max_iter):
             neigh = (
                 und.join(labels, und["dst"] == labels["id"])
                 .groupBy("src")
                 .agg(F.min("component").alias("_m"))
             )
+            stepped = labels.join(
+                neigh, labels["id"] == neigh["src"], "left"
+            ).select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_m"), F.col("component"))
+                ).alias("component"),
+            )
+            # pointer jumping: a label is itself a member node's id, so
+            # chase it one hop through the same (id -> component) map.
+            # localCheckpoint (eager) — NOT persist — because the
+            # self-join references `stepped` twice, doubling the
+            # LOGICAL plan tree per round; persist truncates physical
+            # recompute but Catalyst still re-analyzes the whole
+            # doubled tree (measured: exponential analysis time, ~86 s
+            # by round 4 on a 40-node path). Checkpointing cuts the
+            # lineage itself. Local (executor-storage) checkpoints are
+            # right for bounded node-sized tables; a production run on
+            # preemptible executors would use a reliable checkpoint
+            # dir instead.
             new_labels = (
-                labels.join(neigh, labels["id"] == neigh["src"], "left")
+                stepped.alias("a")
+                .join(
+                    stepped.alias("b"),
+                    F.col("a.component") == F.col("b.id"),
+                    "left",
+                )
                 .select(
-                    "id",
+                    F.col("a.id").alias("id"),
                     F.least(
-                        F.col("component"), F.coalesce(F.col("_m"), F.col("component"))
+                        F.col("a.component"),
+                        F.coalesce(F.col("b.component"), F.col("a.component")),
                     ).alias("component"),
                 )
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.alias("n")
@@ -336,10 +370,18 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     und.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "with pointer jumping this needs a component of diameter "
+            f"> ~2^{max_iter} — raise max_iter if that is a real graph"
+        )
     return labels
 
 

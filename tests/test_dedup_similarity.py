@@ -268,3 +268,18 @@ def test_run_stats_fold_matches_counter(spark):
         c = Counter(a)
         want = (max(c.values()) if c else 0, len(c))
         assert got[i] == want, (i, a, got[i], want)
+
+
+def test_connected_components_long_chain(spark):
+    """A path component (diameter >> round budget) must still resolve:
+    pointer jumping doubles propagation reach per round, so a
+    40-node chain converges in ~log2(39) rounds — without it,
+    min-label propagation needs diameter rounds and the old
+    implementation silently returned split components past max_iter."""
+    from banking_data_etl_pipeline_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp == {i: 0 for i in range(40)}
