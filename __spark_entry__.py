@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": Q.repetition_filter,
         "profile_orders": Q.profile_orders,
         "chunk_overlap": Q.chunk_overlap,
+        "minhash_incremental": Q.minhash_incremental,
         # green r3 rows — demoted to make room above
         "event_deltas": Q.event_deltas,
         "event_transitions": Q.event_transitions,
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filter": oracle.REPETITION_Q,
         "profile_orders": oracle.PROFILE_ORDERS_Q,
         "chunk_overlap": oracle.CHUNK_OVERLAP_Q,
+        "minhash_incremental": oracle.minhash_incremental_sql(),
         "dedup_exact": oracle.DEDUP_EXACT_Q,
         "ngram_jaccard": oracle.NGRAM_JACCARD_Q,
         "minhash_lsh": oracle.minhash_lsh_sql(),

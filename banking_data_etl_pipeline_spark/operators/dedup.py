@@ -43,26 +43,21 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 12,
-    bands: int = 4,
+def _minhash_banded(
+    docs: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via MinHash + LSH banding.
+    """(id, sig, band_idx, band_key) rows: persisted MinHash signatures
+    exploded to their LSH band keys — the probe-side/build-side unit
+    shared by the self-join (``minhash_lsh_pairs``) and the
+    batch-vs-corpus probe (``minhash_lsh_incremental``).
 
-    Signature component i = min over word-3-gram shingles of
-    md5('mh{i}:' || shingle); band key = md5 of its signature slice;
-    docs sharing any band key are candidates. Estimated Jaccard =
-    fraction of matching signature components.
+    STAGED selects: each step references the previous step's COLUMN,
+    not its expression — building sig components directly off the
+    shingles *expression* would bake n copies of the tokenize+shingle
+    tree into the plan (Python-side duplication Catalyst can't undo),
+    recomputing it per component through interpreted HOFs.
     """
     rows = num_hashes // bands
-    # STAGED selects: each step references the previous step's COLUMN,
-    # not its expression — building sig components directly off the
-    # shingles *expression* would bake n copies of the tokenize+shingle
-    # tree into the plan (Python-side duplication Catalyst can't undo),
-    # recomputing it per component through interpreted HOFs.
     toks = texttools.tokens(F.col(text_col))
     shingled = docs.select(
         F.col(id_col),
@@ -79,18 +74,42 @@ def minhash_lsh_pairs(
     sig = hashing.minhash_components(
         [F.col(f"_md{p}") for p in range(n_passes)], num_hashes
     )
-    # persist: the bucket SELF-join would otherwise run the whole
-    # signature computation once per side (signatures are ~100 B/doc —
-    # persisting them is the standard move at any scale)
+    # persist: the bucket join would otherwise run the whole signature
+    # computation once per side (signatures are ~100 B/doc — persisting
+    # them is the standard move at any scale)
     sigd = md_stage.select(F.col(id_col), F.array(*sig).alias("sig")).persist()
     band_keys = hashing.band_keys(
         [F.col("sig")[i] for i in range(num_hashes)], bands, rows
     )
-
-    # explode to (band_index, band_key) and self-join per bucket
-    exploded = sigd.select(
+    return sigd.select(
         id_col, "sig", F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key")
     )
+
+
+def _sig_agreement(num_hashes: int) -> F.Column:
+    matches = F.zip_with(
+        F.col("sig_a"), F.col("sig_b"), lambda x, y: F.when(x == y, 1).otherwise(0)
+    )
+    return F.aggregate(matches, F.lit(0), lambda acc, x: acc + x) / F.lit(
+        float(num_hashes)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    Signature component i = min over word-3-gram shingles of
+    md5('mh{i}:' || shingle); band key = md5 of its signature slice;
+    docs sharing any band key are candidates. Estimated Jaccard =
+    fraction of matching signature components.
+    """
+    exploded = _minhash_banded(docs, text_col, id_col, num_hashes, bands)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -108,11 +127,51 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    matches = F.zip_with(
-        F.col("sig_a"), F.col("sig_b"), lambda x, y: F.when(x == y, 1).otherwise(0)
-    )
-    est = F.aggregate(matches, F.lit(0), lambda acc, x: acc + x) / F.lit(float(num_hashes))
+    est = _sig_agreement(num_hashes)
     return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+
+
+def minhash_lsh_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental near-dup screen: which NEW documents collide with
+    the EXISTING corpus — the ingestion-time shape ("dedup this crawl
+    against what we already have"), distinct from the within-corpus
+    self-join.
+
+    Scale shape: the corpus side's banded signatures are the build
+    side a production pipeline PRECOMPUTES once and persists to
+    parquet (signatures are ~100 B/doc — rebuilding them per batch
+    would re-read the whole corpus, the thing this operator exists to
+    avoid); each new batch then only computes its own signatures and
+    probes the bucket join. Returns (batch_id, corpus_id,
+    est_jaccard) — downstream drops colliding batch docs or routes
+    them to review."""
+    kb = _minhash_banded(batch, text_col, id_col, num_hashes, bands).alias("a")
+    kc = _minhash_banded(corpus, text_col, id_col, num_hashes, bands).alias("b")
+    pairs = (
+        kb.join(
+            kc,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("batch_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    est = _sig_agreement(num_hashes)
+    return pairs.select(
+        "batch_id", "corpus_id", F.round(est, 6).alias("est_jaccard")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -1607,3 +1607,49 @@ SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
   array_to_string(list_slice(toks, ci * 16 + 1, ci * 16 + 32), ' ') AS chunk_text,
   CAST(LEAST(n - ci * 16, 32) AS INT) AS n_tokens
 FROM idx"""
+
+
+def minhash_incremental_sql(num_hashes: int = 12, bands: int = 4) -> str:
+    """Twin of queries.minhash_incremental: the same md5 MinHash/band
+    construction as minhash_lsh_sql, but the bucket join probes the
+    batch partition (doc_id %% 5 = 0) against the corpus partition
+    instead of self-joining; band keys are salted with the band index
+    so the key-only join equals Spark's (band_idx, band_key) join."""
+    rows = num_hashes // bands
+    n_passes = (num_hashes + 3) // 4
+    passes = ", ".join(
+        f"list_transform(shingles, s -> md5('mh{p}:' || s)) AS md{p}"
+        for p in range(n_passes)
+    )
+    comps = ", ".join(
+        f"list_min(list_transform(md{i // 4}, m -> substring(m, {1 + 8 * (i % 4)}, 8)))"
+        for i in range(num_hashes)
+    )
+    sig = f"[{comps}]"
+    band_exprs = []
+    for b in range(bands):
+        parts = ", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        band_exprs.append(f"md5(concat_ws('|', 'b{b}', {parts})) AS band{b}")
+    band_list = ", ".join(f"band{b}" for b in range(bands))
+    matches = (
+        f"list_sum(list_transform(range(1, {num_hashes} + 1),"
+        " i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))"
+    )
+    return f"""WITH sh AS (
+  SELECT doc_id, list_distinct({_word_shingles(TOKS, 3)}) AS shingles FROM documents
+), md AS (
+  SELECT doc_id, {passes} FROM sh WHERE len(shingles) > 0
+), sigs AS (
+  SELECT doc_id, {sig} AS sig FROM md
+), banded AS (
+  SELECT doc_id, sig, {", ".join(band_exprs)} FROM sigs
+), keys AS (
+  SELECT doc_id, sig, unnest([{band_list}]) AS band_key FROM banded
+), cand AS (
+  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+  FROM keys a JOIN keys b ON a.band_key = b.band_key
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+)
+SELECT c.batch_id, c.corpus_id,
+       round(CAST({matches} AS DOUBLE) / CAST({num_hashes} AS DOUBLE), 6) AS est_jaccard
+FROM cand c JOIN sigs a ON a.doc_id = c.batch_id JOIN sigs b ON b.doc_id = c.corpus_id"""

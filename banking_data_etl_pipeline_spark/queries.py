@@ -1245,3 +1245,15 @@ def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.chunk_documents(
         tables.load(spark, sf_dir, "documents"), size=32, stride=16
     )
+
+
+def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup screen: a simulated new batch
+    (doc_id % 5 == 0) probed against the existing corpus (the rest)
+    via banded MinHash — which new docs are near-dups of what we
+    already hold."""
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.minhash_lsh_incremental(batch, corpus)

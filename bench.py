@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "repetition_filter",
     "profile_orders",
     "chunk_overlap",
+    "minhash_incremental",
     # remaining registered queries: cheap singles, included so EVERY
     # query has a round-over-round regression record
     "stream_window_agg",

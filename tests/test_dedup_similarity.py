@@ -283,3 +283,20 @@ def test_connected_components_long_chain(spark):
     )
     comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
     assert comp == {i: 0 for i in range(40)}
+
+
+def test_minhash_incremental_screens_batch_against_corpus(spark):
+    """A new batch doc identical to a corpus doc must collide with
+    est_jaccard 1.0; an unrelated doc must not appear; corpus-corpus
+    and batch-batch pairs are out of scope for the incremental probe."""
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    corpus = spark.createDataFrame(
+        [(1, text), (2, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, text), (101, "totally unrelated words nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    got = dedup.minhash_lsh_incremental(batch, corpus).collect()
+    assert [(r.batch_id, r.corpus_id, r.est_jaccard) for r in got] == [(100, 1, 1.0)]
