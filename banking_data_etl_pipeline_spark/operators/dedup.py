@@ -151,7 +151,13 @@ def minhash_lsh_incremental(
     avoid); each new batch then only computes its own signatures and
     probes the bucket join. Returns (batch_id, corpus_id,
     est_jaccard) — downstream drops colliding batch docs or routes
-    them to review."""
+    them to review.
+
+    Cache note: like ``minhash_lsh_pairs``, the signature tables stay
+    session-cached for the returned (lazy) result to consume — the
+    bench/parity harnesses clearCache between queries, and the
+    production deployment replaces the corpus-side cache with the
+    persisted parquet signatures described above."""
     kb = _minhash_banded(batch, text_col, id_col, num_hashes, bands).alias("a")
     kc = _minhash_banded(corpus, text_col, id_col, num_hashes, bands).alias("b")
     pairs = (
@@ -370,6 +376,8 @@ def connected_components(
     # count() actions mean all loop work executes inside this scope
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parallelism))
+    labels = None
+    converged = False
     try:
         labels = (
             und.select(F.col("src").alias("id"))
@@ -377,7 +385,6 @@ def connected_components(
             .select("id", F.col("id").alias("component"))
             .persist()
         )
-        converged = False
         for _ in range(max_iter):
             neigh = (
                 und.join(labels, und["dst"] == labels["id"])
@@ -432,10 +439,14 @@ def connected_components(
                 converged = True
                 break
     finally:
+        # cleanup lives here so a mid-loop Spark failure can't leak the
+        # (edge-list-sized) und cache into the session; labels is only
+        # released on the non-return paths
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    und.unpersist()
+        und.unpersist()
+        if not converged and labels is not None:
+            labels.unpersist()
     if not converged:
-        labels.unpersist()
         raise ValueError(
             f"connected_components did not converge in {max_iter} rounds; "
             "with pointer jumping this needs a component of diameter "

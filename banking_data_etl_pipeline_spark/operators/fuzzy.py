@@ -104,7 +104,11 @@ def fuzzy_name_pairs(
     # circuits ahead of the quadratic levenshtein in codegen order
     len_ok = F.abs(F.length("sfx_a") - F.length("sfx_b")) <= max_dist
     return (
-        a.join(b.hint("shuffle_hash"), ["_tok", "_band"])
+        # hash-hint the UNEXPLODED side `a`: the hinted relation
+        # becomes the hash-join build side, and b carries 3 band-probe
+        # copies per row — building from b would triple each task's
+        # hash table for no benefit
+        a.hint("shuffle_hash").join(b, ["_tok", "_band"])
         .filter((F.col("id_a") < F.col("id_b")) & len_ok)
         # threshold form runs the banded O(max_dist * n) DP and returns
         # -1 over the threshold (excluded by the between filter)

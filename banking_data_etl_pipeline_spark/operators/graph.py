@@ -84,15 +84,18 @@ def pagerank(
     # collect_set + pair-distinct build would run once per consumer
     # (it is the dominant cost of the whole query).
     edges = copurchase_edges(lineitem).persist()
-    # deg is node-count-sized -> broadcast the fold; the 2.4M-row (at
-    # sf0.1) edge side then never shuffles on the way into the cache
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = edges.join(F.broadcast(deg), "src").persist()
-
     # node count: a scalar model parameter (the one driver-side pull);
-    # counting through `ed` also materializes both caches — after
-    # which the raw edge cache has no further consumer
-    n_nodes = ed.select("src").distinct().count()
+    # it also materializes the edge cache, and it gates BOTH broadcast
+    # decisions below — deg is node-count-sized too, so force-
+    # broadcasting it above the gate would hit the same driver/
+    # broadcast limits the gate exists for
+    n_nodes = edges.select("src").distinct().count()
+    bcast = n_nodes <= broadcast_nodes
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # broadcast fold keeps the (much larger) edge side shuffle-free on
+    # the way into the cache; shuffle-join fallback above the gate
+    ed = edges.join(F.broadcast(deg) if bcast else deg, "src").persist()
+    ed.count()
     edges.unpersist()
     base = F.lit(0.15) / F.lit(float(n_nodes))
 
@@ -104,7 +107,7 @@ def pagerank(
     )
     prev = None
     for _ in range(iters):
-        r_in = F.broadcast(ranks) if n_nodes <= broadcast_nodes else ranks
+        r_in = F.broadcast(ranks) if bcast else ranks
         contrib = ed.join(r_in, ed["src"] == r_in["node"]).select(
             F.col("dst"),
             _trunc12(F.col("r") / F.col("deg")).alias("c"),

@@ -87,10 +87,20 @@ def write_zordered(
     onto one Morton key and void the bounded-rectangle property. The
     min/max pull is two scalars per column — model-parameter scale,
     same budget class as PageRank's node count."""
+    # persist: the min/max scalar pull and the write are two actions
+    # over the same (possibly expensive) input plan
+    df = df.persist()
     mm = df.agg(
         F.min(col_a).alias("a_mn"), F.max(col_a).alias("a_mx"),
         F.min(col_b).alias("b_mn"), F.max(col_b).alias("b_mx"),
     ).collect()[0]
+    if None in (mm.a_mn, mm.a_mx, mm.b_mn, mm.b_mx):
+        # empty input or an all-NULL cluster column: no quantization
+        # domain exists — write the plain layout rather than crash (a
+        # scheduled job's no-data day must still produce its output)
+        df.write.mode("overwrite").parquet(path)
+        df.unpersist()
+        return
 
     def quantized(c: str, mn, mx) -> F.Column:
         # power-of-two bucket width -> the quantization is an exact
@@ -114,6 +124,7 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+    df.unpersist()
 
 
 def compact(

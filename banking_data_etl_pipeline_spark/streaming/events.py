@@ -58,9 +58,17 @@ def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     to micros-precision TimestampType — identical to what
     ``sources.tables.load`` produces for the batch twins, which is what
     the batch/stream parity tests and shared oracles require."""
-    nanos = isinstance(
-        spark.read.parquet(events_dir).schema["ts"].dataType, T.LongType
-    )
+    try:
+        nanos = isinstance(
+            spark.read.parquet(events_dir).schema["ts"].dataType, T.LongType
+        )
+    except Exception:
+        # empty feed dir (consumer started before the producer — the
+        # normal file-source pattern): nothing to probe yet, so assume
+        # the current driver generation's MICROS encoding; a NANOS
+        # producer appearing later would need a stream restart, which
+        # the unit change itself would force anyway
+        nanos = False
     to_ts = "timestamp_micros(ts DIV 1000)" if nanos else "timestamp_micros(ts)"
     return (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)

@@ -30,8 +30,9 @@ co-partitioned if the state table is bucketed on the key
 (operators/bucketing.py); totals accumulate in integer MICRO-UNITS
 (exact under any batch split, same contract as
 events.stateful_user_totals). The commit is a pointer flip, not a
-rewrite, and old versions are dropped eagerly so storage stays at
-~one state copy plus the in-flight one.
+rewrite; the current and immediately-preceding versions are retained
+(readers mid-scan of the old version survive a commit) and older
+generations are dropped, so storage stays at ~two state copies.
 """
 
 from __future__ import annotations
@@ -107,8 +108,15 @@ def _merge_batch(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(state_dir, _POINTER))  # the commit point
-    for d in os.listdir(state_dir):  # GC superseded versions post-flip
-        if d.startswith("v") and d != vname:
+    # GC superseded versions post-flip, RETAINING the immediate
+    # predecessor: a reader that resolved the old pointer may still be
+    # mid-scan of that version (Spark scans open files lazily), so
+    # deleting it at commit would fail exactly the readers the
+    # pointer protocol promises to protect. Storage stays bounded at
+    # ~two state copies; older generations go.
+    keep = {vname, cur_name}
+    for d in os.listdir(state_dir):
+        if d.startswith("v") and d not in keep:
             shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
 

@@ -292,3 +292,22 @@ def test_zorder_quantizes_out_of_range_inputs(spark):
     bounded = [e for e in exts if e[0] <= full // 2 and e[1] <= full // 2]
     assert len(bounded) >= len(exts) * 0.6, exts
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zorder_empty_and_allnull_inputs(spark):
+    """A no-data day (or an all-NULL cluster column) must still write a
+    readable layout instead of crashing on int(None) during
+    quantization."""
+    import shutil
+    import tempfile
+
+    from banking_data_etl_pipeline_spark.sources import sinks
+
+    d = tempfile.mkdtemp(prefix="test_zorder_empty_")
+    empty = spark.createDataFrame([], "x long, y long")
+    sinks.write_zordered(empty, d + "/e", "x", "y", files=4, bits=8)
+    assert spark.read.parquet(d + "/e").count() == 0
+    allnull = spark.createDataFrame([(None, None)] * 3, "x long, y long")
+    sinks.write_zordered(allnull, d + "/n", "x", "y", files=4, bits=8)
+    assert spark.read.parquet(d + "/n").count() == 3
+    shutil.rmtree(d, ignore_errors=True)
