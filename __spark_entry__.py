@@ -75,27 +75,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": Q.winsorize,
         "mad_outliers": Q.mad_outliers,
         "pagerank": Q.pagerank,
-        "salted_join": Q.salted_join,
-        "decay_totals": Q.decay_totals,
         "emb_dim_stats": Q.emb_dim_stats,
-        "split_manifest": Q.split_manifest,
-        "dq_checks": Q.dq_checks,
         "fuzzy_resolve": Q.fuzzy_resolve,
-        # never driver-checked before r4 (sat at positions 51-52, just
-        # past the 50-query window) — promoted per the r3 verdict
+        # every r4 first-timer sits INSIDE the 50-query window so this
+        # round's driver run proves all of them: media_resize + kmeans
+        # (never checked before r4, per the r3 verdict) and the six
+        # queries new in r4
         "media_resize": Q.media_resize,
         "kmeans": Q.kmeans,
-        # new in round 4: source-layer paths, first driver rows
         "jsonl_quarantine": Q.jsonl_quarantine,
         "evolved_union": Q.evolved_union,
-        # new in r4 but past the window (it is full of other
-        # first-timers) — judge-gate/pytest-proven now, first in line
-        # for a driver row in r5
         "repetition_filter": Q.repetition_filter,
         "profile_orders": Q.profile_orders,
         "chunk_overlap": Q.chunk_overlap,
         "minhash_incremental": Q.minhash_incremental,
-        # green r3 rows — demoted to make room above
+        # green r3 rows — demoted to make room above (their r3 rows
+        # stay valid in the judge's cross-round union)
+        "salted_join": Q.salted_join,
+        "decay_totals": Q.decay_totals,
+        "split_manifest": Q.split_manifest,
+        "dq_checks": Q.dq_checks,
         "event_deltas": Q.event_deltas,
         "event_transitions": Q.event_transitions,
         "table_checksum": Q.table_checksum,
