@@ -34,6 +34,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship
         "pipeline_enriched": Q.pipeline_enriched,
+        # new in round 5 — least proven, so first (inside the driver's
+        # 50-query window)
+        "unigram_xent": Q.unigram_xent,
+        "triangle_count": Q.triangle_count,
         # no driver signal in r2 (past the 50-query window then)
         "ntile_deciles": Q.ntile_deciles,
         "price_histogram": Q.price_histogram,
@@ -161,6 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pipeline_enriched": oracle.PIPELINE_ENRICHED,
+        "unigram_xent": oracle.UNIGRAM_XENT_Q,
+        "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "age_group": oracle.AGE_GROUP_Q,
         "wealth_segment": oracle.WEALTH_Q,
         "contact_day_type": oracle.DAY_TYPE_Q,

@@ -147,3 +147,56 @@ def chunk_documents(
             ).alias("n_tokens"),
         )
     )
+
+
+def unigram_xent(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_below: float = 3.41,
+) -> DataFrame:
+    """Per-document unigram-LM cross-entropy — the CCNet/Gopher-style
+    "perplexity" quality signal: score each document by the mean
+    negative log-probability of its tokens under the corpus's own
+    unigram model, and flag the tail above ``keep_below`` (documents
+    full of rare tokens — boilerplate, hashes, noise) for removal.
+
+    Scale shape: the model IS a DataFrame (one row per vocab token) —
+    never collected; it is built from one token groupBy with map-side
+    combine, the corpus token total enters as an uncorrelated scalar
+    subquery, and scoring is one (tokens ⋈ vocab) equi-join — at 100 TB
+    the vocab side is Zipf-small (≪ corpus) and typically broadcastable;
+    here we leave the join strategy to AQE since vocab size is
+    data-dependent. Nothing is quadratic, nothing re-tokenizes.
+
+    Cross-engine float parity: each token's -ln p is rounded to 12 dp
+    and summed as DECIMAL(26,12) (exact, order-independent), so the
+    per-doc mean is bit-stable under any partitioning; the mean is
+    rounded to 6 dp and the keep decision cuts on the ROUNDED value so
+    an engine float edge can't flip it."""
+    toks = docs.select(
+        F.col(id_col), F.explode(texttools.tokens(F.col(text_col))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_n"))
+    corpus_n = vocab.agg(F.sum("tok_n").cast("double").alias("n")).scalar()
+    logp = vocab.select(
+        "token",
+        F.round(-F.log(F.col("tok_n") / corpus_n), 12)
+        .cast("decimal(26,12)")
+        .alias("neg_logp"),
+    )
+    per_doc = (
+        toks.join(logp, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("neg_logp").alias("_s"),
+        )
+    )
+    xent = F.round(F.col("_s").cast("double") / F.col("n_tok"), 6)
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tok"),
+        xent.alias("xent"),
+        (xent <= F.lit(keep_below)).alias("kept"),
+    )

@@ -134,3 +134,95 @@ def pagerank(
     # done, as bench.py and the parity gate already do).
     ed.unpersist()
     return ranks
+
+
+def triangle_counts(
+    lineitem: DataFrame,
+    broadcast_nodes: int = 2_000_000,
+    broadcast_edges: int = 20_000_000,
+) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph — the
+    standard graph-locality/clustering signal (and the classic
+    MapReduce triangle-enumeration benchmark).
+
+    Spark-first shape (Cohen / node-iterator++): orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one — a total order, so each triangle {x,y,z} survives as EXACTLY
+    one directed path x->y->z plus its closing edge x->z. Orienting by
+    degree bounds every node's OUT-degree by O(sqrt(m)) — the hub that
+    would make a naive self-join quadratic ends up on the RECEIVING
+    end of its edges. Triangles are then enumerated by ADJACENCY
+    INTERSECTION, not a wedge join: for each oriented edge x->y the
+    closing nodes are exactly out(x) ∩ out(y), so only triangles ever
+    materialize — the wedge-join alternative would shuffle every
+    2-path, orders of magnitude more rows than the triangles they
+    close. Work is O(m^1.5) worst-case, all equi-joins on node ids,
+    AQE-splittable on residual skew; the out-degree bound keeps every
+    adjacency array O(sqrt(m)) so ``collect_list`` can't blow up.
+    Integer-only — no float parity concerns.
+
+    Same persist discipline as ``pagerank`` above: the edge list feeds
+    the degree agg and the orientation, and the oriented list feeds
+    both the adjacency build and the probe side, so each is
+    materialized once and released as soon as its consumers are done.
+    ``deg`` is node-count-sized; below ``broadcast_nodes`` it
+    broadcasts into the orientation join (map-only), above it the join
+    falls back to a shuffle."""
+    edges = copurchase_edges(lineitem).persist()
+    n_nodes = edges.select("src").distinct().count()  # also warms the cache
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    d_in = F.broadcast(deg) if n_nodes <= broadcast_nodes else deg
+    half = edges.filter(F.col("src") < F.col("dst"))
+    h = (
+        half.join(
+            d_in.select(F.col("src"), F.col("deg").alias("ds")), "src"
+        ).join(
+            d_in.select(F.col("src").alias("dst"), F.col("deg").alias("dd")), "dst"
+        )
+    )
+    fwd = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    # Repartition BEFORE caching: AQE coalesces the broadcast-join
+    # output into very few partitions (right for the join, wrong for
+    # what follows), and the intersect stage below is the CPU-heavy
+    # one — cached at full width it runs on every core instead of
+    # three. Hashing on `lo` also pre-co-partitions the non-broadcast
+    # adjacency join fallback.
+    width = lineitem.sparkSession.sparkContext.defaultParallelism
+    e = h.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+    ).repartition(width, "lo").persist()
+    n_oriented = e.count()
+    edges.unpersist()
+    # The adjacency table totals m array entries across node-count
+    # rows, so its broadcast gate is the EDGE count, not the node
+    # count (2M half-edges ≈ 16 MB of longs). Below the gate the
+    # intersect stage is MAP-ONLY over the thin cached edge list — no
+    # shuffle ever carries an array; above it the joins fall back to
+    # shuffles, the first of which is already co-partitioned on `lo`.
+    adj = e.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+    a_in = F.broadcast(adj) if n_oriented <= broadcast_edges else adj
+    tri = (
+        e.join(a_in.select(F.col("lo").alias("_x"), F.col("nbrs").alias("nx")),
+               F.col("lo") == F.col("_x"))
+        .join(a_in.select(F.col("lo").alias("_y"), F.col("nbrs").alias("ny")),
+              F.col("hi") == F.col("_y"))
+        .select(
+            F.col("lo").alias("x"),
+            F.col("hi").alias("y"),
+            F.explode(F.array_intersect("nx", "ny")).alias("z"),
+        )
+    )
+    out = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .persist()
+    )
+    out.count()  # materialize before releasing the oriented-edge cache
+    e.unpersist()
+    # caller-owned, one row per node (unpersist or clearCache when done
+    # — bench.py and the parity gate already do)
+    return out

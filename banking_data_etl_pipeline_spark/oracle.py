@@ -1653,3 +1653,57 @@ def minhash_incremental_sql(num_hashes: int = 12, bands: int = 4) -> str:
 SELECT c.batch_id, c.corpus_id,
        round(CAST({matches} AS DOUBLE) / CAST({num_hashes} AS DOUBLE), 6) AS est_jaccard
 FROM cand c JOIN sigs a ON a.doc_id = c.batch_id JOIN sigs b ON b.doc_id = c.corpus_id"""
+
+
+# ------------------------------------------------ round 5: new ops
+
+# Twin of operators.corpus.unigram_xent: same tokenizer, same
+# 12-dp-rounded per-token -ln p summed exactly as DECIMAL(26,12), same
+# 6-dp-rounded mean and keep cut (3.41, on the rounded value).
+UNIGRAM_XENT_Q = f"""WITH tk AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+), vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS tok_n FROM tk GROUP BY token
+), tot AS (
+  SELECT CAST(sum(tok_n) AS DOUBLE) AS corpus_n FROM vocab
+), logp AS (
+  SELECT token,
+         CAST(round(-ln(CAST(tok_n AS DOUBLE) / tot.corpus_n), 12)
+              AS DECIMAL(26,12)) AS neg_logp
+  FROM vocab CROSS JOIN tot
+), per_doc AS (
+  SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         sum(logp.neg_logp) AS s
+  FROM tk JOIN logp USING (token) GROUP BY tk.doc_id
+)
+SELECT doc_id, n_tok,
+       round(CAST(s AS DOUBLE) / n_tok, 6) AS xent,
+       (round(CAST(s AS DOUBLE) / n_tok, 6) <= 3.41) AS kept
+FROM per_doc"""
+
+# Twin of operators.graph.triangle_counts: same (degree, id) edge
+# orientation, directed-path wedge + closure semi-join, integer-only.
+TRIANGLE_COUNT_Q = """WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), o AS (
+  SELECT h.src, h.dst, ds.deg AS ds, dd.deg AS dd
+  FROM (SELECT src, dst FROM edges WHERE src < dst) h
+  JOIN deg ds ON h.src = ds.src JOIN deg dd ON h.dst = dd.src
+), e AS (
+  SELECT CASE WHEN ds < dd OR (ds = dd AND src < dst) THEN src ELSE dst END AS lo,
+         CASE WHEN ds < dd OR (ds = dd AND src < dst) THEN dst ELSE src END AS hi
+  FROM o
+), tri AS (
+  SELECT p.x, p.y, p.z
+  FROM (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        FROM e e1 JOIN e e2 ON e1.hi = e2.lo) p
+  WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = p.x AND e.hi = p.z)
+), nodes AS (
+  SELECT unnest([x, y, z]) AS node FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM nodes GROUP BY node"""

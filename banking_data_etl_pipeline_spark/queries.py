@@ -1257,3 +1257,20 @@ def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return dedup.minhash_lsh_incremental(batch, corpus)
+
+
+# ------------------------------------------------ round 5: new ops
+
+
+def unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM cross-entropy quality signal per doc."""
+    tune_for_oracle(spark)
+    return corpus.unigram_xent(tables.load(spark, sf_dir, "documents"))
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph."""
+    from .operators import graph
+
+    tune_for_oracle(spark)
+    return graph.triangle_counts(tables.load(spark, sf_dir, "lineitem"))

@@ -276,3 +276,35 @@ def test_dim_stats_bounds_and_mean(spark):
     got = {r.dim: r for r in vectors.dim_stats(emb).collect()}
     assert (got[0].min_x, got[0].max_x, got[0].mean_x, got[0].n) == (1.0, 3.0, 2.0, 2)
     assert (got[1].min_x, got[1].max_x, got[1].mean_x, got[1].n) == (-2.0, 4.0, 1.0, 2)
+
+
+def test_unigram_xent_hand_checked(spark):
+    import math
+    from banking_data_etl_pipeline_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # corpus: a=2, b=2, c=1, N=5
+    out = {r.doc_id: r for r in corpus.unigram_xent(docs).collect()}
+    pa = round(-math.log(2 / 5), 12)
+    pc = round(-math.log(1 / 5), 12)
+    assert out[1].n_tok == 3
+    assert out[1].xent == round((2 * pa + pa) / 3, 6)  # a,a,b share -ln(2/5)
+    assert out[2].n_tok == 2
+    assert out[2].xent == round((pa + pc) / 2, 6)
+    # rarer tokens -> strictly higher cross-entropy
+    assert out[2].xent > out[1].xent
+
+
+def test_unigram_xent_kept_cut_is_on_rounded_value(spark):
+    from banking_data_etl_pipeline_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x x x x")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in corpus.unigram_xent(docs, keep_below=0.6).collect()}
+    # doc 2 is all-common tokens: -ln(4/6)=0.405 -> kept; doc 1 mixes
+    # the rare y: ( -ln(4/6) + -ln(2/6) )/2 = 0.752 -> dropped
+    assert out[2].kept is True
+    assert out[1].kept is False

@@ -40,3 +40,41 @@ def test_pagerank_mass_is_conserved(spark):
     # symmetric graph, no dangling nodes: total rank stays ~1
     assert total == pytest.approx(1.0, abs=1e-6)
     assert all(row.r > 0 for row in out.collect())
+
+
+def test_triangle_counts_hand_checked(spark):
+    # K3 {1,2,3} plus K3 {2,3,4} sharing edge 2-3: each triangle gives
+    # every member one count; 2 and 3 sit in both
+    li = _lineitem(spark, [(1, [1, 2, 3]), (2, [2, 3, 4])])
+    out = {r.node: r.n_tri for r in graph.triangle_counts(li).collect()}
+    assert out == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_counts_no_triangles(spark):
+    # a path 1-2-3-4 has no triangles: nodes with zero triangles are
+    # simply absent from the per-node output
+    li = _lineitem(spark, [(1, [1, 2]), (2, [2, 3]), (3, [3, 4])])
+    assert graph.triangle_counts(li).count() == 0
+
+
+def test_triangle_counts_k4_complete(spark):
+    # K4: C(4,3)=4 triangles, every node in exactly 3 of them
+    li = _lineitem(spark, [(1, [1, 2, 3, 4])])
+    out = {r.node: r.n_tri for r in graph.triangle_counts(li).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # total count = 3 * number of triangles
+    assert sum(out.values()) == 3 * 4
+
+
+def test_triangle_counts_shuffle_fallback_matches_broadcast(spark):
+    # forcing the non-broadcast paths (gates at 0) must not change
+    # the result
+    li = _lineitem(spark, [(1, [1, 2, 3]), (2, [2, 3, 4]), (3, [1, 4, 5])])
+    bcast = {(r.node, r.n_tri) for r in graph.triangle_counts(li).collect()}
+    shuf = {
+        (r.node, r.n_tri)
+        for r in graph.triangle_counts(
+            li, broadcast_nodes=0, broadcast_edges=0
+        ).collect()
+    }
+    assert bcast == shuf
