@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-query window)
         "unigram_xent": Q.unigram_xent,
         "triangle_count": Q.triangle_count,
+        "dsir_weights": Q.dsir_weights,
         # no driver signal in r2 (past the 50-query window then)
         "ntile_deciles": Q.ntile_deciles,
         "price_histogram": Q.price_histogram,
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_enriched": oracle.PIPELINE_ENRICHED,
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
+        "dsir_weights": oracle.DSIR_WEIGHTS_Q,
         "age_group": oracle.AGE_GROUP_Q,
         "wealth_segment": oracle.WEALTH_Q,
         "contact_day_type": oracle.DAY_TYPE_Q,

@@ -200,3 +200,63 @@ def unigram_xent(
         xent.alias("xent"),
         (xent <= F.lit(keep_below)).alias("kept"),
     )
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target_lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data-selection score: per-document mean log-ratio of
+    a TARGET-domain unigram LM (here: the ``target_lang`` slice of the
+    corpus) against the RAW-corpus unigram LM. Documents whose tokens
+    look more like the target than like the average corpus score
+    positive — sampling proportional to exp(score) is importance
+    resampling for domain-targeted pretraining mixes.
+
+    Both models are add-1 smoothed over the SHARED corpus vocabulary,
+    so every token has finite log-probability under both and the ratio
+    is defined everywhere. Scale shape mirrors ``unigram_xent``: one
+    tokenize, ONE vocab groupBy carrying both counts (the target count
+    is a conditional sum in the same aggregate — no second pass), the
+    three normalizers (vocab size, target/raw token totals) enter as
+    uncorrelated scalar subqueries, and scoring is one equi-join back
+    to the token stream. Same 12-dp/DECIMAL/6-dp rounding discipline
+    for engine-independent results; the keep cut (score > 0) is on the
+    rounded mean."""
+    is_target = F.col("lang") == F.lit(target_lang)
+    toks = docs.select(
+        F.col(id_col),
+        is_target.alias("_t"),
+        F.explode(texttools.tokens(F.col(text_col))).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    v_size = vocab.agg(F.count(F.lit(1)).cast("double").alias("v")).scalar()
+    n_all = vocab.agg(F.sum("c_all").cast("double").alias("n")).scalar()
+    n_tgt = vocab.agg(F.sum("c_tgt").cast("double").alias("n")).scalar()
+    lr = vocab.select(
+        "token",
+        F.round(
+            F.log((F.col("c_tgt") + 1) / (n_tgt + v_size))
+            - F.log((F.col("c_all") + 1) / (n_all + v_size)),
+            12,
+        )
+        .cast("decimal(26,12)")
+        .alias("lr"),
+    )
+    per_doc = (
+        toks.join(lr, "token")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("lr").alias("_s"))
+    )
+    score = F.round(F.col("_s").cast("double") / F.col("n_tok"), 6)
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tok"),
+        score.alias("logratio"),
+        (score > F.lit(0.0)).alias("target_like"),
+    )

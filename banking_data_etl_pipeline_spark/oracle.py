@@ -1707,3 +1707,33 @@ TRIANGLE_COUNT_Q = """WITH li AS (
   SELECT unnest([x, y, z]) AS node FROM tri
 )
 SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM nodes GROUP BY node"""
+
+
+# Twin of operators.corpus.dsir_logratio: add-1-smoothed target ('en')
+# vs raw unigram models over the shared vocab, 12-dp token log-ratios
+# summed as DECIMAL(26,12), 6-dp rounded mean, cut on the rounded value.
+DSIR_WEIGHTS_Q = f"""WITH tk AS (
+  SELECT doc_id, (lang = 'en') AS t, unnest({TOKS}) AS token FROM documents
+), vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c_all,
+         CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+  FROM tk GROUP BY token
+), nz AS (
+  SELECT CAST(count(*) AS DOUBLE) AS v,
+         CAST(sum(c_all) AS DOUBLE) AS n_all,
+         CAST(sum(c_tgt) AS DOUBLE) AS n_tgt
+  FROM vocab
+), lr AS (
+  SELECT token,
+         CAST(round(ln((c_tgt + 1) / (nz.n_tgt + nz.v))
+                    - ln((c_all + 1) / (nz.n_all + nz.v)), 12)
+              AS DECIMAL(26,12)) AS lr
+  FROM vocab CROSS JOIN nz
+), per_doc AS (
+  SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tok, sum(lr.lr) AS s
+  FROM tk JOIN lr USING (token) GROUP BY tk.doc_id
+)
+SELECT doc_id, n_tok,
+       round(CAST(s AS DOUBLE) / n_tok, 6) AS logratio,
+       (round(CAST(s AS DOUBLE) / n_tok, 6) > 0.0) AS target_like
+FROM per_doc"""

@@ -1274,3 +1274,9 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return graph.triangle_counts(tables.load(spark, sf_dir, "lineitem"))
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance log-ratio vs the 'en' target slice."""
+    tune_for_oracle(spark)
+    return corpus.dsir_logratio(tables.load(spark, sf_dir, "documents"))

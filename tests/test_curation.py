@@ -308,3 +308,25 @@ def test_unigram_xent_kept_cut_is_on_rounded_value(spark):
     # the rare y: ( -ln(4/6) + -ln(2/6) )/2 = 0.752 -> dropped
     assert out[2].kept is True
     assert out[1].kept is False
+
+
+def test_dsir_logratio_hand_checked(spark):
+    import math
+    from banking_data_etl_pipeline_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "a c", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in corpus.dsir_logratio(docs).collect()}
+    # vocab: a(all=2,tgt=1) b(1,1) c(1,0); V=3, N_all=4, N_tgt=2
+    def lr(ct, ca):
+        return round(math.log((ct + 1) / (2 + 3)) - math.log((ca + 1) / (4 + 3)), 12)
+
+    exp1 = round((lr(1, 2) + lr(1, 1)) / 2, 6)   # a, b
+    exp2 = round((lr(1, 2) + lr(0, 1)) / 2, 6)   # a, c
+    assert out[1].logratio == exp1 and out[1].target_like is (exp1 > 0)
+    assert out[2].logratio == exp2 and out[2].target_like is (exp2 > 0)
+    # the all-target-token doc must score above the doc with a
+    # target-unseen token
+    assert out[1].logratio > out[2].logratio
