@@ -528,3 +528,65 @@ def embedding_near_dup_pairs(
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    n_cells: int = 16,
+    tau: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: partition the embedding
+    space into centroid cells, compare pairs only WITHIN a cell, and
+    drop every vector that has a lower-id neighbor at rounded cosine
+    >= ``tau`` (the lowest id in each semantic-duplicate clique is the
+    kept representative). Returns (vec_id, cell, kept).
+
+    This is the architecture of SemDeDup (Abbas et al., 2023): the
+    cell assignment caps pair generation at sum-over-cells |cell|² —
+    ``n_cells`` is the knob that keeps cells small (production: scale
+    it with corpus size, e.g. ~sqrt(n); here the deterministic
+    lowest-id centroids stand in for k-means ones so the DuckDB twin
+    reproduces the exact cells). Assignment is map-only (literal
+    centroid array, no shuffle — ``similarity.assign_cells``); the
+    within-cell self-join is one equi-join on cell whose hot cells AQE
+    skew-splits; the drop decision is a left-semi-style aggregation,
+    never a driver pull. The cosine cut is on the 6-dp ROUNDED value so
+    an engine float edge can't flip a pair."""
+    from . import similarity
+
+    corpus = similarity.assign_cells(emb, n_cells, vec_col, id_col)
+    a = corpus.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("_nv").alias("na"),
+    )
+    b = corpus.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("_nv").alias("nb"),
+    )
+    denom = F.col("na") * F.col("nb")
+    cos = F.round(
+        F.when(denom == 0, F.lit(0.0)).otherwise(
+            vectors.dot(F.col("va"), F.col("vb")) / denom
+        ),
+        6,
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= F.lit(tau))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return corpus.join(
+        dropped.withColumn("_drop", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cell",
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+    )

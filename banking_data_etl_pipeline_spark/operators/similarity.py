@@ -78,30 +78,11 @@ def corpus_queries(emb: DataFrame, n: int = 5, id_col: str = "vec_id",
     )
 
 
-def ivf_topk(
-    emb: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 2,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: partition the corpus into
-    centroid cells, probe only the ``nprobe`` cells nearest each query.
-
-    Centroids here are the ``n_centroids`` lowest-id corpus vectors —
-    deterministic (so the DuckDB oracle reproduces the exact cell
-    assignment) where a production build would k-means them; the
-    operator shape is identical either way. Centroids are collected to
-    the driver and inlined as a LITERAL array (they are model
-    parameters, kilobytes) so cell assignment is a map-only pass —
-    argmax over the literal per row, NO shuffle, no corpus×centroid
-    join. The only joins are probe-cell equi-joins against the tiny
-    broadcast query set. At 100 TB you'd persist the corpus partitioned
-    by cell so a probe touches nprobe/n_centroids of the data — the
-    classic IVF selectivity.
-    """
+def _centroid_scorer(emb, n_centroids: int, vec_col: str, id_col: str):
+    """Collect the ``n_centroids`` lowest-id vectors (deterministic
+    model parameters, kilobytes) and return a column-builder mapping a
+    (vec, vnorm) pair to the per-centroid rounded-cosine score array —
+    the shared primitive behind IVF probing and cell assignment."""
     import math
 
     cents = sorted(
@@ -146,7 +127,22 @@ def ivf_topk(
 
         return F.transform(cent_arr, score)
 
-    corpus = (
+    return scores_for
+
+
+def assign_cells(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scorer=None,
+) -> DataFrame:
+    """Map-only centroid-cell assignment: (vec_id, v, _nv, cell) with
+    cell = argmax rounded cosine vs the literal centroid array (lowest
+    cid on ties). No shuffle — the centroids ride inside the projection
+    expression, so this scales as a pure scan at any corpus size."""
+    scores_for = scorer or _centroid_scorer(emb, n_centroids, vec_col, id_col)
+    return (
         emb.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("v"),
@@ -159,6 +155,34 @@ def ivf_topk(
             (-F.array_max(scores_for(F.col("v"), F.col("_nv")))["nc"]).alias("cell"),
         )
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    centroid cells, probe only the ``nprobe`` cells nearest each query.
+
+    Centroids here are the ``n_centroids`` lowest-id corpus vectors —
+    deterministic (so the DuckDB oracle reproduces the exact cell
+    assignment) where a production build would k-means them; the
+    operator shape is identical either way. Centroids are collected to
+    the driver and inlined as a LITERAL array (they are model
+    parameters, kilobytes) so cell assignment is a map-only pass —
+    argmax over the literal per row, NO shuffle, no corpus×centroid
+    join. The only joins are probe-cell equi-joins against the tiny
+    broadcast query set. At 100 TB you'd persist the corpus partitioned
+    by cell so a probe touches nprobe/n_centroids of the data — the
+    classic IVF selectivity.
+    """
+    scores_for = _centroid_scorer(emb, n_centroids, vec_col, id_col)
+    corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scores_for)
     probes = (
         queries.select(
             "query_id", "qvec", vectors.norm(F.col("qvec")).alias("_nq")

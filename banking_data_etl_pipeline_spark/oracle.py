@@ -1737,3 +1737,23 @@ SELECT doc_id, n_tok,
        round(CAST(s AS DOUBLE) / n_tok, 6) AS logratio,
        (round(CAST(s AS DOUBLE) / n_tok, 6) > 0.0) AS target_like
 FROM per_doc"""
+
+
+# Twin of operators.dedup.semdedup (n_cells=16, tau=0.35): same
+# deterministic lowest-id centroids and rounded-cosine argmax cells as
+# ANN_IVF_Q, within-cell pairs, drop = lower-id neighbor at >= tau.
+SEMDEDUP_Q = f"""WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+), assign AS (
+  SELECT e.vec_id, e.embedding AS v,
+         (SELECT c.cid FROM cents c
+          ORDER BY round({_cosine('e.embedding', 'c.cvec')}, 6) DESC, c.cid ASC
+          LIMIT 1) AS cell
+  FROM embeddings e
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({_cosine('a.v', 'b.v')}, 6) >= 0.35
+)
+SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id"""

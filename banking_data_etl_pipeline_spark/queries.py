@@ -1280,3 +1280,9 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance log-ratio vs the 'en' target slice."""
     tune_for_oracle(spark)
     return corpus.dsir_logratio(tables.load(spark, sf_dir, "documents"))
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: centroid cells + within-cell cosine near-dup removal."""
+    tune_for_oracle(spark)
+    return dedup.semdedup(tables.load(spark, sf_dir, "embeddings"))

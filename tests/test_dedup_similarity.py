@@ -300,3 +300,34 @@ def test_minhash_incremental_screens_batch_against_corpus(spark):
     )
     got = dedup.minhash_lsh_incremental(batch, corpus).collect()
     assert [(r.batch_id, r.corpus_id, r.est_jaccard) for r in got] == [(100, 1, 1.0)]
+
+
+def test_semdedup_drops_higher_id_near_dups(spark):
+    from banking_data_etl_pipeline_spark.operators import dedup
+
+    # two exact duplicates (1,3), one near-orthogonal vector (2);
+    # centroids = both lowest-id vectors -> 1,3 share a cell
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [1.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in dedup.semdedup(emb, n_cells=2, tau=0.9).collect()}
+    assert out[1].kept is True       # lowest id in the clique survives
+    assert out[3].kept is False      # its duplicate is dropped
+    assert out[2].kept is True       # different cell / below tau
+    assert out[1].cell == out[3].cell
+
+
+def test_semdedup_all_kept_below_tau(spark):
+    from banking_data_etl_pipeline_spark.operators import dedup
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = dedup.semdedup(emb, n_cells=2, tau=0.99)
+    assert all(r.kept for r in out.collect())
