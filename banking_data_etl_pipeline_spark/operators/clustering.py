@@ -28,11 +28,15 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
             vec_col: str, id_col: str) -> DataFrame:
     """Map-only nearest-centroid assignment (squared L2, lowest-cid
     tiebreak) against a literal centroid array."""
+    # one list-literal node per centroid vector (not dim-many lit
+    # nodes): identical array<double> values, ~dim× smaller expression
+    # tree — the analyzer/codegen cost of the literal-heavy assignment
+    # plan was the dominant per-iteration overhead
     cent_arr = F.array(
         *[
             F.struct(
                 F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+                F.lit([float(x) for x in vec]).alias("cvec"),
             )
             for cid, vec in centroids
         ]

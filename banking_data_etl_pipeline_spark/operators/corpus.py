@@ -178,7 +178,13 @@ def unigram_xent(
         F.col(id_col), F.explode(texttools.tokens(F.col(text_col))).alias("token")
     )
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_n"))
-    corpus_n = vocab.agg(F.sum("tok_n").cast("double").alias("n")).scalar()
+    # the corpus token total equals sum(size(tokens)) — a MAP-ONLY
+    # aggregate over the raw scan, so the scalar subquery never
+    # re-derives the vocab groupBy (one exchange instead of a second
+    # full tokenize+shuffle at 100 TB)
+    corpus_n = docs.agg(
+        F.sum(F.size(texttools.tokens(F.col(text_col)))).cast("double").alias("n")
+    ).scalar()
     logp = vocab.select(
         "token",
         F.round(-F.log(F.col("tok_n") / corpus_n), 12)
@@ -235,9 +241,15 @@ def dsir_logratio(
         F.count(F.lit(1)).alias("c_all"),
         F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("c_tgt"),
     )
+    # token totals are MAP-ONLY aggregates over the raw scan (sum of
+    # per-doc token counts) — only the vocab-size scalar genuinely
+    # needs the distinct-token groupBy
+    n_sizes = F.size(texttools.tokens(F.col(text_col)))
     v_size = vocab.agg(F.count(F.lit(1)).cast("double").alias("v")).scalar()
-    n_all = vocab.agg(F.sum("c_all").cast("double").alias("n")).scalar()
-    n_tgt = vocab.agg(F.sum("c_tgt").cast("double").alias("n")).scalar()
+    n_all = docs.agg(F.sum(n_sizes).cast("double").alias("n")).scalar()
+    n_tgt = docs.agg(
+        F.sum(F.when(is_target, n_sizes).otherwise(0)).cast("double").alias("n")
+    ).scalar()
     lr = vocab.select(
         "token",
         F.round(

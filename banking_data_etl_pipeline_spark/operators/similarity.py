@@ -103,12 +103,14 @@ def _centroid_scorer(emb, n_centroids: int, vec_col: str, id_col: str):
 
     # struct(s, -cid): array_max / array_sort order by score then -cid,
     # so ties break toward the LOWEST centroid id in both engines
+    # one list-literal node per centroid vector — same array<double>
+    # values as element-wise lits, ~dim× smaller expression tree
     cent_arr = F.array(
         *[
             F.struct(
                 F.lit(int(r[0])).alias("cid"),
                 F.lit(_py_norm(r[1])).alias("cnorm"),
-                F.array(*[F.lit(float(x)) for x in r[1]]).alias("cvec"),
+                F.lit([float(x) for x in r[1]]).alias("cvec"),
             )
             for r in cents
         ]
