@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": Q.triangle_count,
         "dsir_weights": Q.dsir_weights,
         "semdedup": Q.semdedup,
+        "quality_ensemble": Q.quality_ensemble,
         # r4 first-timers: no CORRECTNESS_r04 was recorded, so they have
         # no driver row yet — they stay ahead of everything r3-green
         "media_resize": Q.media_resize,
@@ -173,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,
         "semdedup": oracle.SEMDEDUP_Q,
+        "quality_ensemble": oracle.QUALITY_ENSEMBLE_Q,
         "age_group": oracle.AGE_GROUP_Q,
         "wealth_segment": oracle.WEALTH_Q,
         "contact_day_type": oracle.DAY_TYPE_Q,

@@ -272,3 +272,79 @@ def dsir_logratio(
         score.alias("logratio"),
         (score > F.lit(0.0)).alias("target_like"),
     )
+
+
+def quality_ensemble(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 24,
+    min_quality: float = 0.42,
+    max_top_bigram: float = 0.08,
+    max_dup_trigram: float = 0.02,
+    max_xent: float = 3.45,
+) -> DataFrame:
+    """FineWeb/Gopher-style multi-signal quality gate: surface stats,
+    within-doc repetition, and unigram-LM cross-entropy combined into
+    one keep/drop verdict with a FIRST-FAILING-RULE reason — the same
+    errors-as-data, first-match-wins CASE shape the reference ETL uses
+    for its error channel, applied to corpus curation.
+
+    Scale shape: every signal except the LM score is MAP-ONLY (column
+    expressions riding the scan); the LM score joins the one
+    vocab-model pass from ``unigram_xent``. So the whole gate is one
+    tokenize-join-project pipeline — no second corpus scan for the
+    verdict, and the per-reason drop counts (one tiny groupBy
+    downstream) give the curation report for free. All cuts compare
+    6-dp ROUNDED signals so engine float edges can't flip a verdict."""
+    rep = texttools.repetition_signals(F.col(text_col))
+    # The explode(array(struct(...))) wrapper is load-bearing (same
+    # barrier as plans/pipeline.py's from_csv parse): the verdict CASE
+    # below references each signal in several branches, and Catalyst's
+    # projection collapse would substitute the full repetition-fold
+    # HOFs into every reference — measured ~10x slower without the
+    # Generate barrier. One row in, one row out; semantics unchanged.
+    sig = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    texttools.token_count(F.col(text_col)).alias("n_tokens"),
+                    F.round(texttools.quality_score(F.col(text_col)), 6).alias(
+                        "quality_score"
+                    ),
+                    # repetition_signals = [n_words, top_bigram_frac,
+                    # dup_trigram_frac, keep]; the ensemble needs the
+                    # two fractions
+                    rep[1],
+                    rep[2],
+                )
+            )
+        ).alias("_s"),
+    ).select(id_col, "_s.*")
+    x = unigram_xent(docs, text_col, id_col).select(id_col, "xent")
+    j = sig.join(x, id_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("quality_score") < min_quality, F.lit("low_quality"))
+        .when(
+            F.col("top_bigram_frac") > max_top_bigram,
+            F.lit("bigram_repetition"),
+        )
+        .when(
+            F.col("dup_trigram_frac") > max_dup_trigram,
+            F.lit("trigram_repetition"),
+        )
+        .when(F.col("xent") > max_xent, F.lit("high_perplexity"))
+        .otherwise(F.lit("pass"))
+    )
+    return j.select(
+        id_col,
+        "n_tokens",
+        "quality_score",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        "xent",
+        reason.alias("reason"),
+        (reason == "pass").alias("kept"),
+    )

@@ -1757,3 +1757,69 @@ SEMDEDUP_Q = f"""WITH cents AS (
 )
 SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
 FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id"""
+
+
+# Twin of operators.corpus.quality_ensemble: composes the proven
+# TEXT_STATS / REPETITION / UNIGRAM_XENT signal SQL and applies the
+# same first-failing-rule CASE on the 6-dp-rounded signals.
+QUALITY_ENSEMBLE_Q = f"""WITH tk AS (
+  SELECT doc_id, text, {TOKS} AS toks FROM documents
+), st AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE (length(text) - length(translate(text, '{_SQL_PUNCT}', '')))
+              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE {_hits('en')} / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
+  FROM tk
+), q AS (
+  SELECT doc_id, n_tokens, round(
+    CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+    + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - least(punct_ratio * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+    + CAST(0.3 AS DOUBLE) * least(stopword_ratio / CAST(0.4 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+  6) AS quality_score
+  FROM st
+), g AS (
+  SELECT doc_id,
+         {_word_shingles('toks', 2)} AS bg,
+         {_word_shingles('toks', 3)} AS tg
+  FROM tk
+), rep AS (
+  SELECT doc_id,
+    CASE WHEN len(bg) > 0 THEN round(
+      list_max(list_transform(list_distinct(bg),
+                              b -> len(list_filter(bg, x -> x = b))))
+      * 1.0 / len(bg), 6) END AS top_bigram_frac,
+    CASE WHEN len(tg) > 0 THEN round(
+      (len(tg) - len(list_distinct(tg))) * 1.0 / len(tg), 6)
+    END AS dup_trigram_frac
+  FROM g
+), xtk AS (
+  SELECT doc_id, unnest(toks) AS token FROM tk
+), vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS tok_n FROM xtk GROUP BY token
+), tot AS (
+  SELECT CAST(sum(tok_n) AS DOUBLE) AS corpus_n FROM vocab
+), logp AS (
+  SELECT token,
+         CAST(round(-ln(CAST(tok_n AS DOUBLE) / tot.corpus_n), 12)
+              AS DECIMAL(26,12)) AS neg_logp
+  FROM vocab CROSS JOIN tot
+), x AS (
+  SELECT xtk.doc_id, round(CAST(sum(logp.neg_logp) AS DOUBLE) / count(*), 6) AS xent
+  FROM xtk JOIN logp USING (token) GROUP BY xtk.doc_id
+), scored AS (
+  SELECT q.doc_id, q.n_tokens, q.quality_score,
+         rep.top_bigram_frac, rep.dup_trigram_frac, x.xent,
+         CASE WHEN q.n_tokens < 24 THEN 'too_short'
+              WHEN q.quality_score < 0.42 THEN 'low_quality'
+              WHEN rep.top_bigram_frac > 0.08 THEN 'bigram_repetition'
+              WHEN rep.dup_trigram_frac > 0.02 THEN 'trigram_repetition'
+              WHEN x.xent > 3.45 THEN 'high_perplexity'
+              ELSE 'pass' END AS reason
+  FROM q JOIN rep USING (doc_id) JOIN x USING (doc_id)
+)
+SELECT doc_id, n_tokens, quality_score, top_bigram_frac,
+       dup_trigram_frac, xent, reason, (reason = 'pass') AS kept
+FROM scored"""

@@ -1286,3 +1286,9 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: centroid cells + within-cell cosine near-dup removal."""
     tune_for_oracle(spark)
     return dedup.semdedup(tables.load(spark, sf_dir, "embeddings"))
+
+
+def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style multi-signal quality gate with per-doc verdicts."""
+    tune_for_oracle(spark)
+    return corpus.quality_ensemble(tables.load(spark, sf_dir, "documents"))

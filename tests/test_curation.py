@@ -330,3 +330,27 @@ def test_dsir_logratio_hand_checked(spark):
     # the all-target-token doc must score above the doc with a
     # target-unseen token
     assert out[1].logratio > out[2].logratio
+
+
+def test_quality_ensemble_reasons_first_match_wins(spark):
+    from banking_data_etl_pipeline_spark.operators import corpus
+
+    base = "the of and to in is it for on as " * 4  # 40 common tokens
+    docs = spark.createDataFrame(
+        [
+            (1, base),                         # long, common tokens -> pass-ish
+            (2, "tiny doc"),                   # -> too_short
+            (3, "ab ab " * 20),                # repeated bigram, but too_short
+                                               #   rule must NOT fire (40 toks)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in corpus.quality_ensemble(docs).collect()}
+    assert out[2].reason == "too_short" and out[2].kept is False
+    # doc 3 is long enough, so the repetition rule is the first to fire
+    # (its single repeated bigram occupies ~100% of bigrams)
+    assert out[3].reason in ("low_quality", "bigram_repetition")
+    assert out[3].kept is False
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert (r.reason == "pass") == r.kept
