@@ -34,6 +34,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship
         "pipeline_enriched": Q.pipeline_enriched,
+        # new in round 4b — least proven, so first
+        "heavy_hitters": Q.heavy_hitters,
+        "shuffle_shard": Q.shuffle_shard,
+        "bigram_pmi": Q.bigram_pmi,
         # new in round 5 — least proven, so first (inside the driver's
         # 50-query window)
         "unigram_xent": Q.unigram_xent,
@@ -170,6 +174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pipeline_enriched": oracle.PIPELINE_ENRICHED,
+        "heavy_hitters": oracle.HEAVY_HITTERS_Q,
+        "shuffle_shard": oracle.SHUFFLE_SHARD_Q,
+        "bigram_pmi": oracle.BIGRAM_PMI_Q,
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

@@ -348,3 +348,72 @@ def quality_ensemble(
         reason.alias("reason"),
         (reason == "pass").alias("kept"),
     )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus collocations: pointwise mutual information of adjacent
+    token pairs, ``pmi = ln(p(xy) / (p(x) p(y)))`` with p(xy) over the
+    bigram total B and p(x) over the token total N — the classic
+    phrase-mining / tokenizer-merge-candidate signal.
+
+    Scale shape: bigrams come from one map-only ``word_shingles``
+    explode; bigram and unigram counts are each ONE groupBy with
+    map-side combine (never a self-join of the token stream); the two
+    totals enter as uncorrelated scalar subqueries (map-only
+    aggregates, no collect); and the two count-lookup joins run
+    bigram ⋈ vocab, where the vocab side is Zipf-small — AQE broadcasts
+    it when it fits, plain shuffle join otherwise. ``min_count`` prunes
+    the long tail BEFORE the joins, so join input is the head of the
+    bigram distribution, not the corpus.
+
+    Float parity: the PMI operand is built with one fixed
+    multiplication order (see the expression) and rounded to 6 dp, the
+    repo-wide cross-engine rule."""
+    toks = texttools.tokens(F.col(text_col))
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = (
+        docs.select(F.explode(texttools.word_shingles(toks, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    n_tok = docs.agg(F.sum(F.size(toks)).alias("n")).scalar().cast("double")
+    n_big = (
+        docs.agg(
+            F.sum(F.greatest(F.size(toks) - 1, F.lit(0))).alias("b")
+        )
+        .scalar()
+        .cast("double")
+    )
+    parts = F.split(F.col("bigram"), " ", 2)
+    sp = big.select(
+        "bigram", "cnt", parts[0].alias("_x"), parts[1].alias("_y")
+    )
+    cx = uni.select(F.col("tok").alias("_x"), F.col("c1").alias("cx"))
+    cy = uni.select(F.col("tok").alias("_y"), F.col("c1").alias("cy"))
+    joined = sp.join(cx, "_x").join(cy, "_y")
+    # fixed association: ((cnt * N) * N) / (((B * cx)) * cy) — the
+    # oracle writes the identical shape so both engines round the same
+    # double
+    pmi = F.round(
+        F.log(
+            (F.col("cnt").cast("double") * n_tok * n_tok)
+            / (n_big * F.col("cx").cast("double") * F.col("cy").cast("double"))
+        ),
+        6,
+    )
+    return joined.select(
+        "bigram",
+        "cnt",
+        F.col("cx").alias("c_left"),
+        F.col("cy").alias("c_right"),
+        pmi.alias("pmi"),
+    )

@@ -18,7 +18,7 @@ prefix, giving rates in 1/256 granularity. Properties that matter at
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -73,3 +73,44 @@ def weighted_mix(
     if out is None:
         raise ValueError("weighted_mix needs at least one part")
     return out
+
+
+def shuffle_shard(
+    df: DataFrame, key: str, seed: str = "s42", n_shards: int = 16
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data
+    export: every row gets a pseudo-random ``shuffle_key``
+    (md5 of seed:key), a ``shard`` (its first hex digit spread over
+    ``n_shards``), and a dense ``pos`` within its shard ordered by the
+    key — i.e. the "shuffle the corpus, write N shard files, read them
+    sequentially during training" step, reproducible across reruns and
+    engines (no RNG state, no ``orderBy(rand())``).
+
+    Scale shape: one shuffle on ``shard`` (the window partition), then
+    a per-shard sort — never a single global sort. In production
+    ``n_shards`` is sized so one shard ≈ one executor's worth
+    (thousands of shards at 100 TB); the per-shard ``row_number`` is
+    the only order-dependent step and it parallelizes per shard.
+    Changing the seed string is a full, independent re-shuffle.
+
+    Restricted to md5 + strpos so the DuckDB oracle twin selects
+    byte-identical shards (engine-native hashes don't match across
+    engines; see module header).
+    """
+    if not 1 <= n_shards <= 16:
+        raise ValueError("n_shards spreads md5's first hex digit: 1..16")
+    skey = F.md5(F.concat_ws(":", F.lit(seed), F.col(key).cast("string")))
+    shard = (
+        (
+            F.expr(
+                "locate(substring(shuffle_key, 1, 1), '0123456789abcdef') - 1"
+            )
+        )
+        % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", key)
+    return (
+        df.select(F.col(key), skey.alias("shuffle_key"))
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+    )

@@ -15,12 +15,23 @@ oracle for them — ``tests/test_sketches.py`` instead asserts the
 published error bounds against the exact operators on the same data.
 That asymmetry (exact ops: value-hash parity; sketches: bound checks)
 is itself the point of keeping both families.
+
+The exception is ``heavy_hitters``: Misra–Gries is only the FIRST pass
+(a candidate pruner); a second exact pass over the candidates makes
+the final answer deterministic and exact, so that one IS
+oracle-twinned (``HEAVY_HITTERS_Q``).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions import texttools
 
 
 def approx_distinct_users(events: DataFrame, rsd: float = 0.05) -> DataFrame:
@@ -46,4 +57,74 @@ def approx_price_percentiles(lineitem: DataFrame, accuracy: int = 10000) -> Data
         pcts[1].alias("p50"),
         pcts[2].alias("p75"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def heavy_hitters(
+    docs: DataFrame, text_col: str = "text", k: int = 64
+) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with frequency > N/k) via a
+    Misra–Gries candidate pass + an exact verification pass.
+
+    Why not one ``groupBy(token)``? At 100 TB the full token groupBy
+    shuffles one row per (map partition, distinct token) — the whole
+    vocabulary crosses the wire. Misra–Gries caps the map-side state at
+    ``k`` counters per partition, so the candidate shuffle is
+    O(k × partitions) REGARDLESS of vocabulary size, and the classic
+    pigeonhole guarantee (any token with global count > N/(k+1) must
+    exceed its local decrement budget in at least one partition) makes
+    the merged candidate set a strict superset of the true > N/k set.
+    Pass 2 then counts ONLY the candidates — the corpus-side explode is
+    pre-filtered by a broadcast semi-join, so again nothing
+    vocabulary-sized shuffles — and the final ``cnt * k > N`` cut makes
+    the output exact and deterministic (hence oracle-twinnable, unlike
+    the one-pass sketches above).
+
+    The candidate pass runs in Arrow-batched ``mapInPandas`` (the MG
+    dict is inherently imperative state); its Python tokenizer
+    (``str.lower().split()``) matches ``texttools.tokens`` on any
+    whitespace-delimited text, and even if an edge case diverged it
+    could only alter the CANDIDATE superset — the exact pass re-counts
+    with the canonical tokenizer, so the result is unaffected.
+    """
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                for tok in text.lower().split():
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < k:
+                        counters[tok] = 1
+                    else:
+                        dead = [t for t in counters if counters[t] == 1]
+                        for t in counters:
+                            counters[t] -= 1
+                        for t in dead:
+                            del counters[t]
+        yield pd.DataFrame({"token": pd.Series(list(counters), dtype="object")})
+
+    candidates = docs.select(text_col).mapInPandas(
+        mg_partition, "token string"
+    ).distinct()
+    toks = docs.select(
+        F.explode(texttools.tokens(F.col(text_col))).alias("token")
+    )
+    # corpus token total: map-only aggregate over the raw scan,
+    # injected as an uncorrelated scalar subquery (no collect)
+    n_tok = docs.agg(
+        F.sum(F.size(texttools.tokens(F.col(text_col)))).alias("n")
+    ).scalar()
+    exact = (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return exact.filter(F.col("cnt") * k > n_tok).select(
+        "token",
+        "cnt",
+        F.round(F.col("cnt") / n_tok.cast("double"), 6).alias("share"),
     )

@@ -1823,3 +1823,70 @@ QUALITY_ENSEMBLE_Q = f"""WITH tk AS (
 SELECT doc_id, n_tokens, quality_score, top_bigram_frac,
        dup_trigram_frac, xent, reason, (reason = 'pass') AS kept
 FROM scored"""
+
+
+# ------------------------------------------------ round 4b: corpus ops
+
+# Twin of operators.sketches.heavy_hitters (k=64): the oracle computes
+# the exact > N/64 token set directly; the Spark side must land on the
+# same set regardless of its Misra–Gries candidate pruning (that is
+# the point of the two-pass design).
+HEAVY_HITTERS_Q = f"""WITH tk AS (
+  SELECT unnest({TOKS}) AS token FROM documents
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tk
+)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+       round(count(*) / CAST(n.n_tok AS DOUBLE), 6) AS share
+FROM tk CROSS JOIN n
+GROUP BY token, n.n_tok
+HAVING count(*) * 64 > n.n_tok"""
+
+# Twin of operators.sampling.shuffle_shard (seed 's42', 16 shards on
+# the doc_id key): md5 + strpos only, so both engines derive the
+# byte-identical permutation.
+SHUFFLE_SHARD_Q = """WITH k AS (
+  SELECT doc_id,
+         md5(concat('s42', ':', CAST(doc_id AS VARCHAR))) AS shuffle_key
+  FROM documents
+), s AS (
+  SELECT doc_id, shuffle_key,
+         CAST((strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1)
+              % 16 AS INT) AS shard
+  FROM k
+)
+SELECT doc_id, shuffle_key, shard,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+FROM s"""
+
+# Twin of operators.corpus.bigram_pmi (min_count=5): identical
+# multiplication association ((cnt*N)*N) / ((B*cx)*cy) before the
+# single ln + 6-dp round.
+BIGRAM_PMI_Q = f"""WITH d AS (
+  SELECT {TOKS} AS toks FROM documents
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok
+), big AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_word_shingles('toks', 2)}) AS bigram FROM d)
+  GROUP BY bigram HAVING count(*) >= 5
+), tot AS (
+  SELECT CAST(sum(len(toks)) AS DOUBLE) AS n_tok,
+         CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS n_big
+  FROM d
+), sp AS (
+  SELECT bigram, cnt,
+         split_part(bigram, ' ', 1) AS _x,
+         split_part(bigram, ' ', 2) AS _y
+  FROM big
+)
+SELECT sp.bigram, sp.cnt, cx.c1 AS c_left, cy.c1 AS c_right,
+       round(ln((CAST(sp.cnt AS DOUBLE) * tot.n_tok * tot.n_tok)
+                / (tot.n_big * CAST(cx.c1 AS DOUBLE)
+                   * CAST(cy.c1 AS DOUBLE))), 6) AS pmi
+FROM sp
+JOIN uni cx ON sp._x = cx.tok
+JOIN uni cy ON sp._y = cy.tok
+CROSS JOIN tot"""

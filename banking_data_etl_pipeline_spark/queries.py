@@ -1292,3 +1292,30 @@ def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FineWeb-style multi-signal quality gate with per-doc verdicts."""
     tune_for_oracle(spark)
     return corpus.quality_ensemble(tables.load(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------ round 4b: new ops
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact > N/64 token heavy hitters via Misra–Gries + verify."""
+    from .operators import sketches
+
+    tune_for_oracle(spark)
+    return sketches.heavy_hitters(tables.load(spark, sf_dir, "documents"))
+
+
+def shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export shuffle: shard + in-shard order."""
+    from .operators import sampling
+
+    tune_for_oracle(spark)
+    return sampling.shuffle_shard(
+        tables.load(spark, sf_dir, "documents"), key="doc_id"
+    )
+
+
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: PMI of adjacent token pairs (count >= 5)."""
+    tune_for_oracle(spark)
+    return corpus.bigram_pmi(tables.load(spark, sf_dir, "documents"))

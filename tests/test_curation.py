@@ -354,3 +354,55 @@ def test_quality_ensemble_reasons_first_match_wins(spark):
     assert set(out) == {1, 2, 3}
     for r in out.values():
         assert (r.reason == "pass") == r.kept
+
+
+def test_shuffle_shard_is_a_deterministic_permutation(spark):
+    from pyspark.sql import functions as F
+
+    from banking_data_etl_pipeline_spark.operators import sampling
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    n = docs.count()
+    a = sampling.shuffle_shard(docs, key="doc_id")
+    # a permutation: every doc exactly once, shards within range
+    assert a.count() == n
+    assert a.select("doc_id").distinct().count() == n
+    mm = a.agg(
+        F.min("shard").alias("lo"), F.max("shard").alias("hi")
+    ).first()
+    assert 0 <= mm.lo and mm.hi <= 15
+    # positions are dense 1..len per shard
+    per = a.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("pos").alias("p1"),
+        F.max("pos").alias("pn"),
+    )
+    for r in per.collect():
+        assert (r.p1, r.pn) == (1, r.n)
+    # deterministic across invocations; a new seed re-shuffles
+    b = sampling.shuffle_shard(docs, key="doc_id")
+    assert a.exceptAll(b).count() == 0
+    c = sampling.shuffle_shard(docs, key="doc_id", seed="other")
+    assert c.exceptAll(a).count() > 0
+
+
+def test_bigram_pmi_hand_computed(spark):
+    import math
+
+    from banking_data_etl_pipeline_spark.operators import corpus as C
+
+    # "a b" appears 6x, tokens: a:6 b:6 c:3 => N=15, bigrams per doc:
+    # doc "a b c" has [a b, b c]; 3 docs of "a b" alone add [a b] each
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c"),
+         (4, "a b"), (5, "a b"), (6, "a b")],
+        "doc_id long, text string",
+    )
+    out = {r.bigram: r for r in C.bigram_pmi(docs, min_count=3).collect()}
+    n_tok, n_big = 15.0, 9.0
+    ab = out["a b"]
+    assert (ab.cnt, ab.c_left, ab.c_right) == (6, 6, 6)
+    want = round(math.log((6 * n_tok * n_tok) / (n_big * 6 * 6)), 6)
+    assert abs(ab.pmi - want) < 1e-9
+    bc = out["b c"]
+    assert (bc.cnt, bc.c_left, bc.c_right) == (3, 6, 3)

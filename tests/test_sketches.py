@@ -45,3 +45,45 @@ def test_approx_percentiles_bracket_exact(spark):
         a25, a50, a75 = approx[flag]
         for e, a in ((e25, a25), (e50, a50), (e75, a75)):
             assert abs(a - e) <= 0.02 * span, (flag, e, a)
+
+
+def test_heavy_hitters_equals_exact_cut(spark):
+    """MG candidates + verify must equal the plain exact > N/k set."""
+    from pyspark.sql import functions as F
+
+    from banking_data_etl_pipeline_spark.functions import texttools
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    got = {
+        (r.token, r.cnt)
+        for r in sketches.heavy_hitters(docs, k=64).collect()
+    }
+    toks = docs.select(
+        F.explode(texttools.tokens(F.col("text"))).alias("token")
+    )
+    n = toks.count()
+    want = {
+        (r.token, r.cnt)
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 64 > F.lit(n))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_heavy_hitters_survives_adversarial_skew(spark):
+    """A heavy token diluted across many partitions must still emerge:
+    the MG superset guarantee is the whole point of the operator."""
+    from pyspark.sql import functions as F
+
+    # 40 partitions; 'hot' is ~1/8 of all tokens but never locally
+    # dominant next to the per-partition unique filler tokens
+    rows = []
+    for p in range(40):
+        for i in range(50):
+            filler = " ".join(f"f{p}_{i}_{j}" for j in range(7))
+            rows.append((p * 50 + i, f"hot {filler}",))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(40)
+    out = {r.token for r in sketches.heavy_hitters(docs, k=16).collect()}
+    assert out == {"hot"}  # 1/8 share > 1/16 cut; no filler survives
