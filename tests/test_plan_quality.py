@@ -345,3 +345,46 @@ def test_quality_ensemble_keeps_generate_barrier(spark):
 
     plan = _plan(corpus.quality_ensemble(tables.load(spark, SF_DIR, "documents")))
     assert "Generate explode" in plan, plan[:2000]
+
+
+def test_heavy_hitters_broadcasts_candidates(spark):
+    # the exact pass must pre-filter the token stream with a BROADCAST
+    # of the O(k x partitions) candidate set — a shuffled join here
+    # would move the whole vocabulary, defeating the sketch
+    from banking_data_etl_pipeline_spark.operators import sketches
+
+    plan = _plan(sketches.heavy_hitters(tables.load(spark, SF_DIR, "documents")))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_shuffle_shard_is_one_hash_exchange_no_global_sort(spark):
+    # per-shard row_number: exactly one hash exchange on shard, and
+    # never a rangepartitioning (global sort) or SinglePartition plan
+    from banking_data_etl_pipeline_spark.operators import sampling
+
+    plan = _plan(
+        sampling.shuffle_shard(tables.load(spark, SF_DIR, "documents"), key="doc_id")
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1 and "hashpartitioning(shard" in exchanges[0], plan
+
+
+def test_bigram_pmi_totals_are_scalar_subqueries(spark):
+    # the N and B corpus totals must enter as uncorrelated scalar
+    # subqueries (map-only aggregates), never via a joined/recomputed
+    # token stream; and nothing may collapse to a single reducer
+    from banking_data_etl_pipeline_spark.operators import corpus
+
+    plan = _plan(corpus.bigram_pmi(tables.load(spark, SF_DIR, "documents")))
+    assert "Subquery" in plan, plan
+    # the only single-reducer exchanges allowed are the scalar totals'
+    # global-aggregate merges: one row per map partition (partial_sum)
+    # crosses the wire, never the token stream
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "partial_sum" in below, plan
