@@ -84,14 +84,19 @@ def pagerank(
     # collect_set + pair-distinct build would run once per consumer
     # (it is the dominant cost of the whole query).
     edges = copurchase_edges(lineitem).persist()
-    # node count: a scalar model parameter (the one driver-side pull);
-    # it also materializes the edge cache, and it gates BOTH broadcast
-    # decisions below — deg is node-count-sized too, so force-
-    # broadcasting it above the gate would hit the same driver/
+    # degrees are the ONLY edge-wide aggregation needed: their key set
+    # IS the node set (the graph is symmetric), so the node count — a
+    # scalar model parameter, the one driver-side pull — is deg.count()
+    # and the initial rank vector is a projection of deg. This saves
+    # two further full passes over the edge list (a distinct-count and
+    # an edge-wide distinct) that earlier versions ran.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    # materializes deg AND the edge cache beneath it; it also gates
+    # BOTH broadcast decisions below — deg is node-count-sized too, so
+    # force-broadcasting it above the gate would hit the same driver/
     # broadcast limits the gate exists for
-    n_nodes = edges.select("src").distinct().count()
+    n_nodes = deg.count()
     bcast = n_nodes <= broadcast_nodes
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # broadcast fold keeps the (much larger) edge side shuffle-free on
     # the way into the cache; shuffle-join fallback above the gate
     ed = edges.join(F.broadcast(deg) if bcast else deg, "src").persist()
@@ -99,9 +104,7 @@ def pagerank(
     edges.unpersist()
     base = F.lit(0.15) / F.lit(float(n_nodes))
 
-    # derive the initial ranks from the cached edge table (going back
-    # through `deg` would re-run the uncached self-join)
-    ranks = ed.select("src").distinct().select(
+    ranks = deg.select(
         F.col("src").alias("node"),
         _trunc12(F.lit(1.0) / F.lit(float(n_nodes))).alias("r"),
     )
@@ -127,12 +130,14 @@ def pagerank(
         if prev is not None:
             prev.unpersist()
         prev = ranks
-    # Release the edge cache before returning: a long-lived session
-    # calling pagerank repeatedly must not accumulate edge-list-sized
-    # storage blocks per call. The returned DataFrame stays persisted —
-    # caller-owned, one row per node (unpersist it or clearCache when
-    # done, as bench.py and the parity gate already do).
+    # Release the edge and degree caches before returning: a
+    # long-lived session calling pagerank repeatedly must not
+    # accumulate edge-list-sized storage blocks per call. The returned
+    # DataFrame stays persisted — caller-owned, one row per node
+    # (unpersist it or clearCache when done, as bench.py and the
+    # parity gate already do).
     ed.unpersist()
+    deg.unpersist()
     return ranks
 
 
