@@ -1890,3 +1890,46 @@ FROM sp
 JOIN uni cx ON sp._x = cx.tok
 JOIN uni cy ON sp._y = cy.tok
 CROSS JOIN tot"""
+
+
+def bpe_merges_sql(n_merges: int = 6) -> str:
+    """Unrolled-CTE twin of operators.bpe.learn_bpe_merges: the same
+    (word, frequency) vocab start, and per step the same
+    integer-weighted pair count, (cnt DESC, pair ASC) argmax, and
+    whole-symbol literal replace — both engines walk bit-identical
+    vocab states, the kmeans-oracle pattern applied to a string model.
+    Symbols are chr(2)sym-chr(3) wrapped so a pair pattern can only
+    match at whole-symbol boundaries."""
+    syms = "regexp_extract_all(ws, chr(2)||'([^'||chr(3)||']*)'||chr(3), 1)"
+    parts = [
+        f"""WITH wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wn
+  FROM (SELECT unnest({TOKS}) AS word FROM documents) GROUP BY word
+), w0 AS (
+  SELECT regexp_replace(word, '(.)', chr(2) || '\\1' || chr(3), 'g') AS ws, wn
+  FROM wf
+)"""
+    ]
+    for t in range(1, n_merges + 1):
+        parts.append(
+            f""",
+p{t} AS (
+  SELECT pair, CAST(sum(wn) AS BIGINT) AS cnt FROM (
+    SELECT unnest({_word_shingles(syms, 2)}) AS pair, wn FROM w{t - 1}
+  ) GROUP BY pair
+), b{t} AS (
+  SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, cnt
+  FROM p{t} ORDER BY cnt DESC, pair ASC LIMIT 1
+), w{t} AS (
+  SELECT replace(w.ws,
+                 chr(2)||b.lhs||chr(3)||chr(2)||b.rhs||chr(3),
+                 chr(2)||b.lhs||b.rhs||chr(3)) AS ws, w.wn
+  FROM w{t - 1} w CROSS JOIN b{t} b
+)"""
+        )
+    finals = [
+        f"SELECT CAST({t} AS INTEGER) AS step, lhs, rhs,"
+        f" lhs || rhs AS merged, cnt FROM b{t}"
+        for t in range(1, n_merges + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(finals)

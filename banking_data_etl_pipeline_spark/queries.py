@@ -1319,3 +1319,11 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: PMI of adjacent token pairs (count >= 5)."""
     tune_for_oracle(spark)
     return corpus.bigram_pmi(tables.load(spark, sf_dir, "documents"))
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training: the first 6 learned merges."""
+    from .operators import bpe
+
+    tune_for_oracle(spark)
+    return bpe.learn_bpe_merges(tables.load(spark, sf_dir, "documents"))
