@@ -161,6 +161,7 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "kmeans",
         "dedup_resolve",  # iterative label propagation (runs jobs eagerly)
         "fuzzy_resolve",  # same resolver over fuzzy pairs
+        "bpe_merges",  # driver-side merge loop (one argmax pull per step)
     }
     allowed_bnlj = {"ann_brute"}
     for name, fn in sorted(mod.queries().items()):
