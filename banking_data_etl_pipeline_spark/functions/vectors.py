@@ -74,3 +74,40 @@ def dim_stats(emb, vec_col: str = "embedding"):
         ).alias("mean_x"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def quantize_int8(emb, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Symmetric per-dimension int8 quantization of an embedding
+    corpus — the 4x storage/bandwidth cut applied before shipping
+    vectors to an ANN index or a training job. ``scale_d =
+    max(|x_d|)/127`` per dimension, ``q = floor(x/scale + 0.5)`` (the
+    explicit half-up form, identical in Spark and DuckDB where their
+    ``round()`` tie rules differ), so q ∈ [-127, 127] exactly.
+
+    Shape: ``posexplode`` is map-only; the per-dim max-abs groupBy has
+    dimensionality-many keys (model-parameter scale) and broadcasts
+    back onto the flat stream — one shuffle of dim-sized data total,
+    nothing collected. Output is per-component rows (vec_id, dim, q)
+    so every cell is a scalar the parity harness canonicalizes, and so
+    downstream repacking (``collect_list`` ordered by dim) stays a
+    per-vector local sort.
+
+    A floor(1e-30) on the scale makes an all-zero dimension quantize
+    to zeros instead of raising/NULLing on division — and keeps the
+    expression engine-agnostic (Spark and DuckDB disagree on
+    double/0)."""
+    from pyspark.sql import functions as F
+
+    flat = emb.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "v0")
+    ).select(id_col, "dim", F.col("v0").cast("double").alias("v"))
+    scales = flat.groupBy("dim").agg(
+        (F.greatest(F.max(F.abs(F.col("v"))), F.lit(1e-30)) / F.lit(127.0)).alias(
+            "scale"
+        )
+    )
+    return flat.join(F.broadcast(scales), "dim").select(
+        id_col,
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("v") / F.col("scale") + F.lit(0.5)).cast("int").alias("q"),
+    )

@@ -1933,3 +1933,19 @@ p{t} AS (
         for t in range(1, n_merges + 1)
     ]
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+# Twin of functions.vectors.quantize_int8: same per-dim max-abs scale
+# with the 1e-30 floor, same explicit half-up floor(x/scale + 0.5).
+QUANTIZE_EMB_Q = """WITH dims AS (
+  SELECT CAST(unnest(range(1, 65)) AS INT) AS i
+), flat AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN dims
+), sc AS (
+  SELECT dim, greatest(max(abs(v)), 1e-30) / 127.0 AS scale
+  FROM flat GROUP BY dim
+)
+SELECT f.vec_id, CAST(f.dim AS INT) AS dim,
+       CAST(floor(f.v / s.scale + 0.5) AS INT) AS q
+FROM flat f JOIN sc s USING (dim)"""

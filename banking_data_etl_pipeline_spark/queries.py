@@ -1327,3 +1327,11 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return bpe.learn_bpe_merges(tables.load(spark, sf_dir, "documents"))
+
+
+def quantize_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric per-dimension embedding quantization."""
+    from .functions import vectors
+
+    tune_for_oracle(spark)
+    return vectors.quantize_int8(tables.load(spark, sf_dir, "embeddings"))

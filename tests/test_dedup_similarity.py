@@ -331,3 +331,32 @@ def test_semdedup_all_kept_below_tau(spark):
     )
     out = dedup.semdedup(emb, n_cells=2, tau=0.99)
     assert all(r.kept for r in out.collect())
+
+
+def test_quantize_int8_range_and_reconstruction(spark):
+    from pyspark.sql import functions as F
+
+    from banking_data_etl_pipeline_spark.functions import vectors
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    q = vectors.quantize_int8(emb)
+    dims = emb.first()
+    n = emb.count()
+    assert q.count() == n * len(dims.embedding)
+    rng = q.agg(F.min("q").alias("lo"), F.max("q").alias("hi")).first()
+    assert -127 <= rng.lo and rng.hi <= 127
+    # dequantized error is bounded by half a step of the per-dim scale
+    flat = emb.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+    sc = flat.groupBy("dim").agg(
+        (F.greatest(F.max(F.abs(F.col("v").cast("double"))), F.lit(1e-30)) / 127.0).alias("scale")
+    )
+    err = (
+        q.join(sc, "dim")
+        .join(flat, ["vec_id", "dim"])
+        .select(
+            (F.abs(F.col("q") * F.col("scale") - F.col("v").cast("double")) / F.col("scale")).alias("e")
+        )
+        .agg(F.max("e"))
+        .first()[0]
+    )
+    assert err <= 0.5 + 1e-9
