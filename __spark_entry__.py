@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": Q.bigram_pmi,
         "bpe_merges": Q.bpe_merges,
         "quantize_emb": Q.quantize_emb,
+        "jl_project": Q.jl_project,
         # new in round 5 — least proven, so first (inside the driver's
         # 50-query window)
         "unigram_xent": Q.unigram_xent,
@@ -181,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_pmi": oracle.BIGRAM_PMI_Q,
         "bpe_merges": oracle.bpe_merges_sql(),
         "quantize_emb": oracle.QUANTIZE_EMB_Q,
+        "jl_project": oracle.jl_project_sql(),
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

@@ -111,3 +111,64 @@ def quantize_int8(emb, vec_col: str = "embedding", id_col: str = "vec_id"):
         F.col("dim").cast("int").alias("dim"),
         F.floor(F.col("v") / F.col("scale") + F.lit(0.5)).cast("int").alias("q"),
     )
+
+
+def jl_signs(out_dim: int = 16, in_dim: int = 64) -> list[list[float]]:
+    """Deterministic Rademacher (+/-1) projection matrix for
+    Johnson-Lindenstrauss dimensionality reduction: sign(j, k) from
+    the parity of the first hex digit of md5("j:k"). Computed once
+    driver-side (model-parameter scale: out_dim x in_dim floats) and
+    inlined as literals into BOTH the Spark plan and the DuckDB twin,
+    so the two engines share one matrix by construction."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}:{k}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for k in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(emb, vec_col: str = "embedding", id_col: str = "vec_id",
+               out_dim: int = 16, in_dim: int = 64):
+    """JL random projection to ``out_dim`` dims (sparse-free
+    Rademacher variant: proj_j = sum_k x_k * s_jk / sqrt(out_dim),
+    the scale that makes E[||proj||^2] = ||x||^2) — the
+    shrink-before-ANN step that keeps pairwise distances within
+    (1 +/- eps) while cutting vector bytes 4x.
+
+    Map-only: each output component is one ``zip_with`` + left-fold
+    ``aggregate`` over the row's own vector against a LITERAL sign
+    array — no join, no shuffle, no UDF; the plan scales
+    embarrassingly and composes with scan pruning. The fold is
+    left-to-right from 0.0 (bit-neutral vs DuckDB's list_reduce, the
+    kmeans-oracle precedent), output rounded to 6 dp per the
+    repo-wide cross-engine rule; per-component rows keep every cell
+    scalar for the parity harness."""
+    from pyspark.sql import functions as F
+
+    signs = jl_signs(out_dim, in_dim)
+    vd = _to_double(F.col(vec_col))
+    scale = float(out_dim) ** 0.5
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                vd,
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for j in range(out_dim)
+    ]
+    return emb.select(
+        F.col(id_col), F.posexplode(F.array(*comps)).alias("odim", "raw")
+    ).select(
+        id_col,
+        F.col("odim").cast("int").alias("odim"),
+        F.round(F.col("raw") / F.lit(scale), 6).alias("val"),
+    )

@@ -1949,3 +1949,31 @@ QUANTIZE_EMB_Q = """WITH dims AS (
 SELECT f.vec_id, CAST(f.dim AS INT) AS dim,
        CAST(floor(f.v / s.scale + 0.5) AS INT) AS q
 FROM flat f JOIN sc s USING (dim)"""
+
+
+def jl_project_sql(out_dim: int = 16, in_dim: int = 64) -> str:
+    """Twin of functions.vectors.jl_project: the SAME driver-computed
+    Rademacher sign matrix (vectors.jl_signs — one source of truth)
+    inlined as list literals; the per-component left fold mirrors
+    Spark's ``aggregate(zip_with(...), 0.0, +)`` exactly (the
+    kmeans-oracle list_zip/list_reduce pattern), then /sqrt(out_dim)
+    and the 6-dp round."""
+    from .functions.vectors import jl_signs
+
+    signs = jl_signs(out_dim, in_dim)
+    comps = []
+    for j in range(out_dim):
+        lits = ", ".join(repr(s) for s in signs[j])
+        comps.append(
+            "list_reduce(list_transform(list_zip(embedding, "
+            f"[{lits}]), p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+        )
+    pl = ",\n    ".join(comps)
+    return f"""WITH p AS (
+  SELECT vec_id, [{pl}] AS pl FROM embeddings
+), dims AS (
+  SELECT CAST(unnest(range(1, {out_dim} + 1)) AS INT) AS i
+)
+SELECT vec_id, CAST(i - 1 AS INT) AS odim,
+       round(pl[i] / sqrt({float(out_dim)}), 6) AS val
+FROM p CROSS JOIN dims"""

@@ -1335,3 +1335,11 @@ def quantize_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return vectors.quantize_int8(tables.load(spark, sf_dir, "embeddings"))
+
+
+def jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL Rademacher projection of embeddings to 16 dims."""
+    from .functions import vectors
+
+    tune_for_oracle(spark)
+    return vectors.jl_project(tables.load(spark, sf_dir, "embeddings"))

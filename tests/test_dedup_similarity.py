@@ -360,3 +360,35 @@ def test_quantize_int8_range_and_reconstruction(spark):
         .first()[0]
     )
     assert err <= 0.5 + 1e-9
+
+
+def test_jl_project_preserves_norms_in_expectation(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from banking_data_etl_pipeline_spark.functions import vectors
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    proj = vectors.jl_project(emb)
+    # reassemble per-vector projected norms and compare to originals:
+    # E[||proj||^2] = ||x||^2 under the sqrt(out_dim) scaling, so the
+    # corpus-mean ratio must sit near 1 (16 dims -> loose band)
+    pn = proj.groupBy("vec_id").agg(F.sum(F.col("val") * F.col("val")).alias("p2"))
+    on = emb.select(
+        "vec_id",
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        ).alias("o2"),
+    )
+    rows = pn.join(on, "vec_id").select((F.col("p2") / F.col("o2")).alias("r")).collect()
+    ratios = [r.r for r in rows]
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, mean
+    # and the matrix is the documented deterministic one
+    m = vectors.jl_signs()
+    assert m == vectors.jl_signs() and len(m) == 16 and len(m[0]) == 64
+    assert all(abs(s) == 1.0 for row in m for s in row)
+    assert not math.isnan(mean)
