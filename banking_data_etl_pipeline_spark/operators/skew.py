@@ -83,3 +83,53 @@ def salted_broadcast_replicate_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>"))
     )
     return salted_facts.join(replicated_dim, [key, "_salt"]).drop("_salt")
+
+
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: one row of distribution stats for
+    ``key`` — the "should this join be salted?" report a platform runs
+    BEFORE committing to a shuffle strategy at 100 TB.
+
+    Shape: one groupBy(key) with map-side combine (the same shuffle
+    the real join would pay, so profiling on a sample upstream is the
+    production pattern), then a single global aggregate over the
+    key-count table (one row per key — already far smaller than the
+    data). top-share numerators use max() and a TakeOrdered-style
+    sorted-limit only on the key-count table, never the raw rows.
+
+    Output: n_rows, n_keys, max_per_key, top10_rows (rows under the 10
+    hottest keys), top1_share / top10_share (6-dp), avg_per_key
+    (6-dp). A top1_share near 1/n_keys is uniform; salting pays off
+    roughly when max_per_key spans multiple shuffle partitions' worth
+    of rows."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("kn"))
+    top10 = (
+        counts.orderBy(F.desc("kn"), F.asc(key))
+        .limit(10)
+        .agg(F.sum("kn").alias("top10_rows"), F.max(F.lit(1)).alias("_k"))
+    )
+    stats = counts.agg(
+        F.sum("kn").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("kn").alias("max_per_key"),
+        F.max(F.lit(1)).alias("_k"),
+    )
+    # 1-row x 1-row combine as an equi-join on an AGGREGATED key
+    # (max(lit) — a plain lit(1) key constant-folds back into a
+    # nested-loop cross join), keeping the repo invariant that no
+    # plan contains a nested loop
+    return stats.join(F.broadcast(top10), "_k").select(
+        "n_rows",
+        "n_keys",
+        "max_per_key",
+        "top10_rows",
+        F.round(F.col("max_per_key") / F.col("n_rows").cast("double"), 6).alias(
+            "top1_share"
+        ),
+        F.round(F.col("top10_rows") / F.col("n_rows").cast("double"), 6).alias(
+            "top10_share"
+        ),
+        F.round(F.col("n_rows") / F.col("n_keys").cast("double"), 6).alias(
+            "avg_per_key"
+        ),
+    )

@@ -1977,3 +1977,22 @@ def jl_project_sql(out_dim: int = 16, in_dim: int = 64) -> str:
 SELECT vec_id, CAST(i - 1 AS INT) AS odim,
        round(pl[i] / sqrt({float(out_dim)}), 6) AS val
 FROM p CROSS JOIN dims"""
+
+
+# Twin of operators.skew.key_skew_profile on events.user_id.
+KEY_SKEW_Q = """WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS kn FROM events GROUP BY user_id
+), t10 AS (
+  SELECT CAST(sum(kn) AS BIGINT) AS top10_rows FROM (
+    SELECT kn FROM counts ORDER BY kn DESC, user_id ASC LIMIT 10)
+), s AS (
+  SELECT CAST(sum(kn) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(kn) AS BIGINT) AS max_per_key
+  FROM counts
+)
+SELECT n_rows, n_keys, max_per_key, top10_rows,
+       round(max_per_key / CAST(n_rows AS DOUBLE), 6) AS top1_share,
+       round(top10_rows / CAST(n_rows AS DOUBLE), 6) AS top10_share,
+       round(n_rows / CAST(n_keys AS DOUBLE), 6) AS avg_per_key
+FROM s CROSS JOIN t10"""

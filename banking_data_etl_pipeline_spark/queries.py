@@ -1343,3 +1343,9 @@ def jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return vectors.jl_project(tables.load(spark, sf_dir, "embeddings"))
+
+
+def key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over events.user_id."""
+    tune_for_oracle(spark)
+    return skew.key_skew_profile(tables.load(spark, sf_dir, "events"), "user_id")

@@ -128,3 +128,17 @@ def test_snapshot_diff_on_bucketed_snapshots_is_shuffle_free(spark):
         assert ops == {"update", "unchanged"}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_key_skew_profile_matches_manual_counts(spark):
+    ev = tables.load(spark, SF_DIR, "events")
+    row = skew.key_skew_profile(ev, "user_id").first()
+    counts = sorted(
+        (r[1] for r in ev.groupBy("user_id").count().collect()), reverse=True
+    )
+    assert row.n_rows == sum(counts)
+    assert row.n_keys == len(counts)
+    assert row.max_per_key == counts[0]
+    assert row.top10_rows == sum(counts[:10])
+    assert abs(row.top1_share - counts[0] / sum(counts)) < 1e-6
+    assert 0.0 < row.top10_share <= 1.0
