@@ -59,3 +59,75 @@ def snapshot_diff(
     for c in tracked:
         out_cols += [F.col(f"{c}_old"), F.col(f"{c}_new")]
     return joined.select(*out_cols)
+
+
+def pit_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    id_cols: list[str] | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (PIT) lookup against an SCD-Type-2 dimension: each
+    fact row gets the dimension value whose validity interval contains
+    the fact timestamp — the feature-store join that prevents
+    time-travel leakage in training data.
+
+    The naive formulation (``f.key = d.key AND f.ts >= d.from AND
+    f.ts < d.to``) multiplies every fact by its key's version count
+    before filtering. This is the linear union trick instead (same
+    shape as ``relational.asof_last_order``): stack version-start
+    events and facts sorted per key, carry the latest version forward
+    with ``last(ignoreNulls)`` over an unbounded-preceding window, and
+    keep fact rows whose carried ``valid_to`` still covers them — one
+    shuffle on the key, no row multiplication, scale-stable for any
+    version fan-out. A fact AT a version boundary takes the NEW
+    version (dim rows sort before facts at the same instant).
+
+    Returns the fact's (id_cols, key, ts) plus ``val_col`` as
+    ``{val_col}_asof`` (NULL where no version covers the timestamp —
+    left-join semantics)."""
+    from pyspark.sql import Window
+
+    ids = id_cols or []
+    ftypes = dict(facts.dtypes)
+    dv = dim.select(
+        F.col(key),
+        F.col(valid_from).alias("_t"),
+        F.lit(0).alias("_kind"),
+        *[F.lit(None).cast(ftypes[c]).alias(c) for c in ids],
+        F.col(val_col).alias("_val"),
+        F.col(valid_to).alias("_vto"),
+    )
+    fv = facts.select(
+        F.col(key),
+        F.col(ts_col).alias("_t"),
+        F.lit(1).alias("_kind"),
+        *ids,
+        F.lit(None).cast(dict(dim.dtypes)[val_col]).alias("_val"),
+        F.lit(None).cast(ftypes[ts_col]).alias("_vto"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stacked = dv.unionByName(fv).select(
+        key,
+        "_t",
+        "_kind",
+        *ids,
+        F.last("_val", ignorenulls=True).over(w).alias("_cval"),
+        F.last("_vto", ignorenulls=True).over(w).alias("_cvto"),
+    )
+    return stacked.filter(F.col("_kind") == 1).select(
+        *ids,
+        key,
+        F.col("_t").alias(ts_col),
+        F.when(F.col("_t") < F.col("_cvto"), F.col("_cval")).alias(
+            f"{val_col}_asof"
+        ),
+    )

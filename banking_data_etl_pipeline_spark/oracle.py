@@ -1996,3 +1996,29 @@ SELECT n_rows, n_keys, max_per_key, top10_rows,
        round(top10_rows / CAST(n_rows AS DOUBLE), 6) AS top10_share,
        round(n_rows / CAST(n_keys AS DOUBLE), 6) AS avg_per_key
 FROM s CROSS JOIN t10"""
+
+
+# Twin of queries.pit_join (operators.cdc.pit_lookup): the oracle uses
+# the NAIVE range-join formulation — a different algorithm than the
+# union+carry-forward Spark plan, so agreement checks semantics, not
+# implementation. Synthetic SCD2 dim: every customer has a version
+# from 1990; customers with c_custkey % 3 = 0 get a +500 balance
+# version from 1998 (orders span 1995-2001, so both sides of the
+# boundary are exercised). A fact AT the boundary takes the new
+# version (>= from, < to).
+PIT_JOIN_Q = """WITH dim AS (
+  SELECT c_custkey, c_acctbal AS bal,
+         TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+         CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '1998-01-01 00:00:00'
+              ELSE TIMESTAMP '9999-01-01 00:00:00' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 500.0,
+         TIMESTAMP '1998-01-01 00:00:00', TIMESTAMP '9999-01-01 00:00:00'
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, d.bal AS bal_asof
+FROM orders o JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND o.o_orderdate >= d.valid_from
+ AND o.o_orderdate < d.valid_to"""

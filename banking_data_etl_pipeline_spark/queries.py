@@ -1349,3 +1349,45 @@ def key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic over events.user_id."""
     tune_for_oracle(spark)
     return skew.key_skew_profile(tables.load(spark, sf_dir, "events"), "user_id")
+
+
+def pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup: each order's customer balance as of
+    the order date (versioned dim, +500 from 1998 for custkey%3==0)."""
+    from .operators import cdc
+
+    tune_for_oracle(spark)
+    cust = tables.load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.when(key % 3 == 0, F.lit("1998-01-01 00:00:00"))
+        .otherwise(F.lit("9999-01-01 00:00:00"))
+        .cast("timestamp")
+        .alias("valid_to"),
+    )
+    v2 = cust.filter(key % 3 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + F.lit(500.0)).alias("bal"),
+        F.lit("1998-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit("9999-01-01 00:00:00").cast("timestamp").alias("valid_to"),
+    )
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_orderdate"
+    )
+    out = cdc.pit_lookup(
+        orders,
+        v1.unionByName(v2),
+        key="c_custkey",
+        ts_col="o_orderdate",
+        val_col="bal",
+        id_cols=["o_orderkey"],
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("c_custkey").alias("o_custkey"),
+        "o_orderdate",
+        F.col("bal_asof"),
+    )

@@ -142,3 +142,39 @@ def test_key_skew_profile_matches_manual_counts(spark):
     assert row.top10_rows == sum(counts[:10])
     assert abs(row.top1_share - counts[0] / sum(counts)) < 1e-6
     assert 0.0 < row.top10_share <= 1.0
+
+
+def test_pit_lookup_boundary_and_gap_semantics(spark):
+    from banking_data_etl_pipeline_spark.operators import cdc
+
+    dim = spark.createDataFrame(
+        [
+            (1, 10.0, "2020-01-01 00:00:00", "2021-01-01 00:00:00"),
+            (1, 20.0, "2021-01-01 00:00:00", "2022-01-01 00:00:00"),
+            # key 2: a single version that EXPIRES (gap afterwards)
+            (2, 99.0, "2020-01-01 00:00:00", "2020-06-01 00:00:00"),
+        ],
+        "k long, bal double, valid_from string, valid_to string",
+    ).selectExpr(
+        "k",
+        "bal",
+        "CAST(valid_from AS TIMESTAMP) AS valid_from",
+        "CAST(valid_to AS TIMESTAMP) AS valid_to",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2020-06-01 00:00:00"),  # inside v1
+            (101, 1, "2021-01-01 00:00:00"),  # AT boundary -> v2
+            (102, 1, "2023-01-01 00:00:00"),  # after expiry -> NULL
+            (103, 2, "2020-07-01 00:00:00"),  # in the gap -> NULL
+            (104, 3, "2020-07-01 00:00:00"),  # unknown key -> NULL
+        ],
+        "fid long, k long, ts string",
+    ).selectExpr("fid", "k", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {
+        r.fid: r.bal_asof
+        for r in cdc.pit_lookup(
+            facts, dim, key="k", ts_col="ts", val_col="bal", id_cols=["fid"]
+        ).collect()
+    }
+    assert out == {100: 10.0, 101: 20.0, 102: None, 103: None, 104: None}
