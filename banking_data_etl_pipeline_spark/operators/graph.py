@@ -174,8 +174,11 @@ def triangle_counts(
     broadcasts into the orientation join (map-only), above it the join
     falls back to a shuffle."""
     edges = copurchase_edges(lineitem).persist()
-    n_nodes = edges.select("src").distinct().count()  # also warms the cache
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # degrees' key set IS the node set (symmetric graph) — same trick
+    # as pagerank: one pass over the cached edges covers the node
+    # count AND the degree table, no separate distinct-count pass
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    n_nodes = deg.count()  # also warms the edge cache
     d_in = F.broadcast(deg) if n_nodes <= broadcast_nodes else deg
     half = edges.filter(F.col("src") < F.col("dst"))
     h = (
@@ -201,6 +204,7 @@ def triangle_counts(
     ).repartition(width, "lo").persist()
     n_oriented = e.count()
     edges.unpersist()
+    deg.unpersist()  # e is materialized; nothing reads deg anymore
     # The adjacency table totals m array entries across node-count
     # rows, so its broadcast gate is the EDGE count, not the node
     # count (2M half-edges ≈ 16 MB of longs). Below the gate the
