@@ -35,6 +35,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # streaming, and multimodal.
 BENCH_QUERIES = [
     "pipeline_enriched",
+    # round 4b/5 additions
+    "heavy_hitters",
+    "shuffle_shard",
+    "bigram_pmi",
+    "bpe_merges",
+    "quantize_emb",
+    "jl_project",
+    "key_skew",
+    "pit_join",
+    "unigram_xent",
+    "triangle_count",
+    "dsir_weights",
+    "semdedup",
+    "quality_ensemble",
     "error_records",
     "dedup_exact",
     "minhash_lsh",
