@@ -652,3 +652,92 @@ def mad_outliers(events: DataFrame, k: float = 4.4478) -> DataFrame:
         F.sum((F.col("adev") > F.lit(k) * F.col("mad")).cast("int")).alias("n_outliers"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---- group-wise OLS (normal equations, Cramer's rule) ----
+# The closed-form solve is pure expression text SHARED verbatim with
+# the DuckDB twin (oracle.OLS2_Q interpolates these same strings), so
+# the two engines evaluate byte-identical double arithmetic. nn is
+# count(*) as double; s* are DECIMAL-exact sums of 12-dp-rounded
+# per-row terms (order-independent, so the fit is partitioning-proof).
+OLS2_DET = (
+    "(nn * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2))"
+)
+OLS2_B0 = (
+    "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+    " + s2 * (s1y * s12 - s11 * s2y))"
+)
+OLS2_B1 = (
+    "(nn * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s2y - s1y * s2))"
+)
+OLS2_B2 = (
+    "(nn * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+    " + sy * (s1 * s12 - s11 * s2))"
+)
+OLS2_R2 = (
+    "round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)"
+    " / (syy - sy * sy / nn), 6)"
+)
+
+
+def ols2_sum_sql(term: str, alias: str) -> str:
+    """DECIMAL-exact sum of a 12-dp-rounded per-row double term —
+    the one aggregation shape both engines share."""
+    return (
+        f"CAST(sum(CAST(round({term}, 12) AS DECIMAL(38,12))) AS DOUBLE)"
+        f" AS {alias}"
+    )
+
+
+def ols2(
+    df: DataFrame, group: str, y: str, x1: str, x2: str
+) -> DataFrame:
+    """Per-group ordinary least squares with two features and an
+    intercept — distributed model fitting as ONE aggregation: the
+    normal-equation sufficient statistics (8 sums + count) reduce with
+    map-side combine, then Cramer's rule solves the 3x3 system in
+    closed form per group. No iteration, no collect, no ML library —
+    the 100 TB shape for "fit a small model per segment" (group count
+    rows out, regardless of input size). R^2 is derived from the same
+    statistics (computed from the 6-dp-rounded coefficients, so the
+    report is deterministic cross-engine). Degenerate groups
+    (singular X'X, e.g. a constant feature) yield NULL coefficients
+    via the 0-determinant division."""
+    yd = f"CAST({y} AS DOUBLE)"
+    x1d = f"CAST({x1} AS DOUBLE)"
+    x2d = f"CAST({x2} AS DOUBLE)"
+    stats = df.groupBy(group).agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(count(*) AS DOUBLE)").alias("nn"),
+        *[
+            F.expr(ols2_sum_sql(t, a))
+            for t, a in [
+                (x1d, "s1"),
+                (x2d, "s2"),
+                (f"{x1d} * {x1d}", "s11"),
+                (f"{x2d} * {x2d}", "s22"),
+                (f"{x1d} * {x2d}", "s12"),
+                (yd, "sy"),
+                (f"{x1d} * {yd}", "s1y"),
+                (f"{x2d} * {yd}", "s2y"),
+                (f"{yd} * {yd}", "syy"),
+            ]
+        ],
+    )
+    solved = stats.select(
+        group,
+        "n",
+        "nn",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        F.expr(f"round({OLS2_B0} / {OLS2_DET}, 6)").alias("b0"),
+        F.expr(f"round({OLS2_B1} / {OLS2_DET}, 6)").alias("b1"),
+        F.expr(f"round({OLS2_B2} / {OLS2_DET}, 6)").alias("b2"),
+    )
+    return solved.select(
+        group, "n", "b0", "b1", "b2", F.expr(OLS2_R2).alias("r2")
+    )

@@ -2022,3 +2022,46 @@ FROM orders o JOIN dim d
   ON o.o_custkey = d.c_custkey
  AND o.o_orderdate >= d.valid_from
  AND o.o_orderdate < d.valid_to"""
+
+
+def ols2_sql() -> str:
+    """Twin of operators.relational.ols2 on lineitem (extendedprice ~
+    quantity + discount, per return flag): interpolates the SAME
+    formula strings the Spark plan evaluates (relational.OLS2_*), so
+    coefficient arithmetic is byte-identical; sufficient statistics
+    are DECIMAL-exact sums of 12-dp-rounded terms in both engines."""
+    from .operators.relational import (
+        OLS2_B0, OLS2_B1, OLS2_B2, OLS2_DET, OLS2_R2, ols2_sum_sql,
+    )
+
+    yd = "CAST(l_extendedprice AS DOUBLE)"
+    x1d = "CAST(l_quantity AS DOUBLE)"
+    x2d = "CAST(l_discount AS DOUBLE)"
+    sums = ",\n         ".join(
+        ols2_sum_sql(t, a)
+        for t, a in [
+            (x1d, "s1"),
+            (x2d, "s2"),
+            (f"{x1d} * {x1d}", "s11"),
+            (f"{x2d} * {x2d}", "s22"),
+            (f"{x1d} * {x2d}", "s12"),
+            (yd, "sy"),
+            (f"{x1d} * {yd}", "s1y"),
+            (f"{x2d} * {yd}", "s2y"),
+            (f"{yd} * {yd}", "syy"),
+        ]
+    )
+    return f"""WITH st AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) AS DOUBLE) AS nn,
+         {sums}
+  FROM lineitem GROUP BY l_returnflag
+), solved AS (
+  SELECT l_returnflag, n, nn, sy, s1y, s2y, syy,
+         round({OLS2_B0} / {OLS2_DET}, 6) AS b0,
+         round({OLS2_B1} / {OLS2_DET}, 6) AS b1,
+         round({OLS2_B2} / {OLS2_DET}, 6) AS b2
+  FROM st
+)
+SELECT l_returnflag, n, b0, b1, b2, {OLS2_R2} AS r2 FROM solved"""

@@ -1391,3 +1391,15 @@ def pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.col("bal_asof"),
     )
+
+
+def ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag OLS: extendedprice ~ quantity + discount."""
+    tune_for_oracle(spark)
+    return relational.ols2(
+        tables.load(spark, sf_dir, "lineitem"),
+        group="l_returnflag",
+        y="l_extendedprice",
+        x1="l_quantity",
+        x2="l_discount",
+    )

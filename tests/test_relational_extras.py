@@ -164,3 +164,37 @@ def test_profile_table_exact_and_sketch(spark):
     assert abs(approx["o_custkey"].n_distinct - want_distinct) <= 0.1 * want_distinct
     plan = profiling.profile_table(orders, cols, exact_distinct=False)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_ols2_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from banking_data_etl_pipeline_spark.operators import relational
+    from banking_data_etl_pipeline_spark.sources import tables
+
+    from conftest import SF_DIR
+
+    li = tables.load(spark, SF_DIR, "lineitem")
+    got = {
+        r.l_returnflag: r
+        for r in relational.ols2(
+            li, "l_returnflag", "l_extendedprice", "l_quantity", "l_discount"
+        ).collect()
+    }
+    rows = li.select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_discount"
+    ).collect()
+    for flag in got:
+        sub = [r for r in rows if r.l_returnflag == flag]
+        X = np.array([[1.0, float(r.l_quantity), float(r.l_discount)] for r in sub])
+        yv = np.array([float(r.l_extendedprice) for r in sub])
+        beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+        g = got[flag]
+        assert g.n == len(sub)
+        for want, have in zip(beta, (g.b0, g.b1, g.b2)):
+            assert abs(want - have) < 1e-3 * max(1.0, abs(want)), (flag, want, have)
+        # r2 within [0, 1] and matches numpy residuals loosely
+        pred = X @ beta
+        sse = float(((yv - pred) ** 2).sum())
+        sst = float(((yv - yv.mean()) ** 2).sum())
+        assert abs(g.r2 - (1 - sse / sst)) < 1e-3, (flag, g.r2)
