@@ -658,8 +658,8 @@ def mad_outliers(events: DataFrame, k: float = 4.4478) -> DataFrame:
 # The closed-form solve is pure expression text SHARED verbatim with
 # the DuckDB twin (oracle.OLS2_Q interpolates these same strings), so
 # the two engines evaluate byte-identical double arithmetic. nn is
-# count(*) as double; s* are DECIMAL-exact sums of 12-dp-rounded
-# per-row terms (order-independent, so the fit is partitioning-proof).
+# count(*) as double; s* are DECIMAL-exact sums of per-row terms
+# (order-independent, so the fit is partitioning-proof).
 OLS2_DET = (
     "(nn * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
     " + s2 * (s1 * s12 - s11 * s2))"
@@ -683,10 +683,15 @@ OLS2_R2 = (
 
 
 def ols2_sum_sql(term: str, alias: str) -> str:
-    """DECIMAL-exact sum of a 12-dp-rounded per-row double term —
-    the one aggregation shape both engines share."""
+    """DECIMAL-exact sum of per-row double terms — the one aggregation
+    shape both engines share. The double -> DECIMAL(28,12) cast rounds
+    to nearest in both Spark and DuckDB; an exact decimal midpoint at
+    the 12th digit is not representable for these binary products, so
+    no explicit round() is needed (it would double the per-row cost —
+    a BigDecimal setScale per term). 28,12 bounds per-term magnitude
+    at 1e16 (price^2 here is ~1e10) and lets the sum widen to 38,12."""
     return (
-        f"CAST(sum(CAST(round({term}, 12) AS DECIMAL(38,12))) AS DOUBLE)"
+        f"CAST(sum(CAST({term} AS DECIMAL(28,12))) AS DOUBLE)"
         f" AS {alias}"
     )
 

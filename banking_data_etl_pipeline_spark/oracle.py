@@ -2029,7 +2029,8 @@ def ols2_sql() -> str:
     quantity + discount, per return flag): interpolates the SAME
     formula strings the Spark plan evaluates (relational.OLS2_*), so
     coefficient arithmetic is byte-identical; sufficient statistics
-    are DECIMAL-exact sums of 12-dp-rounded terms in both engines."""
+    are DECIMAL-exact sums (see relational.ols2_sum_sql for the cast
+    rounding argument) in both engines."""
     from .operators.relational import (
         OLS2_B0, OLS2_B1, OLS2_B2, OLS2_DET, OLS2_R2, ols2_sum_sql,
     )
