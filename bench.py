@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "jl_project",
     "key_skew",
     "pit_join",
+    "ols2",
     "unigram_xent",
     "triangle_count",
     "dsir_weights",
