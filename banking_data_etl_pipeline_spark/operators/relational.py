@@ -746,3 +746,55 @@ def ols2(
     return solved.select(
         group, "n", "b0", "b1", "b2", F.expr(OLS2_R2).alias("r2")
     )
+
+
+def corr_pair_sql(i: int, j: int) -> str:
+    """Pearson correlation of columns i and j from the shared
+    sufficient-statistic aliases (nn, s{i}, s{i}_{i}, s{i}_{j}) —
+    formula text shared verbatim with the DuckDB twin."""
+    return (
+        f"round((nn * s{i}_{j} - s{i} * s{j})"
+        f" / (sqrt(nn * s{i}_{i} - s{i} * s{i})"
+        f" * sqrt(nn * s{j}_{j} - s{j} * s{j})), 6)"
+    )
+
+
+def corr_terms(cols: list[str]) -> list[tuple[str, str]]:
+    """(term, alias) list for the correlation sufficient statistics:
+    per column the sum and the squared sum, per pair the cross sum."""
+    d = [f"CAST({c} AS DOUBLE)" for c in cols]
+    out = []
+    for i in range(len(cols)):
+        out.append((d[i], f"s{i}"))
+        out.append((f"{d[i]} * {d[i]}", f"s{i}_{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            out.append((f"{d[i]} * {d[j]}", f"s{i}_{j}"))
+    return out
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations over ``cols`` in ONE pass — the
+    feature-profiling matrix before model building, as a single global
+    aggregation of k(k+3)/2 DECIMAL-exact sums (map-side partials, a
+    one-row merge — model-parameter scale, never a per-pair shuffle or
+    a column self-join). Output is one row per unordered pair
+    (col_a, col_b, corr), corr 6-dp-rounded from formula text shared
+    verbatim with the oracle twin. Columns are assumed non-null
+    (profile first; a null-tolerant variant would swap count(*) for
+    pairwise counts)."""
+    terms = corr_terms(cols)
+    stats = df.agg(
+        F.expr("CAST(count(*) AS DOUBLE)").alias("nn"),
+        *[F.expr(ols2_sum_sql(t, a)) for t, a in terms],
+    )
+    pairs = [
+        F.struct(
+            F.lit(cols[i]).alias("col_a"),
+            F.lit(cols[j]).alias("col_b"),
+            F.expr(corr_pair_sql(i, j)).alias("corr"),
+        )
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    return stats.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")

@@ -2066,3 +2066,27 @@ def ols2_sql() -> str:
   FROM st
 )
 SELECT l_returnflag, n, b0, b1, b2, {OLS2_R2} AS r2 FROM solved"""
+
+
+def corr_matrix_sql() -> str:
+    """Twin of operators.relational.corr_matrix on lineitem
+    (quantity, extendedprice, discount, tax): same shared sum shapes
+    and per-pair formula text, pairs emitted as UNION ALL rows."""
+    from .operators.relational import corr_pair_sql, corr_terms, ols2_sum_sql
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    sums = ",\n         ".join(
+        ols2_sum_sql(t, a) for t, a in corr_terms(cols)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b,"
+        f" {corr_pair_sql(i, j)} AS corr FROM st"
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    )
+    return f"""WITH st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nn,
+         {sums}
+  FROM lineitem
+)
+{rows}"""

@@ -1403,3 +1403,12 @@ def ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
         x1="l_quantity",
         x2="l_discount",
     )
+
+
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Pearson correlation matrix over lineitem numerics."""
+    tune_for_oracle(spark)
+    return relational.corr_matrix(
+        tables.load(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "key_skew",
     "pit_join",
     "ols2",
+    "corr_matrix",
     "unigram_xent",
     "triangle_count",
     "dsir_weights",

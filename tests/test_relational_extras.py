@@ -198,3 +198,29 @@ def test_ols2_matches_numpy_lstsq(spark):
         sse = float(((yv - pred) ** 2).sum())
         sst = float(((yv - yv.mean()) ** 2).sum())
         assert abs(g.r2 - (1 - sse / sst)) < 1e-3, (flag, g.r2)
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from banking_data_etl_pipeline_spark.operators import relational
+    from banking_data_etl_pipeline_spark.sources import tables
+
+    from conftest import SF_DIR
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = tables.load(spark, SF_DIR, "lineitem")
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in relational.corr_matrix(li, cols).collect()
+    }
+    assert len(got) == 6
+    data = np.array(
+        [[float(v) for v in row] for row in li.select(*cols).collect()]
+    )
+    want = np.corrcoef(data, rowvar=False)
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert abs(got[(cols[i], cols[j])] - want[i, j]) < 1e-6, (i, j)
+    # every correlation is a valid coefficient
+    assert all(-1.0 <= v <= 1.0 for v in got.values())
