@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join": Q.pit_join,
         "ols2": Q.ols2,
         "corr_matrix": Q.corr_matrix,
+        "bpe_tokenize": Q.bpe_tokenize,
         # new in round 5 — least proven, so first (inside the driver's
         # 50-query window)
         "unigram_xent": Q.unigram_xent,
@@ -191,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_join": oracle.PIT_JOIN_Q,
         "ols2": oracle.ols2_sql(),
         "corr_matrix": oracle.corr_matrix_sql(),
+        "bpe_tokenize": oracle.bpe_tokenize_sql(),
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

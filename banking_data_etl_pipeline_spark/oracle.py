@@ -2090,3 +2090,33 @@ def corr_matrix_sql() -> str:
   FROM lineitem
 )
 {rows}"""
+
+
+def bpe_tokenize_sql() -> str:
+    """Twin of queries.bpe_tokenize (operators.bpe.apply_bpe with the
+    fixed merge list): the same whole-symbol-boundary replace chain per
+    word, flattened; per-doc output is the BPE token count plus an md5
+    of the space-joined token stream (scalar stand-in for the array)."""
+    merges = [("e", "r"), ("i", "n"), ("o", "n"), ("a", "n"), ("t", "i"), ("s", "t")]
+    inner = "w2"
+    for lhs, rhs in merges:
+        pat = f"chr(2)||'{lhs}'||chr(3)||chr(2)||'{rhs}'||chr(3)"
+        rep = f"chr(2)||'{lhs}{rhs}'||chr(3)"
+        inner = f"replace({inner}, {pat}, {rep})"
+    return f"""WITH enc AS (
+  SELECT doc_id,
+         list_transform({TOKS},
+           w -> regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g')) AS ew
+  FROM documents
+), merged AS (
+  SELECT doc_id, list_transform(ew, w2 -> {inner}) AS mw FROM enc
+), toks AS (
+  SELECT doc_id,
+         flatten(list_transform(mw,
+           w3 -> regexp_extract_all(w3,
+                   chr(2)||'([^'||chr(3)||']*)'||chr(3), 1))) AS bt
+  FROM merged
+)
+SELECT doc_id, CAST(len(bt) AS INT) AS n_bpe_tokens,
+       md5(array_to_string(bt, ' ')) AS tokens_md5
+FROM toks"""

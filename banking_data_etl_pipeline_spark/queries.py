@@ -1412,3 +1412,17 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.load(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
+
+
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a fixed 6-merge BPE vocab to every document (map-only)."""
+    from .operators import bpe
+
+    tune_for_oracle(spark)
+    merges = [("e", "r"), ("i", "n"), ("o", "n"), ("a", "n"), ("t", "i"), ("s", "t")]
+    out = bpe.apply_bpe(tables.load(spark, sf_dir, "documents"), merges)
+    return out.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.md5(F.concat_ws(" ", F.col("bpe_tokens"))).alias("tokens_md5"),
+    )

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "pit_join",
     "ols2",
     "corr_matrix",
+    "bpe_tokenize",
     "unigram_xent",
     "triangle_count",
     "dsir_weights",
