@@ -170,5 +170,8 @@ def jl_project(emb, vec_col: str = "embedding", id_col: str = "vec_id",
     ).select(
         id_col,
         F.col("odim").cast("int").alias("odim"),
-        F.round(F.col("raw") / F.lit(scale), 6).alias("val"),
+        # + 0.0 normalizes a rounded -0.0 to +0.0: Spark's HALF_UP
+        # round returns +0.0 for tiny negatives where DuckDB keeps the
+        # sign, and the parity hash distinguishes repr(-0.0)
+        (F.round(F.col("raw") / F.lit(scale), 6) + F.lit(0.0)).alias("val"),
     )

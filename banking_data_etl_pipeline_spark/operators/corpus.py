@@ -269,7 +269,9 @@ def dsir_logratio(
     return per_doc.select(
         F.col(id_col),
         F.col("n_tok"),
-        score.alias("logratio"),
+        # + 0.0: Spark's HALF_UP round yields +0.0 for tiny negatives
+        # where DuckDB keeps -0.0; the oracle twin adds the same term
+        (score + F.lit(0.0)).alias("logratio"),
         (score > F.lit(0.0)).alias("target_like"),
     )
 
@@ -403,13 +405,15 @@ def bigram_pmi(
     # fixed association: ((cnt * N) * N) / (((B * cx)) * cy) — the
     # oracle writes the identical shape so both engines round the same
     # double
+    # + 0.0 normalizes a rounded -0.0 (Spark) vs -0.0-preserving
+    # DuckDB round — see oracle twin, which adds the same term
     pmi = F.round(
         F.log(
             (F.col("cnt").cast("double") * n_tok * n_tok)
             / (n_big * F.col("cx").cast("double") * F.col("cy").cast("double"))
         ),
         6,
-    )
+    ) + F.lit(0.0)
     return joined.select(
         "bigram",
         "cnt",

@@ -676,9 +676,12 @@ OLS2_B2 = (
     "(nn * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
     " + sy * (s1 * s12 - s11 * s2))"
 )
+# trailing "+ 0.0" on every rounded output: Spark's HALF_UP round
+# yields +0.0 for tiny negatives where DuckDB keeps -0.0, and the
+# parity hash distinguishes the two reprs
 OLS2_R2 = (
     "round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)"
-    " / (syy - sy * sy / nn), 6)"
+    " / (syy - sy * sy / nn), 6) + 0.0"
 )
 
 
@@ -739,9 +742,9 @@ def ols2(
         "s1y",
         "s2y",
         "syy",
-        F.expr(f"round({OLS2_B0} / {OLS2_DET}, 6)").alias("b0"),
-        F.expr(f"round({OLS2_B1} / {OLS2_DET}, 6)").alias("b1"),
-        F.expr(f"round({OLS2_B2} / {OLS2_DET}, 6)").alias("b2"),
+        F.expr(f"round({OLS2_B0} / {OLS2_DET}, 6) + 0.0").alias("b0"),
+        F.expr(f"round({OLS2_B1} / {OLS2_DET}, 6) + 0.0").alias("b1"),
+        F.expr(f"round({OLS2_B2} / {OLS2_DET}, 6) + 0.0").alias("b2"),
     )
     return solved.select(
         group, "n", "b0", "b1", "b2", F.expr(OLS2_R2).alias("r2")
@@ -755,7 +758,7 @@ def corr_pair_sql(i: int, j: int) -> str:
     return (
         f"round((nn * s{i}_{j} - s{i} * s{j})"
         f" / (sqrt(nn * s{i}_{i} - s{i} * s{i})"
-        f" * sqrt(nn * s{j}_{j} - s{j} * s{j})), 6)"
+        f" * sqrt(nn * s{j}_{j} - s{j} * s{j})), 6) + 0.0"
     )
 
 

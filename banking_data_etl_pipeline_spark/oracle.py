@@ -1734,7 +1734,7 @@ DSIR_WEIGHTS_Q = f"""WITH tk AS (
   FROM tk JOIN lr USING (token) GROUP BY tk.doc_id
 )
 SELECT doc_id, n_tok,
-       round(CAST(s AS DOUBLE) / n_tok, 6) AS logratio,
+       round(CAST(s AS DOUBLE) / n_tok, 6) + 0.0 AS logratio,
        (round(CAST(s AS DOUBLE) / n_tok, 6) > 0.0) AS target_like
 FROM per_doc"""
 
@@ -1885,7 +1885,7 @@ BIGRAM_PMI_Q = f"""WITH d AS (
 SELECT sp.bigram, sp.cnt, cx.c1 AS c_left, cy.c1 AS c_right,
        round(ln((CAST(sp.cnt AS DOUBLE) * tot.n_tok * tot.n_tok)
                 / (tot.n_big * CAST(cx.c1 AS DOUBLE)
-                   * CAST(cy.c1 AS DOUBLE))), 6) AS pmi
+                   * CAST(cy.c1 AS DOUBLE))), 6) + 0.0 AS pmi
 FROM sp
 JOIN uni cx ON sp._x = cx.tok
 JOIN uni cy ON sp._y = cy.tok
@@ -1975,7 +1975,7 @@ def jl_project_sql(out_dim: int = 16, in_dim: int = 64) -> str:
   SELECT CAST(unnest(range(1, {out_dim} + 1)) AS INT) AS i
 )
 SELECT vec_id, CAST(i - 1 AS INT) AS odim,
-       round(pl[i] / sqrt({float(out_dim)}), 6) AS val
+       round(pl[i] / sqrt({float(out_dim)}), 6) + 0.0 AS val
 FROM p CROSS JOIN dims"""
 
 
@@ -2018,7 +2018,7 @@ PIT_JOIN_Q = """WITH dim AS (
   FROM customer WHERE c_custkey % 3 = 0
 )
 SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, d.bal AS bal_asof
-FROM orders o JOIN dim d
+FROM orders o LEFT JOIN dim d
   ON o.o_custkey = d.c_custkey
  AND o.o_orderdate >= d.valid_from
  AND o.o_orderdate < d.valid_to"""
@@ -2060,9 +2060,9 @@ def ols2_sql() -> str:
   FROM lineitem GROUP BY l_returnflag
 ), solved AS (
   SELECT l_returnflag, n, nn, sy, s1y, s2y, syy,
-         round({OLS2_B0} / {OLS2_DET}, 6) AS b0,
-         round({OLS2_B1} / {OLS2_DET}, 6) AS b1,
-         round({OLS2_B2} / {OLS2_DET}, 6) AS b2
+         round({OLS2_B0} / {OLS2_DET}, 6) + 0.0 AS b0,
+         round({OLS2_B1} / {OLS2_DET}, 6) + 0.0 AS b1,
+         round({OLS2_B2} / {OLS2_DET}, 6) + 0.0 AS b2
   FROM st
 )
 SELECT l_returnflag, n, b0, b1, b2, {OLS2_R2} AS r2 FROM solved"""
