@@ -67,10 +67,14 @@ def dim_stats(emb, vec_col: str = "embedding"):
     return ex.groupBy("dim").agg(
         F.min("x").alias("min_x"),
         F.max("x").alias("max_x"),
-        F.round(
-            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+        # + 0.0: signed-zero normalization for near-zero negative means
+        (
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("mean_x"),
         F.count(F.lit(1)).alias("n"),
     )

@@ -522,7 +522,11 @@ def user_value_trend(events: DataFrame, origin: str = "2024-01-01") -> DataFrame
         - F.unix_micros(F.lit(origin).cast("timestamp"))
     ).cast("double") / F.lit(86400.0 * 1_000_000)
     return events.groupBy("user_id").agg(
-        F.round(F.regr_slope(F.col("value"), x), 4).alias("slope_per_day"),
+        # + 0.0: signed-zero normalization (Spark round -> +0.0,
+        # DuckDB keeps -0.0 for tiny negative slopes)
+        (F.round(F.regr_slope(F.col("value"), x), 4) + F.lit(0.0)).alias(
+            "slope_per_day"
+        ),
         F.count(F.lit(1)).alias("n_events"),
     )
 

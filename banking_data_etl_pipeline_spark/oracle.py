@@ -758,7 +758,7 @@ FROM events GROUP BY event_type"""
 REGR_SLOPE_Q = """SELECT user_id,
   round(regr_slope(value,
         CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS DOUBLE)
-        / 86400000000.0), 4) AS slope_per_day,
+        / 86400000000.0), 4) + 0.0 AS slope_per_day,
   count(*) AS n_events
 FROM events GROUP BY user_id"""
 
@@ -1357,7 +1357,7 @@ EMB_DIM_STATS_Q = """WITH ex AS (
   FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
 )
 SELECT dim, min(x) AS min_x, max(x) AS max_x,
-  round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_x,
+  round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) + 0.0 AS mean_x,
   count(*) AS n
 FROM ex GROUP BY dim"""
 
