@@ -12,6 +12,12 @@ Parity rules that keep value hashes identical between engines:
   lexicographic comparisons instead of hex->int conversions.
 - Left folds: DuckDB ``list_reduce`` == Spark ``aggregate`` with 0.0
   init (adding 0.0 first preserves IEEE bits).
+- Signed zero: Spark's SQL ``round()`` (BigDecimal HALF_UP) returns
+  +0.0 for tiny negatives where DuckDB's keeps -0.0, and the value
+  hash distinguishes repr(-0.0). Every ROUNDED OUTPUT COLUMN that can
+  be negative must append ``+ 0.0`` on BOTH twins (normalizes -0.0,
+  changes nothing else). Positive-by-construction outputs and numpy
+  rounding (sign-preserving, matches DuckDB) don't need it.
 """
 
 from __future__ import annotations
