@@ -87,6 +87,13 @@ def pit_lookup(
     version fan-out. A fact AT a version boundary takes the NEW
     version (dim rows sort before facts at the same instant).
 
+    The carried state is ONE struct ``(val, valid_to)`` per dim row, so
+    the common SCD2 open-version convention ``valid_to IS NULL``
+    (current version, no end yet) works: a NULL end inside the struct
+    is carried with its own version's value (it is not skipped the way
+    a bare ``last(valid_to, ignorenulls)`` would skip it) and means
+    "covers every later timestamp".
+
     Returns the fact's (id_cols, key, ts) plus ``val_col`` as
     ``{val_col}_asof`` (NULL where no version covers the timestamp —
     left-join semantics)."""
@@ -94,21 +101,23 @@ def pit_lookup(
 
     ids = id_cols or []
     ftypes = dict(facts.dtypes)
+    dtypes = dict(dim.dtypes)
+    ver_type = f"struct<v:{dtypes[val_col]},vto:{dtypes[valid_to]}>"
     dv = dim.select(
         F.col(key),
         F.col(valid_from).alias("_t"),
         F.lit(0).alias("_kind"),
         *[F.lit(None).cast(ftypes[c]).alias(c) for c in ids],
-        F.col(val_col).alias("_val"),
-        F.col(valid_to).alias("_vto"),
+        F.struct(
+            F.col(val_col).alias("v"), F.col(valid_to).alias("vto")
+        ).alias("_ver"),
     )
     fv = facts.select(
         F.col(key),
         F.col(ts_col).alias("_t"),
         F.lit(1).alias("_kind"),
         *ids,
-        F.lit(None).cast(dict(dim.dtypes)[val_col]).alias("_val"),
-        F.lit(None).cast(ftypes[ts_col]).alias("_vto"),
+        F.lit(None).cast(ver_type).alias("_ver"),
     )
     w = (
         Window.partitionBy(key)
@@ -120,14 +129,14 @@ def pit_lookup(
         "_t",
         "_kind",
         *ids,
-        F.last("_val", ignorenulls=True).over(w).alias("_cval"),
-        F.last("_vto", ignorenulls=True).over(w).alias("_cvto"),
+        F.last("_ver", ignorenulls=True).over(w).alias("_cver"),
+    )
+    covered = F.col("_cver").isNotNull() & (
+        F.col("_cver.vto").isNull() | (F.col("_t") < F.col("_cver.vto"))
     )
     return stacked.filter(F.col("_kind") == 1).select(
         *ids,
         key,
         F.col("_t").alias(ts_col),
-        F.when(F.col("_t") < F.col("_cvto"), F.col("_cval")).alias(
-            f"{val_col}_asof"
-        ),
+        F.when(covered, F.col("_cver.v")).alias(f"{val_col}_asof"),
     )

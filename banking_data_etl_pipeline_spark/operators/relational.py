@@ -668,6 +668,10 @@ OLS2_DET = (
     "(nn * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
     " + s2 * (s1 * s12 - s11 * s2))"
 )
+# Divisions go through nullif(det, 0): Spark 4 runs ANSI mode (x/0.0
+# raises DIVIDE_BY_ZERO) while DuckDB yields NULL — nullif makes a
+# singular system produce NULL coefficients identically in both twins.
+OLS2_DET_SAFE = f"nullif({OLS2_DET}, 0.0)"
 OLS2_B0 = (
     "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
     " + s2 * (s1y * s12 - s11 * s2y))"
@@ -685,7 +689,7 @@ OLS2_B2 = (
 # parity hash distinguishes the two reprs
 OLS2_R2 = (
     "round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)"
-    " / (syy - sy * sy / nn), 6) + 0.0"
+    " / nullif(syy - sy * sy / nn, 0.0), 6) + 0.0"
 )
 
 
@@ -715,8 +719,9 @@ def ols2(
     rows out, regardless of input size). R^2 is derived from the same
     statistics (computed from the 6-dp-rounded coefficients, so the
     report is deterministic cross-engine). Degenerate groups
-    (singular X'X, e.g. a constant feature) yield NULL coefficients
-    via the 0-determinant division."""
+    (singular X'X, e.g. a constant feature; constant y for R^2) yield
+    NULL via the nullif-guarded divisions — Spark's ANSI mode would
+    otherwise raise DIVIDE_BY_ZERO where DuckDB returns NULL."""
     yd = f"CAST({y} AS DOUBLE)"
     x1d = f"CAST({x1} AS DOUBLE)"
     x2d = f"CAST({x2} AS DOUBLE)"
@@ -746,9 +751,9 @@ def ols2(
         "s1y",
         "s2y",
         "syy",
-        F.expr(f"round({OLS2_B0} / {OLS2_DET}, 6) + 0.0").alias("b0"),
-        F.expr(f"round({OLS2_B1} / {OLS2_DET}, 6) + 0.0").alias("b1"),
-        F.expr(f"round({OLS2_B2} / {OLS2_DET}, 6) + 0.0").alias("b2"),
+        F.expr(f"round({OLS2_B0} / {OLS2_DET_SAFE}, 6) + 0.0").alias("b0"),
+        F.expr(f"round({OLS2_B1} / {OLS2_DET_SAFE}, 6) + 0.0").alias("b1"),
+        F.expr(f"round({OLS2_B2} / {OLS2_DET_SAFE}, 6) + 0.0").alias("b2"),
     )
     return solved.select(
         group, "n", "b0", "b1", "b2", F.expr(OLS2_R2).alias("r2")
@@ -761,8 +766,8 @@ def corr_pair_sql(i: int, j: int) -> str:
     formula text shared verbatim with the DuckDB twin."""
     return (
         f"round((nn * s{i}_{j} - s{i} * s{j})"
-        f" / (sqrt(nn * s{i}_{i} - s{i} * s{i})"
-        f" * sqrt(nn * s{j}_{j} - s{j} * s{j})), 6) + 0.0"
+        f" / nullif(sqrt(nn * s{i}_{i} - s{i} * s{i})"
+        f" * sqrt(nn * s{j}_{j} - s{j} * s{j}), 0.0), 6) + 0.0"
     )
 
 

@@ -24,6 +24,7 @@ oracle-twinned (``HEAVY_HITTERS_Q``).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -81,31 +82,51 @@ def heavy_hitters(
     the one-pass sketches above).
 
     The candidate pass runs in Arrow-batched ``mapInPandas`` (the MG
-    dict is inherently imperative state); its Python tokenizer
-    (``str.lower().split()``) matches ``texttools.tokens`` on any
-    whitespace-delimited text, and even if an edge case diverged it
-    could only alter the CANDIDATE superset — the exact pass re-counts
-    with the canonical tokenizer, so the result is unaffected.
+    dict is inherently imperative state). Its Python tokenizer must
+    reproduce ``texttools.tokens`` (Spark ``split(lower(t), '\\s+')``):
+    Java ``\\s`` without UNICODE_CHARACTER_CLASS is the ASCII class
+    ``[ \\t\\n\\x0b\\f\\r]`` only, while Python ``str.split()`` also
+    splits on Unicode whitespace (\\xa0, \\x1c, ...) — a token
+    containing such a character would never enter the counters and a
+    true heavy hitter could be silently dropped from the exact output.
+    So the primary MG pass splits on the exact Java-``\\s`` class; a
+    second MG pass over Python's ``str.split()`` tokenization is
+    unioned in as belt-and-braces, so the candidate set remains a
+    superset of the true heavy hitters under EITHER whitespace rule
+    (any residual ``lower()`` divergence between the JVM and CPython
+    Unicode tables would have to hit both rules to escape). The exact
+    pass re-counts candidates with the canonical Spark tokenizer, so
+    candidates only ever widen the superset — never the final answer.
     """
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def mg_feed(counters: dict[str, int], toks: list[str]) -> None:
+        for tok in toks:
+            if not tok:
+                continue
+            if tok in counters:
+                counters[tok] += 1
+            elif len(counters) < k:
+                counters[tok] = 1
+            else:
+                dead = [t for t in counters if counters[t] == 1]
+                for t in counters:
+                    counters[t] -= 1
+                for t in dead:
+                    del counters[t]
 
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
+        ascii_ws: dict[str, int] = {}
+        unicode_ws: dict[str, int] = {}
         for pdf in batches:
             for text in pdf[text_col]:
                 if text is None:
                     continue
-                for tok in text.lower().split():
-                    if tok in counters:
-                        counters[tok] += 1
-                    elif len(counters) < k:
-                        counters[tok] = 1
-                    else:
-                        dead = [t for t in counters if counters[t] == 1]
-                        for t in counters:
-                            counters[t] -= 1
-                        for t in dead:
-                            del counters[t]
-        yield pd.DataFrame({"token": pd.Series(list(counters), dtype="object")})
+                low = text.lower()
+                mg_feed(ascii_ws, java_ws.split(low))
+                mg_feed(unicode_ws, low.split())
+        cand = set(ascii_ws) | set(unicode_ws)
+        yield pd.DataFrame({"token": pd.Series(sorted(cand), dtype="object")})
 
     candidates = docs.select(text_col).mapInPandas(
         mg_partition, "token string"

@@ -1857,7 +1857,9 @@ SHUFFLE_SHARD_Q = """WITH k AS (
   FROM documents
 ), s AS (
   SELECT doc_id, shuffle_key,
-         CAST((strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1)
+         CAST(((strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1)
+               * 16
+               + strpos('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1)
               % 16 AS INT) AS shard
   FROM k
 )
@@ -2038,7 +2040,7 @@ def ols2_sql() -> str:
     are DECIMAL-exact sums (see relational.ols2_sum_sql for the cast
     rounding argument) in both engines."""
     from .operators.relational import (
-        OLS2_B0, OLS2_B1, OLS2_B2, OLS2_DET, OLS2_R2, ols2_sum_sql,
+        OLS2_B0, OLS2_B1, OLS2_B2, OLS2_DET_SAFE, OLS2_R2, ols2_sum_sql,
     )
 
     yd = "CAST(l_extendedprice AS DOUBLE)"
@@ -2066,9 +2068,9 @@ def ols2_sql() -> str:
   FROM lineitem GROUP BY l_returnflag
 ), solved AS (
   SELECT l_returnflag, n, nn, sy, s1y, s2y, syy,
-         round({OLS2_B0} / {OLS2_DET}, 6) + 0.0 AS b0,
-         round({OLS2_B1} / {OLS2_DET}, 6) + 0.0 AS b1,
-         round({OLS2_B2} / {OLS2_DET}, 6) + 0.0 AS b2
+         round({OLS2_B0} / {OLS2_DET_SAFE}, 6) + 0.0 AS b0,
+         round({OLS2_B1} / {OLS2_DET_SAFE}, 6) + 0.0 AS b1,
+         round({OLS2_B2} / {OLS2_DET_SAFE}, 6) + 0.0 AS b2
   FROM st
 )
 SELECT l_returnflag, n, b0, b1, b2, {OLS2_R2} AS r2 FROM solved"""

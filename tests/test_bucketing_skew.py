@@ -178,3 +178,41 @@ def test_pit_lookup_boundary_and_gap_semantics(spark):
         ).collect()
     }
     assert out == {100: 10.0, 101: 20.0, 102: None, 103: None, 104: None}
+
+
+def test_pit_lookup_open_version_null_valid_to(spark):
+    """SCD2 open-version convention: the current version has
+    ``valid_to IS NULL`` and must cover every later timestamp — the
+    struct-carried (val, valid_to) fix; a bare last(valid_to,
+    ignorenulls) would have carried the PREVIOUS version's end."""
+    from banking_data_etl_pipeline_spark.operators import cdc
+
+    dim = spark.createDataFrame(
+        [
+            (1, 10.0, "2020-01-01 00:00:00", "2021-01-01 00:00:00"),
+            (1, 20.0, "2021-01-01 00:00:00", None),  # open version
+            (2, 99.0, "2020-01-01 00:00:00", None),  # only version, open
+        ],
+        "k long, bal double, valid_from string, valid_to string",
+    ).selectExpr(
+        "k",
+        "bal",
+        "CAST(valid_from AS TIMESTAMP) AS valid_from",
+        "CAST(valid_to AS TIMESTAMP) AS valid_to",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2020-06-01 00:00:00"),  # inside closed v1
+            (101, 1, "2025-01-01 00:00:00"),  # deep inside open v2
+            (102, 2, "2019-01-01 00:00:00"),  # before any version -> NULL
+            (103, 2, "2024-01-01 00:00:00"),  # inside the open version
+        ],
+        "fid long, k long, ts string",
+    ).selectExpr("fid", "k", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {
+        r.fid: r.bal_asof
+        for r in cdc.pit_lookup(
+            facts, dim, key="k", ts_col="ts", val_col="bal", id_cols=["fid"]
+        ).collect()
+    }
+    assert out == {100: 10.0, 101: 20.0, 102: None, 103: 99.0}

@@ -386,6 +386,33 @@ def test_shuffle_shard_is_a_deterministic_permutation(spark):
     assert c.exceptAll(a).count() > 0
 
 
+def test_shuffle_shard_non_divisor_counts_are_balanced(spark):
+    """n_shards=10 doesn't divide 16: with the one-hex-digit fold the
+    low shards got DOUBLE weight; the two-digit (256-bucket) fold keeps
+    the imbalance at the 256%n remainder (~4%), so no shard should be
+    anywhere near 2x another."""
+    from pyspark.sql import functions as F
+
+    from banking_data_etl_pipeline_spark.operators import sampling
+
+    # 20k synthetic keys: binomial noise (sd ~42 per shard of ~2000) is
+    # small next to the old failure mode (low shards at 2x weight), so
+    # a 15% ratio bound separates them deterministically
+    n = 20000
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    per = {
+        r.shard: r.n
+        for r in sampling.shuffle_shard(docs, key="doc_id", n_shards=10)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per) == set(range(10))
+    lo, hi = min(per.values()), max(per.values())
+    assert hi < 1.15 * lo, per
+    assert sum(per.values()) == n
+
+
 def test_bigram_pmi_hand_computed(spark):
     import math
 

@@ -200,6 +200,53 @@ def test_ols2_matches_numpy_lstsq(spark):
         assert abs(g.r2 - (1 - sse / sst)) < 1e-3, (flag, g.r2)
 
 
+def test_ols2_singular_group_yields_null_not_error(spark):
+    """Constant feature -> singular X'X; constant y -> zero R^2
+    denominator. Under Spark 4 ANSI mode an unguarded division raises
+    DIVIDE_BY_ZERO; the nullif guards must yield NULLs instead (the
+    DuckDB twin's behavior)."""
+    from banking_data_etl_pipeline_spark.operators import relational
+
+    rows = [
+        # group 'sing': x2 constant -> det = 0 -> NULL coefficients
+        ("sing", 1.0, 1.0, 5.0),
+        ("sing", 2.0, 2.0, 5.0),
+        ("sing", 3.0, 3.0, 5.0),
+        # group 'flat': y constant -> R^2 denominator 0 -> NULL r2
+        ("flat", 7.0, 1.0, 1.0),
+        ("flat", 7.0, 2.0, 4.0),
+        ("flat", 7.0, 3.0, 9.0),
+        ("flat", 7.0, 4.0, 16.0),
+        # group 'ok': well-conditioned control
+        ("ok", 1.0, 1.0, 2.0),
+        ("ok", 2.0, 2.0, 3.0),
+        ("ok", 4.0, 3.0, 5.0),
+        ("ok", 8.0, 4.0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, x2 double")
+    out = {r.g: r for r in relational.ols2(df, "g", "y", "x1", "x2").collect()}
+    assert out["sing"].b0 is None and out["sing"].b1 is None
+    assert out["sing"].b2 is None and out["sing"].r2 is None
+    assert out["flat"].r2 is None
+    assert out["ok"].b0 is not None and out["ok"].r2 is not None
+
+
+def test_corr_matrix_constant_column_yields_null_not_error(spark):
+    from banking_data_etl_pipeline_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0, 2.0), (2.0, 5.0, 4.0), (3.0, 5.0, 6.0)],
+        "a double, b double, c double",
+    )
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in relational.corr_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert got[("a", "b")] is None  # zero variance in b
+    assert got[("b", "c")] is None
+    assert got[("a", "c")] == 1.0
+
+
 def test_corr_matrix_matches_numpy(spark):
     import numpy as np
 

@@ -87,3 +87,27 @@ def test_heavy_hitters_survives_adversarial_skew(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(40)
     out = {r.token for r in sketches.heavy_hitters(docs, k=16).collect()}
     assert out == {"hot"}  # 1/8 share > 1/16 cut; no filler survives
+
+
+def test_heavy_hitters_unicode_whitespace_token(spark):
+    """Java \\s is ASCII-only, so 'a\\xa0b' is ONE canonical token;
+    Python str.split() would split it and the candidate pass would
+    never count the real token — the ASCII-class MG pass must keep
+    the superset guarantee (the r4 ADVICE finding)."""
+    from pyspark.sql import functions as F
+
+    from banking_data_etl_pipeline_spark.functions import texttools
+
+    glued = "a\xa0b"  # NBSP: token separator in Python, not in Java
+    rows = [(i, f"{glued} x{i}") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    got = {(r.token, r.cnt) for r in sketches.heavy_hitters(docs, k=4).collect()}
+    # sanity: the canonical tokenizer really keeps the NBSP token whole
+    canonical = {
+        r.token
+        for r in docs.select(
+            F.explode(texttools.tokens(F.col("text"))).alias("token")
+        ).collect()
+    }
+    assert glued in canonical
+    assert got == {(glued, 100)}  # 1/2 share > 1/4 cut; nothing dropped
