@@ -196,7 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,
-        "semdedup": oracle.SEMDEDUP_Q,
+        "semdedup": oracle.semdedup_sql(),
         "quality_ensemble": oracle.QUALITY_ENSEMBLE_Q,
         "age_group": oracle.AGE_GROUP_Q,
         "wealth_segment": oracle.WEALTH_Q,
@@ -258,7 +258,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup": oracle.EMB_NEAR_DUP_Q,
         "ann_brute": oracle.ANN_BRUTE_Q,
         "ann_lsh": oracle.ann_lsh_sql(),
-        "ann_ivf": oracle.ANN_IVF_Q,
+        "ann_ivf": oracle.ann_ivf_sql(),
         "text_stats": oracle.TEXT_STATS_Q,
         "lang_id": oracle.langid_sql(),
         "fingerprint": oracle.FINGERPRINT_Q,

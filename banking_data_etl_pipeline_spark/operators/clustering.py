@@ -62,16 +62,21 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
     )
 
 
-def kmeans(
+def train_centroids(
     emb: DataFrame,
     k: int = 8,
     iterations: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
-    """Fixed-iteration Lloyd's k-means; init = the k lowest-id vectors.
-    Returns per-cluster size and the centroid (rounded), deterministic
-    across partitionings."""
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd training loop alone: k (cid, centroid) pairs after
+    ``iterations`` decimal-exact updates from the lowest-id init.
+    Shared by ``kmeans`` and by ``similarity.ivf_topk`` /
+    ``dedup.semdedup`` (``train_iterations>0``), where data-trained
+    centroids keep the inverted-file cells balanced — arbitrary-id
+    centroids can leave one hot cell that degrades a probe toward
+    brute force. Driver traffic per iteration is k centroid rows
+    (model-parameter scale)."""
     dim = len(emb.select(vec_col).first()[0])
     init = sorted(
         emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect(),
@@ -103,7 +108,20 @@ def kmeans(
                     (cid, [float(r[f"_s{i}"]) / n for i in range(dim)])
                 )
         centroids = new_centroids
+    return centroids
 
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means; init = the k lowest-id vectors.
+    Returns per-cluster size and the centroid (rounded), deterministic
+    across partitionings."""
+    centroids = train_centroids(emb, k, iterations, vec_col, id_col)
     final = _assign(emb, centroids, vec_col, id_col)
     cent_map = {cid: vec for cid, vec in centroids}
     cent_arr = F.map_from_arrays(

@@ -536,6 +536,7 @@ def semdedup(
     tau: float = 0.35,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_iterations: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: partition the embedding
     space into centroid cells, compare pairs only WITHIN a cell, and
@@ -546,9 +547,11 @@ def semdedup(
     This is the architecture of SemDeDup (Abbas et al., 2023): the
     cell assignment caps pair generation at sum-over-cells |cell|² —
     ``n_cells`` is the knob that keeps cells small (production: scale
-    it with corpus size, e.g. ~sqrt(n); here the deterministic
-    lowest-id centroids stand in for k-means ones so the DuckDB twin
-    reproduces the exact cells). Assignment is map-only (literal
+    it with corpus size, e.g. ~sqrt(n)). Centroids are k-means-trained
+    (``train_iterations`` decimal-exact Lloyd updates; 0 falls back to
+    the raw lowest-id vectors) so no single hot cell re-quadratizes the
+    pair join; both paths are deterministic, so the DuckDB twin
+    reproduces the exact cells. Assignment is map-only (literal
     centroid array, no shuffle — ``similarity.assign_cells``); the
     within-cell self-join is one equi-join on cell whose hot cells AQE
     skew-splits; the drop decision is a left-semi-style aggregation,
@@ -556,7 +559,20 @@ def semdedup(
     an engine float edge can't flip a pair."""
     from . import similarity
 
-    corpus = similarity.assign_cells(emb, n_cells, vec_col, id_col)
+    scorer = None
+    if train_iterations > 0:
+        from . import clustering
+
+        scorer = similarity._centroid_scorer(
+            emb,
+            n_cells,
+            vec_col,
+            id_col,
+            clustering.train_centroids(
+                emb, n_cells, train_iterations, vec_col, id_col
+            ),
+        )
+    corpus = similarity.assign_cells(emb, n_cells, vec_col, id_col, scorer=scorer)
     a = corpus.select(
         F.col("cell"),
         F.col("vec_id").alias("id_a"),

@@ -78,14 +78,18 @@ def corpus_queries(emb: DataFrame, n: int = 5, id_col: str = "vec_id",
     )
 
 
-def _centroid_scorer(emb, n_centroids: int, vec_col: str, id_col: str):
-    """Collect the ``n_centroids`` lowest-id vectors (deterministic
-    model parameters, kilobytes) and return a column-builder mapping a
-    (vec, vnorm) pair to the per-centroid rounded-cosine score array —
-    the shared primitive behind IVF probing and cell assignment."""
+def _centroid_scorer(emb, n_centroids: int, vec_col: str, id_col: str,
+                     centroids=None):
+    """Return a column-builder mapping a (vec, vnorm) pair to the
+    per-centroid rounded-cosine score array — the shared primitive
+    behind IVF probing and cell assignment. ``centroids`` (a list of
+    (cid, vector) pairs, e.g. from ``clustering.train_centroids``)
+    overrides the default deterministic choice of the ``n_centroids``
+    lowest-id vectors; either way the centroid set is model parameters
+    (kilobytes) inlined as literals."""
     import math
 
-    cents = sorted(
+    cents = centroids or sorted(
         emb.filter(F.col(id_col) < n_centroids)
         .select(id_col, vec_col)
         .collect(),
@@ -167,23 +171,34 @@ def ivf_topk(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_iterations: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     centroid cells, probe only the ``nprobe`` cells nearest each query.
 
-    Centroids here are the ``n_centroids`` lowest-id corpus vectors —
-    deterministic (so the DuckDB oracle reproduces the exact cell
-    assignment) where a production build would k-means them; the
-    operator shape is identical either way. Centroids are collected to
-    the driver and inlined as a LITERAL array (they are model
-    parameters, kilobytes) so cell assignment is a map-only pass —
-    argmax over the literal per row, NO shuffle, no corpus×centroid
-    join. The only joins are probe-cell equi-joins against the tiny
-    broadcast query set. At 100 TB you'd persist the corpus partitioned
-    by cell so a probe touches nprobe/n_centroids of the data — the
-    classic IVF selectivity.
+    Centroids are k-means-trained (``clustering.train_centroids``,
+    ``train_iterations`` decimal-exact Lloyd updates from the lowest-id
+    init) so cells track the data distribution — the balance that makes
+    probing pay off; ``train_iterations=0`` falls back to the raw
+    lowest-id vectors. Both choices are deterministic, so the DuckDB
+    oracle reproduces the exact cell assignment (the trained path via
+    the same unrolled-CTE walk as ``oracle.kmeans_sql``). Centroids are
+    collected to the driver and inlined as a LITERAL array (they are
+    model parameters, kilobytes) so cell assignment is a map-only
+    pass — argmax over the literal per row, NO shuffle, no
+    corpus×centroid join. The only joins are probe-cell equi-joins
+    against the tiny broadcast query set. At 100 TB you'd persist the
+    corpus partitioned by cell so a probe touches nprobe/n_centroids of
+    the data — the classic IVF selectivity.
     """
-    scores_for = _centroid_scorer(emb, n_centroids, vec_col, id_col)
+    cents = None
+    if train_iterations > 0:
+        from . import clustering
+
+        cents = clustering.train_centroids(
+            emb, n_centroids, train_iterations, vec_col, id_col
+        )
+    scores_for = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
     corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scores_for)
     probes = (
         queries.select(

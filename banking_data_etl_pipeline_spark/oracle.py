@@ -383,14 +383,26 @@ ANN_BRUTE_Q = f"""WITH q AS (
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10"""
 
-# Twin of similarity.ivf_topk (n_centroids=16, nprobe=2): centroids =
-# 16 lowest-id vectors; cells by argmax rounded cosine (lowest-cid
-# tiebreak); each query probes its 2 nearest cells.
-ANN_IVF_Q = f"""WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
-), assign AS (
+def ann_ivf_sql(
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 2,
+    dim: int = 64,
+    k: int = 10,
+) -> str:
+    """Twin of similarity.ivf_topk with TRAINED centroids: the
+    ``_kmeans_ctes`` prefix walks the same decimal-exact Lloyd updates
+    as ``clustering.train_centroids``, then cells are assigned by
+    argmax rounded cosine vs c{iters} (lowest-cid tiebreak) and each
+    query probes its ``nprobe`` nearest cells — identical doubles to
+    the Spark plan's literal-centroid scorer because the centroid
+    components and the left-fold dot/norm arithmetic match bit-for-bit
+    in both engines."""
+    last = f"c{iters}"
+    return f"""{_kmeans_ctes(n_centroids, dim, iters)},
+assign AS (
   SELECT e.vec_id, e.embedding,
-         (SELECT c.cid FROM cents c
+         (SELECT c.cid FROM {last} c
           ORDER BY round({_cosine('e.embedding', 'c.cvec')}, 6) DESC, c.cid ASC
           LIMIT 1) AS cell
   FROM embeddings e
@@ -403,8 +415,8 @@ ANN_IVF_Q = f"""WITH cents AS (
            row_number() OVER (PARTITION BY q.query_id
                               ORDER BY round({_cosine('q.qvec', 'c.cvec')}, 6) DESC,
                                        c.cid ASC) AS pr
-    FROM q CROSS JOIN cents c
-  ) WHERE pr <= 2
+    FROM q CROSS JOIN {last} c
+  ) WHERE pr <= {nprobe}
 ), scored AS (
   SELECT p.query_id, a.vec_id,
          round({_cosine('a.embedding', 'p.qvec')}, 6) AS cosine
@@ -417,7 +429,7 @@ ANN_IVF_Q = f"""WITH cents AS (
   FROM scored
 )
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= 10"""
+FROM ranked WHERE rank <= {k}"""
 
 def ann_lsh_sql(n_bits: int = 4, k: int = 10) -> str:
     """Twin of ``similarity.lsh_topk`` incl. Hamming-1 multi-probe:
@@ -1275,32 +1287,30 @@ FROM sess, mx WHERE end_us + 1800000000 + 60000000 < mt"""
 # ------------------------------------------- round 3h: kmeans oracle
 
 
-def kmeans_sql(k: int = 8, dim: int = 64, iters: int = 3) -> str:
-    """Unrolled-CTE twin of operators.clustering.kmeans, made possible
-    by the operator's decimal-exact centroid updates:
-
-    - squared-L2 fold mirrors Spark's ``aggregate(zip_with(...), 0.0,
-      +)`` left fold (0.0 + x1 is bit-neutral, so DuckDB's
-      ``list_reduce`` matches);
-    - per-component updates sum float components through
-      DECIMAL(28,12) (order-independent) and divide the DOUBLE cast by
-      the bigint count — the same nearest-double steps the Spark
-      driver takes with ``float(Decimal)/n``;
-    - assignment tiebreak is (distance, cid) ascending in both.
-
-    Output is per-dimension rows (cluster, n_members, dim, val) so
-    every cell is a scalar the harness can canonicalize."""
-    # list_zip form: the outer (correlated) column must enter the
-    # lambda as its INPUT list — DuckDB cannot bind an outer table
-    # reference inside a range-indexed lambda in this position
-    d2 = (
-        "list_reduce(list_transform(list_zip({e}, {c}),"
+def _kmeans_sqdist(e: str, c: str) -> str:
+    """Squared-L2 fold mirroring Spark's ``aggregate(zip_with(...),
+    0.0, +)`` left fold (0.0 + x1 is bit-neutral, so DuckDB's
+    ``list_reduce`` matches). list_zip form: the outer (correlated)
+    column must enter the lambda as its INPUT list — DuckDB cannot
+    bind an outer table reference inside a range-indexed lambda in
+    this position."""
+    return (
+        f"list_reduce(list_transform(list_zip({e}, {c}),"
         " p -> power(CAST(p[1] AS DOUBLE) - p[2], 2)), (x, y) -> x + y)"
     )
 
-    def sqdist(e: str, c: str) -> str:
-        return d2.format(e=e, c=c)
 
+def _kmeans_ctes(k: int, dim: int, iters: int) -> str:
+    """WITH-clause prefix (dims, emb, c0 .. c{iters}) that walks the
+    decimal-exact Lloyd iterations of ``clustering.train_centroids``:
+    per-component updates sum float components through DECIMAL(28,12)
+    (order-independent) and divide the DOUBLE cast by the bigint
+    count — the same nearest-double steps the Spark driver takes with
+    ``float(Decimal)/n``; assignment tiebreak is (distance, cid)
+    ascending in both engines. Shared by ``kmeans_sql`` and the
+    trained-centroid ANN/SemDeDup twins (``ann_ivf_sql``,
+    ``semdedup_sql``) so all three reproduce bit-identical
+    centroids."""
     parts = [
         f"""WITH dims AS (SELECT unnest(range(1, {dim} + 1)) AS i),
 emb AS (SELECT vec_id, embedding FROM embeddings),
@@ -1317,7 +1327,7 @@ c0 AS (
 a{t} AS (
   SELECT e.vec_id, e.embedding,
     (SELECT c.cid FROM {prev} c
-     ORDER BY {sqdist('e.embedding', 'c.cvec')} ASC, c.cid ASC
+     ORDER BY {_kmeans_sqdist('e.embedding', 'c.cvec')} ASC, c.cid ASC
      LIMIT 1) AS cluster
   FROM emb e
 ),
@@ -1337,6 +1347,20 @@ c{t} AS (
   GROUP BY p.cid
 )"""
         )
+    return "".join(parts)
+
+
+def kmeans_sql(k: int = 8, dim: int = 64, iters: int = 3) -> str:
+    """Unrolled-CTE twin of operators.clustering.kmeans, made possible
+    by the operator's decimal-exact centroid updates (see
+    ``_kmeans_ctes``). Output is per-dimension rows (cluster,
+    n_members, dim, val) so every cell is a scalar the harness can
+    canonicalize."""
+
+    def sqdist(e: str, c: str) -> str:
+        return _kmeans_sqdist(e, c)
+
+    parts = [_kmeans_ctes(k, dim, iters)]
     last = f"c{iters}"
     parts.append(
         f""",
@@ -1745,21 +1769,24 @@ SELECT doc_id, n_tok,
 FROM per_doc"""
 
 
-# Twin of operators.dedup.semdedup (n_cells=16, tau=0.35): same
-# deterministic lowest-id centroids and rounded-cosine argmax cells as
-# ANN_IVF_Q, within-cell pairs, drop = lower-id neighbor at >= tau.
-SEMDEDUP_Q = f"""WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
-), assign AS (
+def semdedup_sql(
+    n_cells: int = 16, tau: float = 0.35, iters: int = 2, dim: int = 64
+) -> str:
+    """Twin of operators.dedup.semdedup with TRAINED centroids (same
+    ``_kmeans_ctes`` walk as ann_ivf_sql): rounded-cosine argmax
+    cells, within-cell pairs, drop = lower-id neighbor at >= tau."""
+    last = f"c{iters}"
+    return f"""{_kmeans_ctes(n_cells, dim, iters)},
+assign AS (
   SELECT e.vec_id, e.embedding AS v,
-         (SELECT c.cid FROM cents c
+         (SELECT c.cid FROM {last} c
           ORDER BY round({_cosine('e.embedding', 'c.cvec')}, 6) DESC, c.cid ASC
           LIMIT 1) AS cell
   FROM embeddings e
 ), dropped AS (
   SELECT DISTINCT b.vec_id
   FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE round({_cosine('a.v', 'b.v')}, 6) >= 0.35
+  WHERE round({_cosine('a.v', 'b.v')}, 6) >= {tau}
 )
 SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
 FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id"""

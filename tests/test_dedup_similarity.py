@@ -153,11 +153,78 @@ def test_ann_recall_vs_brute_force(spark):
         hits = sum(len(got.get(qid, set()) & t) for qid, t in truth.items())
         return hits / sum(len(t) for t in truth.values())
 
-    # IVF probes nprobe=2 of 16 cells: high recall expected
+    # IVF probes nprobe=2 of 16 cells: high recall expected — both with
+    # the default trained centroids and the lowest-id fallback
     assert recall(similarity.ivf_topk(emb, q, k=10, n_centroids=16, nprobe=2)) >= 0.5
+    assert (
+        recall(
+            similarity.ivf_topk(
+                emb, q, k=10, n_centroids=16, nprobe=2, train_iterations=0
+            )
+        )
+        >= 0.5
+    )
     # sign-bit LSH with 4 bits on near-random vectors: weaker, but a
     # parameter regression (e.g. too many bits) craters this fast
     assert recall(similarity.lsh_topk(emb, q, k=10, n_bits=4)) >= 0.3
+
+
+def test_ivf_trained_centroids_fix_hot_cell_skew(spark):
+    """The reason ivf_topk k-means-trains its centroids: when the
+    lowest-id vectors happen to sit in one region (nothing guarantees
+    id order tracks the data distribution), every far-away vector
+    falls into whichever of the near-identical centroids wins the tie
+    — one hot cell holds most of the corpus and probing it IS brute
+    force. Two Lloyd iterations migrate the centroids onto the real
+    clusters and the hot cell disappears."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from banking_data_etl_pipeline_spark.operators import clustering
+
+    dim = 8
+    rows = []
+    # ids 0..15: the would-be centroids, all bunched near e_0
+    for i in range(16):
+        v = [1.0] + [0.001 * i] * (dim - 1)
+        rows.append((i, [float(x) for x in v]))
+    # ids 16..415: 8 well-separated clusters far from e_0
+    for j in range(400):
+        c = j % 8
+        base = [0.0] * dim
+        base[c] = -5.0 - c
+        base[(c + 1) % dim] = 3.0 + 0.01 * j
+        rows.append((16 + j, [float(x) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def max_cell(train_iterations: int) -> int:
+        cents = (
+            clustering.train_centroids(emb, 16, train_iterations)
+            if train_iterations
+            else None
+        )
+        scorer = similarity._centroid_scorer(
+            emb, 16, "embedding", "vec_id", cents
+        )
+        cells = similarity.assign_cells(emb, 16, scorer=scorer)
+        return max(
+            r.n
+            for r in cells.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+
+    hot = max_cell(0)
+    improving = max_cell(2)
+    balanced = max_cell(4)
+    # untrained: most of the corpus piles into one cosine-argmax cell;
+    # training shrinks the hot cell monotonically with iterations (the
+    # bunched init means Lloyd frees only ~one centroid per pass on
+    # this geometry — real corpora with a spread init converge faster)
+    assert hot >= 300, hot
+    assert improving < hot, (hot, improving)
+    assert balanced <= hot / 2, (hot, balanced)
 
 
 def test_kmeans_deterministic_and_matches_numpy(spark):
