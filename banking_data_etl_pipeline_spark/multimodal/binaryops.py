@@ -1,10 +1,15 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media is carried as an opaque ``binary`` payload column plus a typed
-metadata struct — the schema/partitioning/UDF-batching side is real and
-tested; the actual codec step is stubbed (decode libraries are not in
-this container) behind ``DecodeNotAvailable`` or a deterministic fake,
-clearly marked.
+metadata struct. The container level is REAL: ``synthesize_media``
+emits structurally valid PNG containers (signature, IHDR with a
+correct CRC-32, an IDAT chunk, IEND) and canonical RIFF/WAVE files
+(PCM fmt chunk + data chunk), and ``extract_features`` /
+``resize_media`` parse them back with genuine byte-offset reads
+(struct.unpack over the chunk layout — no codec library involved).
+Only the pixel/sample *decode* below the container level is
+unavailable (zlib image data / PCM samples are synthetic) and guarded
+by ``DecodeNotAvailable``.
 
 Scale shape: payloads are large, so operators here are
 ``mapInPandas`` (Arrow-batched, streaming per-partition iterator —
@@ -15,10 +20,11 @@ entirely (column pruning — verified in tests via ReadSchema).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -42,26 +48,107 @@ MEDIA_SCHEMA = T.StructType(
 
 
 class DecodeNotAvailable(NotImplementedError):
-    """Raised by real decode paths: image/audio codecs are not installed
-    in this environment. The deterministic fake keeps the Spark-side
-    plumbing testable."""
+    """Raised by full-decode paths: image/audio codecs are not
+    installed in this environment. Container/header parsing does not
+    need them and is real."""
+
+
+PNG_SIG = bytes.fromhex("89504e470d0a1a0a")
+PNG_IEND = bytes.fromhex("0000000049454e44ae426082")
+# fixed container overhead around the body bytes:
+# 8 (sig) + 25 (IHDR chunk) + 8 (IDAT len+type) + 4 (IDAT crc) + 12 (IEND)
+PNG_OVERHEAD = 57
+# 12 (RIFF/WAVE) + 24 (fmt chunk) + 8 (data len+type)
+WAV_OVERHEAD = 44
+
+
+def _be32(col: Column) -> Column:
+    """4-byte big-endian binary from a non-negative int column."""
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), 8, "0"))
+
+
+def _le_hex(col: Column, n_bytes: int) -> Column:
+    s = F.lpad(F.hex(col.cast("bigint")), 2 * n_bytes, "0")
+    return F.concat(
+        *[F.substring(s, 2 * i - 1, 2) for i in range(n_bytes, 0, -1)]
+    )
+
+
+def _le32(col: Column) -> Column:
+    """4-byte little-endian binary from a non-negative int column."""
+    return F.unhex(_le_hex(col, 4))
+
+
+def _le16(col: Column) -> Column:
+    return F.unhex(_le_hex(col, 2))
+
+
+def _png_chunk(ctype: bytes, data: Column, data_len: Column) -> Column:
+    """length + type + data + CRC32(type||data) — a real PNG chunk,
+    built natively (crc32 is a JVM-side builtin)."""
+    type_and_data = F.concat(F.lit(ctype), data)
+    return F.concat(
+        _be32(data_len), type_and_data, _be32(F.crc32(type_and_data))
+    )
 
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
-    """Deterministic fake media table from ``documents``: payload =
-    UTF-8 bytes of the text (stands in for an encoded image/audio blob),
-    typed metadata computed natively (JVM-side, no UDF)."""
-    payload = F.encode(F.col("text"), "UTF-8")
+    """Deterministic media table from ``documents``: the UTF-8 text
+    bytes become the encoded-stream body inside a REAL container —
+    a structurally valid PNG (8-bit truecolor IHDR whose dimensions
+    derive from the body length: h = 32 + nb % 97, w = 32 + nb % 89,
+    correct chunk CRCs) for even doc_ids, a canonical 44-byte-header
+    PCM WAV (mono 16-bit, sample_rate = 8000 + (nb % 8) * 1000) for
+    odd ones. Everything is built natively (concat/unhex/crc32 —
+    JVM-side, no UDF). The body is not a valid zlib/PCM stream — that
+    is the honestly-stubbed layer (``DecodeNotAvailable``) — but every
+    header field a metadata extractor reads is real and
+    machine-checkable.
+
+    ``meta.sha256`` is the content hash of the stream BODY (the
+    engine-portable identity of the media essence); ``meta.n_bytes``
+    is the full container size."""
+    body = F.encode(F.col("text"), "UTF-8")
+    nb = F.octet_length(body).cast("bigint")
+    h = (F.lit(32) + nb % 97).cast("bigint")
+    w = (F.lit(32) + nb % 89).cast("bigint")
+    # IHDR data: width, height (big-endian), bit depth 8, color type 2
+    # (truecolor, 3 channels), compression/filter/interlace 0
+    ihdr_data = F.concat(_be32(w), _be32(h), F.lit(b"\x08\x02\x00\x00\x00"))
+    png = F.concat(
+        F.lit(PNG_SIG),
+        _png_chunk(b"IHDR", ihdr_data, F.lit(13)),
+        _png_chunk(b"IDAT", body, nb),
+        F.lit(PNG_IEND),
+    )
+    rate = (F.lit(8000) + (nb % 8) * 1000).cast("bigint")
+    # PCM fmt: format 1, mono, sample_rate, byte_rate, block_align 2,
+    # 16 bits/sample; data chunk carries the body
+    wav = F.concat(
+        F.lit(b"RIFF"),
+        _le32(F.lit(36) + nb),
+        F.lit(b"WAVEfmt "),
+        _le32(F.lit(16)),
+        _le16(F.lit(1)),
+        _le16(F.lit(1)),
+        _le32(rate),
+        _le32(rate * 2),
+        _le16(F.lit(2)),
+        _le16(F.lit(16)),
+        F.lit(b"data"),
+        _le32(nb),
+        body,
+    )
+    is_image = F.col("doc_id") % 2 == 0
+    payload = F.when(is_image, png).otherwise(wav)
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+        F.when(is_image, "image").otherwise("audio").alias("kind"),
         payload.alias("payload"),
         F.struct(
-            F.when(F.col("doc_id") % 2 == 0, "image/png")
-            .otherwise("audio/wav")
-            .alias("mime"),
+            F.when(is_image, "image/png").otherwise("audio/wav").alias("mime"),
             F.octet_length(payload).cast("long").alias("n_bytes"),
-            F.sha2(payload, 256).alias("sha256"),
+            F.sha2(body, 256).alias("sha256"),
         ).alias("meta"),
     )
 
@@ -77,12 +164,56 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode_image(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for an image decode: derives (h, w, c)
-    from payload length. A real deployment swaps this for PIL/ffmpeg —
-    the Spark-side batching contract is identical."""
-    n = len(payload)
-    return (32 + n % 97, 32 + n % 89, 3)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_media_header(payload: bytes) -> dict:
+    """Real container-header parse by byte offsets (no codec library):
+
+    - PNG: signature check, IHDR width/height (big-endian u32 at
+      offsets 16/20), channels from the color-type byte;
+    - RIFF/WAVE: generic chunk walk (not a fixed-44-byte assumption)
+      collecting the fmt fields and the data chunk size; duration from
+      data_size / block_align / sample_rate.
+
+    Returns a dict with None for fields the kind doesn't have, or all
+    None when the payload matches neither container."""
+    out = {
+        "height": None,
+        "width": None,
+        "channels": None,
+        "sample_rate": None,
+        "bits_per_sample": None,
+        "duration_ms": None,
+    }
+    if payload[:8] == PNG_SIG and payload[12:16] == b"IHDR":
+        (w,) = struct.unpack(">I", payload[16:20])
+        (h,) = struct.unpack(">I", payload[20:24])
+        color_type = payload[25]
+        out["height"] = h
+        out["width"] = w
+        out["channels"] = _PNG_CHANNELS.get(color_type)
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, n = 12, len(payload)
+        fmt = None
+        data_size = None
+        while pos + 8 <= n:
+            ctype = payload[pos : pos + 4]
+            (csize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if ctype == b"fmt " and pos + 24 <= n:
+                fmt = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
+            elif ctype == b"data":
+                data_size = csize
+            pos += 8 + csize + (csize % 2)  # RIFF chunks pad to even
+        if fmt is not None:
+            _afmt, channels, rate, _brate, block_align, bits = fmt
+            out["channels"] = channels
+            out["sample_rate"] = rate
+            out["bits_per_sample"] = bits
+            if data_size is not None and block_align and rate:
+                out["duration_ms"] = data_size // block_align * 1000 // rate
+    return out
 
 
 EXTRACT_SCHEMA = T.StructType(
@@ -92,32 +223,51 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
     ]
 )
 
 
-def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
-    """Arrow-batched feature extraction over payload bytes.
-
-    ``mapInPandas``: per-partition iterator of pandas batches — the
-    shape a real decoder needs (batch in, batch out, bounded memory).
-    """
+def extract_features(media: DataFrame, decode_samples: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over payload bytes: a REAL
+    header parse per payload (``parse_media_header``) inside
+    ``mapInPandas`` — per-partition iterator of pandas batches, the
+    shape a full decoder needs (batch in, batch out, bounded memory).
+    ``decode_samples=True`` would decode pixel/PCM data and raises
+    ``DecodeNotAvailable`` (no codecs in this environment)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if real_decode:
+            if decode_samples:
                 raise DecodeNotAvailable(
                     "image/audio codecs are not installed in this environment"
                 )
-            dims = pdf["payload"].map(_fake_decode_image)
+            parsed = [parse_media_header(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "height": dims.map(lambda d: d[0]).astype("int32"),
-                    "width": dims.map(lambda d: d[1]).astype("int32"),
-                    "channels": dims.map(lambda d: d[2]).astype("int32"),
+                    "height": pd.array(
+                        [p["height"] for p in parsed], dtype="Int32"
+                    ),
+                    "width": pd.array(
+                        [p["width"] for p in parsed], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [p["channels"] for p in parsed], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [p["sample_rate"] for p in parsed], dtype="Int32"
+                    ),
+                    "bits_per_sample": pd.array(
+                        [p["bits_per_sample"] for p in parsed], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [p["duration_ms"] for p in parsed], dtype="Int64"
+                    ),
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
                 }
             )
@@ -158,22 +308,26 @@ def resize_media(
     media: DataFrame,
     target_h: int = 64,
     target_w: int = 64,
-    real_decode: bool = False,
+    decode_samples: bool = False,
 ) -> DataFrame:
-    """Arrow-batched 'resize': shrink each payload to the byte budget
-    implied by the target dimensions (deterministic fake — a real
-    deployment decodes, resamples, re-encodes inside the same batch
-    iterator; the Spark-side contract is identical: binary in, binary-
-    derived columns out, bounded memory per batch).
+    """Arrow-batched image 'resize': parse the REAL PNG header for the
+    source dimensions, then shrink the encoded body to the byte budget
+    implied by the target/source area ratio and re-containerize (a
+    real deployment decodes, resamples and re-encodes inside the same
+    batch iterator; the Spark-side contract is identical: binary in,
+    binary-derived columns out, bounded memory per batch). Image rows
+    only — resizing has no meaning for audio.
 
-    The fake keeps ``len * min(target_area / decoded_area, 1)`` leading
-    bytes (int-truncated) and reports the new dims + content hash, so
-    downstream dedup/integrity checks exercise real plumbing."""
+    The fake keeps ``body_len * min(target_area / source_area, 1)``
+    leading body bytes (int-truncated, >= 1) and reports the target
+    dims, the new container size (body + PNG overhead) and the
+    resized body's content hash, so downstream dedup/integrity checks
+    exercise real plumbing."""
     import hashlib
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if real_decode:
+            if decode_samples:
                 raise DecodeNotAvailable(
                     "image/audio codecs are not installed in this environment"
                 )
@@ -181,14 +335,17 @@ def resize_media(
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                h, w, _c = _fake_decode_image(payload)
+                hdr = parse_media_header(payload)
+                h, w = hdr["height"], hdr["width"]
+                (body_len,) = struct.unpack(">I", payload[33:37])
+                body = payload[41 : 41 + body_len]
                 ratio = min((target_h * target_w) / (h * w), 1.0)
-                n_keep = max(1, int(len(payload) * ratio))
-                resized = payload[:n_keep]
+                n_keep = max(1, int(len(body) * ratio))
                 rows.append(
                     (
-                        mid, kind, target_h, target_w, n_keep,
-                        hashlib.sha256(resized).hexdigest(),
+                        mid, kind, target_h, target_w,
+                        n_keep + PNG_OVERHEAD,
+                        hashlib.sha256(body[:n_keep]).hexdigest(),
                     )
                 )
             yield pd.DataFrame(
@@ -201,6 +358,8 @@ def resize_media(
                 {"height": "int32", "width": "int32", "resized_bytes": "int64"}
             )
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
-        op, RESIZE_SCHEMA
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "kind", "payload")
+        .mapInPandas(op, RESIZE_SCHEMA)
     )

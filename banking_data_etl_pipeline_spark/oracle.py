@@ -844,20 +844,32 @@ FROM r WHERE rank <= 3"""
 
 # ----------------------------------------------------------- multimodal
 
+# The media twins recompute the container fields from the generator's
+# arithmetic (binaryops.synthesize_media builds real PNG/WAV
+# containers whose header fields are functions of the body length), so
+# a hash match proves the Spark side's byte-offset header PARSE
+# exactly inverts the synthesis. PNG container overhead = 57 bytes
+# around the body, WAV = 44 (binaryops.PNG_OVERHEAD/WAV_OVERHEAD).
 MEDIA_META_Q = """SELECT doc_id AS media_id,
   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
   CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
-  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(octet_length(encode(text))
+       + CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 44 END AS BIGINT) AS n_bytes,
   sha256(text) AS sha256
 FROM documents"""
 
 FRAME_SAMPLE_Q = """SELECT doc_id AS media_id,
-  unnest(range(0, greatest(octet_length(encode(text)) - 1, 0) + 1, 1024)) AS frame_offset
+  unnest(range(0,
+    greatest(octet_length(encode(text))
+             + CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 44 END - 1, 0) + 1,
+    1024)) AS frame_offset
 FROM documents"""
 
-# Twin of multimodal.binaryops.extract_features with the deterministic
-# fake decode: (h, w, c) derived from payload length — SQL-expressible,
-# so even the Arrow-batched mapInPandas path gets a full value check.
+# Twin of multimodal.binaryops.extract_features: the Spark side parses
+# the real PNG IHDR / WAV fmt+data chunks; this twin recomputes the
+# same fields from the synthesis formulas (h = 32 + nb % 97,
+# w = 32 + nb % 89, truecolor => 3 channels; rate = 8000 + (nb % 8)
+# * 1000, 16-bit mono PCM => n_samples = nb // 2).
 MEDIA_FEATURES_Q = """WITH m AS (
   SELECT doc_id AS media_id,
     CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
@@ -865,10 +877,17 @@ MEDIA_FEATURES_Q = """WITH m AS (
   FROM documents
 )
 SELECT media_id, kind,
-  CAST(32 + nb % 97 AS INT) AS height,
-  CAST(32 + nb % 89 AS INT) AS width,
-  CAST(3 AS INT) AS channels,
-  CAST(nb AS BIGINT) AS n_bytes
+  CASE WHEN kind = 'image' THEN CAST(32 + nb % 97 AS INT) END AS height,
+  CASE WHEN kind = 'image' THEN CAST(32 + nb % 89 AS INT) END AS width,
+  CASE WHEN kind = 'image' THEN CAST(3 AS INT)
+       ELSE CAST(1 AS INT) END AS channels,
+  CASE WHEN kind = 'audio' THEN CAST(8000 + (nb % 8) * 1000 AS INT)
+       END AS sample_rate,
+  CASE WHEN kind = 'audio' THEN CAST(16 AS INT) END AS bits_per_sample,
+  CASE WHEN kind = 'audio'
+       THEN CAST((nb // 2) * 1000 // (8000 + (nb % 8) * 1000) AS BIGINT)
+       END AS duration_ms,
+  CAST(nb + CASE WHEN kind = 'image' THEN 57 ELSE 44 END AS BIGINT) AS n_bytes
 FROM m"""
 
 
@@ -1500,15 +1519,17 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
 def media_resize_sql(target_h: int = 64, target_w: int = 64) -> str:
     """Twin of multimodal.binaryops.resize_media over the synthesized
-    media table. Byte-slice == char-substring here because the corpus
-    is ASCII (asserted against the testdata); Python int() truncation
-    == SQL floor() for the non-negative byte count."""
+    media table: image rows only, source dims recomputed from the
+    synthesis formulas (the Spark side parses them from the real PNG
+    IHDR), resized container = kept body + the 57-byte PNG overhead.
+    Byte-slice == char-substring here because the corpus is ASCII
+    (asserted against the testdata); Python int() truncation == SQL
+    floor() for the non-negative byte count."""
     area = f"CAST({float(target_h * target_w)} AS DOUBLE)"
     return f"""WITH m AS (
-  SELECT doc_id AS media_id,
-    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+  SELECT doc_id AS media_id, 'image' AS kind,
     text, octet_length(encode(text)) AS nb
-  FROM documents
+  FROM documents WHERE doc_id % 2 = 0
 ), d AS (
   SELECT media_id, kind, text, nb,
     32 + nb % 97 AS h, 32 + nb % 89 AS w
@@ -1521,7 +1542,7 @@ def media_resize_sql(target_h: int = 64, target_w: int = 64) -> str:
 )
 SELECT media_id, kind, CAST({target_h} AS INT) AS height,
   CAST({target_w} AS INT) AS width,
-  n_keep AS resized_bytes,
+  n_keep + 57 AS resized_bytes,
   sha256(substring(text, 1, CAST(n_keep AS INT))) AS resized_sha
 FROM r"""
 
