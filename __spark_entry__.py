@@ -27,125 +27,59 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
-    # 50 entries only, so the least-proven queries (new this round, or
-    # without a prior green CORRECTNESS row) come first; the tail holds
-    # long-green entries — bank-core singles subsumed by
-    # pipeline_enriched, and relational queries green since round 2.
+    # 50 entries only.
+    #
+    # ROTATION POLICY (r5+, mechanical — no per-round judgment):
+    #   1. flagship first, always;
+    #   2. queries whose code (operator, builder, or oracle twin)
+    #      changed this round, or that are new — they MUST re-prove on
+    #      current code;
+    #   3. the remaining window slots fill stalest-first by the round
+    #      of each query's most recent green CORRECTNESS row, so every
+    #      entry re-enters the window at least every 3 rounds
+    #      (122 entries / ~35 free slots per round);
+    #   4. bank-core singles sort last within a staleness tier — the
+    #      flagship pipeline_enriched composes all of them, so they are
+    #      additionally re-proven every round through tier 1.
     return {
-        # flagship
+        # --- tier 1: flagship (green every round)
         "pipeline_enriched": Q.pipeline_enriched,
-        # new in round 4b — least proven, so first
-        "heavy_hitters": Q.heavy_hitters,
-        "shuffle_shard": Q.shuffle_shard,
-        "bigram_pmi": Q.bigram_pmi,
-        "bpe_merges": Q.bpe_merges,
-        "quantize_emb": Q.quantize_emb,
-        "jl_project": Q.jl_project,
-        "key_skew": Q.key_skew,
-        "pit_join": Q.pit_join,
-        "ols2": Q.ols2,
-        "corr_matrix": Q.corr_matrix,
-        "bpe_tokenize": Q.bpe_tokenize,
-        # new in round 5 — least proven, so first (inside the driver's
-        # 50-query window)
-        "unigram_xent": Q.unigram_xent,
-        "triangle_count": Q.triangle_count,
-        "dsir_weights": Q.dsir_weights,
-        "semdedup": Q.semdedup,
-        "quality_ensemble": Q.quality_ensemble,
-        # r4 first-timers: no CORRECTNESS_r04 was recorded, so they have
-        # no driver row yet — they stay ahead of everything r3-green
-        "media_resize": Q.media_resize,
-        "kmeans": Q.kmeans,
-        "jsonl_quarantine": Q.jsonl_quarantine,
-        "evolved_union": Q.evolved_union,
-        "repetition_filter": Q.repetition_filter,
-        "profile_orders": Q.profile_orders,
-        "chunk_overlap": Q.chunk_overlap,
-        "minhash_incremental": Q.minhash_incremental,
-        # ann_ivf's cell assignment was factored out (shared with
-        # semdedup) this round, so it re-proves inside the window too
-        "ann_ivf": Q.ann_ivf,
-        # reworked in r4 (composite fuzzy blocking key; pagerank edge
-        # build) with no CORRECTNESS_r04 recorded — re-prove in window
-        "fuzzy_resolve": Q.fuzzy_resolve,
-        "pagerank": Q.pagerank,
-        # no driver signal in r2 (past the 50-query window then)
-        "ntile_deciles": Q.ntile_deciles,
-        "price_histogram": Q.price_histogram,
-        "regr_slope": Q.regr_slope,
-        "zscore": Q.zscore,
-        "window_agg": Q.window_agg,
-        "stream_window_agg": Q.stream_window_agg,
-        "stream_dedup": Q.stream_dedup,
-        "stream_interval_join": Q.stream_interval_join,
-        "stream_left_interval_join": Q.stream_left_interval_join,
-        "stream_sessionize": Q.stream_sessionize,
-        "stateful_totals": Q.stateful_totals,
-        "salted_totals": Q.salted_totals,
-        "sessionize": Q.sessionize,
-        "topk_per_group": Q.topk_per_group,
-        "media_metadata": Q.media_metadata,
-        "media_features": Q.media_features,
-        "frame_sample": Q.frame_sample,
-        # new in round 3
-        "stream_sessionize_append": Q.stream_sessionize_append,
-        "dedup_resolve": Q.dedup_resolve,
-        "vocab_topn": Q.vocab_topn,
-        "tfidf_terms": Q.tfidf_terms,
-        "pii_redact": Q.pii_redact,
-        "stratified_sample": Q.stratified_sample,
-        "dataset_mix": Q.dataset_mix,
-        "pct_rank": Q.pct_rank,
-        "grouping_sets": Q.grouping_sets_orders,
-        "stream_static_join": Q.stream_static_join,
-        "resample_ffill": Q.resample_ffill,
-        "funnel": Q.funnel,
-        "cohort_retention": Q.cohort_retention,
-        "seq_pack": Q.seq_pack,
-        "contamination": Q.contamination,
-        "scd2_merge": Q.scd2_merge,
-        "fuzzy_join": Q.fuzzy_join,
-        "unpivot_pricing": Q.unpivot_pricing,
-        "intersect_custs": Q.intersect_custs,
-        "winsorize": Q.winsorize,
-        "mad_outliers": Q.mad_outliers,
-        "emb_dim_stats": Q.emb_dim_stats,
-        # green r3 rows — demoted to make room above (their r3 rows
-        # stay valid in the judge's cross-round union)
-        "salted_join": Q.salted_join,
-        "decay_totals": Q.decay_totals,
-        "split_manifest": Q.split_manifest,
-        "dq_checks": Q.dq_checks,
-        "event_deltas": Q.event_deltas,
-        "event_transitions": Q.event_transitions,
-        "table_checksum": Q.table_checksum,
-        "grouped_checksum": Q.grouped_checksum,
-        # reference pipeline distinct paths
-        "error_records": Q.error_records,
-        "error_split": Q.error_split,
-        "parse_typed": Q.parse_typed,
-        # dedup family
+        # --- tier 3 priority: last driver-green r02 AND refactored
+        # since (dedup/ANN/text families — the r4 verdict's rotation
+        # list); stalest of all, so directly behind the flagship
         "dedup_exact": Q.dedup_exact,
-        "ngram_jaccard": Q.ngram_jaccard,
         "minhash_lsh": Q.minhash_lsh,
+        "ngram_jaccard": Q.ngram_jaccard,
         "simhash": Q.simhash,
         "emb_near_dup": Q.emb_near_dup,
-        # similarity search (ann_lsh re-proven: multi-probe this round)
         "ann_brute": Q.ann_brute,
         "ann_lsh": Q.ann_lsh,
-        # text analysis
         "text_stats": Q.text_stats,
         "lang_id": Q.lang_id,
         "fingerprint": Q.fingerprint,
-        "bpe_token_stats": Q.bpe_token_stats,
         "corpus_filter": Q.corpus_filter,
         "chunk_docs": Q.chunk_docs,
-        # relational
+        # --- tier 2: changed in round 5, must re-prove on current code
+        "bpe_merges_batched": Q.bpe_merges_batched,  # new operator
+        "heavy_hitters": Q.heavy_hitters,  # candidate tokenizer fix
+        "shuffle_shard": Q.shuffle_shard,  # two-digit shard fold
+        "ols2": Q.ols2,  # nullif guards
+        "corr_matrix": Q.corr_matrix,  # nullif guards
+        "pit_join": Q.pit_join,  # struct-carried versions
+        "ann_ivf": Q.ann_ivf,  # trained centroids
+        "semdedup": Q.semdedup,  # trained centroids
+        "kmeans": Q.kmeans,  # train_centroids refactor
+        "media_metadata": Q.media_metadata,  # real containers
+        "media_features": Q.media_features,  # real header parse
+        "media_resize": Q.media_resize,  # real header parse
+        "frame_sample": Q.frame_sample,  # container sizes
+        # --- tier 3: last green in r02, untouched since (23 slots)
+        "error_records": Q.error_records,
+        "error_split": Q.error_split,
+        "parse_typed": Q.parse_typed,
+        "bpe_token_stats": Q.bpe_token_stats,
         "revenue_by_nation": Q.revenue_by_nation,
         "pricing_summary": Q.pricing_summary,
-        # ---- driver checks the first 50 entries; below here every
-        # ---- query has a green CORRECTNESS_r02 row
         "brand_revenue": Q.brand_revenue,
         "rollup_orders": Q.rollup_orders,
         "moving_avg": Q.moving_avg,
@@ -164,7 +98,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_stats": Q.props_stats,
         "multires_rollup": Q.multires_rollup,
         "pivot_daily": Q.pivot_daily,
-        # bank-core singles (subsumed by pipeline_enriched)
+        # ---- driver checks the first 50 entries; the window boundary
+        # ---- falls HERE (pivot_daily is slot 50). Tail order = next
+        # rounds' rotation queue: r02 leftovers first (the bank-core
+        # singles, last within their tier per policy rule 4), then
+        # r03-green, then r04-green.
         "age_group": Q.age_group,
         "wealth_segment": Q.wealth_segment,
         "contact_day_type": Q.contact_day_type,
@@ -176,6 +114,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_filter": Q.range_filter,
         "required_filter": Q.required_filter,
         "lineage": Q.lineage,
+        # r03-green
+        "stratified_sample": Q.stratified_sample,
+        "dataset_mix": Q.dataset_mix,
+        "pct_rank": Q.pct_rank,
+        "grouping_sets": Q.grouping_sets_orders,
+        "stream_static_join": Q.stream_static_join,
+        "resample_ffill": Q.resample_ffill,
+        "funnel": Q.funnel,
+        "cohort_retention": Q.cohort_retention,
+        "seq_pack": Q.seq_pack,
+        "contamination": Q.contamination,
+        "scd2_merge": Q.scd2_merge,
+        "fuzzy_join": Q.fuzzy_join,
+        "unpivot_pricing": Q.unpivot_pricing,
+        "intersect_custs": Q.intersect_custs,
+        "winsorize": Q.winsorize,
+        "mad_outliers": Q.mad_outliers,
+        "emb_dim_stats": Q.emb_dim_stats,
+        "salted_join": Q.salted_join,
+        "decay_totals": Q.decay_totals,
+        "split_manifest": Q.split_manifest,
+        "dq_checks": Q.dq_checks,
+        "event_deltas": Q.event_deltas,
+        "event_transitions": Q.event_transitions,
+        "table_checksum": Q.table_checksum,
+        "grouped_checksum": Q.grouped_checksum,
+        # r04-green
+        "bigram_pmi": Q.bigram_pmi,
+        "bpe_merges": Q.bpe_merges,
+        "quantize_emb": Q.quantize_emb,
+        "jl_project": Q.jl_project,
+        "key_skew": Q.key_skew,
+        "bpe_tokenize": Q.bpe_tokenize,
+        "unigram_xent": Q.unigram_xent,
+        "triangle_count": Q.triangle_count,
+        "dsir_weights": Q.dsir_weights,
+        "quality_ensemble": Q.quality_ensemble,
+        "jsonl_quarantine": Q.jsonl_quarantine,
+        "evolved_union": Q.evolved_union,
+        "repetition_filter": Q.repetition_filter,
+        "profile_orders": Q.profile_orders,
+        "chunk_overlap": Q.chunk_overlap,
+        "minhash_incremental": Q.minhash_incremental,
+        "fuzzy_resolve": Q.fuzzy_resolve,
+        "pagerank": Q.pagerank,
+        "ntile_deciles": Q.ntile_deciles,
+        "price_histogram": Q.price_histogram,
+        "regr_slope": Q.regr_slope,
+        "zscore": Q.zscore,
+        "window_agg": Q.window_agg,
+        "stream_window_agg": Q.stream_window_agg,
+        "stream_dedup": Q.stream_dedup,
+        "stream_interval_join": Q.stream_interval_join,
+        "stream_left_interval_join": Q.stream_left_interval_join,
+        "stream_sessionize": Q.stream_sessionize,
+        "stateful_totals": Q.stateful_totals,
+        "salted_totals": Q.salted_totals,
+        "sessionize": Q.sessionize,
+        "topk_per_group": Q.topk_per_group,
+        "stream_sessionize_append": Q.stream_sessionize_append,
+        "dedup_resolve": Q.dedup_resolve,
+        "vocab_topn": Q.vocab_topn,
+        "tfidf_terms": Q.tfidf_terms,
+        "pii_redact": Q.pii_redact,
     }
 
 
@@ -186,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_shard": oracle.SHUFFLE_SHARD_Q,
         "bigram_pmi": oracle.BIGRAM_PMI_Q,
         "bpe_merges": oracle.bpe_merges_sql(),
+        "bpe_merges_batched": oracle.bpe_merges_batched_sql(),
         "quantize_emb": oracle.QUANTIZE_EMB_Q,
         "jl_project": oracle.jl_project_sql(),
         "key_skew": oracle.KEY_SKEW_Q,

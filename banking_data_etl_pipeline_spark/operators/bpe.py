@@ -104,6 +104,97 @@ def learn_bpe_merges(
         wf.unpersist()
 
 
+def learn_bpe_merges_batched(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_passes: int = 3,
+    m_per_pass: int = 3,
+    window: int = 32,
+) -> DataFrame:
+    """Batched BPE training: up to ``m_per_pass`` merges learned per
+    distributed pass instead of one — the production shape for large
+    vocabularies, where sequential training's one-Spark-job-per-merge
+    (32k merges -> 32k jobs over the pair table) is the bottleneck;
+    batching divides the job count by ~m.
+
+    Batch rule (deterministic, engine-portable): rank the pass's pairs
+    by (cnt DESC, pair ASC); within the top-``window`` rows keep the
+    pairs that share NO symbol with ANY higher-ranked pair in the
+    window, and select the first ``m_per_pass`` survivors. Symbol
+    disjointness makes the batched rewrite exactly equal to applying
+    those merges sequentially (a merge only creates/destroys
+    adjacencies involving its own symbols), so each selected pair's
+    count is its true sequential count. The difference vs pure
+    sequential BPE is only which merges are chosen: new pairs created
+    by merge i can't be picked until the next pass — the standard,
+    documented batching approximation. One driver pull per pass: the
+    top-``window`` ranked rows (model-parameter scale).
+
+    Returns (pass, sel_rk, lhs, rhs, merged, cnt) — the merge table in
+    (pass, sel_rk) order. Oracle twin: ``oracle.bpe_merges_batched_sql``
+    replays the identical windowed rank/filter/select/rewrite per pass.
+    """
+    spark: SparkSession = docs.sparkSession
+    wf = (
+        docs.select(
+            F.explode(texttools.tokens(F.col(text_col))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .select(_encode_word(F.col("word")).alias("ws"), "wn")
+        .persist()
+    )
+    try:
+        words = wf
+        out: list[tuple[int, int, str, str, str, int]] = []
+        for p in range(1, n_passes + 1):
+            pairs = (
+                words.select(
+                    F.explode(
+                        texttools.word_shingles(_symbols(F.col("ws")), 2)
+                    ).alias("pair"),
+                    "wn",
+                )
+                .groupBy("pair")
+                .agg(F.sum("wn").alias("cnt"))
+            )
+            ranked = (
+                pairs.orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(window)
+                .collect()
+            )
+            used: set[str] = set()
+            selected: list[tuple[str, str, int]] = []
+            for row in ranked:
+                lhs, rhs = row.pair.split(" ", 1)
+                if (
+                    lhs not in used
+                    and rhs not in used
+                    and len(selected) < m_per_pass
+                ):
+                    selected.append((lhs, rhs, row.cnt))
+                used.update((lhs, rhs))
+            if not selected:
+                break
+            for i, (lhs, rhs, cnt) in enumerate(selected, start=1):
+                out.append((p, i, lhs, rhs, lhs + rhs, cnt))
+            ws = F.col("ws")
+            for lhs, rhs, _cnt in selected:
+                ws = F.replace(
+                    ws,
+                    F.lit(_SO + lhs + _SC + _SO + rhs + _SC),
+                    F.lit(_SO + lhs + rhs + _SC),
+                )
+            words = words.select(ws.alias("ws"), "wn")
+        return spark.createDataFrame(
+            out,
+            "pass int, sel_rk int, lhs string, rhs string,"
+            " merged string, cnt bigint",
+        )
+    finally:
+        wf.unpersist()
+
+
 def apply_bpe(
     docs: DataFrame,
     merges: list[tuple[str, str]],

@@ -1991,6 +1991,70 @@ p{t} AS (
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
 
 
+def bpe_merges_batched_sql(
+    n_passes: int = 3, m_per_pass: int = 3, window: int = 32
+) -> str:
+    """Unrolled twin of operators.bpe.learn_bpe_merges_batched: per
+    pass, the identical (cnt DESC, pair ASC) top-``window`` ranking,
+    the no-symbol-shared-with-any-higher-ranked-pair filter, the first
+    ``m_per_pass`` survivors, and ONE fold of whole-symbol replaces in
+    selection order (symbol-disjoint, so the fold equals sequential
+    application). The replace list rides as pat||chr(1)||rep strings
+    folded with list_reduce."""
+    syms = "regexp_extract_all(ws, chr(2)||'([^'||chr(3)||']*)'||chr(3), 1)"
+    parts = [
+        f"""WITH wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wn
+  FROM (SELECT unnest({TOKS}) AS word FROM documents) GROUP BY word
+), w0 AS (
+  SELECT regexp_replace(word, '(.)', chr(2) || '\\1' || chr(3), 'g') AS ws, wn
+  FROM wf
+)"""
+    ]
+    for t in range(1, n_passes + 1):
+        parts.append(
+            f""",
+p{t} AS (
+  SELECT pair, CAST(sum(wn) AS BIGINT) AS cnt FROM (
+    SELECT unnest({_word_shingles(syms, 2)}) AS pair, wn FROM w{t - 1}
+  ) GROUP BY pair
+), r{t} AS (
+  SELECT pair, cnt,
+         split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs,
+         row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rk
+  FROM p{t} ORDER BY cnt DESC, pair ASC LIMIT {window}
+), s{t} AS (
+  SELECT a.*, row_number() OVER (ORDER BY a.rk) AS sel_rk
+  FROM r{t} a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM r{t} b
+    WHERE b.rk < a.rk
+      AND (b.lhs = a.lhs OR b.lhs = a.rhs
+           OR b.rhs = a.lhs OR b.rhs = a.rhs))
+), sel{t} AS (
+  SELECT * FROM s{t} WHERE sel_rk <= {m_per_pass}
+), w{t} AS (
+  SELECT list_reduce(
+           list_prepend(w.ws, coalesce(reps.l, [])),
+           (acc, p) -> replace(acc, split_part(p, chr(1), 1),
+                               split_part(p, chr(1), 2))) AS ws,
+         w.wn
+  FROM w{t - 1} w CROSS JOIN (
+    SELECT list(chr(2)||lhs||chr(3)||chr(2)||rhs||chr(3)
+                || chr(1) || chr(2)||lhs||rhs||chr(3)
+                ORDER BY sel_rk) AS l
+    FROM sel{t}
+  ) reps
+)"""
+        )
+    finals = [
+        f"SELECT CAST({t} AS INTEGER) AS pass, CAST(sel_rk AS INTEGER)"
+        f" AS sel_rk, lhs, rhs, lhs || rhs AS merged, cnt FROM sel{t}"
+        for t in range(1, n_passes + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
 # Twin of functions.vectors.quantize_int8: same per-dim max-abs scale
 # with the 1e-30 floor, same explicit half-up floor(x/scale + 0.5).
 QUANTIZE_EMB_Q = """WITH dims AS (

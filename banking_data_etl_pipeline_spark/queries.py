@@ -1329,6 +1329,16 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.learn_bpe_merges(tables.load(spark, sf_dir, "documents"))
 
 
+def bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training: up to 3 symbol-disjoint merges per
+    distributed pass (3 passes) — the large-vocabulary job-count
+    shape; see operators.bpe.learn_bpe_merges_batched."""
+    from .operators import bpe
+
+    tune_for_oracle(spark)
+    return bpe.learn_bpe_merges_batched(tables.load(spark, sf_dir, "documents"))
+
+
 def quantize_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric per-dimension embedding quantization."""
     from .functions import vectors

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "shuffle_shard",
     "bigram_pmi",
     "bpe_merges",
+    "bpe_merges_batched",
     "quantize_emb",
     "jl_project",
     "key_skew",

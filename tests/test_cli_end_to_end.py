@@ -89,3 +89,38 @@ def test_cli_json_sinks(spark):
         for r in spark.read.parquet(stats_dir).collect()
     }
     assert stats == {"data_validation": 2, "parsing_error": 2}
+
+
+def test_cli_age_range_override_shifts_validation_and_stats(spark):
+    """--min_age/--max_age are live CLI knobs (SURVEY §2 row 8): with
+    --min_age 17 --max_age 101 both boundary rows become good, the
+    validation channel empties, and the stats table reflects only the
+    parse failures — hand-computed from the same fixture."""
+    d = tempfile.mkdtemp(prefix="cli_e2e_age_")
+    csv = os.path.join(d, "bank.csv")
+    with open(csv, "w") as f:
+        f.write(HEADER + "\n" + "\n".join(ROWS) + "\n")
+
+    good_dir, bad_dir, stats_dir = (
+        os.path.join(d, n) for n in ("good", "bad", "stats")
+    )
+    P.main(
+        [
+            "--input_path", csv,
+            "--output_table", good_dir,
+            "--error_table", bad_dir,
+            "--stats_table", stats_dir,
+            "--min_age", "17",
+            "--max_age", "101",
+        ]
+    )
+    good = _read_jsonl(good_dir)
+    bad = _read_jsonl(bad_dir)
+    assert sorted(r["age"] for r in good) == [17, 30, 45, 101]
+    assert {r["age_group"] for r in good if r["age"] in (17,)} == {"young"}
+    assert sorted(r["error_type"] for r in bad) == ["parsing_error", "parsing_error"]
+    stats = {
+        r.error_type: r["count"]
+        for r in spark.read.parquet(stats_dir).collect()
+    }
+    assert stats == {"parsing_error": 2}
