@@ -68,6 +68,7 @@ def train_centroids(
     iterations: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample_mod: int = 1,
 ) -> list[tuple[int, list[float]]]:
     """The Lloyd training loop alone: k (cid, centroid) pairs after
     ``iterations`` decimal-exact updates from the lowest-id init.
@@ -76,11 +77,29 @@ def train_centroids(
     centroids keep the inverted-file cells balanced — arbitrary-id
     centroids can leave one hot cell that degrades a probe toward
     brute force. Driver traffic per iteration is k centroid rows
-    (model-parameter scale)."""
+    (model-parameter scale).
+
+    ``sample_mod > 1`` trains on the deterministic 1-in-``sample_mod``
+    id-residue sample — how production coarse quantizers are fit (the
+    cell structure needs only the data DISTRIBUTION, not every row; at
+    100 TB a full-corpus k-means per query would dwarf the query).
+    Deterministic, so the DuckDB twin applies the same residue filter
+    and walks identical centroids. Init = the k lowest-id sampled
+    vectors (rank-based, so it works on sparse id spaces too)."""
+    if sample_mod > 1:
+        sampled = emb.filter(F.col(id_col) % sample_mod == 0)
+        # a sample smaller than k can't seed k centroids — train on the
+        # full set instead (only reachable on toy inputs; the
+        # registered corpora sample thousands of vectors, so the
+        # oracle twins never see this branch)
+        if sampled.limit(k).count() >= k:
+            emb = sampled
     dim = len(emb.select(vec_col).first()[0])
-    init = sorted(
-        emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect(),
-        key=lambda r: r[0],
+    init = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
     )
     centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in init]
 

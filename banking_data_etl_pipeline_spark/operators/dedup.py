@@ -530,6 +530,82 @@ def embedding_near_dup_pairs(
     )
 
 
+def dup_span_stats(
+    docs: DataFrame,
+    n: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplication statistics (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" signal,
+    at n-token granularity): per document, how much of it is made of
+    n-gram spans that ALSO appear in other documents. MinHash answers
+    "which docs are near-dups of each other"; this answers "how much
+    of THIS doc is boilerplate/copied text" even when no single pair
+    crosses a similarity threshold — the cut used to remove
+    memorization-prone spans from LLM training corpora.
+
+    Per doc: distinct n-token shingles; a shingle is SHARED when >= 2
+    docs contain it. Returns (doc_id, n_shingles, n_shared, dup_frac,
+    dup_heavy) with dup_frac = n_shared / n_shingles (0.0 for docs
+    shorter than n tokens) and dup_heavy = dup_frac >= threshold on
+    the 6-dp-rounded value.
+
+    Scale shape: shingles shuffle as 16-hex-char md5 prefixes, never
+    the raw span text (~constant 16 B vs ~8 words — the shuffle-width
+    trick that makes suffix-style dedup feasible at corpus scale); one
+    groupBy(hash) with map-side combine + one equi-join back, both on
+    the same key so AQE co-partitions them. No all-pairs stage at any
+    point. 64-bit prefix collisions (~n_shingles^2 / 2^65 expected
+    false-shared pairs) are the standard accepted fuzz at this scale.
+    """
+    # persist: both the doc-frequency branch and the join-back consume
+    # the exploded hashes — without it the tokenize+shingle+md5 scan
+    # runs twice (the minhash signature-persist discipline)
+    sh = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(
+                texttools.word_shingles(
+                    texttools.tokens(F.col(text_col)), n
+                )
+            )
+        ).alias("sh"),
+    ).select(
+        id_col,
+        F.when(
+            F.col("sh").isNotNull(), F.substring(F.md5("sh"), 1, 16)
+        ).alias("hh"),
+    ).persist()
+    df_sh = (
+        sh.filter(F.col("hh").isNotNull())
+        .groupBy("hh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    per_doc = (
+        sh.join(df_sh, "hh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("hh").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_shared"),
+        )
+    )
+    dup_frac = F.when(
+        F.col("n_shingles") > 0,
+        F.round(F.col("n_shared").cast("double") / F.col("n_shingles"), 6),
+    ).otherwise(F.lit(0.0))
+    return per_doc.select(
+        id_col,
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        dup_frac.alias("dup_frac"),
+        (dup_frac >= F.lit(threshold)).alias("dup_heavy"),
+    )
+
+
 def semdedup(
     emb: DataFrame,
     n_cells: int = 16,
@@ -537,6 +613,7 @@ def semdedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     train_iterations: int = 2,
+    train_sample_mod: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: partition the embedding
     space into centroid cells, compare pairs only WITHIN a cell, and
@@ -569,7 +646,8 @@ def semdedup(
             vec_col,
             id_col,
             clustering.train_centroids(
-                emb, n_cells, train_iterations, vec_col, id_col
+                emb, n_cells, train_iterations, vec_col, id_col,
+                sample_mod=train_sample_mod,
             ),
         )
     corpus = similarity.assign_cells(emb, n_cells, vec_col, id_col, scorer=scorer)

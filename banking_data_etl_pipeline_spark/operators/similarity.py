@@ -172,17 +172,25 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     train_iterations: int = 2,
+    train_sample_mod: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     centroid cells, probe only the ``nprobe`` cells nearest each query.
 
     Centroids are k-means-trained (``clustering.train_centroids``,
     ``train_iterations`` decimal-exact Lloyd updates from the lowest-id
-    init) so cells track the data distribution — the balance that makes
-    probing pay off; ``train_iterations=0`` falls back to the raw
-    lowest-id vectors. Both choices are deterministic, so the DuckDB
-    oracle reproduces the exact cell assignment (the trained path via
-    the same unrolled-CTE walk as ``oracle.kmeans_sql``). Centroids are
+    init) so cells track the data distribution — the balance that
+    makes probing pay off; ``train_iterations=0`` falls back to the
+    raw lowest-id vectors. ``train_sample_mod > 1`` fits the
+    quantizer on a deterministic 1-in-N id-residue sample — the
+    production shape at corpus scale (the cell structure needs the
+    distribution, not every row); the default trains on everything
+    because this corpus is small enough that sampling would starve
+    the centroids (needs ≳100 sampled vectors per centroid for
+    recall to hold).
+    Both choices are deterministic, so the DuckDB oracle reproduces
+    the exact cell assignment (the trained path via the same
+    unrolled-CTE walk as ``oracle.kmeans_sql``). Centroids are
     collected to the driver and inlined as a LITERAL array (they are
     model parameters, kilobytes) so cell assignment is a map-only
     pass — argmax over the literal per row, NO shuffle, no
@@ -196,7 +204,8 @@ def ivf_topk(
         from . import clustering
 
         cents = clustering.train_centroids(
-            emb, n_centroids, train_iterations, vec_col, id_col
+            emb, n_centroids, train_iterations, vec_col, id_col,
+            sample_mod=train_sample_mod,
         )
     scores_for = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
     corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scores_for)

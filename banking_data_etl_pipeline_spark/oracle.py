@@ -219,6 +219,35 @@ SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
   CAST(LEAST(n - ci * 32, 32) AS INT) AS n_tokens
 FROM idx"""
 
+# Twin of operators.dedup.dup_span_stats (n=8, threshold=0.5): same
+# per-doc distinct shingles, same 16-hex md5-prefix shuffle key, same
+# df >= 2 shared cut and 6-dp-rounded fraction; docs shorter than n
+# tokens surface with (0, 0, 0.0, false) via the LEFT JOIN.
+DUP_SPANS_Q = f"""WITH s AS (
+  SELECT doc_id, unnest(list_distinct({_word_shingles(TOKS, 8)})) AS sh
+  FROM documents
+), h AS (
+  SELECT doc_id, substring(md5(sh), 1, 16) AS hh FROM s
+), d AS (
+  SELECT hh, CAST(count(*) AS BIGINT) AS df FROM h GROUP BY hh
+), p AS (
+  SELECT h.doc_id,
+    CAST(count(*) AS BIGINT) AS n_shingles,
+    CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM h JOIN d USING (hh) GROUP BY h.doc_id
+), f AS (
+  SELECT doc.doc_id,
+    coalesce(p.n_shingles, 0) AS n_shingles,
+    coalesce(p.n_shared, 0) AS n_shared,
+    CASE WHEN coalesce(p.n_shingles, 0) > 0
+         THEN round(CAST(p.n_shared AS DOUBLE) / p.n_shingles, 6)
+         ELSE CAST(0.0 AS DOUBLE) END AS dup_frac
+  FROM documents doc LEFT JOIN p ON doc.doc_id = p.doc_id
+)
+SELECT doc_id, n_shingles, n_shared, dup_frac,
+       (dup_frac >= 0.5) AS dup_heavy
+FROM f"""
+
 NGRAM_JACCARD_DF_CUTOFF = 20  # mirrors operators.dedup.ngram_jaccard_pairs
 
 NGRAM_JACCARD_Q = f"""WITH sh AS (
@@ -389,17 +418,19 @@ def ann_ivf_sql(
     iters: int = 2,
     dim: int = 64,
     k: int = 10,
+    sample_mod: int = 1,
 ) -> str:
     """Twin of similarity.ivf_topk with TRAINED centroids: the
     ``_kmeans_ctes`` prefix walks the same decimal-exact Lloyd updates
-    as ``clustering.train_centroids``, then cells are assigned by
+    as ``clustering.train_centroids`` (on the same 1-in-``sample_mod``
+    training sample), then cells are assigned over the FULL corpus by
     argmax rounded cosine vs c{iters} (lowest-cid tiebreak) and each
     query probes its ``nprobe`` nearest cells — identical doubles to
     the Spark plan's literal-centroid scorer because the centroid
     components and the left-fold dot/norm arithmetic match bit-for-bit
     in both engines."""
     last = f"c{iters}"
-    return f"""{_kmeans_ctes(n_centroids, dim, iters)},
+    return f"""{_kmeans_ctes(n_centroids, dim, iters, sample_mod)},
 assign AS (
   SELECT e.vec_id, e.embedding,
          (SELECT c.cid FROM {last} c
@@ -1319,24 +1350,26 @@ def _kmeans_sqdist(e: str, c: str) -> str:
     )
 
 
-def _kmeans_ctes(k: int, dim: int, iters: int) -> str:
+def _kmeans_ctes(k: int, dim: int, iters: int, sample_mod: int = 1) -> str:
     """WITH-clause prefix (dims, emb, c0 .. c{iters}) that walks the
     decimal-exact Lloyd iterations of ``clustering.train_centroids``:
     per-component updates sum float components through DECIMAL(28,12)
     (order-independent) and divide the DOUBLE cast by the bigint
     count — the same nearest-double steps the Spark driver takes with
     ``float(Decimal)/n``; assignment tiebreak is (distance, cid)
-    ascending in both engines. Shared by ``kmeans_sql`` and the
-    trained-centroid ANN/SemDeDup twins (``ann_ivf_sql``,
-    ``semdedup_sql``) so all three reproduce bit-identical
-    centroids."""
+    ascending in both engines; init = the k lowest-id vectors of the
+    (possibly 1-in-``sample_mod`` residue-sampled) training set.
+    Shared by ``kmeans_sql`` and the trained-centroid ANN/SemDeDup
+    twins (``ann_ivf_sql``, ``semdedup_sql``) so all three reproduce
+    bit-identical centroids."""
+    where = f"WHERE vec_id % {sample_mod} = 0" if sample_mod > 1 else ""
     parts = [
         f"""WITH dims AS (SELECT unnest(range(1, {dim} + 1)) AS i),
-emb AS (SELECT vec_id, embedding FROM embeddings),
+emb AS (SELECT vec_id, embedding FROM embeddings {where}),
 c0 AS (
   SELECT vec_id AS cid,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-  FROM embeddings WHERE vec_id < {k}
+  FROM emb ORDER BY vec_id LIMIT {k}
 )"""
     ]
     for t in range(1, iters + 1):
@@ -1791,13 +1824,18 @@ FROM per_doc"""
 
 
 def semdedup_sql(
-    n_cells: int = 16, tau: float = 0.35, iters: int = 2, dim: int = 64
+    n_cells: int = 16,
+    tau: float = 0.35,
+    iters: int = 2,
+    dim: int = 64,
+    sample_mod: int = 1,
 ) -> str:
     """Twin of operators.dedup.semdedup with TRAINED centroids (same
-    ``_kmeans_ctes`` walk as ann_ivf_sql): rounded-cosine argmax
-    cells, within-cell pairs, drop = lower-id neighbor at >= tau."""
+    sample-fitted ``_kmeans_ctes`` walk as ann_ivf_sql):
+    rounded-cosine argmax cells, within-cell pairs, drop = lower-id
+    neighbor at >= tau."""
     last = f"c{iters}"
-    return f"""{_kmeans_ctes(n_cells, dim, iters)},
+    return f"""{_kmeans_ctes(n_cells, dim, iters, sample_mod)},
 assign AS (
   SELECT e.vec_id, e.embedding AS v,
          (SELECT c.cid FROM {last} c

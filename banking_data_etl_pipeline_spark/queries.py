@@ -258,6 +258,12 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(tables.load(spark, sf_dir, "documents"))
 
 
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-substring statistics (Lee et al. 2022 cut)."""
+    tune_for_oracle(spark)
+    return dedup.dup_span_stats(tables.load(spark, sf_dir, "documents"))
+
+
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     return dedup.minhash_lsh_pairs(tables.load(spark, sf_dir, "documents"))

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "quality_ensemble",
     "error_records",
     "dedup_exact",
+    "dup_spans",
     "minhash_lsh",
     "ngram_jaccard",
     "simhash",
@@ -192,8 +193,10 @@ def main() -> None:
             times[name] = round(time.time() - t0, 3)
             # blocks persisted inside operators (postings, signatures,
             # CC labels) must not accumulate across — or subsidize —
-            # runs/queries
+            # runs/queries; the GC nudge keeps heap pressure from one
+            # query's freed blocks from taxing the next query's timing
             spark.catalog.clearCache()
+            spark._jvm.System.gc()
     battery = round(time.time() - t_all, 3)
     total = round(sum(warm.values()), 3)
 

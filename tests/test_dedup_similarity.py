@@ -369,6 +369,31 @@ def test_minhash_incremental_screens_batch_against_corpus(spark):
     assert [(r.batch_id, r.corpus_id, r.est_jaccard) for r in got] == [(100, 1, 1.0)]
 
 
+def test_dup_span_stats_hand_worked(spark):
+    """Two docs share one 8-token span; a third is unique; a fourth is
+    too short for any shingle — n_shingles/n_shared/dup_frac/dup_heavy
+    computed by hand."""
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} extra1"),  # shingles: shared, 'b..extra1'
+            (2, f"{shared} extra2"),  # shingles: shared, 'b..extra2'
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8"),  # one unshared shingle
+            (4, "short doc"),  # 0 shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.dup_span_stats(docs, n=8).collect()}
+    assert len(out) == 4
+    for d in (1, 2):
+        assert (out[d].n_shingles, out[d].n_shared) == (2, 1)
+        assert out[d].dup_frac == 0.5 and out[d].dup_heavy
+    assert (out[3].n_shingles, out[3].n_shared) == (1, 0)
+    assert out[3].dup_frac == 0.0 and not out[3].dup_heavy
+    assert (out[4].n_shingles, out[4].n_shared) == (0, 0)
+    assert out[4].dup_frac == 0.0 and not out[4].dup_heavy
+
+
 def test_semdedup_drops_higher_id_near_dups(spark):
     from banking_data_etl_pipeline_spark.operators import dedup
 
