@@ -208,6 +208,45 @@ def unigram_xent(
     )
 
 
+def xent_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: split each language's
+    documents into head / middle / tail terciles of unigram
+    cross-entropy — the partition CCNet publishes and LLM pipelines
+    sample from (head = most fluent under the LM, tail = noisiest).
+    Composes ``unigram_xent`` with a per-language ``ntile(3)`` on
+    (xent, doc_id) — a total order, so the split is deterministic and
+    integer-only (no float threshold to disagree across engines).
+
+    Scale note: ntile sorts each language on one reducer; languages
+    are few and independent so this parallelizes per lang, but at
+    100 TB per-language you'd switch to threshold-cut buckets from
+    ``approx_percentile`` boundaries (the CCNet paper itself fits
+    thresholds on a sample) — same output contract."""
+    from pyspark.sql import Window
+
+    scored = unigram_xent(docs, text_col, id_col).select(id_col, "xent")
+    with_lang = scored.join(docs.select(id_col, lang_col), id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("xent").asc(), F.col(id_col).asc()
+    )
+    nt = F.ntile(3).over(w)
+    return with_lang.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("xent"),
+        nt.cast("int").alias("bucket_idx"),
+        F.when(nt == 1, "head")
+        .when(nt == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 def dsir_logratio(
     docs: DataFrame,
     target_lang: str = "en",

@@ -1765,6 +1765,37 @@ SELECT doc_id, n_tok,
        (round(CAST(s AS DOUBLE) / n_tok, 6) <= 3.41) AS kept
 FROM per_doc"""
 
+# Twin of operators.corpus.xent_buckets: the UNIGRAM_XENT per-doc
+# score + per-language ntile(3) on the total order (xent, doc_id) —
+# integer-only split, standard larger-groups-first ntile in both
+# engines.
+XENT_BUCKETS_Q = f"""WITH tk AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+), vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS tok_n FROM tk GROUP BY token
+), tot AS (
+  SELECT CAST(sum(tok_n) AS DOUBLE) AS corpus_n FROM vocab
+), logp AS (
+  SELECT token,
+         CAST(round(-ln(CAST(tok_n AS DOUBLE) / tot.corpus_n), 12)
+              AS DECIMAL(26,12)) AS neg_logp
+  FROM vocab CROSS JOIN tot
+), per_doc AS (
+  SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         sum(logp.neg_logp) AS s
+  FROM tk JOIN logp USING (token) GROUP BY tk.doc_id
+), x AS (
+  SELECT doc_id, round(CAST(s AS DOUBLE) / n_tok, 6) AS xent FROM per_doc
+), b AS (
+  SELECT d.lang, x.doc_id, x.xent,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY x.xent ASC, x.doc_id ASC) AS bi
+  FROM x JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, xent, CAST(bi AS INT) AS bucket_idx,
+       CASE bi WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM b"""
+
 # Twin of operators.graph.triangle_counts: same (degree, id) edge
 # orientation, directed-path wedge + closure semi-join, integer-only.
 TRIANGLE_COUNT_Q = """WITH li AS (

@@ -1274,6 +1274,12 @@ def unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.unigram_xent(tables.load(spark, sf_dir, "documents"))
 
 
+def xent_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles per language."""
+    tune_for_oracle(spark)
+    return corpus.xent_buckets(tables.load(spark, sf_dir, "documents"))
+
+
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the co-purchase graph."""
     from .operators import graph

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "corr_matrix",
     "bpe_tokenize",
     "unigram_xent",
+    "xent_buckets",
     "triangle_count",
     "dsir_weights",
     "semdedup",

@@ -310,6 +310,27 @@ def test_unigram_xent_kept_cut_is_on_rounded_value(spark):
     assert out[1].kept is False
 
 
+def test_xent_buckets_are_balanced_and_ordered(spark):
+    """Per language: tercile sizes differ by at most 1 (ntile
+    contract) and every head doc scores <= every tail doc."""
+    from banking_data_etl_pipeline_spark.operators import corpus
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    rows = corpus.xent_buckets(docs).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang) >= 2
+    for lang, rs in by_lang.items():
+        sizes = {b: sum(1 for r in rs if r.bucket == b)
+                 for b in ("head", "middle", "tail")}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        head_max = max(r.xent for r in rs if r.bucket == "head")
+        tail_min = min(r.xent for r in rs if r.bucket == "tail")
+        assert head_max <= tail_min, (lang, head_max, tail_min)
+        assert {r.bucket_idx for r in rs} == {1, 2, 3}
+
+
 def test_dsir_logratio_hand_checked(spark):
     import math
     from banking_data_etl_pipeline_spark.operators import corpus
