@@ -177,7 +177,10 @@ def parse_media_header(payload: bytes) -> dict:
       data_size / block_align / sample_rate.
 
     Returns a dict with None for fields the kind doesn't have, or all
-    None when the payload matches neither container."""
+    None when the payload matches neither container. A parser running
+    inside a Spark task must NEVER raise on malformed bytes (one bad
+    blob would fail the whole stage): truncated or corrupt payloads
+    degrade to Nones, never exceptions."""
     out = {
         "height": None,
         "width": None,
@@ -186,7 +189,11 @@ def parse_media_header(payload: bytes) -> dict:
         "bits_per_sample": None,
         "duration_ms": None,
     }
-    if payload[:8] == PNG_SIG and payload[12:16] == b"IHDR":
+    if (
+        len(payload) >= 26
+        and payload[:8] == PNG_SIG
+        and payload[12:16] == b"IHDR"
+    ):
         (w,) = struct.unpack(">I", payload[16:20])
         (h,) = struct.unpack(">I", payload[20:24])
         color_type = payload[25]
@@ -194,7 +201,7 @@ def parse_media_header(payload: bytes) -> dict:
         out["width"] = w
         out["channels"] = _PNG_CHANNELS.get(color_type)
         return out
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         pos, n = 12, len(payload)
         fmt = None
         data_size = None

@@ -184,6 +184,45 @@ def test_fingerprint_deterministic(spark):
     assert len(rows[1]) == 32
 
 
+def test_parse_media_header_never_raises_on_garbage(spark):
+    """A parser inside a Spark task must never throw: arbitrary bytes,
+    truncated containers, and adversarial chunk sizes all degrade to
+    None fields."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import struct
+
+    fields = {
+        "height", "width", "channels",
+        "sample_rate", "bits_per_sample", "duration_ms",
+    }
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=128))
+    def fuzz(payload):
+        out = binaryops.parse_media_header(payload)
+        assert set(out) == fields
+
+    fuzz()
+
+    # targeted nasties: truncated PNG after the signature/IHDR tag,
+    # truncated WAV fmt, and a WAV whose chunk size overruns the buffer
+    nasties = [
+        binaryops.PNG_SIG,
+        binaryops.PNG_SIG + struct.pack(">I", 13) + b"IHDR",
+        binaryops.PNG_SIG + struct.pack(">I", 13) + b"IHDR" + b"\x00" * 5,
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE",
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE" + b"fmt "
+        + struct.pack("<I", 16) + b"\x00" * 4,  # fmt body truncated
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE" + b"data"
+        + struct.pack("<I", 0xFFFFFFFF),  # chunk size overruns buffer
+        b"",
+    ]
+    for p in nasties:
+        out = binaryops.parse_media_header(p)
+        assert set(out) == fields
+
+
 def test_resize_media_shrinks_and_hashes(spark):
     import hashlib
 
