@@ -208,6 +208,64 @@ def unigram_xent(
     )
 
 
+def curation_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    test_rate: int = 16,
+    val_rate: int = 32,
+) -> DataFrame:
+    """The LLM-data flagship composition: quality gate -> exact dedup
+    -> deterministic train/val/test split, as ONE auditable per-doc
+    verdict table (the errors-as-data stance of the bank pipeline
+    applied to corpus curation — every document appears exactly once
+    with the stage that removed it or the split that kept it).
+
+    Stages: ``rejected_quality`` (6-dp-rounded quality score below the
+    cut), ``duplicate`` (a lower-id doc with identical text already
+    passed), else the md5-range split (``test`` < test_rate/256 <=
+    ``val`` < val_rate/256 <= ``train`` — the split_manifest rule, so
+    membership never drifts across reruns or engines).
+
+    Scale shape: one scan computes quality+lang map-only; dedup is the
+    usual md5(text) groupBy (fixed-width keys) joined back on the same
+    hash (co-partitioned by AQE); the split is a pure expression. No
+    all-pairs stage, no driver pulls."""
+    from .sampling import threshold_hex
+
+    text = F.col(text_col)
+    scored = docs.select(
+        F.col(id_col),
+        text.alias("_text"),
+        F.round(texttools.quality_score(text), 6).alias("quality_score"),
+        texttools.lang_id(text).alias("lang"),
+    ).withColumn("q_pass", F.col("quality_score") >= min_quality)
+    keepers = (
+        scored.filter(F.col("q_pass"))
+        .groupBy(F.md5("_text").alias("_h"))
+        .agg(F.min(id_col).alias("_keep_id"))
+    )
+    j = scored.withColumn("_h", F.md5("_text")).join(keepers, "_h", "left")
+    t16, t32 = threshold_hex(test_rate), threshold_hex(val_rate)
+    pfx = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    stage = (
+        F.when(~F.col("q_pass"), F.lit("rejected_quality"))
+        .when(F.col(id_col) != F.col("_keep_id"), F.lit("duplicate"))
+        .when(pfx < t16, F.lit("test"))
+        .when(pfx < t32, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return j.select(
+        F.col(id_col),
+        "lang",
+        "quality_score",
+        "q_pass",
+        (F.col("q_pass") & (F.col(id_col) == F.col("_keep_id"))).alias("kept"),
+        stage.alias("stage"),
+    )
+
+
 def xent_buckets(
     docs: DataFrame,
     text_col: str = "text",

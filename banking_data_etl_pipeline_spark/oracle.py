@@ -606,6 +606,50 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
 FROM f GROUP BY md5(text)"""
 
 
+def curation_pipeline_sql(
+    min_quality: float = 0.5, test_rate: int = 16, val_rate: int = 32
+) -> str:
+    """Twin of operators.corpus.curation_pipeline: the corpus_filter
+    quality/lang scoring, the q_pass flag, exact-dedup keep_id via
+    md5(text) group-min, and the split_manifest md5-range split —
+    composed into one per-doc verdict row."""
+    from .operators.sampling import threshold_hex
+
+    t16, t32 = threshold_hex(test_rate), threshold_hex(val_rate)
+    return f"""WITH tk AS (
+  SELECT doc_id, text, {TOKS} AS toks FROM documents
+), st AS (
+  SELECT doc_id, text, toks,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE (length(text) - length(translate(text, '{_SQL_PUNCT}', '')))
+              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE {_hits('en')} / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+    {_lang_sel_sql()}
+  FROM tk
+), q AS (
+  SELECT doc_id, text, round({_QUALITY}, 6) AS quality_score,
+         {_lang_case_sql()} AS lang FROM st
+), flags AS (
+  SELECT doc_id, text, quality_score, lang,
+         (quality_score >= {min_quality}) AS q_pass FROM q
+), keep AS (
+  SELECT md5(text) AS h, min(doc_id) AS keep_id
+  FROM flags WHERE q_pass GROUP BY md5(text)
+), j AS (
+  SELECT f.*, k.keep_id FROM flags f LEFT JOIN keep k ON md5(f.text) = k.h
+)
+SELECT doc_id, lang, quality_score, q_pass,
+  (q_pass AND doc_id = keep_id) AS kept,
+  CASE WHEN NOT q_pass THEN 'rejected_quality'
+       WHEN doc_id <> keep_id THEN 'duplicate'
+       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{t16}' THEN 'test'
+       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{t32}' THEN 'val'
+       ELSE 'train' END AS stage
+FROM j"""
+
+
 # ------------------------------------------------------------ relational
 
 _DEC_SUM = "round(CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE), 4)"

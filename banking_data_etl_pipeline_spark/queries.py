@@ -1274,6 +1274,13 @@ def unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.unigram_xent(tables.load(spark, sf_dir, "documents"))
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-data flagship composition: quality gate -> exact dedup ->
+    deterministic split, one auditable verdict row per document."""
+    tune_for_oracle(spark)
+    return corpus.curation_pipeline(tables.load(spark, sf_dir, "documents"))
+
+
 def xent_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity terciles per language."""
     tune_for_oracle(spark)

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "bpe_tokenize",
     "unigram_xent",
     "xent_buckets",
+    "curation_pipeline",
     "triangle_count",
     "dsir_weights",
     "semdedup",

@@ -310,6 +310,34 @@ def test_unigram_xent_kept_cut_is_on_rounded_value(spark):
     assert out[1].kept is False
 
 
+def test_curation_pipeline_stage_partition(spark):
+    """Every doc appears exactly once; stages partition the corpus
+    consistently with the flags; kept <=> a train/val/test split; a
+    duplicate's keeper is a lower-id doc with identical text that
+    passed quality."""
+    from banking_data_etl_pipeline_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy for a while"),
+            (2, "the cat sat on the mat and it was happy for a while"),
+            (5, "the dog sat by the door and it was glad all day long"),
+            (9, "!!! ??? ;;; ###"),  # punctuation soup -> rejected
+            (12, "!!! ??? ;;; ###"),  # also rejected (never 'duplicate')
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in corpus.curation_pipeline(docs).collect()}
+    assert set(out) == {1, 2, 5, 9, 12}
+    assert out[9].stage == "rejected_quality" and not out[9].q_pass
+    assert out[12].stage == "rejected_quality"  # rejection wins over dup
+    assert out[2].stage == "duplicate" and not out[2].kept
+    assert out[1].kept and out[1].stage in ("train", "val", "test")
+    assert out[5].kept and out[5].stage in ("train", "val", "test")
+    for r in out.values():
+        assert r.kept == (r.stage in ("train", "val", "test"))
+
+
 def test_xent_buckets_are_balanced_and_ordered(spark):
     """Per language: tercile sizes differ by at most 1 (ntile
     contract) and every head doc scores <= every tail doc."""
