@@ -42,6 +42,23 @@ def test_media_metadata_prunes_payload_from_scan(spark):
     assert all("payload" not in ln for ln in scan_lines), scan_lines
 
 
+def test_r5_curation_ops_plan_no_pair_stage(spark):
+    """The r5 corpus additions must never plan a cartesian or
+    nested-loop join: dup_spans joins back on the shingle hash,
+    curation_pipeline on md5(text), xent_buckets on doc_id."""
+    from banking_data_etl_pipeline_spark.operators import corpus, dedup
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    for df in (
+        dedup.dup_span_stats(docs),
+        corpus.curation_pipeline(docs),
+        corpus.xent_buckets(docs),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_revenue_by_nation_broadcasts_dimension(spark):
     plan = _plan(
         relational.revenue_by_nation(
