@@ -606,6 +606,29 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
 FROM f GROUP BY md5(text)"""
 
 
+# Twin of streaming.docs.run_quality_gate_stream: the gate is
+# stateless (pure per-row expressions), so the streaming availableNow
+# result over the bounded drop equals this batch scan row-for-row —
+# the same batch-equivalence bar stream_window_agg meets.
+STREAM_QUALITY_GATE_Q = f"""WITH tk AS (
+  SELECT doc_id, text, {TOKS} AS toks FROM documents
+), st AS (
+  SELECT doc_id, text, toks,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE (length(text) - length(translate(text, '{_SQL_PUNCT}', '')))
+              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE {_hits('en')} / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+    {_lang_sel_sql()}
+  FROM tk
+)
+SELECT doc_id, {_lang_case_sql()} AS lang_id, n_tokens,
+       round({_QUALITY}, 6) AS quality_score,
+       (round({_QUALITY}, 6) >= 0.5) AS kept
+FROM st"""
+
+
 def curation_pipeline_sql(
     min_quality: float = 0.5, test_rate: int = 16, val_rate: int = 32
 ) -> str:

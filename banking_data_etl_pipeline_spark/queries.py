@@ -1274,6 +1274,24 @@ def unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.unigram_xent(tables.load(spark, sf_dir, "documents"))
 
 
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING text-quality gate over a documents drop dir
+    (file source + availableNow + append memory sink); stateless, so
+    it is checked against the batch scan's oracle SQL."""
+    import os
+    import tempfile
+
+    from .streaming import docs as SD
+
+    tune_for_oracle(spark)
+    d = tempfile.mkdtemp(prefix="stream_docs_")
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(d, "documents.parquet"),
+    )
+    return SD.run_quality_gate_stream(spark, d, "stream_quality_gate_sink")
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-data flagship composition: quality gate -> exact dedup ->
     deterministic split, one auditable verdict row per document."""

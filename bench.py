@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "unigram_xent",
     "xent_buckets",
     "curation_pipeline",
+    "stream_quality_gate",
     "triangle_count",
     "dsir_weights",
     "semdedup",

@@ -219,3 +219,29 @@ def test_upsert_replayed_batch_is_skipped(spark):
     after = {r.user_id: (r.cnt, r.micros) for r in upsert.read_state(spark, state).collect()}
     assert after == {1: (4, 25_000_000), 2: (2, 2_000_000)}
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_quality_gate_equals_batch(spark):
+    """The streaming quality gate is stateless, so the availableNow
+    run over a bounded drop dir must equal the batch gate over the
+    same file row-for-row."""
+    from banking_data_etl_pipeline_spark.streaming import docs as SD
+
+    d = tempfile.mkdtemp(prefix="stream_docs_eq_")
+    os.symlink(
+        os.path.join(SF_DIR, "documents.parquet"),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = {
+        r.doc_id: r
+        for r in SD.run_quality_gate_stream(spark, d, "sqg_eq_sink").collect()
+    }
+    want = {
+        r.doc_id: r
+        for r in SD.quality_gate(
+            tables.load(spark, SF_DIR, "documents")
+        ).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k in want:
+        assert got[k] == want[k], (got[k], want[k])
