@@ -44,7 +44,12 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def _minhash_banded(
-    docs: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    persist: bool = True,
 ) -> DataFrame:
     """(id, sig, band_idx, band_key) rows: persisted MinHash signatures
     exploded to their LSH band keys — the probe-side/build-side unit
@@ -76,8 +81,12 @@ def _minhash_banded(
     )
     # persist: the bucket join would otherwise run the whole signature
     # computation once per side (signatures are ~100 B/doc — persisting
-    # them is the standard move at any scale)
-    sigd = md_stage.select(F.col(id_col), F.array(*sig).alias("sig")).persist()
+    # them is the standard move at any scale). persist=False for
+    # STREAMING callers — the computation is pure map-only expressions,
+    # so it is stream-legal, but caching is not.
+    sigd = md_stage.select(F.col(id_col), F.array(*sig).alias("sig"))
+    if persist:
+        sigd = sigd.persist()
     band_keys = hashing.band_keys(
         [F.col("sig")[i] for i in range(num_hashes)], bands, rows
     )

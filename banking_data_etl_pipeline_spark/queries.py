@@ -1292,6 +1292,30 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SD.run_quality_gate_stream(spark, d, "stream_quality_gate_sink")
 
 
+def stream_minhash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingestion-time MinHash near-dup screen: the simulated
+    new batch (doc_id % 5 == 0) arrives as a file stream and probes
+    the static corpus signatures — same semantics (and oracle) as the
+    batch minhash_incremental."""
+    import os
+    import tempfile
+
+    from .streaming import docs as SD
+
+    tune_for_oracle(spark)
+    d = tempfile.mkdtemp(prefix="stream_screen_")
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(d, "documents.parquet"),
+    )
+    corpus = tables.load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 != 0
+    )
+    return SD.minhash_screen_stream(
+        spark, d, corpus, "stream_minhash_screen_sink"
+    )
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-data flagship composition: quality gate -> exact dedup ->
     deterministic split, one auditable verdict row per document."""

@@ -58,6 +58,69 @@ def quality_gate(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
     )
 
 
+def minhash_screen_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    corpus: DataFrame,
+    name: str,
+    batch_mod: int = 5,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """STREAMING ingestion-time near-dup screen: new documents arrive
+    as files, their MinHash band keys are computed map-only inside the
+    stream (pure expressions — stream-legal), and a stream-static
+    equi-join probes them against the persisted CORPUS signatures
+    (the build side a production pipeline precomputes to parquet; here
+    the static DataFrame stands in). Emits (batch_id, corpus_id,
+    est_jaccard) collision pairs.
+
+    The per-pair ``dropDuplicates`` is the one stateful step; bounded
+    here by the availableNow run (production would watermark on an
+    arrival timestamp to expire pair state). Identical semantics to
+    the batch ``dedup.minhash_lsh_incremental`` over the same split,
+    which is what the shared oracle checks."""
+    from ..operators.dedup import _minhash_banded, _sig_agreement
+
+    batch = docs_stream(spark, docs_dir).filter(
+        F.col("doc_id") % batch_mod == 0
+    )
+    kb = _minhash_banded(
+        batch, "text", "doc_id", num_hashes, bands, persist=False
+    ).alias("a")
+    kc = _minhash_banded(
+        corpus, "text", "doc_id", num_hashes, bands, persist=True
+    ).alias("b")
+    pairs = (
+        kb.join(
+            F.broadcast(kc),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("batch_id"),
+            F.col("b.doc_id").alias("corpus_id"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.round(_sig_agreement(num_hashes), 6).alias("est_jaccard"),
+        )
+    )
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def run_quality_gate_stream(
     spark: SparkSession, docs_dir: str, name: str, min_quality: float = 0.5
 ) -> DataFrame:

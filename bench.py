@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "xent_buckets",
     "curation_pipeline",
     "stream_quality_gate",
+    "stream_minhash_screen",
     "triangle_count",
     "dsir_weights",
     "semdedup",

@@ -245,3 +245,32 @@ def test_stream_quality_gate_equals_batch(spark):
     assert set(got) == set(want) and len(got) > 0
     for k in want:
         assert got[k] == want[k], (got[k], want[k])
+
+
+def test_stream_minhash_screen_equals_batch_incremental(spark):
+    """The stream-static signature join must find exactly the pairs
+    the batch incremental screen finds on the same batch/corpus
+    split."""
+    from banking_data_etl_pipeline_spark.operators import dedup
+    from banking_data_etl_pipeline_spark.streaming import docs as SD
+
+    d = tempfile.mkdtemp(prefix="stream_screen_eq_")
+    os.symlink(
+        os.path.join(SF_DIR, "documents.parquet"),
+        os.path.join(d, "documents.parquet"),
+    )
+    docs = tables.load(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    got = {
+        (r.batch_id, r.corpus_id): r.est_jaccard
+        for r in SD.minhash_screen_stream(
+            spark, d, corpus, "sms_eq_sink"
+        ).collect()
+    }
+    want = {
+        (r.batch_id, r.corpus_id): r.est_jaccard
+        for r in dedup.minhash_lsh_incremental(
+            docs.filter(F.col("doc_id") % 5 == 0), corpus
+        ).collect()
+    }
+    assert got == want and len(want) > 0
