@@ -89,6 +89,48 @@ def test_heavy_hitters_survives_adversarial_skew(spark):
     assert out == {"hot"}  # 1/8 share > 1/16 cut; no filler survives
 
 
+def test_candidate_tokenizer_matches_jvm_split(spark):
+    """The MG candidate pass's Python tokenizer (ASCII-\\s split of the
+    lowercased text) must reproduce texttools.tokens (JVM
+    split(lower(t), '\\s+')) on adversarial inputs — unicode
+    whitespace, control chars, case-folding edge cases — so the
+    Misra-Gries superset guarantee holds. One Spark pass over the
+    whole fixture set."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from banking_data_etl_pipeline_spark.functions import texttools
+
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    texts = [
+        "plain ascii words",
+        "a\xa0b nbsp-glued",            # U+00A0: ws in Python, not Java
+        "x y line-sep",            # U+2028
+        "p\x1cq file-sep",              # U+001C
+        "tab\tand\nnewline\x0b\x0c\r mix",
+        "  leading and trailing  ",
+        "",
+        "\t\n",
+        "STRASSE GROSS",                # ascii upper
+        "İstanbul DİŞ",                 # dotted capital I (tr)
+        "ǅungla ǉeto",                  # titlecase digraphs
+        "ΣΙΣΥΦΟΣ ΤΕΛΟΣ",                # final sigma context
+        "ẞharp",                        # capital sharp s
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    jvm = {
+        r.i: list(r.toks)
+        for r in df.select(
+            "i", texttools.tokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        py = [tok for tok in java_ws.split(t.lower()) if tok]
+        assert py == jvm[i], (t, py, jvm[i])
+
+
 def test_heavy_hitters_unicode_whitespace_token(spark):
     """Java \\s is ASCII-only, so 'a\\xa0b' is ONE canonical token;
     Python str.split() would split it and the candidate pass would
