@@ -179,3 +179,46 @@ def jl_project(emb, vec_col: str = "embedding", id_col: str = "vec_id",
         # sign, and the parity hash distinguishes repr(-0.0)
         (F.round(F.col("raw") / F.lit(scale), 6) + F.lit(0.0)).alias("val"),
     )
+
+
+def energy_profile(emb, prefix_dims=(8, 16, 32, 64), vec_col="embedding"):
+    """Matryoshka-style truncation profile: for each candidate prefix
+    length d, the corpus-mean fraction of a vector's squared norm that
+    the first d components capture — the number you read before
+    truncating stored embeddings to d dims (MRL-trained embeddings
+    front-load energy; flat profiles mean truncation loses recall).
+
+    Per row the ratio is ``dot(v[:d], v[:d]) / dot(v, v)`` with the
+    same left-fold association both engines use (zero-norm vectors
+    contribute 0.0); ratios are 12-dp-rounded and summed through
+    DECIMAL so the mean is partitioning-independent. One map-only pass
+    computes every prefix (the prefixes are slices of one row — no
+    re-scan per d), then a dims-sized aggregation."""
+    from pyspark.sql import functions as F
+
+    full = dot(F.col(vec_col), F.col(vec_col))
+    ratios = [
+        F.when(full == 0, F.lit(0.0)).otherwise(
+            dot(
+                F.slice(F.col(vec_col), 1, d), F.slice(F.col(vec_col), 1, d)
+            )
+            / full
+        )
+        for d in prefix_dims
+    ]
+    flat = emb.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(int(d)) for d in prefix_dims]),
+                F.array(*[F.round(r, 12) for r in ratios]),
+            )
+        ).alias("prefix_dim", "r")
+    )
+    return flat.groupBy(F.col("prefix_dim").cast("int").alias("prefix_dim")).agg(
+        F.round(
+            F.sum(F.col("r").cast("decimal(26,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_energy"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1500,6 +1500,26 @@ FROM sizes s JOIN {last} c ON c.cid = s.cluster CROSS JOIN dims d"""
 
 # -------------------------- round 3h: feature stats + split manifest
 
+def energy_profile_sql(prefix_dims=(8, 16, 32, 64)) -> str:
+    """Twin of functions.vectors.energy_profile: same sliced left-fold
+    dot products, 12-dp ratio round, DECIMAL mean."""
+    rows = []
+    for d in prefix_dims:
+        part = _dot(f"list_slice(embedding, 1, {d})",
+                    f"list_slice(embedding, 1, {d})")
+        full = _dot("embedding", "embedding")
+        rows.append(
+            f"""SELECT CAST({d} AS INT) AS prefix_dim,
+  round(CAST(sum(CAST(round(
+    CASE WHEN {full} = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE {part} / {full} END, 12) AS DECIMAL(26,12))) AS DOUBLE)
+        / count(*), 6) AS mean_energy,
+  CAST(count(*) AS BIGINT) AS n
+FROM embeddings"""
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
 # Twin of functions.vectors.dim_stats (dim = 64 in the testdata).
 EMB_DIM_STATS_Q = """WITH ex AS (
   SELECT CAST(d.i - 1 AS INT) AS dim, CAST(e.embedding[d.i] AS DOUBLE) AS x

@@ -993,6 +993,15 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vectors.dim_stats(tables.load(spark, sf_dir, "embeddings"))
 
 
+def emb_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation profile: mean squared-norm fraction
+    captured by each candidate prefix length."""
+    from .functions import vectors
+
+    tune_for_oracle(spark)
+    return vectors.energy_profile(tables.load(spark, sf_dir, "embeddings"))
+
+
 def split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split manifest per language:
     membership by md5 hash range (16/256 test, 16/256 val, rest

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "stream_quality_gate",
     "stream_minhash_screen",
+    "emb_energy_profile",
     "triangle_count",
     "dsir_weights",
     "semdedup",

@@ -484,3 +484,33 @@ def test_jl_project_preserves_norms_in_expectation(spark):
     assert m == vectors.jl_signs() and len(m) == 16 and len(m[0]) == 64
     assert all(abs(s) == 1.0 for row in m for s in row)
     assert not math.isnan(mean)
+
+
+def test_energy_profile_monotone_and_complete(spark):
+    """Prefix energy is monotone non-decreasing in d, hits exactly 1.0
+    at the full dimensionality, and matches a hand-computed value on a
+    known vector set."""
+    from banking_data_etl_pipeline_spark.functions import vectors
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    prof = {
+        r.prefix_dim: r
+        for r in vectors.energy_profile(emb, prefix_dims=(8, 16, 32, 64)).collect()
+    }
+    n = emb.count()
+    vals = [prof[d].mean_energy for d in (8, 16, 32, 64)]
+    assert all(prof[d].n == n for d in prof)
+    assert all(a <= b for a, b in zip(vals, vals[1:])), vals
+    assert vals[-1] == 1.0  # full prefix captures everything
+    assert 0.0 < vals[0] < 1.0
+
+    # hand-computed: [3,4] -> d=1 captures 9/25; zero vector -> 0.0
+    tiny = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.prefix_dim: r.mean_energy
+        for r in vectors.energy_profile(tiny, prefix_dims=(1, 2)).collect()
+    }
+    assert got[1] == round((9.0 / 25.0 + 0.0) / 2, 6)
+    assert got[2] == round((1.0 + 0.0) / 2, 6)
