@@ -222,3 +222,46 @@ def energy_profile(emb, prefix_dims=(8, 16, 32, 64), vec_col="embedding"):
         ).alias("mean_energy"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def standardize_dims(emb, vec_col="embedding", id_col="vec_id"):
+    """Per-dimension z-score standardization of an embedding corpus —
+    the feature-scaling pass before distance-based work when
+    dimensions carry different scales. ``z = (x - mean_d) / sd_d``
+    per component, NULL where a dimension is constant (sd 0 — the
+    nullif guard both engines share instead of an ANSI
+    divide-by-zero).
+
+    Shape: ``posexplode`` is map-only; the per-dim moment aggregation
+    has dimensionality-many keys (model-parameter scale, DECIMAL-exact
+    sums of x and x² so mean/sd are partitioning-independent) and
+    joins back onto the flat stream — one shuffle of dim-sized data
+    total. Output is per-component rows (vec_id, dim, z), 6-dp-rounded
+    with signed-zero normalization."""
+    from pyspark.sql import functions as F
+
+    flat = emb.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "x0")
+    ).select(id_col, "dim", F.col("x0").cast("double").alias("x"))
+    st = flat.groupBy("dim").agg(
+        F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m = st.select(
+        "dim",
+        F.expr("s / n").alias("mean"),
+        F.expr("sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0))").alias("sd"),
+    )
+    return flat.join(F.broadcast(m), "dim").select(
+        id_col,
+        F.col("dim").cast("int").alias("dim"),
+        (
+            F.round(
+                (F.col("x") - F.col("mean")) / F.expr("nullif(sd, 0.0)"), 6
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+    )

@@ -1500,6 +1500,32 @@ FROM sizes s JOIN {last} c ON c.cid = s.cluster CROSS JOIN dims d"""
 
 # -------------------------- round 3h: feature stats + split manifest
 
+# Twin of functions.vectors.standardize_dims (dim = 64): DECIMAL-exact
+# moment sums, the same mean/variance expression text, nullif-guarded
+# division (constant dimension -> NULL in both engines), 6-dp round
+# with signed-zero normalization.
+STANDARDIZE_EMB_Q = """WITH dims AS (
+  SELECT unnest(range(1, 65)) AS i
+), flat AS (
+  SELECT e.vec_id, CAST(d.i - 1 AS INT) AS dim,
+         CAST(e.embedding[d.i] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN dims d
+), st AS (
+  SELECT dim,
+    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS s,
+    CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+    CAST(count(*) AS BIGINT) AS n
+  FROM flat GROUP BY dim
+), m AS (
+  SELECT dim, s / n AS mean,
+         sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)) AS sd
+  FROM st
+)
+SELECT f.vec_id, f.dim,
+       round((f.x - m.mean) / nullif(m.sd, 0.0), 6) + 0.0 AS z
+FROM flat f JOIN m USING (dim)"""
+
+
 def energy_profile_sql(prefix_dims=(8, 16, 32, 64)) -> str:
     """Twin of functions.vectors.energy_profile: same sliced left-fold
     dot products, 12-dp ratio round, DECIMAL mean."""

@@ -993,6 +993,14 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vectors.dim_stats(tables.load(spark, sf_dir, "embeddings"))
 
 
+def standardize_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus."""
+    from .functions import vectors
+
+    tune_for_oracle(spark)
+    return vectors.standardize_dims(tables.load(spark, sf_dir, "embeddings"))
+
+
 def emb_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation profile: mean squared-norm fraction
     captured by each candidate prefix length."""

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "stream_quality_gate",
     "stream_minhash_screen",
     "emb_energy_profile",
+    "standardize_emb",
     "triangle_count",
     "dsir_weights",
     "semdedup",

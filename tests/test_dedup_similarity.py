@@ -514,3 +514,29 @@ def test_energy_profile_monotone_and_complete(spark):
     }
     assert got[1] == round((9.0 / 25.0 + 0.0) / 2, 6)
     assert got[2] == round((1.0 + 0.0) / 2, 6)
+
+
+def test_standardize_dims_moments_and_constant_dim(spark):
+    """z-scores have per-dim mean ~0 and std ~1; a constant dimension
+    standardizes to NULL (nullif guard), never an ANSI error."""
+    from banking_data_etl_pipeline_spark.functions import vectors
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    rows = vectors.standardize_dims(emb).collect()
+    by_dim: dict = {}
+    for r in rows:
+        by_dim.setdefault(r.dim, []).append(r.z)
+    for d, zs in list(by_dim.items())[:8]:
+        assert all(z is not None for z in zs)
+        m = sum(zs) / len(zs)
+        v = sum((z - m) ** 2 for z in zs) / len(zs)
+        assert abs(m) < 1e-4, (d, m)
+        assert abs(v - 1.0) < 1e-3, (d, v)
+
+    const = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [2.0, 5.0]), (2, [3.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {(r.vec_id, r.dim): r.z for r in vectors.standardize_dims(const).collect()}
+    assert out[(0, 1)] is None and out[(2, 1)] is None  # constant dim
+    assert out[(0, 0)] is not None and out[(0, 0)] < 0 < out[(2, 0)]
