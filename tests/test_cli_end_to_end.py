@@ -124,3 +124,31 @@ def test_cli_age_range_override_shifts_validation_and_stats(spark):
         for r in spark.read.parquet(stats_dir).collect()
     }
     assert stats == {"parsing_error": 2}
+
+
+def test_cli_parquet_output_format(spark):
+    """--output_format parquet writes both sinks as parquet with the
+    same 29-field contract and row routing as the JSON path."""
+    d = tempfile.mkdtemp(prefix="cli_e2e_pq_")
+    csv = os.path.join(d, "bank.csv")
+    with open(csv, "w") as f:
+        f.write(HEADER + "\n" + "\n".join(ROWS) + "\n")
+
+    good_dir, bad_dir = (os.path.join(d, n) for n in ("good", "bad"))
+    P.main(
+        [
+            "--input_path", csv,
+            "--output_table", good_dir,
+            "--error_table", bad_dir,
+            "--output_format", "parquet",
+        ]
+    )
+    good = spark.read.parquet(good_dir)
+    bad = spark.read.parquet(bad_dir)
+    assert good.count() == 2
+    assert len(good.columns) == GOOD_FIELDS
+    assert "_raw" not in good.columns
+    assert set(bad.columns) == ERROR_FIELDS
+    assert sorted(r.error_type for r in bad.collect()) == [
+        "data_validation", "data_validation", "parsing_error", "parsing_error",
+    ]
