@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_minhash_screen": Q.stream_minhash_screen,  # new operator
         "emb_energy_profile": Q.emb_energy_profile,  # new operator
         "standardize_emb": Q.standardize_emb,  # new operator
+        "source_divergence": Q.source_divergence,  # new operator
         "bpe_merges_batched": Q.bpe_merges_batched,  # new operator
         "heavy_hitters": Q.heavy_hitters,  # candidate tokenizer fix
         "shuffle_shard": Q.shuffle_shard,  # two-digit shard fold
@@ -97,12 +98,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_avg_orders": Q.above_avg_orders,
         "listagg_users": Q.listagg_users,
         "cube_orders": Q.cube_orders,
-        "semi_join": Q.semi_join_big_spenders,
         # ---- driver checks the first 50 entries; the window boundary
-        # ---- falls HERE (semi_join is slot 50). Tail order = next
+        # ---- falls HERE (cube_orders is slot 50). Tail order = next
         # rounds' rotation queue: r02 leftovers first (the bank-core
         # singles, last within their tier per policy rule 4), then
         # r03-green, then r04-green.
+        "semi_join": Q.semi_join_big_spenders,
         "anti_join": Q.anti_join_no_orders,
         "percentiles": Q.price_percentiles,
         "asof_join": Q.asof_join,
@@ -203,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_minhash_screen": oracle.minhash_incremental_sql(),
         "emb_energy_profile": oracle.energy_profile_sql(),
         "standardize_emb": oracle.STANDARDIZE_EMB_Q,
+        "source_divergence": oracle.SOURCE_DIVERGENCE_Q,
         "quantize_emb": oracle.QUANTIZE_EMB_Q,
         "jl_project": oracle.jl_project_sql(),
         "key_skew": oracle.KEY_SKEW_Q,

@@ -208,6 +208,71 @@ def unigram_xent(
     )
 
 
+def source_divergence(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise KL divergence between the unigram token distributions
+    of corpus groups (sources, splits, snapshots) — the
+    distribution-shift diagnostic run before mixing sources or after
+    re-crawling: a spiking KL(source_a || source_b) means a's token
+    mix drifted from b's and mixture weights or filters need a second
+    look. Add-one smoothing over the GLOBAL vocab keeps every
+    probability positive, so KL is finite and the pair table is total.
+
+    Scale shape: token counts are one groupBy over the corpus scan
+    (Zipf-small result); the (vocab x groups) grid and the per-token
+    pair join are vocab-scale, never corpus-scale; group count is tiny
+    so pairs multiply vocab rows by a constant. The vocab size enters
+    as an uncorrelated scalar subquery — no driver pull. Per-token
+    terms are 12-dp-rounded and summed as DECIMAL (order-independent),
+    output 6-dp — the repo-wide cross-engine float discipline.
+
+    Returns (src_a, src_b, kl) for every ordered pair of distinct
+    groups."""
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(texttools.tokens(F.col(text_col))).alias("token"),
+    )
+    counts = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("grp").agg(F.sum("c").alias("tot"))
+    vocab = counts.select("token").distinct()
+    v_size = vocab.agg(F.count(F.lit(1)).cast("double").alias("v")).scalar()
+    grid = (
+        vocab.crossJoin(totals)
+        .join(counts, ["grp", "token"], "left")
+        .select(
+            "grp",
+            "token",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("tot").cast("double") + v_size)
+            ).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("grp").alias("src_a"), "token", F.col("p").alias("pa")
+    )
+    b = grid.select(
+        F.col("grp").alias("src_b"), "token", F.col("p").alias("pb")
+    )
+    terms = (
+        a.join(b, "token")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.round(F.col("pa") * F.log(F.col("pa") / F.col("pb")), 12)
+            .cast("decimal(26,12)")
+            .alias("t"),
+        )
+    )
+    return terms.groupBy("src_a", "src_b").agg(
+        (F.round(F.sum("t").cast("double"), 6) + F.lit(0.0)).alias("kl")
+    )
+
+
 def curation_pipeline(
     docs: DataFrame,
     text_col: str = "text",

@@ -1878,6 +1878,34 @@ SELECT doc_id, n_tok,
        (round(CAST(s AS DOUBLE) / n_tok, 6) <= 3.41) AS kept
 FROM per_doc"""
 
+# Twin of operators.corpus.source_divergence: same add-one-smoothed
+# unigram probabilities over the global vocab (V as a scalar
+# subquery), 12-dp-rounded p*ln(p/q) terms summed through DECIMAL.
+SOURCE_DIVERGENCE_Q = f"""WITH tk AS (
+  SELECT source AS grp, unnest({TOKS}) AS token FROM documents
+), counts AS (
+  SELECT grp, token, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY grp, token
+), totals AS (
+  SELECT grp, CAST(sum(c) AS BIGINT) AS tot FROM counts GROUP BY grp
+), vocab AS (
+  SELECT DISTINCT token FROM counts
+), grid AS (
+  SELECT t.grp, v.token,
+    (CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+     / (CAST(t.tot AS DOUBLE)
+        + (SELECT CAST(count(*) AS DOUBLE) FROM vocab))) AS p
+  FROM vocab v CROSS JOIN totals t
+  LEFT JOIN counts c ON c.grp = t.grp AND c.token = v.token
+), terms AS (
+  SELECT a.grp AS src_a, b.grp AS src_b,
+    CAST(round(a.p * ln(a.p / b.p), 12) AS DECIMAL(26,12)) AS t
+  FROM grid a JOIN grid b ON a.token = b.token AND a.grp <> b.grp
+)
+SELECT src_a, src_b,
+       round(CAST(sum(t) AS DOUBLE), 6) + 0.0 AS kl
+FROM terms GROUP BY src_a, src_b"""
+
+
 # Twin of operators.corpus.xent_buckets: the UNIGRAM_XENT per-doc
 # score + per-language ntile(3) on the total order (xent, doc_id) —
 # integer-only split, standard larger-groups-first ntile in both

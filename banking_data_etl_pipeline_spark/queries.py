@@ -1340,6 +1340,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.curation_pipeline(tables.load(spark, sf_dir, "documents"))
 
 
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise unigram-KL distribution shift between corpus sources."""
+    tune_for_oracle(spark)
+    return corpus.source_divergence(tables.load(spark, sf_dir, "documents"))
+
+
 def xent_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity terciles per language."""
     tune_for_oracle(spark)

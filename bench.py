@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "stream_minhash_screen",
     "emb_energy_profile",
     "standardize_emb",
+    "source_divergence",
     "triangle_count",
     "dsir_weights",
     "semdedup",

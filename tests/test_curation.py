@@ -482,3 +482,38 @@ def test_bigram_pmi_hand_computed(spark):
     assert abs(ab.pmi - want) < 1e-9
     bc = out["b c"]
     assert (bc.cnt, bc.c_left, bc.c_right) == (3, 6, 3)
+
+
+def test_source_divergence_hand_worked(spark):
+    """KL on a 2-source toy corpus matches the closed form (add-one
+    smoothing over the global vocab), is asymmetric, and identical
+    distributions give exactly 0."""
+    import math
+
+    from banking_data_etl_pipeline_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "a b b b", "s2"), (3, "a a b", "s3")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.src_a, r.src_b): r.kl
+        for r in corpus.source_divergence(docs).collect()
+    }
+    assert len(out) == 6
+    # s1: a=2,b=1 tot=3; s2: a=1,b=3 tot=4; V=2
+    pa1, pb1 = 3 / 5, 2 / 5
+    pa2, pb2 = 2 / 6, 4 / 6
+    want12 = round(
+        round(pa1 * math.log(pa1 / pa2), 12) + round(pb1 * math.log(pb1 / pb2), 12),
+        6,
+    )
+    want21 = round(
+        round(pa2 * math.log(pa2 / pa1), 12) + round(pb2 * math.log(pb2 / pb1), 12),
+        6,
+    )
+    assert out[("s1", "s2")] == want12
+    assert out[("s2", "s1")] == want21
+    assert want12 != want21  # KL is asymmetric
+    assert out[("s1", "s3")] == 0.0 and out[("s3", "s1")] == 0.0
+    assert all(v >= 0 for v in out.values())
