@@ -179,8 +179,15 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "dedup_resolve",  # iterative label propagation (runs jobs eagerly)
         "fuzzy_resolve",  # same resolver over fuzzy pairs
         "bpe_merges",  # driver-side merge loop (one argmax pull per step)
+        "bpe_merges_batched",  # driver-side pass loop (one window pull/pass)
+        "stream_quality_gate",  # runs its stream eagerly at build
+        "stream_minhash_screen",  # same
     }
-    allowed_bnlj = {"ann_brute"}
+    # intentional broadcast cross joins: ann_brute scores the tiny
+    # query set against the corpus; source_divergence expands the
+    # Zipf-small vocab against the handful of group totals — both
+    # broadcast the small side, neither is an accidental plan
+    allowed_bnlj = {"ann_brute", "source_divergence"}
     for name, fn in sorted(mod.queries().items()):
         if name in streaming_or_iterative:
             continue
