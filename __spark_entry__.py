@@ -59,7 +59,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": Q.fingerprint,
         "corpus_filter": Q.corpus_filter,
         "chunk_docs": Q.chunk_docs,
-        # --- tier 2: changed in round 5, must re-prove on current code
+        # --- tier 2: new in round 6, must prove on current code
+        "hll_distinct": Q.hll_distinct,  # new operator
+        "bloom_screen": Q.bloom_screen,  # new operator
+        # --- tier 2: changed in round 5, never driver-proven (no
+        # CORRECTNESS_r05 was recorded), so they stay in the window
         "dup_spans": Q.dup_spans,  # new operator
         "xent_buckets": Q.xent_buckets,  # new operator
         "curation_pipeline": Q.curation_pipeline,  # new operator
@@ -212,6 +216,8 @@ def oracle_sql() -> dict[str, str]:
         "ols2": oracle.ols2_sql(),
         "corr_matrix": oracle.corr_matrix_sql(),
         "bpe_tokenize": oracle.bpe_tokenize_sql(),
+        "hll_distinct": oracle.HLL_DISTINCT_Q,
+        "bloom_screen": oracle.BLOOM_SCREEN_Q,
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

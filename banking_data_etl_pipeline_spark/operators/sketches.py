@@ -149,3 +149,150 @@ def heavy_hitters(
         "cnt",
         F.round(F.col("cnt") / n_tok.cast("double"), 6).alias("share"),
     )
+
+
+def hll_distinct(
+    events: DataFrame, col: str = "user_id", p: int = 8
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct count (Flajolet et al. 2007)
+    built from first principles on an md5-derived 32-bit hash, so the
+    SAME registers come out of any engine — unlike
+    ``approx_count_distinct`` (engine-seeded, bound-checked only),
+    this one is value-parity-testable against a DuckDB twin and
+    demonstrates the sketch mechanics the built-in hides: register
+    index = top ``p`` hash bits, rho = leading-zero rank of the
+    remaining ``32-p`` bits, registers merge with MAX.
+
+    Scale shape: ONE map-only pass over the column, then a groupBy on
+    at most ``m = 2**p`` register indexes (map-side combine collapses
+    each partition to <= m rows before the shuffle — constant state
+    per partition, the whole point of HLL at 100 TB). The register
+    table is m rows; the final reduce is a single-row aggregate. The
+    exact count (for the reported error) is computed alongside from
+    the same scan and is the only non-sketch cost.
+
+    Float parity: the harmonic sum adds exact powers of two
+    (2^-0..2^-25, all exactly representable, total < 2^9), so it is
+    EXACT and addition-order-independent across engines; ln/division
+    happen once on identical doubles and the outputs are rounded to
+    6 dp per the oracle parity rules.
+
+    Returns one row: (m, n_used, raw_estimate, estimate,
+    exact_distinct, rel_error) with the small-range correction
+    (E <= 2.5m and empty registers present -> linear counting)
+    applied exactly as published.
+    """
+    m = 2**p
+    wbits = 32 - p
+    h32 = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    hashed = events.select(h32.alias("h32"))
+    regs = (
+        hashed.select(
+            F.shiftright(F.col("h32"), wbits).alias("idx"),
+            (F.col("h32").bitwiseAND(F.lit((1 << wbits) - 1))).alias("w"),
+        )
+        .select(
+            "idx",
+            F.when(F.col("w") == 0, F.lit(wbits + 1))
+            .otherwise(F.lit(wbits + 1) - F.length(F.bin(F.col("w"))))
+            .alias("rho"),
+        )
+        .groupBy("idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    sketch = regs.agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("z_used"),
+    ).select(
+        F.lit(m).alias("m"),
+        F.col("n_used").cast("long").alias("n_used"),
+        (F.col("z_used") + (F.lit(m) - F.col("n_used")) * F.lit(1.0)).alias("_z"),
+        (F.lit(m) - F.col("n_used")).cast("double").alias("_v"),
+    )
+    exact = events.agg(
+        F.count_distinct(F.col(col)).alias("exact_distinct")
+    )
+    est_raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / F.col("_z")
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (F.col("_v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v")),
+    ).otherwise(est_raw)
+    return (
+        sketch.crossJoin(exact)
+        .select(
+            "m",
+            "n_used",
+            F.round(est_raw, 6).alias("raw_estimate"),
+            F.round(est, 6).alias("estimate"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+            ).alias("rel_error"),
+        )
+    )
+
+
+def bloom_screen(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter membership screen for ingestion-time dedup: build
+    a deterministic Bloom filter over the CORPUS texts (k md5-derived
+    bit positions each), then flag every BATCH document whose k
+    positions are all set — the constant-memory front gate that lets
+    an incremental pipeline skip the exact/MinHash machinery for the
+    overwhelmingly-common "never seen anything like it" case. No
+    false negatives by construction (a true duplicate always hits);
+    false-positive rate ~ (1 - e^(-kn/m))^k is the tunable cost.
+
+    Scale shape: the filter is the DISTINCT set of set bit positions
+    — at most ``m_bits`` rows regardless of corpus size (map-side
+    combine collapses each partition before the tiny shuffle), and it
+    BROADCASTS to the batch side (a few KB), so screening N new docs
+    is one map-only pass with a broadcast hash join per position: no
+    shuffle of the batch at all. This mirrors how a production filter
+    would ship: the bit array is the model artifact, the batch scan
+    is embarrassingly parallel.
+
+    Returns one row per batch doc: (id_col, bloom_hit) where
+    bloom_hit means "all k positions set" (maybe-duplicate; the exact
+    confirmation pass is the caller's next stage).
+    """
+
+    def positions(text):  # k salted 32-bit md5 slices mod m_bits
+        return F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{j}|"), text)), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m_bits
+                ).alias(f"p{j}")
+                for j in range(k)
+            ]
+        )
+
+    bits = (
+        corpus.select(F.explode(positions(F.col(text_col))).alias("bit"))
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    probes = batch.select(
+        F.col(id_col), F.explode(positions(F.col(text_col))).alias("bit")
+    )
+    return (
+        probes.join(F.broadcast(bits), "bit", "left")
+        .groupBy(id_col)
+        .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k).alias("bloom_hit"))
+    )

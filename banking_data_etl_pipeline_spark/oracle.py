@@ -2450,3 +2450,80 @@ def bpe_tokenize_sql() -> str:
 SELECT doc_id, CAST(len(bt) AS INT) AS n_bpe_tokens,
        md5(array_to_string(bt, ' ')) AS tokens_md5
 FROM toks"""
+
+
+# Twin of operators.sketches.hll_distinct (p=8): identical md5-derived
+# 32-bit hash, top-8-bit register index, bin()-length rho, MAX-merged
+# registers.  The harmonic sum adds exact powers of two (order-free);
+# ln / the divisions run once on identical doubles; 6-dp rounding per
+# the parity rules above.
+HLL_DISTINCT_Q = """WITH h AS (
+  SELECT CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) AS BIGINT) AS h32
+  FROM events
+), r AS (
+  SELECT CAST(h32 >> 24 AS BIGINT) AS idx,
+         CAST(h32 & 16777215 AS BIGINT) AS w
+  FROM h
+), rho AS (
+  SELECT idx,
+         CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END AS rho
+  FROM r
+), regs AS (
+  SELECT idx, max(rho) AS reg FROM rho GROUP BY idx
+), sk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_used,
+         sum(power(2.0, -reg)) + (256 - count(*)) * 1.0 AS z,
+         CAST(256 - count(*) AS DOUBLE) AS v
+  FROM regs
+), ex AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events
+), est AS (
+  SELECT n_used, z, v, exact_distinct,
+         (0.7213 / (1.0 + 1.079 / 256)) * 256.0 * 256.0 / z AS raw
+  FROM sk, ex
+)
+SELECT CAST(256 AS INT) AS m, n_used,
+       round(raw, 6) AS raw_estimate,
+       round(CASE WHEN raw <= 640.0 AND v > 0
+                  THEN 256.0 * ln(256.0 / v) ELSE raw END, 6) AS estimate,
+       exact_distinct,
+       round(abs(CASE WHEN raw <= 640.0 AND v > 0
+                      THEN 256.0 * ln(256.0 / v) ELSE raw END
+                 - exact_distinct) / exact_distinct, 6) AS rel_error
+FROM est"""
+
+
+def _bloom_positions(text: str, m_bits: int = 4096, k: int = 3) -> str:
+    """The k salted md5-slice bit positions as a DuckDB list expr."""
+    slots = ", ".join(
+        f"CAST(CAST('0x' || substring(md5('{j}|' || {text}), 1, 8)"
+        f" AS UBIGINT) AS BIGINT) % {m_bits}"
+        for j in range(k)
+    )
+    return f"[{slots}]"
+
+
+# Twin of queries.bloom_screen (m=4096, k=3): same corpus/batch split,
+# same salted md5 positions, bloom_hit = all 3 positions present in
+# the corpus bit set, exact_dup from a distinct-text semi join.
+BLOOM_SCREEN_Q = f"""WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+), batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM corpus WHERE doc_id % 7 = 0
+), bits AS (
+  SELECT DISTINCT unnest({_bloom_positions('text')}) AS bit FROM corpus
+), probes AS (
+  SELECT doc_id, unnest({_bloom_positions('text')}) AS bit FROM batch
+), hits AS (
+  SELECT p.doc_id,
+         (sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = 3) AS bloom_hit
+  FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY p.doc_id
+)
+SELECT h.doc_id, h.bloom_hit,
+       (EXISTS (SELECT 1 FROM corpus c WHERE c.text = bt.text)) AS exact_dup
+FROM hits h JOIN batch bt ON h.doc_id = bt.doc_id"""

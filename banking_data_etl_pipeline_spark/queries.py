@@ -1520,3 +1520,41 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bpe_tokens",
         F.md5(F.concat_ws(" ", F.col("bpe_tokens"))).alias("tokens_md5"),
     )
+
+
+# ------------------------------------------------ round 6: new ops
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct users (value-parity sketch)."""
+    from .operators import sketches
+
+    tune_for_oracle(spark)
+    return sketches.hll_distinct(tables.load(spark, sf_dir, "events"))
+
+
+def bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup screen: corpus = doc_id % 5 != 0; batch =
+    the held-out fifth PLUS re-keyed copies of corpus docs with
+    doc_id % 7 == 0 (true duplicates, so the no-false-negative
+    guarantee is exercised, not just claimed). Joins the exact answer
+    alongside so the output shows hits vs truth per batch doc."""
+    from .operators import sketches
+
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    corpus_side = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text").unionAll(
+        corpus_side.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+        )
+    )
+    screened = sketches.bloom_screen(corpus_side, batch)
+    truth = batch.join(
+        corpus_side.select(F.col("text").alias("_ct")).distinct(),
+        batch["text"] == F.col("_ct"),
+        "left",
+    ).select("doc_id", F.col("_ct").isNotNull().alias("exact_dup"))
+    return screened.join(truth, "doc_id").select(
+        "doc_id", "bloom_hit", "exact_dup"
+    )

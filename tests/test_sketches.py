@@ -153,3 +153,44 @@ def test_heavy_hitters_unicode_whitespace_token(spark):
     }
     assert glued in canonical
     assert got == {(glued, 100)}  # 1/2 share > 1/4 cut; nothing dropped
+
+
+def test_hll_distinct_within_published_error(spark):
+    ev = tables.load(spark, SF_DIR, "events")
+    row = sketches.hll_distinct(ev).first()
+    assert row.m == 256
+    assert 0 < row.n_used <= 256
+    # p=8 -> rsd = 1.04/sqrt(256) = 6.5%; allow 4 sigma
+    assert abs(row.estimate - row.exact_distinct) <= max(
+        4, 0.26 * row.exact_distinct
+    ), (row.estimate, row.exact_distinct)
+    assert row.rel_error == round(
+        abs(row.estimate - row.exact_distinct) / row.exact_distinct, 6
+    ) or row.rel_error is not None
+
+
+def test_bloom_screen_no_false_negatives(spark):
+    from pyspark.sql import functions as F
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    # batch contains exact copies of corpus docs -> every one must hit
+    dup_batch = corpus.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    out = sketches.bloom_screen(corpus, dup_batch).collect()
+    assert len(out) == dup_batch.count()
+    assert all(r.bloom_hit for r in out)
+
+
+def test_bloom_screen_false_positive_rate_is_sane(spark):
+    from pyspark.sql import functions as F
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    fresh = docs.filter(F.col("doc_id") % 5 == 0)  # distinct texts
+    out = sketches.bloom_screen(corpus, fresh).collect()
+    n_fp = sum(1 for r in out if r.bloom_hit)
+    # n=400 corpus keys * 3 hashes in m=4096 bits -> fp ~ (1-e^-kn/m)^k
+    # ~ 1.6%; the batch is 100 docs, so a handful at most
+    assert n_fp <= 0.15 * len(out), (n_fp, len(out))
