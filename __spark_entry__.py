@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier 2: new in round 6, must prove on current code
         "hll_distinct": Q.hll_distinct,  # new operator
         "bloom_screen": Q.bloom_screen,  # new operator
+        "span_removal": Q.span_removal,  # new operator
         # --- tier 2: changed in round 5, never driver-proven (no
         # CORRECTNESS_r05 was recorded), so they stay in the window
         "dup_spans": Q.dup_spans,  # new operator
@@ -218,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokenize": oracle.bpe_tokenize_sql(),
         "hll_distinct": oracle.HLL_DISTINCT_Q,
         "bloom_screen": oracle.BLOOM_SCREEN_Q,
+        "span_removal": oracle.SPAN_REMOVAL_Q,
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

@@ -693,3 +693,96 @@ def semdedup(
         "cell",
         F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
     )
+
+
+def shared_span_removal(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring deduplication — the REMOVAL action on top of
+    ``dup_span_stats``'s signal (Lee et al. 2022 apply the cut at ~50
+    chars; here at ``n``-token granularity): every token covered by an
+    n-gram span that also appears in ANOTHER document is cut, and the
+    surviving tokens are re-joined in order. This is the operator that
+    actually strips boilerplate/licence blocks/copied passages from a
+    pretraining corpus rather than merely scoring them.
+
+    A span is shared when >= 2 DISTINCT documents contain it (same
+    doc-frequency rule as ``dup_span_stats``, computed on the distinct
+    (doc, hash) pairs so within-doc repeats don't self-trigger).
+    Token j of a doc is removed when any shared span starting at
+    i in [j-n+1, j] covers it.
+
+    Returns one row per input doc: (doc_id, n_tokens, n_removed,
+    cleaned_text) — cleaned_text == '' when everything was cut or the
+    doc was empty; docs shorter than n tokens pass through unchanged.
+
+    Scale shape: positional shingles shuffle as 16-hex md5 prefixes
+    (constant ~16 B vs ~n words — the same shuffle-width trick as
+    dup_span_stats); doc-frequency is one groupBy(hash) over the
+    distinct pairs; coverage expands each shared shingle to at most
+    ``n`` (doc, pos) rows — a bounded x``n`` explode, not a join
+    blowup; the final anti-join and re-assembly group on doc_id, all
+    equi-keys. Nothing is all-pairs; no driver pull.
+    """
+    toks = texttools.tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_toks")).persist()
+    # positional shingles: pos i covers tokens i .. i+n-1 (0-based)
+    pos_sh = base.select(
+        id_col,
+        F.posexplode(texttools.word_shingles(F.col("_toks"), n)).alias(
+            "pos", "sh"
+        ),
+    ).select(id_col, "pos", F.substring(F.md5("sh"), 1, 16).alias("hh"))
+    pos_sh = pos_sh.persist()
+    shared = (
+        pos_sh.select(id_col, "hh")
+        .distinct()
+        .groupBy("hh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("hh")
+    )
+    covered = (
+        pos_sh.join(shared, "hh")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    tok_idx = base.select(
+        id_col, F.posexplode(F.col("_toks")).alias("tpos", "tok")
+    )
+    kept = (
+        tok_idx.join(covered, [id_col, "tpos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tpos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("_cleaned"),
+        )
+    )
+    return (
+        base.select(id_col, F.size("_toks").alias("n_tokens"))
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("_cleaned"), F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -2527,3 +2527,43 @@ BLOOM_SCREEN_Q = f"""WITH corpus AS (
 SELECT h.doc_id, h.bloom_hit,
        (EXISTS (SELECT 1 FROM corpus c WHERE c.text = bt.text)) AS exact_dup
 FROM hits h JOIN batch bt ON h.doc_id = bt.doc_id"""
+
+
+# Twin of operators.dedup.shared_span_removal (n=8): same positional
+# 8-token shingles and 16-hex md5 prefixes, shared = distinct-doc
+# frequency >= 2, token cut when any shared span starting in
+# [pos-7, pos] covers it, survivors re-joined in token order.
+SPAN_REMOVAL_Q = f"""WITH t AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), tn AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+), ps0 AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(n - 7, 0))) AS pos FROM tn
+), ps AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         substring(md5(array_to_string(
+           list_slice(toks, pos + 1, pos + 8), ' ')), 1, 16) AS hh
+  FROM ps0
+), shared AS (
+  SELECT hh FROM (SELECT DISTINCT doc_id, hh FROM ps)
+  GROUP BY hh HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT ps.doc_id, ps.pos + u.j AS tpos
+  FROM ps JOIN shared USING (hh), unnest(range(0, 8)) AS u(j)
+), ti0 AS (
+  SELECT doc_id, toks, unnest(range(0, n)) AS tpos FROM tn
+), ti AS (
+  SELECT doc_id, CAST(tpos AS BIGINT) AS tpos,
+         list_extract(toks, tpos + 1) AS tok
+  FROM ti0
+), kept AS (
+  SELECT ti.doc_id, count(*) AS n_kept,
+         string_agg(ti.tok, ' ' ORDER BY ti.tpos) AS cleaned
+  FROM ti LEFT JOIN cov ON ti.doc_id = cov.doc_id AND ti.tpos = cov.tpos
+  WHERE cov.tpos IS NULL
+  GROUP BY ti.doc_id
+)
+SELECT tn.doc_id, CAST(tn.n AS BIGINT) AS n_tokens,
+       CAST(tn.n - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(k.cleaned, '') AS cleaned_text
+FROM tn LEFT JOIN kept k USING (doc_id)"""

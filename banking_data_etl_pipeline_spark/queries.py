@@ -1558,3 +1558,9 @@ def bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return screened.join(truth, "doc_id").select(
         "doc_id", "bloom_hit", "exact_dup"
     )
+
+
+def span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup removal: cut cross-doc 8-gram spans."""
+    tune_for_oracle(spark)
+    return dedup.shared_span_removal(tables.load(spark, sf_dir, "documents"))

@@ -540,3 +540,50 @@ def test_standardize_dims_moments_and_constant_dim(spark):
     out = {(r.vec_id, r.dim): r.z for r in vectors.standardize_dims(const).collect()}
     assert out[(0, 1)] is None and out[(2, 1)] is None  # constant dim
     assert out[(0, 0)] is not None and out[(0, 0)] < 0 < out[(2, 0)]
+
+
+def test_span_removal_cuts_shared_spans_only(spark):
+    shared = "a b c d e f g h"  # exactly one 8-token span, in both docs
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail1 unique1"),
+            (2, f"head2 {shared} tail2"),
+            (3, "totally different words here with no overlap at all ok"),
+            (4, "short doc"),  # < 8 tokens: passes through unchanged
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.shared_span_removal(docs).collect()}
+    assert out[1].cleaned_text == "tail1 unique1"
+    assert out[1].n_removed == 8 and out[1].n_tokens == 10
+    assert out[2].cleaned_text == "head2 tail2"
+    assert out[3].n_removed == 0
+    assert out[3].cleaned_text == docs.filter("doc_id = 3").first().text
+    assert out[4].cleaned_text == "short doc" and out[4].n_removed == 0
+    assert out[5].cleaned_text == "" and out[5].n_tokens == 0
+
+
+def test_span_removal_overlapping_spans_merge_coverage(spark):
+    # docs share a 9-token run -> two overlapping shared 8-spans in
+    # each; coverage must merge (9 tokens cut, not 16)
+    run = "a b c d e f g h i"
+    docs = spark.createDataFrame(
+        [(1, f"{run} x1"), (2, f"{run} x2")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.shared_span_removal(docs).collect()}
+    assert out[1].n_removed == 9 and out[1].cleaned_text == "x1"
+    assert out[2].n_removed == 9 and out[2].cleaned_text == "x2"
+
+
+def test_span_removal_within_doc_repeat_does_not_self_trigger(spark):
+    rep = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, f"{rep} {rep}"), (2, "nothing shared with the first doc at all")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.shared_span_removal(docs).collect()}
+    # the 8-gram repeats within doc 1 only -> df(distinct docs) == 1
+    # -> not shared -> nothing removed
+    assert out[1].n_removed == 0
