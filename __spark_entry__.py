@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": Q.hll_distinct,  # new operator
         "bloom_screen": Q.bloom_screen,  # new operator
         "span_removal": Q.span_removal,  # new operator
+        "snapshot_diff": Q.snapshot_diff,  # new operator
+        "temperature_mix": Q.temperature_mix,  # new operator
         # --- tier 2: changed in round 5, never driver-proven (no
         # CORRECTNESS_r05 was recorded), so they stay in the window
         "dup_spans": Q.dup_spans,  # new operator
@@ -220,6 +222,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": oracle.HLL_DISTINCT_Q,
         "bloom_screen": oracle.BLOOM_SCREEN_Q,
         "span_removal": oracle.SPAN_REMOVAL_Q,
+        "snapshot_diff": oracle.SNAPSHOT_DIFF_Q,
+        "temperature_mix": oracle.TEMPERATURE_MIX_Q,
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

@@ -123,3 +123,60 @@ def shuffle_shard(
         .withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    token_budget: int = 1_000_000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled source mixing (the mT5/XLM-R alpha-sampling
+    rule): sampling weight per source ∝ (token share)^alpha,
+    normalized — alpha < 1 up-weights low-resource sources relative
+    to their natural share; alpha = 1 recovers proportional sampling.
+    ``epochs_at_budget`` converts the weight into "how many times this
+    source's tokens are (re)seen" when drawing ``token_budget`` tokens
+    — the number a curriculum planner actually needs (epochs >> 1 on
+    a small source flags memorization risk before training starts).
+
+    Scale shape: ONE groupBy(source) over a map-only token count (the
+    number of sources is catalog-sized, thousands at most), then the
+    two corpus totals enter as uncorrelated scalar subqueries on that
+    ALREADY-AGGREGATED result — no second corpus scan, no join, no
+    driver collect. Everything after the first agg is work on ~|sources|
+    rows.
+
+    Returns one row per source: (source, n_docs, n_tokens, p_raw,
+    weight, epochs_at_budget), doubles rounded to 6 dp per the oracle
+    parity rules.
+    """
+    from ..functions import texttools
+
+    per_src = (
+        docs.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(texttools.tokens(F.col(text_col))))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .persist()
+    )
+    total_toks = per_src.agg(F.sum("n_tokens").alias("t")).scalar()
+    p_raw = F.col("n_tokens").cast("double") / total_toks.cast("double")
+    scaled = per_src.withColumn("_pa", F.pow(p_raw, F.lit(alpha)))
+    z = scaled.agg(F.sum("_pa").alias("z")).scalar()
+    weight = F.col("_pa") / z
+    return scaled.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(weight, 6).alias("weight"),
+        F.round(
+            weight * F.lit(float(token_budget)) / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("epochs_at_budget"),
+    )

@@ -2567,3 +2567,74 @@ SELECT tn.doc_id, CAST(tn.n AS BIGINT) AS n_tokens,
        CAST(tn.n - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
        coalesce(k.cleaned, '') AS cleaned_text
 FROM tn LEFT JOIN kept k USING (doc_id)"""
+
+
+def _diff_hash(price: str = "price") -> str:
+    cols = [
+        "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus",
+        f"CAST({price} AS VARCHAR)",
+        "odate",
+    ]
+    inner = ", ".join(f"coalesce({c}, '\\N')" for c in cols)
+    return (
+        "CAST(CAST(CAST('0x' || substring(md5(concat_ws('|', "
+        + inner
+        + ")), 1, 15) AS BIGINT) AS DECIMAL(38,0)) AS VARCHAR)"
+    )
+
+
+# Twin of queries.snapshot_diff (operators.reconcile.snapshot_diff):
+# same v1/v2 synthesis, same 60-bit md5-prefix row hash over the
+# DECIMAL/date-canonicalized columns, unchanged rows dropped.
+SNAPSHOT_DIFF_Q = f"""WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate
+  FROM orders
+), v2 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CASE WHEN o_orderkey % 97 = 0 THEN price + 1 ELSE price END
+              AS DECIMAL(18,2)) AS price,
+         odate
+  FROM v1 WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+         price, odate
+  FROM v1 WHERE o_orderkey % 103 = 0
+), h1 AS (
+  SELECT o_orderkey, {_diff_hash()} AS old_hash FROM v1
+), h2 AS (
+  SELECT o_orderkey, {_diff_hash()} AS new_hash FROM v2
+), j AS (
+  SELECT coalesce(h1.o_orderkey, h2.o_orderkey) AS o_orderkey,
+         old_hash, new_hash
+  FROM h1 FULL OUTER JOIN h2 ON h1.o_orderkey = h2.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash <> new_hash THEN 'changed' END AS diff_status,
+       old_hash, new_hash
+FROM j
+WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash"""
+
+
+# Twin of operators.sampling.temperature_weights (alpha=0.3, budget
+# 1M): identical expression shapes; the source-level sums are ~20
+# doubles, last-ulp-safe under the 6-dp rounding rule.
+TEMPERATURE_MIX_Q = f"""WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt FROM s
+), z AS (
+  SELECT sum(power(CAST(n_tokens AS DOUBLE) / tt, 0.3)) AS z FROM s, t
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / tt, 6) AS p_raw,
+       round(power(CAST(n_tokens AS DOUBLE) / tt, 0.3) / z, 6) AS weight,
+       round(power(CAST(n_tokens AS DOUBLE) / tt, 0.3) / z * 1000000.0
+             / CAST(n_tokens AS DOUBLE), 6) AS epochs_at_budget
+FROM s, t, z"""

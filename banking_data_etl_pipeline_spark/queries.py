@@ -1564,3 +1564,48 @@ def span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup removal: cut cross-doc 8-gram spans."""
     tune_for_oracle(spark)
     return dedup.shared_span_removal(tables.load(spark, sf_dir, "documents"))
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot diff on orders: v2 deletes key%101==0, bumps the
+    price of key%97==0, and inserts re-keyed copies of key%103==0 —
+    exercising removed/changed/added in one run. Floats enter the
+    row hash as DECIMAL(18,2), dates as 'YYYY-MM-DD' (the canonical
+    cross-engine forms; see operators/reconcile.py)."""
+    from .operators import reconcile
+
+    tune_for_oracle(spark)
+    key = F.col("o_orderkey")
+    v1 = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.to_date("o_orderdate").cast("string").alias("odate"),
+    )
+    v2 = (
+        v1.filter(key % 101 != 0)
+        .withColumn(
+            "price",
+            F.when(key % 97 == 0, F.col("price") + 1)
+            .otherwise(F.col("price"))
+            .cast("decimal(18,2)"),
+        )
+        .unionByName(
+            v1.filter(key % 103 == 0).withColumn(
+                "o_orderkey", key + F.lit(10_000_000)
+            )
+        )
+    )
+    return reconcile.snapshot_diff(
+        v1, v2, ["o_orderkey"], ["o_custkey", "o_orderstatus", "price", "odate"]
+    )
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style alpha=0.3 temperature weights + epochs at a 1M-token
+    budget per documents source."""
+    from .operators import sampling
+
+    tune_for_oracle(spark)
+    return sampling.temperature_weights(tables.load(spark, sf_dir, "documents"))

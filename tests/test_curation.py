@@ -517,3 +517,27 @@ def test_source_divergence_hand_worked(spark):
     assert want12 != want21  # KL is asymmetric
     assert out[("s1", "s3")] == 0.0 and out[("s3", "s1")] == 0.0
     assert all(v >= 0 for v in out.values())
+
+
+def test_temperature_weights_alpha1_recovers_share(spark):
+    docs = tables.load(spark, SF_DIR, "documents")
+    out = sampling.temperature_weights(docs, alpha=1.0).collect()
+    assert abs(sum(r.weight for r in out) - 1.0) < 1e-4
+    for r in out:
+        assert abs(r.weight - r.p_raw) < 2e-6, (r.source, r.weight, r.p_raw)
+
+
+def test_temperature_weights_upweights_low_resource(spark):
+    docs = tables.load(spark, SF_DIR, "documents")
+    out = sampling.temperature_weights(docs, alpha=0.3).collect()
+    assert abs(sum(r.weight for r in out) - 1.0) < 1e-4
+    lo = min(out, key=lambda r: r.n_tokens)
+    hi = max(out, key=lambda r: r.n_tokens)
+    assert lo.weight > lo.p_raw  # small source pulled up
+    assert hi.weight < hi.p_raw  # big source pulled down
+    # epochs = weight * budget / tokens; r.weight is 6-dp rounded, so
+    # the recomputation tolerance scales with budget / n_tokens
+    for r in out:
+        assert abs(r.epochs_at_budget - r.weight * 1_000_000 / r.n_tokens) < (
+            1e-6 * 1_000_000 / r.n_tokens
+        )

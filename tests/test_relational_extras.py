@@ -271,3 +271,34 @@ def test_corr_matrix_matches_numpy(spark):
             assert abs(got[(cols[i], cols[j])] - want[i, j]) < 1e-6, (i, j)
     # every correlation is a valid coefficient
     assert all(-1.0 <= v <= 1.0 for v in got.values())
+
+
+def test_snapshot_diff_statuses(spark):
+    from banking_data_etl_pipeline_spark.operators import reconcile
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, name string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (4, "d", 40), (5, "e", 50)],
+        "k long, name string, v long",
+    )
+    out = {
+        r.k: r.diff_status
+        for r in reconcile.snapshot_diff(old, new, ["k"], ["name", "v"]).collect()
+    }
+    # unchanged rows (1, 4) are dropped
+    assert out == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_snapshot_diff_null_values_hash_stably(spark):
+    from banking_data_etl_pipeline_spark.operators import reconcile
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "k long, name string")
+    new = spark.createDataFrame([(1, None), (2, None)], "k long, name string")
+    out = {
+        r.k: r.diff_status
+        for r in reconcile.snapshot_diff(old, new, ["k"], ["name"]).collect()
+    }
+    assert out == {2: "changed"}  # NULL == NULL -> unchanged, dropped
