@@ -212,26 +212,26 @@ def hll_distinct(
         (F.col("z_used") + (F.lit(m) - F.col("n_used")) * F.lit(1.0)).alias("_z"),
         (F.lit(m) - F.col("n_used")).cast("double").alias("_v"),
     )
-    exact = events.agg(
-        F.count_distinct(F.col(col)).alias("exact_distinct")
+    # the exact count (reported alongside for the error column) enters
+    # as an uncorrelated SCALAR SUBQUERY — a 1-row crossJoin would plan
+    # a BroadcastNestedLoopJoin and trip the no-NLJ plan sweep
+    exact = (
+        events.agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+        .scalar()
+        .cast("long")
     )
     est_raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / F.col("_z")
     est = F.when(
         (est_raw <= F.lit(2.5 * m)) & (F.col("_v") > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v")),
     ).otherwise(est_raw)
-    return (
-        sketch.crossJoin(exact)
-        .select(
-            "m",
-            "n_used",
-            F.round(est_raw, 6).alias("raw_estimate"),
-            F.round(est, 6).alias("estimate"),
-            F.col("exact_distinct").cast("long").alias("exact_distinct"),
-            F.round(
-                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
-            ).alias("rel_error"),
-        )
+    return sketch.select(
+        "m",
+        "n_used",
+        F.round(est_raw, 6).alias("raw_estimate"),
+        F.round(est, 6).alias("estimate"),
+        exact.alias("exact_distinct"),
+        F.round(F.abs(est - exact) / exact, 6).alias("rel_error"),
     )
 
 
