@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_removal": Q.span_removal,  # new operator
         "snapshot_diff": Q.snapshot_diff,  # new operator
         "temperature_mix": Q.temperature_mix,  # new operator
+        "stream_bloom_screen": Q.stream_bloom_screen,  # new operator
+        "ann_recall": Q.ann_recall,  # new operator
         # --- tier 2: changed in round 5, never driver-proven (no
         # CORRECTNESS_r05 was recorded), so they stay in the window
         "dup_spans": Q.dup_spans,  # new operator
@@ -224,6 +226,8 @@ def oracle_sql() -> dict[str, str]:
         "span_removal": oracle.SPAN_REMOVAL_Q,
         "snapshot_diff": oracle.SNAPSHOT_DIFF_Q,
         "temperature_mix": oracle.TEMPERATURE_MIX_Q,
+        "stream_bloom_screen": oracle.STREAM_BLOOM_SCREEN_Q,
+        "ann_recall": oracle.ann_recall_sql(),
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

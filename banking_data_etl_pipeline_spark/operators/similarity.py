@@ -296,3 +296,44 @@ def lsh_topk(
         F.round(vectors.cosine(F.col("v"), F.col("qvec")), 6).alias("cosine"),
     ).filter(F.col("vec_id") != F.col("query_id"))
     return _ranked(scored, k)
+
+
+def ann_recall(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k evaluation harness for the approximate indexes: run
+    brute force (ground truth), LSH, and IVF over the SAME query set
+    and report per-query hit counts and recall — the measurement that
+    decides n_bits/nprobe/n_centroids before an index ships. At 100 TB
+    this runs on a sampled query set (ground truth is the expensive
+    leg); the joins below are on (query_id, vec_id) — tiny, the top-k
+    results only.
+
+    Returns (query_id, n_true, hit_lsh, recall_lsh, hit_ivf,
+    recall_ivf), recalls 6-dp-rounded."""
+    b = brute_force_topk(emb, queries, k, vec_col, id_col).select(
+        "query_id", "vec_id"
+    )
+    l = lsh_topk(emb, queries, k, vec_col=vec_col, id_col=id_col).select(
+        "query_id", "vec_id", F.lit(1).alias("_l")
+    )
+    i = ivf_topk(emb, queries, k, vec_col=vec_col, id_col=id_col).select(
+        "query_id", "vec_id", F.lit(1).alias("_i")
+    )
+    joined = b.join(l, ["query_id", "vec_id"], "left").join(
+        i, ["query_id", "vec_id"], "left"
+    )
+    n_true = F.count(F.lit(1))
+    hit_l = F.sum(F.coalesce(F.col("_l"), F.lit(0)))
+    hit_i = F.sum(F.coalesce(F.col("_i"), F.lit(0)))
+    return joined.groupBy("query_id").agg(
+        n_true.cast("bigint").alias("n_true"),
+        hit_l.cast("bigint").alias("hit_lsh"),
+        F.round(hit_l.cast("double") / n_true, 6).alias("recall_lsh"),
+        hit_i.cast("bigint").alias("hit_ivf"),
+        F.round(hit_i.cast("double") / n_true, 6).alias("recall_ivf"),
+    )

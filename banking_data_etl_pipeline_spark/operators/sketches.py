@@ -266,33 +266,57 @@ def bloom_screen(
     confirmation pass is the caller's next stage).
     """
 
-    def positions(text):  # k salted 32-bit md5 slices mod m_bits
-        return F.array(
-            *[
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.lit(f"{j}|"), text)), 1, 8
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % m_bits
-                ).alias(f"p{j}")
-                for j in range(k)
-            ]
-        )
-
     bits = (
-        corpus.select(F.explode(positions(F.col(text_col))).alias("bit"))
+        corpus.select(
+            F.explode(bloom_positions(F.col(text_col), m_bits, k)).alias("bit")
+        )
         .distinct()
         .withColumn("_set", F.lit(1))
     )
     probes = batch.select(
-        F.col(id_col), F.explode(positions(F.col(text_col))).alias("bit")
+        F.col(id_col),
+        F.explode(bloom_positions(F.col(text_col), m_bits, k)).alias("bit"),
     )
     return (
         probes.join(F.broadcast(bits), "bit", "left")
         .groupBy(id_col)
         .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k).alias("bloom_hit"))
     )
+
+
+def bloom_positions(text, m_bits: int = 4096, k: int = 3):
+    """The k salted md5-slice bit positions of a text as an
+    array<long> column (shared by the batch and streaming screens and
+    their oracle twins)."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{j}|"), text)), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_bits_artifact(
+    corpus: DataFrame, text_col: str = "text", m_bits: int = 4096, k: int = 3
+) -> list[int]:
+    """Collect the corpus Bloom bit set to the driver as a sorted int
+    list — the SHIPPABLE FILTER ARTIFACT (<= m_bits ints, ~32 KB at
+    the default size, model-parameter scale like k-means centroids):
+    a production pipeline persists this once per corpus snapshot and
+    inlines it into every ingestion stream, so screening never touches
+    the corpus again."""
+    rows = (
+        corpus.select(
+            F.explode(bloom_positions(F.col(text_col), m_bits, k)).alias("bit")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r.bit) for r in rows)

@@ -2638,3 +2638,43 @@ SELECT source, n_docs, n_tokens,
        round(power(CAST(n_tokens AS DOUBLE) / tt, 0.3) / z * 1000000.0
              / CAST(n_tokens AS DOUBLE), 6) AS epochs_at_budget
 FROM s, t, z"""
+
+
+# Twin of queries.stream_bloom_screen: the batch expression of the
+# stateless streaming Bloom gate (same split, same salted positions,
+# no synthetic-dup union — the stream sees only the %5 batch).
+STREAM_BLOOM_SCREEN_Q = f"""WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+), batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+), bits AS (
+  SELECT DISTINCT unnest({_bloom_positions('text')}) AS bit FROM corpus
+), probes AS (
+  SELECT doc_id, unnest({_bloom_positions('text')}) AS bit FROM batch
+)
+SELECT p.doc_id,
+       (sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = 3) AS bloom_hit
+FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+GROUP BY p.doc_id"""
+
+
+def ann_recall_sql() -> str:
+    """Twin of queries.ann_recall: the three index twins verbatim as
+    derived tables, overlap-counted on (query_id, vec_id)."""
+    return f"""WITH brute AS (SELECT * FROM ({ANN_BRUTE_Q})),
+lsh AS (SELECT * FROM ({ann_lsh_sql()})),
+ivf AS (SELECT * FROM ({ann_ivf_sql()}))
+SELECT b.query_id,
+  CAST(count(*) AS BIGINT) AS n_true,
+  CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS hit_lsh,
+  round(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS recall_lsh,
+  CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS hit_ivf,
+  round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS recall_ivf
+FROM brute b
+LEFT JOIN lsh l ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+LEFT JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+GROUP BY b.query_id"""

@@ -1609,3 +1609,33 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return sampling.temperature_weights(tables.load(spark, sf_dir, "documents"))
+
+
+def stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Bloom dedup front gate: the new batch (doc_id % 5 ==
+    0) arrives as a file stream and probes the corpus bit-set
+    artifact inlined as a literal — map-only, stateless, checked
+    against the batch-SQL oracle."""
+    import os
+    import tempfile
+
+    from .streaming import docs as SD
+
+    tune_for_oracle(spark)
+    d = tempfile.mkdtemp(prefix="stream_bloom_")
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(d, "documents.parquet"),
+    )
+    corpus = tables.load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 != 0
+    )
+    return SD.bloom_screen_stream(spark, d, corpus, "stream_bloom_screen_sink")
+
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH and IVF indexes vs brute-force truth."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    return similarity.ann_recall(emb, q, k=10)

@@ -138,3 +138,49 @@ def run_quality_gate_stream(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def bloom_screen_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    corpus: DataFrame,
+    name: str,
+    batch_mod: int = 5,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """STREAMING Bloom front gate: the corpus bit set is collected once
+    as the shippable filter artifact (<= m_bits ints, ~32 KB — the
+    same model-parameter-scale driver pull as k-means centroids) and
+    inlined as a literal, so the screen itself is PURE map-only — no
+    join, no state store, no watermark: the cheapest possible
+    ingestion-time test, in front of the MinHash screen
+    (``minhash_screen_stream``) which is in front of exact dedup.
+    Stateless => the bounded streaming run equals the batch expression
+    row-for-row, which is what the shared oracle checks.
+
+    Emits (doc_id, bloom_hit); bloom_hit=false is a GUARANTEED
+    never-seen (no false negatives), so downstream dedup only runs on
+    the hit subset."""
+    from ..operators.sketches import bloom_bits_artifact, bloom_positions
+
+    bits = bloom_bits_artifact(corpus, m_bits=m_bits, k=k)
+    bit_set = F.lit(bits)  # one array<long> literal, ~m_bits elements
+    probe = bloom_positions(F.col("text"), m_bits, k)
+    gated = docs_stream(spark, docs_dir).filter(
+        F.col("doc_id") % batch_mod == 0
+    ).select(
+        "doc_id",
+        F.forall(
+            probe, lambda p: F.array_contains(bit_set, p)
+        ).alias("bloom_hit"),
+    )
+    q = (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -587,3 +587,18 @@ def test_span_removal_within_doc_repeat_does_not_self_trigger(spark):
     # the 8-gram repeats within doc 1 only -> df(distinct docs) == 1
     # -> not shared -> nothing removed
     assert out[1].n_removed == 0
+
+
+def test_ann_recall_harness_bounds(spark):
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    rows = similarity.ann_recall(emb, q, k=10).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_true == 10
+        assert 0 <= r.hit_lsh <= 10 and 0 <= r.hit_ivf <= 10
+        assert abs(r.recall_lsh - r.hit_lsh / 10) < 1e-6
+        assert abs(r.recall_ivf - r.hit_ivf / 10) < 1e-6
+    # the approximate indexes must be doing SOMETHING: mean recall > 0
+    assert sum(r.recall_ivf for r in rows) > 0
+    assert sum(r.recall_lsh for r in rows) > 0
