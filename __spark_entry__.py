@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": Q.temperature_mix,  # new operator
         "stream_bloom_screen": Q.stream_bloom_screen,  # new operator
         "ann_recall": Q.ann_recall,  # new operator
+        "oov_rate": Q.oov_rate,  # new operator
+        "psi_drift": Q.psi_drift,  # new operator
+        "k_anonymity": Q.k_anonymity,  # new operator
         # --- tier 2: changed in round 5, never driver-proven (no
         # CORRECTNESS_r05 was recorded), so they stay in the window
         "dup_spans": Q.dup_spans,  # new operator
@@ -228,6 +231,9 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": oracle.TEMPERATURE_MIX_Q,
         "stream_bloom_screen": oracle.STREAM_BLOOM_SCREEN_Q,
         "ann_recall": oracle.ann_recall_sql(),
+        "oov_rate": oracle.OOV_RATE_Q,
+        "psi_drift": oracle.PSI_DRIFT_Q,
+        "k_anonymity": oracle.K_ANONYMITY_Q,
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

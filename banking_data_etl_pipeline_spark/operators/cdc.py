@@ -33,6 +33,10 @@ def snapshot_diff(
     Presence is decided by constant marker columns, not the tracked
     columns, so legitimately-null tracked values never masquerade as a
     missing side.
+
+    Sibling of ``reconcile.hash_snapshot_diff``: this is the
+    merge-feed shape (CDC ops + payloads, unchanged included); that
+    one is the audit shape (hash-only shuffle, differences only).
     """
     left = cur.select(
         F.col(key).alias("_k"),

@@ -583,3 +583,55 @@ def bigram_pmi(
         F.col("cy").alias("c_right"),
         pmi.alias("pmi"),
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_n: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_n`` token vocabulary — the tokenizer-coverage check
+    run before committing a vocab size (docs with high OOV either need
+    a bigger vocab or don't belong in the corpus).
+
+    Scale shape: the vocab is ``vocab_topn``'s TakeOrdered result
+    (n rows, model-parameter scale) BROADCAST to a left join against
+    the exploded tokens; the per-doc rollup groups on doc_id. The
+    corpus is tokenized once; nothing vocabulary-sized shuffles except
+    the one top-n pass inside ``vocab_topn``. Ties at the vocab cut
+    break by token, so membership is deterministic.
+
+    Returns (doc_id, n_tokens, n_oov, oov_frac) with oov_frac
+    6-dp-rounded (0.0 for empty docs)."""
+    vocab = vocab_topn(docs, text_col, vocab_n).select(
+        F.col("token"), F.lit(1).alias("_v")
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode_outer(texttools.tokens(F.col(text_col))).alias("token"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("token").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("token").isNotNull() & F.col("_v").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("oov_frac"),
+    )

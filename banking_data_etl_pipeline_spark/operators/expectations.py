@@ -81,3 +81,85 @@ def run_checks(
         )
         checked = checked.unionByName(orphans)
     return checked
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot of a numeric column — the standard drift monitor in front
+    of retraining triggers (PSI < 0.1 stable, 0.1-0.25 moderate,
+    > 0.25 shifted). Bins are ``n_bins`` equal-width buckets over the
+    REFERENCE min/max (drift relative to what the model saw), with
+    out-of-range current values clamped into the edge bins; bin
+    proportions are Laplace-smoothed (+0.5) so empty bins contribute a
+    finite, defined term instead of ln(0).
+
+    Scale shape: each side is one map-only bucket assignment + one
+    groupBy on at most ``n_bins`` keys (map-side combine => constant
+    shuffle); the reference min/max enter as uncorrelated scalar
+    subqueries, the bin join is n_bins x n_bins tiny. Nothing scales
+    with row count except the two scans.
+
+    Returns one row per bin: (bin, n_ref, n_cur, p_ref, p_cur,
+    psi_term), 6-dp-rounded doubles; total PSI = sum(psi_term)."""
+    lo = ref.agg(F.min(value_col).cast("double").alias("lo")).scalar()
+    hi = ref.agg(F.max(value_col).cast("double").alias("hi")).scalar()
+    width = (hi - lo) / F.lit(float(n_bins))
+
+    def bucketed(df: DataFrame, alias: str) -> DataFrame:
+        b = F.floor((F.col(value_col).cast("double") - lo) / width)
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+        return (
+            df.select(b.cast("int").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+    r = bucketed(ref, "n_ref")
+    c = bucketed(cur, "n_cur")
+    n_r = r.agg(F.sum("n_ref").alias("t")).scalar().cast("double")
+    n_c = c.agg(F.sum("n_cur").alias("t")).scalar().cast("double")
+    joined = (
+        r.join(c, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+    )
+    p_ref = (F.col("n_ref") + F.lit(0.5)) / (n_r + F.lit(0.5 * n_bins))
+    p_cur = (F.col("n_cur") + F.lit(0.5)) / (n_c + F.lit(0.5 * n_bins))
+    return joined.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """K-anonymity screen over a quasi-identifier combination — the
+    governance check before releasing a dataset: any combination
+    shared by fewer than ``k`` rows can re-identify individuals and
+    must be generalized or suppressed. One groupBy on the quasi
+    columns (map-side combine; the combination cardinality, not the
+    row count, reaches the reducer).
+
+    Returns one row per observed combination: (quasi_cols..., n,
+    at_risk) with at_risk = n < k."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *quasi_cols,
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n") < k).alias("at_risk"),
+        )
+    )

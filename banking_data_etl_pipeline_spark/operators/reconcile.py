@@ -55,7 +55,7 @@ def grouped_checksum(df: DataFrame, bucket: Column, cols: list[str]) -> DataFram
     )
 
 
-def snapshot_diff(
+def hash_snapshot_diff(
     old: DataFrame,
     new: DataFrame,
     keys: list[str],
@@ -68,6 +68,14 @@ def snapshot_diff(
     incremental re-processing triggers, and sink reconciliation.
     Unchanged rows are dropped (at 100 TB they are ~all the rows, and
     emitting them would make the diff as big as the table).
+
+    Sibling of ``cdc.snapshot_diff``, which classifies the same
+    full-outer comparison into CDC ops and CARRIES the old/new
+    payloads downstream (the merge-feed shape, unchanged rows
+    included). This one is the reconciliation shape: only (key,
+    hash) crosses the shuffle and only differences come out — use
+    cdc's when the consumer applies the changes, this when a human
+    or an audit job asks "what changed".
 
     Scale shape: each side collapses to (key, 60-bit row hash) BEFORE
     the join — the shuffle carries keys + 8-byte-ish hashes, never

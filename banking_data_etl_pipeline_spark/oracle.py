@@ -2678,3 +2678,73 @@ FROM brute b
 LEFT JOIN lsh l ON b.query_id = l.query_id AND b.vec_id = l.vec_id
 LEFT JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
 GROUP BY b.query_id"""
+
+
+# Twin of operators.corpus.oov_rate (vocab_n=100): same deterministic
+# top-100 vocab cut (count desc, token asc), same per-doc LEFT JOIN
+# membership, empty docs surfaced via the documents LEFT JOIN.
+OOV_RATE_Q = f"""WITH vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest({TOKS}) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
+  )
+), tk AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+), per AS (
+  SELECT tk.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tk LEFT JOIN vocab v ON tk.token = v.token
+  GROUP BY tk.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+       CASE WHEN coalesce(p.n_tokens, 0) > 0
+            THEN round(p.n_oov / CAST(p.n_tokens AS DOUBLE), 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS oov_frac
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
+
+
+# Twin of operators.expectations.psi_drift (10 bins, +0.5 smoothing):
+# identical bucket expression over the reference min/max, identical
+# smoothing and ln-term shapes.
+PSI_DRIFT_Q = """WITH ref AS (
+  SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0
+), cur AS (
+  SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 1
+), b AS (
+  SELECT CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi FROM ref
+), rb AS (
+  SELECT CAST(LEAST(GREATEST(floor((CAST(v AS DOUBLE) - lo)
+           / ((hi - lo) / 10.0)), 0), 9) AS INT) AS bin,
+         count(*) AS n_ref
+  FROM ref, b GROUP BY bin
+), cb AS (
+  SELECT CAST(LEAST(GREATEST(floor((CAST(v AS DOUBLE) - lo)
+           / ((hi - lo) / 10.0)), 0), 9) AS INT) AS bin,
+         count(*) AS n_cur
+  FROM cur, b GROUP BY bin
+), tot AS (
+  SELECT CAST((SELECT sum(n_ref) FROM rb) AS DOUBLE) AS n_r,
+         CAST((SELECT sum(n_cur) FROM cb) AS DOUBLE) AS n_c
+), j AS (
+  SELECT coalesce(rb.bin, cb.bin) AS bin,
+         coalesce(rb.n_ref, 0) AS n_ref,
+         coalesce(cb.n_cur, 0) AS n_cur
+  FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+)
+SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       round((n_ref + 0.5) / (n_r + 5.0), 6) AS p_ref,
+       round((n_cur + 0.5) / (n_c + 5.0), 6) AS p_cur,
+       round(((n_cur + 0.5) / (n_c + 5.0) - (n_ref + 0.5) / (n_r + 5.0))
+             * ln(((n_cur + 0.5) / (n_c + 5.0))
+                  / ((n_ref + 0.5) / (n_r + 5.0))), 6) AS psi_term
+FROM j, tot"""
+
+
+# Twin of queries.k_anonymity (k=5) over the valid bank rows.
+K_ANONYMITY_Q = f"""{BANK_PREFIX}
+SELECT age, job, marital, CAST(count(*) AS BIGINT) AS n,
+       (count(*) < 5) AS at_risk
+FROM valid GROUP BY age, job, marital"""

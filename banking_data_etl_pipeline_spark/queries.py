@@ -1597,7 +1597,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return reconcile.snapshot_diff(
+    return reconcile.hash_snapshot_diff(
         v1, v2, ["o_orderkey"], ["o_custkey", "o_orderstatus", "price", "odate"]
     )
 
@@ -1639,3 +1639,32 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     q = similarity.corpus_queries(emb, n=5)
     return similarity.ann_recall(emb, q, k=10)
+
+
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate vs the corpus top-100 token vocabulary."""
+    tune_for_oracle(spark)
+    return corpus.oov_rate(tables.load(spark, sf_dir, "documents"))
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift of o_totalprice between the even- and odd-key halves
+    of orders (reference = even keys)."""
+    from .operators import expectations
+
+    tune_for_oracle(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderkey") % 2 == 0)
+    cur = orders.filter(F.col("o_orderkey") % 2 == 1)
+    return expectations.psi_drift(ref, cur, "o_totalprice")
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity screen on the (age, job, marital) quasi-identifier
+    combination over the valid bank rows (k=5)."""
+    from .operators import expectations
+
+    tune_for_oracle(spark)
+    return expectations.k_anonymity(
+        _bank_valid(spark, sf_dir), ["age", "job", "marital"], k=5
+    )

@@ -541,3 +541,39 @@ def test_temperature_weights_upweights_low_resource(spark):
         assert abs(r.epochs_at_budget - r.weight * 1_000_000 / r.n_tokens) < (
             1e-6 * 1_000_000 / r.n_tokens
         )
+
+
+def test_oov_rate_against_tiny_vocab(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a z z z"), (3, "")],
+        "doc_id long, text string",
+    )
+    # vocab_n=2 -> vocab = {a, z} (counts 4, 3); b is OOV
+    out = {r.doc_id: r for r in corpus.oov_rate(docs, vocab_n=2).collect()}
+    assert out[1].n_oov == 1 and abs(out[1].oov_frac - 0.25) < 1e-9
+    assert out[2].n_oov == 0
+    assert out[3].n_tokens == 0 and out[3].oov_frac == 0.0
+
+
+def test_psi_drift_zero_on_identical_and_positive_on_shift(spark):
+    from banking_data_etl_pipeline_spark.operators import expectations
+
+    base = spark.range(0, 1000).select((F.col("id") % 100).alias("v"))
+    same = expectations.psi_drift(base, base, "v").collect()
+    assert abs(sum(r.psi_term for r in same)) < 1e-6
+    shifted = base.select((F.col("v") + 80).alias("v"))
+    drift = expectations.psi_drift(base, shifted, "v").collect()
+    assert sum(r.psi_term for r in drift) > 0.25  # "shifted" per the rule
+    # every input row lands in a bin on both sides
+    assert sum(r.n_cur for r in drift) == 1000
+
+
+def test_k_anonymity_flags_rare_combos(spark):
+    from banking_data_etl_pipeline_spark.operators import expectations
+
+    rows = [(i, "a", "x") for i in range(10)] + [(99, "b", "y")]
+    df = spark.createDataFrame(rows, "id long, q1 string, q2 string")
+    out = {(r.q1, r.q2): r for r in
+           expectations.k_anonymity(df, ["q1", "q2"], k=5).collect()}
+    assert not out[("a", "x")].at_risk and out[("a", "x")].n == 10
+    assert out[("b", "y")].at_risk and out[("b", "y")].n == 1

@@ -286,7 +286,7 @@ def test_snapshot_diff_statuses(spark):
     )
     out = {
         r.k: r.diff_status
-        for r in reconcile.snapshot_diff(old, new, ["k"], ["name", "v"]).collect()
+        for r in reconcile.hash_snapshot_diff(old, new, ["k"], ["name", "v"]).collect()
     }
     # unchanged rows (1, 4) are dropped
     assert out == {2: "changed", 3: "removed", 5: "added"}
@@ -299,6 +299,6 @@ def test_snapshot_diff_null_values_hash_stably(spark):
     new = spark.createDataFrame([(1, None), (2, None)], "k long, name string")
     out = {
         r.k: r.diff_status
-        for r in reconcile.snapshot_diff(old, new, ["k"], ["name"]).collect()
+        for r in reconcile.hash_snapshot_diff(old, new, ["k"], ["name"]).collect()
     }
     assert out == {2: "changed"}  # NULL == NULL -> unchanged, dropped
