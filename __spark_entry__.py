@@ -44,9 +44,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- tier 1: flagship (green every round)
         "pipeline_enriched": Q.pipeline_enriched,
-        # --- tier 3 priority: last driver-green r02 AND refactored
-        # since (dedup/ANN/text families — the r4 verdict's rotation
-        # list); stalest of all, so directly behind the flagship
+        # --- tier 3: last driver-green r02, stalest of all
+        # (no CORRECTNESS_r05 was recorded, so the r5 window never
+        # produced rows; scripts/rotation.py confirms this first-50
+        # SET matches the r6 recommendation — in-window order is
+        # irrelevant to the driver, which checks the set)
         "dedup_exact": Q.dedup_exact,
         "minhash_lsh": Q.minhash_lsh,
         "ngram_jaccard": Q.ngram_jaccard,
@@ -70,8 +72,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": Q.oov_rate,  # new operator
         "psi_drift": Q.psi_drift,  # new operator
         "k_anonymity": Q.k_anonymity,  # new operator
-        # --- tier 2: changed in round 5, never driver-proven (no
-        # CORRECTNESS_r05 was recorded), so they stay in the window
+        "media_phash": Q.media_phash,  # new operator
+        # --- tier 2: new or changed in round 5, never driver-proven
+        # (no CORRECTNESS_r05 was recorded), so they stay in the
+        # window alongside the r6 additions
         "dup_spans": Q.dup_spans,  # new operator
         "xent_buckets": Q.xent_buckets,  # new operator
         "curation_pipeline": Q.curation_pipeline,  # new operator
@@ -234,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate": oracle.OOV_RATE_Q,
         "psi_drift": oracle.PSI_DRIFT_Q,
         "k_anonymity": oracle.K_ANONYMITY_Q,
+        "media_phash": oracle.MEDIA_PHASH_Q,
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

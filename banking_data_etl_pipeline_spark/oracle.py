@@ -2748,3 +2748,43 @@ K_ANONYMITY_Q = f"""{BANK_PREFIX}
 SELECT age, job, marital, CAST(count(*) AS BIGINT) AS n,
        (count(*) < 5) AS at_risk
 FROM valid GROUP BY age, job, marital"""
+
+
+# Twin of multimodal.binaryops.block_mean_hash (n_blocks=16): the
+# Spark side slices the body back out of the real container; the twin
+# recomputes it as encode(text) per the synthesis formulas (same
+# bytes, proving the container slice is exact). Byte i -> block
+# i*16//n; bit = integer cross-multiplied mean comparison.
+MEDIA_PHASH_Q = """WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         encode(text) AS body
+  FROM documents
+), b AS (
+  SELECT media_id, kind, body, octet_length(body) AS n FROM m
+), byt AS (
+  SELECT media_id, n, unnest(range(0, n)) AS i, hex(body) AS hx FROM b
+), bv AS (
+  SELECT media_id, n, (i * 16) // n AS blk,
+         CAST('0x' || substring(hx, CAST(i AS INT) * 2 + 1, 2) AS INT) AS v
+  FROM byt
+), blocks AS (
+  SELECT media_id, blk, CAST(sum(v) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM bv GROUP BY media_id, blk
+), tot AS (
+  SELECT media_id, CAST(sum(s) AS BIGINT) AS total FROM blocks
+  GROUP BY media_id
+), grid AS (
+  SELECT b.media_id, b.kind, b.n, unnest(range(0, 16)) AS blk FROM b
+), bits AS (
+  SELECT g.media_id, g.kind, g.n, g.blk,
+         CASE WHEN coalesce(bl.s, 0) * g.n > t.total * coalesce(bl.c, 0)
+              THEN '1' ELSE '0' END AS bit
+  FROM grid g
+  LEFT JOIN blocks bl ON g.media_id = bl.media_id AND g.blk = bl.blk
+  LEFT JOIN tot t ON g.media_id = t.media_id
+)
+SELECT media_id, kind, CAST(n AS BIGINT) AS n_body,
+       string_agg(bit, '' ORDER BY blk) AS phash
+FROM bits GROUP BY media_id, kind, n"""

@@ -1668,3 +1668,11 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expectations.k_anonymity(
         _bank_valid(spark, sf_dir), ["age", "job", "marital"], k=5
     )
+
+
+def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean content hash of each media payload's stream body,
+    sliced from the real container — the media-dedup signature."""
+    tune_for_oracle(spark)
+    media = binaryops.synthesize_media(tables.load(spark, sf_dir, "documents"))
+    return binaryops.block_mean_hash(media)

@@ -176,6 +176,18 @@ BENCH_QUERIES = [
     "range_filter",
     "required_filter",
     "lineage",
+    # round 6 additions
+    "hll_distinct",
+    "bloom_screen",
+    "span_removal",
+    "snapshot_diff",
+    "temperature_mix",
+    "stream_bloom_screen",
+    "ann_recall",
+    "oov_rate",
+    "psi_drift",
+    "k_anonymity",
+    "media_phash",
 ]
 
 

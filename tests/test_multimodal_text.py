@@ -283,3 +283,24 @@ def test_repetition_signals(spark):
     assert out[2].keep
     assert out[3].keep and out[3].top_bigram_frac is None
     assert not out[4].keep and out[4].dup_trigram_frac > 0.8
+
+
+def test_block_mean_hash_is_container_invariant(spark):
+    # same text -> same stream body; even id packs it in a PNG, odd in
+    # a WAV — the phash must depend on the BODY only, proving the
+    # container slice is exact
+    docs = spark.createDataFrame(
+        [(2, "the same body bytes in different containers"),
+         (3, "the same body bytes in different containers"),
+         (5, "a completely different payload body here")],
+        "doc_id long, text string",
+    )
+    media = binaryops.synthesize_media(docs)
+    out = {r.media_id: r for r in binaryops.block_mean_hash(media).collect()}
+    assert out[2].kind == "image" and out[3].kind == "audio"
+    assert out[2].phash == out[3].phash
+    assert len(out[2].phash) == 16 and set(out[2].phash) <= {"0", "1"}
+    assert out[5].phash != out[2].phash
+    assert out[2].n_body == out[3].n_body == len(
+        "the same body bytes in different containers".encode()
+    )
