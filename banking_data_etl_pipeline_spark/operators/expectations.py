@@ -98,38 +98,45 @@ def psi_drift(
     proportions are Laplace-smoothed (+0.5) so empty bins contribute a
     finite, defined term instead of ln(0).
 
-    Scale shape: each side is one map-only bucket assignment + one
-    groupBy on at most ``n_bins`` keys (map-side combine => constant
-    shuffle); the reference min/max enter as uncorrelated scalar
-    subqueries, the bin join is n_bins x n_bins tiny. Nothing scales
-    with row count except the two scans.
+    Scale shape: THREE scans of the fact tables total — one eager
+    min/max aggregate over the reference (two doubles to the driver,
+    the z-order-writer precedent: model-parameter-scale, inlined as
+    literals so the bucket expression is pure and every Column
+    reference doesn't re-embed a scalar-subquery scan — the first
+    draft's scalar() min/max re-planned the reference scan 30+ times),
+    then one map-only bucket + groupBy pass per side onto at most
+    ``n_bins`` keys. The n_bins-row bin table is persisted and the
+    grand totals are scalar subqueries over THAT cache, not the facts.
 
     Returns one row per bin: (bin, n_ref, n_cur, p_ref, p_cur,
     psi_term), 6-dp-rounded doubles; total PSI = sum(psi_term)."""
-    lo = ref.agg(F.min(value_col).cast("double").alias("lo")).scalar()
-    hi = ref.agg(F.max(value_col).cast("double").alias("hi")).scalar()
-    width = (hi - lo) / F.lit(float(n_bins))
+    mm = ref.agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+    ).first()
+    lo, hi = float(mm[0]), float(mm[1])
+    width = (hi - lo) / float(n_bins)  # same IEEE double as the twin's
 
     def bucketed(df: DataFrame, alias: str) -> DataFrame:
-        b = F.floor((F.col(value_col).cast("double") - lo) / width)
+        b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
         b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
         return (
             df.select(b.cast("int").alias("bin"))
             .groupBy("bin")
             .agg(F.count(F.lit(1)).alias(alias))
         )
-    r = bucketed(ref, "n_ref")
-    c = bucketed(cur, "n_cur")
-    n_r = r.agg(F.sum("n_ref").alias("t")).scalar().cast("double")
-    n_c = c.agg(F.sum("n_cur").alias("t")).scalar().cast("double")
     joined = (
-        r.join(c, "bin", "full_outer")
+        bucketed(ref, "n_ref")
+        .join(bucketed(cur, "n_cur"), "bin", "full_outer")
         .select(
             "bin",
             F.coalesce(F.col("n_ref"), F.lit(0)).cast("bigint").alias("n_ref"),
             F.coalesce(F.col("n_cur"), F.lit(0)).cast("bigint").alias("n_cur"),
         )
+        .persist()
     )
+    n_r = joined.agg(F.sum("n_ref").alias("t")).scalar().cast("double")
+    n_c = joined.agg(F.sum("n_cur").alias("t")).scalar().cast("double")
     p_ref = (F.col("n_ref") + F.lit(0.5)) / (n_r + F.lit(0.5 * n_bins))
     p_cur = (F.col("n_cur") + F.lit(0.5)) / (n_c + F.lit(0.5 * n_bins))
     return joined.select(
