@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": Q.psi_drift,  # new operator
         "k_anonymity": Q.k_anonymity,  # new operator
         "media_phash": Q.media_phash,  # new operator
+        "pretrain_export": Q.pretrain_export,  # new operator
         # --- tier 2: new or changed in round 5, never driver-proven
         # (no CORRECTNESS_r05 was recorded), so they stay in the
         # window alongside the r6 additions
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": oracle.PSI_DRIFT_Q,
         "k_anonymity": oracle.K_ANONYMITY_Q,
         "media_phash": oracle.MEDIA_PHASH_Q,
+        "pretrain_export": oracle.pretrain_export_sql(),
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

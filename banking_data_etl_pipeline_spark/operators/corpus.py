@@ -635,3 +635,58 @@ def oov_rate(
         .otherwise(F.lit(0.0))
         .alias("oov_frac"),
     )
+
+
+def pretrain_export(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    lang: str = "en",
+    chunk_size: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full pretraining-data export, composed end-to-end in ONE
+    declarative plan: quality + language gate -> exact dedup (keep
+    lowest id) -> cross-doc exact-substring span removal over the
+    SURVIVORS -> fixed-size token chunking of the cleaned text. This
+    is the order a production corpus build runs them (gate cheap
+    first; dedup before span stats so boilerplate frequency isn't
+    inflated by whole-doc copies; chunk last so removed spans never
+    reach the packer).
+
+    Every stage is the library operator, not a re-implementation —
+    the composition exists to prove the stages CHAIN (the oracle twin
+    chains the same four CTE blocks). Catalyst pipelines the gate +
+    dedup into the span stage's first scan; the expensive stages keep
+    their documented scale shapes (see SCALE.md).
+
+    Returns one chunk row per (kept doc, window): (doc_id, chunk_idx,
+    chunk_text, n_tokens)."""
+    from . import dedup as D
+
+    text = F.col(text_col)
+    scored = docs.select(
+        F.col(id_col),
+        text.alias("_text"),
+        F.round(texttools.quality_score(text), 6).alias("_q"),
+        texttools.lang_id(text).alias("_lang"),
+    )
+    gated = scored.filter(
+        (F.col("_q") >= min_quality) & (F.col("_lang") == lang)
+    )
+    kept = (
+        gated.groupBy(F.md5(F.col("_text")).alias("_h"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min("_text").alias(text_col),
+        )
+        .select(id_col, text_col)
+    )
+    cleaned = D.shared_span_removal(kept, text_col=text_col, id_col=id_col)
+    return chunk_documents(
+        cleaned.select(id_col, F.col("cleaned_text").alias(text_col)),
+        text_col=text_col,
+        id_col=id_col,
+        size=chunk_size,
+        stride=chunk_size,
+    )

@@ -2529,44 +2529,56 @@ SELECT h.doc_id, h.bloom_hit,
 FROM hits h JOIN batch bt ON h.doc_id = bt.doc_id"""
 
 
+def span_removal_ctes(src: str = "documents") -> str:
+    """The shared_span_removal twin as a reusable CTE chain over any
+    (doc_id, text) source; the result CTE is ``sr_out`` with columns
+    (doc_id, n_tokens, n_removed, cleaned_text)."""
+    return f"""sr_t AS (
+  SELECT doc_id, {TOKS} AS toks FROM {src}
+), sr_tn AS (
+  SELECT doc_id, toks, len(toks) AS n FROM sr_t
+), sr_ps0 AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(n - 7, 0))) AS pos
+  FROM sr_tn
+), sr_ps AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         substring(md5(array_to_string(
+           list_slice(toks, pos + 1, pos + 8), ' ')), 1, 16) AS hh
+  FROM sr_ps0
+), sr_shared AS (
+  SELECT hh FROM (SELECT DISTINCT doc_id, hh FROM sr_ps)
+  GROUP BY hh HAVING count(*) >= 2
+), sr_cov AS (
+  SELECT DISTINCT sr_ps.doc_id, sr_ps.pos + u.j AS tpos
+  FROM sr_ps JOIN sr_shared USING (hh), unnest(range(0, 8)) AS u(j)
+), sr_ti0 AS (
+  SELECT doc_id, toks, unnest(range(0, n)) AS tpos FROM sr_tn
+), sr_ti AS (
+  SELECT doc_id, CAST(tpos AS BIGINT) AS tpos,
+         list_extract(toks, tpos + 1) AS tok
+  FROM sr_ti0
+), sr_kept AS (
+  SELECT sr_ti.doc_id, count(*) AS n_kept,
+         string_agg(sr_ti.tok, ' ' ORDER BY sr_ti.tpos) AS cleaned
+  FROM sr_ti LEFT JOIN sr_cov
+    ON sr_ti.doc_id = sr_cov.doc_id AND sr_ti.tpos = sr_cov.tpos
+  WHERE sr_cov.tpos IS NULL
+  GROUP BY sr_ti.doc_id
+), sr_out AS (
+  SELECT tn.doc_id, CAST(tn.n AS BIGINT) AS n_tokens,
+         CAST(tn.n - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+         coalesce(k.cleaned, '') AS cleaned_text
+  FROM sr_tn tn LEFT JOIN sr_kept k USING (doc_id)
+)"""
+
+
 # Twin of operators.dedup.shared_span_removal (n=8): same positional
 # 8-token shingles and 16-hex md5 prefixes, shared = distinct-doc
 # frequency >= 2, token cut when any shared span starting in
 # [pos-7, pos] covers it, survivors re-joined in token order.
-SPAN_REMOVAL_Q = f"""WITH t AS (
-  SELECT doc_id, {TOKS} AS toks FROM documents
-), tn AS (
-  SELECT doc_id, toks, len(toks) AS n FROM t
-), ps0 AS (
-  SELECT doc_id, toks, unnest(range(0, greatest(n - 7, 0))) AS pos FROM tn
-), ps AS (
-  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-         substring(md5(array_to_string(
-           list_slice(toks, pos + 1, pos + 8), ' ')), 1, 16) AS hh
-  FROM ps0
-), shared AS (
-  SELECT hh FROM (SELECT DISTINCT doc_id, hh FROM ps)
-  GROUP BY hh HAVING count(*) >= 2
-), cov AS (
-  SELECT DISTINCT ps.doc_id, ps.pos + u.j AS tpos
-  FROM ps JOIN shared USING (hh), unnest(range(0, 8)) AS u(j)
-), ti0 AS (
-  SELECT doc_id, toks, unnest(range(0, n)) AS tpos FROM tn
-), ti AS (
-  SELECT doc_id, CAST(tpos AS BIGINT) AS tpos,
-         list_extract(toks, tpos + 1) AS tok
-  FROM ti0
-), kept AS (
-  SELECT ti.doc_id, count(*) AS n_kept,
-         string_agg(ti.tok, ' ' ORDER BY ti.tpos) AS cleaned
-  FROM ti LEFT JOIN cov ON ti.doc_id = cov.doc_id AND ti.tpos = cov.tpos
-  WHERE cov.tpos IS NULL
-  GROUP BY ti.doc_id
+SPAN_REMOVAL_Q = (
+    "WITH " + span_removal_ctes("documents") + "\nSELECT * FROM sr_out"
 )
-SELECT tn.doc_id, CAST(tn.n AS BIGINT) AS n_tokens,
-       CAST(tn.n - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
-       coalesce(k.cleaned, '') AS cleaned_text
-FROM tn LEFT JOIN kept k USING (doc_id)"""
 
 
 def _diff_hash(price: str = "price") -> str:
@@ -2788,3 +2800,47 @@ MEDIA_PHASH_Q = """WITH m AS (
 SELECT media_id, kind, CAST(n AS BIGINT) AS n_body,
        string_agg(bit, '' ORDER BY blk) AS phash
 FROM bits GROUP BY media_id, kind, n"""
+
+
+def pretrain_export_sql(min_quality: float = 0.5, lang: str = "en") -> str:
+    """Twin of operators.corpus.pretrain_export: the corpus_filter
+    gate+dedup CTEs, the span-removal chain over the survivors
+    (``span_removal_ctes``), and the chunk_docs windowing over the
+    cleaned text — each block verbatim from its standalone twin."""
+    return f"""WITH pt_tk AS (
+  SELECT doc_id, text, {TOKS} AS toks FROM documents
+), pt_st AS (
+  SELECT doc_id, text, toks,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE (length(text) - length(translate(text, '{_SQL_PUNCT}', '')))
+              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE {_hits('en')} / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+    {_lang_sel_sql()}
+  FROM pt_tk
+), pt_q AS (
+  SELECT doc_id, text, round({_QUALITY}, 6) AS q,
+         {_lang_case_sql()} AS lang FROM pt_st
+), pt_f AS (
+  SELECT * FROM pt_q WHERE q >= {min_quality} AND lang = '{lang}'
+), kept AS (
+  SELECT min(doc_id) AS doc_id, min(text) AS text
+  FROM pt_f GROUP BY md5(text)
+), {span_removal_ctes('kept')}, ck_src AS (
+  SELECT doc_id, cleaned_text AS text FROM sr_out
+), ck_tk AS (
+  SELECT doc_id, {TOKS} AS toks FROM ck_src
+), ck_t2 AS (
+  SELECT doc_id, toks, len(toks) AS n FROM ck_tk WHERE len(toks) > 0
+), ck_idx AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, GREATEST(
+           CAST(ceil((n - 32) / CAST(32.0 AS DOUBLE)) AS INT) + 1, 1))) AS ci
+  FROM ck_t2
+)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+  array_to_string(list_slice(toks, ci * 32 + 1, ci * 32 + 32), ' ')
+    AS chunk_text,
+  CAST(LEAST(n - ci * 32, 32) AS INT) AS n_tokens
+FROM ck_idx"""

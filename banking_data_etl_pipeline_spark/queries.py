@@ -1676,3 +1676,10 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     media = binaryops.synthesize_media(tables.load(spark, sf_dir, "documents"))
     return binaryops.block_mean_hash(media)
+
+
+def pretrain_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining export: gate -> dedup -> span removal ->
+    chunking, one declarative plan."""
+    tune_for_oracle(spark)
+    return corpus.pretrain_export(tables.load(spark, sf_dir, "documents"))

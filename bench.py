@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "psi_drift",
     "k_anonymity",
     "media_phash",
+    "pretrain_export",
 ]
 
 

@@ -577,3 +577,34 @@ def test_k_anonymity_flags_rare_combos(spark):
            expectations.k_anonymity(df, ["q1", "q2"], k=5).collect()}
     assert not out[("a", "x")].at_risk and out[("a", "x")].n == 10
     assert out[("b", "y")].at_risk and out[("b", "y")].n == 1
+
+
+def test_pretrain_export_stage_order(spark):
+    # doc 1 and 2: identical text (dup) sharing no span with 3;
+    # doc 3: long unique doc that shares an 8-gram with doc 4;
+    # doc 5: low-quality junk that must not survive the gate
+    span = "one two three four five six seven eight"
+    good_pad = (
+        "the and for are with this that from they have more will "
+        "about when which their time would there what your just "
+        "know people into than them can only other new some could"
+    )
+    rows = [
+        (1, f"{good_pad} alpha"),
+        (2, f"{good_pad} alpha"),          # exact dup of 1
+        (3, f"{good_pad} {span} beta"),
+        (4, f"{good_pad} {span} gamma"),
+        (5, "x!!!! y!!!! z!!!!"),           # punct-heavy junk
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.pretrain_export(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # dup keeps the lowest id; junk is gated out
+    assert 2 not in by_doc and 5 not in by_doc
+    assert set(by_doc) == {1, 3, 4}
+    # the shared span was removed from BOTH 3 and 4 before chunking
+    all_text = " ".join(r.chunk_text for rs in by_doc.values() for r in rs)
+    assert "one two three four five six seven eight" not in all_text
+    assert "beta" in all_text and "gamma" in all_text and "alpha" in all_text
