@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": Q.k_anonymity,  # new operator
         "media_phash": Q.media_phash,  # new operator
         "pretrain_export": Q.pretrain_export,  # new operator
+        "source_span_overlap": Q.source_span_overlap,  # new operator
+        "source_semantic_map": Q.source_semantic_map,  # new operator
         # --- tier 2: new or changed in round 5, never driver-proven
         # (no CORRECTNESS_r05 was recorded), so they stay in the
         # window alongside the r6 additions
@@ -241,6 +243,8 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": oracle.K_ANONYMITY_Q,
         "media_phash": oracle.MEDIA_PHASH_Q,
         "pretrain_export": oracle.pretrain_export_sql(),
+        "source_span_overlap": oracle.SOURCE_SPAN_OVERLAP_Q,
+        "source_semantic_map": oracle.SOURCE_SEMANTIC_MAP_Q,
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

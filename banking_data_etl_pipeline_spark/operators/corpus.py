@@ -690,3 +690,111 @@ def pretrain_export(
         size=chunk_size,
         stride=chunk_size,
     )
+
+
+def source_span_overlap(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source copying map: for every source pair, how many
+    distinct ``n``-gram spans appear in BOTH — the provenance-level
+    view of ``dup_span_stats`` that answers "which feeds share
+    boilerplate / plagiarize each other" before any doc-level action.
+
+    Scale shape: spans collapse to DISTINCT (source, 16-hex-md5)
+    pairs first — the self-join is then keyed on the hash and its
+    fan-out is bounded by sources-per-span (<= |sources|, catalog
+    -sized), never docs-per-span; the final groupBy lands on at most
+    |sources|^2 keys. Shuffle rows are ~24 B (hash + source).
+
+    Returns (src_a, src_b, n_shared_spans) for pairs with >= 1
+    shared span, src_a < src_b."""
+    sh = (
+        docs.select(
+            F.col(source_col).alias("_src"),
+            F.explode(
+                F.array_distinct(
+                    texttools.word_shingles(
+                        texttools.tokens(F.col(text_col)), n
+                    )
+                )
+            ).alias("_sh"),
+        )
+        .select("_src", F.substring(F.md5("_sh"), 1, 16).alias("_hh"))
+        .distinct()
+        .persist()
+    )
+    a = sh.select(F.col("_src").alias("src_a"), "_hh")
+    b = sh.select(F.col("_src").alias("src_b"), "_hh")
+    return (
+        a.join(b, "_hh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count_distinct("_hh").cast("bigint").alias("n_shared_spans"))
+    )
+
+
+def source_semantic_map(
+    docs: DataFrame,
+    emb: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic source map: per-source embedding centroid (the
+    decimal-exact per-dimension mean, same arithmetic as the k-means
+    update so any engine reproduces it bit-for-bit), then pairwise
+    cosine between source centroids — "which feeds cover the same
+    semantic space", the signal behind source-level mixture and
+    redundancy decisions.
+
+    Scale shape: ONE equi-join docs->embeddings on the id, one
+    groupBy(source) with dim decimal sums (map-side combine), then
+    all remaining work happens on |sources| rows (catalog-sized) —
+    the pairwise stage is a tiny self-join, never row-scale.
+
+    Returns (src_a, src_b, cosine) for src_a < src_b, 6-dp-rounded."""
+    j = docs.select(F.col(id_col), F.col(source_col).alias("_src")).join(
+        emb.select(F.col(vec_id_col).alias(id_col), F.col(vec_col).alias("_v")),
+        id_col,
+    )
+    cent = (
+        j.groupBy("_src")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(
+                    F.element_at(F.col("_v"), i + 1).cast("decimal(28,12)")
+                ).alias(f"_s{i}")
+                for i in range(dim)
+            ],
+        )
+        .select(
+            "_src",
+            F.array(
+                *[
+                    (F.col(f"_s{i}").cast("double") / F.col("_n")).alias(f"_c{i}")
+                    for i in range(dim)
+                ]
+            ).alias("_cent"),
+        )
+    )
+    a = cent.select(F.col("_src").alias("src_a"), F.col("_cent").alias("_ca"))
+    b = cent.select(F.col("_src").alias("src_b"), F.col("_cent").alias("_cb"))
+    from ..functions import vectors
+
+    return (
+        a.crossJoin(b)
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.round(vectors.cosine(F.col("_ca"), F.col("_cb")), 6).alias(
+                "cosine"
+            ),
+        )
+    )

@@ -2844,3 +2844,38 @@ SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
     AS chunk_text,
   CAST(LEAST(n - ci * 32, 32) AS INT) AS n_tokens
 FROM ck_idx"""
+
+
+# Twin of operators.corpus.source_span_overlap (n=8): distinct
+# (source, span-hash) pairs, hash-keyed self-join, src_a < src_b.
+SOURCE_SPAN_OVERLAP_Q = f"""WITH sh AS (
+  SELECT DISTINCT source AS src, substring(md5(sh), 1, 16) AS hh
+  FROM (
+    SELECT source, unnest(list_distinct({_word_shingles(TOKS, 8)})) AS sh
+    FROM documents
+  )
+)
+SELECT a.src AS src_a, b.src AS src_b,
+       CAST(count(DISTINCT a.hh) AS BIGINT) AS n_shared_spans
+FROM sh a JOIN sh b ON a.hh = b.hh AND a.src < b.src
+GROUP BY a.src, b.src"""
+
+
+# Twin of operators.corpus.source_semantic_map: decimal-exact
+# per-dimension centroid means (the k-means update arithmetic), then
+# the shared sequential-fold cosine between source centroids.
+SOURCE_SEMANTIC_MAP_Q = f"""WITH j AS (
+  SELECT d.source AS src, e.embedding AS v
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), per_dim AS (
+  SELECT src, CAST(u.dim AS INT) AS dim,
+         CAST(sum(CAST(v[u.dim] AS DECIMAL(28,12))) AS DOUBLE)
+           / count(*) AS c
+  FROM j, unnest(range(1, 65)) AS u(dim)
+  GROUP BY src, u.dim
+), ca AS (
+  SELECT src, list(c ORDER BY dim) AS cent FROM per_dim GROUP BY src
+)
+SELECT a.src AS src_a, b.src AS src_b,
+       round({_cosine('a.cent', 'b.cent')}, 6) AS cosine
+FROM ca a JOIN ca b ON a.src < b.src"""

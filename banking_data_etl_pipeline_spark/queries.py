@@ -1683,3 +1683,18 @@ def pretrain_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunking, one declarative plan."""
     tune_for_oracle(spark)
     return corpus.pretrain_export(tables.load(spark, sf_dir, "documents"))
+
+
+def source_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shared-span (8-gram) copying map."""
+    tune_for_oracle(spark)
+    return corpus.source_span_overlap(tables.load(spark, sf_dir, "documents"))
+
+
+def source_semantic_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-source embedding centroids."""
+    tune_for_oracle(spark)
+    return corpus.source_semantic_map(
+        tables.load(spark, sf_dir, "documents"),
+        tables.load(spark, sf_dir, "embeddings"),
+    )

@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "k_anonymity",
     "media_phash",
     "pretrain_export",
+    "source_span_overlap",
+    "source_semantic_map",
 ]
 
 

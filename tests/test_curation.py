@@ -608,3 +608,34 @@ def test_pretrain_export_stage_order(spark):
     all_text = " ".join(r.chunk_text for rs in by_doc.values() for r in rs)
     assert "one two three four five six seven eight" not in all_text
     assert "beta" in all_text and "gamma" in all_text and "alpha" in all_text
+
+
+def test_source_span_overlap_counts_cross_source_spans(spark):
+    span = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} filler a", "s1"),
+            (2, f"intro {span} tail", "s2"),
+            (3, "no shared content in this one at all ok then", "s1"),
+            (4, f"{span} again here", "s1"),  # same source as doc 1
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.src_a, r.src_b): r.n_shared_spans
+           for r in corpus.source_span_overlap(docs).collect()}
+    # the span bridges s1<->s2 exactly once; within-s1 repeats don't
+    # create an (s1, s1) row
+    assert out == {("s1", "s2"): 1}
+
+
+def test_source_semantic_map_detects_aligned_sources(spark):
+    rows_d = [(i, "t", "sa" if i < 4 else "sb") for i in range(8)]
+    docs = spark.createDataFrame(rows_d, "doc_id long, text string, source string")
+    # sa vectors along +x, sb along -x -> centroid cosine -1
+    emb = spark.createDataFrame(
+        [(i, [1.0 if i < 4 else -1.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    [r] = corpus.source_semantic_map(docs, emb, dim=2).collect()
+    assert (r.src_a, r.src_b) == ("sa", "sb")
+    assert abs(r.cosine + 1.0) < 1e-9

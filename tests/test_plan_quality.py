@@ -187,7 +187,14 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
     # query set against the corpus; source_divergence expands the
     # Zipf-small vocab against the handful of group totals — both
     # broadcast the small side, neither is an accidental plan
-    allowed_bnlj = {"ann_brute", "ann_recall", "source_divergence"}
+    allowed_bnlj = {
+        "ann_brute",
+        "ann_recall",
+        "source_divergence",
+        # |sources| x |sources| centroid comparison — catalog-sized
+        # tiny cross join by design
+        "source_semantic_map",
+    }
     for name, fn in sorted(mod.queries().items()):
         if name in streaming_or_iterative:
             continue
