@@ -78,3 +78,77 @@ def test_checksum_decomposes_over_any_bucketing(spark, names):
     parts = reconcile.grouped_checksum(df, F.col("k") % 5, ["k", "name"]).collect()
     assert sum(int(r.checksum) for r in parts) == int(t.checksum)
     assert sum(r.n_rows for r in parts) == t.n_rows == len(names)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=20),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_span_removal_conservation(spark, docs_tokens):
+    from banking_data_etl_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs_tokens)],
+        "doc_id long, text string",
+    )
+    out = dedup.shared_span_removal(docs).collect()
+    assert len(out) == len(docs_tokens)
+    for r in out:
+        toks = docs_tokens[r.doc_id]
+        # token accounting: kept + removed == total
+        kept = r.cleaned_text.split() if r.cleaned_text else []
+        assert r.n_tokens == len(toks)
+        assert len(kept) == r.n_tokens - r.n_removed
+        # cleaned is a subsequence of the original token stream
+        it = iter(toks)
+        assert all(any(t == u for u in it) for t in kept)
+        # docs shorter than the shingle width are never touched
+        if len(toks) < 8:
+            assert r.n_removed == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 400), min_size=1, max_size=60),
+    st.lists(st.integers(0, 400), min_size=1, max_size=60),
+)
+def test_hash_snapshot_diff_matches_naive_diff(spark, old_ks, new_ks):
+    from banking_data_etl_pipeline_spark.operators import reconcile
+
+    old_d = {k: f"v{k % 7}" for k in old_ks}
+    new_d = {k: f"v{k % 5}" for k in new_ks}
+    old = spark.createDataFrame(list(old_d.items()), "k long, v string")
+    new = spark.createDataFrame(list(new_d.items()), "k long, v string")
+    got = {
+        r.k: r.diff_status
+        for r in reconcile.hash_snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    want = {}
+    for k in set(old_d) | set(new_d):
+        if k not in old_d:
+            want[k] = "added"
+        elif k not in new_d:
+            want[k] = "removed"
+        elif old_d[k] != new_d[k]:
+            want[k] = "changed"
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text("abcdxyz ", min_size=1, max_size=30),
+                min_size=1, max_size=30))
+def test_bloom_screen_never_misses_a_duplicate(spark, texts):
+    from banking_data_etl_pipeline_spark.operators import sketches
+
+    corpus_rows = [(i, t) for i, t in enumerate(texts)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(i + 10_000, t) for i, t in corpus_rows], "doc_id long, text string"
+    )
+    out = sketches.bloom_screen(corpus, batch).collect()
+    assert len(out) == len(corpus_rows)
+    assert all(r.bloom_hit for r in out)  # zero false negatives, always
