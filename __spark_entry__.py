@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretrain_export": Q.pretrain_export,  # new operator
         "source_span_overlap": Q.source_span_overlap,  # new operator
         "source_semantic_map": Q.source_semantic_map,  # new operator
+        "text_normalize": Q.text_normalize,  # new operator
+        "shipping_priority": Q.shipping_priority,  # new operator
         # --- tier 2: new or changed in round 5, never driver-proven
         # (no CORRECTNESS_r05 was recorded), so they stay in the
         # window alongside the r6 additions
@@ -245,6 +247,8 @@ def oracle_sql() -> dict[str, str]:
         "pretrain_export": oracle.pretrain_export_sql(),
         "source_span_overlap": oracle.SOURCE_SPAN_OVERLAP_Q,
         "source_semantic_map": oracle.SOURCE_SEMANTIC_MAP_Q,
+        "text_normalize": oracle.TEXT_NORMALIZE_Q,
+        "shipping_priority": oracle.SHIPPING_PRIORITY_Q,
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

@@ -247,3 +247,16 @@ def repetition_signals(text: Column) -> list[Column]:
             & (F.coalesce(dup_trigram_frac, F.lit(0.0)) <= F.lit(0.30))
         ).alias("keep"),
     ]
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization — the first mutation a crawl
+    pipeline applies: control characters (C0 + DEL) become spaces,
+    whitespace runs collapse to one space, ends trimmed, lowercased.
+    Pure regexp_replace chain (JVM-side, codegen'd); the character
+    classes are written explicitly ('[ \\t\\n\\x0b\\f\\r]' instead of
+    '\\s') because Java and RE2 disagree on the \\s class — the
+    explicit form makes the DuckDB twin byte-identical."""
+    no_ctrl = F.regexp_replace(text, r"[\x00-\x1f\x7f]", " ")
+    collapsed = F.regexp_replace(no_ctrl, r"[ \t\n\x0b\f\r]+", " ")
+    return F.lower(F.trim(collapsed))

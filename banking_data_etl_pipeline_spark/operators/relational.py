@@ -810,3 +810,42 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         for j in range(i + 1, len(cols))
     ]
     return stats.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-15",
+    top: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape — top unshipped orders by revenue for a market
+    segment: orders placed before the cutoff whose items ship after
+    it. The canonical 3-way join + top-n: both big joins shuffle on
+    their keys with the date/segment filters PUSHED to the scans
+    (customer prunes to one segment before the join; lineitem prunes
+    to post-cutoff ships), and the top-n is a TakeOrdered (partial
+    heaps, never a global sort).
+
+    Returns (l_orderkey, revenue, o_orderdate, o_orderpriority),
+    ordered revenue desc then key, limit ``top``; o_orderdate as the
+    'YYYY-MM-DD' string (cross-engine canonical date form)."""
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    cut = F.lit(cutoff).cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == segment)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cut)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cut)
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(_dec_sum(rev, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(top)
+    )

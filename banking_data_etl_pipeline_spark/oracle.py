@@ -2879,3 +2879,38 @@ SOURCE_SEMANTIC_MAP_Q = f"""WITH j AS (
 SELECT a.src AS src_a, b.src AS src_b,
        round({_cosine('a.cent', 'b.cent')}, 6) AS cosine
 FROM ca a JOIN ca b ON a.src < b.src"""
+
+
+# Twin of functions.texttools.normalize_text over documents: explicit
+# character classes shared by Java regex and RE2 (see the function's
+# docstring on \s divergence).
+TEXT_NORMALIZE_Q = r"""WITH n AS (
+  SELECT doc_id, text,
+    lower(trim(regexp_replace(
+      regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+      '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       CAST(length(text) AS BIGINT) AS n_chars_before,
+       CAST(length(norm_text) AS BIGINT) AS n_chars_after
+FROM n"""
+
+
+# Twin of operators.relational.shipping_priority (TPC-H Q3 shape,
+# segment BUILDING, cutoff 1998-06-15, top 10; revenue through the
+# shared DECIMAL(18,6) sum + 4-dp round, ties broken by key).
+SHIPPING_PRIORITY_Q = f"""SELECT l_orderkey,
+  {_dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'),
+         o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10"""

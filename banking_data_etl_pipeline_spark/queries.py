@@ -1698,3 +1698,28 @@ def source_semantic_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.load(spark, sf_dir, "documents"),
         tables.load(spark, sf_dir, "embeddings"),
     )
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization pass over documents with before/after
+    length accounting."""
+    tune_for_oracle(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        texttools.normalize_text(F.col("text")).alias("norm_text"),
+        F.length("text").cast("bigint").alias("n_chars_before"),
+        F.length(texttools.normalize_text(F.col("text")))
+        .cast("bigint")
+        .alias("n_chars_after"),
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped BUILDING orders by revenue."""
+    tune_for_oracle(spark)
+    return relational.shipping_priority(
+        tables.load(spark, sf_dir, "customer"),
+        tables.load(spark, sf_dir, "orders"),
+        tables.load(spark, sf_dir, "lineitem"),
+    )

@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "pretrain_export",
     "source_span_overlap",
     "source_semantic_map",
+    "text_normalize",
+    "shipping_priority",
 ]
 
 

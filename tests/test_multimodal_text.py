@@ -304,3 +304,19 @@ def test_block_mean_hash_is_container_invariant(spark):
     assert out[2].n_body == out[3].n_body == len(
         "the same body bytes in different containers".encode()
     )
+
+
+def test_normalize_text_handles_controls_and_runs(spark):
+    from banking_data_etl_pipeline_spark.functions import texttools
+
+    df = spark.createDataFrame(
+        [("  MiXed \t\tCase\x00with\x1fctrl   chars \n",),
+         ("already clean",),
+         ("",)],
+        "t string",
+    )
+    got = [r.c for r in df.select(
+        texttools.normalize_text(F.col("t")).alias("c")).collect()]
+    assert got[0] == "mixed case with ctrl chars"
+    assert got[1] == "already clean"
+    assert got[2] == ""

@@ -302,3 +302,20 @@ def test_snapshot_diff_null_values_hash_stably(spark):
         for r in reconcile.hash_snapshot_diff(old, new, ["k"], ["name"]).collect()
     }
     assert out == {2: "changed"}  # NULL == NULL -> unchanged, dropped
+
+
+def test_shipping_priority_filters_and_ranks(spark):
+    from banking_data_etl_pipeline_spark.operators import relational
+    from banking_data_etl_pipeline_spark.sources import tables
+
+    from conftest import SF_DIR
+
+    rows = relational.shipping_priority(
+        tables.load(spark, SF_DIR, "customer"),
+        tables.load(spark, SF_DIR, "orders"),
+        tables.load(spark, SF_DIR, "lineitem"),
+    ).collect()
+    assert 0 < len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r.o_orderdate < "1998-06-15" for r in rows)
