@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_semantic_map": Q.source_semantic_map,  # new operator
         "text_normalize": Q.text_normalize,  # new operator
         "shipping_priority": Q.shipping_priority,  # new operator
+        "returned_revenue": Q.returned_revenue,  # new operator
+        "quality_autocut": Q.quality_autocut,  # new operator
         # --- tier 2: new or changed in round 5, never driver-proven
         # (no CORRECTNESS_r05 was recorded), so they stay in the
         # window alongside the r6 additions
@@ -249,6 +251,8 @@ def oracle_sql() -> dict[str, str]:
         "source_semantic_map": oracle.SOURCE_SEMANTIC_MAP_Q,
         "text_normalize": oracle.TEXT_NORMALIZE_Q,
         "shipping_priority": oracle.SHIPPING_PRIORITY_Q,
+        "returned_revenue": oracle.RETURNED_REVENUE_Q,
+        "quality_autocut": oracle.QUALITY_AUTOCUT_Q,
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

@@ -787,8 +787,11 @@ def source_semantic_map(
     b = cent.select(F.col("_src").alias("src_b"), F.col("_cent").alias("_cb"))
     from ..functions import vectors
 
+    # broadcast the (catalog-sized) right side explicitly: the
+    # aggregated branch has no size stats pre-AQE, and an un-hinted
+    # crossJoin would plan a CartesianProduct
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("src_a") < F.col("src_b"))
         .select(
             "src_a",
@@ -797,4 +800,40 @@ def source_semantic_map(
                 "cosine"
             ),
         )
+    )
+
+
+def quality_autocut(
+    docs: DataFrame,
+    pct: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-dependent quality gate: instead of a hand-picked constant,
+    the threshold is the corpus's own ``pct`` quantile of the quality
+    score — "drop the worst quartile" stays meaningful as the corpus
+    distribution drifts, which is how production gates are actually
+    tuned. The exact interpolated percentile enters as an uncorrelated
+    SCALAR SUBQUERY over the persisted scored table (one scan scores,
+    the quantile and the gate both read the cache — no driver pull,
+    no second corpus scan).
+
+    Returns (doc_id, q, threshold, kept) with q and threshold
+    6-dp-rounded and kept decided on the rounded values (engine float
+    edges can't flip the cut)."""
+    scored = docs.select(
+        F.col(id_col),
+        F.round(texttools.quality_score(F.col(text_col)), 6).alias("q"),
+    ).persist()
+    thr = F.round(
+        scored.agg(
+            F.percentile(F.col("q"), F.lit(pct)).alias("t")
+        ).scalar(),
+        6,
+    )
+    return scored.select(
+        id_col,
+        "q",
+        thr.alias("threshold"),
+        (F.col("q") >= thr).alias("kept"),
     )

@@ -849,3 +849,31 @@ def shipping_priority(
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(top)
     )
+
+
+def returned_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    top: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape — which customers return the most revenue: the
+    returns-triage report every commerce warehouse runs. The
+    l_returnflag filter is pushed to the lineitem scan (the big
+    table shrinks before any join), the two big joins shuffle on
+    their keys, nation broadcasts, and the top-n is a TakeOrdered.
+
+    Returns (c_custkey, c_name, n_name, revenue, n_items), revenue
+    desc then key, limit ``top``."""
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dec_sum(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(top)
+    )

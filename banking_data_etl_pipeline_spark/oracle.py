@@ -2914,3 +2914,40 @@ GROUP BY l_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'),
          o_orderpriority
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10"""
+
+
+# Twin of operators.relational.returned_revenue (TPC-H Q10 shape).
+RETURNED_REVENUE_Q = f"""SELECT c_custkey, c_name, n_name,
+  {_dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20"""
+
+
+# Twin of operators.corpus.quality_autocut (pct=0.25): the same
+# 6-dp-rounded quality score, exact interpolated quantile threshold,
+# gate decided on the rounded values.
+QUALITY_AUTOCUT_Q = f"""WITH tk AS (
+  SELECT doc_id, text, {TOKS} AS toks FROM documents
+), st AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE (length(text) - length(translate(text, '{_SQL_PUNCT}', '')))
+              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE {_hits('en')} / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
+  FROM tk
+), q AS (
+  SELECT doc_id, round({_QUALITY}, 6) AS q FROM st
+), t AS (
+  SELECT round(quantile_cont(q, 0.25), 6) AS threshold FROM q
+)
+SELECT q.doc_id, q.q, t.threshold, (q.q >= t.threshold) AS kept
+FROM q, t"""

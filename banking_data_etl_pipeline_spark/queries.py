@@ -1723,3 +1723,20 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.load(spark, sf_dir, "orders"),
         tables.load(spark, sf_dir, "lineitem"),
     )
+
+
+def returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue."""
+    tune_for_oracle(spark)
+    return relational.returned_revenue(
+        tables.load(spark, sf_dir, "customer"),
+        tables.load(spark, sf_dir, "orders"),
+        tables.load(spark, sf_dir, "lineitem"),
+        tables.load(spark, sf_dir, "nation"),
+    )
+
+
+def quality_autocut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate at the corpus's own 25th percentile."""
+    tune_for_oracle(spark)
+    return corpus.quality_autocut(tables.load(spark, sf_dir, "documents"))

@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "source_semantic_map",
     "text_normalize",
     "shipping_priority",
+    "returned_revenue",
+    "quality_autocut",
 ]
 
 

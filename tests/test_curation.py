@@ -639,3 +639,17 @@ def test_source_semantic_map_detects_aligned_sources(spark):
     [r] = corpus.source_semantic_map(docs, emb, dim=2).collect()
     assert (r.src_a, r.src_b) == ("sa", "sb")
     assert abs(r.cosine + 1.0) < 1e-9
+
+
+def test_quality_autocut_drops_about_the_target_fraction(spark):
+    docs = tables.load(spark, SF_DIR, "documents")
+    out = corpus.quality_autocut(docs, pct=0.25).collect()
+    n = len(out)
+    dropped = sum(1 for r in out if not r.kept)
+    # exact quantile of a continuous-ish score: dropped ~ 25% (ties
+    # and interpolation allow slack)
+    assert 0.10 * n <= dropped <= 0.40 * n, dropped
+    thr = {r.threshold for r in out}
+    assert len(thr) == 1
+    for r in out:
+        assert r.kept == (r.q >= r.threshold)
