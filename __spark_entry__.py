@@ -44,23 +44,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- tier 1: flagship (green every round)
         "pipeline_enriched": Q.pipeline_enriched,
-        # --- tier 3: last driver-green r02, stalest of all
-        # (no CORRECTNESS_r05 was recorded, so the r5 window never
-        # produced rows; scripts/rotation.py confirms this first-50
-        # SET matches the r6 recommendation — in-window order is
-        # irrelevant to the driver, which checks the set)
-        "dedup_exact": Q.dedup_exact,
-        "minhash_lsh": Q.minhash_lsh,
-        "ngram_jaccard": Q.ngram_jaccard,
-        "simhash": Q.simhash,
-        "emb_near_dup": Q.emb_near_dup,
-        "ann_brute": Q.ann_brute,
-        "ann_lsh": Q.ann_lsh,
-        "text_stats": Q.text_stats,
-        "lang_id": Q.lang_id,
-        "fingerprint": Q.fingerprint,
-        "corpus_filter": Q.corpus_filter,
-        "chunk_docs": Q.chunk_docs,
         # --- tier 2: new in round 6, must prove on current code
         "hll_distinct": Q.hll_distinct,  # new operator
         "bloom_screen": Q.bloom_screen,  # new operator
@@ -104,7 +87,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": Q.media_features,  # real header parse
         "media_resize": Q.media_resize,  # real header parse
         "frame_sample": Q.frame_sample,  # container sizes
-        # --- tier 3: last green in r02, untouched since (23 slots)
+        # --- tier 3: last driver-green r02, stalest of all — BELOW the
+        # never-proven tiers so changed code always outranks stale
+        # green (with 149 entries the 50-slot window can't hold both;
+        # corpus_filter/chunk_docs wait one more round)
+        "dedup_exact": Q.dedup_exact,
+        "minhash_lsh": Q.minhash_lsh,
+        "ngram_jaccard": Q.ngram_jaccard,
+        "simhash": Q.simhash,
+        "emb_near_dup": Q.emb_near_dup,
+        "ann_brute": Q.ann_brute,
+        "ann_lsh": Q.ann_lsh,
+        "text_stats": Q.text_stats,
+        "lang_id": Q.lang_id,
+        "fingerprint": Q.fingerprint,
+        # ---- driver checks the first 50 entries; the window boundary
+        # ---- falls HERE (fingerprint is slot 50). Tail order = next
+        # rounds' rotation queue.
+        "corpus_filter": Q.corpus_filter,
+        "chunk_docs": Q.chunk_docs,
+        # --- tier 3: last green in r02, untouched since
         "error_records": Q.error_records,
         "error_split": Q.error_split,
         "parse_typed": Q.parse_typed,
@@ -121,11 +123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_avg_orders": Q.above_avg_orders,
         "listagg_users": Q.listagg_users,
         "cube_orders": Q.cube_orders,
-        # ---- driver checks the first 50 entries; the window boundary
-        # ---- falls HERE (cube_orders is slot 50). Tail order = next
-        # rounds' rotation queue: r02 leftovers first (the bank-core
-        # singles, last within their tier per policy rule 4), then
-        # r03-green, then r04-green.
+        # r02 leftovers continue (the bank-core singles last within
+        # their tier per policy rule 4), then r03-green, r04-green.
         "semi_join": Q.semi_join_big_spenders,
         "anti_join": Q.anti_join_no_orders,
         "percentiles": Q.price_percentiles,
