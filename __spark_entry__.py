@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": Q.shipping_priority,  # new operator
         "returned_revenue": Q.returned_revenue,  # new operator
         "quality_autocut": Q.quality_autocut,  # new operator
+        "dataset_card": Q.dataset_card,  # new operator
         # --- tier 2: new or changed in round 5, never driver-proven
         # (no CORRECTNESS_r05 was recorded), so they stay in the
         # window alongside the r6 additions
@@ -89,7 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": Q.frame_sample,  # container sizes
         # --- tier 3: last driver-green r02, stalest of all — BELOW the
         # never-proven tiers so changed code always outranks stale
-        # green (with 149 entries the 50-slot window can't hold both;
+        # green (with 150 entries the 50-slot window can't hold both;
         # corpus_filter/chunk_docs wait one more round)
         "dedup_exact": Q.dedup_exact,
         "minhash_lsh": Q.minhash_lsh,
@@ -100,10 +101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": Q.ann_lsh,
         "text_stats": Q.text_stats,
         "lang_id": Q.lang_id,
-        "fingerprint": Q.fingerprint,
         # ---- driver checks the first 50 entries; the window boundary
-        # ---- falls HERE (fingerprint is slot 50). Tail order = next
+        # ---- falls HERE (lang_id is slot 50). Tail order = next
         # rounds' rotation queue.
+        "fingerprint": Q.fingerprint,
         "corpus_filter": Q.corpus_filter,
         "chunk_docs": Q.chunk_docs,
         # --- tier 3: last green in r02, untouched since
@@ -252,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": oracle.SHIPPING_PRIORITY_Q,
         "returned_revenue": oracle.RETURNED_REVENUE_Q,
         "quality_autocut": oracle.QUALITY_AUTOCUT_Q,
+        "dataset_card": oracle.DATASET_CARD_Q,
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

@@ -837,3 +837,54 @@ def quality_autocut(
         thr.alias("threshold"),
         (F.col("q") >= thr).alias("kept"),
     )
+
+
+def dataset_card(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The one-row dataset card — the summary block a corpus release
+    ships with (HuggingFace dataset-card / Datasheets style): volume,
+    token mass, source/language breadth, exact-duplicate rate, mean
+    quality, median length. ONE scan computes every per-doc signal
+    into a persisted projection; a single global aggregate (with
+    map-side partials; the exact distincts expand the usual way —
+    see profiling.py notes) reduces it to one row.
+
+    Returns (n_docs, n_tokens, n_chars, n_sources, n_langs,
+    pct_english, exact_dup_rate, mean_quality, p50_tokens), rates and
+    means 6-dp-rounded."""
+    text = F.col(text_col)
+    scored = docs.select(
+        F.col(id_col),
+        F.col("source"),
+        F.size(texttools.tokens(text)).cast("bigint").alias("_nt"),
+        F.length(text).cast("bigint").alias("_nc"),
+        texttools.lang_id(text).alias("_lang"),
+        F.round(texttools.quality_score(text), 6).alias("_q"),
+        F.md5(text).alias("_h"),
+    ).persist()
+    n = F.count(F.lit(1))
+    return scored.agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+        F.sum("_nc").cast("bigint").alias("n_chars"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.count_distinct("_lang").cast("bigint").alias("n_langs"),
+        F.round(
+            F.sum(F.when(F.col("_lang") == "en", 1).otherwise(0))
+            / n.cast("double"),
+            6,
+        ).alias("pct_english"),
+        F.round(
+            (n - F.count_distinct("_h")) / n.cast("double"), 6
+        ).alias("exact_dup_rate"),
+        # _q is 6-dp-rounded, hence exact in DECIMAL(18,6): the sum is
+        # order-independent and the mean engine-portable (a raw double
+        # avg would be partition-order-dependent at the last ulp)
+        F.round(
+            F.sum(F.col("_q").cast("decimal(18,6)")).cast("double")
+            / n.cast("double"),
+            6,
+        ).alias("mean_quality"),
+        F.percentile(F.col("_nt"), F.lit(0.5)).alias("p50_tokens"),
+    )

@@ -2951,3 +2951,40 @@ QUALITY_AUTOCUT_Q = f"""WITH tk AS (
 )
 SELECT q.doc_id, q.q, t.threshold, (q.q >= t.threshold) AS kept
 FROM q, t"""
+
+
+# Twin of operators.corpus.dataset_card: same per-doc signals, exact
+# DECIMAL(18,6) quality sum (order-independent), exact interpolated
+# median.
+DATASET_CARD_Q = f"""WITH tk AS (
+  SELECT doc_id, source, text, {TOKS} AS toks FROM documents
+), st AS (
+  SELECT doc_id, source,
+    CAST(len(toks) AS BIGINT) AS nt,
+    CAST(length(text) AS BIGINT) AS nc,
+    md5(text) AS h,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE (length(text) - length(translate(text, '{_SQL_PUNCT}', '')))
+              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE {_hits('en')} / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+    {_lang_sel_sql()}
+  FROM tk
+), q AS (
+  SELECT doc_id, source, nt, nc, h, round({_QUALITY}, 6) AS q,
+         {_lang_case_sql()} AS lang FROM st
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(nt) AS BIGINT) AS n_tokens,
+  CAST(sum(nc) AS BIGINT) AS n_chars,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS pct_english,
+  round((count(*) - count(DISTINCT h)) / CAST(count(*) AS DOUBLE), 6)
+    AS exact_dup_rate,
+  round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS mean_quality,
+  quantile_cont(nt, 0.5) AS p50_tokens
+FROM q"""

@@ -1740,3 +1740,9 @@ def quality_autocut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gate at the corpus's own 25th percentile."""
     tune_for_oracle(spark)
     return corpus.quality_autocut(tables.load(spark, sf_dir, "documents"))
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card for the documents corpus."""
+    tune_for_oracle(spark)
+    return corpus.dataset_card(tables.load(spark, sf_dir, "documents"))

@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "shipping_priority",
     "returned_revenue",
     "quality_autocut",
+    "dataset_card",
 ]
 
 

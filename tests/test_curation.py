@@ -653,3 +653,14 @@ def test_quality_autocut_drops_about_the_target_fraction(spark):
     assert len(thr) == 1
     for r in out:
         assert r.kept == (r.q >= r.threshold)
+
+
+def test_dataset_card_single_row_consistency(spark):
+    docs = tables.load(spark, SF_DIR, "documents")
+    [r] = corpus.dataset_card(docs).collect()
+    assert r.n_docs == docs.count()
+    assert r.n_sources == 20 and r.n_langs >= 1
+    assert 0.0 <= r.pct_english <= 1.0
+    assert r.exact_dup_rate == 0.0  # synthetic corpus has no exact dups
+    assert 0.0 < r.mean_quality <= 1.0
+    assert r.p50_tokens > 0
