@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_revenue": Q.returned_revenue,  # new operator
         "quality_autocut": Q.quality_autocut,  # new operator
         "dataset_card": Q.dataset_card,  # new operator
+        "ann_ivf_prebuilt": Q.ann_ivf_prebuilt,  # new operator
         # --- tier 2: new or changed in round 5, never driver-proven
         # (no CORRECTNESS_r05 was recorded), so they stay in the
         # window alongside the r6 additions
@@ -254,6 +255,9 @@ def oracle_sql() -> dict[str, str]:
         "returned_revenue": oracle.RETURNED_REVENUE_Q,
         "quality_autocut": oracle.QUALITY_AUTOCUT_Q,
         "dataset_card": oracle.DATASET_CARD_Q,
+        # identical semantics and parameters to ann_ivf — the split
+        # lifecycle must reproduce the telescoped plan's answer
+        "ann_ivf_prebuilt": oracle.ann_ivf_sql(),
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

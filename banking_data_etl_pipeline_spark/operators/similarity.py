@@ -337,3 +337,108 @@ def ann_recall(
         hit_i.cast("bigint").alias("hit_ivf"),
         F.round(hit_i.cast("double") / n_true, 6).alias("recall_ivf"),
     )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_iterations: int = 2,
+    train_sample_mod: int = 1,
+) -> None:
+    """BUILD phase of the IVF lifecycle: train the coarse quantizer,
+    assign every corpus vector to its cell, and PERSIST the index —
+    ``<path>/centroids`` (the model parameters, kilobytes) and
+    ``<path>/cells`` (the corpus PARTITIONED BY cell). This is the
+    production shape ``ivf_topk`` telescopes into one query: the
+    index is built once per corpus snapshot and probed many times,
+    and the cell-partitioned layout is what makes each probe read
+    ~nprobe/n_centroids of the data (see ``probe_ivf_index``).
+    """
+    cents = None
+    if train_iterations > 0:
+        from . import clustering
+
+        cents = clustering.train_centroids(
+            emb, n_centroids, train_iterations, vec_col, id_col,
+            sample_mod=train_sample_mod,
+        )
+    scorer = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
+    assigned = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scorer)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
+    spark = emb.sparkSession
+    cent_rows = cents or sorted(
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[0],
+    )
+    spark.createDataFrame(
+        [(int(c[0]), [float(x) for x in c[1]]) for c in cent_rows],
+        "cid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """PROBE phase: load the persisted index and answer top-k for a
+    query set WITHOUT touching the training path. The centroid file
+    collects to the driver (model parameters — the same inlining as
+    the build) to pick each query's ``nprobe`` cells; the cell join
+    against the broadcast probe set lets Spark apply dynamic file
+    pruning on the cell-partitioned layout, so the scan reads only
+    the probed cells' files — the IVF selectivity made literal in
+    the storage layout. Results are identical to ``ivf_topk`` with
+    the same parameters (the registered query shares its oracle)."""
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r.cid,
+    )
+    cents = [(int(r.cid), list(r.cvec)) for r in cent_rows]
+    scorer = _centroid_scorer(None, len(cents), "embedding", "vec_id", cents)
+    corpus = spark.read.parquet(f"{path}/cells")
+    probes = (
+        queries.select(
+            "query_id", "qvec", vectors.norm(F.col("qvec")).alias("_nq")
+        )
+        .select(
+            "query_id",
+            "qvec",
+            "_nq",
+            F.explode(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(scorer(F.col("qvec"), F.col("_nq")))
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "qvec", "_nq", (-F.col("p.nc")).alias("cell"))
+    )
+    denom = F.col("_nv") * F.col("_nq")
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.when(denom == 0, F.lit(0.0)).otherwise(
+                    vectors.dot(F.col("v"), F.col("qvec")) / denom
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    return _ranked(scored, k)

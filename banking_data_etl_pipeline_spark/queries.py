@@ -1746,3 +1746,22 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row dataset card for the documents corpus."""
     tune_for_oracle(spark)
     return corpus.dataset_card(tables.load(spark, sf_dir, "documents"))
+
+
+def ann_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the build/probe lifecycle split: the index persists to
+    a cell-PARTITIONED parquet layout, the probe reads it back with
+    dynamic file pruning — same parameters and result (and oracle) as
+    the telescoped ann_ivf."""
+    import os
+    import tempfile
+
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    similarity.build_ivf_index(emb, path)
+    q = similarity.corpus_queries(emb, n=5)
+    return similarity.probe_ivf_index(spark, path, q, k=10)

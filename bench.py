@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "returned_revenue",
     "quality_autocut",
     "dataset_card",
+    "ann_ivf_prebuilt",
 ]
 
 

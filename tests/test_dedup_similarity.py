@@ -602,3 +602,24 @@ def test_ann_recall_harness_bounds(spark):
     # the approximate indexes must be doing SOMETHING: mean recall > 0
     assert sum(r.recall_ivf for r in rows) > 0
     assert sum(r.recall_lsh for r in rows) > 0
+
+
+def test_ivf_build_probe_matches_telescoped(spark, tmp_path):
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    path = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(emb, path)
+    # the persisted layout is partitioned by cell (one dir per cell)
+    import os
+
+    cells = [d for d in os.listdir(path + "/cells") if d.startswith("cell=")]
+    assert len(cells) > 1
+    probed = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in similarity.probe_ivf_index(spark, path, q, k=10).collect()
+    }
+    tele = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in similarity.ivf_topk(emb, q, k=10).collect()
+    }
+    assert probed == tele
