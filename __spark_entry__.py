@@ -101,10 +101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute": Q.ann_brute,
         "ann_lsh": Q.ann_lsh,
         "text_stats": Q.text_stats,
-        "lang_id": Q.lang_id,
         # ---- driver checks the first 50 entries; the window boundary
-        # ---- falls HERE (lang_id is slot 50). Tail order = next
+        # ---- falls HERE (text_stats is slot 50). Tail order = next
         # rounds' rotation queue.
+        "lang_id": Q.lang_id,
         "fingerprint": Q.fingerprint,
         "corpus_filter": Q.corpus_filter,
         "chunk_docs": Q.chunk_docs,
