@@ -2988,3 +2988,34 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
         / CAST(count(*) AS DOUBLE), 6) AS mean_quality,
   quantile_cont(nt, 0.5) AS p50_tokens
 FROM q"""
+
+
+# Twin of operators.graph.link_prediction (top=50): same symmetric
+# distinct co-purchase edges, wedge join on the shared middle,
+# existing-edge anti-join, Jaccard = common / (deg_a + deg_b - common).
+LINK_PREDICTION_Q = """WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), cand AS (
+  SELECT x.src AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS common
+  FROM edges x JOIN edges y ON x.dst = y.src
+  WHERE x.src < y.dst
+  GROUP BY x.src, y.dst
+), fresh AS (
+  SELECT c.a, c.b, c.common FROM cand c
+  LEFT JOIN edges e ON c.a = e.src AND c.b = e.dst
+  WHERE e.src IS NULL
+)
+SELECT f.a, f.b, f.common,
+       round(f.common / CAST(da.deg + db.deg - f.common AS DOUBLE), 6)
+         AS jaccard
+FROM fresh f
+JOIN deg da ON f.a = da.src
+JOIN deg db ON f.b = db.src
+ORDER BY jaccard DESC, f.a ASC, f.b ASC
+LIMIT 50"""

@@ -1765,3 +1765,11 @@ def ann_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.build_ivf_index(emb, path)
     q = similarity.corpus_queries(emb, n=5)
     return similarity.probe_ivf_index(spark, path, q, k=10)
+
+
+def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 predicted co-purchase links by neighborhood Jaccard."""
+    from .operators import graph
+
+    tune_for_oracle(spark)
+    return graph.link_prediction(tables.load(spark, sf_dir, "lineitem"))

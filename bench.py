@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "quality_autocut",
     "dataset_card",
     "ann_ivf_prebuilt",
+    "link_prediction",
 ]
 
 

@@ -78,3 +78,18 @@ def test_triangle_counts_shuffle_fallback_matches_broadcast(spark):
         ).collect()
     }
     assert bcast == shuf
+
+
+def test_link_prediction_on_a_known_wedge(spark):
+    # orders: (1,2,3) together and (3,4) together -> wedge 1-3-4 and
+    # 2-3-4: pairs (1,4),(2,4) are predicted; (1,2) already connected
+    from banking_data_etl_pipeline_spark.operators import graph
+    from pyspark.sql import functions as F
+
+    rows = [(100, p) for p in (1, 2, 3)] + [(200, p) for p in (3, 4)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {(r.a, r.b): r for r in graph.link_prediction(li).collect()}
+    assert set(out) == {(1, 4), (2, 4)}
+    # deg: 1->2, 2->2, 3->3, 4->1; common(1,4)=1 (via 3)
+    r = out[(1, 4)]
+    assert r.common == 1 and abs(r.jaccard - 1 / (2 + 1 - 1)) < 1e-9
