@@ -320,3 +320,70 @@ def bloom_bits_artifact(
         .collect()
     )
     return sorted(int(r.bit) for r in rows)
+
+
+def hll_merge_proof(
+    events: DataFrame,
+    col: str = "user_id",
+    group_col: str = "event_type",
+    p: int = 8,
+) -> DataFrame:
+    """The MERGEABILITY demonstration that justifies sketches at
+    100 TB: per-group HLL registers merge with MAX into registers
+    IDENTICAL to sketching the union directly — so partial aggregates
+    computed per partition / per day / per shard combine without
+    revisiting data (count-distinct itself has no such property; that
+    asymmetry is the whole reason HLL exists). This operator computes
+    the distinct estimate BOTH ways over the same md5-derived
+    deterministic registers as ``hll_distinct`` and emits them
+    side-by-side with an equality flag.
+
+    Returns one row: (m, est_merged, est_direct, merged_equals_direct,
+    exact_distinct) — merged_equals_direct is True by construction;
+    the oracle twin re-derives it independently, so a regression in
+    either path (or a non-mergeable refactor) breaks the hash."""
+    m = 2**p
+    wbits = 32 - p
+    h32 = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    rho = F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(F.col("w")))
+    )
+    base = events.select(
+        F.col(group_col).alias("grp"),
+        F.shiftright(h32, wbits).alias("idx"),
+        h32.bitwiseAND(F.lit((1 << wbits) - 1)).alias("w"),
+    ).select("grp", "idx", rho.alias("rho"))
+    per_group = base.groupBy("grp", "idx").agg(F.max("rho").alias("reg"))
+    merged = per_group.groupBy("idx").agg(F.max("reg").alias("reg"))
+    direct = base.groupBy("idx").agg(F.max("rho").alias("reg"))
+
+    def estimate(regs: DataFrame) -> "F.Column":
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        sk = regs.agg(
+            F.count(F.lit(1)).alias("n_used"),
+            F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("z_used"),
+        ).select(
+            (F.col("z_used") + (F.lit(m) - F.col("n_used"))).alias("z"),
+            (F.lit(m) - F.col("n_used")).cast("double").alias("v"),
+        )
+        raw = F.lit(alpha) * F.lit(float(m * m)) / F.col("z")
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (F.col("v") > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
+        ).otherwise(raw)
+        return sk.select(F.round(est, 6).alias("e")).scalar()
+
+    e_merged = estimate(merged)
+    e_direct = estimate(direct)
+    exact = (
+        events.agg(F.count_distinct(F.col(col)).alias("x")).scalar().cast("long")
+    )
+    return events.limit(1).select(
+        F.lit(m).alias("m"),
+        e_merged.alias("est_merged"),
+        e_direct.alias("est_direct"),
+        (e_merged == e_direct).alias("merged_equals_direct"),
+        exact.alias("exact_distinct"),
+    )

@@ -3019,3 +3019,48 @@ JOIN deg da ON f.a = da.src
 JOIN deg db ON f.b = db.src
 ORDER BY jaccard DESC, f.a ASC, f.b ASC
 LIMIT 50"""
+
+
+def _hll_est_cte(src: str) -> str:
+    """One-row estimate CTE body over a (idx, reg) register table."""
+    return f"""(
+  SELECT round(CASE WHEN raw <= 640.0 AND v > 0
+               THEN 256.0 * ln(256.0 / v) ELSE raw END, 6) AS e
+  FROM (
+    SELECT (0.7213 / (1.0 + 1.079 / 256)) * 65536.0 / z AS raw, v
+    FROM (
+      SELECT sum(power(2.0, -reg)) + (256 - count(*)) * 1.0 AS z,
+             CAST(256 - count(*) AS DOUBLE) AS v
+      FROM {src}
+    )
+  )
+)"""
+
+
+# Twin of operators.sketches.hll_merge_proof (p=8, group=event_type):
+# identical registers; merged = max over per-group maxes, direct =
+# max over all rows — the mergeability identity re-derived.
+HLL_MERGE_Q = f"""WITH h AS (
+  SELECT event_type AS grp,
+         CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) AS BIGINT) AS h32
+  FROM events
+), base AS (
+  SELECT grp, CAST(h32 >> 24 AS BIGINT) AS idx,
+         CASE WHEN (h32 & 16777215) = 0 THEN 25
+              ELSE 25 - length(bin(h32 & 16777215)) END AS rho
+  FROM h
+), per_group AS (
+  SELECT grp, idx, max(rho) AS reg FROM base GROUP BY grp, idx
+), merged AS (
+  SELECT idx, max(reg) AS reg FROM per_group GROUP BY idx
+), direct AS (
+  SELECT idx, max(rho) AS reg FROM base GROUP BY idx
+), em AS {_hll_est_cte('merged')}, ed AS {_hll_est_cte('direct')},
+ex AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events
+)
+SELECT CAST(256 AS INT) AS m, em.e AS est_merged, ed.e AS est_direct,
+       (em.e = ed.e) AS merged_equals_direct, ex.exact_distinct
+FROM em, ed, ex"""

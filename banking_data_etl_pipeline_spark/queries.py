@@ -1773,3 +1773,12 @@ def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return graph.link_prediction(tables.load(spark, sf_dir, "lineitem"))
+
+
+def hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability proof: per-event-type registers MAX-merged vs
+    sketching the union directly."""
+    from .operators import sketches
+
+    tune_for_oracle(spark)
+    return sketches.hll_merge_proof(tables.load(spark, sf_dir, "events"))

@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "dataset_card",
     "ann_ivf_prebuilt",
     "link_prediction",
+    "hll_merge",
 ]
 
 

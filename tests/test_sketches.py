@@ -194,3 +194,13 @@ def test_bloom_screen_false_positive_rate_is_sane(spark):
     # n=400 corpus keys * 3 hashes in m=4096 bits -> fp ~ (1-e^-kn/m)^k
     # ~ 1.6%; the batch is 100 docs, so a handful at most
     assert n_fp <= 0.15 * len(out), (n_fp, len(out))
+
+
+def test_hll_merge_identity_holds(spark):
+    ev = tables.load(spark, SF_DIR, "events")
+    [r] = sketches.hll_merge_proof(ev).collect()
+    assert r.merged_equals_direct
+    # and the merged estimate is the same as the single-shot sketch
+    direct = sketches.hll_distinct(ev).first()
+    assert abs(r.est_direct - direct.estimate) < 1e-9
+    assert r.exact_distinct == direct.exact_distinct
