@@ -101,11 +101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": Q.simhash,
         "emb_near_dup": Q.emb_near_dup,
         "ann_brute": Q.ann_brute,
+        # ---- driver checks the first 50 entries; the window boundary
+        # ---- falls HERE (ann_brute is slot 50). Tail order = next
+        # rounds' rotation queue.
         "ann_lsh": Q.ann_lsh,
         "text_stats": Q.text_stats,
-        # ---- driver checks the first 50 entries; the window boundary
-        # ---- falls HERE (text_stats is slot 50). Tail order = next
-        # rounds' rotation queue.
         "lang_id": Q.lang_id,
         "fingerprint": Q.fingerprint,
         "corpus_filter": Q.corpus_filter,
