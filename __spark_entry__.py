@@ -93,8 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": Q.frame_sample,  # container sizes
         # --- tier 3: last driver-green r02, stalest of all — BELOW the
         # never-proven tiers so changed code always outranks stale
-        # green (with 150 entries the 50-slot window can't hold both;
-        # corpus_filter/chunk_docs wait one more round)
+        # green (with 153 entries the 50-slot window can't hold both;
+        # the ann_lsh..chunk_docs r02 stragglers wait one more round)
         "dedup_exact": Q.dedup_exact,
         "minhash_lsh": Q.minhash_lsh,
         "ngram_jaccard": Q.ngram_jaccard,
