@@ -2990,9 +2990,10 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
 FROM q"""
 
 
-# Twin of operators.graph.link_prediction (top=50): same symmetric
-# distinct co-purchase edges, wedge join on the shared middle,
-# existing-edge anti-join, Jaccard = common / (deg_a + deg_b - common).
+# Twin of operators.graph.link_prediction (top=50, targets_mod=100):
+# same symmetric distinct co-purchase edges, target-anchored wedge
+# join on the shared middle, existing-edge anti-join,
+# Jaccard = common / (deg_a + deg_b - common).
 LINK_PREDICTION_Q = """WITH li AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ), edges AS (
@@ -3004,7 +3005,7 @@ LINK_PREDICTION_Q = """WITH li AS (
 ), cand AS (
   SELECT x.src AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS common
   FROM edges x JOIN edges y ON x.dst = y.src
-  WHERE x.src < y.dst
+  WHERE x.src % 100 = 0 AND x.src <> y.dst
   GROUP BY x.src, y.dst
 ), fresh AS (
   SELECT c.a, c.b, c.common FROM cand c

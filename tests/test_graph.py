@@ -88,8 +88,11 @@ def test_link_prediction_on_a_known_wedge(spark):
 
     rows = [(100, p) for p in (1, 2, 3)] + [(200, p) for p in (3, 4)]
     li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
-    out = {(r.a, r.b): r for r in graph.link_prediction(li).collect()}
-    assert set(out) == {(1, 4), (2, 4)}
+    # targets_mod=1: every node is a prediction target on this fixture
+    out = {(r.a, r.b): r
+           for r in graph.link_prediction(li, targets_mod=1).collect()}
+    # anchored form reports both directions
+    assert set(out) == {(1, 4), (2, 4), (4, 1), (4, 2)}
     # deg: 1->2, 2->2, 3->3, 4->1; common(1,4)=1 (via 3)
     r = out[(1, 4)]
     assert r.common == 1 and abs(r.jaccard - 1 / (2 + 1 - 1)) < 1e-9
