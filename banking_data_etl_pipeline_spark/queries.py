@@ -1762,7 +1762,11 @@ def ann_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"spark_graft_ivf_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    similarity.build_ivf_index(emb, path)
+    # build once per corpus snapshot, probe many times — the point of
+    # the split lifecycle; the inputs are deterministic per sf_dir, so
+    # an existing index is always current within a round
+    if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
+        similarity.build_ivf_index(emb, path)
     q = similarity.corpus_queries(emb, n=5)
     return similarity.probe_ivf_index(spark, path, q, k=10)
 
