@@ -433,3 +433,96 @@ def block_mean_hash(media: DataFrame, n_blocks: int = 16) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         op, PHASH_SCHEMA
     )
+
+
+def _u32be_at(payload: Column, pos: int) -> Column:
+    """Big-endian uint32 read at 1-based byte offset ``pos``."""
+    return F.conv(F.hex(F.substring(payload, pos, 4)), 16, 10).cast("long")
+
+
+def _u32le_at(payload: Column, pos: int) -> Column:
+    """Little-endian uint32 at 1-based ``pos`` (hex byte-swap)."""
+    h = F.hex(F.substring(payload, pos, 4))
+    swapped = F.concat(
+        F.substring(h, 7, 2),
+        F.substring(h, 5, 2),
+        F.substring(h, 3, 2),
+        F.substring(h, 1, 2),
+    )
+    return F.conv(swapped, 16, 10).cast("long")
+
+
+def validate_media(media: DataFrame) -> DataFrame:
+    """Container-integrity screen over binary media payloads — the
+    ingest-time data-quality gate that keeps corrupt uploads out of a
+    multimodal corpus. Entirely NATIVE column expressions (binary
+    substring + crc32 + hex/conv — no UDF, whole-stage codegen):
+
+    - image: PNG signature check, then the IHDR chunk's stored CRC32
+      vs crc32 recomputed over the chunk type+data (a flipped byte
+      anywhere in the header fails exactly this check);
+    - audio: RIFF/WAVE magic, then the declared RIFF and data-chunk
+      sizes vs the actual payload length.
+
+    Returns (media_id, kind, n_bytes, status) with status one of
+    'ok' | 'bad_magic' | 'bad_crc' | 'bad_size'. Checks are ordered
+    (magic first) so a smashed prefix doesn't cascade into
+    misleading downstream reasons."""
+    p = F.col("payload")
+    n = F.octet_length(p).cast("bigint")
+    is_image = F.col("kind") == "image"
+    png_magic_ok = F.substring(p, 1, 8) == F.lit(PNG_SIG)
+    # IHDR: type+data at bytes 13..29 (17 bytes), stored CRC at 30..33
+    ihdr_crc_ok = _u32be_at(p, 30) == F.crc32(F.substring(p, 13, 17))
+    wav_magic_ok = (F.substring(p, 1, 4) == F.lit(b"RIFF")) & (
+        F.substring(p, 9, 4) == F.lit(b"WAVE")
+    )
+    wav_sizes_ok = (_u32le_at(p, 5) == n - 8) & (
+        _u32le_at(p, 41) == n - WAV_OVERHEAD
+    )
+    status = F.when(
+        is_image,
+        F.when(~png_magic_ok, F.lit("bad_magic"))
+        .when(~ihdr_crc_ok, F.lit("bad_crc"))
+        .otherwise(F.lit("ok")),
+    ).otherwise(
+        F.when(~wav_magic_ok, F.lit("bad_magic"))
+        .when(~wav_sizes_ok, F.lit("bad_size"))
+        .otherwise(F.lit("ok"))
+    )
+    return media.select(
+        "media_id", "kind", n.alias("n_bytes"), status.alias("status")
+    )
+
+
+def corrupt_for_validation(media: DataFrame) -> DataFrame:
+    """Deterministic corruption planting (the dq_checks pattern —
+    validators are tested against KNOWN damage, never assumed):
+    media_id % 13 == 0 smashes the first magic byte to 'X';
+    else media_id % 17 == 0 zeroes an integrity field (the stored
+    IHDR CRC for images — crc32 of real chunk bytes is never 0 for
+    this corpus, asserted in tests — and the declared data size for
+    audio, wrong whenever the body is non-empty). Everything else
+    passes through untouched."""
+    p = F.col("payload")
+    n = F.octet_length(p)
+    smash_magic = F.concat(F.lit(b"X"), F.substring(p, 2, n - 1))
+    zero_field_img = F.concat(
+        F.substring(p, 1, 29), F.lit(b"\x00\x00\x00\x00"),
+        F.substring(p, 34, n - 33),
+    )
+    zero_field_wav = F.concat(
+        F.substring(p, 1, 40), F.lit(b"\x00\x00\x00\x00"),
+        F.substring(p, 45, n - 44),
+    )
+    corrupted = (
+        F.when(F.col("media_id") % 13 == 0, smash_magic)
+        .when(
+            F.col("media_id") % 17 == 0,
+            F.when(F.col("kind") == "image", zero_field_img).otherwise(
+                zero_field_wav
+            ),
+        )
+        .otherwise(p)
+    )
+    return media.withColumn("payload", corrupted)

@@ -3065,3 +3065,23 @@ ex AS (
 SELECT CAST(256 AS INT) AS m, em.e AS est_merged, ed.e AS est_direct,
        (em.e = ed.e) AS merged_equals_direct, ex.exact_distinct
 FROM em, ed, ex"""
+
+
+# Twin of queries.media_validate: the oracle PREDICTS each verdict
+# from the planted-corruption pattern (the dq_checks design — it does
+# not recompute CRCs; the Spark side must actually catch the damage):
+# %13 -> bad_magic; else %17 -> bad_crc (image) / bad_size (audio,
+# body non-empty by construction); else ok. n_bytes from the
+# synthesis formulas (PNG 57 B overhead, WAV 44 B).
+MEDIA_VALIDATE_Q = """SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+  CAST(octet_length(encode(text))
+       + CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 44 END AS BIGINT)
+    AS n_bytes,
+  CASE
+    WHEN doc_id % 13 = 0 THEN 'bad_magic'
+    WHEN doc_id % 17 = 0 AND doc_id % 2 = 0 THEN 'bad_crc'
+    WHEN doc_id % 17 = 0 THEN 'bad_size'
+    ELSE 'ok'
+  END AS status
+FROM documents"""

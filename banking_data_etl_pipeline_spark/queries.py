@@ -1786,3 +1786,11 @@ def hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return sketches.hll_merge_proof(tables.load(spark, sf_dir, "events"))
+
+
+def media_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-integrity screen over deterministically corrupted
+    media: %13 smashed magic, %17 zeroed integrity field."""
+    tune_for_oracle(spark)
+    media = binaryops.synthesize_media(tables.load(spark, sf_dir, "documents"))
+    return binaryops.validate_media(binaryops.corrupt_for_validation(media))

@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "ann_ivf_prebuilt",
     "link_prediction",
     "hll_merge",
+    "media_validate",
 ]
 
 

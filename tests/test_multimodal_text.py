@@ -320,3 +320,29 @@ def test_normalize_text_handles_controls_and_runs(spark):
     assert got[0] == "mixed case with ctrl chars"
     assert got[1] == "already clean"
     assert got[2] == ""
+
+
+def test_validate_media_clean_corpus_all_ok(spark):
+    docs = tables.load(spark, SF_DIR, "documents")
+    media = binaryops.synthesize_media(docs)
+    out = binaryops.validate_media(media).collect()
+    assert len(out) == 500
+    assert all(r.status == "ok" for r in out)
+
+
+def test_validate_media_catches_planted_damage(spark):
+    docs = tables.load(spark, SF_DIR, "documents")
+    media = binaryops.corrupt_for_validation(binaryops.synthesize_media(docs))
+    out = {r.media_id: r.status for r in binaryops.validate_media(media).collect()}
+    for mid, status in out.items():
+        if mid % 13 == 0:
+            assert status == "bad_magic", (mid, status)
+        elif mid % 17 == 0:
+            want = "bad_crc" if mid % 2 == 0 else "bad_size"
+            assert status == want, (mid, status)
+        else:
+            assert status == "ok", (mid, status)
+    # the corruption classes are actually present in the corpus
+    assert any(s == "bad_magic" for s in out.values())
+    assert any(s == "bad_crc" for s in out.values())
+    assert any(s == "bad_size" for s in out.values())
