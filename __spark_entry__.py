@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": Q.link_prediction,  # new operator
         "hll_merge": Q.hll_merge,  # new operator
         "media_validate": Q.media_validate,  # new operator
+        "stream_funnel": Q.stream_funnel,  # new operator
         # --- tier 2: new or changed in round 5, never driver-proven
         # (no CORRECTNESS_r05 was recorded), so they stay in the
         # window alongside the r6 additions
@@ -264,6 +265,9 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": oracle.LINK_PREDICTION_Q,
         "hll_merge": oracle.HLL_MERGE_Q,
         "media_validate": oracle.MEDIA_VALIDATE_Q,
+        # batch-equivalence: the stateful streaming funnel must equal
+        # the batch funnel over the same bounded events
+        "stream_funnel": oracle.FUNNEL_Q,
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

@@ -1794,3 +1794,18 @@ def media_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     media = binaryops.synthesize_media(tables.load(spark, sf_dir, "documents"))
     return binaryops.validate_media(binaryops.corrupt_for_validation(media))
+
+
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming funnel (applyInPandasWithState) — checked
+    against the batch funnel's oracle (FUNNEL_Q batch-equivalence)."""
+    import os
+    import tempfile
+
+    tune_for_oracle(spark)
+    d = tempfile.mkdtemp(prefix="stream_funnel_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(d, "events.parquet"),
+    )
+    return EV.funnel_stream(spark, d, "stream_funnel_sink")

@@ -544,3 +544,137 @@ def stream_left_interval_join_counts(
         .groupBy(F.col("l_id").alias("event_id"), F.col("l_user").alias("user_id"))
         .agg(F.count(F.col("r_id")).alias("n_followers"))
     )
+
+
+def funnel_stream(
+    spark: SparkSession,
+    events_dir: str,
+    name: str,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom STATEFUL streaming funnel via ``applyInPandasWithState``:
+    the ordered view -> click -> purchase progression computed
+    INCREMENTALLY as events arrive, out-of-order-safe — per-user state
+    keeps the per-stage arrival-time lists, so a late-arriving earlier
+    'view' correctly LOWERS t_stage1 and re-opens later stages
+    (an operator that only tracked current bests would silently keep a
+    stale chain; that retroactivity is what makes funnels genuinely
+    stateful rather than a running aggregate). State is bounded by the
+    per-user event count inside the retention horizon — production
+    adds an event-time timeout to expire users (the same watermark
+    discipline as ``sessionize_stream``); the bounded availableNow run
+    here needs none.
+
+    Timestamps reduce to epoch seconds in a STATELESS projection
+    before the stateful op (ints cross the Arrow boundary; no
+    pandas-datetime unit ambiguity). Emits each user's current funnel
+    on every update; the terminal reduction keeps the last emission
+    (n_seen is strictly monotone), which equals the batch
+    ``timeseries.funnel`` over the same events — the driver checks it
+    against the SAME oracle (FUNNEL_Q), the batch-equivalence bar.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_seen long, t_stage1 long, t_stage2 long,"
+        " t_stage3 long, funnel_depth int"
+    )
+    state_schema = "n long, s1 array<long>, s2 array<long>, s3 array<long>"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s1, s2, s3 = (
+            state.get if state.exists else (0, [], [], [])
+        )
+        lists = {
+            stages[0]: list(s1 or []),
+            stages[1]: list(s2 or []),
+            stages[2]: list(s3 or []),
+        }
+        for pdf in pdfs:
+            n += len(pdf)
+            for et, t in zip(pdf["event_type"], pdf["t"]):
+                if et in lists:
+                    lists[et].append(int(t))
+        state.update(
+            (n, lists[stages[0]], lists[stages[1]], lists[stages[2]])
+        )
+        t1 = min(lists[stages[0]]) if lists[stages[0]] else None
+        if t1 is None:  # typed empty frame (no all-NA concat warning)
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.array([], dtype="int64"),
+                    "n_seen": pd.array([], dtype="int64"),
+                    "t_stage1": pd.array([], dtype="Int64"),
+                    "t_stage2": pd.array([], dtype="Int64"),
+                    "t_stage3": pd.array([], dtype="Int64"),
+                    "funnel_depth": pd.array([], dtype="int32"),
+                }
+            )
+            return
+        after1 = [t for t in lists[stages[1]] if t > t1]
+        t2 = min(after1) if after1 else None
+        after2 = (
+            [t for t in lists[stages[2]] if t > t2] if t2 is not None else []
+        )
+        t3 = min(after2) if after2 else None
+        depth = 3 if t3 is not None else (2 if t2 is not None else 1)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n],
+                "t_stage1": pd.array([t1], dtype="Int64"),
+                "t_stage2": pd.array([t2], dtype="Int64"),
+                "t_stage3": pd.array([t3], dtype="Int64"),
+                "funnel_depth": [depth],
+            }
+        )
+
+    src_stream = events_stream(spark, events_dir)
+    if max_files_per_trigger:  # per-file micro-batches (tests exercise
+        # the cross-batch retroactivity path with this)
+        src_stream = (
+            spark.readStream.schema(src_stream.schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .format("parquet")
+            .load(events_dir)
+        )
+    stream = src_stream.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) DIV 1000000").alias("t"),
+    )
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    with _state_partitions(spark):
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # last emission per user == final funnel (n_seen strictly monotone,
+    # so the struct max never tie-breaks on the nullable stage fields)
+    last = F.max(
+        F.struct("n_seen", "t_stage1", "t_stage2", "t_stage3", "funnel_depth")
+    ).alias("s")
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("user_id")
+        .agg(last)
+        .select(
+            "user_id",
+            F.col("s.t_stage1").alias("t_stage1"),
+            F.col("s.t_stage2").alias("t_stage2"),
+            F.col("s.t_stage3").alias("t_stage3"),
+            F.col("s.funnel_depth").alias("funnel_depth"),
+        )
+    )

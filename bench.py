@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "link_prediction",
     "hll_merge",
     "media_validate",
+    "stream_funnel",
 ]
 
 

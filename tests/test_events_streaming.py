@@ -274,3 +274,46 @@ def test_stream_minhash_screen_equals_batch_incremental(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_funnel_retroactive_earlier_view(spark, tmp_path):
+    # file A arrives first: click@200, purchase@300, view@250 -> a
+    # stale-best funnel would lock t1=250 and stay at depth 1.
+    # file B delivers a LATE, EARLIER view@100 -> the stateful funnel
+    # must re-open the chain: t1=100, t2=200, t3=300, depth 3.
+    import os
+    import time
+
+    from banking_data_etl_pipeline_spark.streaming import events as EV
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "drop")
+    os.makedirs(d)
+
+    def write_one(fname, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, sec long"
+        ).select(
+            "event_id",
+            F.expr("timestamp_seconds(sec)").alias("ts"),
+            "user_id",
+            "event_type",
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        tmp = str(tmp_path / ("w_" + fname))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp, part), os.path.join(d, fname))
+
+    write_one("a.parquet", [(1, 7, "click", 200), (2, 7, "purchase", 300),
+                            (3, 7, "view", 250)])
+    time.sleep(1.1)  # file-source ordering is mtime-based
+    write_one("b.parquet", [(4, 7, "view", 100)])
+    out = EV.funnel_stream(
+        spark, d, "test_funnel_retro", max_files_per_trigger=1
+    ).collect()
+    [r] = out
+    assert (r.user_id, r.t_stage1, r.t_stage2, r.t_stage3, r.funnel_depth) == (
+        7, 100, 200, 300, 3
+    )
