@@ -182,6 +182,9 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "bpe_merges_batched",  # driver-side pass loop (one window pull/pass)
         "stream_quality_gate",  # runs its stream eagerly at build
         "stream_minhash_screen",  # same
+        "stream_bloom_screen",  # same
+        "stream_funnel",  # same
+        "ann_ivf_prebuilt",  # builds/reads the persisted index eagerly
     }
     # intentional broadcast cross joins: ann_brute scores the tiny
     # query set against the corpus; source_divergence expands the
