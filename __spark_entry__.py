@@ -95,16 +95,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": Q.frame_sample,  # container sizes
         # --- tier 3: last driver-green r02, stalest of all — BELOW the
         # never-proven tiers so changed code always outranks stale
-        # green (with 153 entries the 50-slot window can't hold both;
+        # green (with 155 entries the 50-slot window can't hold both;
         # the ann_lsh..chunk_docs r02 stragglers wait one more round)
         "dedup_exact": Q.dedup_exact,
         "minhash_lsh": Q.minhash_lsh,
         "ngram_jaccard": Q.ngram_jaccard,
         "simhash": Q.simhash,
-        "emb_near_dup": Q.emb_near_dup,
         # ---- driver checks the first 50 entries; the window boundary
-        # ---- falls HERE (emb_near_dup is slot 50). Tail order = next
+        # ---- falls HERE (simhash is slot 50). Tail order = next
         # rounds' rotation queue.
+        "emb_near_dup": Q.emb_near_dup,
         "ann_brute": Q.ann_brute,
         "ann_lsh": Q.ann_lsh,
         "text_stats": Q.text_stats,
