@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge": Q.hll_merge,  # new operator
         "media_validate": Q.media_validate,  # new operator
         "stream_funnel": Q.stream_funnel,  # new operator
+        "market_share": Q.market_share,  # new operator
         # --- tier 2: new or changed in round 5, never driver-proven
         # (no CORRECTNESS_r05 was recorded), so they stay in the
         # window alongside the r6 additions
@@ -95,15 +96,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": Q.frame_sample,  # container sizes
         # --- tier 3: last driver-green r02, stalest of all — BELOW the
         # never-proven tiers so changed code always outranks stale
-        # green (with 155 entries the 50-slot window can't hold both;
+        # green (with 156 entries the 50-slot window can't hold both;
         # the ann_lsh..chunk_docs r02 stragglers wait one more round)
         "dedup_exact": Q.dedup_exact,
         "minhash_lsh": Q.minhash_lsh,
         "ngram_jaccard": Q.ngram_jaccard,
-        "simhash": Q.simhash,
         # ---- driver checks the first 50 entries; the window boundary
-        # ---- falls HERE (simhash is slot 50). Tail order = next
+        # ---- falls HERE (ngram_jaccard is slot 50). Tail order = next
         # rounds' rotation queue.
+        "simhash": Q.simhash,
         "emb_near_dup": Q.emb_near_dup,
         "ann_brute": Q.ann_brute,
         "ann_lsh": Q.ann_lsh,
@@ -268,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
         # batch-equivalence: the stateful streaming funnel must equal
         # the batch funnel over the same bounded events
         "stream_funnel": oracle.FUNNEL_Q,
+        "market_share": oracle.MARKET_SHARE_Q,
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

@@ -877,3 +877,71 @@ def returned_revenue(
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(top)
     )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    supplier_nation: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q8 shape — a supplier nation's market share, per order
+    year, of all revenue sold to one region's customers: the classic
+    snowflake traversal (fact -> orders -> customer -> nation ->
+    region on one side, fact -> supplier -> nation on the other).
+
+    Scale shape: the customer-side dimension chain COLLAPSES before
+    touching the fact table — nation ⋈ broadcast(region) prunes to
+    one region's nations, customer semi-reduces against that tiny
+    set, and only then do the two big key-shuffled joins run; the
+    supplier-side flag comes from broadcast dimension joins (both
+    dimension chains are catalog-sized). One final groupBy on the
+    year. Share = flagged revenue / total revenue through the shared
+    DECIMAL(18,6) sums.
+
+    Returns (o_year, total_revenue, nation_revenue, mkt_share)."""
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    region_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("_cn"))
+    cust = customer.join(
+        F.broadcast(region_nations),
+        F.col("c_nationkey") == F.col("_cn"),
+    ).select("c_custkey")
+    supp_flag = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select(
+        "s_suppkey",
+        (F.col("n_name") == supplier_nation).alias("_is_nation"),
+    )
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_flag), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(F.sum(rev).cast("double"), 4).alias("total_revenue"),
+            F.round(
+                F.sum(F.when(F.col("_is_nation"), rev).otherwise(F.lit(0).cast("decimal(18,6)"))).cast(
+                    "double"
+                ),
+                4,
+            ).alias("nation_revenue"),
+            F.round(
+                F.sum(F.when(F.col("_is_nation"), rev).otherwise(F.lit(0).cast("decimal(18,6)")))
+                .cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+    )

@@ -3085,3 +3085,34 @@ MEDIA_VALIDATE_Q = """SELECT doc_id AS media_id,
     ELSE 'ok'
   END AS status
 FROM documents"""
+
+
+# Twin of operators.relational.market_share (TPC-H Q8 shape, region
+# ASIA, supplier nation NATION_2): exact DECIMAL(18,6) revenue sums,
+# share divided in double and rounded to 6 dp.
+MARKET_SHARE_Q = """WITH rn AS (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), cust AS (
+  SELECT c_custkey FROM customer JOIN rn ON c_nationkey = rn.n_nationkey
+), sf AS (
+  SELECT s_suppkey, (n_name = 'NATION_2') AS is_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+), j AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev,
+         sf.is_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN cust ON o_custkey = cust.c_custkey
+  JOIN sf ON l_suppkey = sf.s_suppkey
+)
+SELECT o_year,
+  round(CAST(sum(rev) AS DOUBLE), 4) AS total_revenue,
+  round(CAST(sum(CASE WHEN is_nation THEN rev
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 4)
+    AS nation_revenue,
+  round(CAST(sum(CASE WHEN is_nation THEN rev
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+FROM j GROUP BY o_year"""

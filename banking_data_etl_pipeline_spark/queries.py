@@ -1809,3 +1809,17 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(d, "events.parquet"),
     )
     return EV.funnel_stream(spark, d, "stream_funnel_sink")
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_2's share of ASIA-customer revenue by
+    order year."""
+    tune_for_oracle(spark)
+    return relational.market_share(
+        tables.load(spark, sf_dir, "lineitem"),
+        tables.load(spark, sf_dir, "orders"),
+        tables.load(spark, sf_dir, "customer"),
+        tables.load(spark, sf_dir, "supplier"),
+        tables.load(spark, sf_dir, "nation"),
+        tables.load(spark, sf_dir, "region"),
+    )

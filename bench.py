@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "hll_merge",
     "media_validate",
     "stream_funnel",
+    "market_share",
 ]
 
 
