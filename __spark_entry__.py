@@ -35,9 +35,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      changed this round, or that are new — they MUST re-prove on
     #      current code;
     #   3. the remaining window slots fill stalest-first by the round
-    #      of each query's most recent green CORRECTNESS row, so every
-    #      entry re-enters the window at least every 3 rounds
-    #      (122 entries / ~35 free slots per round);
+    #      of each query's most recent green CORRECTNESS row (156
+    #      entries vs 50 slots: with two rounds of never-proven code
+    #      queued, only ~3 stale slots remain this round — the r02
+    #      stragglers behind slot 50 rotate in next);
     #   4. bank-core singles sort last within a staleness tier — the
     #      flagship pipeline_enriched composes all of them, so they are
     #      additionally re-proven every round through tier 1.
