@@ -726,6 +726,14 @@ def shared_span_removal(
     ``n`` (doc, pos) rows — a bounded x``n`` explode, not a join
     blowup; the final anti-join and re-assembly group on doc_id, all
     equi-keys. Nothing is all-pairs; no driver pull.
+
+    The token and positional-shingle intermediates stay persisted in
+    the returned plan (both the doc-frequency branch and the join-back
+    consume them) — caller-owned, like ``graph.triangle_counts``:
+    unpersist or ``spark.catalog.clearCache()`` when done, as bench.py,
+    the parity gate, and ``corpus.pretrain_export``'s callers already
+    do; a long-lived session invoking this repeatedly without that
+    accumulates shingle-table-sized storage blocks per call.
     """
     toks = texttools.tokens(F.col(text_col))
     base = docs.select(F.col(id_col), toks.alias("_toks")).persist()

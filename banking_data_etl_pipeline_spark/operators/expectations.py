@@ -114,7 +114,19 @@ def psi_drift(
         F.min(F.col(value_col).cast("double")).alias("lo"),
         F.max(F.col(value_col).cast("double")).alias("hi"),
     ).first()
+    # domain guards: an empty reference has no min/max and a constant
+    # column gives width 0 — both would otherwise surface far from the
+    # cause (TypeError on None here, NULL/NaN bins at compare time)
+    if mm[0] is None or mm[1] is None:
+        raise ValueError(
+            f"psi_drift: reference has no non-null '{value_col}' values"
+        )
     lo, hi = float(mm[0]), float(mm[1])
+    if hi == lo:
+        raise ValueError(
+            f"psi_drift: reference '{value_col}' is constant ({lo!r}); "
+            "equal-width binning over [min, max] is undefined"
+        )
     width = (hi - lo) / float(n_bins)  # same IEEE double as the twin's
 
     def bucketed(df: DataFrame, alias: str) -> DataFrame:

@@ -1753,20 +1753,35 @@ def ann_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cell-PARTITIONED parquet layout, the probe reads it back with
     dynamic file pruning — same parameters and result (and oracle) as
     the telescoped ann_ivf."""
+    import hashlib
     import os
+    import shutil
     import tempfile
 
     tune_for_oracle(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ivf_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    # build once per corpus snapshot, probe many times — the point of
-    # the split lifecycle; the inputs are deterministic per sf_dir, so
-    # an existing index is always current within a round
+    # build once per corpus SNAPSHOT, probe many times — the point of
+    # the split lifecycle. The cache key is a content fingerprint of
+    # the source (absolute path + size + mtime), not the sf_dir
+    # basename: a regenerated fixture or a second corpus with the same
+    # basename must MISS and rebuild, never silently reuse a stale
+    # index (that surfaced as a confusing oracle mismatch, not a
+    # rebuild). Concurrent bench/parity processes are safe too: each
+    # builds into its own temp dir and publishes with an atomic
+    # rename; the race loser discards its build and reads the winner's.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{fp}")
     if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
-        similarity.build_ivf_index(emb, path)
+        build_dir = tempfile.mkdtemp(prefix="spark_graft_ivf_build_")
+        similarity.build_ivf_index(emb, build_dir)
+        try:
+            os.rename(build_dir, path)
+        except OSError:  # another process published first
+            shutil.rmtree(build_dir, ignore_errors=True)
     q = similarity.corpus_queries(emb, n=5)
     return similarity.probe_ivf_index(spark, path, q, k=10)
 

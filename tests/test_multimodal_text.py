@@ -346,3 +346,31 @@ def test_validate_media_catches_planted_damage(spark):
     assert any(s == "bad_magic" for s in out.values())
     assert any(s == "bad_crc" for s in out.values())
     assert any(s == "bad_size" for s in out.values())
+
+
+def test_media_validate_oracle_fixture_invariants(spark):
+    """MEDIA_VALIDATE_Q predicts 'bad_size' for every %17 audio row and
+    'bad_crc' for every %17 image row. Those predictions rest on two
+    corpus invariants this test pins explicitly (at the test sf AND the
+    parity/driver sf): every document body is non-empty, so zeroing the
+    WAV data size is a real corruption, and no synthesized IHDR has
+    crc32 == 0, so zeroing the stored CRC is a real corruption. A
+    future fixture that breaks either fails HERE, not as a confusing
+    oracle mismatch far from the cause."""
+    import os
+
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        if not os.path.exists(os.path.join(sf, "documents.parquet")):
+            continue
+        docs = tables.load(spark, sf, "documents")
+        min_body = docs.agg(
+            F.min(F.octet_length(F.encode(F.col("text"), "UTF-8")))
+        ).first()[0]
+        assert min_body is not None and min_body > 0, sf
+        media = binaryops.synthesize_media(docs)
+        zero_crc = (
+            media.filter(F.col("kind") == "image")
+            .filter(F.crc32(F.substring(F.col("payload"), 13, 17)) == 0)
+            .count()
+        )
+        assert zero_crc == 0, sf
