@@ -105,15 +105,34 @@ def train_centroids(
 
     for _ in range(iterations):
         assigned = _assign(emb, centroids, vec_col, id_col)
-        # exact order-independent update: per-component DECIMAL sums
-        agg = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at(F.col("v"), i + 1).cast("decimal(28,12)")).alias(
-                    f"_s{i}"
-                )
-                for i in range(dim)
-            ],
+        # exact order-independent update as a POSTING-LIST aggregate:
+        # posexplode to (cluster, pos, x) rows, DECIMAL-sum per
+        # (cluster, pos) with map-side combine (k*dim rows per map
+        # partition reach the shuffle), then fold back to one
+        # array-of-sums row per cluster. The earlier shape — one
+        # decimal sum COLUMN per dimension — built a dim-wide
+        # aggregate buffer whose expression tree and codegen blow up
+        # at dim >= 1024; this one's plan is constant-size in dim and
+        # the sums are the same order-independent decimals, so
+        # centroids (and every oracle twin walking them) are
+        # bit-identical. Driver pull stays k rows of dim-arrays —
+        # model-parameter scale. Vectors are assumed fixed-width
+        # (dim from the first row, enforced below).
+        agg = (
+            assigned.select("cluster", F.posexplode("v").alias("_pos", "_x"))
+            .filter(F.col("_pos") < dim)
+            .groupBy("cluster", "_pos")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.col("_x").cast("decimal(28,12)")).alias("_s"),
+            )
+            .groupBy("cluster")
+            .agg(
+                F.max("_n").alias("n"),
+                F.array_sort(F.collect_list(F.struct("_pos", "_s"))).alias(
+                    "sums"
+                ),
+            )
         )
         rows = {r["cluster"]: r for r in agg.collect()}
         new_centroids = []
@@ -122,9 +141,14 @@ def train_centroids(
             if r is None or r["n"] == 0:  # empty cluster keeps its centroid
                 new_centroids.append((cid, old))
             else:
+                if len(r["sums"]) != dim:
+                    raise ValueError(
+                        f"train_centroids: ragged vectors in cluster {cid} "
+                        f"({len(r['sums'])} summed dims, expected {dim})"
+                    )
                 n = r["n"]
                 new_centroids.append(
-                    (cid, [float(r[f"_s{i}"]) / n for i in range(dim)])
+                    (cid, [float(p["_s"]) / n for p in r["sums"]])
                 )
         centroids = new_centroids
     return centroids

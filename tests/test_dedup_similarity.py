@@ -260,6 +260,40 @@ def test_kmeans_deterministic_and_matches_numpy(spark):
         assert np.allclose(np.array(cent), C[c], atol=1e-4)
 
 
+def test_kmeans_wide_dim_bounded(spark):
+    """dim=512 training must stay cheap: the posting-list centroid
+    update keeps the aggregate plan constant-size in dim (the earlier
+    one-decimal-sum-column-per-dimension shape blew up the expression
+    tree/codegen at high dims). Checked against the same numpy walk as
+    the dim-64 test, plus partitioning invariance."""
+    import numpy as np
+
+    from banking_data_etl_pipeline_spark.operators import clustering
+
+    dim, k, n = 512, 4, 240
+    rows = [
+        (
+            i,
+            [float(((i * 31 + j * 17) % 101) / 50.0 - 1.0) for j in range(dim)],
+        )
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = clustering.train_centroids(emb, k=k, iterations=1)
+    re = clustering.train_centroids(emb.repartition(7), k=k, iterations=1)
+    assert cents == re
+
+    X = np.array([v for _, v in rows])
+    C = X[:k].copy()
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    for c in range(k):
+        if (a == c).any():
+            C[c] = X[a == c].mean(axis=0)
+    for cid, vec in cents:
+        assert np.allclose(np.array(vec), C[cid], atol=1e-9), cid
+
+
 def test_connected_components_matches_union_find(spark):
     """Min-label propagation (with its measured-edge-count partition
     sizing) must equal a driver-side union-find, including singleton
