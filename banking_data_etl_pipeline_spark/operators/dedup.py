@@ -615,9 +615,23 @@ def dup_span_stats(
     )
 
 
+def semdedup_cells_for(n_vecs: int, lo: int = 16, hi: int = 4096) -> int:
+    """Cell count so within-cell pair generation stays linear-ish:
+    with balanced cells, sum-over-cells |cell|² ≈ n²/k, so k ≈ √n
+    keeps the pair join at ~n^1.5 total pairs (n·√n) instead of the
+    n²/16 a forgotten fixed default re-quadratizes to. Clamped: a
+    floor of ``lo`` keeps toy corpora on the proven small-k path, a
+    ceiling of ``hi`` bounds the literal-centroid expression and the
+    training cost. Mirrors ``lsh_bits_for``; the DuckDB twin replays
+    the identical floor(sqrt(n)+0.5) derivation in SQL."""
+    import math
+
+    return max(lo, min(hi, int(math.floor(math.sqrt(n_vecs) + 0.5))))
+
+
 def semdedup(
     emb: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     tau: float = 0.35,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -632,8 +646,11 @@ def semdedup(
 
     This is the architecture of SemDeDup (Abbas et al., 2023): the
     cell assignment caps pair generation at sum-over-cells |cell|² —
-    ``n_cells`` is the knob that keeps cells small (production: scale
-    it with corpus size, e.g. ~sqrt(n)). Centroids are k-means-trained
+    ``n_cells`` is the knob that keeps cells small. The default is
+    DERIVED from a cheap corpus count, ``semdedup_cells_for`` ≈
+    clamp(√n, 16, 4096) — a fixed default silently re-quadratizes the
+    pair join at 1000× the data, which is exactly the scale failure
+    the cells exist to prevent. Centroids are k-means-trained
     (``train_iterations`` decimal-exact Lloyd updates; 0 falls back to
     the raw lowest-id vectors) so no single hot cell re-quadratizes the
     pair join; both paths are deterministic, so the DuckDB twin
@@ -645,6 +662,8 @@ def semdedup(
     an engine float edge can't flip a pair."""
     from . import similarity
 
+    if n_cells is None:
+        n_cells = semdedup_cells_for(emb.count())
     scorer = None
     if train_iterations > 0:
         from . import clustering

@@ -1417,7 +1417,7 @@ def _kmeans_sqdist(e: str, c: str) -> str:
     )
 
 
-def _kmeans_ctes(k: int, dim: int, iters: int, sample_mod: int = 1) -> str:
+def _kmeans_ctes(k, dim: int, iters: int, sample_mod: int = 1) -> str:
     """WITH-clause prefix (dims, emb, c0 .. c{iters}) that walks the
     decimal-exact Lloyd iterations of ``clustering.train_centroids``:
     per-component updates sum float components through DECIMAL(28,12)
@@ -1428,7 +1428,9 @@ def _kmeans_ctes(k: int, dim: int, iters: int, sample_mod: int = 1) -> str:
     (possibly 1-in-``sample_mod`` residue-sampled) training set.
     Shared by ``kmeans_sql`` and the trained-centroid ANN/SemDeDup
     twins (``ann_ivf_sql``, ``semdedup_sql``) so all three reproduce
-    bit-identical centroids."""
+    bit-identical centroids. ``k`` may be an int literal or a SQL
+    snippet (e.g. the derived-cell-count scalar subquery) — it only
+    ever lands in c0's LIMIT, which DuckDB accepts as an expression."""
     where = f"WHERE vec_id % {sample_mod} = 0" if sample_mod > 1 else ""
     parts = [
         f"""WITH dims AS (SELECT unnest(range(1, {dim} + 1)) AS i),
@@ -1996,7 +1998,7 @@ FROM per_doc"""
 
 
 def semdedup_sql(
-    n_cells: int = 16,
+    n_cells: int | None = None,
     tau: float = 0.35,
     iters: int = 2,
     dim: int = 64,
@@ -2005,7 +2007,18 @@ def semdedup_sql(
     """Twin of operators.dedup.semdedup with TRAINED centroids (same
     sample-fitted ``_kmeans_ctes`` walk as ann_ivf_sql):
     rounded-cosine argmax cells, within-cell pairs, drop = lower-id
-    neighbor at >= tau."""
+    neighbor at >= tau. ``n_cells=None`` replays the operator's
+    derived default — clamp(floor(sqrt(count)+0.5), 16, 4096) over the
+    full corpus, ``dedup.semdedup_cells_for`` — as a scalar subquery in
+    c0's LIMIT, so the twin adapts to any fixture size exactly like
+    the Spark side (sqrt is correctly rounded in both engines, so the
+    derived count can't diverge)."""
+    if n_cells is None:
+        n_cells = (
+            "(SELECT greatest(16, least(4096,"
+            " CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)))"
+            " FROM embeddings)"
+        )
     last = f"c{iters}"
     return f"""{_kmeans_ctes(n_cells, dim, iters, sample_mod)},
 assign AS (
