@@ -110,6 +110,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 12,
     bands: int = 4,
+    hot_threshold: int = 256,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
@@ -117,25 +118,25 @@ def minhash_lsh_pairs(
     md5('mh{i}:' || shingle); band key = md5 of its signature slice;
     docs sharing any band key are candidates. Estimated Jaccard =
     fraction of matching signature components.
-    """
+
+    The bucket self-join runs through ``skew.salted_self_pair_join``:
+    a band bucket bigger than ``hot_threshold`` rows (d identical
+    boilerplate docs share every band key — the one skew AQE cannot
+    split, because the whole d² pair block lives inside a single join
+    KEY) is fragment-replicated over ~d/128 salt groups so no reducer
+    owns more than a (d/s)² block. Below the threshold the plan is
+    the plain self-join; the result is row-identical either way (the
+    oracle twin is the unsalted join)."""
+    from . import skew
+
     exploded = _minhash_banded(docs, text_col, id_col, num_hashes, bands)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = skew.salted_self_pair_join(
+        exploded,
+        keys=["band_idx", "band_key"],
+        id_col=id_col,
+        payload=["sig"],
+        hot_threshold=hot_threshold,
+    ).dropDuplicates(["id_a", "id_b"])
     est = _sig_agreement(num_hashes)
     return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
 
@@ -207,6 +208,15 @@ def ngram_jaccard_pairs(
     Jaccard is computed over the reduced universe (sizes and
     intersections agree), mirrored exactly by the oracle twin. The hot
     list itself is tiny by construction -> broadcast anti-join.
+
+    The postings self-join runs through ``skew.salted_self_pair_join``:
+    with the default cutoff every surviving list is <= 20 docs, far
+    under the 256-row hot threshold, so the plan is the plain join —
+    but when the cutoff is raised at scale (boilerplate-light corpora
+    legitimately run df_cutoff in the thousands) the mid-hot lists
+    between 256 and the cutoff fragment instead of melting one
+    reducer with a d²/2 pair block. Row-identical either way; the
+    oracle twin is the plain join.
     """
     toks = texttools.tokens(F.col(text_col))
     # persist the postings: the plan fans out into 4 consumers (df
@@ -236,19 +246,20 @@ def ngram_jaccard_pairs(
     cold = inv0.join(F.broadcast(hot), "shingle", "left_anti")
     nsh = cold.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inv = cold.join(nsh, id_col).select(id_col, "n_sh", "shingle").persist()
-    a = inv.alias("a")
-    b = inv.alias("b")
+    from . import skew
+
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        skew.salted_self_pair_join(
+            inv,
+            keys=["shingle"],
+            id_col=id_col,
+            payload=["n_sh"],
         )
         .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+            "id_a",
+            "id_b",
+            F.col("n_sh_a").alias("n_a"),
+            F.col("n_sh_b").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -85,6 +85,99 @@ def salted_broadcast_replicate_join(
     return salted_facts.join(replicated_dim, [key, "_salt"]).drop("_salt")
 
 
+def salted_self_pair_join(
+    rows: DataFrame,
+    keys: list[str],
+    id_col: str,
+    payload: list[str],
+    hot_threshold: int = 256,
+    target_block: int = 128,
+    max_salts: int = 32,
+) -> DataFrame:
+    """Skew-proof SELF pair join: all unordered row pairs sharing a
+    key, with hot keys fragment-replicated so no single reducer owns a
+    d²/2 pair block. This is the pair-generation analogue of
+    ``salted_broadcast_replicate_join`` — AQE's skew split cannot help
+    here because a self-join key's whole d² block lives inside ONE
+    key, and splitting a partition cannot split a key.
+
+    Scheme (1-Bucket-Theta fragmenting, hot keys only): a key with d
+    rows above ``hot_threshold`` gets s = min(ceil(d/target_block),
+    max_salts) salt groups; each row lands in group g =
+    deterministic-hash(id) % s. Block (i, j), i <= j, joins group-i
+    rows against group-j rows exactly once: the left side replicates
+    row (g) to (_i=g, _j in g..s-1), the right side to (_j=g, _i in
+    0..g) — per-row fan-out ≤ s on each side, reducer load capped at
+    (d/s)² per block instead of d². Cold keys (s=1) reduce to the
+    plain self-join with zero replication, so the guard costs one
+    per-key count aggregate + one co-partitioned count join.
+
+    Pairs are canonicalized to id_a < id_b with each payload column
+    following its id (``{c}_a`` / ``{c}_b``) — cross-group blocks fix
+    orientation by GROUP, not id, so the naive ``a.id < b.id`` join
+    predicate would silently drop the pairs whose lower id landed in
+    the higher group. Output is row-identical to the unsalted join
+    (the oracle twin IS the plain join), which is what makes the
+    threshold safe to deploy."""
+    d = F.col("_d")
+    s_expr = (
+        F.when(
+            d > hot_threshold,
+            F.least(F.ceil(d / F.lit(float(target_block))), F.lit(max_salts)),
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+    counts = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("_d"))
+    with_s = rows.join(counts, keys).select(
+        *keys, id_col, *payload, s_expr.alias("_s")
+    )
+    # salt_column takes a static bucket count; here buckets vary per
+    # key, so inline the same md5-derived residue against _s
+    g = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.col("_s"),
+    )
+    salted = with_s.withColumn("_g", g)
+    left = salted.select(
+        *keys,
+        F.col(id_col).alias("_ida"),
+        *[F.col(c).alias(f"_pa_{c}") for c in payload],
+        F.col("_g").alias("_i"),
+        F.explode(F.sequence(F.col("_g"), F.col("_s") - 1)).alias("_j"),
+    )
+    right = salted.select(
+        *keys,
+        F.col(id_col).alias("_idb"),
+        *[F.col(c).alias(f"_pb_{c}") for c in payload],
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_g"))).alias("_i"),
+        F.col("_g").alias("_j"),
+    )
+    joined = left.join(right, [*keys, "_i", "_j"]).filter(
+        (F.col("_i") != F.col("_j")) | (F.col("_ida") < F.col("_idb"))
+    )
+    lo_first = F.col("_ida") < F.col("_idb")
+    return joined.select(
+        *keys,
+        F.least("_ida", "_idb").alias("id_a"),
+        F.greatest("_ida", "_idb").alias("id_b"),
+        *[
+            c
+            for p in payload
+            for c in (
+                F.when(lo_first, F.col(f"_pa_{p}"))
+                .otherwise(F.col(f"_pb_{p}"))
+                .alias(f"{p}_a"),
+                F.when(lo_first, F.col(f"_pb_{p}"))
+                .otherwise(F.col(f"_pa_{p}"))
+                .alias(f"{p}_b"),
+            )
+        ],
+    )
+
+
 def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
     """Join/agg-key skew diagnostic: one row of distribution stats for
     ``key`` — the "should this join be salted?" report a platform runs

@@ -130,6 +130,38 @@ def test_snapshot_diff_on_bucketed_snapshots_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_salted_self_pair_join_hot_path_matches_plain(spark):
+    """Force the fragment-replicate path (threshold below the hot
+    key's size) and check the pair set is EXACTLY the plain
+    self-join's — including the cross-group pairs whose lower id lands
+    in the higher salt group (the orientation the naive a.id < b.id
+    predicate would drop), and payload columns following their ids."""
+    rows = [("hot", i, 100 + i) for i in range(60)] + [
+        ("cold", i, 500 + i) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "k string, rid long, w long")
+
+    got = skew.salted_self_pair_join(
+        df, keys=["k"], id_col="rid", payload=["w"],
+        hot_threshold=10, target_block=8, max_salts=8,
+    )
+    got_rows = {
+        (r.k, r.id_a, r.id_b, r.w_a, r.w_b) for r in got.collect()
+    }
+    want = {
+        (k, i, j, wi, wj)
+        for (k, i, wi) in rows
+        for (k2, j, wj) in rows
+        if k == k2 and i < j
+    }
+    assert got_rows == want
+    # each pair exactly once (no duplicate blocks)
+    assert got.count() == len(want)
+    # the hot key actually fragmented: its 60 rows exceed the
+    # threshold, so the join key space carries > 1 salt block
+    assert got.filter(F.col("k") == "hot").count() == 60 * 59 // 2
+
+
 def test_key_skew_profile_matches_manual_counts(spark):
     ev = tables.load(spark, SF_DIR, "events")
     row = skew.key_skew_profile(ev, "user_id").first()
