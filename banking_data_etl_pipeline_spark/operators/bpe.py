@@ -51,6 +51,7 @@ def learn_bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 6,
+    plan_hook=None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the ordered merge table
     (step, lhs, rhs, merged, cnt) — the tokenizer model.
@@ -58,6 +59,10 @@ def learn_bpe_merges(
     Stops early if the corpus runs out of adjacent pairs (every word
     fully merged); the oracle twin assumes the full ``n_merges`` run,
     which holds on any corpus with a word of length > n_merges+1.
+
+    ``plan_hook(stage, df)``, when given, receives the first pass's
+    pair-count DataFrame before the argmax pull — the representative
+    per-merge plan for ``scripts/plan_audit.py``.
     """
     spark: SparkSession = docs.sparkSession
     wf = (
@@ -83,6 +88,8 @@ def learn_bpe_merges(
                 .groupBy("pair")
                 .agg(F.sum("wn").alias("cnt"))
             )
+            if plan_hook is not None and step == 1:
+                plan_hook("pair-count", pairs)
             best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()
             if not best:
                 break

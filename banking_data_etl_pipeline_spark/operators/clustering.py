@@ -69,6 +69,7 @@ def train_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sample_mod: int = 1,
+    plan_hook=None,
 ) -> list[tuple[int, list[float]]]:
     """The Lloyd training loop alone: k (cid, centroid) pairs after
     ``iterations`` decimal-exact updates from the lowest-id init.
@@ -85,7 +86,12 @@ def train_centroids(
     100 TB a full-corpus k-means per query would dwarf the query).
     Deterministic, so the DuckDB twin applies the same residue filter
     and walks identical centroids. Init = the k lowest-id sampled
-    vectors (rank-based, so it works on sparse id spaces too)."""
+    vectors (rank-based, so it works on sparse id spaces too).
+
+    ``plan_hook(stage, df)``, when given, receives the first
+    iteration's update-aggregate DataFrame before it executes — the
+    representative per-iteration plan ``scripts/plan_audit.py`` records
+    (the loop is driver-side, so the query-level audit can't see it)."""
     if sample_mod > 1:
         sampled = emb.filter(F.col(id_col) % sample_mod == 0)
         # a sample smaller than k can't seed k centroids — train on the
@@ -103,7 +109,7 @@ def train_centroids(
     )
     centroids = [(int(r[0]), [float(x) for x in r[1]]) for r in init]
 
-    for _ in range(iterations):
+    for it in range(iterations):
         assigned = _assign(emb, centroids, vec_col, id_col)
         # exact order-independent update as a POSTING-LIST aggregate:
         # posexplode to (cluster, pos, x) rows, DECIMAL-sum per
@@ -134,6 +140,8 @@ def train_centroids(
                 ),
             )
         )
+        if plan_hook is not None and it == 0:
+            plan_hook("assign+update", agg)
         rows = {r["cluster"]: r for r in agg.collect()}
         new_centroids = []
         for cid, old in centroids:

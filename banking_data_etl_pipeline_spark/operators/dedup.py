@@ -339,6 +339,7 @@ def connected_components(
     max_iter: int = 15,
     parallelism: int | None = None,
     edges_per_partition: int = 500_000,
+    plan_hook=None,
 ) -> DataFrame:
     """Connected components over an undirected candidate-pair edge list
     via iterative min-label propagation; returns ``(id, component)``
@@ -371,6 +372,11 @@ def connected_components(
     partitions, identical results); end-to-end resolves improve ~15%
     because candidate generation dominates them. Pass ``parallelism``
     to pin it explicitly (e.g. for a known-huge pair set).
+
+    ``plan_hook(stage, df)``, when given, receives the first round's
+    propagate+jump DataFrame before its eager localCheckpoint — the
+    representative per-iteration plan for ``scripts/plan_audit.py``
+    (this same loop serves ``dedup_resolve`` and ``fuzzy_resolve``).
     """
     spark = pairs.sparkSession
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
@@ -405,7 +411,7 @@ def connected_components(
             .select("id", F.col("id").alias("component"))
             .persist()
         )
-        for _ in range(max_iter):
+        for it in range(max_iter):
             neigh = (
                 und.join(labels, und["dst"] == labels["id"])
                 .groupBy("src")
@@ -431,7 +437,7 @@ def connected_components(
             # right for bounded node-sized tables; a production run on
             # preemptible executors would use a reliable checkpoint
             # dir instead.
-            new_labels = (
+            jumped = (
                 stepped.alias("a")
                 .join(
                     stepped.alias("b"),
@@ -445,8 +451,10 @@ def connected_components(
                         F.coalesce(F.col("b.component"), F.col("a.component")),
                     ).alias("component"),
                 )
-                .localCheckpoint()
             )
+            if plan_hook is not None and it == 0:
+                plan_hook("propagate+jump", jumped)
+            new_labels = jumped.localCheckpoint()
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")

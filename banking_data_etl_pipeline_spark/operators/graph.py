@@ -60,7 +60,10 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
 
 
 def pagerank(
-    lineitem: DataFrame, iters: int = 3, broadcast_nodes: int = 2_000_000
+    lineitem: DataFrame,
+    iters: int = 3,
+    broadcast_nodes: int = 2_000_000,
+    plan_hook=None,
 ) -> DataFrame:
     """Ranks after ``iters`` damped power iterations, over nodes that
     have at least one co-purchase edge. Returns (node, r).
@@ -78,7 +81,12 @@ def pagerank(
     ``dedup.resolve_duplicates``. Without it the final action executes
     a plan nested ``iters`` deep whose broadcast stages re-run every
     earlier iteration (measured superlinear: the 3-deep chain cost
-    ~2x the sum of its per-iteration parts at sf0.1)."""
+    ~2x the sum of its per-iteration parts at sf0.1).
+
+    ``plan_hook(stage, df)``, when given, receives the first
+    iteration's rank-update DataFrame before it materializes — the
+    representative per-iteration plan for ``scripts/plan_audit.py``
+    (the loop is driver-side, invisible to the query-level audit)."""
     # PERSIST the raw edge list first: the degree aggregation and the
     # deg-folded table both consume it, and without the cache the
     # collect_set + pair-distinct build would run once per consumer
@@ -109,7 +117,7 @@ def pagerank(
         _trunc12(F.lit(1.0) / F.lit(float(n_nodes))).alias("r"),
     )
     prev = None
-    for _ in range(iters):
+    for it in range(iters):
         r_in = F.broadcast(ranks) if bcast else ranks
         contrib = ed.join(r_in, ed["src"] == r_in["node"]).select(
             F.col("dst"),
@@ -126,6 +134,8 @@ def pagerank(
             )
             .persist()
         )
+        if plan_hook is not None and it == 0:
+            plan_hook("iteration", ranks)
         ranks.count()  # materialize now; truncates the lineage
         if prev is not None:
             prev.unpersist()
@@ -145,6 +155,7 @@ def triangle_counts(
     lineitem: DataFrame,
     broadcast_nodes: int = 2_000_000,
     broadcast_edges: int = 20_000_000,
+    plan_hook=None,
 ) -> DataFrame:
     """Per-node triangle counts over the co-purchase graph — the
     standard graph-locality/clustering signal (and the classic
@@ -230,6 +241,12 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("n_tri"))
         .persist()
     )
+    if plan_hook is not None:
+        # the enumeration plan (orientation + adjacency intersect +
+        # per-node fold) before it executes, for scripts/plan_audit.py
+        # — the operator materializes eagerly, so the query-level
+        # audit only ever sees the cached result
+        plan_hook("enumerate", out)
     out.count()  # materialize before releasing the oriented-edge cache
     e.unpersist()
     # caller-owned, one row per node (unpersist or clearCache when done

