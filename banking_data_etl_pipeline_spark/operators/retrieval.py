@@ -1,0 +1,147 @@
+"""Sparse lexical retrieval (BM25) over the documents corpus — the IR
+primitive a training-data pipeline runs for benchmark decontamination
+sweeps ("which training docs score highly against eval-set queries"),
+targeted corpus audits, and RAG-style evidence pulls.
+
+Spark-first shape: one tokenize+explode pass builds the term
+frequencies and document lengths (both groupBys with map-side
+combine); document frequencies aggregate the DISTINCT postings; corpus
+scalars (N, avgdl) ride as scalar subqueries — never a driver pull.
+Scoring joins the (small) query-term table to the postings on the term
+— an inverted-index equi-join, so only documents containing a query
+term are ever scored; the corpus is never scanned per query. Top-k
+uses the same two-phase rank as ``similarity._ranked`` (per-partition
+prune to k, then the tiny global rank), so no single reducer sorts a
+hot term's whole posting list.
+
+Cross-engine float parity: per-term BM25 contributions are computed by
+ONE formula text shared verbatim with the DuckDB twin (the ols2
+precedent), rounded to 12 dp, summed exactly as DECIMAL(26,12) (the
+DSIR pattern — addition order can't flip a bit), and the final score
+is 6-dp rounded with (score desc, doc_id asc) ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import texttools
+
+# shared verbatim with oracle.BM25_TOPK_Q — evaluated over double
+# columns (tf, df, dl, n_docs, avgdl) in both engines, so the doubles
+# are bit-identical. Okapi BM25 with the +1 idf floor (Lucene form):
+# idf = ln(1 + (N - df + 0.5)/(df + 0.5)) >= 0 even for df > N/2.
+BM25_TERM_FORMULA = (
+    "ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE))"
+    " / (df + CAST(0.5 AS DOUBLE)))"
+    " * (tf * (CAST({k1} AS DOUBLE) + CAST(1.0 AS DOUBLE)))"
+    " / (tf + CAST({k1} AS DOUBLE) * (CAST(1.0 AS DOUBLE)"
+    " - CAST({b} AS DOUBLE)"
+    " + CAST({b} AS DOUBLE) * dl / avgdl))"
+)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    k: int = 10,
+    k1: str = "1.2",
+    b: str = "0.75",
+    n_queries: int = 5,
+    terms_per_query: int = 2,
+    vocab_rank_start: int = 11,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query under Okapi BM25.
+
+    The query set is DERIVED deterministically from the corpus (the
+    fixture has no external query log): vocabulary ranked by (total
+    occurrences desc, token asc), ranks ``vocab_rank_start`` ..
+    ``+ n_queries*terms_per_query - 1`` become ``n_queries`` queries of
+    ``terms_per_query`` terms each — mid-frequency terms, so posting
+    lists are non-trivial but selective. The ranking is a TakeOrdered
+    top-(start+terms-1) (partial heaps — a global row_number window would plan a
+    single-partition exchange) whose term rows collect to the driver
+    and inline as a literal query table: model-parameter scale (a few
+    strings), the centroid-inlining precedent. A production caller
+    swaps the derived table for its real (query_id, token) pairs;
+    everything downstream is unchanged. ``k1``/``b`` are passed as SQL
+    literal strings because they are spliced into the shared formula
+    text.
+
+    Returns (query_id, doc_id, score, rank), rank 1..k per query by
+    (score desc, doc_id asc)."""
+    # persist the postings: four consumers (tf, dl, df, vocab ranking)
+    # would each re-run tokenize+explode otherwise. Caller-owned, like
+    # triangle_counts — unpersist or clearCache when done (bench.py
+    # and the parity gate already do).
+    tk = docs.select(
+        F.col(id_col), F.explode(texttools.tokens(F.col(text_col))).alias("token")
+    ).persist()
+    tf = tk.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tk.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = (
+        tk.select(id_col, "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    vocab = tk.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    n_terms = n_queries * terms_per_query
+    top = (
+        vocab.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_rank_start - 1 + n_terms)
+        .collect()
+    )
+    sel = top[vocab_rank_start - 1:]
+    qterms = docs.sparkSession.createDataFrame(
+        [(i // terms_per_query, r.token) for i, r in enumerate(sel)],
+        "query_id int, token string",
+    )
+    # corpus scalars: N over ALL docs (empty docs count toward both),
+    # avgdl = sum(dl)/N in double — identical arithmetic in the twin.
+    # dl is absent for token-less docs, so avgdl uses the doc count
+    # from `docs`, not from dl.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).scalar().cast("double")
+    sum_dl = dl.agg(F.sum("dl").alias("s")).scalar().cast("double")
+    cand = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(dl, id_col)
+        .select(
+            "query_id",
+            F.col(id_col).alias("doc_id"),
+            F.col("tf").cast("double").alias("tf"),
+            F.col("dl").cast("double").alias("dl"),
+            "token",
+        )
+        .join(F.broadcast(dfreq), "token")
+        .withColumn("df", F.col("df").cast("double"))
+        .withColumn("n_docs", n_docs)
+        .withColumn("avgdl", sum_dl / n_docs)
+    )
+    term_score = F.expr(BM25_TERM_FORMULA.format(k1=k1, b=b))
+    scored = (
+        cand.select(
+            "query_id",
+            "doc_id",
+            F.round(term_score, 12).cast("decimal(26,12)").alias("ts"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("ts").cast("double"), 6).alias("score"))
+    )
+    # two-phase top-k (the similarity._ranked shape): prune to k per
+    # (query, input-partition), then the tiny global rank
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    local = Window.partitionBy("query_id", "_part").orderBy(*order)
+    pruned = (
+        scored.withColumn("_part", F.spark_partition_id())
+        .withColumn("_lrank", F.row_number().over(local))
+        .filter(F.col("_lrank") <= k)
+    )
+    wq = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -3129,3 +3129,73 @@ SELECT o_year,
                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
         / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
 FROM j GROUP BY o_year"""
+
+
+# ------------------------------------------------ round 7: retrieval
+
+
+def bm25_topk_sql(
+    k: int = 10,
+    k1: str = "1.2",
+    b: str = "0.75",
+    n_queries: int = 5,
+    terms_per_query: int = 2,
+    vocab_rank_start: int = 11,
+) -> str:
+    """Twin of operators.retrieval.bm25_topk: same derived query set
+    (vocabulary ranked by total occurrences desc, token asc; ranks
+    11..20 -> 5 two-term queries), the per-term contribution evaluated
+    through the SAME formula text (BM25_TERM_FORMULA) over the same
+    double columns, 12-dp rounded terms summed as DECIMAL(26,12), 6-dp
+    final score, (score desc, doc_id asc) top-k."""
+    from .operators.retrieval import BM25_TERM_FORMULA
+
+    n_terms = n_queries * terms_per_query
+    formula = BM25_TERM_FORMULA.format(k1=k1, b=b)
+    return f"""WITH tk AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tk GROUP BY doc_id, token
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id
+), dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY token
+), ranked AS (
+  SELECT token,
+         row_number() OVER (ORDER BY count(*) DESC, token ASC) AS vrank
+  FROM tk GROUP BY token
+), qterms AS (
+  SELECT CAST((vrank - {vocab_rank_start}) // {terms_per_query} AS INT)
+           AS query_id,
+         token
+  FROM ranked
+  WHERE vrank >= {vocab_rank_start}
+    AND vrank < {vocab_rank_start} + {n_terms}
+), scal AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_docs,
+         CAST((SELECT sum(dl) FROM dl) AS DOUBLE) AS sum_dl
+), cand AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(tf.tf AS DOUBLE) AS tf, CAST(dl.dl AS DOUBLE) AS dl,
+         CAST(d.df AS DOUBLE) AS df, s.n_docs,
+         s.sum_dl / s.n_docs AS avgdl
+  FROM tf
+  JOIN qterms q USING (token)
+  JOIN dl USING (doc_id)
+  JOIN dfreq d ON d.token = tf.token
+  CROSS JOIN scal s
+), scored AS (
+  SELECT query_id, doc_id,
+         round(CAST(sum(CAST(round({formula}, 12) AS DECIMAL(26,12)))
+                    AS DOUBLE), 6) AS score
+  FROM cand GROUP BY query_id, doc_id
+), rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rank
+FROM rk WHERE rnk <= {k}"""

@@ -1522,6 +1522,19 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ round 7: new ops
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per derived mid-frequency query — the sparse
+    retrieval primitive behind benchmark-decontamination sweeps and
+    targeted corpus audits."""
+    from .operators import retrieval
+
+    tune_for_oracle(spark)
+    return retrieval.bm25_topk(tables.load(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------ round 6: new ops
 
 

@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "range_filter",
     "required_filter",
     "lineage",
+    # round 7 additions
+    "bm25_topk",
     # round 6 additions
     "hll_distinct",
     "bloom_screen",

@@ -60,7 +60,21 @@ def canon_frame(df: pd.DataFrame) -> tuple[int, list[str], str, list[tuple]]:
 
 
 def run(sf_dir: str, only: list[str], snapshot: str | None = None) -> int:
-    sys.path.insert(0, "/root/repo")
+    import os
+
+    # CWD-proofing (the r7 lesson — a relative sf_dir silently broke
+    # every streaming query, whose tempdir symlinks resolve relative
+    # to the SYMLINK's directory, and Python workers spawned without
+    # the repo on PYTHONPATH could not unpickle mapInPandas closures):
+    # absolutize the data dir and export the repo root to the workers
+    # BEFORE the session starts, so the gate runs identically from any
+    # directory.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    os.environ["PYTHONPATH"] = (
+        repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
+    sf_dir = os.path.abspath(sf_dir)
     import __spark_entry__ as entry
     from banking_data_etl_pipeline_spark.session import get_spark
 
