@@ -245,6 +245,158 @@ def ivf_topk(
     return _ranked(scored, k)
 
 
+def pq_train_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    codes: int = 16,
+    train_iterations: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks: split the vector into ``m``
+    contiguous subspaces and train one ``codes``-entry codebook per
+    subspace with the SAME decimal-exact Lloyd walk as every other
+    trained quantizer here (``clustering.train_centroids`` on the
+    sliced vectors — deterministic, so the DuckDB twin replays each
+    subspace walk). Returns, per subspace, the codebook ordered by
+    CODE INDEX: position in the (cid-ascending) trained list, which is
+    the deterministic cid→code mapping both engines share. Codebooks
+    are model parameters (m × codes × dim/m doubles — the whole point
+    of PQ is that this is kilobytes while the encoded corpus shrinks
+    ~dim·4B → m bytes per vector)."""
+    from . import clustering
+
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
+        )
+        cents = clustering.train_centroids(
+            sliced, k=codes, iterations=train_iterations,
+            vec_col=vec_col, id_col=id_col,
+        )
+        books.append([vec for _cid, vec in sorted(cents, key=lambda c: c[0])])
+    return books
+
+
+def _pq_sqdist(a, b):
+    """Same left fold as clustering._assign / oracle._kmeans_sqdist,
+    so encode and ADC doubles are bit-identical across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    codes: int = 16,
+    train_iterations: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization approximate top-k by asymmetric distance
+    computation (ADC, Jégou et al. 2011) — the compression half of a
+    production IVF-PQ index. The corpus is ENCODED once (per vector:
+    ``m`` code indices — a map-only argmin against the literal
+    codebooks, no shuffle), each query stages a lookup table of its
+    squared distances to every codebook entry (m × codes doubles,
+    computed once per query row), and scoring a corpus vector is just
+    ``m`` array lookups summed — never a full-dimension dot product.
+    At 100 TB this is why PQ wins: the scan reads m-byte codes instead
+    of dim×4-byte vectors (16× less IO at dim=64/m=4) and scores with
+    m adds per row. Top-k uses the two-phase rank; ties break
+    (approx_dist asc, vec_id asc); self-matches are excluded.
+
+    Deterministic end-to-end (trained codebooks, fixed fold order,
+    left-assoc subspace sum, 6-dp round), so the DuckDB twin replays
+    the identical codebooks, codes, and distances. Returns (query_id,
+    vec_id, approx_dist, rank)."""
+    books = pq_train_codebooks(
+        emb, m, codes, train_iterations, vec_col, id_col
+    )
+    sub = len(books[0][0])
+
+    def book_arr(j):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("code"),
+                    F.lit([float(x) for x in books[j][c]]).alias("cvec"),
+                )
+                for c in range(len(books[j]))
+            ]
+        )
+
+    # closure factories, NOT default-arg lambdas: pyspark's transform
+    # interprets a 2-parameter callable as (element, index) and would
+    # bind the captured slice to the array index variable
+    def _enc_fn(v_j):
+        def fn(c):
+            return F.struct(
+                _pq_sqdist(v_j, c["cvec"]).alias("d"),
+                c["code"].alias("code"),
+            )
+
+        return fn
+
+    def _lut_fn(q_j):
+        def fn(c):
+            return _pq_sqdist(q_j, c["cvec"])
+
+        return fn
+
+    enc_cols = []
+    for j in range(m):
+        v_j = F.slice(F.col(vec_col), j * sub + 1, sub)
+        dists = F.transform(book_arr(j), _enc_fn(v_j))
+        enc_cols.append(F.array_min(dists)["code"].alias(f"c{j}"))
+    encoded = emb.select(F.col(id_col).alias("vec_id"), *enc_cols)
+
+    lut_cols = []
+    for j in range(m):
+        q_j = F.slice(F.col("qvec"), j * sub + 1, sub)
+        lut_cols.append(
+            F.transform(book_arr(j), _lut_fn(q_j)).alias(f"lut{j}")
+        )
+    staged = queries.select("query_id", *lut_cols)
+
+    dist = F.element_at(F.col("lut0"), F.col("c0") + 1)
+    for j in range(1, m):
+        dist = dist + F.element_at(F.col(f"lut{j}"), F.col(f"c{j}") + 1)
+    scored = (
+        encoded.crossJoin(F.broadcast(staged))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dist, 6).alias("approx_dist"),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    order = [F.col("approx_dist").asc(), F.col("vec_id").asc()]
+    local = Window.partitionBy("query_id", "_part").orderBy(*order)
+    pruned = (
+        scored.withColumn("_part", F.spark_partition_id())
+        .withColumn("_lrank", F.row_number().over(local))
+        .filter(F.col("_lrank") <= k)
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "approx_dist", "rank")
+    )
+
+
 def _flip_bit(bucket, i: int, n_bits: int):
     """Bucket key with 1-based bit ``i`` flipped (bit-string keys)."""
     return F.concat(

@@ -1417,7 +1417,15 @@ def _kmeans_sqdist(e: str, c: str) -> str:
     )
 
 
-def _kmeans_ctes(k, dim: int, iters: int, sample_mod: int = 1) -> str:
+def _kmeans_ctes(
+    k,
+    dim: int,
+    iters: int,
+    sample_mod: int = 1,
+    prefix: str = "",
+    src_sql: str | None = None,
+    lead: bool = True,
+) -> str:
     """WITH-clause prefix (dims, emb, c0 .. c{iters}) that walks the
     decimal-exact Lloyd iterations of ``clustering.train_centroids``:
     per-component updates sum float components through DECIMAL(28,12)
@@ -1430,41 +1438,48 @@ def _kmeans_ctes(k, dim: int, iters: int, sample_mod: int = 1) -> str:
     twins (``ann_ivf_sql``, ``semdedup_sql``) so all three reproduce
     bit-identical centroids. ``k`` may be an int literal or a SQL
     snippet (e.g. the derived-cell-count scalar subquery) — it only
-    ever lands in c0's LIMIT, which DuckDB accepts as an expression."""
+    ever lands in c0's LIMIT, which DuckDB accepts as an expression.
+
+    ``prefix``/``src_sql``/``lead`` support embedding several walks in
+    one WITH clause (the PQ twin trains one codebook per SUBSPACE:
+    each walk gets a distinct CTE prefix and a sliced-vector source;
+    only the first leads with the WITH keyword)."""
     where = f"WHERE vec_id % {sample_mod} = 0" if sample_mod > 1 else ""
+    src = src_sql or "SELECT vec_id, embedding FROM embeddings"
+    p = prefix
     parts = [
-        f"""WITH dims AS (SELECT unnest(range(1, {dim} + 1)) AS i),
-emb AS (SELECT vec_id, embedding FROM embeddings {where}),
-c0 AS (
+        f"""{"WITH " if lead else ""}{p}dims AS (SELECT unnest(range(1, {dim} + 1)) AS i),
+{p}emb AS (SELECT * FROM ({src}) {where}),
+{p}c0 AS (
   SELECT vec_id AS cid,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-  FROM emb ORDER BY vec_id LIMIT {k}
+  FROM {p}emb ORDER BY vec_id LIMIT {k}
 )"""
     ]
     for t in range(1, iters + 1):
-        prev = f"c{t - 1}"
+        prev = f"{p}c{t - 1}"
         parts.append(
             f""",
-a{t} AS (
+{p}a{t} AS (
   SELECT e.vec_id, e.embedding,
     (SELECT c.cid FROM {prev} c
      ORDER BY {_kmeans_sqdist('e.embedding', 'c.cvec')} ASC, c.cid ASC
      LIMIT 1) AS cluster
-  FROM emb e
+  FROM {p}emb e
 ),
-u{t} AS (
+{p}u{t} AS (
   SELECT a.cluster, d.i,
     sum(CAST(a.embedding[d.i] AS DECIMAL(28,12))) AS s,
     count(*) AS n
-  FROM a{t} a CROSS JOIN dims d
+  FROM {p}a{t} a CROSS JOIN {p}dims d
   GROUP BY a.cluster, d.i
 ),
-c{t} AS (
+{p}c{t} AS (
   SELECT p.cid,
     list(CASE WHEN u.n IS NULL THEN p.cvec[d.i]
               ELSE CAST(u.s AS DOUBLE) / u.n END ORDER BY d.i) AS cvec
-  FROM {prev} p CROSS JOIN dims d
-  LEFT JOIN u{t} u ON u.cluster = p.cid AND u.i = d.i
+  FROM {prev} p CROSS JOIN {p}dims d
+  LEFT JOIN {p}u{t} u ON u.cluster = p.cid AND u.i = d.i
   GROUP BY p.cid
 )"""
         )
@@ -3198,4 +3213,79 @@ def bm25_topk_sql(
   FROM scored
 )
 SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rank
+FROM rk WHERE rnk <= {k}"""
+
+
+def pq_topk_sql(
+    k: int = 10,
+    m: int = 4,
+    codes: int = 16,
+    iters: int = 1,
+    dim: int = 64,
+    n_queries: int = 5,
+) -> str:
+    """Twin of operators.similarity.pq_topk: one ``_kmeans_ctes`` walk
+    per subspace (prefixed CTEs over list_slice'd vectors), cid-order
+    code indexing, the same argmin encode tiebreak (distance, code),
+    ADC distance = left-assoc sum of per-subspace codebook lookups,
+    6-dp rounded, (approx_dist asc, vec_id asc) top-k excluding
+    self-matches."""
+    sub = dim // m
+    parts = []
+    for j in range(m):
+        src = (
+            f"SELECT vec_id, list_slice(embedding, {j * sub + 1},"
+            f" {(j + 1) * sub}) AS embedding FROM embeddings"
+        )
+        parts.append(
+            _kmeans_ctes(
+                codes, sub, iters, prefix=f"s{j}", src_sql=src, lead=(j == 0)
+            )
+        )
+    ctes = ",".join(parts)
+    cbs = ",\n".join(
+        f"""s{j}cb AS (
+  SELECT row_number() OVER (ORDER BY cid) - 1 AS code, cvec
+  FROM s{j}c{iters}
+)"""
+        for j in range(m)
+    )
+    enc = ",\n    ".join(
+        f"""(SELECT cb.code FROM s{j}cb cb
+     ORDER BY {_kmeans_sqdist(
+         f'list_slice(e.embedding, {j * sub + 1}, {(j + 1) * sub})',
+         'cb.cvec')} ASC, cb.code ASC
+     LIMIT 1) AS c{j}"""
+        for j in range(m)
+    )
+    dsum = "\n        + ".join(
+        f"""(SELECT {_kmeans_sqdist(
+            f'list_slice(q.qvec, {j * sub + 1}, {(j + 1) * sub})',
+            'cb.cvec')} FROM s{j}cb cb WHERE cb.code = c.c{j})"""
+        for j in range(m)
+    )
+    return f"""{ctes},
+{cbs},
+enc AS (
+  SELECT e.vec_id,
+    {enc}
+  FROM embeddings e
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round({dsum}, 6) AS approx_dist
+  FROM enc c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+rk AS (
+  SELECT query_id, vec_id, approx_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_dist ASC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, approx_dist, CAST(rnk AS INT) AS rank
 FROM rk WHERE rnk <= {k}"""

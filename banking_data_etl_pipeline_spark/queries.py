@@ -1535,6 +1535,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_topk(tables.load(spark, sf_dir, "documents"))
 
 
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 (Jégou et al. 2011): per-vector
+    m-byte codes + per-query lookup tables — the compressed-domain ANN
+    scan that pairs with the IVF cells at index scale."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    return similarity.pq_topk(emb, q, k=10)
+
+
 # ------------------------------------------------ round 6: new ops
 
 

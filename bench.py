@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "lineage",
     # round 7 additions
     "bm25_topk",
+    "pq_topk",
     # round 6 additions
     "hll_distinct",
     "bloom_screen",

@@ -294,6 +294,44 @@ def test_kmeans_wide_dim_bounded(spark):
         assert np.allclose(np.array(vec), C[cid], atol=1e-9), cid
 
 
+def test_pq_topk_recall_and_determinism(spark):
+    """PQ/ADC approximate top-10: deterministic under repartitioning
+    (trained codebooks + fixed fold order) and recall vs exact L2
+    above the floor measured for 16-bit codes on these near-random
+    synthetic embeddings (0.36 measured; random data is PQ's worst
+    case — no cluster structure for the codebooks to exploit)."""
+    import numpy as np
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    got = [
+        (r.query_id, r.vec_id, r.approx_dist, r.rank)
+        for r in similarity.pq_topk(emb, q, k=10).collect()
+    ]
+    re = [
+        (r.query_id, r.vec_id, r.approx_dist, r.rank)
+        for r in similarity.pq_topk(emb.repartition(7), q, k=10).collect()
+    ]
+    assert sorted(got) == sorted(re)
+    assert len(got) == 50
+
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r[0])
+    X = np.array([[float(x) for x in r[1]] for r in rows])
+    ids = [r[0] for r in rows]
+    hits = 0
+    for qi in range(5):
+        qid = ids[qi]
+        d = ((X - X[qi]) ** 2).sum(axis=1)
+        true10 = [
+            ids[i]
+            for i in sorted(range(len(ids)), key=lambda i: (d[i], ids[i]))
+            if ids[i] != qid
+        ][:10]
+        mine = {v for (g, v, _s, _r) in got if g == qid}
+        hits += len(mine & set(true10))
+    assert hits / 50 >= 0.2, hits / 50
+
+
 def test_connected_components_matches_union_find(spark):
     """Min-label propagation (with its measured-edge-count partition
     sizing) must equal a driver-side union-find, including singleton
