@@ -397,6 +397,169 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 4,
+    codes: int = 16,
+    rerank: int = 30,
+    train_iterations: int = 2,
+    pq_train_iterations: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The COMPOSED production ANN index: IVF cells for candidate
+    pruning + PQ/ADC codes for cheap in-cell scoring + an exact-cosine
+    re-rank of the shortlist — the three-stage shape every large-scale
+    vector system ships (FAISS IVFPQ, ScaNN, Milvus). Per query:
+    probe ``nprobe`` cells, ADC-score only those cells' CODES (m
+    lookups/row over m-byte codes — the IO and CPU win), keep the
+    ``rerank`` best, then re-score just those against the RAW vectors
+    for the final top-``k`` by exact cosine.
+
+    At 100 TB: the coarse quantizer and codebooks are model parameters
+    (kilobytes, literal-inlined); codes persist partitioned by cell
+    (compose with ``build_ivf_index``'s layout — probes then prune
+    files AND read m bytes/vector instead of dim×4); only the
+    shortlist (queries × rerank rows) ever touches raw vectors, via a
+    broadcast id join. PQ here encodes RAW vectors, not residuals —
+    residual encoding (classic IVFPQ) sharpens recall another notch
+    but couples the two quantizers; the decomposed form keeps each
+    stage independently oracle-replayable, and the re-rank stage
+    absorbs most of the accuracy difference at these nprobe/rerank
+    settings.
+
+    Deterministic end-to-end; the DuckDB twin replays the coarse walk,
+    all ``m`` subspace walks, the ADC shortlist, and the exact re-rank.
+    Returns (query_id, vec_id, cosine, rank)."""
+    from . import clustering
+
+    cents = clustering.train_centroids(
+        emb, n_centroids, train_iterations, vec_col, id_col
+    )
+    scorer = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
+    corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scorer)
+    books = pq_train_codebooks(
+        emb, m, codes, pq_train_iterations, vec_col, id_col
+    )
+    sub = len(books[0][0])
+
+    def book_arr(j):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("code"),
+                    F.lit([float(x) for x in books[j][c]]).alias("cvec"),
+                )
+                for c in range(len(books[j]))
+            ]
+        )
+
+    def _enc_fn(v_j):
+        def fn(c):
+            return F.struct(
+                _pq_sqdist(v_j, c["cvec"]).alias("d"),
+                c["code"].alias("code"),
+            )
+
+        return fn
+
+    def _lut_fn(q_j):
+        def fn(c):
+            return _pq_sqdist(q_j, c["cvec"])
+
+        return fn
+
+    enc_cols = []
+    for j in range(m):
+        v_j = F.slice(F.col("v"), j * sub + 1, sub)
+        enc_cols.append(
+            F.array_min(F.transform(book_arr(j), _enc_fn(v_j)))["code"].alias(
+                f"c{j}"
+            )
+        )
+    encoded = corpus.select("vec_id", "cell", *enc_cols)
+
+    probes = (
+        queries.select(
+            "query_id", "qvec", vectors.norm(F.col("qvec")).alias("_nq")
+        )
+        .select(
+            "query_id",
+            "qvec",
+            "_nq",
+            F.explode(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(scorer(F.col("qvec"), F.col("_nq")))
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("p"),
+        )
+        .select(
+            "query_id",
+            "qvec",
+            "_nq",
+            (-F.col("p.nc")).alias("cell"),
+            *[
+                F.transform(book_arr(j), _lut_fn(F.slice(F.col("qvec"), j * sub + 1, sub))).alias(
+                    f"lut{j}"
+                )
+                for j in range(m)
+            ],
+        )
+    )
+    adc = F.element_at(F.col("lut0"), F.col("c0") + 1)
+    for j in range(1, m):
+        adc = adc + F.element_at(F.col(f"lut{j}"), F.col(f"c{j}") + 1)
+    scored = (
+        encoded.join(F.broadcast(probes), "cell")
+        .select("query_id", "vec_id", F.round(adc, 6).alias("approx_dist"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    order = [F.col("approx_dist").asc(), F.col("vec_id").asc()]
+    local = Window.partitionBy("query_id", "_part").orderBy(*order)
+    short = (
+        scored.withColumn("_part", F.spark_partition_id())
+        .withColumn("_lrank", F.row_number().over(local))
+        .filter(F.col("_lrank") <= rerank)
+    )
+    wq = Window.partitionBy("query_id").orderBy(*order)
+    short = (
+        short.withColumn("_srank", F.row_number().over(wq))
+        .filter(F.col("_srank") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    # exact re-rank: only the shortlist touches raw vectors
+    rer = (
+        corpus.select("vec_id", "v")
+        .join(F.broadcast(short), "vec_id")
+        .join(
+            F.broadcast(queries.select("query_id", "qvec")), "query_id"
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(vectors.cosine(F.col("v"), F.col("qvec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def _flip_bit(bucket, i: int, n_bits: int):
     """Bucket key with 1-based bit ``i`` flipped (bit-string keys)."""
     return F.concat(

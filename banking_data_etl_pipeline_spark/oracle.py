@@ -3289,3 +3289,115 @@ rk AS (
 )
 SELECT query_id, vec_id, approx_dist, CAST(rnk AS INT) AS rank
 FROM rk WHERE rnk <= {k}"""
+
+
+def ivf_pq_topk_sql(
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 4,
+    codes: int = 16,
+    rerank: int = 30,
+    iters: int = 2,
+    pq_iters: int = 1,
+    dim: int = 64,
+    n_queries: int = 5,
+) -> str:
+    """Twin of operators.similarity.ivf_pq_topk — the composed index:
+    the unprefixed ``_kmeans_ctes`` coarse walk (cells via rounded-
+    cosine argmax, as ann_ivf_sql), ``m`` prefixed subspace walks
+    (codebooks + encode, as pq_topk_sql), ADC shortlist of ``rerank``
+    per query within probed cells, exact-cosine re-rank to top-k."""
+    sub = dim // m
+    last = f"c{iters}"
+    parts = [_kmeans_ctes(n_centroids, dim, iters)]
+    for j in range(m):
+        src = (
+            f"SELECT vec_id, list_slice(embedding, {j * sub + 1},"
+            f" {(j + 1) * sub}) AS embedding FROM embeddings"
+        )
+        parts.append(
+            _kmeans_ctes(
+                codes, sub, pq_iters, prefix=f"s{j}", src_sql=src, lead=False
+            )
+        )
+    ctes = ",".join(parts)
+    cbs = ",\n".join(
+        f"""s{j}cb AS (
+  SELECT row_number() OVER (ORDER BY cid) - 1 AS code, cvec
+  FROM s{j}c{pq_iters}
+)"""
+        for j in range(m)
+    )
+    enc = ",\n    ".join(
+        f"""(SELECT cb.code FROM s{j}cb cb
+     ORDER BY {_kmeans_sqdist(
+         f'list_slice(e.embedding, {j * sub + 1}, {(j + 1) * sub})',
+         'cb.cvec')} ASC, cb.code ASC
+     LIMIT 1) AS c{j}"""
+        for j in range(m)
+    )
+    dsum = "\n        + ".join(
+        f"""(SELECT {_kmeans_sqdist(
+            f'list_slice(p.qvec, {j * sub + 1}, {(j + 1) * sub})',
+            'cb.cvec')} FROM s{j}cb cb WHERE cb.code = e.c{j})"""
+        for j in range(m)
+    )
+    return f"""{ctes},
+{cbs},
+enc AS (
+  SELECT e.vec_id,
+    {enc}
+  FROM embeddings e
+),
+assign AS (
+  SELECT e.vec_id,
+         (SELECT c.cid FROM {last} c
+          ORDER BY round({_cosine('e.embedding', 'c.cvec')}, 6) DESC, c.cid ASC
+          LIMIT 1) AS cell
+  FROM embeddings e
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT {n_queries}
+),
+probes AS (
+  SELECT query_id, qvec, cid AS cell FROM (
+    SELECT q.query_id, q.qvec, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({_cosine('q.qvec', 'c.cvec')}, 6) DESC,
+                                       c.cid ASC) AS pr
+    FROM q CROSS JOIN {last} c
+  ) WHERE pr <= {nprobe}
+),
+adc AS (
+  SELECT p.query_id, a.vec_id,
+         round({dsum}, 6) AS approx_dist
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell
+  JOIN enc e ON e.vec_id = a.vec_id
+  WHERE a.vec_id != p.query_id
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist ASC, vec_id ASC) AS sr
+    FROM adc
+  ) WHERE sr <= {rerank}
+),
+rer AS (
+  SELECT s.query_id, s.vec_id,
+         round({_cosine('e.embedding', 'q.qvec')}, 6) AS cosine
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+),
+fin AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rnk
+  FROM rer
+)
+SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rank
+FROM fin WHERE rnk <= {k}"""

@@ -1545,6 +1545,15 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, q, k=10)
 
 
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN index: IVF cell pruning + PQ/ADC
+    code scoring + exact-cosine re-rank of the shortlist."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    return similarity.ivf_pq_topk(emb, q, k=10)
+
+
 # ------------------------------------------------ round 6: new ops
 
 

@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     # round 7 additions
     "bm25_topk",
     "pq_topk",
+    "ivf_pq_topk",
     # round 6 additions
     "hll_distinct",
     "bloom_screen",

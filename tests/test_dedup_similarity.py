@@ -332,6 +332,32 @@ def test_pq_topk_recall_and_determinism(spark):
     assert hits / 50 >= 0.2, hits / 50
 
 
+def test_ivf_pq_topk_recall_and_determinism(spark):
+    """Composed IVF+PQ+re-rank: deterministic under repartitioning,
+    and recall@10 vs brute-force cosine above the measured floor
+    (0.72 measured; plain IVF at the same nprobe measures 0.82 — the
+    ~0.1 gap is the 16-bit ADC shortlist's cost on near-random data,
+    mostly absorbed by the exact re-rank)."""
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    got = [
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_pq_topk(emb, q, k=10).collect()
+    ]
+    re = [
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_pq_topk(emb.repartition(7), q, k=10).collect()
+    ]
+    assert sorted(got) == sorted(re)
+    assert len(got) == 50
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, q, k=10).collect()
+    }
+    recall = len({(g, v) for (g, v, _s, _r) in got} & truth) / 50
+    assert recall >= 0.5, recall
+
+
 def test_connected_components_matches_union_find(spark):
     """Min-label propagation (with its measured-edge-count partition
     sizing) must equal a driver-side union-find, including singleton
