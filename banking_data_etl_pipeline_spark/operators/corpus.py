@@ -208,6 +208,80 @@ def unigram_xent(
     )
 
 
+def bigram_xent(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BIGRAM-LM cross-entropy — one order above
+    ``unigram_xent``, the signal that separates fluent text from
+    bag-of-common-words noise a unigram model scores as fine (shuffled
+    tokens keep their unigram xent but blow up the bigram one; this is
+    the heart of CCNet/KenLM-style perplexity filtering).
+
+    Model: add-one-smoothed conditional P(w2 | w1) =
+    (c(w1 w2) + 1) / (c_prefix(w1) + V), fit on the corpus itself —
+    c_prefix counts w1 as a bigram PREFIX (so conditionals normalize
+    exactly) and V is the unigram vocabulary size, entering as a
+    scalar subquery. Per doc: mean -ln P over its bigrams.
+
+    Scale shape: the model IS a DataFrame (one row per observed
+    bigram — Zipf-small vs the corpus), built by one shingle groupBy
+    with map-side combine; scoring is one (doc-bigrams ⋈ model)
+    equi-join on the bigram string. Every scored bigram is observed
+    (the model is fit on the same corpus), so the join is total.
+    Cross-engine parity: per-bigram -ln p rounded to 12 dp, summed as
+    DECIMAL(26,12), mean rounded to 6 dp.
+
+    Returns (doc_id, n_bigrams, xent2) with xent2 NULL for docs
+    shorter than 2 tokens."""
+    bg = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            texttools.word_shingles(texttools.tokens(F.col(text_col)), 2)
+        ).alias("bg"),
+    )
+    model = (
+        bg.filter(F.col("bg").isNotNull())
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+    )
+    prefix = model.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = (
+        docs.select(
+            F.explode(texttools.tokens(F.col(text_col))).alias("token")
+        )
+        .agg(F.count_distinct("token").alias("v"))
+        .scalar()
+        .cast("double")
+    )
+    logp = model.join(prefix, "w1").select(
+        "bg",
+        F.round(
+            -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + v)), 12
+        )
+        .cast("decimal(26,12)")
+        .alias("neg_logp"),
+    )
+    per_doc = (
+        bg.join(logp, "bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("bg").alias("n_bigrams"),
+            F.sum("neg_logp").alias("_s"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(F.col("_s").cast("double") / F.col("n_bigrams"), 6),
+        ).alias("xent2"),
+    )
+
+
 def source_divergence(
     docs: DataFrame,
     group_col: str = "source",

@@ -3401,3 +3401,38 @@ fin AS (
 )
 SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rank
 FROM fin WHERE rnk <= {k}"""
+
+
+# Twin of operators.corpus.bigram_xent: add-one-smoothed bigram
+# conditionals fit on the corpus (prefix counts normalize exactly,
+# vocab size as a scalar), per-bigram -ln p 12-dp-rounded and
+# DECIMAL-summed, 6-dp mean; docs shorter than 2 tokens keep a row
+# with n_bigrams = 0 and NULL xent2 (the Spark side's explode_outer).
+BIGRAM_XENT_Q = f"""WITH tk AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), bg AS (
+  SELECT doc_id, unnest({_word_shingles('toks', 2)}) AS bg FROM tk
+), model AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c2,
+         split_part(bg, ' ', 1) AS w1
+  FROM bg GROUP BY bg
+), prefix AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM model GROUP BY w1
+), vv AS (
+  SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v
+  FROM (SELECT unnest(toks) AS token FROM tk)
+), logp AS (
+  SELECT m.bg,
+         CAST(round(-ln((m.c2 + 1.0) / (p.c1 + vv.v)), 12)
+              AS DECIMAL(26,12)) AS neg_logp
+  FROM model m JOIN prefix p USING (w1) CROSS JOIN vv
+), per_doc AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         sum(l.neg_logp) AS s
+  FROM bg b JOIN logp l USING (bg) GROUP BY b.doc_id
+)
+SELECT t.doc_id,
+       coalesce(pd.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       CASE WHEN pd.n_bigrams > 0
+            THEN round(CAST(pd.s AS DOUBLE) / pd.n_bigrams, 6) END AS xent2
+FROM tk t LEFT JOIN per_doc pd USING (doc_id)"""

@@ -1554,6 +1554,13 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_topk(emb, q, k=10)
 
 
+def bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document — the fluency signal a
+    unigram model misses (CCNet/KenLM-style perplexity filtering)."""
+    tune_for_oracle(spark)
+    return corpus.bigram_xent(tables.load(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------ round 6: new ops
 
 

@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "pq_topk",
     "ivf_pq_topk",
+    "bigram_xent",
     # round 6 additions
     "hll_distinct",
     "bloom_screen",

@@ -664,3 +664,33 @@ def test_dataset_card_single_row_consistency(spark):
     assert r.exact_dup_rate == 0.0  # synthetic corpus has no exact dups
     assert 0.0 < r.mean_quality <= 1.0
     assert r.p50_tokens > 0
+
+
+def test_bigram_xent_penalizes_shuffled_word_order(spark):
+    """The property that makes a bigram LM worth running over the
+    unigram one: a doc and its token-shuffled twin have IDENTICAL
+    unigram cross-entropy (same token multiset) but the shuffled twin
+    scores strictly worse under the bigram model (its bigrams are
+    rarer in the corpus)."""
+    fluent = "the cat sat on the mat and " * 8
+    shuffled = " ".join(
+        sorted(fluent.split(), key=lambda w: (hash(w) % 7, w))
+    )
+    assert sorted(fluent.split()) == sorted(shuffled.split())
+    rows = [
+        (1, fluent),
+        (2, shuffled),
+        (3, "the cat sat on the mat and the cat sat again"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uni = {r.doc_id: r.xent for r in corpus.unigram_xent(docs).collect()}
+    assert uni[1] == uni[2]
+
+    bi = {r.doc_id: (r.n_bigrams, r.xent2) for r in corpus.bigram_xent(docs).collect()}
+    assert set(bi) == {1, 2, 3, 4}
+    assert bi[1][0] == bi[2][0]  # same bigram count
+    assert bi[2][1] > bi[1][1], bi  # shuffled order scores worse
+    assert bi[4] == (0, None)  # empty doc keeps its row, NULL score
+    spark.catalog.clearCache()
