@@ -97,7 +97,7 @@ def metrics(plan: str, name: str) -> tuple[int, int, int, int, int, list[str]]:
     # source_divergence expands the Zipf-small vocab
     if "BroadcastNestedLoopJoin" in plan and name not in (
         "ann_brute", "ann_recall", "source_divergence",
-        "source_semantic_map",
+        "source_semantic_map", "pq_topk",
     ):
         flags.append("bnlj")
     return shuffles, bcast, wscg, pushed, scans, flags
@@ -157,7 +157,12 @@ def main() -> None:
         "Captured via `plan_hook` from inside the real loop (first",
         "iteration), so these are executed plans, not reconstructions.",
         "InMemoryTableScans of loop-persisted state appear as cached",
-        "reads, exactly as at runtime.",
+        "reads, exactly as at runtime. Note: `cc` right-sizes its loop",
+        "shuffle width to the MEASURED edge count (edges_per_partition),",
+        "which is 1 partition on this tiny fixture pair-graph — its",
+        "single-partition exchanges are that sizing decision, not a",
+        "data funnel (at a real pair-set scale the same code picks a",
+        "proportional width).",
         "",
         "| loop stage | shuffles | bcast | wscg | pushed/scans | flags |",
         "|---|---|---|---|---|---|",

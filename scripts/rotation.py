@@ -39,7 +39,8 @@ BANK_SINGLES = {
 
 def last_green() -> dict[str, int]:
     out: dict[str, int] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
         with open(path, encoding="utf-8") as f:
             rows = json.load(f)

@@ -253,6 +253,9 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # |sources| x |sources| centroid comparison — catalog-sized
         # tiny cross join by design
         "source_semantic_map",
+        # ADC scoring broadcasts the tiny staged-LUT query set against
+        # the encoded corpus — the ann_brute pattern over codes
+        "pq_topk",
     }
     for name, fn in sorted(mod.queries().items()):
         if name in streaming_or_iterative:
