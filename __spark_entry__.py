@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": Q.pq_topk,  # new operator
         "ivf_pq_topk": Q.ivf_pq_topk,  # new operator
         "bigram_xent": Q.bigram_xent,  # new operator
+        "dedup_recall": Q.dedup_recall,  # new operator
+        "l_diversity": Q.l_diversity,  # new operator
         # --- tier 2: code, builder, or oracle changed in round 7 —
         # must re-prove on current code (posting-list k-means update;
         # derived semdedup cells; salted pair joins; CC/pagerank/bpe
@@ -101,11 +103,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": Q.price_percentiles,
         "asof_join": Q.asof_join,
         "range_join": Q.range_join,
+        # ---- driver checks the first 50 entries; the window boundary
+        # ---- falls HERE (range_join is slot 50). Tail order = next
+        # ---- rounds' rotation queue (stalest first); everything below
+        # ---- is locally proven in PARITY_r07.json regardless.
         "props_stats": Q.props_stats,
         "multires_rollup": Q.multires_rollup,
-        # ---- driver checks the first 50 entries; the window boundary
-        # ---- falls HERE (multires_rollup is slot 50). Tail order =
-        # ---- next rounds' rotation queue (stalest first).
         "pivot_daily": Q.pivot_daily,
         "age_group": Q.age_group,
         "wealth_segment": Q.wealth_segment,
@@ -230,6 +233,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": oracle.pq_topk_sql(),
         "ivf_pq_topk": oracle.ivf_pq_topk_sql(),
         "bigram_xent": oracle.BIGRAM_XENT_Q,
+        "dedup_recall": oracle.DEDUP_RECALL_Q,
+        "l_diversity": oracle.L_DIVERSITY_Q,
         "heavy_hitters": oracle.HEAVY_HITTERS_Q,
         "shuffle_shard": oracle.SHUFFLE_SHARD_Q,
         "bigram_pmi": oracle.BIGRAM_PMI_Q,

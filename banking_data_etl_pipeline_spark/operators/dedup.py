@@ -634,6 +634,52 @@ def dup_span_stats(
     )
 
 
+def dedup_recall_report(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate-generation quality report for the MinHash-LSH screen
+    vs exact n-gram Jaccard ground truth — the measurement that decides
+    num_hashes/bands before a dedup config ships, exactly what
+    ``ann_recall`` is for the ANN indexes. Truth = exact 3-gram
+    Jaccard >= ``threshold`` pairs (the inverted-index path, so truth
+    itself is modulo the df cutoff's boilerplate-shingle drops); est =
+    MinHash pairs with estimated Jaccard >= the same threshold. At
+    100 TB this runs on a document SAMPLE (ground truth is the
+    expensive leg — same caveat as ann_recall's brute-force arm); the
+    final join is pair-keyed, tiny relative to the corpus.
+
+    Returns ONE row: (n_truth, n_est, n_hit, precision, recall),
+    6-dp-rounded, NULL precision/recall when the denominator is 0."""
+    truth = ngram_jaccard_pairs(docs, text_col, id_col, threshold=threshold).select(
+        "id_a", "id_b", F.lit(1).alias("_t")
+    )
+    est = (
+        minhash_lsh_pairs(docs, text_col, id_col)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.lit(1).alias("_e"))
+    )
+    joined = truth.join(est, ["id_a", "id_b"], "full_outer")
+    n_truth = F.sum(F.coalesce(F.col("_t"), F.lit(0)))
+    n_est = F.sum(F.coalesce(F.col("_e"), F.lit(0)))
+    n_hit = F.sum(
+        F.when(F.col("_t").isNotNull() & F.col("_e").isNotNull(), 1).otherwise(0)
+    )
+    return joined.agg(
+        n_truth.cast("bigint").alias("n_truth"),
+        n_est.cast("bigint").alias("n_est"),
+        n_hit.cast("bigint").alias("n_hit"),
+        F.round(
+            n_hit / F.nullif(n_est.cast("double"), F.lit(0.0)), 6
+        ).alias("precision"),
+        F.round(
+            n_hit / F.nullif(n_truth.cast("double"), F.lit(0.0)), 6
+        ).alias("recall"),
+    )
+
+
 def semdedup_cells_for(n_vecs: int, lo: int = 16, hi: int = 4096) -> int:
     """Cell count so within-cell pair generation stays linear-ish:
     with balanced cells, sum-over-cells |cell|² ≈ n²/k, so k ≈ √n

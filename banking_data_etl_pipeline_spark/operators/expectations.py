@@ -161,6 +161,36 @@ def psi_drift(
     )
 
 
+def l_diversity(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 2
+) -> DataFrame:
+    """L-diversity screen — the governance check k-anonymity misses:
+    a quasi-identifier combination can be shared by many rows (k-safe)
+    while every one of them carries the SAME sensitive value, so
+    membership alone discloses the attribute. Each combination needs
+    at least ``l`` distinct sensitive values. One groupBy on the quasi
+    columns with an exact distinct on the sensitive attribute
+    (combination-cardinality result, like ``k_anonymity``; at extreme
+    cardinality swap count_distinct for approx_count_distinct and keep
+    the same contract).
+
+    Returns one row per observed combination: (quasi_cols..., n,
+    n_sensitive, at_risk) with at_risk = n_sensitive < l."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"),
+        )
+        .select(
+            *quasi_cols,
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_sensitive").cast("bigint").alias("n_sensitive"),
+            (F.col("n_sensitive") < l).alias("at_risk"),
+        )
+    )
+
+
 def k_anonymity(
     df: DataFrame, quasi_cols: list[str], k: int = 5
 ) -> DataFrame:

@@ -3436,3 +3436,39 @@ SELECT t.doc_id,
        CASE WHEN pd.n_bigrams > 0
             THEN round(CAST(pd.s AS DOUBLE) / pd.n_bigrams, 6) END AS xent2
 FROM tk t LEFT JOIN per_doc pd USING (doc_id)"""
+
+
+# Twin of queries.l_diversity (l=2, sensitive = y) over the valid
+# bank rows — the k-anonymity companion: combinations where every row
+# shares one sensitive value disclose it by membership alone.
+L_DIVERSITY_Q = f"""{BANK_PREFIX}
+SELECT age, job, marital, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT y) AS BIGINT) AS n_sensitive,
+       (count(DISTINCT y) < 2) AS at_risk
+FROM valid GROUP BY age, job, marital"""
+
+
+# Twin of operators.dedup.dedup_recall_report: exact n-gram Jaccard
+# truth vs MinHash-estimate pairs at the same threshold, one summary
+# row of precision/recall (NULL on zero denominators, like Spark's
+# nullif-guarded division).
+DEDUP_RECALL_Q = f"""WITH truth AS (
+  SELECT id_a, id_b FROM ({NGRAM_JACCARD_Q})
+), est AS (
+  SELECT id_a, id_b FROM ({minhash_lsh_sql()}) WHERE est_jaccard >= 0.5
+), j AS (
+  SELECT (t.id_a IS NOT NULL) AS in_t, (e.id_a IS NOT NULL) AS in_e
+  FROM truth t
+  FULL OUTER JOIN est e ON t.id_a = e.id_a AND t.id_b = e.id_b
+)
+SELECT
+  CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+  CAST(sum(CASE WHEN in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_est,
+  CAST(sum(CASE WHEN in_t AND in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+  round(sum(CASE WHEN in_t AND in_e THEN 1 ELSE 0 END)
+        / nullif(CAST(sum(CASE WHEN in_e THEN 1 ELSE 0 END) AS DOUBLE),
+                 0.0), 6) AS precision,
+  round(sum(CASE WHEN in_t AND in_e THEN 1 ELSE 0 END)
+        / nullif(CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS DOUBLE),
+                 0.0), 6) AS recall
+FROM j"""

@@ -1561,6 +1561,25 @@ def bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bigram_xent(tables.load(spark, sf_dir, "documents"))
 
 
+def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH dedup screen vs exact
+    n-gram Jaccard truth — the banding-parameter decision harness."""
+    tune_for_oracle(spark)
+    return dedup.dedup_recall_report(tables.load(spark, sf_dir, "documents"))
+
+
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-diversity screen on (age, job, marital) with the subscription
+    outcome as the sensitive attribute (l=2) — the disclosure check
+    k-anonymity misses."""
+    from .operators import expectations
+
+    tune_for_oracle(spark)
+    return expectations.l_diversity(
+        _bank_valid(spark, sf_dir), ["age", "job", "marital"], "y", l=2
+    )
+
+
 # ------------------------------------------------ round 6: new ops
 
 

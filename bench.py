@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "pq_topk",
     "ivf_pq_topk",
     "bigram_xent",
+    "dedup_recall",
+    "l_diversity",
     # round 6 additions
     "hll_distinct",
     "bloom_screen",

@@ -694,3 +694,46 @@ def test_bigram_xent_penalizes_shuffled_word_order(spark):
     assert bi[2][1] > bi[1][1], bi  # shuffled order scores worse
     assert bi[4] == (0, None)  # empty doc keeps its row, NULL score
     spark.catalog.clearCache()
+
+
+def test_l_diversity_flags_homogeneous_combos(spark):
+    """A k-safe combination whose rows all share one sensitive value
+    must be at_risk (membership discloses the attribute); a diverse
+    combination must not."""
+    from banking_data_etl_pipeline_spark.operators import expectations
+
+    rows = (
+        [("a", "x", "yes")] * 6          # homogeneous: 6 rows, 1 value
+        + [("a", "y", "yes"), ("a", "y", "no"), ("a", "y", "no")]
+        + [("b", "x", "no")]             # rare AND homogeneous
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 string, s string")
+    out = {
+        (r.q1, r.q2): (r.n, r.n_sensitive, r.at_risk)
+        for r in expectations.l_diversity(df, ["q1", "q2"], "s", l=2).collect()
+    }
+    assert out[("a", "x")] == (6, 1, True)
+    assert out[("a", "y")] == (3, 2, False)
+    assert out[("b", "x")] == (1, 1, True)
+
+
+def test_dedup_recall_report_consistency(spark):
+    """On a corpus with exact duplicates the MinHash screen must find
+    every truth pair (MinHash of an identical shingle set is identical
+    -> same band keys, est_jaccard 1.0), and the summary counts must
+    be internally consistent."""
+    from banking_data_etl_pipeline_spark.operators import dedup
+
+    base = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta doc{i} "
+            f"iota kappa lam{i} mu nu xi omicron pi rho")
+        for i in range(8)
+    ]
+    dups = [(100 + i, t) for i, t in base[:3]]  # 3 exact duplicate pairs
+    docs = spark.createDataFrame(base + dups, "doc_id long, text string")
+    r = dedup.dedup_recall_report(docs).collect()[0]
+    assert r.n_hit <= min(r.n_truth, r.n_est)
+    assert r.n_truth >= 3  # the three exact-dup pairs are truth
+    assert r.recall == 1.0, r  # identical docs can't be missed
+    assert 0.0 <= r.precision <= 1.0
+    spark.catalog.clearCache()
