@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_xent": Q.bigram_xent,  # new operator
         "dedup_recall": Q.dedup_recall,  # new operator
         "l_diversity": Q.l_diversity,  # new operator
+        "split_leakage": Q.split_leakage,  # new operator
         # --- tier 2: code, builder, or oracle changed in round 7 —
         # must re-prove on current code (posting-list k-means update;
         # derived semdedup cells; salted pair joins; CC/pagerank/bpe
@@ -102,11 +103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": Q.anti_join_no_orders,
         "percentiles": Q.price_percentiles,
         "asof_join": Q.asof_join,
-        "range_join": Q.range_join,
         # ---- driver checks the first 50 entries; the window boundary
-        # ---- falls HERE (range_join is slot 50). Tail order = next
+        # ---- falls HERE (asof_join is slot 50). Tail order = next
         # ---- rounds' rotation queue (stalest first); everything below
         # ---- is locally proven in PARITY_r07.json regardless.
+        "range_join": Q.range_join,
         "props_stats": Q.props_stats,
         "multires_rollup": Q.multires_rollup,
         "pivot_daily": Q.pivot_daily,
@@ -235,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_xent": oracle.BIGRAM_XENT_Q,
         "dedup_recall": oracle.DEDUP_RECALL_Q,
         "l_diversity": oracle.L_DIVERSITY_Q,
+        "split_leakage": oracle.split_leakage_sql(),
         "heavy_hitters": oracle.HEAVY_HITTERS_Q,
         "shuffle_shard": oracle.SHUFFLE_SHARD_Q,
         "bigram_pmi": oracle.BIGRAM_PMI_Q,

@@ -40,6 +40,83 @@ def deterministic_sample(df: DataFrame, key: str, rate_num: int) -> DataFrame:
     return df.filter(hash_prefix(F.col(key)) < F.lit(threshold_hex(rate_num)))
 
 
+def split_assignment(key: Column) -> Column:
+    """The canonical train/val/test membership rule (16/256 test,
+    16/256 val, rest train — the split_manifest thresholds), as a
+    reusable column so every consumer (manifest, leakage gate) keys
+    the SAME partition and the split can never drift between them."""
+    pfx = hash_prefix(key)
+    return (
+        F.when(pfx < F.lit(threshold_hex(16)), "test")
+        .when(pfx < F.lit(threshold_hex(32)), "val")
+        .otherwise("train")
+    )
+
+
+def split_leakage(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-split LEAKAGE gate — the check that must pass before a
+    train/val/test export ships: near-duplicate pairs whose endpoints
+    land in DIFFERENT splits leak evaluation signal into training
+    (hash-random splits guarantee this happens whenever the corpus
+    contains near-dups, which is exactly why dedup runs first — this
+    operator measures what is left). Candidates come from the
+    MinHash-LSH screen at estimated Jaccard >= ``threshold``; split
+    membership is ``split_assignment``, so the gate and the manifest
+    can never disagree about the partition.
+
+    Scale shape: the pair table (candidate near-dups) is tiny next to
+    the corpus, and the two split lookups are equi-joins on the id —
+    co-partitionable with the pair key. One aggregation row per
+    unordered split pair that leaks.
+
+    Returns (split_a, split_b, n_pairs, n_full_match) with split_a <
+    split_b lexicographically and n_full_match counting pairs whose
+    full signature agreed (est = 1.0 — byte-identical or
+    signature-indistinguishable docs, the worst leaks)."""
+    from . import dedup
+
+    pairs = dedup.minhash_lsh_pairs(docs, text_col, id_col).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    splits = docs.select(
+        F.col(id_col), split_assignment(F.col(id_col)).alias("split")
+    )
+    sa = splits.select(
+        F.col(id_col).alias("id_a"), F.col("split").alias("_sa")
+    )
+    sb = splits.select(
+        F.col(id_col).alias("id_b"), F.col("split").alias("_sb")
+    )
+    crossed = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("_sa") != F.col("_sb"))
+    )
+    return (
+        crossed.groupBy(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("est_jaccard") == 1.0).cast("long")
+            ).alias("n_full_match"),
+        )
+        .select(
+            "split_a",
+            "split_b",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("n_full_match").cast("bigint").alias("n_full_match"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame, key: str, stratum: str, rates: dict[str, int], default_num: int = 0
 ) -> DataFrame:

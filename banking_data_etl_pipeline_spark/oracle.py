@@ -3472,3 +3472,37 @@ SELECT
         / nullif(CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS DOUBLE),
                  0.0), 6) AS recall
 FROM j"""
+
+
+def split_leakage_sql(threshold: float = 0.5) -> str:
+    """Twin of operators.sampling.split_leakage: MinHash pairs at the
+    same threshold, split membership by the split_manifest hash rule,
+    one row per leaking unordered split pair."""
+    from .operators.sampling import threshold_hex
+
+    t16, t32 = threshold_hex(16), threshold_hex(32)
+    return f"""WITH est AS (
+  SELECT id_a, id_b, est_jaccard FROM ({minhash_lsh_sql()})
+  WHERE est_jaccard >= {threshold}
+), s AS (
+  SELECT doc_id,
+    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{t16}'
+           THEN 'test'
+         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{t32}'
+           THEN 'val'
+         ELSE 'train' END AS split
+  FROM documents
+), crossed AS (
+  SELECT least(sa.split, sb.split) AS split_a,
+         greatest(sa.split, sb.split) AS split_b,
+         est.est_jaccard
+  FROM est
+  JOIN s sa ON sa.doc_id = est.id_a
+  JOIN s sb ON sb.doc_id = est.id_b
+  WHERE sa.split <> sb.split
+)
+SELECT split_a, split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN est_jaccard = 1.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_full_match
+FROM crossed GROUP BY split_a, split_b"""

@@ -1568,6 +1568,15 @@ def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_recall_report(tables.load(spark, sf_dir, "documents"))
 
 
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-dup leakage gate over the canonical
+    train/val/test assignment — the pre-export check."""
+    from .operators import sampling
+
+    tune_for_oracle(spark)
+    return sampling.split_leakage(tables.load(spark, sf_dir, "documents"))
+
+
 def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L-diversity screen on (age, job, marital) with the subscription
     outcome as the sensitive attribute (l=2) — the disclosure check

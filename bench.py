@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "bigram_xent",
     "dedup_recall",
     "l_diversity",
+    "split_leakage",
     # round 6 additions
     "hll_distinct",
     "bloom_screen",

@@ -737,3 +737,39 @@ def test_dedup_recall_report_consistency(spark):
     assert r.recall == 1.0, r  # identical docs can't be missed
     assert 0.0 <= r.precision <= 1.0
     spark.catalog.clearCache()
+
+
+def test_split_leakage_catches_planted_cross_split_duplicate(spark):
+    """Plant one exact duplicate whose two ids hash into different
+    splits and assert the gate reports exactly that pair (and nothing
+    for the same-split filler dups)."""
+    import hashlib
+
+    from banking_data_etl_pipeline_spark.operators import sampling
+
+    def split_of(i: int) -> str:
+        p = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        return "test" if p < "10" else ("val" if p < "20" else "train")
+
+    ids = list(range(300))
+    train_ids = [i for i in ids if split_of(i) == "train"]
+    test_ids = [i for i in ids if split_of(i) == "test"]
+    assert train_ids and test_ids
+    dup_text = "one two three four five six seven eight nine ten eleven"
+    rows = [(train_ids[0], dup_text), (test_ids[0], dup_text)]
+    # same-split duplicate pair: must NOT appear in the report
+    rows += [(train_ids[1], "aa bb cc dd ee ff gg hh ii jj kk"),
+             (train_ids[2], "aa bb cc dd ee ff gg hh ii jj kk")]
+    # distinct filler
+    rows += [
+        (train_ids[3 + j], f"filler{j} alpha{j} beta{j} gamma{j} delta{j} "
+                           f"epsilon{j} zeta{j} eta{j} theta{j} iota{j}")
+        for j in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.split_a, r.split_b): (r.n_pairs, r.n_full_match)
+        for r in sampling.split_leakage(docs).collect()
+    }
+    assert out == {("test", "train"): (1, 1)}, out
+    spark.catalog.clearCache()
