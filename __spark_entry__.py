@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall": Q.dedup_recall,  # new operator
         "l_diversity": Q.l_diversity,  # new operator
         "split_leakage": Q.split_leakage,  # new operator
+        "stream_psi_drift": Q.stream_psi_drift,  # new operator
         # --- tier 2: code, builder, or oracle changed in round 7 —
         # must re-prove on current code (posting-list k-means update;
         # derived semdedup cells; salted pair joins; CC/pagerank/bpe
@@ -102,11 +103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": Q.semi_join_big_spenders,
         "anti_join": Q.anti_join_no_orders,
         "percentiles": Q.price_percentiles,
-        "asof_join": Q.asof_join,
         # ---- driver checks the first 50 entries; the window boundary
-        # ---- falls HERE (asof_join is slot 50). Tail order = next
+        # ---- falls HERE (percentiles is slot 50). Tail order = next
         # ---- rounds' rotation queue (stalest first); everything below
         # ---- is locally proven in PARITY_r07.json regardless.
+        "asof_join": Q.asof_join,
         "range_join": Q.range_join,
         "props_stats": Q.props_stats,
         "multires_rollup": Q.multires_rollup,
@@ -237,6 +238,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_recall": oracle.DEDUP_RECALL_Q,
         "l_diversity": oracle.L_DIVERSITY_Q,
         "split_leakage": oracle.split_leakage_sql(),
+        # batch-equivalence: the streamed bin accumulation must equal
+        # the batch PSI over the same bounded events
+        "stream_psi_drift": oracle.STREAM_PSI_DRIFT_Q,
         "heavy_hitters": oracle.HEAVY_HITTERS_Q,
         "shuffle_shard": oracle.SHUFFLE_SHARD_Q,
         "bigram_pmi": oracle.BIGRAM_PMI_Q,

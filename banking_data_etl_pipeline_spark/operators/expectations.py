@@ -145,8 +145,17 @@ def psi_drift(
             F.coalesce(F.col("n_ref"), F.lit(0)).cast("bigint").alias("n_ref"),
             F.coalesce(F.col("n_cur"), F.lit(0)).cast("bigint").alias("n_cur"),
         )
-        .persist()
     )
+    return psi_score_bins(joined, n_bins)
+
+
+def psi_score_bins(joined: DataFrame, n_bins: int = 10) -> DataFrame:
+    """The smoothing + ln-term scoring over a joined (bin, n_ref,
+    n_cur) table — shared by the batch monitor above and the streaming
+    one (``streaming.events.psi_drift_stream``), so the two can never
+    diverge on the formula. Persists the n_bins-row table; the grand
+    totals are scalar subqueries over that cache, not the facts."""
+    joined = joined.persist()
     n_r = joined.agg(F.sum("n_ref").alias("t")).scalar().cast("double")
     n_c = joined.agg(F.sum("n_cur").alias("t")).scalar().cast("double")
     p_ref = (F.col("n_ref") + F.lit(0.5)) / (n_r + F.lit(0.5 * n_bins))

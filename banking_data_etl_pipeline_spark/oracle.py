@@ -3506,3 +3506,41 @@ SELECT split_a, split_b,
        CAST(sum(CASE WHEN est_jaccard = 1.0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_full_match
 FROM crossed GROUP BY split_a, split_b"""
+
+
+# Twin of queries.stream_psi_drift: the PSI_DRIFT_Q machinery over the
+# events value column (reference = even event_ids, current = the
+# STREAMED odd half) — the bounded availableNow run must equal this
+# batch PSI exactly (batch-equivalence, the stream_window_agg bar).
+STREAM_PSI_DRIFT_Q = """WITH ref AS (
+  SELECT value AS v FROM events WHERE event_id % 2 = 0
+), cur AS (
+  SELECT value AS v FROM events WHERE event_id % 2 = 1
+), b AS (
+  SELECT CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi FROM ref
+), rb AS (
+  SELECT CAST(LEAST(GREATEST(floor((CAST(v AS DOUBLE) - lo)
+           / ((hi - lo) / 10.0)), 0), 9) AS INT) AS bin,
+         count(*) AS n_ref
+  FROM ref, b GROUP BY bin
+), cb AS (
+  SELECT CAST(LEAST(GREATEST(floor((CAST(v AS DOUBLE) - lo)
+           / ((hi - lo) / 10.0)), 0), 9) AS INT) AS bin,
+         count(*) AS n_cur
+  FROM cur, b GROUP BY bin
+), tot AS (
+  SELECT CAST((SELECT sum(n_ref) FROM rb) AS DOUBLE) AS n_r,
+         CAST((SELECT sum(n_cur) FROM cb) AS DOUBLE) AS n_c
+), j AS (
+  SELECT coalesce(rb.bin, cb.bin) AS bin,
+         coalesce(rb.n_ref, 0) AS n_ref,
+         coalesce(cb.n_cur, 0) AS n_cur
+  FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+)
+SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       round((n_ref + 0.5) / (n_r + 5.0), 6) AS p_ref,
+       round((n_cur + 0.5) / (n_c + 5.0), 6) AS p_cur,
+       round(((n_cur + 0.5) / (n_c + 5.0) - (n_ref + 0.5) / (n_r + 5.0))
+             * ln(((n_cur + 0.5) / (n_c + 5.0))
+                  / ((n_ref + 0.5) / (n_r + 5.0))), 6) AS psi_term
+FROM j, tot"""

@@ -1568,6 +1568,29 @@ def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_recall_report(tables.load(spark, sf_dir, "documents"))
 
 
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PSI drift of the events value column: fixed reference
+    profile (even event_ids, static), current bin counts accumulated
+    from the streamed odd half — checked against the batch PSI oracle
+    (batch-equivalence)."""
+    import os
+    import tempfile
+
+    tune_for_oracle(spark)
+    d = tempfile.mkdtemp(prefix="stream_psi_")
+    os.symlink(
+        os.path.join(os.path.abspath(sf_dir), "events.parquet"),
+        os.path.join(d, "events.parquet"),
+    )
+    ref = tables.load(spark, sf_dir, "events").filter(
+        F.col("event_id") % 2 == 0
+    )
+    return EV.psi_drift_stream(
+        spark, d, ref, "stream_psi_drift_sink",
+        cur_filter=F.col("event_id") % 2 == 1,
+    )
+
+
 def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split near-dup leakage gate over the canonical
     train/val/test assignment — the pre-export check."""

@@ -678,3 +678,83 @@ def funnel_stream(
             F.col("s.funnel_depth").alias("funnel_depth"),
         )
     )
+
+
+def psi_drift_stream(
+    spark: SparkSession,
+    events_dir: str,
+    ref: DataFrame,
+    name: str,
+    value_col: str = "value",
+    n_bins: int = 10,
+    cur_filter=None,
+) -> DataFrame:
+    """STREAMING PSI drift monitor — the governance gate in front of
+    retraining triggers, run the way production runs it: the REFERENCE
+    bin profile is fixed once from the static training-snapshot side
+    (min/max collected eagerly, model-parameter scale — exactly
+    ``expectations.psi_drift``'s staging), while the CURRENT side's
+    bin counts accumulate INCREMENTALLY from the event stream (a
+    streaming groupBy over at most ``n_bins`` keys in complete mode —
+    constant state, no watermark needed because the bucket expression
+    is stateless and bins are a closed set). Final scoring reuses
+    ``expectations.psi_score_bins`` verbatim, so the streaming monitor
+    and the batch one can never diverge on the formula — and the
+    bounded availableNow run therefore equals the batch PSI exactly,
+    which is what the shared-shape oracle checks (the
+    stream_window_agg batch-equivalence bar).
+
+    Returns one row per bin: (bin, n_ref, n_cur, p_ref, p_cur,
+    psi_term)."""
+    from ..operators import expectations
+
+    mm = ref.agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+    ).first()
+    if mm[0] is None or mm[1] is None:
+        raise ValueError(
+            f"psi_drift_stream: reference has no non-null '{value_col}'"
+        )
+    lo, hi = float(mm[0]), float(mm[1])
+    if hi == lo:
+        raise ValueError(
+            f"psi_drift_stream: reference '{value_col}' is constant"
+        )
+    width = (hi - lo) / float(n_bins)
+
+    def bucket(col):
+        b = F.floor((col.cast("double") - F.lit(lo)) / F.lit(width))
+        return F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+
+    cur = events_stream(spark, events_dir)
+    if cur_filter is not None:
+        cur = cur.filter(cur_filter)
+    stream_bins = (
+        cur.select(bucket(F.col(value_col)).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    q = (
+        stream_bins.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cur_bins = spark.sql(f"SELECT bin, n_cur FROM {name}")
+    ref_bins = (
+        ref.select(bucket(F.col(value_col)).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    joined = (
+        ref_bins.join(cur_bins, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+    )
+    return expectations.psi_score_bins(joined, n_bins)

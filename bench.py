@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "dedup_recall",
     "l_diversity",
     "split_leakage",
+    "stream_psi_drift",
     # round 6 additions
     "hll_distinct",
     "bloom_screen",

@@ -30,7 +30,7 @@ SKIP = {
     "stream_left_interval_join", "stream_sessionize",
     "stream_sessionize_append", "stream_static_join", "stateful_totals",
     "stream_quality_gate", "stream_minhash_screen",
-    "stream_bloom_screen", "stream_funnel",
+    "stream_bloom_screen", "stream_funnel", "stream_psi_drift",
     # iterative (driver-side loop): representative per-iteration plans
     # captured via plan_hook in the second section below
     "kmeans", "dedup_resolve", "pagerank", "fuzzy_resolve",

@@ -317,3 +317,34 @@ def test_stream_funnel_retroactive_earlier_view(spark, tmp_path):
     assert (r.user_id, r.t_stage1, r.t_stage2, r.t_stage3, r.funnel_depth) == (
         7, 100, 200, 300, 3
     )
+
+
+def test_stream_psi_drift_equals_batch_psi(spark):
+    """The bounded availableNow PSI monitor must reproduce the batch
+    expectations.psi_drift row-for-row over the same halves — the
+    batch-equivalence bar every streaming twin here meets."""
+    from banking_data_etl_pipeline_spark.operators import expectations
+    from banking_data_etl_pipeline_spark.streaming import events as EV
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="test_stream_psi_")
+    os.symlink(
+        os.path.join(SF_DIR, "events.parquet"),
+        os.path.join(d, "events.parquet"),
+    )
+    ev = tables.load(spark, SF_DIR, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    batch = {
+        r.bin: (r.n_ref, r.n_cur, r.p_ref, r.p_cur, r.psi_term)
+        for r in expectations.psi_drift(ref, cur, "value").collect()
+    }
+    streamed = {
+        r.bin: (r.n_ref, r.n_cur, r.p_ref, r.p_cur, r.psi_term)
+        for r in EV.psi_drift_stream(
+            spark, d, ref, "test_psi_sink",
+            cur_filter=F.col("event_id") % 2 == 1,
+        ).collect()
+    }
+    assert streamed == batch
+    spark.catalog.clearCache()

@@ -240,6 +240,7 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "stream_minhash_screen",  # same
         "stream_bloom_screen",  # same
         "stream_funnel",  # same
+        "stream_psi_drift",  # same
         "ann_ivf_prebuilt",  # builds/reads the persisted index eagerly
     }
     # intentional broadcast cross joins: ann_brute scores the tiny
