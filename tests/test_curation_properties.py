@@ -166,3 +166,88 @@ def test_hll_estimate_within_published_bound(spark, n):
     assert row.exact_distinct == n
     # p=8 -> rsd 6.5%; 4.5 sigma + small-n slack
     assert abs(row.estimate - n) <= max(6, 0.30 * n), (n, row.estimate)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    # (key, row-count) per key: some keys pushed past the hot threshold
+    st.dictionaries(
+        st.integers(0, 5), st.integers(1, 40), min_size=1, max_size=6
+    ),
+    st.integers(4, 24),  # hot threshold
+    st.integers(2, 8),   # target block
+)
+def test_salted_self_pair_join_property(spark, key_counts, hot, target):
+    """For ANY key/row layout and ANY threshold/fragmenting config the
+    salted pair join must emit exactly the plain self-join's unordered
+    pair set, each pair once, payload following its id."""
+    from banking_data_etl_pipeline_spark.operators import skew
+
+    rows = [
+        (f"k{k}", k * 1000 + i, k * 1000 + i + 7)
+        for k, n in key_counts.items()
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k string, rid long, w long")
+    got = [
+        (r.k, r.id_a, r.id_b, r.w_a, r.w_b)
+        for r in skew.salted_self_pair_join(
+            df, keys=["k"], id_col="rid", payload=["w"],
+            hot_threshold=hot, target_block=target, max_salts=8,
+        ).collect()
+    ]
+    want = {
+        (k, i, j, wi, wj)
+        for (k, i, wi) in rows
+        for (k2, j, wj) in rows
+        if k == k2 and i < j
+    }
+    assert len(got) == len(want)  # exactly once each
+    assert set(got) == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.floats(-8, 8, allow_nan=False, width=32),
+                 min_size=8, max_size=8),
+        min_size=6, max_size=20, unique_by=tuple,
+    )
+)
+def test_pq_codes_and_adc_property(spark, vecs):
+    """PQ encode/ADC invariants on arbitrary vectors: every code
+    index in range, ADC distances non-negative, and for m=1 (one
+    subspace = the whole vector) ADC distance to a corpus vector
+    equals the exact squared L2 to its assigned codeword."""
+    import math
+
+    from banking_data_etl_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    k_codes = min(4, len(vecs))
+    books = similarity.pq_train_codebooks(emb, m=1, codes=k_codes)
+    assert len(books) == 1 and all(len(c) == 8 for c in books[0])
+    q = similarity.corpus_queries(emb, n=1)
+    out = similarity.pq_topk(emb, q, k=5, m=1, codes=k_codes).collect()
+    assert all(r.approx_dist >= 0 for r in out)
+    # replicate encode + ADC for one result row
+    qv = vecs[0]
+    book = books[0]
+
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (float(x) - y) ** 2
+        return acc
+
+    for r in out:
+        v = vecs[r.vec_id]
+        code = min(range(len(book)), key=lambda c: (sqd(v, book[c]), c))
+        expect = round(sqd(qv, book[code]), 6)
+        assert math.isclose(r.approx_dist, expect, abs_tol=1e-6), (
+            r.vec_id, r.approx_dist, expect,
+        )
+    spark.catalog.clearCache()
