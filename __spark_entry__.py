@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": Q.l_diversity,  # new operator
         "split_leakage": Q.split_leakage,  # new operator
         "stream_psi_drift": Q.stream_psi_drift,  # new operator
+        "feature_hash": Q.feature_hash,  # new operator
+        "knn_classify": Q.knn_classify,  # new operator
+        "dedup_clusters": Q.dedup_clusters,  # new operator
         # --- tier 2: code, builder, or oracle changed in round 7 —
         # must re-prove on current code (posting-list k-means update;
         # derived semdedup cells; salted pair joins; CC/pagerank/bpe
@@ -100,13 +103,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_avg_orders": Q.above_avg_orders,
         "listagg_users": Q.listagg_users,
         "cube_orders": Q.cube_orders,
+        # ---- driver checks the first 50 entries; the window boundary
+        # ---- falls HERE (cube_orders is slot 50). Tail order = next
+        # ---- rounds' rotation queue (stalest first); everything below
+        # ---- is locally proven in PARITY_r07.json regardless.
         "semi_join": Q.semi_join_big_spenders,
         "anti_join": Q.anti_join_no_orders,
         "percentiles": Q.price_percentiles,
-        # ---- driver checks the first 50 entries; the window boundary
-        # ---- falls HERE (percentiles is slot 50). Tail order = next
-        # ---- rounds' rotation queue (stalest first); everything below
-        # ---- is locally proven in PARITY_r07.json regardless.
         "asof_join": Q.asof_join,
         "range_join": Q.range_join,
         "props_stats": Q.props_stats,
@@ -241,6 +244,9 @@ def oracle_sql() -> dict[str, str]:
         # batch-equivalence: the streamed bin accumulation must equal
         # the batch PSI over the same bounded events
         "stream_psi_drift": oracle.STREAM_PSI_DRIFT_Q,
+        "feature_hash": oracle.FEATURE_HASH_Q,
+        "knn_classify": oracle.KNN_CLASSIFY_Q,
+        "dedup_clusters": oracle.dedup_cluster_stats_sql(),
         "heavy_hitters": oracle.HEAVY_HITTERS_Q,
         "shuffle_shard": oracle.SHUFFLE_SHARD_Q,
         "bigram_pmi": oracle.BIGRAM_PMI_Q,

@@ -282,6 +282,60 @@ def bigram_xent(
     )
 
 
+def feature_hash_embed(
+    docs: DataFrame,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic text featurizer by the HASHING TRICK (Weinberger
+    et al. 2009): each token hashes to a dimension index and a ±1
+    sign, signed counts accumulate per dimension, and the vector is
+    L2-normalized — the no-model embedding that feeds clustering /
+    ANN / dedup plumbing when no neural encoder is in the loop (and
+    the exact featurizer Vowpal-Wabbit-style systems run at scale).
+
+    Map-only until one groupBy(doc, dim) with map-side combine —
+    vocabulary size never matters (that IS the hashing trick). Hashes
+    derive from md5 (the HLL twin pattern: first 8 hex chars as a
+    32-bit int; bit 0 = sign, the rest index), so the DuckDB twin
+    reproduces indices and signs exactly; normalization divides by
+    sqrt of an exact integer sum of squares, then rounds 6 dp.
+
+    Returns SPARSE per-dimension rows (doc_id, dim, val), val != 0 —
+    the scalar-cells contract every array-valued oracle here uses
+    (kmeans precedent); docs with no tokens produce no rows."""
+    h32 = F.conv(
+        F.substring(F.md5(F.col("token")), 1, 8), 16, 10
+    ).cast("long")
+    signed = (
+        docs.select(
+            F.col(id_col),
+            F.explode(texttools.tokens(F.col(text_col))).alias("token"),
+        )
+        .select(
+            id_col,
+            F.pmod(F.shiftright(h32, 1), F.lit(dim)).cast("int").alias("dim"),
+            (F.lit(1) - (h32 % 2) * 2).cast("long").alias("sign"),
+        )
+        .groupBy(id_col, "dim")
+        .agg(F.sum("sign").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    norms = signed.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val")).cast("double")).alias("_n")
+    )
+    return (
+        signed.join(norms, id_col)
+        .select(
+            id_col,
+            "dim",
+            F.round(F.col("val").cast("double") / F.col("_n"), 6).alias("val"),
+        )
+        .filter(F.col("val") != 0.0)
+    )
+
+
 def source_divergence(
     docs: DataFrame,
     group_col: str = "source",

@@ -634,6 +634,43 @@ def dup_span_stats(
     )
 
 
+def dedup_cluster_stats(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup CLUSTER SIZE distribution — the report a dedup run
+    ships with: how many duplicate groups exist at each size, which is
+    what decides whether duplication is a long tail of pairs or a few
+    mega-clusters of boilerplate (the two need different treatment:
+    pair-level removal vs source exclusion). Composes the resolve path
+    (MinHash candidates -> connected components -> canonical ids) and
+    folds twice: canonical -> cluster size, size -> cluster count.
+    Both groupBys are map-side-combining aggregations over node-scale
+    tables. Returns (cluster_size, n_clusters, n_docs) ordered by the
+    harness; singletons (size 1) are included — their count is the
+    already-unique mass."""
+    pairs = minhash_lsh_pairs(docs, text_col, id_col).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    resolved = resolve_duplicates(docs, pairs, id_col=id_col)
+    sizes = resolved.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )
+
+
 def dedup_recall_report(
     docs: DataFrame,
     threshold: float = 0.5,

@@ -560,6 +560,55 @@ def ivf_pq_topk(
     )
 
 
+def knn_label_vote(
+    emb: DataFrame,
+    labels: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """kNN label propagation — the weak-supervision primitive: predict
+    each query's label as the MAJORITY label of its ``k`` exact
+    nearest neighbors (ties break to the lexicographically smallest
+    label, so the vote is deterministic). This is how unlabeled corpus
+    slices inherit labels from a labeled seed set (language, domain,
+    quality tier) without training anything.
+
+    Scale shape: neighbor search is ``brute_force_topk`` here (the
+    recall-oracle arm — swap in ``ivf_topk``/``pq_topk`` for the
+    index-backed production path; the vote is unchanged), the label
+    join keys on the neighbor id (top-k rows only, tiny), and the vote
+    is one groupBy per (query, label) + a rank. Returns (query_id,
+    pred_label, n_votes)."""
+    nn = brute_force_topk(emb, queries, k, vec_col, id_col).select(
+        "query_id", "vec_id"
+    )
+    voted = (
+        nn.join(
+            labels.select(
+                F.col(id_col).alias("vec_id"), F.col(label_col).alias("_l")
+            ),
+            "vec_id",
+        )
+        .groupBy("query_id", "_l")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("_l")
+    )
+    return (
+        voted.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "query_id",
+            F.col("_l").alias("pred_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )
+
+
 def _flip_bit(bucket, i: int, n_bits: int):
     """Bucket key with 1-based bit ``i`` flipped (bit-string keys)."""
     return F.concat(

@@ -3544,3 +3544,63 @@ SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
              * ln(((n_cur + 0.5) / (n_c + 5.0))
                   / ((n_ref + 0.5) / (n_r + 5.0))), 6) AS psi_term
 FROM j, tot"""
+
+
+# Twin of operators.corpus.feature_hash_embed (dim=32): md5-derived
+# 32-bit value, bit 0 = sign, rest = dimension index; signed counts,
+# exact-integer L2 norm, 6-dp rounded sparse rows.
+FEATURE_HASH_Q = f"""WITH tk AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+), h AS (
+  SELECT doc_id,
+    CAST(CAST('0x' || substring(md5(token), 1, 8) AS UBIGINT) AS BIGINT)
+      AS h32
+  FROM tk
+), dims AS (
+  SELECT doc_id, CAST((h32 // 2) % 32 AS INT) AS dim,
+         (1 - (h32 % 2) * 2) AS sign
+  FROM h
+), signed AS (
+  SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS val
+  FROM dims GROUP BY doc_id, dim
+  HAVING sum(sign) <> 0
+), norms AS (
+  SELECT doc_id, sqrt(CAST(sum(val * val) AS DOUBLE)) AS n
+  FROM signed GROUP BY doc_id
+)
+SELECT s.doc_id, s.dim, round(CAST(s.val AS DOUBLE) / n.n, 6) AS val
+FROM signed s JOIN norms n USING (doc_id)
+WHERE round(CAST(s.val AS DOUBLE) / n.n, 6) <> 0.0"""
+
+
+# Twin of queries.knn_classify: majority lang among the brute-force
+# top-10 neighbors (ANN_BRUTE_Q composed), ties to the smallest label.
+KNN_CLASSIFY_Q = f"""WITH nn AS (
+  SELECT query_id, vec_id FROM ({ANN_BRUTE_Q})
+), v AS (
+  SELECT nn.query_id, d.lang AS l, count(*) AS n_votes
+  FROM nn JOIN documents d ON d.doc_id = nn.vec_id
+  GROUP BY nn.query_id, d.lang
+), r AS (
+  SELECT query_id, l, n_votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, l ASC) AS rn
+  FROM v
+)
+SELECT query_id, l AS pred_label, CAST(n_votes AS BIGINT) AS n_votes
+FROM r WHERE rn = 1"""
+
+
+def dedup_cluster_stats_sql(threshold: float = 0.5) -> str:
+    """Twin of operators.dedup.dedup_cluster_stats: the resolve
+    composition folded to (cluster_size, n_clusters, n_docs)."""
+    return f"""WITH res AS (
+  SELECT doc_id, canonical_id FROM ({dedup_resolve_sql(threshold)})
+), sz AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM res
+  GROUP BY canonical_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sz GROUP BY cluster_size"""

@@ -1568,6 +1568,33 @@ def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_recall_report(tables.load(spark, sf_dir, "documents"))
 
 
+def feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text featurizer: sparse L2-normalized 32-dim
+    signed-count vectors, as scalar (doc_id, dim, val) rows."""
+    tune_for_oracle(spark)
+    return corpus.feature_hash_embed(tables.load(spark, sf_dir, "documents"))
+
+
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation: majority language among each query's 10
+    exact nearest neighbors — the weak-supervision vote."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    docs = tables.load(spark, sf_dir, "documents")
+    q = similarity.corpus_queries(emb, n=5)
+    labels = docs.select(
+        F.col("doc_id").alias("vec_id"), F.col("lang").alias("label")
+    )
+    return similarity.knn_label_vote(emb, labels, q, k=10)
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution from the resolve path — the
+    dedup run's shipped report."""
+    tune_for_oracle(spark)
+    return dedup.dedup_cluster_stats(tables.load(spark, sf_dir, "documents"))
+
+
 def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING PSI drift of the events value column: fixed reference
     profile (even event_ids, static), current bin counts accumulated

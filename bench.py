@@ -192,6 +192,9 @@ BENCH_QUERIES = [
     "l_diversity",
     "split_leakage",
     "stream_psi_drift",
+    "feature_hash",
+    "knn_classify",
+    "dedup_clusters",
     # round 6 additions
     "hll_distinct",
     "bloom_screen",

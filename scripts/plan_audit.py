@@ -97,7 +97,7 @@ def metrics(plan: str, name: str) -> tuple[int, int, int, int, int, list[str]]:
     # source_divergence expands the Zipf-small vocab
     if "BroadcastNestedLoopJoin" in plan and name not in (
         "ann_brute", "ann_recall", "source_divergence",
-        "source_semantic_map", "pq_topk",
+        "source_semantic_map", "pq_topk", "knn_classify",
     ):
         flags.append("bnlj")
     return shuffles, bcast, wscg, pushed, scans, flags

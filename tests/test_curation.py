@@ -773,3 +773,48 @@ def test_split_leakage_catches_planted_cross_split_duplicate(spark):
     }
     assert out == {("test", "train"): (1, 1)}, out
     spark.catalog.clearCache()
+
+
+def test_feature_hash_embed_norm_and_determinism(spark):
+    """Hashing-trick vectors: per-doc L2 norm of the emitted sparse
+    rows is 1 (within rounding), identical docs get identical rows,
+    and empty docs emit nothing."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "zeta"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.feature_hash_embed(docs).collect()
+    by_doc: dict[int, dict[int, float]] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.dim] = r.val
+    assert 4 not in by_doc
+    assert by_doc[1] == by_doc[2]
+    for d, vec in by_doc.items():
+        norm2 = sum(v * v for v in vec.values())
+        assert abs(norm2 - 1.0) < 1e-4, (d, norm2)
+    # single-token doc: exactly one dimension at +/-1
+    assert sorted(abs(v) for v in by_doc[3].values()) == [1.0]
+
+
+def test_dedup_cluster_stats_mass_conservation(spark):
+    """Cluster sizes must partition the corpus: sum(n_docs) == corpus
+    size, and planted exact-duplicate groups appear at their size."""
+    from banking_data_etl_pipeline_spark.operators import dedup
+
+    base = [
+        (i, f"uniq{i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i} "
+            f"zeta{i} eta{i} theta{i} iota{i}")
+        for i in range(6)
+    ]
+    trip = [(100 + j, "same text here for all three copies of this doc")
+            for j in range(3)]
+    docs = spark.createDataFrame(base + trip, "doc_id long, text string")
+    out = {r.cluster_size: (r.n_clusters, r.n_docs)
+           for r in dedup.dedup_cluster_stats(docs).collect()}
+    assert sum(nd for _, nd in out.values()) == 9
+    assert out[3] == (1, 3)
+    assert out[1] == (6, 6)
+    spark.catalog.clearCache()

@@ -257,6 +257,9 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # ADC scoring broadcasts the tiny staged-LUT query set against
         # the encoded corpus — the ann_brute pattern over codes
         "pq_topk",
+        # composes brute_force_topk (the recall-oracle arm) for its
+        # neighbor search — same intentional broadcast cross join
+        "knn_classify",
     }
     for name, fn in sorted(mod.queries().items()):
         if name in streaming_or_iterative:
