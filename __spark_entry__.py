@@ -36,8 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      current code;
     #   3. the remaining window slots fill stalest-first by the round
     #      of each query's most recent green CORRECTNESS row (this
-    #      round: 13 changed + 36 r02-stale slots — the entire r02
-    #      straggler queue enters except the bank singles, see rule 4);
+    #      round: 11 new + 13 changed + 25 r02-stale slots — all nine
+    #      r02 stragglers enter; the remaining r02 singles are covered
+    #      by the committed PARITY_r07.json local proof);
     #   4. bank-core singles sort last within a staleness tier — the
     #      flagship pipeline_enriched composes all of them, so they are
     #      additionally re-proven every round through tier 1.
@@ -74,10 +75,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": Q.pagerank,
         "triangle_count": Q.triangle_count,
         "bpe_merges": Q.bpe_merges,
-        # --- tier 3: stalest-first (last driver-green r02) — this
-        # window retires the whole r02 straggler queue except the 8
-        # bank-core singles below the boundary, which the flagship
-        # re-proves every round anyway (policy rule 4)
+        # --- tier 3: stalest-first (last driver-green r02) — all nine
+        # r02 stragglers plus the stalest singles; everything past the
+        # boundary is locally proven in PARITY_r07.json and the bank
+        # singles are re-proven through the flagship (policy rule 4)
         "simhash": Q.simhash,
         "emb_near_dup": Q.emb_near_dup,
         "ann_brute": Q.ann_brute,
