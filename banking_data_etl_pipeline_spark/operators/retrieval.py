@@ -95,6 +95,15 @@ def bm25_topk(
         .collect()
     )
     sel = top[vocab_rank_start - 1:]
+    if len(sel) < n_terms:
+        # a short vocabulary would silently produce an EMPTY (and
+        # vacuously oracle-matching) result — fail loudly instead,
+        # the psi_drift degenerate-domain convention
+        raise ValueError(
+            f"bm25_topk: vocabulary has {len(top)} tokens, need "
+            f">= {vocab_rank_start - 1 + n_terms} for the derived "
+            "query band — lower vocab_rank_start or shrink the query set"
+        )
     qterms = docs.sparkSession.createDataFrame(
         [(i // terms_per_query, r.token) for i, r in enumerate(sel)],
         "query_id int, token string",
