@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_validate": Q.media_validate,
         "stream_funnel": Q.stream_funnel,
         "market_share": Q.market_share,
+        "rank_fusion": Q.rank_fusion,
         "dup_spans": Q.dup_spans,
         "xent_buckets": Q.xent_buckets,
         "curation_pipeline": Q.curation_pipeline,
@@ -297,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
         # the batch funnel over the same bounded events
         "stream_funnel": oracle.FUNNEL_Q,
         "market_share": oracle.MARKET_SHARE_Q,
+        "rank_fusion": oracle.hybrid_rank_fusion_sql(),
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

@@ -154,3 +154,162 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+# Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60) — shared
+# with oracle.hybrid_rank_fusion_sql so both engines divide by the same
+# integer literals.
+RRF_K = 60
+
+
+def hybrid_rank_fusion(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_queries: int = 5,
+    m_terms: int = 8,
+    k_arm: int = 20,
+    k: int = 10,
+    k1: str = "1.2",
+    b: str = "0.75",
+    rrf_k: int = RRF_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 more-like-this ∪ cosine ANN, fused by
+    reciprocal-rank fusion (RRF) — the standard two-arm ranker a RAG /
+    decontamination pipeline runs when neither lexical nor semantic
+    recall alone suffices.
+
+    Query set: the ``n_queries`` lowest ``doc_id`` documents (which by
+    fixture construction share the embedding id space, vec_id ==
+    doc_id). Per query document, the lexical arm reduces the query to
+    its ``m_terms`` most distinctive tokens by tf·ln(N/df) — query
+    reduction, so a long query document doesn't fan out across every
+    posting list it touches — then scores candidates through the SAME
+    BM25 machinery (formula text, 12-dp decimal sum, 6-dp round) as
+    ``bm25_topk``. The semantic arm is ``similarity.brute_force_topk``
+    over the embeddings (broadcast queries, map-side scoring). Each arm
+    keeps its top ``k_arm``; fusion is a full outer join of two
+    (n_queries × k_arm)-row lists — driver-trivial at any corpus size —
+    with rrf = Σ 1/(rrf_k + rank), a missing arm contributing 0. At
+    100 TB the lexical arm is an inverted-index equi-join and the
+    semantic arm is the pluggable ANN family (swap brute force for
+    ``ivf_topk``/``ivf_pq_topk``); the fusion stage itself never grows
+    beyond queries × 2k rows.
+
+    Returns (query_id, doc_id, rrf, lex_rank, sem_rank, rank), rank
+    1..k per query by (rrf desc, doc_id asc); arm ranks are NULL when
+    only the other arm retrieved the document.
+    """
+    from . import similarity
+
+    tk = docs.select(
+        F.col(id_col), F.explode(texttools.tokens(F.col(text_col))).alias("token")
+    ).persist()
+    tf = tk.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tk.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = (
+        tk.select(id_col, "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).scalar().cast("double")
+    sum_dl = dl.agg(F.sum("dl").alias("s")).scalar().cast("double")
+
+    # ---- lexical arm: query reduction, then BM25 over the postings
+    qdocs = (
+        docs.orderBy(F.col(id_col).asc())
+        .limit(n_queries)
+        .select(F.col(id_col).alias("query_id"))
+    )
+    qterm_pool = (
+        tf.join(F.broadcast(qdocs), tf[id_col] == qdocs["query_id"])
+        .join(F.broadcast(dfreq), "token")
+        .select(
+            "query_id",
+            "token",
+            (
+                F.col("tf").cast("double")
+                * F.log(n_docs / F.col("df").cast("double"))
+            ).alias("w"),
+        )
+    )
+    wsel = Window.partitionBy("query_id").orderBy(
+        F.col("w").desc(), F.col("token").asc()
+    )
+    qterms = (
+        qterm_pool.withColumn("_r", F.row_number().over(wsel))
+        .filter(F.col("_r") <= m_terms)
+        .select("query_id", "token")
+    )
+    cand = (
+        tf.join(F.broadcast(qterms), "token")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(dl, id_col)
+        .select(
+            "query_id",
+            F.col(id_col).alias("doc_id"),
+            F.col("tf").cast("double").alias("tf"),
+            F.col("dl").cast("double").alias("dl"),
+            "token",
+        )
+        .join(F.broadcast(dfreq), "token")
+        .withColumn("df", F.col("df").cast("double"))
+        .withColumn("n_docs", n_docs)
+        .withColumn("avgdl", sum_dl / n_docs)
+    )
+    term_score = F.expr(BM25_TERM_FORMULA.format(k1=k1, b=b))
+    lex_scored = (
+        cand.select(
+            "query_id",
+            "doc_id",
+            F.round(term_score, 12).cast("decimal(26,12)").alias("ts"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("ts").cast("double"), 6).alias("score"))
+    )
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    local = Window.partitionBy("query_id", "_part").orderBy(*order)
+    wq = Window.partitionBy("query_id").orderBy(*order)
+    lex = (
+        lex_scored.withColumn("_part", F.spark_partition_id())
+        .withColumn("_lrank", F.row_number().over(local))
+        .filter(F.col("_lrank") <= k_arm)
+        .withColumn("lex_rank", F.row_number().over(wq))
+        .filter(F.col("lex_rank") <= k_arm)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+
+    # ---- semantic arm: cosine top-k over the shared id space
+    sem = similarity.brute_force_topk(
+        emb, similarity.corpus_queries(emb, n=n_queries), k=k_arm
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+
+    # ---- RRF fusion of two tiny ranked lists
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("sem_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+        "lex_rank",
+        "sem_rank",
+    )
+    worder = [F.col("rrf").desc(), F.col("doc_id").asc()]
+    wf = Window.partitionBy("query_id").orderBy(*worder)
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf", "lex_rank", "sem_rank", "rank")
+    )

@@ -3604,3 +3604,108 @@ SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
        CAST(count(*) AS BIGINT) AS n_clusters,
        CAST(cluster_size * count(*) AS BIGINT) AS n_docs
 FROM sz GROUP BY cluster_size"""
+
+
+def hybrid_rank_fusion_sql(
+    n_queries: int = 5,
+    m_terms: int = 8,
+    k_arm: int = 20,
+    k: int = 10,
+    k1: str = "1.2",
+    b: str = "0.75",
+    rrf_k: int = 60,
+) -> str:
+    """Twin of operators.retrieval.hybrid_rank_fusion: the same query
+    documents (lowest n doc_ids == vec_ids), the same tf·ln(N/df)
+    query reduction to m terms, the shared BM25 formula text for the
+    lexical arm, the ANN_BRUTE cosine for the semantic arm, each arm's
+    top k_arm full-outer-joined and RRF-fused with
+    Σ 1/(rrf_k + rank) in (lex + sem) addition order, 6-dp rounded,
+    (rrf desc, doc_id asc) top-k."""
+    from .operators.retrieval import BM25_TERM_FORMULA
+
+    formula = BM25_TERM_FORMULA.format(k1=k1, b=b)
+    return f"""WITH tk AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tk GROUP BY doc_id, token
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id
+), dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY token
+), scal AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_docs,
+         CAST((SELECT sum(dl) FROM dl) AS DOUBLE) AS sum_dl
+), qdocs AS (
+  SELECT doc_id AS query_id FROM documents ORDER BY doc_id LIMIT {n_queries}
+), qpool AS (
+  SELECT q.query_id, tf.token,
+         CAST(tf.tf AS DOUBLE) * ln(s.n_docs / CAST(d.df AS DOUBLE)) AS w
+  FROM tf
+  JOIN qdocs q ON tf.doc_id = q.query_id
+  JOIN dfreq d ON d.token = tf.token
+  CROSS JOIN scal s
+), qterms AS (
+  SELECT query_id, token FROM (
+    SELECT query_id, token,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY w DESC, token ASC) AS r
+    FROM qpool
+  ) WHERE r <= {m_terms}
+), lexcand AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(tf.tf AS DOUBLE) AS tf, CAST(dl.dl AS DOUBLE) AS dl,
+         CAST(d.df AS DOUBLE) AS df, s.n_docs,
+         s.sum_dl / s.n_docs AS avgdl
+  FROM tf
+  JOIN qterms q USING (token)
+  JOIN dl USING (doc_id)
+  JOIN dfreq d ON d.token = tf.token
+  CROSS JOIN scal s
+  WHERE tf.doc_id != q.query_id
+), lexscored AS (
+  SELECT query_id, doc_id,
+         round(CAST(sum(CAST(round({formula}, 12) AS DECIMAL(26,12)))
+                    AS DOUBLE), 6) AS score
+  FROM lexcand GROUP BY query_id, doc_id
+), lex AS (
+  SELECT query_id, doc_id, CAST(r AS INT) AS lex_rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS r
+    FROM lexscored
+  ) WHERE r <= {k_arm}
+), semq AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT {n_queries}
+), semscored AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         round({_cosine('e.embedding', 'q.qvec')}, 6) AS cosine
+  FROM embeddings e CROSS JOIN semq q WHERE e.vec_id != q.query_id
+), sem AS (
+  SELECT query_id, doc_id, CAST(r AS INT) AS sem_rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id ASC) AS r
+    FROM semscored
+  ) WHERE r <= {k_arm}
+), fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         round(COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + l.lex_rank),
+                        CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + s.sem_rank),
+                          CAST(0.0 AS DOUBLE)), 6) AS rrf,
+         l.lex_rank, s.sem_rank
+  FROM lex l
+  FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, rrf, lex_rank, sem_rank, CAST(r AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id ASC) AS r
+  FROM fused
+) WHERE r <= {k}"""

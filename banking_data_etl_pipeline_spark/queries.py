@@ -1955,3 +1955,15 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.load(spark, sf_dir, "nation"),
         tables.load(spark, sf_dir, "region"),
     )
+
+
+def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 more-like-this + cosine ANN arms fused by
+    reciprocal-rank fusion — the RAG/decontamination two-arm ranker."""
+    from .operators import retrieval
+
+    tune_for_oracle(spark)
+    return retrieval.hybrid_rank_fusion(
+        tables.load(spark, sf_dir, "documents"),
+        tables.load(spark, sf_dir, "embeddings"),
+    )

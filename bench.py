@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "media_validate",
     "stream_funnel",
     "market_share",
+    "rank_fusion",
 ]
 
 

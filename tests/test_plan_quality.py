@@ -260,6 +260,9 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # composes brute_force_topk (the recall-oracle arm) for its
         # neighbor search — same intentional broadcast cross join
         "knn_classify",
+        # semantic arm composes brute_force_topk; the lexical arm and
+        # the fusion join are equi-joins
+        "rank_fusion",
     }
     for name, fn in sorted(mod.queries().items()):
         if name in streaming_or_iterative:

@@ -55,3 +55,55 @@ def test_bm25_matches_manual_computation(spark):
     ranked = sorted(want, key=lambda d: (-want[d], d))
     assert [out[d][1] for d in ranked] == list(range(1, len(ranked) + 1))
     spark.catalog.clearCache()
+
+
+def test_rank_fusion_rrf_combines_arms(spark):
+    """Hand-built corpus where both arm rankings are derivable by
+    inspection: doc 1 wins lexically (matches all three query terms),
+    doc 3 wins semantically (near-parallel embedding), docs 3 and 4
+    each appear in only ONE arm (NULL rank in the other). RRF scores
+    must equal 1/(60+lex) + 1/(60+sem) with missing arms contributing
+    zero, ranked (rrf desc, doc_id asc)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana cherry"),  # the query document
+            (1, "apple banana cherry"),  # lexical twin
+            (2, "apple banana"),
+            (3, "date elderberry fig"),  # lexically disjoint
+            (4, "banana cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),   # orthogonal to the query
+            (2, [0.9, 0.1]),
+            (3, [1.0, 0.05]),  # semantically closest
+            (4, [-1.0, 0.0]),  # opposite
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.doc_id: r
+        for r in retrieval.hybrid_rank_fusion(
+            docs, emb, n_queries=1, m_terms=3, k_arm=3, k=5
+        ).collect()
+    }
+    # lexical arm (BM25, see test above): 1 > {2, 4 tie -> id asc}
+    # semantic arm (cosine): 3 > 2 > 1  (4's cosine is -1, cut at k_arm)
+    assert (out[1].lex_rank, out[1].sem_rank) == (1, 3)
+    assert (out[2].lex_rank, out[2].sem_rank) == (2, 2)
+    assert (out[3].lex_rank, out[3].sem_rank) == (None, 1)
+    assert (out[4].lex_rank, out[4].sem_rank) == (3, None)
+    want_rrf = {
+        1: round(1 / 61 + 1 / 63, 6),
+        2: round(1 / 62 + 1 / 62, 6),
+        3: round(1 / 61, 6),
+        4: round(1 / 63, 6),
+    }
+    for d, w in want_rrf.items():
+        assert abs(out[d].rrf - w) < 1e-9, (d, out[d].rrf, w)
+    # fused order: doc1 (.032266) > doc2 (.032258) > doc3 > doc4
+    assert [out[d].rank for d in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    spark.catalog.clearCache()
