@@ -818,3 +818,65 @@ def probe_ivf_index(
         .filter(F.col("vec_id") != F.col("query_id"))
     )
     return _ranked(scored, k)
+
+
+def filtered_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    filter_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Metadata-filtered exact top-k: each query only scores corpus
+    vectors whose ``filter_col`` equals the query's own value
+    (pre-filtering, the RAG "search within this tenant/language/split"
+    shape).
+
+    Spark-first trick: instead of scoring everything and filtering
+    after (post-filter, wasted distance math) or per-query predicate
+    scans, the filter attribute IS the join key — a broadcast HASH join
+    on ``filter_col`` replaces brute force's nested-loop, so each
+    corpus row is scored only against the queries that share its
+    value. The corpus side never shuffles; at 100 TB this composes
+    with partitioning the corpus by the filter column, turning the
+    probe into a partition-pruned scan (the ann_ivf_prebuilt pattern
+    with metadata instead of cells).
+
+    ``queries``: (query_id, qvec, qval). Returns (query_id, vec_id,
+    cosine, rank), rank 1..k by (cosine desc, vec_id asc); self-matches
+    excluded."""
+    scored = (
+        emb.join(
+            F.broadcast(queries), on=F.col(filter_col) == F.col("qval")
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            F.round(vectors.cosine(F.col(vec_col), F.col("qvec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    return _ranked(scored, k)
+
+
+def corpus_filtered_queries(
+    emb: DataFrame,
+    n: int = 5,
+    filter_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic filtered-query set: the n lowest-id vectors with
+    their own metadata value as the filter."""
+    return (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(n)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.col(filter_col).alias("qval"),
+        )
+    )

@@ -3709,3 +3709,21 @@ FROM (
                                ORDER BY rrf DESC, doc_id ASC) AS r
   FROM fused
 ) WHERE r <= {k}"""
+
+
+ANN_FILTERED_Q = f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, label AS qval
+  FROM embeddings ORDER BY vec_id LIMIT 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_cosine('e.embedding', 'q.qvec')}, 6) AS cosine
+  FROM embeddings e JOIN q ON e.label = q.qval
+  WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10"""

@@ -1967,3 +1967,13 @@ def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.load(spark, sf_dir, "documents"),
         tables.load(spark, sf_dir, "embeddings"),
     )
+
+
+def ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: label-equality pre-filter as a
+    broadcast hash-join key — search-within-a-slice at corpus scale."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return similarity.filtered_topk(
+        emb, similarity.corpus_filtered_queries(emb, n=5), k=10
+    )

@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "stream_funnel",
     "market_share",
     "rank_fusion",
+    "ann_filtered",
 ]
 
 

@@ -721,3 +721,32 @@ def test_ivf_build_probe_matches_telescoped(spark, tmp_path):
         for r in similarity.ivf_topk(emb, q, k=10).collect()
     }
     assert probed == tele
+
+
+def test_filtered_topk_respects_metadata_slice(spark):
+    """Pre-filtered ANN: each query only ranks vectors sharing its
+    label, self-matches excluded, and the plan is a broadcast HASH
+    join on the filter attribute — never a nested-loop over the
+    corpus."""
+    from banking_data_etl_pipeline_spark.operators import similarity
+
+    rows = [
+        # label 0: query 0 plus three candidates at decreasing cosine
+        (0, [1.0, 0.0], 0),
+        (2, [1.0, 0.1], 0),
+        (4, [0.5, 0.5], 0),
+        (6, [-1.0, 0.0], 0),
+        # label 1: a PERFECT match that must be invisible to query 0
+        (1, [1.0, 0.0], 1),
+        (3, [0.9, 0.2], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = similarity.corpus_filtered_queries(emb, n=1)
+    out = similarity.filtered_topk(emb, q, k=3).collect()
+    got = [(r.vec_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [(2, 1), (4, 2), (6, 3)]  # label-1 ids never appear
+    plan = similarity.filtered_topk(emb, q, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
