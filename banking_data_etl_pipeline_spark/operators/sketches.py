@@ -387,3 +387,69 @@ def hll_merge_proof(
         (e_merged == e_direct).alias("merged_equals_direct"),
         exact.alias("exact_distinct"),
     )
+
+
+def countmin_freq(
+    events: DataFrame,
+    col: str = "user_id",
+    d: int = 4,
+    w: int = 256,
+    n_probes: int = 10,
+) -> DataFrame:
+    """Count-Min sketch point queries (Cormode & Muthukrishnan 2005)
+    with the exact counts alongside — the bounded-memory frequency
+    table that complements ``heavy_hitters`` (which finds the keys;
+    this answers "how often is key x" for keys you already hold).
+
+    Sketch build is ONE map pass that fans each row into its ``d``
+    salted md5 buckets, then a groupBy on at most ``d*w`` counter
+    cells — map-side combine collapses every partition to <= d*w rows
+    before the shuffle, so the shuffle is CONSTANT-size no matter the
+    input (the HLL shape). Counters merge across shards by plain SUM —
+    which is exactly what the groupBy's partial aggregation already
+    does, so the sketch is mergeable for free. The probe side joins
+    ``n_probes`` keys (broadcast, kilobytes) against the counter table
+    and takes min over the d rows; the exact counts (for the reported
+    error) are the only non-sketch cost, as in ``hll_distinct``.
+
+    CM guarantees estimate >= exact (collisions only ADD); the
+    ``overcount`` column is therefore always >= 0 — pinned by a
+    property test and by the DuckDB twin.
+
+    Probe set: the ``n_probes`` lowest distinct keys (deterministic).
+    Returns (user_id, estimate, exact_count, overcount)."""
+    key = F.col(col).cast("string")
+
+    def bucket(j: int, k):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cm{j}|"), k)), 1, 8), 16, 10
+        ).cast("long")
+        return h % w
+
+    pairs = events.select(
+        F.posexplode(F.array(*[bucket(j, key) for j in range(d)])).alias(
+            "j", "bucket"
+        )
+    )
+    counters = pairs.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = (
+        events.select(F.col(col)).distinct().orderBy(F.col(col).asc()).limit(n_probes)
+    )
+    probe_pairs = probes.select(
+        F.col(col),
+        F.posexplode(F.array(*[bucket(j, key) for j in range(d)])).alias(
+            "j", "bucket"
+        ),
+    )
+    est = (
+        probe_pairs.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy(col)
+        .agg(F.min("cnt").alias("estimate"))
+    )
+    exact = events.groupBy(col).agg(F.count(F.lit(1)).alias("exact_count"))
+    return exact.join(F.broadcast(est), col).select(
+        F.col(col),
+        F.col("estimate").cast("long").alias("estimate"),
+        F.col("exact_count").cast("long").alias("exact_count"),
+        (F.col("estimate") - F.col("exact_count")).cast("long").alias("overcount"),
+    )

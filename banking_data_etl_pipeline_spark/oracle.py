@@ -3727,3 +3727,48 @@ ANN_FILTERED_Q = f"""WITH q AS (
 )
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10"""
+
+
+def countmin_freq_sql(d: int = 4, w: int = 256, n_probes: int = 10) -> str:
+    """Twin of operators.sketches.countmin_freq: the same salted
+    md5-prefix bucket per hash row, SUM-merged counters, min-over-rows
+    point estimates for the n lowest distinct keys, exact counts
+    alongside."""
+
+    def bucket(j: int, key: str) -> str:
+        return (
+            f"CAST(CAST('0x' || substring(md5('cm{j}|' || {key}), 1, 8)"
+            f" AS UBIGINT) AS BIGINT) % {w}"
+        )
+
+    pair_sel = "\n  UNION ALL ".join(
+        f"SELECT {j} AS j, {bucket(j, 'CAST(user_id AS VARCHAR)')} AS bucket"
+        " FROM events"
+        for j in range(d)
+    )
+    probe_sel = "\n  UNION ALL ".join(
+        f"SELECT user_id, {j} AS j,"
+        f" {bucket(j, 'CAST(user_id AS VARCHAR)')} AS bucket FROM probes"
+        for j in range(d)
+    )
+    return f"""WITH pairs AS (
+  {pair_sel}
+), counters AS (
+  SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY j, bucket
+), probes AS (
+  SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT {n_probes}
+), probe_pairs AS (
+  {probe_sel}
+), est AS (
+  SELECT p.user_id, min(c.cnt) AS estimate
+  FROM probe_pairs p JOIN counters c USING (j, bucket)
+  GROUP BY p.user_id
+), exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id, CAST(est.estimate AS BIGINT) AS estimate,
+       e.exact_count,
+       CAST(est.estimate - e.exact_count AS BIGINT) AS overcount
+FROM exact e JOIN est USING (user_id)"""

@@ -1977,3 +1977,12 @@ def ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.filtered_topk(
         emb, similarity.corpus_filtered_queries(emb, n=5), k=10
     )
+
+
+def countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates vs exact counts — the
+    bounded-memory mergeable point-query sketch."""
+    from .operators import sketches
+
+    tune_for_oracle(spark)
+    return sketches.countmin_freq(tables.load(spark, sf_dir, "events"))

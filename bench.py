@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "market_share",
     "rank_fusion",
     "ann_filtered",
+    "countmin_freq",
 ]
 
 

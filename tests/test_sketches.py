@@ -204,3 +204,28 @@ def test_hll_merge_identity_holds(spark):
     direct = sketches.hll_distinct(ev).first()
     assert abs(r.est_direct - direct.estimate) < 1e-9
     assert r.exact_distinct == direct.exact_distinct
+
+
+def test_countmin_never_underestimates(spark):
+    """The CM guarantee: collisions only ADD, so estimate >= exact for
+    every probed key — checked on the real fixture where w=256 cells
+    see thousands of distinct users (collisions certain)."""
+    events = tables.load(spark, SF_DIR, "events")
+    rows = sketches.countmin_freq(events, d=4, w=64, n_probes=20).collect()
+    # sf0.001 has fewer than 20 distinct users; the probe set is capped
+    # by what exists
+    assert 1 <= len(rows) <= 20
+    for r in rows:
+        assert r.estimate >= r.exact_count, r
+        assert r.overcount == r.estimate - r.exact_count
+
+
+def test_countmin_exact_when_collision_free(spark):
+    """With w far above the key cardinality every estimate must equal
+    the exact count (no shared cells in any hash row)."""
+    data = [(i % 5,) for i in range(40)]  # key k appears 8 times
+    ev = spark.createDataFrame(data, "user_id long")
+    rows = sketches.countmin_freq(ev, d=4, w=4096, n_probes=5).collect()
+    assert sorted((r.user_id, r.estimate, r.exact_count) for r in rows) == [
+        (k, 8, 8) for k in range(5)
+    ]
