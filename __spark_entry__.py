@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_fusion": Q.rank_fusion,
         "ann_filtered": Q.ann_filtered,
         "countmin_freq": Q.countmin_freq,
+        "phrase_search": Q.phrase_search,
         "dup_spans": Q.dup_spans,
         "xent_buckets": Q.xent_buckets,
         "curation_pipeline": Q.curation_pipeline,
@@ -303,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_fusion": oracle.hybrid_rank_fusion_sql(),
         "ann_filtered": oracle.ANN_FILTERED_Q,
         "countmin_freq": oracle.countmin_freq_sql(),
+        "phrase_search": oracle.phrase_search_sql(),
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

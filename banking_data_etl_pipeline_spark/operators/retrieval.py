@@ -313,3 +313,80 @@ def hybrid_rank_fusion(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rrf", "lex_rank", "sem_rank", "rank")
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    n_queries: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase search through a POSITIONAL inverted index — the
+    retrieval primitive behind verbatim-quote contamination checks and
+    boilerplate hunting.
+
+    The match is a posting-list intersection: tokenize+posexplode once
+    into (doc_id, pos, token), restrict to the first phrase word by a
+    broadcast join against the query table, then equi-join the second
+    word's postings ON (doc_id, pos+1, token) — Spark extracts
+    ``pos2 = pos + 1`` as an equi-key, so this plans as a hash join
+    touching ONLY the query terms' posting lists, never a full-corpus
+    scan per query (the LIKE-scan alternative reads every byte of
+    every document for every phrase). At 100 TB the positions table is
+    the write-once index; per-phrase cost is proportional to the two
+    posting lists alone.
+
+    Query phrases are derived from the corpus (no external query log):
+    the ``n_queries`` most frequent adjacent bigrams by (count desc,
+    bigram asc) — guaranteed non-empty result sets. A production
+    caller passes real phrases through the same join.
+
+    Returns (query_id, phrase, doc_id, n_hits) where n_hits counts
+    occurrence POSITIONS (overlaps included), one row per matching
+    document per phrase."""
+    toks = texttools.tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("toks"))
+    pos = base.select(
+        id_col, F.posexplode("toks").alias("pos", "token")
+    ).persist()
+    bigrams = base.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN array() ELSE"
+                " zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> concat(a, ' ', b)) END"
+            )
+        ).alias("bigram")
+    )
+    top = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(n_queries)
+        .collect()
+    )
+    qdf = docs.sparkSession.createDataFrame(
+        [
+            (i, r.bigram, r.bigram.split(" ")[0], r.bigram.split(" ")[1])
+            for i, r in enumerate(top)
+        ],
+        "query_id int, phrase string, w1 string, w2 string",
+    )
+    p1 = pos.join(F.broadcast(qdf), F.col("token") == F.col("w1")).select(
+        "query_id", "phrase", "w2", F.col(id_col), "pos"
+    )
+    p2 = pos.select(
+        F.col(id_col).alias("_d2"),
+        F.col("pos").alias("_pos2"),
+        F.col("token").alias("_t2"),
+    )
+    hits = p1.join(
+        p2,
+        (F.col(id_col) == F.col("_d2"))
+        & (F.col("_pos2") == F.col("pos") + 1)
+        & (F.col("_t2") == F.col("w2")),
+    )
+    return hits.groupBy("query_id", "phrase", id_col).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )

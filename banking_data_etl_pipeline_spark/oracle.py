@@ -3772,3 +3772,28 @@ SELECT e.user_id, CAST(est.estimate AS BIGINT) AS estimate,
        e.exact_count,
        CAST(est.estimate - e.exact_count AS BIGINT) AS overcount
 FROM exact e JOIN est USING (user_id)"""
+
+
+def phrase_search_sql(n_queries: int = 5) -> str:
+    """Twin of operators.retrieval.phrase_search: adjacent-bigram
+    expansion replaces the positional join (provably equivalent for a
+    two-word phrase — both count positions p with tok[p]=w1,
+    tok[p+1]=w2), same (count desc, bigram asc) derived query set."""
+    return f"""WITH base AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM base
+), topq AS (
+  SELECT bigram AS phrase,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, bigram ASC) - 1
+              AS INT) AS query_id
+  FROM bg GROUP BY bigram
+  ORDER BY count(*) DESC, bigram ASC LIMIT {n_queries}
+)
+SELECT q.query_id, q.phrase, b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM bg b JOIN topq q ON b.bigram = q.phrase
+GROUP BY q.query_id, q.phrase, b.doc_id"""

@@ -1986,3 +1986,12 @@ def countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return sketches.countmin_freq(tables.load(spark, sf_dir, "events"))
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase matching via positional posting-list intersection —
+    verbatim-quote contamination and boilerplate hunting."""
+    from .operators import retrieval
+
+    tune_for_oracle(spark)
+    return retrieval.phrase_search(tables.load(spark, sf_dir, "documents"))

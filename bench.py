@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "rank_fusion",
     "ann_filtered",
     "countmin_freq",
+    "phrase_search",
 ]
 
 

@@ -107,3 +107,30 @@ def test_rank_fusion_rrf_combines_arms(spark):
     # fused order: doc1 (.032266) > doc2 (.032258) > doc3 > doc4
     assert [out[d].rank for d in (1, 2, 3, 4)] == [1, 2, 3, 4]
     spark.catalog.clearCache()
+
+
+def test_phrase_search_counts_positions(spark):
+    """Controlled corpus: derived top bigram is 'big data' (3 corpus
+    occurrences); overlapping repeats count per POSITION ('x x x' has
+    two 'x x' hits); docs without adjacency never match."""
+    docs = spark.createDataFrame(
+        [
+            (1, "big data big data"),     # 2 hits of "big data"
+            (2, "big data systems"),      # 1 hit
+            (3, "data big"),              # reversed - no hit
+            (4, "x x x"),                 # overlap probe
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = retrieval.phrase_search(docs, n_queries=2).collect()
+    got = {(r.phrase, r.doc_id): r.n_hits for r in out}
+    # bigram counts: "big data" 3, "x x" 2, "data big" 2 ... top-2 by
+    # (count desc, asc): "big data" (3), then tie at 2 -> "data big"
+    assert got[("big data", 1)] == 2
+    assert got[("big data", 2)] == 1
+    assert ("big data", 3) not in got
+    assert got[("data big", 1)] == 1  # "data big" inside doc 1
+    assert got[("data big", 3)] == 1
+    assert all(p in ("big data", "data big") for p, _ in got)
+    spark.catalog.clearCache()
