@@ -915,3 +915,82 @@ def shared_span_removal(
             F.coalesce(F.col("_cleaned"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cutoff: int = 20,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT over distinct word n-gram shingles:
+    C(A→B) = |A∩B| / |A| — the near-superset detector. A short quote
+    fully embedded in a long article has Jaccard ≈ |A|/|B| (tiny, so
+    Jaccard dedup misses it) but containment 1.0; training-data dedup
+    cares because the quote's content is still duplicated verbatim.
+
+    Same inverted-index machinery as ``ngram_jaccard_pairs`` (distinct
+    shingles, xxhash64 posting keys, df_cutoff hot-list broadcast
+    anti-join, salted self pair join) — candidate pairs share >= 1
+    surviving shingle, never all-pairs. Keeps pairs where the LARGER
+    containment direction clears ``threshold``; ``jaccard_misses``
+    marks the pairs a symmetric-Jaccard pass at the same threshold
+    would not have surfaced — the operator's reason to exist.
+
+    Returns (id_a, id_b, n_a, n_b, n_inter, c_ab, c_ba, jaccard,
+    jaccard_misses), id_a < id_b, 6-dp rounded ratios."""
+    toks = texttools.tokens(F.col(text_col))
+    inv0 = (
+        docs.select(
+            F.col(id_col),
+            F.array_distinct(texttools.word_shingles(toks, n)).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .select(id_col, F.explode("shingles").alias("_sh"))
+        .select(id_col, F.xxhash64("_sh").alias("shingle"))
+        .persist()
+    )
+    hot = (
+        inv0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cutoff)
+        .select("shingle")
+    )
+    cold = inv0.join(F.broadcast(hot), "shingle", "left_anti")
+    nsh = cold.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inv = cold.join(nsh, id_col).select(id_col, "n_sh", "shingle")
+    from . import skew
+
+    inter = (
+        skew.salted_self_pair_join(
+            inv, keys=["shingle"], id_col=id_col, payload=["n_sh"]
+        )
+        .groupBy(
+            "id_a",
+            "id_b",
+            F.col("n_sh_a").alias("n_a"),
+            F.col("n_sh_b").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    c_ab = F.round(F.col("n_inter") / F.col("n_a"), 6)
+    c_ba = F.round(F.col("n_inter") / F.col("n_b"), 6)
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+    )
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            c_ab.alias("c_ab"),
+            c_ba.alias("c_ba"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.greatest(F.col("c_ab"), F.col("c_ba")) >= threshold)
+        .withColumn("jaccard_misses", F.col("jaccard") < threshold)
+    )

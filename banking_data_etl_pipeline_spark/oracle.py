@@ -3797,3 +3797,43 @@ SELECT q.query_id, q.phrase, b.doc_id,
        CAST(count(*) AS BIGINT) AS n_hits
 FROM bg b JOIN topq q ON b.bigram = q.phrase
 GROUP BY q.query_id, q.phrase, b.doc_id"""
+
+
+def containment_pairs_sql(
+    n: int = 3, threshold: float = 0.8, df_cutoff: int = 20
+) -> str:
+    """Twin of operators.dedup.containment_pairs: the NGRAM_JACCARD
+    machinery with both containment directions, max-direction
+    threshold, and the jaccard_misses flag."""
+    return f"""WITH sh AS (
+  SELECT doc_id, list_distinct({_word_shingles(TOKS, n)}) AS shingles
+  FROM documents
+), inv0 AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0
+), cold AS (
+  SELECT doc_id, shingle FROM inv0
+  WHERE shingle NOT IN (
+    SELECT shingle FROM inv0 GROUP BY shingle
+    HAVING count(*) > {df_cutoff}
+  )
+), inv AS (
+  SELECT c.doc_id, n.n_sh, c.shingle
+  FROM cold c JOIN (SELECT doc_id, count(*) AS n_sh FROM cold GROUP BY doc_id) n
+    ON c.doc_id = n.doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS n_inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), scored AS (
+  SELECT id_a, id_b,
+         CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST(n_inter AS BIGINT) AS n_inter,
+         round(CAST(n_inter AS DOUBLE) / n_a, 6) AS c_ab,
+         round(CAST(n_inter AS DOUBLE) / n_b, 6) AS c_ba,
+         round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
+  FROM pairs
+)
+SELECT *, (jaccard < {threshold}) AS jaccard_misses
+FROM scored
+WHERE greatest(c_ab, c_ba) >= {threshold}"""

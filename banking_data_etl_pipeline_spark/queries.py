@@ -1995,3 +1995,10 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return retrieval.phrase_search(tables.load(spark, sf_dir, "documents"))
+
+
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment — the near-superset duplicates a
+    symmetric Jaccard pass misses."""
+    tune_for_oracle(spark)
+    return dedup.containment_pairs(tables.load(spark, sf_dir, "documents"))

@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "ann_filtered",
     "countmin_freq",
     "phrase_search",
+    "containment_dedup",
 ]
 
 

@@ -750,3 +750,29 @@ def test_filtered_topk_respects_metadata_slice(spark):
     plan = similarity.filtered_topk(emb, q, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_catches_superset_jaccard_misses(spark):
+    """A short quote verbatim-embedded in a long article: containment
+    of the quote is 1.0 while Jaccard is small — the pair must surface
+    with jaccard_misses=True. An unrelated doc must not pair at all."""
+    from banking_data_etl_pipeline_spark.operators import dedup
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler),
+            (3, "completely different text about other things entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.containment_pairs(docs, threshold=0.8).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    r = rows[0]
+    # every quote shingle appears in doc 2 (quote surrounded by spaces)
+    assert r.c_ab == 1.0
+    assert r.jaccard < 0.8
+    assert bool(r.jaccard_misses) is True
+    spark.catalog.clearCache()
