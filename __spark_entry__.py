@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_freq": Q.countmin_freq,
         "phrase_search": Q.phrase_search,
         "containment_dedup": Q.containment_dedup,
+        "zorder_stats": Q.zorder_stats,
         "dup_spans": Q.dup_spans,
         "xent_buckets": Q.xent_buckets,
         "curation_pipeline": Q.curation_pipeline,
@@ -307,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_freq": oracle.countmin_freq_sql(),
         "phrase_search": oracle.phrase_search_sql(),
         "containment_dedup": oracle.containment_pairs_sql(),
+        "zorder_stats": oracle.zorder_stats_sql(),
         "unigram_xent": oracle.UNIGRAM_XENT_Q,
         "triangle_count": oracle.TRIANGLE_COUNT_Q,
         "dsir_weights": oracle.DSIR_WEIGHTS_Q,

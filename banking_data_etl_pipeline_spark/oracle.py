@@ -3837,3 +3837,37 @@ def containment_pairs_sql(
 SELECT *, (jaccard < {threshold}) AS jaccard_misses
 FROM scored
 WHERE greatest(c_ab, c_ba) >= {threshold}"""
+
+
+def zorder_stats_sql(bits: int = 8, buckets_log2: int = 4) -> str:
+    """Twin of sources.sinks.zorder_layout_stats over events
+    (user_id × event_id): the same span-derived shiftright
+    quantization (bit_length via length(bin(x)) with the x=0 guard,
+    the HLL precedent), the same 2*bits-term Morton interleave, the
+    same fixed-width curve split."""
+    z_terms = " + ".join(
+        f"(((qa >> {i}) & 1) << {2 * i}) + (((qb >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+
+    def shift(span: str) -> str:
+        return (
+            f"CASE WHEN {span} = 0 THEN 0"
+            f" ELSE greatest(0, length(bin({span})) - {bits}) END"
+        )
+
+    return f"""WITH mm AS (
+  SELECT min(user_id) AS a_mn, max(user_id) AS a_mx,
+         min(event_id) AS b_mn, max(event_id) AS b_mx
+  FROM events
+), q AS (
+  SELECT ((coalesce(user_id, a_mn) - a_mn) >> {shift('a_mx - a_mn')}) AS qa,
+         ((coalesce(event_id, b_mn) - b_mn) >> {shift('b_mx - b_mn')}) AS qb
+  FROM events, mm
+), keyed AS (
+  SELECT ({z_terms}) >> {2 * bits - buckets_log2} AS bucket, qa, qb FROM q
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(qa) AS a_min, max(qa) AS a_max,
+       min(qb) AS b_min, max(qb) AS b_max
+FROM keyed GROUP BY bucket"""

@@ -2002,3 +2002,14 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric Jaccard pass misses."""
     tune_for_oracle(spark)
     return dedup.containment_pairs(tables.load(spark, sf_dir, "documents"))
+
+
+def zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: per-curve-bucket bounding rectangles of
+    (user_id, event_id) — the data-skipping tightness report."""
+    from .sources import sinks
+
+    tune_for_oracle(spark)
+    return sinks.zorder_layout_stats(
+        tables.load(spark, sf_dir, "events"), "user_id", "event_id"
+    )

@@ -172,3 +172,56 @@ def compact(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return files
+
+
+def zorder_layout_stats(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = 8,
+    buckets_log2: int = 4,
+) -> DataFrame:
+    """The data-skipping proof behind ``write_zordered``, as a query:
+    quantize both cluster columns exactly as the writer does, interleave
+    into the Morton key, split the curve into ``2**buckets_log2``
+    FIXED-WIDTH key ranges (deterministic — unlike
+    ``repartitionByRange``'s sampled boundaries, so the result is
+    oracle-checkable), and report each bucket's bounding rectangle in
+    quantized (a, b) space plus its row count.
+
+    Why it matters at 100 TB: each bucket stands for one output file's
+    min/max footer stats; the tighter the rectangles, the more files a
+    two-predicate scan can skip. The whole computation is one scalar
+    min/max pull (model-parameter scale) + one map pass + a groupBy on
+    <= 2**buckets_log2 keys — map-side combine collapses every
+    partition to a handful of rows before the shuffle.
+
+    Returns (bucket, n_rows, a_min, a_max, b_min, b_max)."""
+    mm = df.agg(
+        F.min(col_a).alias("a_mn"), F.max(col_a).alias("a_mx"),
+        F.min(col_b).alias("b_mn"), F.max(col_b).alias("b_mx"),
+    ).collect()[0]
+    if None in (mm.a_mn, mm.a_mx, mm.b_mn, mm.b_mx):
+        raise ValueError("zorder_layout_stats: empty input or all-NULL "
+                         "cluster column — no quantization domain")
+
+    def quantized(c: str, mn, mx) -> F.Column:
+        shift = max(0, (int(mx) - int(mn)).bit_length() - bits)
+        base = F.coalesce(F.col(c), F.lit(int(mn))).cast("long") - F.lit(int(mn))
+        return F.shiftright(base, shift)
+
+    qa = quantized(col_a, mm.a_mn, mm.a_mx)
+    qb = quantized(col_b, mm.b_mn, mm.b_mx)
+    z = zorder_key(qa, qb, bits)
+    bucket = F.shiftright(z, 2 * bits - buckets_log2)
+    return (
+        df.select(bucket.alias("bucket"), qa.alias("_qa"), qb.alias("_qb"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_qa").alias("a_min"),
+            F.max("_qa").alias("a_max"),
+            F.min("_qb").alias("b_min"),
+            F.max("_qb").alias("b_max"),
+        )
+    )

@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "countmin_freq",
     "phrase_search",
     "containment_dedup",
+    "zorder_stats",
 ]
 
 

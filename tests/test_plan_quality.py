@@ -489,3 +489,21 @@ def test_bigram_pmi_totals_are_scalar_subqueries(spark):
         if "Exchange SinglePartition" in ln:
             below = "\n".join(lines[i + 1 : i + 3])
             assert "partial_sum" in below, plan
+
+
+def test_zorder_stats_rectangles_bounded(spark):
+    """Fixed-width curve buckets must (a) partition the rows exactly
+    and (b) bound each rectangle: the top 4 key bits are the top 2
+    quantized bits of EACH dimension interleaved, so no bucket's side
+    may exceed 2^(bits-2) quantized cells."""
+    from banking_data_etl_pipeline_spark.sources import sinks, tables
+
+    ev = tables.load(spark, SF_DIR, "events")
+    rows = sinks.zorder_layout_stats(
+        ev, "user_id", "event_id", bits=8, buckets_log2=4
+    ).collect()
+    assert sum(r.n_rows for r in rows) == ev.count()
+    for r in rows:
+        assert 0 <= r.bucket < 16
+        assert r.a_max - r.a_min < 2 ** 6, r
+        assert r.b_max - r.b_min < 2 ** 6, r
