@@ -101,6 +101,21 @@ def train_centroids(
         if sampled.limit(k).count() >= k:
             emb = sampled
     dim = len(emb.select(vec_col).first()[0])
+    # loud ragged/NULL validation (r7 ADVICE): the posting-list update
+    # below would silently DROP null vectors (posexplode emits no rows,
+    # shifting n) and silently TRUNCATE over-length ones (_pos < dim),
+    # while under-length ones raise — i.e. one ragged direction shifts
+    # centroids without a sound. Fail loudly on all three up front.
+    bad = (
+        emb.filter(F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != dim))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"train_centroids: NULL or ragged {vec_col} values (expected "
+            f"fixed width {dim}) — clean the vector column before clustering"
+        )
     init = (
         emb.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())
@@ -122,8 +137,9 @@ def train_centroids(
         # the sums are the same order-independent decimals, so
         # centroids (and every oracle twin walking them) are
         # bit-identical. Driver pull stays k rows of dim-arrays —
-        # model-parameter scale. Vectors are assumed fixed-width
-        # (dim from the first row, enforced below).
+        # model-parameter scale. Vectors are fixed-width by the loud
+        # pre-check above; the _pos filter and the ragged re-check on
+        # the pulled sums stay as defense-in-depth.
         agg = (
             assigned.select("cluster", F.posexplode("v").alias("_pos", "_x"))
             .filter(F.col("_pos") < dim)

@@ -108,6 +108,15 @@ def bm25_topk(
         [(i // terms_per_query, r.token) for i, r in enumerate(sel)],
         "query_id int, token string",
     )
+    # prune the document-frequency table to the query terms BEFORE
+    # broadcasting: F.broadcast overrides the size threshold, and the
+    # vocabulary is corpus-sized (billions of tokens at 100 TB) —
+    # broadcasting it whole is a driver pull in disguise. The semi-join
+    # keys on the tiny query-term set, so the broadcast is bounded by
+    # n_queries*terms_per_query rows.
+    dfreq_q = dfreq.join(
+        F.broadcast(qterms.select("token").distinct()), "token", "left_semi"
+    )
     # corpus scalars: N over ALL docs (empty docs count toward both),
     # avgdl = sum(dl)/N in double — identical arithmetic in the twin.
     # dl is absent for token-less docs, so avgdl uses the doc count
@@ -124,7 +133,7 @@ def bm25_topk(
             F.col("dl").cast("double").alias("dl"),
             "token",
         )
-        .join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(dfreq_q), "token")
         .withColumn("df", F.col("df").cast("double"))
         .withColumn("n_docs", n_docs)
         .withColumn("avgdl", sum_dl / n_docs)
@@ -203,6 +212,10 @@ def hybrid_rank_fusion(
     """
     from . import similarity
 
+    # postings persist: four consumers (tf, dl, df, query-reduction)
+    # would each re-run tokenize+explode otherwise. Caller-owned, like
+    # ``graph.triangle_counts`` — unpersist or clearCache when done
+    # (bench.py and the parity gate already do).
     tk = docs.select(
         F.col(id_col), F.explode(texttools.tokens(F.col(text_col))).alias("token")
     ).persist()
@@ -223,9 +236,15 @@ def hybrid_rank_fusion(
         .limit(n_queries)
         .select(F.col(id_col).alias("query_id"))
     )
+    q_tf = tf.join(F.broadcast(qdocs), tf[id_col] == qdocs["query_id"])
+    # dfreq pruned to the query documents' own tokens before any
+    # broadcast: the full-vocabulary table is corpus-sized at 100 TB
+    # and must never be force-broadcast whole (r7 ADVICE). The
+    # semi-join's right side is the tiny distinct-token set of
+    # n_queries documents; AQE broadcasts it at runtime.
+    dfreq_qd = dfreq.join(q_tf.select("token").distinct(), "token", "left_semi")
     qterm_pool = (
-        tf.join(F.broadcast(qdocs), tf[id_col] == qdocs["query_id"])
-        .join(F.broadcast(dfreq), "token")
+        q_tf.join(F.broadcast(dfreq_qd), "token")
         .select(
             "query_id",
             "token",
@@ -243,6 +262,10 @@ def hybrid_rank_fusion(
         .filter(F.col("_r") <= m_terms)
         .select("query_id", "token")
     )
+    # same pruning for the scoring join: bounded by n_queries*m_terms
+    dfreq_q = dfreq.join(
+        F.broadcast(qterms.select("token").distinct()), "token", "left_semi"
+    )
     cand = (
         tf.join(F.broadcast(qterms), "token")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -254,7 +277,7 @@ def hybrid_rank_fusion(
             F.col("dl").cast("double").alias("dl"),
             "token",
         )
-        .join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(dfreq_q), "token")
         .withColumn("df", F.col("df").cast("double"))
         .withColumn("n_docs", n_docs)
         .withColumn("avgdl", sum_dl / n_docs)
@@ -346,6 +369,9 @@ def phrase_search(
     document per phrase."""
     toks = texttools.tokens(F.col(text_col))
     base = docs.select(F.col(id_col), toks.alias("toks"))
+    # positional-index persist: both phrase words probe it. Caller-owned,
+    # like ``graph.triangle_counts`` — unpersist or clearCache when done
+    # (bench.py and the parity gate already do).
     pos = base.select(
         id_col, F.posexplode("toks").alias("pos", "token")
     ).persist()

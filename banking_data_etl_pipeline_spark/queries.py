@@ -1600,15 +1600,29 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile (even event_ids, static), current bin counts accumulated
     from the streamed odd half — checked against the batch PSI oracle
     (batch-equivalence)."""
+    import hashlib
     import os
     import tempfile
 
     tune_for_oracle(spark)
-    d = tempfile.mkdtemp(prefix="stream_psi_")
-    os.symlink(
-        os.path.join(os.path.abspath(sf_dir), "events.parquet"),
-        os.path.join(d, "events.parquet"),
-    )
+    # deterministic per-corpus-snapshot source dir (the ann_ivf_prebuilt
+    # fingerprint pattern) instead of a fresh mkdtemp per call — bench
+    # and parity each invoke this several times per round and were
+    # accumulating orphan temp dirs (r7 ADVICE). Same fingerprint rule:
+    # path + size + mtime, so a regenerated fixture gets a fresh dir.
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_psi_src_{fp}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.islink(link):
+        try:
+            os.symlink(src, link)
+        except FileExistsError:  # concurrent bench/parity race loser
+            pass
     ref = tables.load(spark, sf_dir, "events").filter(
         F.col("event_id") % 2 == 0
     )
