@@ -100,7 +100,13 @@ def train_centroids(
         # oracle twins never see this branch)
         if sampled.limit(k).count() >= k:
             emb = sampled
-    dim = len(emb.select(vec_col).first()[0])
+    head = emb.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError(
+            f"train_centroids: empty input or NULL {vec_col} in the first "
+            "row — clean the vector column before clustering"
+        )
+    dim = len(head[0])
     # loud ragged/NULL validation (r7 ADVICE): the posting-list update
     # below would silently DROP null vectors (posexplode emits no rows,
     # shifting n) and silently TRUNCATE over-length ones (_pos < dim),

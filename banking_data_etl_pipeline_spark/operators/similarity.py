@@ -173,9 +173,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     train_iterations: int = 2,
     train_sample_mod: int = 1,
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     centroid cells, probe only the ``nprobe`` cells nearest each query.
+
+    ``centroids`` (a pre-trained (cid, vector) list) skips the training
+    pass — how ``ann_recall`` shares ONE trained coarse quantizer
+    across its index arms instead of re-walking Lloyd per arm.
 
     Centroids are k-means-trained (``clustering.train_centroids``,
     ``train_iterations`` decimal-exact Lloyd updates from the lowest-id
@@ -199,8 +204,8 @@ def ivf_topk(
     corpus partitioned by cell so a probe touches nprobe/n_centroids of
     the data — the classic IVF selectivity.
     """
-    cents = None
-    if train_iterations > 0:
+    cents = centroids
+    if cents is None and train_iterations > 0:
         from . import clustering
 
         cents = clustering.train_centroids(
@@ -294,6 +299,79 @@ def _pq_sqdist(a, b):
     )
 
 
+def _pq_book_arr(books, j):
+    """Literal struct array (code, cvec) for subspace ``j``'s codebook —
+    model parameters inlined, the centroid-literal pattern."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("code"),
+                F.lit([float(x) for x in books[j][c]]).alias("cvec"),
+            )
+            for c in range(len(books[j]))
+        ]
+    )
+
+
+# closure factories, NOT default-arg lambdas: pyspark's transform
+# interprets a 2-parameter callable as (element, index) and would
+# bind the captured slice to the array index variable
+def _pq_enc_fn(v_j):
+    def fn(c):
+        return F.struct(
+            _pq_sqdist(v_j, c["cvec"]).alias("d"),
+            c["code"].alias("code"),
+        )
+
+    return fn
+
+
+def _pq_lut_fn(q_j):
+    def fn(c):
+        return _pq_sqdist(q_j, c["cvec"])
+
+    return fn
+
+
+def _pq_enc_cols(books, vec_expr, m: int, sub: int):
+    """Per-subspace code columns c0..c{m-1}: argmin squared distance
+    against the literal codebook, (distance, code) tiebreak — map-only."""
+    cols = []
+    for j in range(m):
+        v_j = F.slice(vec_expr, j * sub + 1, sub)
+        dists = F.transform(_pq_book_arr(books, j), _pq_enc_fn(v_j))
+        cols.append(F.array_min(dists)["code"].alias(f"c{j}"))
+    return cols
+
+
+def _pq_lut_cols(books, q_expr, m: int, sub: int):
+    """Per-subspace ADC lookup tables lut0..lut{m-1} for one query (or
+    one (query, cell) residual) row."""
+    return [
+        F.transform(
+            _pq_book_arr(books, j), _pq_lut_fn(F.slice(q_expr, j * sub + 1, sub))
+        ).alias(f"lut{j}")
+        for j in range(m)
+    ]
+
+
+def _pq_adc_dist(m: int):
+    """ADC distance: left-assoc sum of the m per-subspace lookups."""
+    dist = F.element_at(F.col("lut0"), F.col("c0") + 1)
+    for j in range(1, m):
+        dist = dist + F.element_at(F.col(f"lut{j}"), F.col(f"c{j}") + 1)
+    return dist
+
+
+def _cent_map(cents):
+    """Literal cell→centroid-vector map (model parameters, kilobytes)
+    for residual computation: rvec = v - centroid[cell]."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(int(cid)) for cid, _ in cents]),
+        F.array(*[F.lit([float(x) for x in vec]) for _, vec in cents]),
+    )
+
+
 def pq_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -303,6 +381,7 @@ def pq_topk(
     train_iterations: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    books=None,
 ) -> DataFrame:
     """Product-quantization approximate top-k by asymmetric distance
     computation (ADC, Jégou et al. 2011) — the compression half of a
@@ -319,60 +398,23 @@ def pq_topk(
 
     Deterministic end-to-end (trained codebooks, fixed fold order,
     left-assoc subspace sum, 6-dp round), so the DuckDB twin replays
-    the identical codebooks, codes, and distances. Returns (query_id,
-    vec_id, approx_dist, rank)."""
-    books = pq_train_codebooks(
-        emb, m, codes, train_iterations, vec_col, id_col
-    )
+    the identical codebooks, codes, and distances. ``books`` (a
+    pre-trained per-subspace codebook list) skips training — the
+    ``ann_recall`` model-sharing hook. Returns (query_id, vec_id,
+    approx_dist, rank)."""
+    if books is None:
+        books = pq_train_codebooks(
+            emb, m, codes, train_iterations, vec_col, id_col
+        )
     sub = len(books[0][0])
-
-    def book_arr(j):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("code"),
-                    F.lit([float(x) for x in books[j][c]]).alias("cvec"),
-                )
-                for c in range(len(books[j]))
-            ]
-        )
-
-    # closure factories, NOT default-arg lambdas: pyspark's transform
-    # interprets a 2-parameter callable as (element, index) and would
-    # bind the captured slice to the array index variable
-    def _enc_fn(v_j):
-        def fn(c):
-            return F.struct(
-                _pq_sqdist(v_j, c["cvec"]).alias("d"),
-                c["code"].alias("code"),
-            )
-
-        return fn
-
-    def _lut_fn(q_j):
-        def fn(c):
-            return _pq_sqdist(q_j, c["cvec"])
-
-        return fn
-
-    enc_cols = []
-    for j in range(m):
-        v_j = F.slice(F.col(vec_col), j * sub + 1, sub)
-        dists = F.transform(book_arr(j), _enc_fn(v_j))
-        enc_cols.append(F.array_min(dists)["code"].alias(f"c{j}"))
-    encoded = emb.select(F.col(id_col).alias("vec_id"), *enc_cols)
-
-    lut_cols = []
-    for j in range(m):
-        q_j = F.slice(F.col("qvec"), j * sub + 1, sub)
-        lut_cols.append(
-            F.transform(book_arr(j), _lut_fn(q_j)).alias(f"lut{j}")
-        )
-    staged = queries.select("query_id", *lut_cols)
-
-    dist = F.element_at(F.col("lut0"), F.col("c0") + 1)
-    for j in range(1, m):
-        dist = dist + F.element_at(F.col(f"lut{j}"), F.col(f"c{j}") + 1)
+    encoded = emb.select(
+        F.col(id_col).alias("vec_id"),
+        *_pq_enc_cols(books, F.col(vec_col), m, sub),
+    )
+    staged = queries.select(
+        "query_id", *_pq_lut_cols(books, F.col("qvec"), m, sub)
+    )
+    dist = _pq_adc_dist(m)
     scored = (
         encoded.crossJoin(F.broadcast(staged))
         .select(
@@ -410,6 +452,9 @@ def ivf_pq_topk(
     pq_train_iterations: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cents=None,
+    books=None,
+    residual: bool = False,
 ) -> DataFrame:
     """The COMPOSED production ANN index: IVF cells for candidate
     pruning + PQ/ADC codes for cheap in-cell scoring + an exact-cosine
@@ -425,63 +470,60 @@ def ivf_pq_topk(
     (compose with ``build_ivf_index``'s layout — probes then prune
     files AND read m bytes/vector instead of dim×4); only the
     shortlist (queries × rerank rows) ever touches raw vectors, via a
-    broadcast id join. PQ here encodes RAW vectors, not residuals —
-    residual encoding (classic IVFPQ) sharpens recall another notch
-    but couples the two quantizers; the decomposed form keeps each
-    stage independently oracle-replayable, and the re-rank stage
-    absorbs most of the accuracy difference at these nprobe/rerank
-    settings.
+    broadcast id join.
+
+    ``residual=False`` encodes RAW vectors — the decomposed form that
+    keeps the two quantizers independently oracle-replayable.
+    ``residual=True`` is classic IVFPQ (Jégou et al. 2011 §III):
+    codebooks train on and encode ``v - centroid[cell]`` — the
+    residual cloud is tighter than the raw cloud, so the same m×codes
+    budget quantizes finer and the ADC shortlist ranks closer to the
+    truth; the query side builds its LUT per PROBED CELL from
+    ``qvec - centroid[cell]`` (nprobe small LUTs per query — still
+    model-parameter scale). Still deterministic end-to-end: the
+    residual is a fixed double expression of two literal-replayable
+    stages, so the DuckDB twin walks the identical residual codebooks.
+
+    ``cents``/``books`` inject pre-trained model parameters (the
+    ``ann_recall`` sharing hook); with ``residual=True``, ``books``
+    must have been trained on residual vectors.
 
     Deterministic end-to-end; the DuckDB twin replays the coarse walk,
     all ``m`` subspace walks, the ADC shortlist, and the exact re-rank.
     Returns (query_id, vec_id, cosine, rank)."""
     from . import clustering
 
-    cents = clustering.train_centroids(
-        emb, n_centroids, train_iterations, vec_col, id_col
-    )
+    if cents is None:
+        cents = clustering.train_centroids(
+            emb, n_centroids, train_iterations, vec_col, id_col
+        )
     scorer = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
     corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scorer)
-    books = pq_train_codebooks(
-        emb, m, codes, pq_train_iterations, vec_col, id_col
-    )
+    if residual:
+        cmap = _cent_map(cents)
+        corpus = corpus.withColumn(
+            "rvec",
+            F.zip_with(
+                F.col("v"), cmap[F.col("cell")],
+                lambda a, b: a.cast("double") - b,
+            ),
+        )
+        if books is None:
+            books = pq_train_codebooks(
+                corpus.select("vec_id", F.col("rvec").alias("embedding")),
+                m, codes, pq_train_iterations, "embedding", "vec_id",
+            )
+        enc_src = F.col("rvec")
+    else:
+        if books is None:
+            books = pq_train_codebooks(
+                emb, m, codes, pq_train_iterations, vec_col, id_col
+            )
+        enc_src = F.col("v")
     sub = len(books[0][0])
-
-    def book_arr(j):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("code"),
-                    F.lit([float(x) for x in books[j][c]]).alias("cvec"),
-                )
-                for c in range(len(books[j]))
-            ]
-        )
-
-    def _enc_fn(v_j):
-        def fn(c):
-            return F.struct(
-                _pq_sqdist(v_j, c["cvec"]).alias("d"),
-                c["code"].alias("code"),
-            )
-
-        return fn
-
-    def _lut_fn(q_j):
-        def fn(c):
-            return _pq_sqdist(q_j, c["cvec"])
-
-        return fn
-
-    enc_cols = []
-    for j in range(m):
-        v_j = F.slice(F.col("v"), j * sub + 1, sub)
-        enc_cols.append(
-            F.array_min(F.transform(book_arr(j), _enc_fn(v_j)))["code"].alias(
-                f"c{j}"
-            )
-        )
-    encoded = corpus.select("vec_id", "cell", *enc_cols)
+    encoded = corpus.select(
+        "vec_id", "cell", *_pq_enc_cols(books, enc_src, m, sub)
+    )
 
     probes = (
         queries.select(
@@ -501,22 +543,24 @@ def ivf_pq_topk(
                 )
             ).alias("p"),
         )
-        .select(
-            "query_id",
-            "qvec",
-            "_nq",
-            (-F.col("p.nc")).alias("cell"),
-            *[
-                F.transform(book_arr(j), _lut_fn(F.slice(F.col("qvec"), j * sub + 1, sub))).alias(
-                    f"lut{j}"
-                )
-                for j in range(m)
-            ],
-        )
+        .select("query_id", "qvec", "_nq", (-F.col("p.nc")).alias("cell"))
     )
-    adc = F.element_at(F.col("lut0"), F.col("c0") + 1)
-    for j in range(1, m):
-        adc = adc + F.element_at(F.col(f"lut{j}"), F.col(f"c{j}") + 1)
+    if residual:
+        probes = probes.withColumn(
+            "_qr",
+            F.zip_with(
+                F.col("qvec"), _cent_map(cents)[F.col("cell")],
+                lambda a, b: a.cast("double") - b,
+            ),
+        )
+        lut_src = F.col("_qr")
+    else:
+        lut_src = F.col("qvec")
+    probes = probes.select(
+        "query_id", "qvec", "_nq", "cell",
+        *_pq_lut_cols(books, lut_src, m, sub),
+    )
+    adc = _pq_adc_dist(m)
     scored = (
         encoded.join(F.broadcast(probes), "cell")
         .select("query_id", "vec_id", F.round(adc, 6).alias("approx_dist"))
@@ -669,38 +713,66 @@ def ann_recall(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Recall@k evaluation harness for the approximate indexes: run
-    brute force (ground truth), LSH, and IVF over the SAME query set
-    and report per-query hit counts and recall — the measurement that
-    decides n_bits/nprobe/n_centroids before an index ships. At 100 TB
-    this runs on a sampled query set (ground truth is the expensive
-    leg); the joins below are on (query_id, vec_id) — tiny, the top-k
-    results only.
+    """Recall@k evaluation harness for ALL the approximate index
+    families: run brute force (ground truth), LSH, IVF, PQ/ADC, IVF+PQ
+    (raw encoding), and IVF+PQ (residual encoding) over the SAME query
+    set and report per-query hit counts and recall — the measurement
+    that decides n_bits/nprobe/n_centroids/m/codes before an index
+    ships, and the raw-vs-residual comparison that justifies the
+    classic-IVFPQ coupling. At 100 TB this runs on a sampled query set
+    (ground truth is the expensive leg); the joins below are on
+    (query_id, vec_id) — tiny, the top-k results only.
+
+    Model sharing: the coarse quantizer is trained ONCE (k-means is
+    deterministic, so ``ivf_topk(centroids=cents)`` equals the
+    self-training call bit-for-bit) and the raw-space codebooks ONCE
+    for the pq and ivfpq arms; only the residual arm trains its own
+    codebooks (they live in a different space by construction). One
+    Lloyd walk instead of three.
 
     Returns (query_id, n_true, hit_lsh, recall_lsh, hit_ivf,
-    recall_ivf), recalls 6-dp-rounded."""
+    recall_ivf, hit_pq, recall_pq, hit_ivfpq, recall_ivfpq,
+    hit_ivfpq_res, recall_ivfpq_res), recalls 6-dp-rounded."""
+    from . import clustering
+
+    cents = clustering.train_centroids(emb, 16, 2, vec_col, id_col)
+    books = pq_train_codebooks(emb, 4, 16, 1, vec_col, id_col)
     b = brute_force_topk(emb, queries, k, vec_col, id_col).select(
         "query_id", "vec_id"
     )
-    l = lsh_topk(emb, queries, k, vec_col=vec_col, id_col=id_col).select(
-        "query_id", "vec_id", F.lit(1).alias("_l")
-    )
-    i = ivf_topk(emb, queries, k, vec_col=vec_col, id_col=id_col).select(
-        "query_id", "vec_id", F.lit(1).alias("_i")
-    )
-    joined = b.join(l, ["query_id", "vec_id"], "left").join(
-        i, ["query_id", "vec_id"], "left"
-    )
+    arms = {
+        "lsh": lsh_topk(emb, queries, k, vec_col=vec_col, id_col=id_col),
+        "ivf": ivf_topk(
+            emb, queries, k, vec_col=vec_col, id_col=id_col, centroids=cents
+        ),
+        "pq": pq_topk(
+            emb, queries, k, vec_col=vec_col, id_col=id_col, books=books
+        ),
+        "ivfpq": ivf_pq_topk(
+            emb, queries, k, vec_col=vec_col, id_col=id_col,
+            cents=cents, books=books,
+        ),
+        "ivfpq_res": ivf_pq_topk(
+            emb, queries, k, vec_col=vec_col, id_col=id_col,
+            cents=cents, residual=True,
+        ),
+    }
+    joined = b
+    for name, arm in arms.items():
+        joined = joined.join(
+            arm.select("query_id", "vec_id", F.lit(1).alias(f"_{name}")),
+            ["query_id", "vec_id"],
+            "left",
+        )
     n_true = F.count(F.lit(1))
-    hit_l = F.sum(F.coalesce(F.col("_l"), F.lit(0)))
-    hit_i = F.sum(F.coalesce(F.col("_i"), F.lit(0)))
-    return joined.groupBy("query_id").agg(
-        n_true.cast("bigint").alias("n_true"),
-        hit_l.cast("bigint").alias("hit_lsh"),
-        F.round(hit_l.cast("double") / n_true, 6).alias("recall_lsh"),
-        hit_i.cast("bigint").alias("hit_ivf"),
-        F.round(hit_i.cast("double") / n_true, 6).alias("recall_ivf"),
-    )
+    aggs = [n_true.cast("bigint").alias("n_true")]
+    for name in arms:
+        hit = F.sum(F.coalesce(F.col(f"_{name}"), F.lit(0)))
+        aggs.append(hit.cast("bigint").alias(f"hit_{name}"))
+        aggs.append(
+            F.round(hit.cast("double") / n_true, 6).alias(f"recall_{name}")
+        )
+    return joined.groupBy("query_id").agg(*aggs)
 
 
 def build_ivf_index(

@@ -2699,24 +2699,41 @@ GROUP BY p.doc_id"""
 
 
 def ann_recall_sql() -> str:
-    """Twin of queries.ann_recall: the three index twins verbatim as
-    derived tables, overlap-counted on (query_id, vec_id)."""
+    """Twin of queries.ann_recall: ALL five index twins verbatim as
+    derived tables (WITH inside FROM subqueries — DuckDB-legal),
+    overlap-counted on (query_id, vec_id) against the brute-force
+    ground truth. Each arm replays its own full training walk; the
+    Spark side shares one walk across arms, which is value-identical
+    because the walks are deterministic."""
+    arms = [
+        ("lsh", ann_lsh_sql()),
+        ("ivf", ann_ivf_sql()),
+        ("pq", pq_topk_sql()),
+        ("ivfpq", ivf_pq_topk_sql()),
+        ("ivfpq_res", ivf_pq_residual_sql()),
+    ]
+    ctes = ",\n".join(
+        f"{name} AS (SELECT * FROM ({sql}))" for name, sql in arms
+    )
+    cols = ",\n".join(
+        f"""  CAST(sum(CASE WHEN {name}.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS hit_{name},
+  round(sum(CASE WHEN {name}.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS recall_{name}"""
+        for name, _ in arms
+    )
+    joins = "\n".join(
+        f"LEFT JOIN {name} ON b.query_id = {name}.query_id"
+        f" AND b.vec_id = {name}.vec_id"
+        for name, _ in arms
+    )
     return f"""WITH brute AS (SELECT * FROM ({ANN_BRUTE_Q})),
-lsh AS (SELECT * FROM ({ann_lsh_sql()})),
-ivf AS (SELECT * FROM ({ann_ivf_sql()}))
+{ctes}
 SELECT b.query_id,
   CAST(count(*) AS BIGINT) AS n_true,
-  CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-    AS hit_lsh,
-  round(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-        / CAST(count(*) AS DOUBLE), 6) AS recall_lsh,
-  CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-    AS hit_ivf,
-  round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-        / CAST(count(*) AS DOUBLE), 6) AS recall_ivf
+{cols}
 FROM brute b
-LEFT JOIN lsh l ON b.query_id = l.query_id AND b.vec_id = l.vec_id
-LEFT JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+{joins}
 GROUP BY b.query_id"""
 
 
@@ -3377,6 +3394,135 @@ adc AS (
   JOIN assign a ON a.cell = p.cell
   JOIN enc e ON e.vec_id = a.vec_id
   WHERE a.vec_id != p.query_id
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist ASC, vec_id ASC) AS sr
+    FROM adc
+  ) WHERE sr <= {rerank}
+),
+rer AS (
+  SELECT s.query_id, s.vec_id,
+         round({_cosine('e.embedding', 'q.qvec')}, 6) AS cosine
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+),
+fin AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rnk
+  FROM rer
+)
+SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rank
+FROM fin WHERE rnk <= {k}"""
+
+
+def ivf_pq_residual_sql(
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 4,
+    codes: int = 16,
+    rerank: int = 30,
+    iters: int = 2,
+    pq_iters: int = 1,
+    dim: int = 64,
+    n_queries: int = 5,
+) -> str:
+    """Twin of operators.similarity.ivf_pq_topk(residual=True) — the
+    classic IVFPQ coupling: coarse walk + cell assignment as
+    ``ivf_pq_topk_sql``, then a ``resid`` CTE holding
+    ``embedding - centroid[cell]`` (CAST(float AS DOUBLE) - double,
+    the exact Spark zip_with arithmetic), the ``m`` subspace walks
+    and the encode run over RESIDUAL slices, and the query LUT is
+    built per PROBED CELL from ``qvec - centroid[cell]``. Shortlist
+    and exact-cosine re-rank unchanged."""
+    sub = dim // m
+    last = f"c{iters}"
+    parts = [_kmeans_ctes(n_centroids, dim, iters)]
+    parts.append(
+        f"""
+assign AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cid FROM {last} c
+          ORDER BY round({_cosine('e.embedding', 'c.cvec')}, 6) DESC, c.cid ASC
+          LIMIT 1) AS cell
+  FROM embeddings e
+),
+resid AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(list_zip(a.embedding, c.cvec),
+                        p -> CAST(p[1] AS DOUBLE) - p[2]) AS embedding
+  FROM assign a JOIN {last} c ON c.cid = a.cell
+)"""
+    )
+    for j in range(m):
+        src = (
+            f"SELECT vec_id, list_slice(embedding, {j * sub + 1},"
+            f" {(j + 1) * sub}) AS embedding FROM resid"
+        )
+        parts.append(
+            _kmeans_ctes(
+                codes, sub, pq_iters, prefix=f"s{j}", src_sql=src, lead=False
+            )
+        )
+    ctes = ",".join(parts)
+    cbs = ",\n".join(
+        f"""s{j}cb AS (
+  SELECT row_number() OVER (ORDER BY cid) - 1 AS code, cvec
+  FROM s{j}c{pq_iters}
+)"""
+        for j in range(m)
+    )
+    enc = ",\n    ".join(
+        f"""(SELECT cb.code FROM s{j}cb cb
+     ORDER BY {_kmeans_sqdist(
+         f'list_slice(r.embedding, {j * sub + 1}, {(j + 1) * sub})',
+         'cb.cvec')} ASC, cb.code ASC
+     LIMIT 1) AS c{j}"""
+        for j in range(m)
+    )
+    dsum = "\n        + ".join(
+        f"""(SELECT {_kmeans_sqdist(
+            f'list_slice(p.qres, {j * sub + 1}, {(j + 1) * sub})',
+            'cb.cvec')} FROM s{j}cb cb WHERE cb.code = e.c{j})"""
+        for j in range(m)
+    )
+    return f"""{ctes},
+{cbs},
+enc AS (
+  SELECT r.vec_id, r.cell,
+    {enc}
+  FROM resid r
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT {n_queries}
+),
+probes AS (
+  SELECT query_id, qvec, cid AS cell FROM (
+    SELECT q.query_id, q.qvec, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({_cosine('q.qvec', 'c.cvec')}, 6) DESC,
+                                       c.cid ASC) AS pr
+    FROM q CROSS JOIN {last} c
+  ) WHERE pr <= {nprobe}
+),
+probes_res AS (
+  SELECT p.query_id, p.cell,
+         list_transform(list_zip(p.qvec, c.cvec),
+                        z -> CAST(z[1] AS DOUBLE) - z[2]) AS qres
+  FROM probes p JOIN {last} c ON c.cid = p.cell
+),
+adc AS (
+  SELECT p.query_id, e.vec_id,
+         round({dsum}, 6) AS approx_dist
+  FROM probes_res p
+  JOIN enc e ON e.cell = p.cell
+  WHERE e.vec_id != p.query_id
 ),
 short AS (
   SELECT query_id, vec_id FROM (

@@ -1554,6 +1554,16 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_topk(emb, q, k=10)
 
 
+def ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic IVFPQ: PQ codebooks trained on and encoding the
+    RESIDUAL (v - centroid[cell]) — the recall-sharpening coupling of
+    the two quantizers, per-probed-cell query LUTs."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    return similarity.ivf_pq_topk(emb, q, k=10, residual=True)
+
+
 def bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy per document — the fluency signal a
     unigram model misses (CCNet/KenLM-style perplexity filtering)."""
@@ -1765,7 +1775,8 @@ def stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the LSH and IVF indexes vs brute-force truth."""
+    """Recall@10 of ALL five index families (LSH, IVF, PQ, IVF+PQ raw,
+    IVF+PQ residual) vs brute-force truth — one shared coarse walk."""
     tune_for_oracle(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
     q = similarity.corpus_queries(emb, n=5)

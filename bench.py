@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "range_filter",
     "required_filter",
     "lineage",
+    # round 8 additions
+    "ivf_pq_residual",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

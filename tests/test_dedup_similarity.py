@@ -294,6 +294,26 @@ def test_kmeans_wide_dim_bounded(spark):
         assert np.allclose(np.array(vec), C[cid], atol=1e-9), cid
 
 
+def test_train_centroids_rejects_null_and_ragged(spark):
+    """The Lloyd update posting-list aggregate would silently drop
+    NULL vectors and truncate over-length ones — both must raise
+    loudly up front instead (r7 ADVICE)."""
+    import pytest
+
+    from banking_data_etl_pipeline_spark.operators import clustering
+
+    base = [(i, [float(i + j) for j in range(4)]) for i in range(6)]
+    for bad_row in [(9, None), (9, [1.0] * 5), (9, [1.0] * 3)]:
+        emb = spark.createDataFrame(
+            base + [bad_row], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="NULL or ragged"):
+            clustering.train_centroids(emb, k=2, iterations=1)
+    # clean input still trains
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    assert len(clustering.train_centroids(emb, k=2, iterations=1)) == 2
+
+
 def test_pq_topk_recall_and_determinism(spark):
     """PQ/ADC approximate top-10: deterministic under repartitioning
     (trained codebooks + fixed fold order) and recall vs exact L2
@@ -692,14 +712,82 @@ def test_ann_recall_harness_bounds(spark):
     q = similarity.corpus_queries(emb, n=5)
     rows = similarity.ann_recall(emb, q, k=10).collect()
     assert len(rows) == 5
+    arms = ("lsh", "ivf", "pq", "ivfpq", "ivfpq_res")
     for r in rows:
         assert r.n_true == 10
-        assert 0 <= r.hit_lsh <= 10 and 0 <= r.hit_ivf <= 10
-        assert abs(r.recall_lsh - r.hit_lsh / 10) < 1e-6
-        assert abs(r.recall_ivf - r.hit_ivf / 10) < 1e-6
+        for a in arms:
+            hit = getattr(r, f"hit_{a}")
+            assert 0 <= hit <= 10, (a, hit)
+            assert abs(getattr(r, f"recall_{a}") - hit / 10) < 1e-6, a
     # the approximate indexes must be doing SOMETHING: mean recall > 0
-    assert sum(r.recall_ivf for r in rows) > 0
-    assert sum(r.recall_lsh for r in rows) > 0
+    for a in arms:
+        assert sum(getattr(r, f"recall_{a}") for r in rows) > 0, a
+    # the composed indexes (ADC shortlist + exact re-rank) should beat
+    # plain ADC top-k — the re-rank exists to repair PQ ranking error
+    assert sum(getattr(r, "hit_ivfpq") for r in rows) >= sum(
+        getattr(r, "hit_pq") for r in rows
+    )
+
+
+def test_ivf_pq_residual_determinism_and_recall(spark):
+    """residual=True (classic IVFPQ): deterministic under
+    repartitioning, recall above the measured floor (0.78 measured at
+    this SF — statistically tied with raw encoding on this corpus; the
+    coarse centroids' norm is only ~0.3 of the vector norm, so the
+    residual cloud is barely tighter than the raw cloud — see
+    SCALE.md's residual-PQ note)."""
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    got = [
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_pq_topk(emb, q, k=10, residual=True).collect()
+    ]
+    re = [
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_pq_topk(
+            emb.repartition(7), q, k=10, residual=True
+        ).collect()
+    ]
+    assert sorted(got) == sorted(re)
+    assert len(got) == 50
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, q, k=10).collect()
+    }
+    recall = len({(g, v) for (g, v, _s, _r) in got} & truth) / 50
+    assert recall >= 0.5, recall
+
+
+def test_ann_recall_shared_models_match_self_trained(spark):
+    """The model-sharing hook: passing pre-trained cents/books into
+    the arms must be bit-identical to each arm training for itself
+    (determinism is what makes the sharing legal)."""
+    from banking_data_etl_pipeline_spark.operators import clustering
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    cents = clustering.train_centroids(emb, 16, 2, "embedding", "vec_id")
+    books = similarity.pq_train_codebooks(emb, 4, 16, 1, "embedding", "vec_id")
+    self_trained = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_pq_topk(emb, q, k=10).collect()
+    )
+    injected = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_pq_topk(
+            emb, q, k=10, cents=cents, books=books
+        ).collect()
+    )
+    assert self_trained == injected
+    ivf_self = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_topk(emb, q, k=10).collect()
+    )
+    ivf_inj = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_topk(emb, q, k=10, centroids=cents).collect()
+    )
+    assert ivf_self == ivf_inj
 
 
 def test_ivf_build_probe_matches_telescoped(spark, tmp_path):
