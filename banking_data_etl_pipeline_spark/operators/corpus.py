@@ -1060,3 +1060,35 @@ def tokenizer_fertility(
         fert.alias("fertility"),
         cpt.alias("chars_per_token"),
     )
+
+
+def zipf_fit(docs: DataFrame, n: int = 100, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit of the corpus frequency curve: OLS of
+    ln(count) on ln(rank) over the top-``n`` vocabulary — the one-row
+    corpus health check (natural language sits near slope −1; heavy
+    boilerplate/dedup failures flatten it, templated spam steepens
+    it), and the sanity gate before trusting token-frequency-based
+    filters.
+
+    Scale shape: vocabulary ranking is the ``vocab_topn`` TakeOrdered
+    (per-partition heaps, never a full sort); the ranked head is
+    model-parameter scale (n rows) and inlines as a literal frame —
+    the bm25 derived-query-band precedent — so the regression itself
+    aggregates n rows with an ungrouped partial aggregate (benign
+    single-partition merge). Returns one row (n_terms, slope,
+    intercept, r2), 4-dp like ``regr_slope``."""
+    top = vocab_topn(docs, text_col=text_col, n=n).collect()
+    ranked = sorted(((int(r["n"]), r["token"]) for r in top),
+                    key=lambda t: (-t[0], t[1]))
+    lf = docs.sparkSession.createDataFrame(
+        [(i + 1, cnt) for i, (cnt, _tok) in enumerate(ranked)],
+        "rank int, cnt bigint",
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    return lf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        (F.round(F.regr_slope(y, x), 4) + F.lit(0.0)).alias("slope"),
+        (F.round(F.regr_intercept(y, x), 4) + F.lit(0.0)).alias("intercept"),
+        (F.round(F.regr_r2(y, x), 4) + F.lit(0.0)).alias("r2"),
+    )

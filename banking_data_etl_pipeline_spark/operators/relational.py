@@ -17,7 +17,7 @@ Spark-first planning stance:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -943,5 +943,100 @@ def market_share(
                 / F.sum(rev).cast("double"),
                 6,
             ).alias("mkt_share"),
+        )
+    )
+
+
+def bottleneck_suppliers(
+    lineitem: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q21-shaped "suppliers who kept orders waiting", re-keyed
+    to this fixture's columns (no commit/receipt dates): a supplier is
+    the BOTTLENECK of an order when the order has lines from >= 2
+    distinct suppliers and every latest-shipping line (l_shipdate ==
+    order max) belongs to that supplier alone — the EXISTS /
+    NOT-EXISTS pair of Q21 (``batch_pipeline1.py`` has no relational
+    ops; this extends the TPC-H muscle per SURVEY §2's extension
+    mandate).
+
+    Scale shape: the correlated EXISTS pair is rewritten as two
+    aggregations over the fact table — per-order (max shipdate,
+    supplier count) with map-side combine, then the latest-line slice
+    re-aggregated per order — so the plan is groupBy+join only, no
+    per-row subqueries, and every shuffle keys on l_orderkey (AQE
+    handles the skewed big-order tail). The supplier join is broadcast
+    (dim table).
+
+    Returns (s_suppkey, s_name, numwait) for suppliers with >= 1
+    bottlenecked order."""
+    lines = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    ostats = lines.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("_mx"),
+        F.countDistinct("l_suppkey").alias("_ns"),
+    )
+    sole_latest = (
+        lines.join(ostats, "l_orderkey")
+        .filter((F.col("l_shipdate") == F.col("_mx")) & (F.col("_ns") >= 2))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_nlate"),
+            F.max("l_suppkey").alias("_supp"),
+        )
+        .filter(F.col("_nlate") == 1)
+    )
+    waits = sole_latest.groupBy("_supp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numwait")
+    )
+    return (
+        waits.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            waits["_supp"] == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """Last-touch conversion attribution: each ``purchase`` event is
+    credited to the user's most recent PRECEDING non-purchase event —
+    the standard marketing/funnel report, and the as-of-join-shaped
+    window primitive (LAST ignore-nulls over an unbounded-preceding
+    frame) a sessionized events table answers without any self-join.
+
+    Scale shape: one window partitioned by user (parallel at any
+    scale, no shuffle beyond the partition), the attribution struct
+    rides the frame so type/id/ts come from the SAME prior row, and
+    the gap is exact integer microseconds (cross-engine safe).
+
+    Returns one row per purchase: (event_id, user_id, attr_type,
+    attr_event_id, gap_us) — attribution columns NULL for a user's
+    purchases with no prior touch."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(
+                F.col("ts").alias("ats"),
+                F.col("event_id").alias("aid"),
+                F.col("event_type").alias("atype"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("_a", prior)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("_a.atype").alias("attr_type"),
+            F.col("_a.aid").alias("attr_event_id"),
+            (
+                F.expr("unix_micros(ts)") - F.expr("unix_micros(_a.ats)")
+            ).alias("gap_us"),
         )
     )

@@ -183,6 +183,7 @@ def hybrid_rank_fusion(
     rrf_k: int = RRF_K,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sem_arm: str = "brute",
 ) -> DataFrame:
     """Hybrid retrieval: BM25 more-like-this ∪ cosine ANN, fused by
     reciprocal-rank fusion (RRF) — the standard two-arm ranker a RAG /
@@ -202,9 +203,11 @@ def hybrid_rank_fusion(
     (n_queries × k_arm)-row lists — driver-trivial at any corpus size —
     with rrf = Σ 1/(rrf_k + rank), a missing arm contributing 0. At
     100 TB the lexical arm is an inverted-index equi-join and the
-    semantic arm is the pluggable ANN family (swap brute force for
-    ``ivf_topk``/``ivf_pq_topk``); the fusion stage itself never grows
-    beyond queries × 2k rows.
+    semantic arm is the pluggable ANN family — ``sem_arm="brute"``
+    (exact, the eval arm) or ``sem_arm="ivf"`` (the trained
+    cell-probed index, the production scale path; registered as
+    ``rank_fusion_ann`` with its own oracle) — the fusion stage is
+    identical either way and never grows beyond queries × 2k rows.
 
     Returns (query_id, doc_id, rrf, lex_rank, sem_rank, rank), rank
     1..k per query by (rrf desc, doc_id asc); arm ranks are NULL when
@@ -305,9 +308,17 @@ def hybrid_rank_fusion(
     )
 
     # ---- semantic arm: cosine top-k over the shared id space
-    sem = similarity.brute_force_topk(
-        emb, similarity.corpus_queries(emb, n=n_queries), k=k_arm
-    ).select(
+    if sem_arm == "ivf":
+        sem_raw = similarity.ivf_topk(
+            emb, similarity.corpus_queries(emb, n=n_queries), k=k_arm
+        )
+    elif sem_arm == "brute":
+        sem_raw = similarity.brute_force_topk(
+            emb, similarity.corpus_queries(emb, n=n_queries), k=k_arm
+        )
+    else:
+        raise ValueError(f"hybrid_rank_fusion: unknown sem_arm {sem_arm!r}")
+    sem = sem_raw.select(
         "query_id",
         F.col("vec_id").alias("doc_id"),
         F.col("rank").alias("sem_rank"),

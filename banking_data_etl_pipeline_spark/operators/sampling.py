@@ -134,6 +134,107 @@ def stratified_sample(
     return df.filter(hash_prefix(F.col(key)) < thr)
 
 
+def weighted_sample(
+    docs: DataFrame,
+    n: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each doc draws a deterministic uniform u from
+    md5(doc_id) and competes with key = -ln(u)/w ~ Exp(w); the n
+    SMALLEST keys are exactly a weighted sample without replacement —
+    the curation step that oversamples high-quality documents without
+    a hard cutoff (a threshold gate discards the long tail entirely;
+    weighted sampling keeps it at proportional rates).
+
+    Weight w = quality_score + 0.1 (the floor keeps zero-quality docs
+    sampleable and -ln(u)/w finite). Everything is a pure per-row
+    expression (map-only, no RNG state, no seed coordination — the
+    module's md5 discipline), and the top-n is a TakeOrdered
+    (per-partition heaps + driver merge), never a full sort — the
+    vocab_topn shape, scale-safe at any corpus size. Keys are ranked
+    at 12 dp so both engines cut the same boundary.
+
+    Returns the sampled (doc_id, weight, skey), weight/skey 6-dp."""
+    from ..functions import texttools
+
+    q = F.round(texttools.quality_score(F.col(text_col)), 6)
+    x = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (x + F.lit(0.5)) / F.lit(4294967296.0)
+    w = q + F.lit(0.1)
+    key = F.round(-F.log(u) / w, 12)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.round(w, 6).alias("weight"),
+            key.alias("_k12"),
+        )
+        .orderBy(F.col("_k12").asc(), F.col("doc_id").asc())
+        .limit(n)
+        .select("doc_id", "weight", F.round("_k12", 6).alias("skey"))
+    )
+
+
+def quality_topp(
+    docs: DataFrame,
+    p: str = "0.8",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum: str = "source",
+) -> DataFrame:
+    """Per-``stratum`` nucleus (top-p) selection: within each source,
+    rank documents by quality and keep the smallest prefix holding
+    ``p`` of the stratum's total quality MASS — the budgeted-curation
+    alternative to a global threshold (each source keeps its best p
+    share, so a low-quality source isn't wiped out and a high-quality
+    one isn't rubber-stamped).
+
+    Exactness: per-doc quality is 6-dp rounded then summed as
+    DECIMAL(26,12) (the DSIR pattern — the running and total masses
+    are order-independent), the keep rule compares the PRECEDING
+    share (cum - q)/total < p, and ordering is (q desc, doc_id asc).
+    Scale shape: one window partition per stratum over rows already
+    grouped by it — partitions by source at any corpus size (salt a
+    pathological single-source corpus before this gate). ``p`` is a
+    SQL-literal string spliced into both engines' comparison.
+
+    Returns kept rows (source, doc_id, q, share_before 6-dp)."""
+    from ..functions import texttools
+
+    q = F.round(texttools.quality_score(F.col(text_col)), 6)
+    base = docs.select(
+        F.col(stratum).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        q.alias("q"),
+    ).withColumn("_qd", F.col("q").cast("decimal(26,12)"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("q").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy("source")
+    ranked = base.select(
+        "source",
+        "doc_id",
+        "q",
+        F.coalesce(F.sum("_qd").over(wcum), F.lit(0).cast("decimal(26,12)"))
+        .alias("_cb"),
+        F.sum("_qd").over(wtot).alias("_tot"),
+    )
+    share_before = F.round(
+        F.col("_cb").cast("double") / F.col("_tot").cast("double"), 12
+    )
+    return (
+        ranked.filter(share_before < F.expr(f"CAST({p} AS DOUBLE)"))
+        .select(
+            "source", "doc_id", "q", F.round(share_before, 6).alias("share_before")
+        )
+    )
+
+
 def weighted_mix(
     parts: list[tuple[DataFrame, str, int]], key: str
 ) -> DataFrame:

@@ -29,7 +29,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import texttools
@@ -452,4 +452,127 @@ def countmin_freq(
         F.col("estimate").cast("long").alias("estimate"),
         F.col("exact_count").cast("long").alias("exact_count"),
         (F.col("estimate") - F.col("exact_count")).cast("long").alias("overcount"),
+    )
+
+
+def source_bottomk_jaccard(
+    docs: DataFrame,
+    k: int = 64,
+    text_col: str = "text",
+    stratum: str = "source",
+) -> DataFrame:
+    """Cross-source vocabulary overlap by BOTTOM-K sketches (the
+    mergeable fixed-size alternative to MinHash for set resemblance,
+    Cohen & Kaplan 2007): each source keeps its k lexicographically
+    smallest md5(token) values; a pair's Jaccard is estimated as the
+    fraction of the merged sketch's k smallest hashes present in BOTH
+    sides. The per-pair exact Jaccard rides alongside so the sketch's
+    error is visible per row — the sketch is the 100 TB path (per-source
+    state is k hashes, built with per-partition heaps and merged
+    associatively; sources never exchange token lists), the exact leg
+    is the eval harness you drop at scale.
+
+    Dedup/curation use: "how much does source B's vocabulary overlap
+    source A's" decides mixing weights and flags mirrored crawls
+    before any pairwise document work runs.
+
+    Returns one row per unordered source pair (source_a < source_b):
+    (source_a, source_b, n_a, n_b, n_inter, exact_jaccard, n_union_k,
+    n_both, est_jaccard), jaccards 6-dp."""
+    st = (
+        docs.select(
+            F.col(stratum).alias("source"),
+            F.explode(texttools.tokens(F.col(text_col))).alias("token"),
+        )
+        .distinct()
+    )
+    hashed = st.select("source", F.md5("token").alias("h"))
+    # two-phase per-source bottom-k: per-(source, input-partition)
+    # heaps first, so no reducer sorts a whole source's vocabulary
+    order = [F.col("h").asc()]
+    local = Window.partitionBy("source", "_part").orderBy(*order)
+    wg = Window.partitionBy("source").orderBy(*order)
+    sketch = (
+        hashed.withColumn("_part", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local))
+        .filter(F.col("_lr") <= k)
+        .withColumn("_r", F.row_number().over(wg))
+        .filter(F.col("_r") <= k)
+        .select("source", "h")
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_tok"))
+    # unordered source pairs: |sources| is catalog-sized, the cross
+    # join is tiny by design (the source_semantic_map precedent)
+    a = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_tok").alias("n_a")
+    )
+    b = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_tok").alias("n_b")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(
+        F.col("source_a") < F.col("source_b")
+    )
+    # exact leg: one token equi-join over the distinct postings
+    inter = (
+        st.select(F.col("source").alias("source_a"), "token")
+        .join(
+            st.select(F.col("source").alias("source_b"), "token"), "token"
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    # estimator: k smallest of the MERGED sketches, membership in both
+    merged = (
+        pairs.select("source_a", "source_b")
+        .join(
+            F.broadcast(sketch).withColumnRenamed("source", "source_a"),
+            "source_a",
+        )
+        .select("source_a", "source_b", "h")
+        .unionByName(
+            pairs.select("source_a", "source_b")
+            .join(
+                F.broadcast(sketch).withColumnRenamed("source", "source_b"),
+                "source_b",
+            )
+            .select("source_a", "source_b", "h")
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.count(F.lit(1)).alias("_n_sides"))
+    )
+    wu = Window.partitionBy("source_a", "source_b").orderBy(F.col("h").asc())
+    est = (
+        merged.withColumn("_r", F.row_number().over(wu))
+        .filter(F.col("_r") <= k)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_union_k"),
+            F.sum(F.when(F.col("_n_sides") == 2, 1).otherwise(0)).alias(
+                "n_both"
+            ),
+        )
+    )
+    return (
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .join(est, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.coalesce(F.col("n_inter"), F.lit(0)).cast("bigint").alias("n_inter"),
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b")
+                   - F.coalesce(F.col("n_inter"), F.lit(0))).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+            F.col("n_union_k").cast("bigint").alias("n_union_k"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_union_k").cast("double"),
+                6,
+            ).alias("est_jaccard"),
+        )
     )

@@ -3760,17 +3760,43 @@ def hybrid_rank_fusion_sql(
     k1: str = "1.2",
     b: str = "0.75",
     rrf_k: int = 60,
+    sem_arm: str = "brute",
 ) -> str:
     """Twin of operators.retrieval.hybrid_rank_fusion: the same query
     documents (lowest n doc_ids == vec_ids), the same tf·ln(N/df)
     query reduction to m terms, the shared BM25 formula text for the
-    lexical arm, the ANN_BRUTE cosine for the semantic arm, each arm's
-    top k_arm full-outer-joined and RRF-fused with
+    lexical arm, the pluggable semantic arm (``sem_arm="brute"`` =
+    the ANN_BRUTE cosine; ``"ivf"`` = the full trained-IVF twin as a
+    derived table, proving the operator's pluggability claim), each
+    arm's top k_arm full-outer-joined and RRF-fused with
     Σ 1/(rrf_k + rank) in (lex + sem) addition order, 6-dp rounded,
     (rrf desc, doc_id asc) top-k."""
     from .operators.retrieval import BM25_TERM_FORMULA
 
     formula = BM25_TERM_FORMULA.format(k1=k1, b=b)
+    if sem_arm == "ivf":
+        sem_ctes = f"""sem AS (
+  SELECT query_id, vec_id AS doc_id, rank AS sem_rank
+  FROM ({ann_ivf_sql(k=k_arm)})
+)"""
+    elif sem_arm == "brute":
+        sem_ctes = f"""semq AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT {n_queries}
+), semscored AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         round({_cosine('e.embedding', 'q.qvec')}, 6) AS cosine
+  FROM embeddings e CROSS JOIN semq q WHERE e.vec_id != q.query_id
+), sem AS (
+  SELECT query_id, doc_id, CAST(r AS INT) AS sem_rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id ASC) AS r
+    FROM semscored
+  ) WHERE r <= {k_arm}
+)"""
+    else:
+        raise ValueError(f"unknown sem_arm {sem_arm!r}")
     return f"""WITH tk AS (
   SELECT doc_id, unnest({TOKS}) AS token FROM documents
 ), tf AS (
@@ -3823,21 +3849,7 @@ def hybrid_rank_fusion_sql(
                               ORDER BY score DESC, doc_id ASC) AS r
     FROM lexscored
   ) WHERE r <= {k_arm}
-), semq AS (
-  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
-  ORDER BY vec_id LIMIT {n_queries}
-), semscored AS (
-  SELECT q.query_id, e.vec_id AS doc_id,
-         round({_cosine('e.embedding', 'q.qvec')}, 6) AS cosine
-  FROM embeddings e CROSS JOIN semq q WHERE e.vec_id != q.query_id
-), sem AS (
-  SELECT query_id, doc_id, CAST(r AS INT) AS sem_rank FROM (
-    SELECT query_id, doc_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY cosine DESC, doc_id ASC) AS r
-    FROM semscored
-  ) WHERE r <= {k_arm}
-), fused AS (
+), {sem_ctes}, fused AS (
   SELECT COALESCE(l.query_id, s.query_id) AS query_id,
          COALESCE(l.doc_id, s.doc_id) AS doc_id,
          round(COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + l.lex_rank),
@@ -4017,3 +4029,186 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
        min(qa) AS a_min, max(qa) AS a_max,
        min(qb) AS b_min, max(qb) AS b_max
 FROM keyed GROUP BY bucket"""
+
+
+def _st_quality_ctes(extra_cols: str = "") -> str:
+    """tk/st CTE prefix computing the quality-score inputs (n_tokens,
+    punct_ratio, stopword_ratio — the corpus_filter_sql shapes);
+    ``extra_cols`` ride through both CTEs."""
+    xc = (", " + extra_cols) if extra_cols else ""
+    return f"""tk AS (
+  SELECT doc_id{xc}, text, {TOKS} AS toks FROM documents
+), st AS (
+  SELECT doc_id{xc}, text, toks,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE (length(text) - length(translate(text, '{_SQL_PUNCT}', '')))
+              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE {_hits('en')} / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
+  FROM tk
+)"""
+
+
+def weighted_sample_sql(n: int = 200) -> str:
+    """Twin of operators.sampling.weighted_sample: the same 6-dp
+    quality + 0.1 weight, u = (md5-prefix + 0.5)/2^32, A-ES key
+    -ln(u)/w ranked at 12 dp with doc_id ties, bottom-n."""
+    return f"""WITH {_st_quality_ctes()},
+q AS (
+  SELECT doc_id, round({_QUALITY}, 6) + CAST(0.1 AS DOUBLE) AS w FROM st
+), keyed AS (
+  SELECT doc_id, w,
+    round(-ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) + 0.5) / 4294967296.0) / w, 12) AS k12
+  FROM q
+)
+SELECT doc_id, round(w, 6) AS weight, round(k12, 6) AS skey
+FROM keyed ORDER BY k12 ASC, doc_id ASC LIMIT {n}"""
+
+
+def quality_topp_sql(p: str = "0.8") -> str:
+    """Twin of operators.sampling.quality_topp: 6-dp quality, DECIMAL
+    running/total masses per source, keep while the PRECEDING share
+    (12-dp) is below p, (q desc, doc_id asc) order."""
+    return f"""WITH {_st_quality_ctes("source")},
+q AS (
+  SELECT source, doc_id, round({_QUALITY}, 6) AS q FROM st
+), r AS (
+  SELECT source, doc_id, q,
+    coalesce(sum(CAST(q AS DECIMAL(26,12))) OVER (
+      PARTITION BY source ORDER BY q DESC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      CAST(0 AS DECIMAL(26,12))) AS cb,
+    sum(CAST(q AS DECIMAL(26,12))) OVER (PARTITION BY source) AS tot
+  FROM q
+)
+SELECT source, doc_id, q,
+       round(round(CAST(cb AS DOUBLE) / CAST(tot AS DOUBLE), 12), 6)
+         AS share_before
+FROM r
+WHERE round(CAST(cb AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+      < CAST({p} AS DOUBLE)"""
+
+
+def source_jaccard_sql(k: int = 64) -> str:
+    """Twin of operators.sketches.source_bottomk_jaccard: distinct
+    (source, token) postings, per-source bottom-k md5 sketch, merged
+    bottom-k membership estimator beside the exact token-join
+    Jaccard."""
+    return f"""WITH ex AS (
+  SELECT source, unnest({TOKS}) AS token FROM documents
+), st AS (
+  SELECT DISTINCT source, token FROM ex
+), hashed AS (
+  SELECT source, md5(token) AS h FROM st
+), sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h ASC) AS r
+    FROM hashed
+  ) WHERE r <= {k}
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tok FROM st GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, a.n_tok AS n_a,
+         b.source AS source_b, b.n_tok AS n_b
+  FROM sizes a JOIN sizes b ON a.source < b.source
+), inter AS (
+  SELECT x.source AS source_a, y.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM st x JOIN st y ON x.token = y.token AND x.source < y.source
+  GROUP BY x.source, y.source
+), merged AS (
+  SELECT p.source_a, p.source_b, s.h, count(*) AS n_sides
+  FROM pairs p JOIN sk s ON s.source IN (p.source_a, p.source_b)
+  GROUP BY p.source_a, p.source_b, s.h
+), est AS (
+  SELECT source_a, source_b,
+         CAST(count(*) AS BIGINT) AS n_union_k,
+         CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both
+  FROM (
+    SELECT source_a, source_b, h, n_sides,
+           row_number() OVER (PARTITION BY source_a, source_b
+                              ORDER BY h ASC) AS r
+    FROM merged
+  ) WHERE r <= {k}
+  GROUP BY source_a, source_b
+)
+SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       round(coalesce(i.n_inter, 0)
+             / CAST(p.n_a + p.n_b - coalesce(i.n_inter, 0) AS DOUBLE), 6)
+         AS exact_jaccard,
+       e.n_union_k, e.n_both,
+       round(e.n_both / CAST(e.n_union_k AS DOUBLE), 6) AS est_jaccard
+FROM pairs p
+LEFT JOIN inter i USING (source_a, source_b)
+LEFT JOIN est e USING (source_a, source_b)"""
+
+
+# Twin of operators.relational.bottleneck_suppliers: the Q21 EXISTS /
+# NOT-EXISTS pair rewritten as the same two aggregations (per-order
+# max shipdate + supplier count, then the latest-line slice).
+BOTTLENECK_SUPPLIERS_Q = """WITH lines AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+), ostats AS (
+  SELECT l_orderkey, max(l_shipdate) AS mx,
+         count(DISTINCT l_suppkey) AS ns
+  FROM lines GROUP BY l_orderkey
+), sole AS (
+  SELECT l.l_orderkey,
+         count(DISTINCT l.l_suppkey) AS nlate,
+         max(l.l_suppkey) AS supp
+  FROM lines l JOIN ostats o ON l.l_orderkey = o.l_orderkey
+  WHERE l.l_shipdate = o.mx AND o.ns >= 2
+  GROUP BY l.l_orderkey
+), waits AS (
+  SELECT supp, CAST(count(*) AS BIGINT) AS numwait
+  FROM sole WHERE nlate = 1 GROUP BY supp
+)
+SELECT s.s_suppkey, s.s_name, w.numwait
+FROM waits w JOIN supplier s ON w.supp = s.s_suppkey"""
+
+
+# Twin of operators.relational.last_touch_attribution: three IGNORE
+# NULLS last_values over the same 1-preceding frame necessarily come
+# from the same prior row (the NULLs are created by one condition);
+# integer-microsecond gap.
+ATTRIBUTION_Q = """WITH base AS (
+  SELECT event_id, user_id, ts, event_type,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER w AS attr_type,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+               IGNORE NULLS) OVER w AS attr_event_id,
+    last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+               IGNORE NULLS) OVER w AS attr_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, attr_type, attr_event_id,
+       epoch_us(ts) - epoch_us(attr_ts) AS gap_us
+FROM base WHERE event_type = 'purchase'"""
+
+
+# Twin of operators.corpus.zipf_fit: identical top-100 vocabulary cut
+# and rank order, OLS via the engines' regr_* over ln/ln, 4-dp round
+# (the REGR_SLOPE_Q precedent) with signed-zero normalization.
+ZIPF_FIT_Q = f"""WITH vocab AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest({TOKS}) AS token FROM documents)
+  GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
+), r AS (
+  SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rank, n
+  FROM vocab
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+  round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4)
+    + 0.0 AS slope,
+  round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4)
+    + 0.0 AS intercept,
+  round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4)
+    + 0.0 AS r2
+FROM r"""

@@ -1994,6 +1994,76 @@ def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rank_fusion_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with the PRODUCTION semantic arm: the trained
+    IVF index replaces brute force behind sem_arm='ivf' — proving the
+    fusion stage's pluggability claim with its own oracle."""
+    from .operators import retrieval
+
+    tune_for_oracle(spark)
+    return retrieval.hybrid_rank_fusion(
+        tables.load(spark, sf_dir, "documents"),
+        tables.load(spark, sf_dir, "embeddings"),
+        sem_arm="ivf",
+    )
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling without replacement (A-ES): the
+    curation step that oversamples good documents with no hard cut."""
+    from .operators import sampling
+
+    tune_for_oracle(spark)
+    return sampling.weighted_sample(tables.load(spark, sf_dir, "documents"))
+
+
+def quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source nucleus (top-p) curation: each source keeps its best
+    80% of quality mass — budgeted selection, not a global threshold."""
+    from .operators import sampling
+
+    tune_for_oracle(spark)
+    return sampling.quality_topp(tables.load(spark, sf_dir, "documents"))
+
+
+def source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap by bottom-k sketches, exact
+    Jaccard alongside — the mixing-weight / mirrored-crawl signal."""
+    from .operators import sketches
+
+    tune_for_oracle(spark)
+    return sketches.source_bottomk_jaccard(
+        tables.load(spark, sf_dir, "documents")
+    )
+
+
+def bottleneck_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped EXISTS/NOT-EXISTS pair as two fact
+    aggregations: sole latest-shipping supplier on multi-supplier
+    orders."""
+    tune_for_oracle(spark)
+    return relational.bottleneck_suppliers(
+        tables.load(spark, sf_dir, "lineitem"),
+        tables.load(spark, sf_dir, "supplier"),
+    )
+
+
+def attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credited to
+    the user's most recent preceding touch (ignore-nulls window)."""
+    tune_for_oracle(spark)
+    return relational.last_touch_attribution(
+        tables.load(spark, sf_dir, "events")
+    )
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the corpus frequency curve — the one-row corpus
+    health check over the top-100 vocabulary."""
+    tune_for_oracle(spark)
+    return corpus.zipf_fit(tables.load(spark, sf_dir, "documents"))
+
+
 def ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered vector search: label-equality pre-filter as a
     broadcast hash-join key — search-within-a-slice at corpus scale."""

@@ -185,6 +185,13 @@ BENCH_QUERIES = [
     "lineage",
     # round 8 additions
     "ivf_pq_residual",
+    "rank_fusion_ann",
+    "weighted_sample",
+    "quality_topp",
+    "source_jaccard",
+    "bottleneck_suppliers",
+    "attribution",
+    "zipf_fit",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

@@ -263,6 +263,9 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # semantic arm composes brute_force_topk; the lexical arm and
         # the fusion join are equi-joins
         "rank_fusion",
+        # |sources| x |sources| pair grid — catalog-sized tiny cross
+        # join by design (the source_semantic_map shape)
+        "source_jaccard",
     }
     for name, fn in sorted(mod.queries().items()):
         if name in streaming_or_iterative:
