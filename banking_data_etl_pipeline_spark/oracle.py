@@ -2023,15 +2023,17 @@ def semdedup_sql(
     sample-fitted ``_kmeans_ctes`` walk as ann_ivf_sql):
     rounded-cosine argmax cells, within-cell pairs, drop = lower-id
     neighbor at >= tau. ``n_cells=None`` replays the operator's
-    derived default — clamp(floor(sqrt(count)+0.5), 16, 4096) over the
-    full corpus, ``dedup.semdedup_cells_for`` — as a scalar subquery in
-    c0's LIMIT, so the twin adapts to any fixture size exactly like
-    the Spark side (sqrt is correctly rounded in both engines, so the
-    derived count can't diverge)."""
+    derived default — clamp(floor(sqrt(count)·0.5+0.5), 16, 4096)
+    over the full corpus, ``dedup.semdedup_cells_for`` (the 0.5
+    multiplier is the r8 measured cost-balance calibration) — as a
+    scalar subquery in c0's LIMIT, so the twin adapts to any fixture
+    size exactly like the Spark side (sqrt is correctly rounded in
+    both engines and ·0.5/+0.5/floor are exact, so the derived count
+    can't diverge)."""
     if n_cells is None:
         n_cells = (
             "(SELECT greatest(16, least(4096,"
-            " CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)))"
+            " CAST(floor(sqrt(count(*)) * 0.5 + 0.5) AS BIGINT)))"
             " FROM embeddings)"
         )
     last = f"c{iters}"
