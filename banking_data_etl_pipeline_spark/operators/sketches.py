@@ -576,3 +576,86 @@ def source_bottomk_jaccard(
             ).alias("est_jaccard"),
         )
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str = "l_extendedprice",
+    bins: int = 128,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantiles by a MERGEABLE equi-width histogram sketch, with the
+    exact answer computed through sketch-guided pruning — the
+    two-pass distributed-quantile shape that never globally sorts:
+
+    1. one ungrouped agg for (min, max, n); 2. per-partition bin
+    counts merged associatively (the 100 TB-correct sketch shape —
+    ``bins`` counters per partition reach the shuffle, the histogram
+    itself is model-parameter scale); 3. the ESTIMATE interpolates
+    linearly inside the quantile's bin; 4. the EXACT value prunes to
+    that single bin (~n/bins rows) and takes the (k − cum_before)-th
+    smallest there via TakeOrdered — the histogram tells us exactly
+    which rows can matter, so the exact pass reads 1/bins of the data
+    and sorts a sliver. Exact = max of the first (k − cum_before)
+    ordered values in the bin, k = ceil(p·n) — the classic
+    count-below definition, deterministic under ties because it is
+    value-based.
+
+    Returns one row per p: (p, n, est_quantile, exact_quantile,
+    abs_err), est/exact/err 6-dp. The histogram collect is ``bins``
+    rows (model scale, the centroid precedent)."""
+    import math
+
+    spark = df.sparkSession
+    v = F.col(col).cast("double")
+    lo, hi, n = df.agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi"), F.count(v).alias("n")
+    ).first()
+    if n == 0 or hi == lo:
+        raise ValueError(
+            f"histogram_quantiles: degenerate {col} domain (n={n}, "
+            f"lo==hi={lo!r}) — the bin width would be 0"
+        )
+    lo, hi = float(lo), float(hi)
+    width = (hi - lo) / bins
+    bin_expr = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    binned = df.select(v.alias("_v"), bin_expr.alias("_b"))
+    hist = {
+        r._b: r.c
+        for r in binned.groupBy("_b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    parts = []
+    for p in ps:
+        k = int(math.ceil(p * n))
+        cum = 0
+        bstar, cum_before = bins - 1, 0
+        for b in range(bins):
+            c = hist.get(b, 0)
+            if cum + c >= k:
+                bstar, cum_before = b, cum
+                break
+            cum += c
+        c_star = hist.get(bstar, 0)
+        frac = (k - cum_before) / c_star if c_star else 0.0
+        est = lo + (bstar + frac) * width
+        k_in_bin = k - cum_before
+        exact = (
+            binned.filter(F.col("_b") == bstar)
+            .orderBy(F.col("_v").asc())
+            .limit(k_in_bin)
+            .agg(
+                F.lit(float(p)).alias("p"),
+                F.lit(int(n)).cast("bigint").alias("n"),
+                F.round(F.lit(est), 6).alias("est_quantile"),
+                F.round(F.max("_v"), 6).alias("exact_quantile"),
+                F.round(F.abs(F.max("_v") - F.lit(est)), 6).alias("abs_err"),
+            )
+        )
+        parts.append(exact)
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionByName(p_df)
+    return out

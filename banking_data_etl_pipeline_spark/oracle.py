@@ -4214,3 +4214,58 @@ SELECT CAST(count(*) AS BIGINT) AS n_terms,
   round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4)
     + 0.0 AS r2
 FROM r"""
+
+
+def histogram_quantiles_sql(
+    col: str = "l_extendedprice",
+    src: str = "lineitem",
+    bins: int = 128,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """Twin of operators.sketches.histogram_quantiles: identical bin
+    expression and interpolation operation order (width = (hi−lo)/bins
+    staged once; frac = (k−cb)/c as double; est = lo+(b+frac)·width),
+    k = ceil(p·n) with p forced DOUBLE (DuckDB decimal literals would
+    ceil differently), exact = the (k−cb)-th smallest value inside
+    the quantile's bin (== max of the first k−cb ordered values, the
+    Spark side's pruned TakeOrdered)."""
+    p_list = ", ".join(f"CAST({p} AS DOUBLE)" for p in ps)
+    return f"""WITH srcv AS (
+  SELECT CAST({col} AS DOUBLE) AS v FROM {src}
+), st AS (
+  SELECT min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS n
+  FROM srcv
+), b AS (
+  SELECT v,
+         CAST(least(greatest(floor((v - lo) / ((hi - lo) / {bins}.0)), 0),
+                    {bins - 1}) AS INT) AS bin
+  FROM srcv, st
+), hist AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bin
+), cums AS (
+  SELECT bin, c,
+         coalesce(sum(c) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM hist
+), ps AS (
+  SELECT unnest([{p_list}]) AS p
+), pick AS (
+  SELECT p, CAST(ceil(p * st.n) AS BIGINT) AS k, st.n, st.lo, st.hi
+  FROM ps, st
+), star AS (
+  SELECT pk.p, pk.k, pk.n, pk.lo, pk.hi, c.bin AS bstar, c.cb, c.c
+  FROM pick pk JOIN cums c ON c.cb < pk.k AND c.cb + c.c >= pk.k
+), est AS (
+  SELECT p, k, n, bstar, cb, c,
+         lo + (bstar + CAST(k - cb AS DOUBLE) / c)
+              * ((hi - lo) / {bins}.0) AS e
+  FROM star
+), ranked AS (
+  SELECT bin, v, row_number() OVER (PARTITION BY bin ORDER BY v) AS r
+  FROM b
+)
+SELECT e.p, e.n,
+       round(e.e, 6) AS est_quantile,
+       round(r1.v, 6) AS exact_quantile,
+       round(abs(r1.v - e.e), 6) AS abs_err
+FROM est e JOIN ranked r1 ON r1.bin = e.bstar AND r1.r = e.k - e.cb"""

@@ -30,6 +30,36 @@ FIXED_TS = "2026-01-01T00:00:00Z"
 # ------------------------------------------------------------ bank core
 
 
+
+def _stream_src_dir(sf_dir: str, table: str) -> str:
+    """Deterministic per-corpus-snapshot symlink dir for streaming
+    file sources (they require a DIRECTORY; the fixtures ship one
+    parquet file). Keyed by the ann_ivf_prebuilt content fingerprint
+    (abs path + size + mtime), so repeated bench/parity invocations
+    reuse ONE dir per snapshot instead of accumulating mkdtemp
+    orphans (r7 ADVICE), while a regenerated fixture fingerprints to
+    a fresh dir. Concurrent bench/parity processes race-safely fall
+    through to whichever created the symlink first."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_src_{table}_{fp}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    if not os.path.islink(link):
+        try:
+            os.symlink(src, link)
+        except FileExistsError:  # concurrent race loser
+            pass
+    return d
+
+
 def _bank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Twin of the oracle's ``norm`` CTE: pass-through numerics +
     lower(trim()) categoricals; drops `default` like the oracle."""
@@ -539,27 +569,15 @@ def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     The streaming file source requires a DIRECTORY; the driver ships a
     single events.parquet file, so stage a symlink dir under /tmp.
     """
-    import os
-    import tempfile
-
     tune_for_oracle(spark)
-    d = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
-    )
+    d = _stream_src_dir(sf_dir, "events")
     return EV.run_stream_to_memory(spark, d, "stream_window_agg_sink")
 
 
 def stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState)."""
-    import os
-    import tempfile
-
     tune_for_oracle(spark)
-    d = tempfile.mkdtemp(prefix="stateful_events_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
-    )
+    d = _stream_src_dir(sf_dir, "events")
     return EV.stateful_user_totals(spark, d, "stateful_totals_sink")
 
 
@@ -567,28 +585,33 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup (dropDuplicatesWithinWatermark): the feed plays
     the events file TWICE (two symlinks = exact duplicate rows); the
     survivors' per-type totals must equal the plain batch table."""
+    import hashlib
     import os
     import tempfile
 
     tune_for_oracle(spark)
-    d = tempfile.mkdtemp(prefix="stream_dup_events_")
-    src = os.path.join(sf_dir, "events.parquet")
-    os.symlink(src, os.path.join(d, "a.parquet"))
-    os.symlink(src, os.path.join(d, "b.parquet"))
+    # two-symlink variant of _stream_src_dir (same fingerprint reuse)
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_src_events2_{fp}")
+    os.makedirs(d, exist_ok=True)
+    for ln in ("a.parquet", "b.parquet"):
+        if not os.path.islink(os.path.join(d, ln)):
+            try:
+                os.symlink(src, os.path.join(d, ln))
+            except FileExistsError:
+                pass
     return EV.stream_dedup_totals(spark, d, "stream_dedup_sink")
 
 
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval self-join, checked against the batch
     inner range-join oracle."""
-    import os
-    import tempfile
-
     tune_for_oracle(spark)
-    d = tempfile.mkdtemp(prefix="stream_join_events_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
-    )
+    d = _stream_src_dir(sf_dir, "events")
     return EV.stream_interval_join_counts(spark, d, "stream_interval_join_sink")
 
 
@@ -600,14 +623,8 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session_window twin, checked against the batch
     sessionize oracle."""
-    import os
-    import tempfile
-
     tune_for_oracle(spark)
-    d = tempfile.mkdtemp(prefix="stream_sess_events_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
-    )
+    d = _stream_src_dir(sf_dir, "events")
     return EV.stream_sessionize(spark, d, "stream_sessionize_sink")
 
 
@@ -618,14 +635,8 @@ def stream_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ms-truncated watermark arithmetic, not SQL-expressible exactly;
     the emitted-set/batch-twin relationship is pinned by
     tests/test_events_streaming.py instead."""
-    import os
-    import tempfile
-
     tune_for_oracle(spark)
-    d = tempfile.mkdtemp(prefix="stream_sess_app_events_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
-    )
+    d = _stream_src_dir(sf_dir, "events")
     return EV.stream_sessionize_append(spark, d, "stream_sessionize_append_sink")
 
 
@@ -789,14 +800,8 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast per micro-batch, zero streaming state), aggregated to
     revenue per market segment; equals the batch join+groupBy, which is
     what the oracle checks."""
-    import os
-    import tempfile
-
     tune_for_oracle(spark)
-    d = tempfile.mkdtemp(prefix="stream_static_events_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
-    )
+    d = _stream_src_dir(sf_dir, "events")
     dim = tables.load(spark, sf_dir, "customer")
     return EV.stream_static_join(spark, d, dim, "stream_static_join_sink")
 
@@ -935,14 +940,8 @@ def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     including zero-follower events, whose unmatched rows emit only
     after the watermark clears their join window (the batch twin
     encodes the same cutoff)."""
-    import os
-    import tempfile
-
     tune_for_oracle(spark)
-    d = tempfile.mkdtemp(prefix="stream_loj_events_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
-    )
+    d = _stream_src_dir(sf_dir, "events")
     return EV.stream_left_interval_join_counts(
         spark, d, "stream_left_interval_join_sink"
     )
@@ -1295,17 +1294,10 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING text-quality gate over a documents drop dir
     (file source + availableNow + append memory sink); stateless, so
     it is checked against the batch scan's oracle SQL."""
-    import os
-    import tempfile
-
     from .streaming import docs as SD
 
     tune_for_oracle(spark)
-    d = tempfile.mkdtemp(prefix="stream_docs_")
-    os.symlink(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(d, "documents.parquet"),
-    )
+    d = _stream_src_dir(sf_dir, "documents")
     return SD.run_quality_gate_stream(spark, d, "stream_quality_gate_sink")
 
 
@@ -1314,17 +1306,10 @@ def stream_minhash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     new batch (doc_id % 5 == 0) arrives as a file stream and probes
     the static corpus signatures — same semantics (and oracle) as the
     batch minhash_incremental."""
-    import os
-    import tempfile
-
     from .streaming import docs as SD
 
     tune_for_oracle(spark)
-    d = tempfile.mkdtemp(prefix="stream_screen_")
-    os.symlink(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(d, "documents.parquet"),
-    )
+    d = _stream_src_dir(sf_dir, "documents")
     corpus = tables.load(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 5 != 0
     )
@@ -1610,29 +1595,8 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile (even event_ids, static), current bin counts accumulated
     from the streamed odd half — checked against the batch PSI oracle
     (batch-equivalence)."""
-    import hashlib
-    import os
-    import tempfile
-
     tune_for_oracle(spark)
-    # deterministic per-corpus-snapshot source dir (the ann_ivf_prebuilt
-    # fingerprint pattern) instead of a fresh mkdtemp per call — bench
-    # and parity each invoke this several times per round and were
-    # accumulating orphan temp dirs (r7 ADVICE). Same fingerprint rule:
-    # path + size + mtime, so a regenerated fixture gets a fresh dir.
-    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
-    st = os.stat(src)
-    fp = hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
-    ).hexdigest()[:16]
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_psi_src_{fp}")
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.islink(link):
-        try:
-            os.symlink(src, link)
-        except FileExistsError:  # concurrent bench/parity race loser
-            pass
+    d = _stream_src_dir(sf_dir, "events")
     ref = tables.load(spark, sf_dir, "events").filter(
         F.col("event_id") % 2 == 0
     )
@@ -1757,17 +1721,10 @@ def stream_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     0) arrives as a file stream and probes the corpus bit-set
     artifact inlined as a literal — map-only, stateless, checked
     against the batch-SQL oracle."""
-    import os
-    import tempfile
-
     from .streaming import docs as SD
 
     tune_for_oracle(spark)
-    d = tempfile.mkdtemp(prefix="stream_bloom_")
-    os.symlink(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(d, "documents.parquet"),
-    )
+    d = _stream_src_dir(sf_dir, "documents")
     corpus = tables.load(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 5 != 0
     )
@@ -1956,15 +1913,8 @@ def media_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATEFUL streaming funnel (applyInPandasWithState) — checked
     against the batch funnel's oracle (FUNNEL_Q batch-equivalence)."""
-    import os
-    import tempfile
-
     tune_for_oracle(spark)
-    d = tempfile.mkdtemp(prefix="stream_funnel_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(d, "events.parquet"),
-    )
+    d = _stream_src_dir(sf_dir, "events")
     return EV.funnel_stream(spark, d, "stream_funnel_sink")
 
 
@@ -2062,6 +2012,27 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     health check over the top-100 vocabulary."""
     tune_for_oracle(spark)
     return corpus.zipf_fit(tables.load(spark, sf_dir, "documents"))
+
+
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming last-touch attribution
+    (applyInPandasWithState, out-of-order-safe re-attribution) —
+    checked against the batch attribution's oracle (ATTRIBUTION_Q
+    batch-equivalence, the stream_window_agg bar)."""
+    tune_for_oracle(spark)
+    d = _stream_src_dir(sf_dir, "events")
+    return EV.attribution_stream(spark, d, "stream_attribution_sink")
+
+
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantiles (p50/p90/p99) with the
+    exact value recovered through sketch-guided bin pruning."""
+    from .operators import sketches
+
+    tune_for_oracle(spark)
+    return sketches.histogram_quantiles(
+        tables.load(spark, sf_dir, "lineitem")
+    )
 
 
 def ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -758,3 +758,134 @@ def psi_drift_stream(
         )
     )
     return expectations.psi_score_bins(joined, n_bins)
+
+
+def attribution_stream(
+    spark: SparkSession,
+    events_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STATEFUL streaming last-touch attribution via
+    ``applyInPandasWithState``: each purchase is credited to the
+    user's most recent PRECEDING non-purchase event, maintained
+    incrementally and out-of-order-safe — a late-arriving touch that
+    slots between an earlier touch and a purchase RE-ATTRIBUTES that
+    purchase (the funnel_stream retroactivity argument: an operator
+    keeping only the current best touch would silently ship stale
+    credit). Per-user state is the event list inside the retention
+    horizon; production expires users by event-time timeout (the
+    sessionize watermark discipline) — the bounded availableNow run
+    here needs none.
+
+    Emits the user's full current attribution table on every update;
+    the terminal reduction keeps each purchase's last emission
+    (n_seen strictly monotone per user). The result must equal the
+    batch ``relational.last_touch_attribution`` row-for-row — the
+    driver checks it against the SAME oracle (ATTRIBUTION_Q), the
+    batch-equivalence bar. Timestamps cross the Arrow boundary as
+    integer microseconds."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_seen long, event_id long, attr_type string,"
+        " attr_event_id long, gap_us long"
+    )
+    state_schema = (
+        "n long, ts array<long>, ids array<long>, types array<string>"
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, ts, ids, types = (
+            state.get if state.exists else (0, [], [], [])
+        )
+        ts, ids, types = list(ts or []), list(ids or []), list(types or [])
+        for pdf in pdfs:
+            n += len(pdf)
+            ts.extend(int(t) for t in pdf["t"])
+            ids.extend(int(i) for i in pdf["event_id"])
+            types.extend(str(x) for x in pdf["event_type"])
+        state.update((n, ts, ids, types))
+        rows = sorted(zip(ts, ids, types), key=lambda r: (r[0], r[1]))
+        out = {
+            "user_id": [], "n_seen": [], "event_id": [],
+            "attr_type": [], "attr_event_id": [], "gap_us": [],
+        }
+        last_touch = None
+        for t, i, et in rows:
+            if et == "purchase":
+                out["user_id"].append(key[0])
+                out["n_seen"].append(n)
+                out["event_id"].append(i)
+                if last_touch is None:
+                    out["attr_type"].append(None)
+                    out["attr_event_id"].append(None)
+                    out["gap_us"].append(None)
+                else:
+                    out["attr_type"].append(last_touch[2])
+                    out["attr_event_id"].append(last_touch[1])
+                    out["gap_us"].append(t - last_touch[0])
+            else:
+                last_touch = (t, i, et)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array(out["user_id"], dtype="int64"),
+                "n_seen": pd.array(out["n_seen"], dtype="int64"),
+                "event_id": pd.array(out["event_id"], dtype="int64"),
+                "attr_type": pd.array(out["attr_type"], dtype=object),
+                "attr_event_id": pd.array(
+                    out["attr_event_id"], dtype="Int64"
+                ),
+                "gap_us": pd.array(out["gap_us"], dtype="Int64"),
+            }
+        )
+
+    src_stream = events_stream(spark, events_dir)
+    if max_files_per_trigger:
+        src_stream = (
+            spark.readStream.schema(src_stream.schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .format("parquet")
+            .load(events_dir)
+        )
+    stream = src_stream.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("t"),
+    )
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    with _state_partitions(spark):
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # last emission per purchase: n_seen is monotone per user, and the
+    # attribution fields ride the struct so they come from that same
+    # final emission
+    last = F.max(
+        F.struct("n_seen", "attr_type", "attr_event_id", "gap_us")
+    ).alias("s")
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("event_id", "user_id")
+        .agg(last)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("s.attr_type").alias("attr_type"),
+            F.col("s.attr_event_id").alias("attr_event_id"),
+            F.col("s.gap_us").alias("gap_us"),
+        )
+    )

@@ -192,6 +192,8 @@ BENCH_QUERIES = [
     "bottleneck_suppliers",
     "attribution",
     "zipf_fit",
+    "stream_attribution",
+    "quantile_sketch",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

@@ -180,3 +180,76 @@ def test_rank_fusion_ann_differs_only_in_sem_arm(spark):
 
     with pytest.raises(ValueError, match="sem_arm"):
         retrieval.hybrid_rank_fusion(docs, emb, sem_arm="bogus")
+
+
+def test_stream_attribution_reattributes_across_batches(spark, tmp_path):
+    """Out-of-order retroactivity: a touch that ARRIVES after the
+    purchase (later micro-batch, earlier event time) must re-attribute
+    the purchase — the operator's reason to be stateful."""
+    import pandas as pd
+
+    from banking_data_etl_pipeline_spark.streaming import events as EV
+
+    d = tmp_path / "feed"
+    d.mkdir()
+    # batch 1: the purchase and a stale touch arrive first
+    pd.DataFrame(
+        {
+            "event_id": [10, 20],
+            "ts": pd.to_datetime(
+                ["2024-01-01 09:00:00", "2024-01-01 10:00:00"]
+            ),
+            "user_id": [1, 1],
+            "event_type": ["click", "purchase"],
+            "value": [0.0, 0.0],
+            "props": ["{}", "{}"],
+        }
+    ).to_parquet(d / "a.parquet", coerce_timestamps="us")
+    # batch 2: a LATER-arriving touch with event time between them
+    pd.DataFrame(
+        {
+            "event_id": [15],
+            "ts": pd.to_datetime(["2024-01-01 09:30:00"]),
+            "user_id": [1],
+            "event_type": ["view"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    ).to_parquet(d / "b.parquet", coerce_timestamps="us")
+    got = {
+        r.event_id: (r.attr_type, r.attr_event_id, r.gap_us)
+        for r in EV.attribution_stream(
+            spark, str(d), "attr_retro_sink", max_files_per_trigger=1
+        ).collect()
+    }
+    # the view (event 15) slots between click and purchase and wins
+    assert got[20] == ("view", 15, 30 * 60 * 1_000_000)
+
+
+def test_quantile_sketch_bounds_and_exactness(spark):
+    from banking_data_etl_pipeline_spark.operators import sketches
+
+    li = tables.load(spark, SF_DIR, "lineitem")
+    rows = {r.p: r for r in sketches.histogram_quantiles(li).collect()}
+    vals = sorted(
+        x[0] for x in li.select("l_extendedprice").collect()
+    )
+    import math
+
+    for p, r in rows.items():
+        # exact == the ceil(p*n)-th smallest value, independently
+        k = int(math.ceil(p * len(vals)))
+        assert abs(r.exact_quantile - round(vals[k - 1], 6)) < 1e-6, p
+        # estimate lands within one bin width of the truth
+        width = (vals[-1] - vals[0]) / 128
+        assert abs(r.est_quantile - r.exact_quantile) <= width + 1e-6, p
+
+
+def test_quantile_sketch_degenerate_domain_raises(spark):
+    import pytest
+
+    from banking_data_etl_pipeline_spark.operators import sketches
+
+    one = spark.createDataFrame([(1.0,)] * 5, "x double")
+    with pytest.raises(ValueError, match="degenerate"):
+        sketches.histogram_quantiles(one, col="x")
