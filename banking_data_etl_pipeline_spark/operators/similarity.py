@@ -509,10 +509,20 @@ def ivf_pq_topk(
             ),
         )
         if books is None:
-            books = pq_train_codebooks(
-                corpus.select("vec_id", F.col("rvec").alias("embedding")),
-                m, codes, pq_train_iterations, "embedding", "vec_id",
-            )
+            # persist the residual training frame: each subspace walk
+            # is several jobs (validation, init, per-iteration update)
+            # and every one would otherwise recompute the coarse
+            # assignment argmax + the zip_with subtraction from scratch
+            res_frame = corpus.select(
+                "vec_id", F.col("rvec").alias("embedding")
+            ).persist()
+            try:
+                books = pq_train_codebooks(
+                    res_frame, m, codes, pq_train_iterations,
+                    "embedding", "vec_id",
+                )
+            finally:
+                res_frame.unpersist()
         enc_src = F.col("rvec")
     else:
         if books is None:
