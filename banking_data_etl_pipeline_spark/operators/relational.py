@@ -1040,3 +1040,383 @@ def last_touch_attribution(events: DataFrame) -> DataFrame:
             ).alias("gap_us"),
         )
     )
+
+
+# ------------------------- round 8b: TPC-H shape completion
+
+
+def late_priority_orders(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1997-01-01",
+    end: str = "1997-04-01",
+    late_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q4 shape — order-priority checking, re-keyed to this
+    fixture (no commit/receipt dates): count orders per priority, in a
+    quarter, that had at least one line shipping more than
+    ``late_days`` after the order date.
+
+    Scale shape: the quarter filter is PUSHED to the orders scan (the
+    probe side shrinks ~25x before any join), the EXISTS becomes one
+    LEFT SEMI hash join on l_orderkey with the lateness predicate as
+    the join residual (no per-row subquery, no dedup pass — semi join
+    short-circuits on first match), and the final groupBy is over 5
+    priority values with map-side combine.
+
+    Returns (o_orderpriority, order_count) ordered by priority."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    )
+    late = o.join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def cust_order_dist(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_priority: str = "4-NOT SPECIFIED",
+) -> DataFrame:
+    """TPC-H Q13 shape — customer order-count distribution: how many
+    customers placed exactly N qualifying orders (the excluded
+    priority playing Q13's not-like-comment role), INCLUDING the
+    zero-order bucket via the left outer join.
+
+    Scale shape: the priority filter pushes to the orders scan, the
+    left join shuffles both sides on custkey once (count(o_orderkey)
+    counts matches only, so zero-order customers survive as c_count
+    0), and the second groupBy is on the tiny distinct-count domain.
+
+    Returns (c_count, custdist) ordered custdist desc, c_count
+    desc."""
+    o = orders.filter(F.col("o_orderpriority") != exclude_priority).select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    start: str = "1997-06-01",
+    end: str = "1997-07-01",
+    promo_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q14 shape — promotion effect: the share of one ship
+    month's revenue coming from promo-typed parts.
+
+    Scale shape: the month filter pushes to the lineitem scan, part is
+    a broadcast dimension join (no fact shuffle at all — the plan is
+    scan -> broadcast join -> single partial+final agg), and both sums
+    share one DECIMAL(18,6) accumulator pass.
+
+    Returns one row (promo_revenue, total_revenue, promo_pct)."""
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    l = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    )
+    return (
+        l.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == promo_type, rev).otherwise(zero))
+                .cast("double"),
+                4,
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev).cast("double"), 4).alias("total_revenue"),
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == promo_type, rev).otherwise(zero))
+                .cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_pct"),
+        )
+    )
+
+
+def small_qty_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#4",
+    ptype: str = "SMALL",
+    frac: str = "0.5",
+) -> DataFrame:
+    """TPC-H Q17 shape — small-quantity-order revenue: average yearly
+    revenue lost if orders below ``frac`` of a part's mean quantity
+    were not filled, for one brand/type slice.
+
+    Scale shape: the brand/type slice collapses part to a broadcast-
+    sized dimension BEFORE the fact table is touched (semi-reduction),
+    the per-part mean is one shuffle keyed on l_partkey over the
+    already-reduced fact, and the correlated scalar subquery of the
+    textbook Q17 becomes a self-free aggregate+rejoin (the mean table
+    is per-sliced-part, so it broadcasts). ``frac`` rides as a string
+    literal cast to DOUBLE so both engines compare the same double.
+
+    Returns one row (avg_yearly)."""
+    p = part.filter(
+        (F.col("p_brand") == brand) & (F.col("p_type") == ptype)
+    ).select("p_partkey")
+    l = lineitem.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    means = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.lit(frac).cast("double")
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("_cut")
+    )
+    return (
+        l.join(F.broadcast(means), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_cut"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / F.lit(7.0),
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def large_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty_threshold: float = 300.0,
+    top: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 shape — large-volume orders: the orders whose total
+    line quantity exceeds the threshold, with their customers.
+
+    Scale shape: the HAVING-IN-subquery of the textbook Q18 is one
+    per-order aggregate over lineitem (map-side combine on
+    l_orderkey) filtered BEFORE joining — the fact table joins orders
+    only for the surviving handful of keys (the aggregate output after
+    the 99.9th-percentile threshold is tiny, so it broadcasts into the
+    orders join), then customer joins on the shrunken result. Top-n is
+    a TakeOrdered.
+
+    Returns (c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+    sum_qty), totalprice desc then orderkey, limit ``top``."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > qty_threshold)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(top)
+    )
+
+
+def idle_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    since: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22 shape — global sales opportunity, re-keyed to this
+    fixture (every customer has SOME order, so 'never ordered'
+    becomes 'no order since ``since``'): count and total balance of
+    above-average-balance customers gone idle, per nation.
+
+    Scale shape: the scalar AVG subquery is ONE aggregate collapsed to
+    a single double — model-parameter scale, pulled at build time and
+    inlined as a literal (the centroid-pull pattern; a cross-joined
+    1-row frame would plan as a BroadcastNestedLoopJoin for no
+    benefit). The NOT EXISTS is a LEFT ANTI hash join against the
+    date-pruned orders scan, and the final groupBy is on the 25-value
+    nation domain. Float parity: the literal carries Spark's own
+    decimal-sum/count double, bit-identical to the oracle's.
+
+    Returns (c_nationkey, numcust, totacctbal) ordered by nation."""
+    avg_row = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_avg")
+        )
+        .first()
+    )
+    avg_bal = float(avg_row["_avg"]) if avg_row["_avg"] is not None else 0.0
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            _dec_sum(F.col("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape — discounted revenue from three disjunctive
+    brand/size/quantity baskets (the OR-of-ANDs predicate).
+
+    Scale shape: part is a broadcast dimension join; the disjunction
+    stays ONE residual predicate on the joined row (no union of three
+    scans — Catalyst evaluates the OR once per row inside whole-stage
+    codegen), and the quantity bounds that appear in EVERY branch
+    (l_quantity between 1 and 30 across the union of branches) would
+    be pushable as a covering conjunct at larger branch skew.
+
+    Returns one row (revenue, n_lines)."""
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    q, s = F.col("l_quantity"), F.col("p_size")
+    basket = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & q.between(1.0, 11.0)
+            & s.between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & q.between(10.0, 20.0)
+            & s.between(1, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & q.between(20.0, 30.0)
+            & s.between(1, 50)
+        )
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(basket)
+        .agg(
+            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+def skyline_parts(part: DataFrame) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: minimize
+    ``p_retailprice``, maximize ``p_size`` — no other part is both
+    cheaper-or-equal AND bigger-or-equal with one strict.
+
+    Scale shape: the naive skyline is an O(n^2) NOT-EXISTS self-join
+    (the oracle twin keeps that formulation as an independent
+    cross-check); this plans it as
+      1. a per-price groupBy keeping max size — the only same-price
+         survivor candidate (one parallel shuffle on price);
+      2. a ``repartitionByRange`` of that distinct-price spine + a
+         PER-PARTITION running-max window (parallel), with the
+         cross-partition prefix coming from per-partition maxima —
+         <= #partitions ints pulled to the driver and re-broadcast as
+         a literal map (the acctbal_deciles distributed-rank pattern:
+         no ``Window.orderBy`` single-reducer funnel);
+      3. an equi-join of the spine verdicts back to the parts (AQE
+         broadcasts the spine when it is small; at catalog scale it
+         key-shuffles like any dim-dim join).
+    A part survives iff no strictly cheaper price achieved >= its
+    size AND it is its own price's max size. Ties (equal price AND
+    equal size) are both kept, per standard skyline semantics.
+
+    Returns (p_partkey, p_retailprice, p_size) ordered by price then
+    key."""
+    spark = part.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    spine = part.groupBy(F.col("p_retailprice").alias("_price")).agg(
+        F.max("p_size").alias("_msize")
+    )
+    ranged = spine.repartitionByRange(
+        shuffle_n, F.col("_price").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    pmax = ranged.groupBy("_pid").agg(F.max("_msize").alias("_m")).collect()
+    best, prefix = None, {}
+    for r in sorted(pmax, key=lambda r: r["_pid"]):
+        prefix[r["_pid"]] = best  # max size over all STRICTLY earlier partitions
+        best = r["_m"] if best is None else max(best, r["_m"])
+    pids = sorted(prefix)
+    prefix_map = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in pids]),
+        F.array(
+            *[
+                F.lit(prefix[p]).cast("int")
+                for p in pids
+            ]
+        ),
+    )
+    w = Window.partitionBy("_pid").orderBy("_price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    verdict = ranged.withColumn(
+        "_best_cheaper",
+        F.greatest(
+            F.coalesce(F.max("_msize").over(w), F.lit(None).cast("int")),
+            prefix_map[F.col("_pid")],
+        ),
+    )
+    return (
+        part.join(verdict, F.col("p_retailprice") == F.col("_price"))
+        .filter(
+            (F.col("p_size") == F.col("_msize"))
+            & (
+                F.col("_best_cheaper").isNull()
+                | (F.col("_best_cheaper") < F.col("p_size"))
+            )
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )

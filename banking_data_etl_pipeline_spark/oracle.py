@@ -4269,3 +4269,142 @@ SELECT e.p, e.n,
        round(r1.v, 6) AS exact_quantile,
        round(abs(r1.v - e.e), 6) AS abs_err
 FROM est e JOIN ranked r1 ON r1.bin = e.bstar AND r1.r = e.k - e.cb"""
+
+
+# ------------------------- round 8b: TPC-H shape completion + skyline
+
+# Twin of operators.relational.late_priority_orders: the Q4 EXISTS as
+# a semi join (DuckDB plans the EXISTS the same way); pure counts, no
+# float parity concerns.
+ORDER_PRIORITY_Q = """SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
+# Twin of operators.relational.cust_order_dist: Q13's left join +
+# double groupBy; count(o_orderkey) counts matches only so the
+# zero-order bucket survives identically.
+CUST_ORDER_DIST_Q = """WITH per_cust AS (
+  SELECT c.c_custkey,
+         CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+             WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+    ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""
+
+# Twin of operators.relational.promo_revenue: shared DECIMAL(18,6)
+# accumulators cast to DOUBLE in the same places; the 100.0 literal
+# is cast DOUBLE (DuckDB decimal literals divide differently).
+PROMO_REVENUE_Q = """WITH j AS (
+  SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+    AND l_shipdate < TIMESTAMP '1997-07-01'
+)
+SELECT
+  round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 4)
+    AS promo_revenue,
+  round(CAST(sum(rev) AS DOUBLE), 4) AS total_revenue,
+  round(CAST(100.0 AS DOUBLE)
+        * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        / CAST(sum(rev) AS DOUBLE), 6) AS promo_pct
+FROM j"""
+
+# Twin of operators.relational.small_qty_revenue: the per-part cut is
+# frac * (decimal-sum-as-double / bigint count) in the same operation
+# order; frac cast DOUBLE for the same reason as above.
+SMALL_QTY_REVENUE_Q = """WITH l AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#4' AND p_type = 'SMALL'
+), means AS (
+  SELECT l_partkey AS _pk,
+         CAST(0.5 AS DOUBLE)
+           * (CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+              / count(*)) AS _cut
+  FROM l GROUP BY l_partkey
+)
+SELECT round(
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+  / CAST(7.0 AS DOUBLE), 4) AS avg_yearly
+FROM l JOIN means ON l.l_partkey = means._pk
+WHERE l.l_quantity < means._cut"""
+
+# Twin of operators.relational.large_orders: per-order decimal qty
+# sums rounded BEFORE the threshold compare, as on the Spark side.
+LARGE_ORDERS_Q = """WITH big AS (
+  SELECT l_orderkey,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
+           AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
+         > CAST(300.0 AS DOUBLE)
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_totalprice, b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100"""
+
+# Twin of operators.relational.idle_customers: the scalar AVG is the
+# same decimal-sum-over-count double; anti join via NOT EXISTS.
+IDLE_CUSTOMERS_Q = """WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+         / count(*) AS _avg
+  FROM customer WHERE c_acctbal > CAST(0.0 AS DOUBLE)
+)
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal._avg
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey"""
+
+# Twin of operators.relational.discounted_revenue: the same
+# OR-of-ANDs residual over the dim join.
+DISCOUNTED_REVENUE_Q = """SELECT
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2'
+       AND l_quantity BETWEEN 1.0 AND 11.0 AND p_size BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#4'
+       AND l_quantity BETWEEN 10.0 AND 20.0 AND p_size BETWEEN 1 AND 25)
+   OR (p_brand = 'Brand#19'
+       AND l_quantity BETWEEN 20.0 AND 30.0 AND p_size BETWEEN 1 AND 50)"""
+
+# Twin of operators.relational.skyline_parts — DELIBERATELY the naive
+# O(n^2) NOT-EXISTS dominance formulation, so the distributed
+# prefix-max construction is cross-checked against an independent
+# definition of the skyline rather than a re-walk of the same plan.
+SKYLINE_PARTS_Q = """SELECT a.p_partkey, a.p_retailprice, a.p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice
+    AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+ORDER BY a.p_retailprice, a.p_partkey"""

@@ -2079,3 +2079,88 @@ def zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sinks.zorder_layout_stats(
         tables.load(spark, sf_dir, "events"), "user_id", "event_id"
     )
+
+
+# ------------------------- round 8b: TPC-H shape completion + skyline
+
+
+def order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of a quarter's orders with a
+    90-day-late-shipping line (EXISTS as one LEFT SEMI hash join)."""
+    tune_for_oracle(spark)
+    return relational.late_priority_orders(
+        tables.load(spark, sf_dir, "orders"),
+        tables.load(spark, sf_dir, "lineitem"),
+    )
+
+
+def cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution including
+    the zero-order bucket (left outer join + double groupBy)."""
+    tune_for_oracle(spark)
+    return relational.cust_order_dist(
+        tables.load(spark, sf_dir, "customer"),
+        tables.load(spark, sf_dir, "orders"),
+    )
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: one ship-month's promo-part revenue share
+    (broadcast dim join, shared decimal accumulator pass)."""
+    tune_for_oracle(spark)
+    return relational.promo_revenue(
+        tables.load(spark, sf_dir, "lineitem"),
+        tables.load(spark, sf_dir, "part"),
+    )
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue of below-half-mean
+    quantity lines for one brand/type slice (correlated scalar
+    subquery rewritten as aggregate + broadcast rejoin)."""
+    tune_for_oracle(spark)
+    return relational.small_qty_revenue(
+        tables.load(spark, sf_dir, "lineitem"),
+        tables.load(spark, sf_dir, "part"),
+    )
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders above the 99.9th-percentile total
+    quantity with their customers (HAVING-IN rewritten as pre-join
+    aggregate filter)."""
+    tune_for_oracle(spark)
+    return relational.large_orders(
+        tables.load(spark, sf_dir, "customer"),
+        tables.load(spark, sf_dir, "orders"),
+        tables.load(spark, sf_dir, "lineitem"),
+    )
+
+
+def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers idle since
+    2000, per nation (scalar AVG broadcast + LEFT ANTI join)."""
+    tune_for_oracle(spark)
+    return relational.idle_customers(
+        tables.load(spark, sf_dir, "customer"),
+        tables.load(spark, sf_dir, "orders"),
+    )
+
+
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three disjunctive
+    brand/size/quantity baskets (OR-of-ANDs residual in one codegen
+    stage)."""
+    tune_for_oracle(spark)
+    return relational.discounted_revenue(
+        tables.load(spark, sf_dir, "lineitem"),
+        tables.load(spark, sf_dir, "part"),
+    )
+
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier of the parts catalog (min price, max size)
+    via the distributed-prefix-max spine — the oracle keeps the
+    O(n^2) NOT-EXISTS formulation as an independent cross-check."""
+    tune_for_oracle(spark)
+    return relational.skyline_parts(tables.load(spark, sf_dir, "part"))

@@ -1,0 +1,246 @@
+"""Round-8b operators: the TPC-H shape completion (Q4, Q13, Q14, Q17,
+Q18, Q19, Q22 re-keyed to this fixture) and the distributed skyline.
+Value parity is the oracle gate's job; these pin the SEMANTIC
+properties a hash match can't express — conservation laws (partition
+sums equal whole sums), boundary behaviour at thresholds, and a
+brute-force dominance cross-check for the skyline's prefix-max
+construction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from banking_data_etl_pipeline_spark.operators import relational
+from banking_data_etl_pipeline_spark.sources import tables
+from conftest import SF_DIR
+
+
+def test_order_priority_counts_qualifying_orders_exactly(spark):
+    orders = tables.load(spark, SF_DIR, "orders")
+    lineitem = tables.load(spark, SF_DIR, "lineitem")
+    out = relational.late_priority_orders(orders, lineitem).collect()
+    # independent recompute: distinct late orders in the window
+    direct = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("o_orderkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.order_count for r in out) == direct
+    # ordered by priority, no duplicates
+    ps = [r.o_orderpriority for r in out]
+    assert ps == sorted(ps) and len(set(ps)) == len(ps)
+
+
+def test_cust_order_dist_conserves_customers_and_orders(spark):
+    customer = tables.load(spark, SF_DIR, "customer")
+    orders = tables.load(spark, SF_DIR, "orders")
+    out = relational.cust_order_dist(customer, orders).collect()
+    assert sum(r.custdist for r in out) == customer.count()
+    qualifying = orders.filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).count()
+    assert sum(r.c_count * r.custdist for r in out) == qualifying
+
+
+def test_promo_revenue_partitions_total(spark):
+    lineitem = tables.load(spark, SF_DIR, "lineitem")
+    part = tables.load(spark, SF_DIR, "part")
+    r = relational.promo_revenue(lineitem, part).first()
+    assert 0.0 <= r.promo_pct <= 100.0
+    assert r.promo_revenue <= r.total_revenue
+    # non-promo remainder recomputed independently closes the sum
+    nonpromo = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("p_type") != "PROMO")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ).cast("double"),
+                4,
+            ).alias("v")
+        )
+        .first()
+        .v
+    )
+    assert abs((r.promo_revenue + nonpromo) - r.total_revenue) < 1e-6
+
+
+def test_small_qty_revenue_matches_window_formulation(spark):
+    lineitem = tables.load(spark, SF_DIR, "lineitem")
+    part = tables.load(spark, SF_DIR, "part")
+    got = relational.small_qty_revenue(lineitem, part).first().avg_yearly
+    # independent formulation: decorrelate via a window instead of the
+    # aggregate + broadcast rejoin
+    from pyspark.sql import Window
+
+    sliced = lineitem.join(
+        F.broadcast(
+            part.filter(
+                (F.col("p_brand") == "Brand#4") & (F.col("p_type") == "SMALL")
+            ).select("p_partkey")
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("l_partkey")
+    cut = F.lit("0.5").cast("double") * (
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    want = (
+        sliced.withColumn("_cut", cut)
+        .filter(F.col("l_quantity") < F.col("_cut"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.lit(7.0),
+                4,
+            ).alias("v")
+        )
+        .first()
+        .v
+    )
+    assert got == want
+
+
+def test_large_orders_threshold_is_tight(spark):
+    customer = tables.load(spark, SF_DIR, "customer")
+    orders = tables.load(spark, SF_DIR, "orders")
+    lineitem = tables.load(spark, SF_DIR, "lineitem")
+    out = relational.large_orders(
+        customer, orders, lineitem, qty_threshold=50.0, top=1000
+    ).collect()
+    assert all(r.sum_qty > 50.0 for r in out)
+    # count matches the direct HAVING recompute (every big order has
+    # exactly one orders/customer row in this star schema)
+    direct = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 50.0)
+        .count()
+    )
+    assert len(out) == min(direct, 1000)
+    prices = [r.o_totalprice for r in out]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_idle_customers_matches_direct_recompute(spark):
+    customer = tables.load(spark, SF_DIR, "customer")
+    orders = tables.load(spark, SF_DIR, "orders")
+    out = relational.idle_customers(customer, orders, since="2000-01-01")
+    total = out.agg(F.sum("numcust")).first()[0] or 0
+    pos = customer.filter(F.col("c_acctbal") > 0.0)
+    avg = (
+        pos.agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).first()[0]
+    )
+    direct = (
+        customer.filter(F.col("c_acctbal") > avg)
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "leftanti",
+        )
+        .count()
+    )
+    assert total == direct
+
+
+def test_discounted_revenue_is_sum_of_disjoint_brand_baskets(spark):
+    lineitem = tables.load(spark, SF_DIR, "lineitem")
+    part = tables.load(spark, SF_DIR, "part")
+    whole = relational.discounted_revenue(lineitem, part).first()
+    # the three baskets name distinct brands, so per-brand recomputes
+    # must partition the result exactly
+    per = []
+    for brand, qlo, qhi, shi in [
+        ("Brand#2", 1.0, 11.0, 15),
+        ("Brand#4", 10.0, 20.0, 25),
+        ("Brand#19", 20.0, 30.0, 50),
+    ]:
+        r = (
+            lineitem.join(
+                F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+            )
+            .filter(
+                (F.col("p_brand") == brand)
+                & F.col("l_quantity").between(qlo, qhi)
+                & F.col("p_size").between(1, shi)
+            )
+            .agg(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ).alias("v"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .first()
+        )
+        per.append(r)
+    assert whole.n_lines == sum(r.n for r in per)
+    assert abs(whole.revenue - round(float(sum(r.v for r in per if r.v)), 4)) < 1e-6
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    part = tables.load(spark, SF_DIR, "part")
+    got = {
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in relational.skyline_parts(part).collect()
+    }
+    rows = part.select("p_partkey", "p_retailprice", "p_size").collect()
+    want = set()
+    for a in rows:
+        dominated = any(
+            b.p_retailprice <= a.p_retailprice
+            and b.p_size >= a.p_size
+            and (b.p_retailprice < a.p_retailprice or b.p_size > a.p_size)
+            for b in rows
+        )
+        if not dominated:
+            want.add((a.p_partkey, a.p_retailprice, a.p_size))
+    assert got == want and got
+
+
+def test_skyline_keeps_equal_price_equal_size_ties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, 5),
+            (2, 10.0, 5),  # exact tie with 1: both stay
+            (3, 10.0, 4),  # same price, smaller: dominated
+            (4, 9.0, 5),  # cheaper, same size: dominates 1/2? yes (price strict)
+            (5, 12.0, 9),
+            (6, 11.0, 9),  # cheaper than 5 at same size: 5 out
+        ],
+        "p_partkey long, p_retailprice double, p_size int",
+    )
+    got = {r.p_partkey for r in relational.skyline_parts(df).collect()}
+    assert got == {4, 6}
+    # and with the tie NOT dominated by a cheaper row, both twins stay
+    df2 = spark.createDataFrame(
+        [(1, 10.0, 5), (2, 10.0, 5), (3, 11.0, 4)],
+        "p_partkey long, p_retailprice double, p_size int",
+    )
+    got2 = {r.p_partkey for r in relational.skyline_parts(df2).collect()}
+    assert got2 == {1, 2}
