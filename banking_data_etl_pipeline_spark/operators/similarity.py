@@ -725,8 +725,9 @@ def ann_recall(
 ) -> DataFrame:
     """Recall@k evaluation harness for ALL the approximate index
     families: run brute force (ground truth), LSH, IVF, PQ/ADC, IVF+PQ
-    (raw encoding), and IVF+PQ (residual encoding) over the SAME query
-    set and report per-query hit counts and recall — the measurement
+    (raw encoding), IVF+PQ (residual encoding), and 8-bit scalar
+    quantization over the SAME query set and report per-query hit
+    counts and recall — the measurement
     that decides n_bits/nprobe/n_centroids/m/codes before an index
     ships, and the raw-vs-residual comparison that justifies the
     classic-IVFPQ coupling. At 100 TB this runs on a sampled query set
@@ -742,7 +743,8 @@ def ann_recall(
 
     Returns (query_id, n_true, hit_lsh, recall_lsh, hit_ivf,
     recall_ivf, hit_pq, recall_pq, hit_ivfpq, recall_ivfpq,
-    hit_ivfpq_res, recall_ivfpq_res), recalls 6-dp-rounded."""
+    hit_ivfpq_res, recall_ivfpq_res, hit_sq, recall_sq), recalls
+    6-dp-rounded."""
     from . import clustering
 
     cents = clustering.train_centroids(emb, 16, 2, vec_col, id_col)
@@ -766,6 +768,7 @@ def ann_recall(
             emb, queries, k, vec_col=vec_col, id_col=id_col,
             cents=cents, residual=True,
         ),
+        "sq": sq_topk(emb, queries, k, vec_col=vec_col, id_col=id_col),
     }
     joined = b
     for name, arm in arms.items():
@@ -961,4 +964,118 @@ def corpus_filtered_queries(
             F.col(vec_col).alias("qvec"),
             F.col(filter_col).alias("qval"),
         )
+    )
+
+
+def sq_train_stats(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (lo, step) for 8-bit scalar quantization: lo =
+    dim min, step = (max - min) / 255. ONE aggregation pass
+    (posexplode + min/max, map-side combined); the result is 2×dim
+    doubles — model-parameter scale, pulled to the driver and re-
+    broadcast as literals (the centroid-pull pattern). min/max over
+    float->double casts are exact, so both engines derive identical
+    stats."""
+    rows = (
+        emb.select(F.posexplode(vec_col).alias("_pos", "_x"))
+        .groupBy("_pos")
+        .agg(
+            F.min(F.col("_x").cast("double")).alias("_lo"),
+            F.max(F.col("_x").cast("double")).alias("_hi"),
+        )
+        .collect()
+    )
+    rows = sorted(rows, key=lambda r: r["_pos"])
+    lo = [float(r["_lo"]) for r in rows]
+    step = [(float(r["_hi"]) - float(r["_lo"])) / 255.0 for r in rows]
+    return lo, step
+
+
+def sq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN via 8-bit scalar quantization (the sixth index family):
+    score queries against DEQUANTIZED int8 codes — 4x less memory
+    traffic than float32 and SIMD-friendly at the storage layer — keep
+    a ``shortlist`` per query, then re-rank those few rows exactly.
+
+    Quantizer: per-dim code = clamp(floor((v - lo)/step + 0.5), 0,
+    255) with (lo, step) from ``sq_train_stats`` — floor(x + 0.5)
+    instead of round() because Spark (HALF_UP on the shortest decimal)
+    and DuckDB (banker's on the binary double) disagree on round()
+    half-way cases, while floor of the same double never does.
+
+    Scale shape: the corpus stays un-shuffled (broadcast query set,
+    the ann_brute pattern); quantize + approx-score run in one codegen
+    stage; the two-phase partial top-k keeps the shortlist exchange at
+    shortlist × n_partitions rows; exact re-rank touches only
+    |queries| × shortlist rows. All driver traffic is the 2×dim stats
+    pull.
+
+    Returns (query_id, vec_id, approx_cosine, cosine, rank) — the
+    approx column kept deliberately so quantization error is
+    observable per hit."""
+    lo, step = sq_train_stats(emb, vec_col)
+    lo_arr = F.array(*[F.lit(x) for x in lo])
+    step_arr = F.array(*[F.lit(x) for x in step])
+    vd = vectors._to_double(F.col(vec_col))
+    diff = F.zip_with(vd, lo_arr, lambda x, l: x - l)
+    code = F.zip_with(
+        diff,
+        step_arr,
+        lambda d, s: F.when(s == 0, F.lit(0.0)).otherwise(
+            F.least(
+                F.greatest(F.floor(d / s + F.lit(0.5)).cast("double"), F.lit(0.0)),
+                F.lit(255.0),
+            )
+        ),
+    )
+    deq = F.zip_with(
+        F.zip_with(code, step_arr, lambda c, s: c * s),
+        lo_arr,
+        lambda cs, l: l + cs,
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            F.col("query_id"),
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_v"),
+            F.col("qvec"),
+            F.round(vectors.cosine(deq, F.col("qvec")), 6).alias(
+                "approx_cosine"
+            ),
+        )
+    )
+    order = [F.col("approx_cosine").desc(), F.col("vec_id").asc()]
+    local = Window.partitionBy("query_id", "_part").orderBy(*order)
+    pruned = (
+        scored.withColumn("_part", F.spark_partition_id())
+        .withColumn("_lrank", F.row_number().over(local))
+        .filter(F.col("_lrank") <= shortlist)
+    )
+    ws = Window.partitionBy("query_id").orderBy(*order)
+    short = pruned.withColumn("_srank", F.row_number().over(ws)).filter(
+        F.col("_srank") <= shortlist
+    )
+    exact = short.select(
+        "query_id",
+        "vec_id",
+        "approx_cosine",
+        F.round(vectors.cosine(F.col("_v"), F.col("qvec")), 6).alias("cosine"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "approx_cosine", "cosine", "rank")
     )

@@ -2701,7 +2701,7 @@ GROUP BY p.doc_id"""
 
 
 def ann_recall_sql() -> str:
-    """Twin of queries.ann_recall: ALL five index twins verbatim as
+    """Twin of queries.ann_recall: ALL six index twins verbatim as
     derived tables (WITH inside FROM subqueries — DuckDB-legal),
     overlap-counted on (query_id, vec_id) against the brute-force
     ground truth. Each arm replays its own full training walk; the
@@ -2713,6 +2713,7 @@ def ann_recall_sql() -> str:
         ("pq", pq_topk_sql()),
         ("ivfpq", ivf_pq_topk_sql()),
         ("ivfpq_res", ivf_pq_residual_sql()),
+        ("sq", SQ_TOPK_Q),
     ]
     ctes = ",\n".join(
         f"{name} AS (SELECT * FROM ({sql}))" for name, sql in arms
@@ -4408,3 +4409,56 @@ WHERE NOT EXISTS (
     AND b.p_size >= a.p_size
     AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
 ORDER BY a.p_retailprice, a.p_partkey"""
+
+
+# Twin of operators.similarity.sq_topk: the same 8-bit scalar
+# quantizer — lo = per-dim min, step = (max-min)/255 (computed in
+# PYTHON on the Spark side and as double division here: identical
+# doubles since min/max over float->double casts are exact), code =
+# clamp(floor((v-lo)/step + 0.5), 0, 255) (floor(x+0.5), never
+# round(): the engines disagree on round() halfway cases), dequantize
+# lo + code*step, approx-cosine shortlist of 50, exact re-rank to 10.
+SQ_TOPK_Q = f"""WITH dims AS (
+  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+         (max(CAST(embedding[i] AS DOUBLE))
+          - min(CAST(embedding[i] AS DOUBLE)))
+         / CAST(255.0 AS DOUBLE) AS step
+  FROM embeddings, range(1, 65) t(i) GROUP BY i
+), stats AS (
+  SELECT list(lo ORDER BY i) AS klo, list(step ORDER BY i) AS kstep
+  FROM dims
+), e AS (
+  SELECT vec_id, embedding,
+    list_transform(range(1, 65), i ->
+      CASE WHEN kstep[i] = 0 THEN klo[i]
+           ELSE klo[i]
+                + least(greatest(floor((CAST(embedding[i] AS DOUBLE)
+                                        - klo[i]) / kstep[i]
+                                       + CAST(0.5 AS DOUBLE)),
+                                 CAST(0.0 AS DOUBLE)),
+                        CAST(255.0 AS DOUBLE)) * kstep[i] END) AS dq
+  FROM embeddings, stats
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT 5
+), scored AS (
+  SELECT q.query_id, e.vec_id, e.embedding, q.qvec,
+         round({_cosine('e.dq', 'q.qvec')}, 6) AS approx_cosine
+  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+), short AS (
+  SELECT query_id, vec_id, embedding, qvec, approx_cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_cosine DESC, vec_id ASC)
+           AS srank
+  FROM scored
+), exact AS (
+  SELECT query_id, vec_id, approx_cosine,
+         round({_cosine('embedding', 'qvec')}, 6) AS cosine
+  FROM short WHERE srank <= 50
+)
+SELECT query_id, vec_id, approx_cosine, cosine, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC)
+               AS rank
+      FROM exact)
+WHERE rank <= 10"""

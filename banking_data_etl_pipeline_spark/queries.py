@@ -2164,3 +2164,12 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n^2) NOT-EXISTS formulation as an independent cross-check."""
     tune_for_oracle(spark)
     return relational.skyline_parts(tables.load(spark, sf_dir, "part"))
+
+
+def ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via 8-bit scalar quantization (sixth index family):
+    dequantized-code approximate cosine shortlist, exact re-rank —
+    quantization error observable per hit via the approx column."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return similarity.sq_topk(emb, similarity.corpus_queries(emb, n=5), k=10)

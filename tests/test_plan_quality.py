@@ -267,6 +267,9 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # |sources| x |sources| pair grid — catalog-sized tiny cross
         # join by design (the source_semantic_map shape)
         "source_jaccard",
+        # dequantized-code scoring broadcasts the tiny query set
+        # against the un-shuffled corpus — the ann_brute pattern
+        "ann_sq",
     }
     for name, fn in sorted(mod.queries().items()):
         if name in streaming_or_iterative:

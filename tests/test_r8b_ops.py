@@ -244,3 +244,33 @@ def test_skyline_keeps_equal_price_equal_size_ties(spark):
     )
     got2 = {r.p_partkey for r in relational.skyline_parts(df2).collect()}
     assert got2 == {1, 2}
+
+
+def test_sq_topk_partition_invariant_and_error_bounded(spark):
+    from banking_data_etl_pipeline_spark.operators import similarity
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    qs = similarity.corpus_queries(emb, n=3)
+    a = sorted(
+        tuple(r) for r in similarity.sq_topk(emb, qs, k=5).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in similarity.sq_topk(emb.repartition(7), qs, k=5).collect()
+    )
+    assert a == b and len(a) == 15
+    # 8-bit quantization keeps approx cosine near the exact value
+    for (_q, _v, approx, exact, _rank) in a:
+        assert abs(approx - exact) < 0.05
+
+
+def test_sq_train_stats_bound_the_corpus(spark):
+    from banking_data_etl_pipeline_spark.operators import similarity
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    lo, step = similarity.sq_train_stats(emb)
+    assert len(lo) == len(step) == 64
+    assert all(s >= 0.0 for s in step)
+    row = emb.first()
+    for i, x in enumerate(row.embedding):
+        assert lo[i] <= float(x) <= lo[i] + 255.0 * step[i] + 1e-9
