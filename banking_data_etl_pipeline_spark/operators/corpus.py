@@ -1092,3 +1092,96 @@ def zipf_fit(docs: DataFrame, n: int = 100, text_col: str = "text") -> DataFrame
         (F.round(F.regr_intercept(y, x), 4) + F.lit(0.0)).alias("intercept"),
         (F.round(F.regr_r2(y, x), 4) + F.lit(0.0)).alias("r2"),
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    lang: str = "en",
+    top: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of non-stopword tokens; a word scores
+    degree/frequency over ALL candidate occurrences (degree = summed
+    length of the phrases it appears in); a phrase scores the sum of
+    its word scores; keep each document's ``top`` phrases.
+
+    Scale shape: phrase islands come from the gaps-and-islands trick —
+    ``pos - row_number()`` inside a per-document window (parallel by
+    doc key, no self-join); word statistics are one global groupBy on
+    the word (map-side combined); the phrase re-score is an
+    equi-join. No driver pulls, no UDFs.
+
+    Float parity: per-word scores are frozen to integer micro-units
+    (``floor(1e6 * degree/freq + 0.5)``) BEFORE the per-phrase sum, so
+    the sum is exact bigint arithmetic in any aggregation order; the
+    displayed score divides back once.
+
+    Returns (doc_id, phrase, score, rank), rank 1..top per doc by
+    score desc then phrase asc."""
+    from pyspark.sql import Window
+
+    stops = texttools.STOPWORDS[lang]
+    flat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(texttools.tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    ns = (
+        flat.filter(~F.col("tok").isin(*stops))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+        .withColumn("_grp", F.col("pos") - F.col("_rn"))
+    )
+    ph = ns.groupBy("doc_id", "_grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("_plen"),
+    )
+    # word statistics over ALL candidate occurrences
+    wip = ph.select(
+        "doc_id", "phrase", "_plen", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    ws = wip.groupBy("word").agg(
+        F.count(F.lit(1)).alias("_freq"), F.sum("_plen").alias("_degree")
+    )
+    scored_words = ws.select(
+        "word",
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("_degree").cast("double") / F.col("_freq").cast("double"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("_sc"),
+    )
+    pdist = ph.select("doc_id", "phrase").distinct()
+    wp = pdist.select(
+        "doc_id", "phrase", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    pscore = (
+        wp.join(scored_words, "word")
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.round(F.sum("_sc").cast("double") / F.lit(1000000.0), 6).alias(
+                "score"
+            )
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("phrase")
+    )
+    return (
+        pscore.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top)
+        .select("doc_id", "phrase", "score", "rank")
+    )

@@ -160,3 +160,65 @@ def half_life_decayed_totals(
             ).alias("decayed_value")
         )
     )
+
+
+def ewma_anomaly(
+    events: DataFrame,
+    window: int = 16,
+    min_hist: int = 4,
+    top: int = 100,
+) -> DataFrame:
+    """Per-user EWMA anomaly scoring: predict each event's value from
+    an exponentially-weighted (half-life) average of its previous
+    ``window`` values, and surface the ``top`` largest absolute
+    deviations — the batch twin of a streaming z-score monitor.
+
+    Float parity (the reason for the shape): the decay is 1/2 so every
+    weight is an EXACT power of two — ``v / CAST(shiftleft(1, j) AS
+    DOUBLE)`` — and the weight sum is exact (16 distinct mantissa
+    bits), sidestepping ``pow()``, whose last-ulp behaviour differs
+    between JVM and C libm. Numerator folds strictly left-to-right
+    over the newest-first frame list (the vectors.dot convention), so
+    both engines produce bit-identical predictions.
+
+    Scale shape: ONE window partitioned by user (parallel by key, no
+    global exchange); the frame list is bounded at ``window`` elements
+    so per-row state is O(window); the top-n is a TakeOrdered on the
+    rounded deviation (deterministic event_id tie-break).
+
+    Returns (event_id, user_id, value, pred, abs_dev), abs_dev desc,
+    event_id asc, limit ``top``; pred/abs_dev 6-dp."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-window, -1)
+    )
+    rv = F.reverse(F.collect_list(F.col("value").cast("double")).over(w))
+    # null values are excluded up front (Spark's collect_list silently
+    # drops them while DuckDB's list() keeps them — filtering first
+    # keeps the frame semantics identical in both engines)
+    events = events.filter(F.col("value").isNotNull())
+    staged = events.select(
+        "event_id",
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        rv.alias("_rv"),
+    ).filter(F.size("_rv") >= min_hist)
+    num = F.expr(
+        "aggregate(zip_with(_rv, sequence(1, size(_rv)),"
+        " (v, j) -> v / CAST(shiftleft(1, j) AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    den = F.expr(
+        "aggregate(transform(sequence(1, size(_rv)),"
+        " j -> 1.0D / CAST(shiftleft(1, j) AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    scored = staged.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(num / den, 6).alias("pred"),
+        F.round(F.abs(F.col("value") - num / den), 6).alias("abs_dev"),
+    )
+    return scored.orderBy(F.desc("abs_dev"), F.asc("event_id")).limit(top)

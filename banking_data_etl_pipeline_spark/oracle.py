@@ -4462,3 +4462,90 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                AS rank
       FROM exact)
 WHERE rank <= 10"""
+
+
+# Twin of operators.timeseries.ewma_anomaly: same half-life weights as
+# EXACT powers of two (v / CAST(1 << j AS DOUBLE) — no pow(), whose
+# last-ulp behaviour differs between JVM and C libm), same
+# newest-first left fold, null values excluded up front (Spark's
+# collect_list drops them, DuckDB's list() would keep them).
+EWMA_ANOMALY_Q = """WITH ev AS (
+  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS value
+  FROM events WHERE value IS NOT NULL
+), framed AS (
+  SELECT event_id, user_id, value,
+         list_reverse(list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)) AS rv
+  FROM ev
+), hist AS (
+  SELECT event_id, user_id, value, rv FROM framed WHERE len(rv) >= 4
+), folded AS (
+  SELECT event_id, user_id, value,
+    list_reduce(list_transform(range(1, len(rv) + 1),
+                               j -> rv[j] / CAST(1 << j AS DOUBLE)),
+                (x, y) -> x + y) AS num,
+    list_reduce(list_transform(range(1, len(rv) + 1),
+                               j -> CAST(1.0 AS DOUBLE)
+                                    / CAST(1 << j AS DOUBLE)),
+                (x, y) -> x + y) AS den
+  FROM hist
+)
+SELECT event_id, user_id, value,
+       round(num / den, 6) AS pred,
+       round(abs(value - num / den), 6) AS abs_dev
+FROM folded
+ORDER BY round(abs(value - num / den), 6) DESC, event_id ASC
+LIMIT 100"""
+
+
+# Twin of operators.corpus.rake_keywords: identical gaps-and-islands
+# phrase construction (pos - row_number per doc; 1-based here vs
+# 0-based posexplode — a constant offset inside an opaque group key),
+# identical all-occurrence word statistics, and the same integer
+# micro-unit freeze (floor(1e6 * degree/freq + 0.5)) before the
+# per-phrase sum so aggregation order cannot perturb the score.
+RAKE_KEYWORDS_Q = f"""WITH base AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), flat AS (
+  SELECT doc_id, s['pos'] AS pos, s['tok'] AS tok
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> {{'pos': i, 'tok': toks[i]}})) AS s
+        FROM base)
+), ns AS (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flat WHERE tok NOT IN ('the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'was', 'for')
+), ph AS (
+  SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM ns GROUP BY doc_id, grp
+), wip AS (
+  SELECT doc_id, phrase, plen, unnest(string_split(phrase, ' ')) AS word
+  FROM ph
+), ws AS (
+  SELECT word, count(*) AS freq, sum(plen) AS degree FROM wip GROUP BY word
+), sw AS (
+  SELECT word,
+         CAST(floor(CAST(1000000.0 AS DOUBLE)
+                    * (CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE))
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS sc
+  FROM ws
+), pdist AS (
+  SELECT DISTINCT doc_id, phrase FROM ph
+), wp AS (
+  SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS word
+  FROM pdist
+), pscore AS (
+  SELECT doc_id, phrase,
+         round(CAST(sum(sc) AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6)
+           AS score
+  FROM wp JOIN sw USING (word) GROUP BY doc_id, phrase
+)
+SELECT doc_id, phrase, score, CAST(rank AS INT) AS rank
+FROM (SELECT doc_id, phrase, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, phrase ASC) AS rank
+      FROM pscore)
+WHERE rank <= 3"""

@@ -2173,3 +2173,21 @@ def ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
     return similarity.sq_topk(emb, similarity.corpus_queries(emb, n=5), k=10)
+
+
+def ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA anomaly scoring with exact power-of-two decay
+    weights — the batch twin of a streaming z-score monitor; top-100
+    deviations."""
+    from .operators import timeseries
+
+    tune_for_oracle(spark)
+    return timeseries.ewma_anomaly(tables.load(spark, sf_dir, "events"))
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: stopword-delimited phrase islands,
+    degree/frequency word scores frozen to integer micro-units, top-3
+    phrases per document."""
+    tune_for_oracle(spark)
+    return corpus.rake_keywords(tables.load(spark, sf_dir, "documents"))

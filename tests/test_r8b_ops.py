@@ -274,3 +274,63 @@ def test_sq_train_stats_bound_the_corpus(spark):
     row = emb.first()
     for i, x in enumerate(row.embedding):
         assert lo[i] <= float(x) <= lo[i] + 255.0 * step[i] + 1e-9
+
+
+def test_ewma_anomaly_known_values_and_invariance(spark):
+    from banking_data_etl_pipeline_spark.operators import timeseries
+
+    rows = [(i, 1, f"2024-01-01 00:0{i}:00", "view", float(i)) for i in range(1, 6)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.event_id: (r.pred, r.abs_dev)
+        for r in timeseries.ewma_anomaly(ev, min_hist=4, top=10).collect()
+    }
+    # only event 5 has >= 4 prior values; weights 1/2,1/4,1/8,1/16 on
+    # newest-first history [4,3,2,1]
+    pred = (4 / 2 + 3 / 4 + 2 / 8 + 1 / 16) / (15 / 16)
+    assert set(out) == {5}
+    assert abs(out[5][0] - round(pred, 6)) < 1e-9
+    assert abs(out[5][1] - round(abs(5.0 - pred), 6)) < 1e-9
+
+    events = tables.load(spark, SF_DIR, "events")
+    a = sorted(tuple(r) for r in timeseries.ewma_anomaly(events).collect())
+    b = sorted(
+        tuple(r)
+        for r in timeseries.ewma_anomaly(events.repartition(7)).collect()
+    )
+    assert a == b and len(a) == 100
+    # prediction is a convex combination of history: deviation can
+    # never exceed the corpus value range
+    vals = events.agg(F.min("value"), F.max("value")).first()
+    rng = vals[1] - vals[0]
+    assert all(r[4] <= rng + 1e-6 for r in a)
+
+
+def test_rake_scores_known_corpus(spark):
+    from banking_data_etl_pipeline_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = {r.phrase: (r.score, r.rank) for r in C.rake_keywords(docs).collect()}
+    # phrases: 'quick brown fox' (3 words, each degree 3 freq 1 ->
+    # score 9), 'lazy dog' (2 words, each degree 2 -> score 4)
+    assert out == {"quick brown fox": (9.0, 1), "lazy dog": (4.0, 2)}
+
+
+def test_rake_ranks_are_dense_and_descending(spark):
+    from banking_data_etl_pipeline_spark.operators import corpus as C
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    out = C.rake_keywords(docs).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.doc_id, []).append((r.rank, r.score, r.phrase))
+    for doc_id, lst in per.items():
+        lst.sort()
+        assert [r for r, _s, _p in lst] == list(range(1, len(lst) + 1))
+        scores = [s for _r, s, _p in lst]
+        assert scores == sorted(scores, reverse=True)
