@@ -526,3 +526,77 @@ def corrupt_for_validation(media: DataFrame) -> DataFrame:
         .otherwise(p)
     )
     return media.withColumn("payload", corrupted)
+
+
+def phash_near_dup(
+    hashes: DataFrame, bands: int = 4, top: int = 50
+) -> DataFrame:
+    """Near-duplicate media pairs from block-mean hashes: band the
+    16-bit phash into ``bands`` 4-bit slices, candidate pairs agree on
+    at least one band WITHIN the same kind (the MinHash-LSH banding
+    argument applied to Hamming space: a pair at distance d misses
+    all bands with probability shrinking in d), then rank candidates
+    by exact Hamming distance and keep the ``top`` closest.
+
+    Scale shape: the pair join is per-(kind, band, value) bucket —
+    never all-pairs; distinct-pair dedup groups on the (id_a, id_b)
+    key; Hamming is 16 static substring comparisons summed as exact
+    ints (no bit parsing — the phash is already a '0'/'1' string in
+    both engines). Top-n is a TakeOrdered with full id tie-breaks.
+
+    Returns (id_a, id_b, kind, hamming), hamming asc, id_a, id_b,
+    limit ``top``."""
+    width = 16 // bands
+    h = hashes.select("media_id", "kind", "phash")
+    banded = h.select(
+        "media_id",
+        "kind",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.substring("phash", i * width + 1, width).alias("bv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "kind", "phash", "b.bi", "b.bv")
+    a = banded.select(
+        F.col("media_id").alias("id_a"),
+        F.col("kind"),
+        F.col("phash").alias("_ha"),
+        "bi",
+        "bv",
+    )
+    b = banded.select(
+        F.col("media_id").alias("id_b"),
+        F.col("kind").alias("_kb"),
+        F.col("phash").alias("_hb"),
+        F.col("bi").alias("_bib"),
+        F.col("bv").alias("_bvb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("kind") == F.col("_kb"))
+            & (F.col("bi") == F.col("_bib"))
+            & (F.col("bv") == F.col("_bvb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "kind", "_ha", "_hb")
+        .distinct()
+    )
+    ham = sum(
+        F.when(
+            F.substring("_ha", i, 1) != F.substring("_hb", i, 1), 1
+        ).otherwise(0)
+        for i in range(1, 17)
+    ).cast("int")
+    return (
+        cand.select("id_a", "id_b", "kind", ham.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top)
+    )

@@ -226,3 +226,56 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
             "avg_per_key"
         ),
     )
+
+
+def join_hotspots(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+    top: int = 20,
+) -> DataFrame:
+    """Pre-join skew forecast: per-key output-size contributions of an
+    equi-join WITHOUT materializing the join — |A ⋈ B| on key k is
+    exactly deg_A(k)·deg_B(k), so two degree aggregations and a join
+    on the (far smaller) distinct-key tables price every key's blast
+    radius before the real shuffle runs. This is the two-sided
+    companion of ``key_skew_profile``: that one says "is THIS column
+    skewed", this one says "which keys will dominate THAT join" — the
+    decision input for salting/AQE-skew thresholds at 100 TB.
+
+    Scale shape: two map-side-combined groupBys, one equi-join on
+    key-count tables, a TakeOrdered top-n. The total estimated output
+    is an exact bigint sum pulled to the driver (ONE scalar — the
+    idle_customers literal pattern) so the share division is a single
+    double op in both engines.
+
+    Returns (key, rows_a, rows_b, out_rows, share) for the ``top``
+    hottest keys, out_rows desc then key asc."""
+    da = a.groupBy(F.col(key_a).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_a")
+    )
+    db = b.groupBy(F.col(key_b).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_b")
+    )
+    contrib = da.join(db, "key").select(
+        "key",
+        "rows_a",
+        "rows_b",
+        (F.col("rows_a") * F.col("rows_b")).cast("bigint").alias("out_rows"),
+    )
+    total_row = contrib.agg(F.sum("out_rows").alias("_t")).first()
+    total = float(total_row["_t"]) if total_row["_t"] is not None else 1.0
+    return (
+        contrib.select(
+            "key",
+            "rows_a",
+            "rows_b",
+            "out_rows",
+            F.round(F.col("out_rows").cast("double") / F.lit(total), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("out_rows"), F.asc("key"))
+        .limit(top)
+    )

@@ -4549,3 +4549,51 @@ FROM (SELECT doc_id, phrase, score,
                                 ORDER BY score DESC, phrase ASC) AS rank
       FROM pscore)
 WHERE rank <= 3"""
+
+
+# Twin of operators.skew.join_hotspots: the same two degree
+# aggregations + key join; the total is the same exact bigint sum
+# cast to double once (Spark pulls it as a literal, the twin carries
+# it as a 1-row cross join — identical doubles either way).
+JOIN_HOTSPOTS_Q = """WITH da AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS rows_a
+  FROM events GROUP BY user_id
+), db AS (
+  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS rows_b
+  FROM orders GROUP BY o_custkey
+), c AS (
+  SELECT da.key, rows_a, rows_b,
+         CAST(rows_a * rows_b AS BIGINT) AS out_rows
+  FROM da JOIN db ON da.key = db.key
+), t AS (
+  SELECT CAST(sum(out_rows) AS DOUBLE) AS total FROM c
+)
+SELECT key, rows_a, rows_b, out_rows,
+       round(CAST(out_rows AS DOUBLE) / t.total, 6) AS share
+FROM c, t
+ORDER BY out_rows DESC, key ASC
+LIMIT 20"""
+
+
+# Twin of multimodal.binaryops.phash_near_dup over the MEDIA_PHASH_Q
+# hashes: same 4x4-bit banding, same distinct candidate pairs (>= 1
+# shared band within kind, id_a < id_b), same 16 exact substring
+# comparisons summed as the Hamming distance.
+MEDIA_NEAR_DUP_Q = f"""WITH ph AS (
+  SELECT * FROM ({MEDIA_PHASH_Q})
+), bd AS (
+  SELECT media_id, kind, phash, bi,
+         substring(phash, CAST(bi AS INT) * 4 + 1, 4) AS bv
+  FROM (SELECT media_id, kind, phash, unnest(range(0, 4)) AS bi FROM ph)
+), cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.kind,
+         a.phash AS ha, b.phash AS hb
+  FROM bd a JOIN bd b
+    ON a.kind = b.kind AND a.bi = b.bi AND a.bv = b.bv
+   AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, kind,
+       CAST(CASE WHEN substring(ha, 1, 1) <> substring(hb, 1, 1) THEN 1 ELSE 0 END + CASE WHEN substring(ha, 2, 1) <> substring(hb, 2, 1) THEN 1 ELSE 0 END + CASE WHEN substring(ha, 3, 1) <> substring(hb, 3, 1) THEN 1 ELSE 0 END + CASE WHEN substring(ha, 4, 1) <> substring(hb, 4, 1) THEN 1 ELSE 0 END + CASE WHEN substring(ha, 5, 1) <> substring(hb, 5, 1) THEN 1 ELSE 0 END + CASE WHEN substring(ha, 6, 1) <> substring(hb, 6, 1) THEN 1 ELSE 0 END + CASE WHEN substring(ha, 7, 1) <> substring(hb, 7, 1) THEN 1 ELSE 0 END + CASE WHEN substring(ha, 8, 1) <> substring(hb, 8, 1) THEN 1 ELSE 0 END + CASE WHEN substring(ha, 9, 1) <> substring(hb, 9, 1) THEN 1 ELSE 0 END + CASE WHEN substring(ha, 10, 1) <> substring(hb, 10, 1) THEN 1 ELSE 0 END + CASE WHEN substring(ha, 11, 1) <> substring(hb, 11, 1) THEN 1 ELSE 0 END + CASE WHEN substring(ha, 12, 1) <> substring(hb, 12, 1) THEN 1 ELSE 0 END + CASE WHEN substring(ha, 13, 1) <> substring(hb, 13, 1) THEN 1 ELSE 0 END + CASE WHEN substring(ha, 14, 1) <> substring(hb, 14, 1) THEN 1 ELSE 0 END + CASE WHEN substring(ha, 15, 1) <> substring(hb, 15, 1) THEN 1 ELSE 0 END + CASE WHEN substring(ha, 16, 1) <> substring(hb, 16, 1) THEN 1 ELSE 0 END AS INT) AS hamming
+FROM cand
+ORDER BY hamming ASC, id_a ASC, id_b ASC
+LIMIT 50"""

@@ -2191,3 +2191,35 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrases per document."""
     tune_for_oracle(spark)
     return corpus.rake_keywords(tables.load(spark, sf_dir, "documents"))
+
+
+def join_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew forecast: per-key deg_A x deg_B output
+    contributions of events x orders on the user key, priced without
+    materializing the join."""
+    tune_for_oracle(spark)
+    return skew.join_hotspots(
+        tables.load(spark, sf_dir, "events"),
+        tables.load(spark, sf_dir, "orders"),
+        "user_id",
+        "o_custkey",
+    )
+
+
+def media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media pairs: banded block-mean-hash buckets,
+    exact Hamming re-rank — the media-layer companion of
+    MinHash-LSH."""
+    tune_for_oracle(spark)
+    media = binaryops.synthesize_media(tables.load(spark, sf_dir, "documents"))
+    return binaryops.phash_near_dup(binaryops.block_mean_hash(media))
+
+
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming EWMA anomaly scoring
+    (applyInPandasWithState, out-of-order-safe re-scoring) — checked
+    against the batch ewma_anomaly's oracle (EWMA_ANOMALY_Q
+    batch-equivalence, the stream_window_agg bar)."""
+    tune_for_oracle(spark)
+    d = _stream_src_dir(sf_dir, "events")
+    return EV.ewma_stream(spark, d, "stream_ewma_sink")

@@ -889,3 +889,126 @@ def attribution_stream(
             F.col("s.gap_us").alias("gap_us"),
         )
     )
+
+
+def ewma_stream(
+    spark: SparkSession,
+    events_dir: str,
+    name: str,
+    window: int = 16,
+    min_hist: int = 4,
+    top: int = 100,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STATEFUL streaming EWMA anomaly scoring via
+    ``applyInPandasWithState``: each event's value is predicted from
+    the exponentially-weighted window of its user's PRECEDING values,
+    maintained incrementally and out-of-order-safe — a late-arriving
+    event re-scores every event it precedes (the attribution_stream
+    retroactivity argument). Per-user state is the (ts, id, value)
+    history; production bounds it with an event-time timeout, the
+    bounded availableNow run here needs none.
+
+    Float parity: the Python fold uses the SAME exact power-of-two
+    weights as the batch twin (``v / (1 << j)`` — IEEE doubles, no
+    pow()), and rounding happens ONLY in the terminal Spark selection
+    (Python's round() is banker's, Spark/DuckDB's is not — raw
+    doubles cross the Arrow boundary).
+
+    The result must equal batch ``timeseries.ewma_anomaly`` row for
+    row; the driver checks it against the SAME oracle
+    (EWMA_ANOMALY_Q), the batch-equivalence bar."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_seen long, event_id long, value double,"
+        " pred double"
+    )
+    state_schema = "n long, ts array<long>, ids array<long>, vals array<double>"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, ts, ids, vals = state.get if state.exists else (0, [], [], [])
+        ts, ids, vals = list(ts or []), list(ids or []), list(vals or [])
+        for pdf in pdfs:
+            keep = pdf[pdf["value"].notna()]
+            n += len(keep)
+            ts.extend(int(t) for t in keep["t"])
+            ids.extend(int(i) for i in keep["event_id"])
+            vals.extend(float(v) for v in keep["value"])
+        state.update((n, ts, ids, vals))
+        rows = sorted(zip(ts, ids, vals), key=lambda r: (r[0], r[1]))
+        out = {"user_id": [], "n_seen": [], "event_id": [], "value": [],
+               "pred": []}
+        hist: list[float] = []
+        for _t, i, v in rows:
+            m = min(len(hist), window)
+            if m >= min_hist:
+                num, den = 0.0, 0.0
+                for j in range(1, m + 1):
+                    w = 1 << j
+                    num += hist[-j] / w
+                    den += 1.0 / w
+                out["user_id"].append(key[0])
+                out["n_seen"].append(n)
+                out["event_id"].append(i)
+                out["value"].append(v)
+                out["pred"].append(num / den)
+            hist.append(v)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array(out["user_id"], dtype="int64"),
+                "n_seen": pd.array(out["n_seen"], dtype="int64"),
+                "event_id": pd.array(out["event_id"], dtype="int64"),
+                "value": pd.array(out["value"], dtype="float64"),
+                "pred": pd.array(out["pred"], dtype="float64"),
+            }
+        )
+
+    src_stream = events_stream(spark, events_dir)
+    if max_files_per_trigger:
+        src_stream = (
+            spark.readStream.schema(src_stream.schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .format("parquet")
+            .load(events_dir)
+        )
+    stream = src_stream.select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.expr("unix_micros(ts)").alias("t"),
+    )
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    with _state_partitions(spark):
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    last = F.max(F.struct("n_seen", "value", "pred")).alias("s")
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("event_id", "user_id")
+        .agg(last)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("s.value").alias("value"),
+            F.round(F.col("s.pred"), 6).alias("pred"),
+            F.round(F.abs(F.col("s.value") - F.col("s.pred")), 6).alias(
+                "abs_dev"
+            ),
+        )
+        .orderBy(F.desc("abs_dev"), F.asc("event_id"))
+        .limit(top)
+    )

@@ -242,6 +242,7 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "stream_funnel",  # same
         "stream_psi_drift",  # same
         "stream_attribution",  # same
+        "stream_ewma",  # same
         "ann_ivf_prebuilt",  # builds/reads the persisted index eagerly
     }
     # intentional broadcast cross joins: ann_brute scores the tiny

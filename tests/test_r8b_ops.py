@@ -334,3 +334,117 @@ def test_rake_ranks_are_dense_and_descending(spark):
         assert [r for r, _s, _p in lst] == list(range(1, len(lst) + 1))
         scores = [s for _r, s, _p in lst]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_join_hotspots_contributions_equal_real_join_size(spark):
+    from banking_data_etl_pipeline_spark.operators import skew
+
+    events = tables.load(spark, SF_DIR, "events")
+    orders = tables.load(spark, SF_DIR, "orders")
+    out = skew.join_hotspots(
+        events, orders, "user_id", "o_custkey", top=100000
+    ).collect()
+    actual = events.join(
+        orders, F.col("user_id") == F.col("o_custkey")
+    ).count()
+    assert sum(r.out_rows for r in out) == actual
+    for r in out:
+        assert r.out_rows == r.rows_a * r.rows_b
+    shares = [r.share for r in out]
+    assert abs(sum(shares) - 1.0) < 1e-3
+    sizes = [r.out_rows for r in out]
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_media_near_dup_pairs_share_a_band_and_order(spark):
+    from banking_data_etl_pipeline_spark.multimodal import binaryops as B
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    hashes = B.block_mean_hash(B.synthesize_media(docs))
+    ph = {r.media_id: (r.kind, r.phash) for r in hashes.collect()}
+    out = B.phash_near_dup(hashes).collect()
+    assert out
+    hams = [r.hamming for r in out]
+    assert hams == sorted(hams)
+    for r in out:
+        ka, ha = ph[r.id_a]
+        kb, hb = ph[r.id_b]
+        assert ka == kb == r.kind and r.id_a < r.id_b
+        # exact hamming recomputed
+        assert r.hamming == sum(1 for x, y in zip(ha, hb) if x != y)
+        # at least one shared 4-bit band (the candidate condition)
+        assert any(
+            ha[i * 4 : (i + 1) * 4] == hb[i * 4 : (i + 1) * 4]
+            for i in range(4)
+        )
+
+
+def test_stream_ewma_equals_batch(spark):
+    from banking_data_etl_pipeline_spark.operators import timeseries
+    from banking_data_etl_pipeline_spark.queries import _stream_src_dir
+    from banking_data_etl_pipeline_spark.streaming import events as EV
+
+    d = _stream_src_dir(SF_DIR, "events")
+    got = sorted(
+        tuple(r)
+        for r in EV.ewma_stream(spark, d, "ewma_eq_sink").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in timeseries.ewma_anomaly(
+            tables.load(spark, SF_DIR, "events")
+        ).collect()
+    )
+    assert got == want and len(got) == 100
+
+
+def test_stream_ewma_rescored_by_late_event(spark, tmp_path):
+    """A late-arriving event with an EARLIER event time must re-score
+    the events after it — the stateful recomputation argument."""
+    import pandas as pd
+
+    from banking_data_etl_pipeline_spark.streaming import events as EV
+
+    d = tmp_path / "feed"
+    d.mkdir()
+    base = pd.to_datetime("2024-01-01 09:00:00")
+    # batch 1: values 1,2,3,4 then the scored event 6 (value 100)
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 6],
+            "ts": [base + pd.Timedelta(minutes=m) for m in (0, 1, 2, 3, 5)],
+            "user_id": [1] * 5,
+            "event_type": ["view"] * 5,
+            "value": [1.0, 2.0, 3.0, 4.0, 100.0],
+            "props": ["{}"] * 5,
+        }
+    ).to_parquet(d / "a.parquet", coerce_timestamps="us")
+    got1 = {
+        r.event_id: r.pred
+        for r in EV.ewma_stream(
+            spark, str(d), "ewma_retro_a", min_hist=4
+        ).collect()
+    }
+    # batch 2: event 5 slots in BETWEEN (value 50) — event 6's
+    # history changes from [1,2,3,4] to [1,2,3,4,50]
+    pd.DataFrame(
+        {
+            "event_id": [5],
+            "ts": [base + pd.Timedelta(minutes=4)],
+            "user_id": [1],
+            "event_type": ["view"],
+            "value": [50.0],
+            "props": ["{}"],
+        }
+    ).to_parquet(d / "b.parquet", coerce_timestamps="us")
+    got2 = {
+        r.event_id: r.pred
+        for r in EV.ewma_stream(
+            spark, str(d), "ewma_retro_b", min_hist=4, max_files_per_trigger=1
+        ).collect()
+    }
+    pred_before = (4 / 2 + 3 / 4 + 2 / 8 + 1 / 16) / (15 / 16)
+    pred_after = (50 / 2 + 4 / 4 + 3 / 8 + 2 / 16 + 1 / 32) / (31 / 32)
+    assert abs(got1[6] - round(pred_before, 6)) < 1e-9
+    assert abs(got2[6] - round(pred_after, 6)) < 1e-9
+    assert 5 in got2  # the late event itself gets scored too
