@@ -4597,3 +4597,47 @@ SELECT id_a, id_b, kind,
 FROM cand
 ORDER BY hamming ASC, id_a ASC, id_b ASC
 LIMIT 50"""
+
+
+# Twin of operators.sketches.grouped_hll_distinct: HLL_DISTINCT_Q's
+# register/harmonic-sum/correction arithmetic verbatim with the group
+# column carried through every CTE.
+GROUPED_HLL_Q = """WITH h AS (
+  SELECT event_type AS grp,
+         CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) AS BIGINT) AS h32
+  FROM events
+), r AS (
+  SELECT grp, CAST(h32 >> 24 AS BIGINT) AS idx,
+         CAST(h32 & 16777215 AS BIGINT) AS w
+  FROM h
+), rho AS (
+  SELECT grp, idx,
+         CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END AS rho
+  FROM r
+), regs AS (
+  SELECT grp, idx, max(rho) AS reg FROM rho GROUP BY grp, idx
+), sk AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_used,
+         sum(power(2.0, -reg)) + (256 - count(*)) * 1.0 AS z,
+         CAST(256 - count(*) AS DOUBLE) AS v
+  FROM regs GROUP BY grp
+), ex AS (
+  SELECT event_type AS grp,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+), est AS (
+  SELECT sk.grp, n_used, z, v, exact_distinct,
+         (0.7213 / (1.0 + 1.079 / 256)) * 256.0 * 256.0 / z AS raw
+  FROM sk JOIN ex ON sk.grp = ex.grp
+)
+SELECT grp AS event_type, CAST(256 AS INT) AS m, n_used,
+       round(raw, 6) AS raw_estimate,
+       round(CASE WHEN raw <= 640.0 AND v > 0
+                  THEN 256.0 * ln(256.0 / v) ELSE raw END, 6) AS estimate,
+       exact_distinct,
+       round(abs(CASE WHEN raw <= 640.0 AND v > 0
+                      THEN 256.0 * ln(256.0 / v) ELSE raw END
+                 - exact_distinct) / exact_distinct, 6) AS rel_error
+FROM est
+ORDER BY event_type"""

@@ -2223,3 +2223,12 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     d = _stream_src_dir(sf_dir, "events")
     return EV.ewma_stream(spark, d, "stream_ewma_sink")
+
+
+def grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL distinct users: the mergeable sketch as a
+    GROUPED aggregate — per-dimension cardinality from one pass."""
+    from .operators import sketches
+
+    tune_for_oracle(spark)
+    return sketches.grouped_hll_distinct(tables.load(spark, sf_dir, "events"))

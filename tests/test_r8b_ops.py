@@ -448,3 +448,40 @@ def test_stream_ewma_rescored_by_late_event(spark, tmp_path):
     assert abs(got1[6] - round(pred_before, 6)) < 1e-9
     assert abs(got2[6] - round(pred_after, 6)) < 1e-9
     assert 5 in got2  # the late event itself gets scored too
+
+
+def test_grouped_hll_tracks_exact_per_group(spark):
+    from banking_data_etl_pipeline_spark.operators import sketches
+
+    events = tables.load(spark, SF_DIR, "events")
+    out = sketches.grouped_hll_distinct(events).collect()
+    types = {
+        r.event_type
+        for r in events.select("event_type").distinct().collect()
+    }
+    assert {r.event_type for r in out} == types
+    for r in out:
+        # HLL at p=8 has ~6.5% std error; 25% is a safe determinism-
+        # friendly bound on this fixture
+        assert r.rel_error < 0.25
+        assert 0 < r.n_used <= r.m
+
+
+def test_grouped_hll_registers_merge_with_union(spark):
+    """The sketch property that matters at scale: registers built from
+    a partitioned union equal registers built from the whole — the
+    grouped estimate is identical however the data arrives."""
+    from banking_data_etl_pipeline_spark.operators import sketches
+
+    events = tables.load(spark, SF_DIR, "events")
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    whole = sorted(
+        (r.event_type, r.estimate)
+        for r in sketches.grouped_hll_distinct(events).collect()
+    )
+    unioned = sorted(
+        (r.event_type, r.estimate)
+        for r in sketches.grouped_hll_distinct(a.unionAll(b)).collect()
+    )
+    assert whole == unioned
