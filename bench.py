@@ -194,6 +194,22 @@ BENCH_QUERIES = [
     "zipf_fit",
     "stream_attribution",
     "quantile_sketch",
+    # round 8b additions
+    "order_priority",
+    "cust_order_dist",
+    "promo_revenue",
+    "small_qty_revenue",
+    "large_orders",
+    "idle_customers",
+    "discounted_revenue",
+    "skyline_parts",
+    "ann_sq",
+    "ewma_anomaly",
+    "rake_keywords",
+    "join_hotspots",
+    "media_near_dup",
+    "stream_ewma",
+    "grouped_hll",
     # round 7 additions
     "bm25_topk",
     "pq_topk",
