@@ -1,0 +1,131 @@
+"""Experiment-analytics operators: deterministic arm assignment and
+CUPED variance-reduced treatment-effect readouts (Deng, Xu, Kohavi &
+Walker, "Improving the Sensitivity of Online Controlled Experiments by
+Utilizing Pre-Experiment Data", WSDM 2013).
+
+Everything reduces to ONE pass of sufficient statistics — the ols2 /
+corr_matrix shape: per-user pre/post metrics from a map-side-combined
+groupBy, then a single global aggregation of DECIMAL-exact sums whose
+one-row output feeds closed-form doubles. No iteration, no collect,
+no per-user output — the report is model-parameter scale regardless
+of input volume, which is the 100 TB shape for "score an experiment
+over the whole event log".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .relational import ols2_sum_sql
+
+# Formula text shared verbatim with oracle.CUPED_Q. All inputs are
+# exact: n counts are BIGINT, the s* sums are DECIMAL-exact doubles,
+# so identical expression trees give bit-identical doubles in both
+# engines; only the hash-arm derivation differs in *syntax* per engine
+# (Spark conv() vs DuckDB '0x' cast — same md5 nibble, same integer).
+CUPED_X = (
+    "coalesce(CAST(sum(CASE WHEN {ts} < TIMESTAMP '{cut}'"
+    " THEN CAST({v} AS DECIMAL(18,6)) END) AS DOUBLE),"
+    " CAST(0 AS DOUBLE))"
+)
+CUPED_Y = (
+    "coalesce(CAST(sum(CASE WHEN {ts} >= TIMESTAMP '{cut}'"
+    " THEN CAST({v} AS DECIMAL(18,6)) END) AS DOUBLE),"
+    " CAST(0 AS DOUBLE))"
+)
+CUPED_THETA = "(nn * sxy - sx * sy) / nullif(nn * sxx - sx * sx, 0.0)"
+CUPED_DIFF_RAW = (
+    "sy1 / nullif(CAST(n1 AS DOUBLE), 0.0)"
+    " - sy0 / nullif(CAST(n0 AS DOUBLE), 0.0)"
+)
+CUPED_DIFF_X = (
+    "sx1 / nullif(CAST(n1 AS DOUBLE), 0.0)"
+    " - sx0 / nullif(CAST(n0 AS DOUBLE), 0.0)"
+)
+CUPED_VAR_Y = "(nn * syy - sy * sy) / (nn * nn)"
+CUPED_VAR_X = "(nn * sxx - sx * sx) / (nn * nn)"
+CUPED_COV = "(nn * sxy - sx * sy) / (nn * nn)"
+CUPED_VAR_ADJ = (
+    f"({CUPED_VAR_Y}) - ({CUPED_COV}) * ({CUPED_COV})"
+    f" / nullif({CUPED_VAR_X}, 0.0)"
+)
+
+CUPED_SUM_TERMS = [
+    ("x", "sx"),
+    ("y", "sy"),
+    ("x * x", "sxx"),
+    ("x * y", "sxy"),
+    ("y * y", "syy"),
+    ("CASE WHEN arm = 1 THEN y ELSE CAST(0 AS DOUBLE) END", "sy1"),
+    ("CASE WHEN arm = 0 THEN y ELSE CAST(0 AS DOUBLE) END", "sy0"),
+    ("CASE WHEN arm = 1 THEN x ELSE CAST(0 AS DOUBLE) END", "sx1"),
+    ("CASE WHEN arm = 0 THEN x ELSE CAST(0 AS DOUBLE) END", "sx0"),
+]
+
+
+def cuped_report(
+    events: DataFrame,
+    cutoff: str = "2024-01-16 00:00:00",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """CUPED A/B readout over an event log: users are deterministically
+    hash-split into two arms (md5 nibble parity — stable across runs,
+    engines, and re-partitioning), the pre-``cutoff`` per-user metric
+    is the covariate x, the post-``cutoff`` metric is the outcome y,
+    and the report gives the raw and CUPED-adjusted treatment-effect
+    estimates plus the variance-reduction the covariate bought
+    (var_adj = var_y - cov²/var_x, the optimal-theta identity).
+
+    Scale shape: groupBy(user) with map-side combine produces one
+    (x, y, arm) row per user; a single global aggregation reduces the
+    nine DECIMAL-exact sufficient sums to ONE row; every derived
+    quantity is closed-form double arithmetic on that row. Degenerate
+    inputs (an empty arm, zero covariate variance) surface as NULLs
+    through nullif-guarded divisions instead of ANSI-mode division
+    errors.
+
+    Returns one row: (n_users, n_treat, n_ctrl, theta, diff_raw,
+    diff_cuped, var_y, var_adj, var_reduction_pct)."""
+    peru = events.groupBy(F.col(user_col).alias("uid")).agg(
+        F.expr(
+            CUPED_X.format(ts=ts_col, cut=cutoff, v=val_col)
+        ).alias("x"),
+        F.expr(
+            CUPED_Y.format(ts=ts_col, cut=cutoff, v=val_col)
+        ).alias("y"),
+    )
+    armed = peru.withColumn(
+        "arm",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(uid AS STRING)), 1, 1),"
+            " 16, 10) AS INT) % 2"
+        ),
+    )
+    stats = armed.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_users"),
+        F.expr("CAST(count(*) AS DOUBLE)").alias("nn"),
+        F.expr("CAST(sum(arm) AS BIGINT)").alias("n1"),
+        F.expr("CAST(sum(1 - arm) AS BIGINT)").alias("n0"),
+        *[F.expr(ols2_sum_sql(t, a)) for t, a in CUPED_SUM_TERMS],
+    )
+    return stats.select(
+        "n_users",
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_ctrl"),
+        F.expr(f"round({CUPED_THETA}, 6) + 0.0").alias("theta"),
+        F.expr(f"round({CUPED_DIFF_RAW}, 6) + 0.0").alias("diff_raw"),
+        F.expr(
+            f"round(({CUPED_DIFF_RAW}) - ({CUPED_THETA})"
+            f" * ({CUPED_DIFF_X}), 6) + 0.0"
+        ).alias("diff_cuped"),
+        F.expr(f"round({CUPED_VAR_Y}, 6) + 0.0").alias("var_y"),
+        F.expr(f"round({CUPED_VAR_ADJ}, 6) + 0.0").alias("var_adj"),
+        F.expr(
+            f"round(CAST(100 AS DOUBLE) * (CAST(1 AS DOUBLE)"
+            f" - ({CUPED_VAR_ADJ}) / nullif({CUPED_VAR_Y}, 0.0)), 6)"
+            " + 0.0"
+        ).alias("var_reduction_pct"),
+    )

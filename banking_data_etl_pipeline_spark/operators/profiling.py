@@ -63,3 +63,90 @@ def profile_table(
             "(column_name, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+# ------------------------------------------------- chi-square screen
+
+# Cell-term formula text shared verbatim with the DuckDB twin: the
+# expected count and the (o-e)^2/e term are pure double arithmetic on
+# exact BIGINT counts, so both engines produce bit-identical per-cell
+# terms; the cross-cell sum is made order-independent by routing each
+# term through DECIMAL(28,12) (the ols2_sum_sql argument — terms here
+# are bounded by n, far under the 1e16 decimal headroom).
+CHI2_E = (
+    "CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)"
+    " / CAST(n AS DOUBLE)"
+)
+CHI2_TERM = (
+    f"(CAST(o AS DOUBLE) - {CHI2_E}) * (CAST(o AS DOUBLE) - {CHI2_E})"
+    f" / ({CHI2_E})"
+)
+CHI2_SUM = (
+    f"CAST(sum(CAST({CHI2_TERM} AS DECIMAL(28,12))) AS DOUBLE)"
+)
+
+
+def chi2_independence(
+    df: DataFrame, features: list[str], target: str
+) -> DataFrame:
+    """Chi-square independence screen: for each categorical feature,
+    the chi-square statistic, degrees of freedom, and Cramér's V
+    against ``target`` — the feature-selection / drift-localization
+    test that pairs with ``psi_drift`` (that one scores a column
+    against itself over time; this scores it against a label).
+
+    Scale shape (100 TB): ONE map-side ``stack`` unpivots k features
+    into (feature, level, target) rows — a k× row expansion of
+    two-string tuples, not of the full table — then three map-side-
+    combined groupBys reduce to contingency cells (model-parameter
+    scale: levels × target classes per feature). Expected counts,
+    per-cell terms, and the dof/V derivations all run on those tiny
+    aggregates; nothing downstream of the first aggregation scales
+    with data volume, and no collect happens at all.
+
+    Returns one row per feature: (feature, n, levels, classes, dof,
+    chi2, cramers_v), ordered by feature."""
+    pairs = ", ".join(f"'{c}', {c}" for c in features)
+    cells = (
+        df.select(
+            F.expr(
+                f"stack({len(features)}, {pairs}) AS (feature, level)"
+            ),
+            F.col(target).alias("tgt"),
+        )
+        .groupBy("feature", "level", "tgt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    row_tot = cells.groupBy("feature", "level").agg(
+        F.sum("o").cast("bigint").alias("row_tot")
+    )
+    col_tot = cells.groupBy("feature", "tgt").agg(
+        F.sum("o").cast("bigint").alias("col_tot")
+    )
+    n_tot = cells.groupBy("feature").agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count_distinct("level").cast("bigint").alias("levels"),
+        F.count_distinct("tgt").cast("bigint").alias("classes"),
+    )
+    full = (
+        cells.join(row_tot, ["feature", "level"])
+        .join(col_tot, ["feature", "tgt"])
+        .join(n_tot, "feature")
+    )
+    stats = full.groupBy(
+        "feature", "n", "levels", "classes"
+    ).agg(F.expr(CHI2_SUM).alias("chi2_raw"))
+    return stats.select(
+        "feature",
+        "n",
+        "levels",
+        "classes",
+        ((F.col("levels") - 1) * (F.col("classes") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.expr("round(chi2_raw, 6)").alias("chi2"),
+        F.expr(
+            "round(sqrt(chi2_raw / (CAST(n AS DOUBLE)"
+            " * CAST(least(levels - 1, classes - 1) AS DOUBLE))), 6)"
+        ).alias("cramers_v"),
+    ).orderBy("feature")

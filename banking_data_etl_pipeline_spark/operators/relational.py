@@ -1420,3 +1420,102 @@ def skyline_parts(part: DataFrame) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
     )
+
+
+# ------------------------------------------------------ market basket
+
+# Association-metric formula text shared verbatim with the DuckDB twin
+# (oracle.MARKET_BASKET_Q interpolates the same strings): every factor
+# is CAST to DOUBLE first so both engines run identical IEEE-754
+# operation trees on exact integer counts — bit-identical results.
+BASKET_SUPPORT = (
+    "round(CAST(pair_n AS DOUBLE) / CAST({n} AS DOUBLE), 6)"
+)
+BASKET_CONFIDENCE = (
+    "round(CAST(pair_n AS DOUBLE) / CAST(cnt_a AS DOUBLE), 6)"
+)
+BASKET_LIFT = (
+    "round(CAST(pair_n AS DOUBLE) * CAST({n} AS DOUBLE)"
+    " / (CAST(cnt_a AS DOUBLE) * CAST(cnt_b AS DOUBLE)), 6)"
+)
+
+
+def market_basket(
+    lineitem: DataFrame,
+    min_pair_orders: int = 2,
+    top: int = 50,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Market-basket association mining over order lines: which part
+    pairs co-occur in the same order more than chance predicts
+    (support / confidence / lift) — the co-purchase signal behind
+    recommendations and assortment planning, and structurally the
+    same within-group co-occurrence shape as bigram PMI on tokens.
+
+    Scale shape (100 TB): the pair generator is a SELF-JOIN
+    CO-PARTITIONED ON THE ORDER KEY — Spark shuffles both sides once
+    on ``okey`` and every pair is produced inside one partition; the
+    fan-out per order is bounded by the ``max_basket`` guard
+    (baskets with more than ``max_basket`` distinct parts are dropped
+    whole, capping worst-case blast radius at max_basket^2/2 rows per
+    order — a pathological "basket" that big is a data bug, not a
+    co-purchase signal). Item frequencies join back on part-key
+    equi-joins (map-side combinable degree tables, the
+    ``join_hotspots`` shape), the ≥min_pair_orders HAVING prunes the
+    long tail before the metric join, and the final top-k is a
+    TakeOrdered, never a global sort. The single driver pull is ONE
+    scalar (the retained-order count — the documented idle_customers
+    literal pattern).
+
+    Returns (part_a, part_b, pair_n, support, confidence, lift,
+    cnt_a, cnt_b), lift desc / part_a / part_b, limit ``top``."""
+    items = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    sized = items.groupBy("okey").agg(
+        F.count(F.lit(1)).alias("basket_n")
+    )
+    kept = items.join(
+        sized.filter(F.col("basket_n") <= max_basket).select("okey"), "okey"
+    )
+    n_row = kept.agg(F.count_distinct("okey").alias("_n")).first()
+    n_orders = int(n_row["_n"] or 0)
+    cnt = kept.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    pairs = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_orders)
+    )
+    scored = (
+        pairs.join(
+            cnt.select(F.col("part").alias("part_a"), F.col("cnt").alias("cnt_a")),
+            "part_a",
+        )
+        .join(
+            cnt.select(F.col("part").alias("part_b"), F.col("cnt").alias("cnt_b")),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "pair_n",
+            F.expr(BASKET_SUPPORT.format(n=n_orders)).alias("support"),
+            F.expr(BASKET_CONFIDENCE).alias("confidence"),
+            F.expr(BASKET_LIFT.format(n=n_orders)).alias("lift"),
+            "cnt_a",
+            "cnt_b",
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(top)

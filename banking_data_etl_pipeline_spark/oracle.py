@@ -4641,3 +4641,161 @@ SELECT grp AS event_type, CAST(256 AS INT) AS m, n_used,
                  - exact_distinct) / exact_distinct, 6) AS rel_error
 FROM est
 ORDER BY event_type"""
+
+
+# --------------------------------------- round 8c: basket / chi2 / cuped
+
+# Twin of operators.relational.market_basket (min_pair_orders=2,
+# top=50, max_basket=64): same distinct-items -> basket-size guard ->
+# pair count -> degree join shapes; the association metrics
+# interpolate the SAME formula strings (BASKET_*), with the
+# retained-order count appearing as a cross-joined scalar here and as
+# the one-scalar driver literal on the Spark side.
+def market_basket_sql() -> str:
+    from .operators.relational import (
+        BASKET_CONFIDENCE,
+        BASKET_LIFT,
+        BASKET_SUPPORT,
+    )
+
+    return f"""WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+), sized AS (
+  SELECT okey FROM items GROUP BY okey HAVING count(*) <= 64
+), kept AS (
+  SELECT i.okey, i.part FROM items i JOIN sized s ON i.okey = s.okey
+), norders AS (
+  SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM kept
+), cnt AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS cnt FROM kept GROUP BY part
+), pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b,
+         CAST(count(*) AS BIGINT) AS pair_n
+  FROM kept a JOIN kept b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY a.part, b.part
+  HAVING count(*) >= 2
+)
+, scored AS (
+  SELECT p.part_a, p.part_b, p.pair_n,
+         ca.cnt AS cnt_a, cb.cnt AS cnt_b, no.n_orders
+  FROM pairs p
+  JOIN cnt ca ON p.part_a = ca.part
+  JOIN cnt cb ON p.part_b = cb.part
+  CROSS JOIN norders no
+)
+SELECT part_a, part_b, pair_n,
+       {BASKET_SUPPORT.format(n='n_orders')} AS support,
+       {BASKET_CONFIDENCE} AS confidence,
+       {BASKET_LIFT.format(n='n_orders')} AS lift,
+       cnt_a, cnt_b
+FROM scored
+ORDER BY lift DESC, part_a, part_b
+LIMIT 50"""
+
+
+# Twin of operators.profiling.chi2_independence on the valid bank
+# frame, features (education, housing, job, marital) vs target y:
+# UNION ALL plays the role of Spark's stack(); the per-cell term and
+# the DECIMAL-routed cross-cell sum interpolate the SAME CHI2_SUM
+# formula string.
+def chi2_sql() -> str:
+    from .operators.profiling import CHI2_SUM
+
+    u = "\n    UNION ALL ".join(
+        f"SELECT '{c}' AS feature, {c} AS level, y AS tgt FROM valid"
+        for c in ["education", "housing", "job", "marital"]
+    )
+    return f"""{BANK_PREFIX},
+u AS (
+    {u}
+), cells AS (
+  SELECT feature, level, tgt, CAST(count(*) AS BIGINT) AS o
+  FROM u GROUP BY feature, level, tgt
+), rt AS (
+  SELECT feature, level, CAST(sum(o) AS BIGINT) AS row_tot
+  FROM cells GROUP BY feature, level
+), ct AS (
+  SELECT feature, tgt, CAST(sum(o) AS BIGINT) AS col_tot
+  FROM cells GROUP BY feature, tgt
+), nt AS (
+  SELECT feature, CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT level) AS BIGINT) AS levels,
+         CAST(count(DISTINCT tgt) AS BIGINT) AS classes
+  FROM cells GROUP BY feature
+), cellx AS (
+  SELECT c.feature, c.o, rt.row_tot, ct.col_tot, nt.n, nt.levels,
+         nt.classes
+  FROM cells c
+  JOIN rt ON c.feature = rt.feature AND c.level = rt.level
+  JOIN ct ON c.feature = ct.feature AND c.tgt = ct.tgt
+  JOIN nt ON c.feature = nt.feature
+), stats AS (
+  SELECT feature, n, levels, classes, {CHI2_SUM} AS chi2_raw
+  FROM cellx GROUP BY feature, n, levels, classes
+)
+SELECT feature, n, levels, classes,
+       CAST((levels - 1) * (classes - 1) AS BIGINT) AS dof,
+       round(chi2_raw, 6) AS chi2,
+       round(sqrt(chi2_raw / (CAST(n AS DOUBLE)
+             * CAST(least(levels - 1, classes - 1) AS DOUBLE))), 6)
+         AS cramers_v
+FROM stats ORDER BY feature"""
+
+
+# Twin of operators.experiments.cuped_report (cutoff 2024-01-16): the
+# per-user pre/post DECIMAL sums, the nine sufficient statistics and
+# every closed-form output interpolate the SAME CUPED_* formula
+# strings; only the arm nibble differs in syntax (DuckDB '0x' cast vs
+# Spark conv — same md5 nibble, same parity bit).
+def cuped_sql() -> str:
+    from .operators.experiments import (
+        CUPED_DIFF_RAW,
+        CUPED_DIFF_X,
+        CUPED_SUM_TERMS,
+        CUPED_THETA,
+        CUPED_VAR_ADJ,
+        CUPED_VAR_Y,
+        CUPED_X,
+        CUPED_Y,
+    )
+    from .operators.relational import ols2_sum_sql
+
+    sums = ",\n         ".join(
+        ols2_sum_sql(t, a) for t, a in CUPED_SUM_TERMS
+    )
+    x = CUPED_X.format(ts="ts", cut="2024-01-16 00:00:00", v="value")
+    y = CUPED_Y.format(ts="ts", cut="2024-01-16 00:00:00", v="value")
+    return f"""WITH peru AS (
+  SELECT user_id AS uid,
+         {x} AS x,
+         {y} AS y
+  FROM events GROUP BY user_id
+), armed AS (
+  SELECT uid, x, y,
+         CAST(CAST('0x' || substring(md5(CAST(uid AS VARCHAR)), 1, 1)
+              AS INT) % 2 AS INT) AS arm
+  FROM peru
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(count(*) AS DOUBLE) AS nn,
+         CAST(sum(arm) AS BIGINT) AS n1,
+         CAST(sum(1 - arm) AS BIGINT) AS n0,
+         {sums}
+  FROM armed
+)
+SELECT n_users, n1 AS n_treat, n0 AS n_ctrl,
+       round({CUPED_THETA}, 6) + 0.0 AS theta,
+       round({CUPED_DIFF_RAW}, 6) + 0.0 AS diff_raw,
+       round(({CUPED_DIFF_RAW}) - ({CUPED_THETA})
+             * ({CUPED_DIFF_X}), 6) + 0.0 AS diff_cuped,
+       round({CUPED_VAR_Y}, 6) + 0.0 AS var_y,
+       round({CUPED_VAR_ADJ}, 6) + 0.0 AS var_adj,
+       round(CAST(100 AS DOUBLE) * (CAST(1 AS DOUBLE)
+             - ({CUPED_VAR_ADJ}) / nullif({CUPED_VAR_Y}, 0.0)), 6)
+         + 0.0 AS var_reduction_pct
+FROM stats"""
+
+
+MARKET_BASKET_Q = market_basket_sql()
+CHI2_Q = chi2_sql()
+CUPED_Q = cuped_sql()

@@ -2232,3 +2232,35 @@ def grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return sketches.grouped_hll_distinct(tables.load(spark, sf_dir, "events"))
+
+
+def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-order co-purchase association rules: support /
+    confidence / lift over part pairs, order-key co-partitioned
+    self-join with a basket-size blast-radius guard."""
+    tune_for_oracle(spark)
+    return relational.market_basket(tables.load(spark, sf_dir, "lineitem"))
+
+
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen of four categorical bank
+    features against the subscription label, with Cramér's V — one
+    stack-unpivot pass, contingency cells at model-parameter scale."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    return profiling.chi2_independence(
+        _bank_valid(spark, sf_dir),
+        ["education", "housing", "job", "marital"],
+        "y",
+    )
+
+
+def cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout over the event log:
+    hash-armed users, pre-period covariate, one-row report of raw vs
+    adjusted effect and the variance reduction bought."""
+    from .operators import experiments
+
+    tune_for_oracle(spark)
+    return experiments.cuped_report(tables.load(spark, sf_dir, "events"))

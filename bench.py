@@ -210,6 +210,9 @@ BENCH_QUERIES = [
     "media_near_dup",
     "stream_ewma",
     "grouped_hll",
+    "market_basket",
+    "chi2_independence",
+    "cuped_adjust",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

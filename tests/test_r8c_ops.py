@@ -1,0 +1,148 @@
+"""Round-8c operators: market-basket association rules, chi-square
+independence screen, CUPED variance reduction. Value parity is the
+oracle gate's job; these pin the SEMANTIC invariants a hash match
+can't express — hand-computed formulas on tiny frames, conservation
+laws, and partitioning-invariance of the hash-armed report."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from banking_data_etl_pipeline_spark.operators import (
+    experiments,
+    profiling,
+    relational,
+)
+from banking_data_etl_pipeline_spark.sources import tables
+from conftest import SF_DIR
+
+
+def test_market_basket_metrics_match_hand_computation(spark):
+    # 4 baskets: {1,2} x3 co-occurrences via orders 10,11,12; {1,3} x1
+    rows = [
+        (10, 1), (10, 2),
+        (11, 1), (11, 2),
+        (12, 1), (12, 2), (12, 3),
+        (13, 3),
+    ]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    out = {
+        (r.part_a, r.part_b): r
+        for r in relational.market_basket(li, min_pair_orders=1).collect()
+    }
+    n_orders = 4
+    r12 = out[(1, 2)]
+    assert r12.pair_n == 3 and r12.cnt_a == 3 and r12.cnt_b == 3
+    assert r12.support == round(3 / n_orders, 6)
+    assert r12.confidence == round(3 / 3, 6)
+    assert r12.lift == round(3 * n_orders / (3 * 3), 6)
+    r13 = out[(1, 3)]
+    assert r13.pair_n == 1 and r13.cnt_b == 2
+    assert r13.lift == round(1 * n_orders / (3 * 2), 6)
+
+
+def test_market_basket_pair_counts_conserve_basket_choose2(spark):
+    li = tables.load(spark, SF_DIR, "lineitem")
+    all_pairs = relational.market_basket(
+        li, min_pair_orders=1, top=10**9
+    )
+    total_pairs = all_pairs.agg(F.sum("pair_n")).first()[0]
+    expected = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .count()
+        .agg(F.sum(F.expr("count * (count - 1) / 2")))
+        .first()[0]
+    )
+    assert total_pairs == int(expected)
+
+
+def test_market_basket_cap_drops_big_baskets_whole(spark):
+    rows = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    out = relational.market_basket(
+        li, min_pair_orders=1, max_basket=2
+    ).collect()
+    # order 1 (3 parts) dropped whole; only order 2's single pair left
+    assert len(out) == 1
+    r = out[0]
+    assert (r.part_a, r.part_b, r.pair_n) == (10, 11, 1)
+    # n_orders counts only retained baskets
+    assert r.support == round(1 / 1, 6)
+
+
+def test_chi2_zero_for_exactly_independent_table(spark):
+    rows = (
+        [("a", "x")] * 25 + [("a", "y")] * 25
+        + [("b", "x")] * 25 + [("b", "y")] * 25
+    )
+    df = spark.createDataFrame(rows, ["f1", "tgt"])
+    r = profiling.chi2_independence(df, ["f1"], "tgt").first()
+    assert r.chi2 == 0.0 and r.cramers_v == 0.0
+    assert r.n == 100 and r.dof == 1
+
+
+def test_chi2_matches_hand_computed_2x2(spark):
+    # o = [[30, 10], [20, 40]]
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10
+        + [("b", "x")] * 20 + [("b", "y")] * 40
+    )
+    df = spark.createDataFrame(rows, ["f1", "tgt"])
+    r = profiling.chi2_independence(df, ["f1"], "tgt").first()
+    n = 100
+    chi2 = 0.0
+    for o, rt, ct in [(30, 40, 50), (10, 40, 50), (20, 60, 50), (40, 60, 50)]:
+        e = rt * ct / n
+        chi2 += (o - e) ** 2 / e
+    assert r.chi2 == round(chi2, 6)
+    assert r.cramers_v == round(math.sqrt(chi2 / (n * 1)), 6)
+    assert r.dof == 1 and r.levels == 2 and r.classes == 2
+
+
+def test_chi2_n_conserves_input_rows(spark):
+    df = tables.load(spark, SF_DIR, "events").select(
+        F.col("event_type").alias("f1"),
+        (F.col("user_id") % 2).cast("string").alias("tgt"),
+    )
+    r = profiling.chi2_independence(df, ["f1"], "tgt").first()
+    assert r.n == df.count()
+
+
+def test_cuped_report_arms_partition_users(spark):
+    ev = tables.load(spark, SF_DIR, "events")
+    r = experiments.cuped_report(ev).first()
+    assert r.n_treat + r.n_ctrl == r.n_users
+    assert r.n_users == ev.select("user_id").distinct().count()
+    # CUPED never increases variance (optimal-theta identity)
+    assert r.var_adj <= r.var_y
+    assert r.var_reduction_pct >= 0.0
+
+
+def test_cuped_report_is_partitioning_invariant(spark):
+    ev = tables.load(spark, SF_DIR, "events")
+    a = experiments.cuped_report(ev).first()
+    b = experiments.cuped_report(ev.repartition(7, "event_type")).first()
+    assert a.asDict() == b.asDict()
+
+
+def test_cuped_matches_hand_computation_on_known_users(spark):
+    # x perfectly predicts y for 6 users -> var_adj ~ 0, big reduction
+    rows = []
+    for uid in range(6):
+        x = float(uid + 1)
+        rows.append((uid, "2024-01-10 00:00:00", x))       # pre
+        rows.append((uid, "2024-01-20 00:00:00", 2.0 * x))  # post
+    ev = spark.createDataFrame(
+        rows, ["user_id", "ts_s", "value"]
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    r = experiments.cuped_report(ev).first()
+    assert r.n_users == 6
+    assert r.theta == 2.0
+    assert r.var_adj == 0.0
+    assert r.var_reduction_pct == 100.0
