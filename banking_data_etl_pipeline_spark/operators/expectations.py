@@ -221,3 +221,91 @@ def k_anonymity(
             (F.col("n") < k).alias("at_risk"),
         )
     )
+
+
+# ------------------------------------------------ differential privacy
+
+# Inverse-CDF Laplace noise from a uniform u in (0,1) — formula text
+# shared verbatim with the DuckDB twin; every literal is CAST to
+# DOUBLE so both engines run the identical IEEE-754 tree. The uniform
+# itself comes from the group key's md5 prefix (engine-specific
+# syntax, same 32-bit integer), making the "noise" a deterministic,
+# seedable function of the released cell — reproducible releases and
+# hash-checkable tests; swap the hash for a keyed PRF in production.
+DP_U = "CAST({h32} AS DOUBLE) / CAST(4294967296 AS DOUBLE)"
+DP_NOISE = (
+    "CASE WHEN u - CAST(0.5 AS DOUBLE) >= CAST(0 AS DOUBLE)"
+    " THEN -({b}) * ln(CAST(1 AS DOUBLE)"
+    "      - CAST(2 AS DOUBLE) * (u - CAST(0.5 AS DOUBLE)))"
+    " ELSE ({b}) * ln(CAST(1 AS DOUBLE)"
+    "      + CAST(2 AS DOUBLE) * (u - CAST(0.5 AS DOUBLE))) END"
+)
+
+
+def dp_counts(
+    events: DataFrame,
+    epsilon: float = 1.0,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Differentially-private histogram release: per
+    (group, day) event counts with Laplace(1/epsilon) noise and
+    non-negativity post-processing — the governance sibling of
+    ``k_anonymity``/``l_diversity`` (those gate what may be released;
+    this is the release mechanism itself, the count side of a
+    training-data pipeline's privacy budget).
+
+    The noise is drawn by inverse-CDF from a uniform derived from the
+    cell key's md5 prefix: deterministic given the key, so releases
+    are reproducible and cross-engine checkable (the production
+    hardening is one swap — a keyed PRF over a secret seed — that
+    changes no plan shape). Epsilon is per-release; the true count and
+    absolute error columns are the AUDIT half of the report (drop them
+    in the published artifact).
+
+    Scale shape (100 TB): one map-side-combined groupBy to cells, then
+    map-only noise arithmetic on the (group × day)-sized aggregate.
+    Nothing downstream of the aggregation scales with data volume.
+
+    Returns (grp, day, true_n, noise, released_n, abs_err, epsilon),
+    ordered by grp, day."""
+    b = f"CAST({1.0 / epsilon!r} AS DOUBLE)"
+    cells = events.groupBy(
+        F.col(group_col).alias("grp"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    keyed = cells.withColumn(
+        "u",
+        F.expr(
+            DP_U.format(
+                h32="CAST(conv(substring(md5(concat(grp, '|',"
+                " CAST(day AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            )
+        ),
+    )
+    noised = keyed.withColumn(
+        "noise", F.expr(f"round({DP_NOISE.format(b=b)}, 6) + 0.0")
+    )
+    released = noised.withColumn(
+        "released_n",
+        F.expr(
+            "CAST(greatest(CAST(0 AS BIGINT),"
+            " CAST(round(CAST(true_n AS DOUBLE) + noise, 0) AS BIGINT))"
+            " AS BIGINT)"
+        ),
+    )
+    return released.select(
+        "grp",
+        # ISO string, not DATE: engines' client layers render dates
+        # differently (pandas upcasts DuckDB DATE to midnight
+        # datetimes), and lexicographic ISO order == chronological
+        F.col("day").cast("string").alias("day"),
+        "true_n",
+        "noise",
+        "released_n",
+        F.expr(
+            "round(abs(CAST(released_n AS DOUBLE)"
+            " - CAST(true_n AS DOUBLE)), 6)"
+        ).alias("abs_err"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    ).orderBy("grp", "day")

@@ -739,3 +739,166 @@ def grouped_hll_distinct(
         )
         .orderBy(group_col)
     )
+
+
+# ------------------------------------------------------- theta / KMV
+
+# Shared formula text for the hash-space fraction of a 32-bit prefix
+# (oracle interpolates the same string over its own h32 derivation).
+THETA_FRAC = "CAST({h} AS DOUBLE) / CAST(4294967296 AS DOUBLE)"
+
+
+def theta_intersections(
+    events: DataFrame,
+    group_col: str = "event_type",
+    col: str = "user_id",
+    k: int = 128,
+) -> DataFrame:
+    """Pairwise set-INTERSECTION estimates between per-group member
+    sets via KMV/theta sketches (Beyer et al. 2007; the
+    DataSketches theta family) — the set-operation companion to
+    ``grouped_hll_distinct``: HLL answers "how many distinct per
+    group", theta answers "how much do two groups OVERLAP" without
+    ever joining the raw sets. Audience-overlap, cross-surface
+    dedup-rate and segment-containment dashboards are this exact
+    query.
+
+    Sketch: per group keep the k smallest 32-bit md5 prefixes
+    (integer order — ranking and thresholding use the SAME h32, so
+    both engines agree bit-for-bit). theta = the k-th smallest as a
+    hash-space fraction (1.0 when the group has fewer than k distinct
+    members — the sketch is exact there). For a pair, candidates are
+    sketch hashes present in BOTH sketches strictly below
+    theta_pair = min(theta_a, theta_b); |candidates| / theta_pair
+    estimates the intersection, and the same threshold over the
+    sketch UNION estimates the union.
+
+    Scale shape (100 TB): the raw scan reduces to distinct
+    (group, h32) pairs with map-side combine; per-group rank-k keeps
+    k rows per group (a window over group partitions — each group's
+    sketch is k rows no matter the data size); every pairwise step
+    joins k-row sketches (groups² × k at worst — model-parameter
+    scale). The exact-overlap columns come from one additional
+    user-key co-partitioned self-join of the distinct member sets —
+    they are the REPORT'S audit columns, not part of the sketch path
+    (drop them in production and nothing scales with data).
+
+    Returns one row per unordered group pair: (type_a, type_b, k,
+    theta, n_candidates, est_intersection, exact_intersection,
+    est_union, exact_union, rel_error), ordered by type_a, type_b."""
+    h = (
+        events.select(
+            F.col(group_col).alias("grp"),
+            F.conv(
+                F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+            )
+            .cast("bigint")
+            .alias("h32"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h32")
+    sk = h.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    gs = sk.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("h32").alias("kth"),
+    ).select(
+        "grp",
+        "n_kept",
+        F.when(F.col("n_kept") < k, F.lit(2**32).cast("bigint"))
+        .otherwise(F.col("kth"))
+        .alias("thr"),
+    )
+    a = gs.alias("a")
+    b = gs.alias("b")
+    pairs = a.join(
+        b, F.col("a.grp") < F.col("b.grp")
+    ).select(
+        F.col("a.grp").alias("type_a"),
+        F.col("b.grp").alias("type_b"),
+        F.least(F.col("a.thr"), F.col("b.thr")).alias("thr"),
+    )
+    ska = sk.select(F.col("grp").alias("type_a"), "h32")
+    skb = sk.select(F.col("grp").alias("type_b"), "h32")
+    inter = (
+        pairs.join(ska, "type_a")
+        .join(skb, ["type_b", "h32"])
+        .filter(F.col("h32") < F.col("thr"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    )
+    cand_a = pairs.join(ska, "type_a").select(
+        "type_a", "type_b", "thr", "h32"
+    )
+    cand_b = pairs.join(skb, "type_b").select(
+        "type_a", "type_b", "thr", "h32"
+    )
+    uni = (
+        cand_a.unionByName(cand_b)
+        .filter(F.col("h32") < F.col("thr"))
+        .select("type_a", "type_b", "h32")
+        .distinct()
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_union"))
+    )
+    members = events.select(
+        F.col(group_col).alias("grp"), F.col(col).alias("m")
+    ).distinct()
+    ma = members.select(F.col("grp").alias("type_a"), "m")
+    mb = members.select(F.col("grp").alias("type_b"), "m")
+    exact_i = (
+        ma.join(mb, "m")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    sizes = members.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    filled = (
+        pairs.join(inter, ["type_a", "type_b"], "left")
+        .join(uni, ["type_a", "type_b"], "left")
+        .join(exact_i, ["type_a", "type_b"], "left")
+        .join(
+            sizes.select(F.col("grp").alias("type_a"), F.col("sz").alias("sz_a")),
+            "type_a",
+        )
+        .join(
+            sizes.select(F.col("grp").alias("type_b"), F.col("sz").alias("sz_b")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "thr",
+            F.expr("CAST(coalesce(n_candidates, 0) AS BIGINT)").alias(
+                "n_candidates"
+            ),
+            F.expr("CAST(coalesce(n_union, 0) AS BIGINT)").alias("n_union"),
+            F.expr("CAST(coalesce(exact_intersection, 0) AS BIGINT)").alias(
+                "exact_i"
+            ),
+            F.expr("CAST(sz_a + sz_b - coalesce(exact_intersection, 0)"
+                   " AS BIGINT)").alias("exact_u"),
+        )
+    )
+    frac = THETA_FRAC.format(h="thr")
+    est_i = f"round(CAST(n_candidates AS DOUBLE) / ({frac}), 6)"
+    est_u = f"round(CAST(n_union AS DOUBLE) / ({frac}), 6)"
+    return filled.select(
+        "type_a",
+        "type_b",
+        F.lit(k).cast("int").alias("k"),
+        F.expr(f"round({frac}, 6)").alias("theta"),
+        "n_candidates",
+        F.expr(est_i).alias("est_intersection"),
+        F.col("exact_i").alias("exact_intersection"),
+        F.expr(est_u).alias("est_union"),
+        F.col("exact_u").alias("exact_union"),
+        F.expr(
+            f"round(abs({est_i} - CAST(exact_i AS DOUBLE))"
+            " / CAST(greatest(exact_i, 1) AS DOUBLE), 6)"
+        ).alias("rel_error"),
+    ).orderBy("type_a", "type_b")

@@ -4799,3 +4799,132 @@ FROM stats"""
 MARKET_BASKET_Q = market_basket_sql()
 CHI2_Q = chi2_sql()
 CUPED_Q = cuped_sql()
+
+
+# Twin of operators.sketches.theta_intersections (k=128 on
+# events.event_type x user_id): same distinct-(grp, h32) reduction,
+# rank-k sketch, min-theta pairing and strict-below-threshold
+# candidate counting; the fraction/estimate expressions interpolate
+# the SAME THETA_FRAC-derived strings. h32 derivation differs only in
+# engine syntax (DuckDB '0x' cast vs Spark conv — same 32-bit int).
+def theta_sql(k: int = 128) -> str:
+    from .operators.sketches import THETA_FRAC
+
+    frac = THETA_FRAC.format(h="thr")
+    est_i = f"round(CAST(n_candidates AS DOUBLE) / ({frac}), 6)"
+    est_u = f"round(CAST(n_union AS DOUBLE) / ({frac}), 6)"
+    return f"""WITH h AS (
+  SELECT DISTINCT event_type AS grp,
+         CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) AS BIGINT) AS h32
+  FROM events
+), ranked AS (
+  SELECT grp, h32,
+         row_number() OVER (PARTITION BY grp ORDER BY h32) AS rn
+  FROM h
+), sk AS (
+  SELECT grp, h32 FROM ranked WHERE rn <= {k}
+), gs AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_kept, max(h32) AS kth
+  FROM sk GROUP BY grp
+), gs2 AS (
+  SELECT grp,
+         CASE WHEN n_kept < {k} THEN CAST(4294967296 AS BIGINT)
+              ELSE kth END AS thr
+  FROM gs
+), pairs AS (
+  SELECT a.grp AS type_a, b.grp AS type_b, least(a.thr, b.thr) AS thr
+  FROM gs2 a JOIN gs2 b ON a.grp < b.grp
+), inter AS (
+  SELECT p.type_a, p.type_b, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM pairs p
+  JOIN sk sa ON sa.grp = p.type_a
+  JOIN sk sb ON sb.grp = p.type_b AND sb.h32 = sa.h32
+  WHERE sa.h32 < p.thr
+  GROUP BY p.type_a, p.type_b
+), cand AS (
+  SELECT p.type_a, p.type_b, sa.h32
+  FROM pairs p JOIN sk sa ON sa.grp = p.type_a
+  WHERE sa.h32 < p.thr
+  UNION
+  SELECT p.type_a, p.type_b, sb.h32
+  FROM pairs p JOIN sk sb ON sb.grp = p.type_b
+  WHERE sb.h32 < p.thr
+), uni AS (
+  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_union
+  FROM cand GROUP BY type_a, type_b
+), members AS (
+  SELECT DISTINCT event_type AS grp, user_id AS m FROM events
+), exact_i AS (
+  SELECT ma.grp AS type_a, mb.grp AS type_b,
+         CAST(count(*) AS BIGINT) AS exact_intersection
+  FROM members ma JOIN members mb ON ma.m = mb.m AND ma.grp < mb.grp
+  GROUP BY ma.grp, mb.grp
+), sizes AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS sz FROM members GROUP BY grp
+), filled AS (
+  SELECT p.type_a, p.type_b, p.thr,
+         CAST(coalesce(i.n_candidates, 0) AS BIGINT) AS n_candidates,
+         CAST(coalesce(u.n_union, 0) AS BIGINT) AS n_union,
+         CAST(coalesce(e.exact_intersection, 0) AS BIGINT) AS exact_i,
+         CAST(za.sz + zb.sz - coalesce(e.exact_intersection, 0)
+              AS BIGINT) AS exact_u
+  FROM pairs p
+  LEFT JOIN inter i ON p.type_a = i.type_a AND p.type_b = i.type_b
+  LEFT JOIN uni u ON p.type_a = u.type_a AND p.type_b = u.type_b
+  LEFT JOIN exact_i e ON p.type_a = e.type_a AND p.type_b = e.type_b
+  JOIN sizes za ON p.type_a = za.grp
+  JOIN sizes zb ON p.type_b = zb.grp
+)
+SELECT type_a, type_b, CAST({k} AS INT) AS k,
+       round({frac}, 6) AS theta,
+       n_candidates,
+       {est_i} AS est_intersection,
+       exact_i AS exact_intersection,
+       {est_u} AS est_union,
+       exact_u AS exact_union,
+       round(abs({est_i} - CAST(exact_i AS DOUBLE))
+             / CAST(greatest(exact_i, 1) AS DOUBLE), 6) AS rel_error
+FROM filled
+ORDER BY type_a, type_b"""
+
+
+# Twin of operators.expectations.dp_counts (epsilon=1.0 on
+# events.event_type x day): same cell aggregation; the uniform and the
+# inverse-CDF Laplace interpolate the SAME DP_U/DP_NOISE strings over
+# the engine-local h32 derivation.
+def dp_counts_sql(epsilon: float = 1.0) -> str:
+    from .operators.expectations import DP_NOISE, DP_U
+
+    b = f"CAST({1.0 / epsilon!r} AS DOUBLE)"
+    u = DP_U.format(
+        h32="CAST(CAST('0x' || substring(md5(grp || '|' ||"
+        " CAST(day AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)"
+    )
+    return f"""WITH cells AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS true_n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), keyed AS (
+  SELECT grp, day, true_n, {u} AS u FROM cells
+), noised AS (
+  SELECT grp, day, true_n,
+         round({DP_NOISE.format(b=b)}, 6) + 0.0 AS noise
+  FROM keyed
+), released AS (
+  SELECT grp, day, true_n, noise,
+         CAST(greatest(CAST(0 AS BIGINT),
+              CAST(round(CAST(true_n AS DOUBLE) + noise, 0) AS BIGINT))
+              AS BIGINT) AS released_n
+  FROM noised
+)
+SELECT grp, CAST(day AS VARCHAR) AS day, true_n, noise, released_n,
+       round(abs(CAST(released_n AS DOUBLE)
+             - CAST(true_n AS DOUBLE)), 6) AS abs_err,
+       CAST({epsilon!r} AS DOUBLE) AS epsilon
+FROM released
+ORDER BY grp, day"""
+
+
+THETA_Q = theta_sql()
+DP_COUNTS_Q = dp_counts_sql()

@@ -2264,3 +2264,23 @@ def cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return experiments.cuped_report(tables.load(spark, sf_dir, "events"))
+
+
+def theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap estimates between event types via
+    KMV/theta sketches (k=128) with exact-overlap audit columns —
+    the set-intersection companion to grouped_hll."""
+    from .operators import sketches
+
+    tune_for_oracle(spark)
+    return sketches.theta_intersections(tables.load(spark, sf_dir, "events"))
+
+
+def dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private (event_type, day) histogram release:
+    deterministic inverse-CDF Laplace noise, non-negativity
+    post-processing, true-count audit columns."""
+    from .operators import expectations
+
+    tune_for_oracle(spark)
+    return expectations.dp_counts(tables.load(spark, sf_dir, "events"))

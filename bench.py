@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "market_basket",
     "chi2_independence",
     "cuped_adjust",
+    "theta_sketch",
+    "dp_counts",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

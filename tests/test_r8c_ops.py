@@ -146,3 +146,55 @@ def test_cuped_matches_hand_computation_on_known_users(spark):
     assert r.theta == 2.0
     assert r.var_adj == 0.0
     assert r.var_reduction_pct == 100.0
+
+
+def test_theta_sketch_is_exact_when_k_covers_the_sets(spark):
+    from banking_data_etl_pipeline_spark.operators import sketches
+
+    ev = tables.load(spark, SF_DIR, "events")
+    out = sketches.theta_intersections(ev, k=10**6).collect()
+    assert len(out) == 10  # C(5,2) event-type pairs
+    for r in out:
+        # theta saturates at 1.0 -> the sketch IS the full set
+        assert r.theta == 1.0
+        assert r.est_intersection == float(r.exact_intersection)
+        assert r.est_union == float(r.exact_union)
+
+
+def test_theta_sketch_bounds_and_error_at_default_k(spark):
+    from banking_data_etl_pipeline_spark.operators import sketches
+
+    ev = tables.load(spark, SF_DIR, "events")
+    out = sketches.theta_intersections(ev, k=128).collect()
+    for r in out:
+        assert 0 < r.theta <= 1.0
+        assert r.n_candidates <= 128
+        assert r.est_union >= r.est_intersection
+        # KMV at k=128 on ~hundreds-sized sets: loose sanity bound
+        assert r.rel_error < 0.5, r
+
+
+def test_dp_counts_deterministic_and_scales_with_epsilon(spark):
+    from banking_data_etl_pipeline_spark.operators import expectations
+
+    ev = tables.load(spark, SF_DIR, "events")
+    a = expectations.dp_counts(ev, epsilon=1.0).collect()
+    b = expectations.dp_counts(ev, epsilon=1.0).collect()
+    assert a == b
+    half = {
+        (r.grp, r.day): r.noise
+        for r in expectations.dp_counts(ev, epsilon=2.0).collect()
+    }
+    for r in a:
+        assert abs(half[(r.grp, r.day)] - r.noise / 2.0) < 1e-5
+
+
+def test_dp_counts_conserves_true_totals_and_clamps(spark):
+    from banking_data_etl_pipeline_spark.operators import expectations
+
+    ev = tables.load(spark, SF_DIR, "events")
+    out = expectations.dp_counts(ev).collect()
+    assert sum(r.true_n for r in out) == ev.count()
+    for r in out:
+        assert r.released_n >= 0
+        assert r.abs_err == round(abs(r.released_n - r.true_n), 6)
