@@ -1079,3 +1079,93 @@ def sq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "approx_cosine", "cosine", "rank")
     )
+
+
+def maxsim_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Late-interaction MaxSim scoring (the ColBERT retrieval kernel,
+    Khattab & Zaharia, SIGIR 2020): each item is a BAG of ``m``
+    sub-vectors and the query-document score is
+    sum over query slices of (max over document slices of cosine) —
+    here the bags come from an even subspace decomposition of the
+    stored vector (the PQ subspace shape), so the operator exercises
+    the exact multi-vector plumbing a token-level embedding table
+    needs: slice explosion, per-pair scoring, slice-max reduction and
+    fixed-order slice-sum.
+
+    Scale shape (100 TB): ``posexplode`` multiplies the corpus by m
+    (map-only); scoring broadcasts the queries×m slice table against
+    the corpus slices (the ann_brute pattern — exhaustive baseline,
+    compose ``lsh_topk``/``ivf_topk`` as the candidate generator to
+    scale the corpus side); the two reductions are map-side-combined
+    groupBys keyed by (query, doc). The slice-sum is pivoted to
+    per-slice columns and added in FIXED order (s0+s1+...+s{m-1}),
+    keeping the score bit-identical across engines and partitionings
+    — a floating-sum over an unordered group would not be.
+
+    Returns (query_id, vec_id, maxsim, rank) for the top ``k`` per
+    query (self-match excluded), rank by 6-dp score then vec_id."""
+    from ..functions import vectors
+
+    width = dim // m
+    dslices = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), j * width + 1, width)
+                    for j in range(m)
+                ]
+            )
+        ).alias("d_slice", "dvec"),
+    )
+    qslices = queries.select(
+        "query_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("qvec"), j * width + 1, width)
+                    for j in range(m)
+                ]
+            )
+        ).alias("q_slice", "qv"),
+    )
+    sims = (
+        dslices.crossJoin(F.broadcast(qslices))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "q_slice",
+            vectors.cosine(F.col("dvec"), F.col("qv")).alias("sim"),
+        )
+    )
+    slice_max = sims.groupBy("query_id", "vec_id").agg(
+        *[
+            F.max(F.when(F.col("q_slice") == j, F.col("sim"))).alias(
+                f"s{j}"
+            )
+            for j in range(m)
+        ]
+    )
+    score = " + ".join(f"s{j}" for j in range(m))
+    scored = slice_max.select(
+        "query_id",
+        "vec_id",
+        F.expr(f"round({score}, 6)").alias("maxsim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("maxsim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "maxsim", "rank")
+    )

@@ -4928,3 +4928,69 @@ ORDER BY grp, day"""
 
 THETA_Q = theta_sql()
 DP_COUNTS_Q = dp_counts_sql()
+
+
+# Twin of operators.similarity.maxsim_topk (m=4 slices of a 64-dim
+# vector, 5 lowest-id queries, k=10): same slice decomposition (UNION
+# ALL plays posexplode), the shared _cosine left-fold per slice pair,
+# per-query-slice MAX and the FIXED-ORDER slice sum s0+s1+s2+s3.
+def maxsim_sql(k: int = 10, m: int = 4, dim: int = 64) -> str:
+    w = dim // m
+    dsl = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {j} AS d_slice,"
+        f" list_slice(embedding, {j * w + 1}, {j * w + w}) AS dvec"
+        " FROM embeddings"
+        for j in range(m)
+    )
+    qsl = "\n  UNION ALL ".join(
+        f"SELECT query_id, {j} AS q_slice,"
+        f" list_slice(qvec, {j * w + 1}, {j * w + w}) AS qv FROM q"
+        for j in range(m)
+    )
+    smax = ",\n         ".join(
+        f"max(CASE WHEN q_slice = {j} THEN sim END) AS s{j}"
+        for j in range(m)
+    )
+    score = " + ".join(f"s{j}" for j in range(m))
+    return f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT 5
+), dsl AS (
+  {dsl}
+), qsl AS (
+  {qsl}
+), sims AS (
+  SELECT qs.query_id, d.vec_id, qs.q_slice,
+         {_cosine('d.dvec', 'qs.qv')} AS sim
+  FROM dsl d CROSS JOIN qsl qs
+  WHERE d.vec_id != qs.query_id
+), slice_max AS (
+  SELECT query_id, vec_id,
+         {smax}
+  FROM sims GROUP BY query_id, vec_id
+), scored AS (
+  SELECT query_id, vec_id, round({score}, 6) AS maxsim
+  FROM slice_max
+), ranked AS (
+  SELECT query_id, vec_id, maxsim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY maxsim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, maxsim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+MAXSIM_Q = maxsim_sql()
+
+
+# Twin of queries.bucketed_join: the bucketing is a LAYOUT property —
+# the relational answer is a plain key join + segment rollup with the
+# shared decimal-exact revenue sum.
+BUCKETED_JOIN_Q = """SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+             AS DOUBLE), 4) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment"""

@@ -2284,3 +2284,61 @@ def dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return expectations.dp_counts(tables.load(spark, sf_dir, "events"))
+
+
+def maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim top-10 (ColBERT kernel): subspace
+    slice bags, per-slice max, fixed-order slice sum — the
+    multi-vector retrieval scorer."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return similarity.maxsim_topk(emb, similarity.corpus_queries(emb, n=5))
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact join via bucketed tables: orders and customer
+    are staged ONCE as 8-bucket hash-clustered parquet on the customer
+    key (content-fingerprinted per corpus snapshot, per-process dirs —
+    no cross-process write races), then the segment-revenue rollup
+    sort-merge-joins them with ZERO exchanges on either side
+    (plan-pinned by tests/test_r8c_ops.py). The aggregation's decimal
+    sum keeps the revenue bit-identical cross-engine."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources import sinks
+
+    tune_for_oracle(spark)
+    orders = tables.load(spark, sf_dir, "orders")
+    customer = tables.load(spark, sf_dir, "customer")
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{os.getpid()}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_buckets_{fp}")
+    to = sinks.write_bucketed(
+        spark, orders, f"b_orders_{fp}", os.path.join(base, "orders"),
+        "o_custkey",
+    )
+    tc = sinks.write_bucketed(
+        spark, customer, f"b_customer_{fp}", os.path.join(base, "customer"),
+        "c_custkey",
+    )
+    o = spark.table(to)
+    c = spark.table(tc)
+    joined = o.join(
+        c.hint("merge"), o["o_custkey"] == c["c_custkey"]
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_orders"),
+            F.expr(
+                "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))"
+                " AS DOUBLE), 4)"
+            ).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

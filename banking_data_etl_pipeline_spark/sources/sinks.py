@@ -225,3 +225,42 @@ def zorder_layout_stats(
             F.max("_qb").alias("b_max"),
         )
     )
+
+
+def write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+) -> str:
+    """Write ``df`` as a BUCKETED parquet table (hash-clustered into
+    ``n_buckets`` files per task-set on ``bucket_col``, sorted within
+    buckets) and register it in the catalog — the write-side half of
+    the shuffle-free join: two tables bucketed the same way on their
+    join key sort-merge-join WITHOUT EXCHANGING EITHER SIDE, because
+    the hash-clustering the shuffle would produce is already baked
+    into the files. At 100 TB this converts every repeated fact⋈fact
+    join on the bucket key from two full-table shuffles into a
+    per-bucket streamed merge (AND pre-sorts the merge input); the
+    write itself needs NO shuffle either — each task hash-splits its
+    rows across its own bucket files.
+
+    Bucket metadata lives in the CATALOG, not the files (a plain
+    ``spark.read.parquet`` of the same path would forget the
+    clustering and re-shuffle), which is why this writer takes the
+    session and returns the table name. Idempotent per session: an
+    already-registered ``table`` is reused as-is (the build-once /
+    join-many lifecycle, same shape as the prebuilt IVF index)."""
+    if spark.catalog.tableExists(table):
+        return table
+    (
+        df.write.format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    return table

@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "cuped_adjust",
     "theta_sketch",
     "dp_counts",
+    "maxsim_topk",
+    "bucketed_join",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

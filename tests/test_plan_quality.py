@@ -271,6 +271,9 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # dequantized-code scoring broadcasts the tiny query set
         # against the un-shuffled corpus — the ann_brute pattern
         "ann_sq",
+        # slice-bag scoring broadcasts the queries×m slice table
+        # against the corpus slices — the ann_brute pattern
+        "maxsim_topk",
     }
     for name, fn in sorted(mod.queries().items()):
         if name in streaming_or_iterative:

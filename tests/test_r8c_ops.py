@@ -198,3 +198,71 @@ def test_dp_counts_conserves_true_totals_and_clamps(spark):
     for r in out:
         assert r.released_n >= 0
         assert r.abs_err == round(abs(r.released_n - r.true_n), 6)
+
+
+def test_bucketed_join_plans_zero_exchanges_before_the_join(spark):
+    import hashlib
+    import os
+    import tempfile
+
+    from banking_data_etl_pipeline_spark.sources import sinks
+
+    orders = tables.load(spark, SF_DIR, "orders")
+    customer = tables.load(spark, SF_DIR, "customer")
+    fp = hashlib.md5(f"planpin|{os.getpid()}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"bjtest_{fp}")
+    to = sinks.write_bucketed(
+        spark, orders, f"bj_o_{fp}", os.path.join(base, "o"), "o_custkey"
+    )
+    tc = sinks.write_bucketed(
+        spark, customer, f"bj_c_{fp}", os.path.join(base, "c"), "c_custkey"
+    )
+    o, c = spark.table(to), spark.table(tc)
+    joined = o.join(c.hint("merge"), o["o_custkey"] == c["c_custkey"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # the whole point: bucketing replaces BOTH shuffle exchanges
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan
+    # and the data still round-trips
+    assert joined.count() == orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).count()
+
+
+def test_maxsim_reduces_to_cosine_ranking_at_m1(spark):
+    from banking_data_etl_pipeline_spark.operators import similarity
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    q = similarity.corpus_queries(emb, n=3)
+    ms = {
+        (r.query_id, r.vec_id): r.maxsim
+        for r in similarity.maxsim_topk(emb, q, k=5, m=1).collect()
+    }
+    bf = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    assert set(ms) == set(bf)
+    for key, v in ms.items():
+        assert v == bf[key]
+
+
+def test_maxsim_duplicate_vector_scores_m_and_ranks_first(spark):
+    from banking_data_etl_pipeline_spark.operators import similarity
+
+    base = [float(i % 7) + 1.0 for i in range(64)]
+    other = [float((i * 3) % 5) - 2.0 for i in range(64)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)],
+        ["vec_id", "embedding"],
+    )
+    q = emb.filter("vec_id = 1").selectExpr(
+        "vec_id AS query_id", "embedding AS qvec"
+    )
+    out = similarity.maxsim_topk(emb, q, k=2, m=4).collect()
+    top = [r for r in out if r.rank == 1][0]
+    # the exact duplicate wins every slice: score = m * 1.0
+    assert top.vec_id == 2 and top.maxsim == 4.0
+    ranks = sorted(r.rank for r in out)
+    assert ranks == [1, 2]
