@@ -1185,3 +1185,78 @@ def rake_keywords(
         .filter(F.col("rank") <= top)
         .select("doc_id", "phrase", "score", "rank")
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    lang: str = "en",
+    iters: int = 3,
+    top: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    corpus-level keywords ranked by damped PageRank over the
+    candidate-word co-occurrence graph — the graph-centrality
+    companion to ``rake_keywords`` (that one scores phrases by local
+    degree/frequency; this one lets importance PROPAGATE through the
+    co-occurrence structure).
+
+    Graph construction: tokens in document order, stopwords removed;
+    an undirected edge links each surviving word to its immediate
+    successor (window 2 over the candidate sequence, the paper's
+    default) — a lead() window per document, never a self-join. Edges
+    are distinct and symmetrized, then ranked by the SAME
+    power-iteration machinery as the co-purchase PageRank
+    (``graph.ranks_over_edges``: truncate-to-12dp contributions,
+    DECIMAL-exact sums, per-iteration lineage truncation — the oracle
+    twin unrolls identical CTEs).
+
+    Scale shape (100 TB): tokenization and the lead() pairing are
+    map-side / per-doc-partition; the edge distinct and per-iteration
+    contribution aggregations are vocabulary-keyed (Zipf-small vs the
+    corpus); the rank vector broadcasts below the node gate.
+
+    Returns (token, score, rank) for the ``top`` tokens, rank by
+    truncated score desc then token asc."""
+    from pyspark.sql import Window
+
+    from . import graph
+
+    stops = texttools.STOPWORDS[lang]
+    flat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(texttools.tokens(F.col(text_col))).alias(
+            "pos", "tok"
+        ),
+    ).filter(~F.col("tok").isin(stops))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = flat.select(
+        "doc_id",
+        F.col("tok").alias("a"),
+        F.lead("tok").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    half = pairs.select("a", "b").distinct()
+    edges = (
+        half.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(
+            half.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .distinct()
+    )
+    ranks = graph.ranks_over_edges(edges, iters=iters)
+    # vocab-sized single-partition window: the rank vector is the
+    # Zipf-small node set, not the corpus
+    return (
+        ranks.select(
+            F.col("node").alias("token"),
+            F.col("r").alias("score"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("token")))
+            .cast("int"),
+        )
+        .filter(F.col("rank") <= top)
+    )

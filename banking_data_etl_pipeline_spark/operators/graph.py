@@ -65,8 +65,24 @@ def pagerank(
     broadcast_nodes: int = 2_000_000,
     plan_hook=None,
 ) -> DataFrame:
-    """Ranks after ``iters`` damped power iterations, over nodes that
-    have at least one co-purchase edge. Returns (node, r).
+    """Damped PageRank over the co-purchase graph: builds the
+    symmetric edge list and delegates to ``ranks_over_edges`` (the
+    generic power-iteration machinery, shared with
+    ``corpus.textrank_keywords``). Returns (node, r)."""
+    return ranks_over_edges(
+        copurchase_edges(lineitem), iters, broadcast_nodes, plan_hook
+    )
+
+
+def ranks_over_edges(
+    edges: DataFrame,
+    iters: int = 3,
+    broadcast_nodes: int = 2_000_000,
+    plan_hook=None,
+) -> DataFrame:
+    """Ranks after ``iters`` damped power iterations over a symmetric
+    (src, dst) edge list, for nodes with at least one edge. Returns
+    (node, r).
 
     When the node count is under ``broadcast_nodes`` the per-iteration
     edges⋈ranks join BROADCASTS the rank vector (a few MB — iterations
@@ -89,9 +105,9 @@ def pagerank(
     (the loop is driver-side, invisible to the query-level audit)."""
     # PERSIST the raw edge list first: the degree aggregation and the
     # deg-folded table both consume it, and without the cache the
-    # collect_set + pair-distinct build would run once per consumer
-    # (it is the dominant cost of the whole query).
-    edges = copurchase_edges(lineitem).persist()
+    # upstream edge build would run once per consumer (it is the
+    # dominant cost of the whole query).
+    edges = edges.persist()
     # degrees are the ONLY edge-wide aggregation needed: their key set
     # IS the node set (the graph is symmetric), so the node count — a
     # scalar model parameter, the one driver-side pull — is deg.count()

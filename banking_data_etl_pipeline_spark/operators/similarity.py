@@ -1169,3 +1169,92 @@ def maxsim_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "maxsim", "rank")
     )
+
+
+def build_pq_index(
+    emb: DataFrame,
+    path: str,
+    m: int = 4,
+    codes: int = 16,
+    train_iterations: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """BUILD phase of the PQ lifecycle: train the subspace codebooks,
+    ENCODE every corpus vector to its m code indices, and persist
+    both — ``<path>/books`` (model parameters, kilobytes) and
+    ``<path>/codes`` (the corpus compressed to m small ints per row).
+    ``pq_topk`` telescopes this into one query; the split is the
+    production shape, and the codes file is the point at 100 TB: the
+    probe scan reads m bytes-worth per vector instead of the
+    dim×4-byte embedding (and the plan proves it — see
+    ``test_pq_probe_scan_never_reads_embeddings``)."""
+    books = pq_train_codebooks(
+        emb, m, codes, train_iterations, vec_col, id_col
+    )
+    sub = len(books[0][0])
+    encoded = emb.select(
+        F.col(id_col).alias("vec_id"),
+        *_pq_enc_cols(books, F.col(vec_col), m, sub),
+    )
+    encoded.write.mode("overwrite").parquet(f"{path}/codes")
+    spark = emb.sparkSession
+    rows = [
+        (j, cid, [float(x) for x in vec])
+        for j, book in enumerate(books)
+        for cid, vec in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "j int, cid int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+
+
+def probe_pq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+) -> DataFrame:
+    """PROBE phase of the PQ lifecycle: pull the codebooks back (one
+    driver read of model parameters — the centroid-pull pattern),
+    stage each query's per-subspace lookup table, and ADC-score the
+    STORED code columns; the embedding never appears in the scan.
+    Identical arithmetic to ``pq_topk`` with injected ``books``, so
+    the same oracle covers both ends of the lifecycle. Returns
+    (query_id, vec_id, approx_dist, rank)."""
+    brows = spark.read.parquet(f"{path}/books").collect()
+    books: dict[int, dict[int, list[float]]] = {}
+    for r in brows:
+        books.setdefault(r.j, {})[r.cid] = list(r.cvec)
+    blist = [
+        [books[j][c] for c in sorted(books[j])] for j in sorted(books)
+    ]
+    sub = len(blist[0][0])
+    encoded = spark.read.parquet(f"{path}/codes")
+    staged = queries.select(
+        "query_id", *_pq_lut_cols(blist, F.col("qvec"), m, sub)
+    )
+    dist = _pq_adc_dist(m)
+    scored = (
+        encoded.crossJoin(F.broadcast(staged))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dist, 6).alias("approx_dist"),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    order = [F.col("approx_dist").asc(), F.col("vec_id").asc()]
+    local = Window.partitionBy("query_id", "_part").orderBy(*order)
+    pruned = (
+        scored.withColumn("_part", F.spark_partition_id())
+        .withColumn("_lrank", F.row_number().over(local))
+        .filter(F.col("_lrank") <= k)
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "approx_dist", "rank")
+    )

@@ -4994,3 +4994,72 @@ BUCKETED_JOIN_Q = """SELECT c_mktsegment,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment"""
+
+
+# Twin of operators.corpus.textrank_keywords (en stoplist, 3
+# iterations, top 20): same candidate filtering, lead()-window
+# pairing, symmetrized distinct edges, and the pagerank_sql iteration
+# shape (floor-truncated 12dp contributions, DECIMAL(32,12)-exact
+# sums, 0.15/0.85 damping) unrolled over the word graph.
+def textrank_sql(iters: int = 3, top: int = 20) -> str:
+    from .functions.texttools import STOPWORDS
+
+    def t12(expr: str) -> str:
+        return f"floor(({expr}) * 1e12) / 1e12"
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    parts = [
+        f"""WITH base AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), flat AS (
+  SELECT doc_id, s['pos'] AS pos, s['tok'] AS tok
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> {{'pos': i, 'tok': toks[i]}})) AS s
+        FROM base)
+), cand AS (
+  SELECT doc_id, pos, tok FROM flat WHERE tok NOT IN ({stops})
+), pairs AS (
+  SELECT tok AS a,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM cand
+), half AS (
+  SELECT DISTINCT a, b FROM pairs WHERE b IS NOT NULL AND a <> b
+), edges AS (
+  SELECT a AS src, b AS dst FROM half
+  UNION
+  SELECT b AS src, a AS dst FROM half
+), deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+ed AS (SELECT e0.src, e0.dst, d.deg
+       FROM edges e0 JOIN deg d ON e0.src = d.src),
+r0 AS (SELECT src AS node, {t12('CAST(1.0 AS DOUBLE) / nn.n')} AS r
+       FROM deg CROSS JOIN nn)"""
+    ]
+    for k in range(1, iters + 1):
+        newr = (
+            "CAST(0.15 AS DOUBLE) / max(nn.n) + CAST(0.85 AS DOUBLE)"
+            " * CAST(sum(CAST(" + t12("p.r / e.deg")
+            + " AS DECIMAL(32,12))) AS DOUBLE)"
+        )
+        parts.append(
+            f""",
+r{k} AS (
+  SELECT e.dst AS node, {t12(newr)} AS r
+  FROM ed e JOIN r{k - 1} p ON e.src = p.node CROSS JOIN nn
+  GROUP BY e.dst
+)"""
+        )
+    parts.append(
+        f"""
+SELECT token, score, rank FROM (
+  SELECT node AS token, r AS score,
+         CAST(row_number() OVER (ORDER BY r DESC, node ASC) AS INT)
+           AS rank
+  FROM r{iters}
+) ranked WHERE rank <= {top}"""
+    )
+    return "".join(parts)
+
+
+TEXTRANK_Q = textrank_sql()

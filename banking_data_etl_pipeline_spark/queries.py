@@ -2342,3 +2342,41 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords: damped PageRank over the
+    candidate-word co-occurrence graph (lead-window pairing, shared
+    power-iteration machinery with the co-purchase pagerank)."""
+    tune_for_oracle(spark)
+    return corpus.textrank_keywords(tables.load(spark, sf_dir, "documents"))
+
+
+def ann_pq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with the build/probe lifecycle split: codebooks + encoded
+    corpus persist to parquet (content-fingerprinted cache, atomic
+    publish — the ann_ivf_prebuilt pattern), the probe ADC-scores the
+    stored code columns; same parameters, result and oracle as the
+    telescoped pq_topk."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_pq_{fp}")
+    if not os.path.exists(os.path.join(path, "books", "_SUCCESS")):
+        build_dir = tempfile.mkdtemp(prefix="spark_graft_pq_build_")
+        similarity.build_pq_index(emb, build_dir)
+        try:
+            os.rename(build_dir, path)
+        except OSError:  # another process published first
+            shutil.rmtree(build_dir, ignore_errors=True)
+    q = similarity.corpus_queries(emb, n=5)
+    return similarity.probe_pq_index(spark, path, q, k=10)

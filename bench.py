@@ -217,6 +217,8 @@ BENCH_QUERIES = [
     "dp_counts",
     "maxsim_topk",
     "bucketed_join",
+    "textrank_keywords",
+    "ann_pq_prebuilt",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

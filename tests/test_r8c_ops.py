@@ -266,3 +266,63 @@ def test_maxsim_duplicate_vector_scores_m_and_ranks_first(spark):
     assert top.vec_id == 2 and top.maxsim == 4.0
     ranks = sorted(r.rank for r in out)
     assert ranks == [1, 2]
+
+
+def test_textrank_hub_word_outranks_leaves(spark):
+    from banking_data_etl_pipeline_spark.operators import corpus
+
+    # 'hub' co-occurs with 6 distinct words; each leaf only with hub
+    docs = spark.createDataFrame(
+        [
+            (1, "hub alpha hub beta hub gamma"),
+            (2, "hub delta hub epsilon hub zeta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = corpus.textrank_keywords(docs, top=10).collect()
+    scores = {r.token: r.score for r in out}
+    assert max(scores, key=scores.get) == "hub"
+    top = [r for r in out if r.rank == 1][0]
+    assert top.token == "hub"
+    # ranks dense, scores non-increasing
+    rs = sorted(out, key=lambda r: r.rank)
+    assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+    assert all(
+        rs[i].score >= rs[i + 1].score for i in range(len(rs) - 1)
+    )
+
+
+def test_textrank_ignores_stopwords_and_is_repartition_invariant(spark):
+    from banking_data_etl_pipeline_spark.operators import corpus
+
+    docs = tables.load(spark, SF_DIR, "documents").limit(50)
+    a = corpus.textrank_keywords(docs).collect()
+    assert all(
+        r.token not in {"the", "and", "of", "to", "in"} for r in a
+    )
+    b = corpus.textrank_keywords(docs.repartition(5)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pq_prebuilt_probe_equals_telescoped_and_skips_embeddings(
+    spark, tmp_path
+):
+    from banking_data_etl_pipeline_spark.operators import similarity
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    q = similarity.corpus_queries(emb, n=3)
+    path = str(tmp_path / "pq")
+    similarity.build_pq_index(emb, path)
+    probed = similarity.probe_pq_index(spark, path, q, k=5)
+    direct = similarity.pq_topk(emb, q, k=5)
+    assert sorted(map(tuple, probed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    # the CORPUS side scans only the m code columns — the embedding
+    # array never leaves the build phase (the query side legitimately
+    # reads its 5 query vectors from embeddings.parquet)
+    code_scans = [ln for ln in scan_lines if "c0" in ln]
+    assert code_scans, scan_lines
+    assert all("embedding" not in ln for ln in code_scans), code_scans
