@@ -129,3 +129,55 @@ def cuped_report(
             " + 0.0"
         ).alias("var_reduction_pct"),
     )
+
+
+# SRM chi-square formula text, shared with oracle.SRM_Q: exact BIGINT
+# counts into one fixed double expression.
+SRM_CHI2 = (
+    "(CAST(n1 AS DOUBLE) - CAST(n_users AS DOUBLE) * CAST(0.5 AS DOUBLE))"
+    " * (CAST(n1 AS DOUBLE) - CAST(n_users AS DOUBLE) * CAST(0.5 AS DOUBLE))"
+    " / (CAST(n_users AS DOUBLE) * CAST(0.5 AS DOUBLE))"
+    " + (CAST(n0 AS DOUBLE) - CAST(n_users AS DOUBLE) * CAST(0.5 AS DOUBLE))"
+    " * (CAST(n0 AS DOUBLE) - CAST(n_users AS DOUBLE) * CAST(0.5 AS DOUBLE))"
+    " / (CAST(n_users AS DOUBLE) * CAST(0.5 AS DOUBLE))"
+)
+# 95% critical value of chi-square with 1 dof
+SRM_CRIT = "CAST(3.841 AS DOUBLE)"
+
+
+def srm_check(
+    events: DataFrame,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Sample-ratio-mismatch guard for the hash-armed experiment: a
+    chi-square goodness-of-fit of the observed arm sizes against the
+    designed 50/50 split — THE first gate on any A/B readout (a
+    biased assignment invalidates ``cuped_report`` before any effect
+    estimate is worth reading; Fabijan et al., "Diagnosing Sample
+    Ratio Mismatch", KDD 2019). Same md5-nibble arm derivation as
+    ``cuped_report``, so the two reports describe the same split.
+
+    Scale shape: distinct users (map-side combine), one global
+    aggregation to two counts, closed-form chi-square on the one-row
+    result. Returns (n_users, n_treat, n_ctrl, chi2_srm,
+    srm_detected)."""
+    users = events.select(F.col(user_col).alias("uid")).distinct()
+    armed = users.withColumn(
+        "arm",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(uid AS STRING)), 1, 1),"
+            " 16, 10) AS INT) % 2"
+        ),
+    )
+    stats = armed.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_users"),
+        F.expr("CAST(sum(arm) AS BIGINT)").alias("n1"),
+        F.expr("CAST(sum(1 - arm) AS BIGINT)").alias("n0"),
+    )
+    return stats.select(
+        "n_users",
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_ctrl"),
+        F.expr(f"round({SRM_CHI2}, 6)").alias("chi2_srm"),
+        F.expr(f"({SRM_CHI2}) > {SRM_CRIT}").alias("srm_detected"),
+    )

@@ -5063,3 +5063,31 @@ SELECT token, score, rank FROM (
 
 
 TEXTRANK_Q = textrank_sql()
+
+
+# Twin of operators.experiments.srm_check (and the batch-equivalence
+# oracle of streaming.events.srm_stream): distinct users, the
+# engine-local md5-nibble arm, and the shared SRM_CHI2 text.
+def srm_sql() -> str:
+    from .operators.experiments import SRM_CHI2, SRM_CRIT
+
+    return f"""WITH users AS (
+  SELECT DISTINCT user_id AS uid FROM events
+), armed AS (
+  SELECT uid,
+         CAST(CAST('0x' || substring(md5(CAST(uid AS VARCHAR)), 1, 1)
+              AS INT) % 2 AS INT) AS arm
+  FROM users
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(arm) AS BIGINT) AS n1,
+         CAST(sum(1 - arm) AS BIGINT) AS n0
+  FROM armed
+)
+SELECT n_users, n1 AS n_treat, n0 AS n_ctrl,
+       round({SRM_CHI2}, 6) AS chi2_srm,
+       ({SRM_CHI2}) > {SRM_CRIT} AS srm_detected
+FROM stats"""
+
+
+SRM_Q = srm_sql()

@@ -2380,3 +2380,22 @@ def ann_pq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(build_dir, ignore_errors=True)
     q = similarity.corpus_queries(emb, n=5)
     return similarity.probe_pq_index(spark, path, q, k=10)
+
+
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate on the hash-armed experiment:
+    one-row chi-square of observed arm sizes vs the designed 50/50."""
+    from .operators import experiments
+
+    tune_for_oracle(spark)
+    return experiments.srm_check(tables.load(spark, sf_dir, "events"))
+
+
+def stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sample-ratio monitor: watermark-bounded per-user
+    first-seen state feeding the same one-row chi-square — checked
+    against the batch SRM_Q (batch-equivalence, the stream_window_agg
+    bar)."""
+    tune_for_oracle(spark)
+    d = _stream_src_dir(sf_dir, "events")
+    return EV.srm_stream(spark, d, "stream_srm_sink")

@@ -1012,3 +1012,36 @@ def ewma_stream(
         .orderBy(F.desc("abs_dev"), F.asc("event_id"))
         .limit(top)
     )
+
+
+def srm_stream(
+    spark: SparkSession, events_dir: str, name: str, watermark: str = "40 days"
+) -> DataFrame:
+    """Streaming sample-ratio-mismatch monitor: the experiment-health
+    gate (``operators.experiments.srm_check``) maintained ON the feed —
+    ``dropDuplicatesWithinWatermark`` keeps per-user first-seen state
+    (bounded: keys are freed once the watermark passes), the surviving
+    first-touches flow into the same md5-nibble arm derivation and
+    one-row chi-square as the batch gate. An assignment bug (a biased
+    bucketing deploy) is visible while the experiment runs, not at
+    readout time. Batch-equivalence oracle: distinct users are
+    identical either way, so the stream must reproduce SRM_Q
+    exactly."""
+    from ..operators import experiments
+
+    stream = (
+        events_stream(spark, events_dir)
+        .select(F.col("user_id"), F.col("ts"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+    with _state_partitions(spark, 16):
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return experiments.srm_check(spark.sql(f"SELECT * FROM {name}"))

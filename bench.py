@@ -219,6 +219,8 @@ BENCH_QUERIES = [
     "bucketed_join",
     "textrank_keywords",
     "ann_pq_prebuilt",
+    "srm_check",
+    "stream_srm",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

@@ -31,7 +31,7 @@ SKIP = {
     "stream_sessionize_append", "stream_static_join", "stateful_totals",
     "stream_quality_gate", "stream_minhash_screen",
     "stream_bloom_screen", "stream_funnel", "stream_psi_drift",
-    "stream_attribution", "stream_ewma",
+    "stream_attribution", "stream_ewma", "stream_srm",
     # iterative (driver-side loop): representative per-iteration plans
     # captured via plan_hook in the second section below
     "kmeans", "dedup_resolve", "pagerank", "fuzzy_resolve",

@@ -231,6 +231,7 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "stream_sessionize",
         "stream_sessionize_append",
         "stream_static_join",
+        "stream_srm",
         "kmeans",
         "dedup_resolve",  # iterative label propagation (runs jobs eagerly)
         "fuzzy_resolve",  # same resolver over fuzzy pairs

@@ -326,3 +326,31 @@ def test_pq_prebuilt_probe_equals_telescoped_and_skips_embeddings(
     code_scans = [ln for ln in scan_lines if "c0" in ln]
     assert code_scans, scan_lines
     assert all("embedding" not in ln for ln in code_scans), code_scans
+
+
+def test_srm_counts_match_python_md5_arms(spark):
+    import hashlib
+
+    ev = tables.load(spark, SF_DIR, "events")
+    r = experiments.srm_check(ev).first()
+    uids = [u.user_id for u in ev.select("user_id").distinct().collect()]
+    n1 = sum(int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) % 2
+             for u in uids)
+    assert r.n_users == len(uids)
+    assert r.n_treat == n1 and r.n_ctrl == len(uids) - n1
+    n, e = len(uids), len(uids) / 2.0
+    chi2 = (n1 - e) ** 2 / e + ((n - n1) - e) ** 2 / e
+    assert r.chi2_srm == round(chi2, 6)
+    assert r.srm_detected == (chi2 > 3.841)
+
+
+def test_stream_srm_equals_batch(spark):
+    from banking_data_etl_pipeline_spark.queries import _stream_src_dir
+    from banking_data_etl_pipeline_spark.streaming import events as EV
+
+    d = _stream_src_dir(SF_DIR, "events")
+    s = EV.srm_stream(spark, d, "t_stream_srm").first()
+    b = experiments.srm_check(
+        tables.load(spark, SF_DIR, "events")
+    ).first()
+    assert s.asDict() == b.asDict()
