@@ -1260,3 +1260,62 @@ def textrank_keywords(
         )
         .filter(F.col("rank") <= top)
     )
+
+
+# Agreement formula text shared with oracle.JUDGE_AGREEMENT_Q: exact
+# BIGINT cell counts into fixed double expressions.
+KAPPA_PO = (
+    "(CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) / CAST(n AS DOUBLE)"
+)
+KAPPA_PE = (
+    "(CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)"
+    " + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+)
+
+
+def judge_agreement(docs: DataFrame) -> DataFrame:
+    """Cohen's kappa between two automated document-quality judges:
+    the multi-signal ``quality_ensemble`` gate (judge A: kept) and the
+    CCNet perplexity terciles (judge B: bucket != 'tail') — the
+    inter-rater-agreement primitive behind every LLM-judge /
+    classifier-ensemble curation pipeline ("do my filters agree
+    beyond chance, and where do they split?"). Kappa corrects raw
+    agreement for the agreement two independent judges with these
+    marginals would reach by luck.
+
+    Scale shape: both judges are existing one-pass operators; the
+    agreement join is doc-key co-partitioned; everything after is a
+    single 4-cell aggregation and closed-form doubles on one row.
+
+    Returns one row: (n, n11, n10, n01, n00, po, pe, kappa) — n11 =
+    both keep, n10 = ensemble-only keep, n01 = tercile-only keep."""
+    a = quality_ensemble(docs).select(
+        "doc_id", F.col("kept").cast("int").alias("ja")
+    )
+    b = xent_buckets(docs).select(
+        "doc_id",
+        F.when(F.col("bucket") != "tail", 1).otherwise(0).alias("jb"),
+    )
+    joined = a.join(b, "doc_id")
+    stats = joined.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(ja * jb) AS BIGINT)").alias("n11"),
+        F.expr("CAST(sum(ja * (1 - jb)) AS BIGINT)").alias("n10"),
+        F.expr("CAST(sum((1 - ja) * jb) AS BIGINT)").alias("n01"),
+        F.expr("CAST(sum((1 - ja) * (1 - jb)) AS BIGINT)").alias("n00"),
+    )
+    return stats.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(f"round({KAPPA_PO}, 6)").alias("po"),
+        F.expr(f"round({KAPPA_PE}, 6)").alias("pe"),
+        F.expr(
+            f"round(({KAPPA_PO} - ({KAPPA_PE}))"
+            f" / nullif(CAST(1 AS DOUBLE) - ({KAPPA_PE}), 0.0), 6)"
+            " + 0.0"
+        ).alias("kappa"),
+    )

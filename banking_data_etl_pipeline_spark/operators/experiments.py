@@ -181,3 +181,121 @@ def srm_check(
         F.expr(f"round({SRM_CHI2}, 6)").alias("chi2_srm"),
         F.expr(f"({SRM_CHI2}) > {SRM_CRIT}").alias("srm_detected"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 * sum 1/k!),
+# written as full-precision decimal literals so both engines parse the
+# IDENTICAL doubles; weights are capped at 6 (P(X>6) ~ 8e-5).
+POISSON1_CDF = [
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+]
+
+
+def poisson1_weight_sql(u: str) -> str:
+    """CASE text mapping a uniform ``u`` to a Poisson(1) draw —
+    shared verbatim with the oracle twin."""
+    branches = " ".join(
+        f"WHEN {u} < CAST({t} AS DOUBLE) THEN {k}"
+        for k, t in enumerate(POISSON1_CDF)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    id_col: str = "o_orderkey",
+    val_col: str = "o_totalprice",
+    b_replicas: int = 32,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a mean — the
+    resampling-inference primitive that scales: classic bootstrap
+    resampling needs n draws per replica from ONE reducer; the
+    Poisson(1) approximation (Chamandy et al., Google 2012,
+    "Estimating Uncertainty for Massive Data Streams") gives every
+    row an independent per-replica weight, so all B replicas ride the
+    SAME map-side pass (row -> B weighted contributions) and reduce
+    with combine — no resample shuffle, no per-replica scan.
+
+    Weights are deterministic: u = md5(id || ':' || b) through the
+    Poisson(1) inverse CDF (full-precision literal thresholds both
+    engines parse identically). Replica means use DECIMAL-exact sums;
+    the interval is the 2nd / (B-1)th order statistic of the B means
+    (~5/95% at B=32, deterministic replica-id tie-break); the
+    bootstrap SE comes from DECIMAL-routed sums of the replica means.
+
+    Returns one row: (n_rows, b_replicas, est_mean, ci_lo, ci_hi,
+    se_boot)."""
+    from pyspark.sql import Window
+
+    from .relational import ols2_sum_sql
+
+    u = (
+        "CAST(conv(substring(md5(concat(CAST(id AS STRING), ':',"
+        " CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        " / CAST(4294967296 AS DOUBLE)"
+    )
+    expanded = (
+        df.select(F.col(id_col).alias("id"), F.col(val_col).alias("value"))
+        .withColumn(
+            "b", F.explode(F.sequence(F.lit(0), F.lit(b_replicas - 1)))
+        )
+        # u as a materialized column: one md5 per (row, replica), not
+        # one per CASE branch
+        .withColumn("u", F.expr(u))
+        .withColumn("w", F.expr(poisson1_weight_sql("u")))
+    )
+    reps = expanded.groupBy("b").agg(
+        F.expr(
+            "CAST(sum(CAST(CAST(w AS DOUBLE) * value AS DECIMAL(28,12)))"
+            " AS DOUBLE)"
+        ).alias("total"),
+        F.expr("CAST(sum(w) AS BIGINT)").alias("nb"),
+    ).select(
+        "b",
+        F.expr(
+            "total / nullif(CAST(nb AS DOUBLE), 0.0)"
+        ).alias("mean_b"),
+    )
+    ranked = reps.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.asc("mean_b"), F.asc("b"))
+        ),
+    )
+    lo_rk, hi_rk = 2, b_replicas - 1
+    bounds = ranked.agg(
+        F.expr(
+            f"round(max(CASE WHEN rk = {lo_rk} THEN mean_b END), 6)"
+        ).alias("ci_lo"),
+        F.expr(
+            f"round(max(CASE WHEN rk = {hi_rk} THEN mean_b END), 6)"
+        ).alias("ci_hi"),
+        F.expr("CAST(count(*) AS DOUBLE)").alias("bb"),
+        *[
+            F.expr(ols2_sum_sql(t, a))
+            for t, a in [("mean_b", "sm"), ("mean_b * mean_b", "smm")]
+        ],
+    )
+    base = df.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
+        F.expr(
+            f"CAST(sum(CAST({val_col} AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("sv"),
+    )
+    return base.crossJoin(bounds).select(
+        "n_rows",
+        F.lit(b_replicas).cast("int").alias("b_replicas"),
+        F.expr(
+            "round(sv / CAST(n_rows AS DOUBLE), 6)"
+        ).alias("est_mean"),
+        "ci_lo",
+        "ci_hi",
+        F.expr(
+            "round(sqrt((bb * smm - sm * sm) / (bb * (bb - 1))), 6)"
+        ).alias("se_boot"),
+    )

@@ -5091,3 +5091,92 @@ FROM stats"""
 
 
 SRM_Q = srm_sql()
+
+
+# Twin of operators.corpus.judge_agreement: judge A = the full
+# QUALITY_ENSEMBLE_Q verdict, judge B = XENT_BUCKETS_Q bucket !=
+# 'tail'; the po/pe/kappa expressions interpolate the SAME KAPPA_*
+# strings over the exact 4-cell counts.
+def judge_agreement_sql() -> str:
+    from .operators.corpus import KAPPA_PE, KAPPA_PO
+
+    return f"""WITH qa AS (
+  SELECT doc_id, CAST(kept AS INT) AS ja FROM ({QUALITY_ENSEMBLE_Q}) tq
+), qb AS (
+  SELECT doc_id, CASE WHEN bucket <> 'tail' THEN 1 ELSE 0 END AS jb
+  FROM ({XENT_BUCKETS_Q}) tx
+), j AS (
+  SELECT qa.ja, qb.jb FROM qa JOIN qb ON qa.doc_id = qb.doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ja * jb) AS BIGINT) AS n11,
+         CAST(sum(ja * (1 - jb)) AS BIGINT) AS n10,
+         CAST(sum((1 - ja) * jb) AS BIGINT) AS n01,
+         CAST(sum((1 - ja) * (1 - jb)) AS BIGINT) AS n00
+  FROM j
+)
+SELECT n, n11, n10, n01, n00,
+       round({KAPPA_PO}, 6) AS po,
+       round({KAPPA_PE}, 6) AS pe,
+       round(({KAPPA_PO} - ({KAPPA_PE}))
+             / nullif(CAST(1 AS DOUBLE) - ({KAPPA_PE}), 0.0), 6)
+         + 0.0 AS kappa
+FROM stats"""
+
+
+# Twin of operators.experiments.bootstrap_ci (orders.o_totalprice,
+# B=32): same row×replica expansion, md5-uniform -> shared Poisson(1)
+# CASE, DECIMAL-exact replica sums, order-statistic interval and
+# DECIMAL-routed bootstrap SE.
+def bootstrap_sql(b: int = 32) -> str:
+    from .operators.experiments import poisson1_weight_sql
+    from .operators.relational import ols2_sum_sql
+
+    u = (
+        "CAST(CAST('0x' || substring(md5(CAST(id AS VARCHAR) || ':'"
+        " || CAST(b AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)"
+        " / CAST(4294967296 AS DOUBLE)"
+    )
+    sums = ",\n         ".join(
+        ols2_sum_sql(t, a)
+        for t, a in [("mean_b", "sm"), ("mean_b * mean_b", "smm")]
+    )
+    return f"""WITH expanded AS (
+  SELECT o_orderkey AS id, o_totalprice AS value, r.b
+  FROM orders CROSS JOIN (SELECT unnest(range(0, {b})) AS b) r
+), uni AS (
+  SELECT id, value, b, {u} AS u FROM expanded
+), weighted AS (
+  SELECT id, value, b, {poisson1_weight_sql('u')} AS w FROM uni
+), reps AS (
+  SELECT b,
+         CAST(sum(CAST(CAST(w AS DOUBLE) * value AS DECIMAL(28,12)))
+              AS DOUBLE) AS total,
+         CAST(sum(w) AS BIGINT) AS nb
+  FROM weighted GROUP BY b
+), means AS (
+  SELECT b, total / nullif(CAST(nb AS DOUBLE), 0.0) AS mean_b FROM reps
+), ranked AS (
+  SELECT b, mean_b,
+         row_number() OVER (ORDER BY mean_b ASC, b ASC) AS rk
+  FROM means
+), bounds AS (
+  SELECT round(max(CASE WHEN rk = 2 THEN mean_b END), 6) AS ci_lo,
+         round(max(CASE WHEN rk = {b - 1} THEN mean_b END), 6) AS ci_hi,
+         CAST(count(*) AS DOUBLE) AS bb,
+         {sums}
+  FROM ranked
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sv
+  FROM orders
+)
+SELECT n_rows, CAST({b} AS INT) AS b_replicas,
+       round(sv / CAST(n_rows AS DOUBLE), 6) AS est_mean,
+       ci_lo, ci_hi,
+       round(sqrt((bb * smm - sm * sm) / (bb * (bb - 1))), 6) AS se_boot
+FROM base CROSS JOIN bounds"""
+
+
+JUDGE_AGREEMENT_Q = judge_agreement_sql()
+BOOTSTRAP_CI_Q = bootstrap_sql()

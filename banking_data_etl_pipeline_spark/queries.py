@@ -2399,3 +2399,21 @@ def stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     d = _stream_src_dir(sf_dir, "events")
     return EV.srm_stream(spark, d, "stream_srm_sink")
+
+
+def judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the quality-ensemble gate and the CCNet
+    perplexity terciles — inter-judge agreement for curation
+    pipelines."""
+    tune_for_oracle(spark)
+    return corpus.judge_agreement(tables.load(spark, sf_dir, "documents"))
+
+
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for the mean order value: 32 replicas in
+    one map-side pass, deterministic md5 weights, order-statistic
+    interval."""
+    from .operators import experiments
+
+    tune_for_oracle(spark)
+    return experiments.bootstrap_ci(tables.load(spark, sf_dir, "orders"))

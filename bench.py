@@ -221,6 +221,8 @@ BENCH_QUERIES = [
     "ann_pq_prebuilt",
     "srm_check",
     "stream_srm",
+    "judge_agreement",
+    "bootstrap_ci",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

@@ -100,6 +100,7 @@ def metrics(plan: str, name: str) -> tuple[int, int, int, int, int, list[str]]:
         "ann_brute", "ann_recall", "source_divergence",
         "source_semantic_map", "pq_topk", "knn_classify",
         "rank_fusion", "source_jaccard", "ann_sq", "maxsim_topk",
+        "bootstrap_ci",
     ):
         flags.append("bnlj")
     return shuffles, bcast, wscg, pushed, scans, flags

@@ -275,6 +275,9 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # slice-bag scoring broadcasts the queries×m slice table
         # against the corpus slices — the ann_brute pattern
         "maxsim_topk",
+        # 1-row base stats × 1-row bounds grid — the corpus totals
+        # pattern, model-parameter scale by construction
+        "bootstrap_ci",
     }
     for name, fn in sorted(mod.queries().items()):
         if name in streaming_or_iterative:

@@ -354,3 +354,60 @@ def test_stream_srm_equals_batch(spark):
         tables.load(spark, SF_DIR, "events")
     ).first()
     assert s.asDict() == b.asDict()
+
+
+def test_judge_agreement_cells_partition_the_corpus(spark):
+    from banking_data_etl_pipeline_spark.operators import corpus
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    r = corpus.judge_agreement(docs).first()
+    assert r.n11 + r.n10 + r.n01 + r.n00 == r.n
+    assert r.n == docs.count()
+    assert -1.0 <= r.kappa <= 1.0
+    assert r.po == round((r.n11 + r.n00) / r.n, 6)
+
+
+def test_judge_agreement_kappa_is_one_for_identical_judges(spark):
+    from banking_data_etl_pipeline_spark.operators.corpus import (
+        KAPPA_PE,
+        KAPPA_PO,
+    )
+
+    # perfect agreement with mixed marginals -> po=1, kappa=1
+    stats = spark.createDataFrame(
+        [(10, 6, 0, 0, 4)], ["n", "n11", "n10", "n01", "n00"]
+    )
+    r = stats.selectExpr(
+        f"round({KAPPA_PO}, 6) AS po",
+        f"round(({KAPPA_PO} - ({KAPPA_PE}))"
+        f" / nullif(CAST(1 AS DOUBLE) - ({KAPPA_PE}), 0.0), 6) AS kappa",
+    ).first()
+    assert r.po == 1.0 and r.kappa == 1.0
+
+
+def test_bootstrap_ci_brackets_the_mean_and_is_deterministic(spark):
+    orders = tables.load(spark, SF_DIR, "orders")
+    a = experiments.bootstrap_ci(orders).first()
+    b = experiments.bootstrap_ci(orders.repartition(5)).first()
+    assert a.asDict() == b.asDict()
+    assert a.ci_lo <= a.est_mean <= a.ci_hi
+    assert a.se_boot > 0
+    assert a.n_rows == orders.count() and a.b_replicas == 32
+
+
+def test_bootstrap_weights_are_poisson1_like(spark):
+    from banking_data_etl_pipeline_spark.operators.experiments import (
+        POISSON1_CDF,
+        poisson1_weight_sql,
+    )
+
+    # the CASE maps uniforms to weights with Poisson(1) masses; mean
+    # weight over many deterministic uniforms ~ 1
+    df = spark.range(20000).selectExpr(
+        "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) / CAST(4294967296 AS DOUBLE) AS u"
+    )
+    w = df.selectExpr(f"{poisson1_weight_sql('u')} AS w")
+    mean_w = w.agg(F.avg("w")).first()[0]
+    assert abs(mean_w - 1.0) < 0.05
+    assert len(POISSON1_CDF) == 6
