@@ -1064,3 +1064,125 @@ def ngram_novelty(
             .alias("novelty_frac"),
         )
     )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    df_cutoff: int = 32,
+    top: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS algorithm): per document, hash the
+    word k-grams in position order and keep only hashes that are the
+    MINIMUM of at least one sliding window of ``w`` consecutive
+    positions. Winnowing's guarantee is what MinHash can't give: any
+    shared run of at least w+k-1 tokens between two documents is
+    CERTAIN to share a selected fingerprint (local, not probabilistic
+    sampling), which is why it's the standard for plagiarism / code
+    clone detection and a strong span-level near-dup screen.
+
+    Selection is computed with two window passes over per-doc
+    position order: m(s) = min over [s, s+w-1] (forward rolling min),
+    then position q is selected iff max of m over [q-w+1, q] equals
+    h(q) — algebraically "h(q) is the min of at least one window
+    containing q" (every such m(s) <= h(q), so the max reaches h(q)
+    exactly when some window's min IS h(q)). This keeps EVERY
+    window-min (the deterministic all-mins variant — the classic
+    rightmost-min tie rule only thins repeated equal hashes and would
+    cost a third pass); edge windows clip identically in both
+    engines.
+
+    Scale shape: per-doc windows partition by doc key (parallel, no
+    self-join); fingerprints shuffle as 16-hex md5 prefixes; the pair
+    stage is the inverted-index equi-join of the dedup family with
+    the same document-frequency cutoff guard (a fingerprint in more
+    than ``df_cutoff`` docs is boilerplate, dropped before pairing —
+    the hot-key bound that keeps the join near-linear).
+
+    Returns (id_a, id_b, n_shared, fp_a, fp_b, overlap) for the
+    ``top`` pairs, overlap = shared / least(fp_a, fp_b), ordered by
+    n_shared desc, id_a, id_b."""
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            texttools.word_shingles(
+                texttools.tokens(F.col(text_col)), k
+            )
+        ).alias("pos", "sh"),
+    ).select(
+        "doc", "pos", F.substring(F.md5(F.col("sh")), 1, 16).alias("h")
+    )
+    from pyspark.sql import Window
+
+    fwd = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(0, w - 1)
+    )
+    bwd = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    marked = sh.withColumn("m", F.min("h").over(fwd)).withColumn(
+        "sel", F.max("m").over(bwd) == F.col("h")
+    )
+    fps = (
+        marked.filter("sel").select("doc", "h").distinct().persist()
+    )
+    hot = (
+        fps.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cutoff)
+        .select("h")
+    )
+    kept = fps.join(F.broadcast(hot), "h", "left_anti")
+    counts = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("fp")
+    )
+    pairs = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    out = (
+        pairs.join(
+            counts.select(
+                F.col("doc").alias("id_a"), F.col("fp").alias("fp_a")
+            ),
+            "id_a",
+        )
+        .join(
+            counts.select(
+                F.col("doc").alias("id_b"), F.col("fp").alias("fp_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "fp_a",
+            "fp_b",
+            F.expr(
+                "round(CAST(n_shared AS DOUBLE)"
+                " / CAST(least(fp_a, fp_b) AS DOUBLE), 6)"
+            ).alias("overlap"),
+        )
+        .orderBy(F.desc("n_shared"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top)
+    )
+    return out

@@ -299,3 +299,109 @@ def bootstrap_ci(
             "round(sqrt((bb * smm - sm * sm) / (bb * (bb - 1))), 6)"
         ).alias("se_boot"),
     )
+
+
+# DiD formula text shared with oracle.DID_Q — all inputs are
+# DECIMAL-exact per-arm sums and BIGINT counts.
+DID_MEAN = "{s} / nullif(CAST({n} AS DOUBLE), 0.0)"
+DID_EFFECT = (
+    f"(({DID_MEAN.format(s='sy1', n='n1')})"
+    f" - ({DID_MEAN.format(s='sx1', n='n1')}))"
+    f" - (({DID_MEAN.format(s='sy0', n='n0')})"
+    f" - ({DID_MEAN.format(s='sx0', n='n0')}))"
+)
+# per-arm variance of the per-user delta d = y - x
+DID_VAR = (
+    "({sdd} / nullif(CAST({n} AS DOUBLE), 0.0)"
+    " - ({sd} / nullif(CAST({n} AS DOUBLE), 0.0))"
+    " * ({sd} / nullif(CAST({n} AS DOUBLE), 0.0)))"
+)
+DID_SE = (
+    "sqrt("
+    + DID_VAR.format(sdd="sdd1", sd="sd1", n="n1")
+    + " / nullif(CAST(n1 AS DOUBLE), 0.0) + "
+    + DID_VAR.format(sdd="sdd0", sd="sd0", n="n0")
+    + " / nullif(CAST(n0 AS DOUBLE), 0.0))"
+)
+
+
+def did_report(
+    events: DataFrame,
+    cutoff: str = "2024-01-16 00:00:00",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Difference-in-differences readout over the event log: the
+    treatment effect as (post−pre change in treatment) minus
+    (post−pre change in control) — the causal-inference workhorse
+    when arms differ at baseline (where the raw post-period diff that
+    ``cuped_report`` adjusts would be biased). Same md5-nibble arms
+    and pre/post per-user DECIMAL metrics as the rest of the
+    experiment family, so all four reports (srm → did → cuped →
+    bootstrap) describe one experiment.
+
+    The standard error uses the per-user delta d = y − x (the paired
+    formulation — deltas are independent across users, so
+    se² = var(d|treat)/n1 + var(d|ctrl)/n0), all from one
+    aggregation of DECIMAL-exact sums.
+
+    Returns one row: (n_treat, n_ctrl, pre_treat, post_treat,
+    pre_ctrl, post_ctrl, did, se_did, t_stat)."""
+    peru = events.groupBy(F.col(user_col).alias("uid")).agg(
+        F.expr(
+            CUPED_X.format(ts=ts_col, cut=cutoff, v=val_col)
+        ).alias("x"),
+        F.expr(
+            CUPED_Y.format(ts=ts_col, cut=cutoff, v=val_col)
+        ).alias("y"),
+    )
+    armed = peru.withColumn(
+        "arm",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(uid AS STRING)), 1, 1),"
+            " 16, 10) AS INT) % 2"
+        ),
+    ).withColumn("d", F.expr("y - x"))
+    terms = [
+        ("CASE WHEN arm = 1 THEN y ELSE CAST(0 AS DOUBLE) END", "sy1"),
+        ("CASE WHEN arm = 0 THEN y ELSE CAST(0 AS DOUBLE) END", "sy0"),
+        ("CASE WHEN arm = 1 THEN x ELSE CAST(0 AS DOUBLE) END", "sx1"),
+        ("CASE WHEN arm = 0 THEN x ELSE CAST(0 AS DOUBLE) END", "sx0"),
+        ("CASE WHEN arm = 1 THEN d ELSE CAST(0 AS DOUBLE) END", "sd1"),
+        ("CASE WHEN arm = 0 THEN d ELSE CAST(0 AS DOUBLE) END", "sd0"),
+        (
+            "CASE WHEN arm = 1 THEN d * d ELSE CAST(0 AS DOUBLE) END",
+            "sdd1",
+        ),
+        (
+            "CASE WHEN arm = 0 THEN d * d ELSE CAST(0 AS DOUBLE) END",
+            "sdd0",
+        ),
+    ]
+    stats = armed.agg(
+        F.expr("CAST(sum(arm) AS BIGINT)").alias("n1"),
+        F.expr("CAST(sum(1 - arm) AS BIGINT)").alias("n0"),
+        *[F.expr(ols2_sum_sql(t, a)) for t, a in terms],
+    )
+    return stats.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_ctrl"),
+        F.expr(
+            f"round({DID_MEAN.format(s='sx1', n='n1')}, 6) + 0.0"
+        ).alias("pre_treat"),
+        F.expr(
+            f"round({DID_MEAN.format(s='sy1', n='n1')}, 6) + 0.0"
+        ).alias("post_treat"),
+        F.expr(
+            f"round({DID_MEAN.format(s='sx0', n='n0')}, 6) + 0.0"
+        ).alias("pre_ctrl"),
+        F.expr(
+            f"round({DID_MEAN.format(s='sy0', n='n0')}, 6) + 0.0"
+        ).alias("post_ctrl"),
+        F.expr(f"round({DID_EFFECT}, 6) + 0.0").alias("did"),
+        F.expr(f"round({DID_SE}, 6) + 0.0").alias("se_did"),
+        F.expr(
+            f"round(({DID_EFFECT}) / nullif({DID_SE}, 0.0), 6) + 0.0"
+        ).alias("t_stat"),
+    )

@@ -5180,3 +5180,137 @@ FROM base CROSS JOIN bounds"""
 
 JUDGE_AGREEMENT_Q = judge_agreement_sql()
 BOOTSTRAP_CI_Q = bootstrap_sql()
+
+
+# Twin of operators.experiments.did_report (cutoff 2024-01-16): same
+# per-user pre/post DECIMAL sums and arm nibble as CUPED_Q, the DID_*
+# formula strings interpolated verbatim.
+def did_sql() -> str:
+    from .operators.experiments import (
+        CUPED_X,
+        CUPED_Y,
+        DID_EFFECT,
+        DID_MEAN,
+        DID_SE,
+    )
+    from .operators.relational import ols2_sum_sql
+
+    terms = [
+        ("CASE WHEN arm = 1 THEN y ELSE CAST(0 AS DOUBLE) END", "sy1"),
+        ("CASE WHEN arm = 0 THEN y ELSE CAST(0 AS DOUBLE) END", "sy0"),
+        ("CASE WHEN arm = 1 THEN x ELSE CAST(0 AS DOUBLE) END", "sx1"),
+        ("CASE WHEN arm = 0 THEN x ELSE CAST(0 AS DOUBLE) END", "sx0"),
+        ("CASE WHEN arm = 1 THEN d ELSE CAST(0 AS DOUBLE) END", "sd1"),
+        ("CASE WHEN arm = 0 THEN d ELSE CAST(0 AS DOUBLE) END", "sd0"),
+        ("CASE WHEN arm = 1 THEN d * d ELSE CAST(0 AS DOUBLE) END", "sdd1"),
+        ("CASE WHEN arm = 0 THEN d * d ELSE CAST(0 AS DOUBLE) END", "sdd0"),
+    ]
+    sums = ",\n         ".join(ols2_sum_sql(t, a) for t, a in terms)
+    x = CUPED_X.format(ts="ts", cut="2024-01-16 00:00:00", v="value")
+    y = CUPED_Y.format(ts="ts", cut="2024-01-16 00:00:00", v="value")
+    return f"""WITH peru AS (
+  SELECT user_id AS uid,
+         {x} AS x,
+         {y} AS y
+  FROM events GROUP BY user_id
+), armed AS (
+  SELECT uid, x, y, y - x AS d,
+         CAST(CAST('0x' || substring(md5(CAST(uid AS VARCHAR)), 1, 1)
+              AS INT) % 2 AS INT) AS arm
+  FROM peru
+), stats AS (
+  SELECT CAST(sum(arm) AS BIGINT) AS n1,
+         CAST(sum(1 - arm) AS BIGINT) AS n0,
+         {sums}
+  FROM armed
+)
+SELECT n1 AS n_treat, n0 AS n_ctrl,
+       round({DID_MEAN.format(s='sx1', n='n1')}, 6) + 0.0 AS pre_treat,
+       round({DID_MEAN.format(s='sy1', n='n1')}, 6) + 0.0 AS post_treat,
+       round({DID_MEAN.format(s='sx0', n='n0')}, 6) + 0.0 AS pre_ctrl,
+       round({DID_MEAN.format(s='sy0', n='n0')}, 6) + 0.0 AS post_ctrl,
+       round({DID_EFFECT}, 6) + 0.0 AS did,
+       round({DID_SE}, 6) + 0.0 AS se_did,
+       round(({DID_EFFECT}) / nullif({DID_SE}, 0.0), 6) + 0.0 AS t_stat
+FROM stats"""
+
+
+DID_Q = did_sql()
+
+
+# Twin of queries.orc_roundtrip: aggregates the parquet ORIGINAL — a
+# hash match therefore proves the ORC staging round-trip was lossless
+# (values, distincts, decimal sums, timestamp micros).
+ORC_ROUNDTRIP_Q = """SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS sum_value,
+       epoch_us(min(ts)) AS first_us,
+       epoch_us(max(ts)) AS last_us
+FROM events
+GROUP BY event_type
+ORDER BY event_type"""
+
+
+# Twin of operators.dedup.winnow_pairs (k=3, w=4, min_shared=2,
+# df_cutoff=32, top=50): same positioned shingle hashes, forward
+# rolling min m(s), backward rolling max-of-m selection rule,
+# df-cutoff anti-join and inverted-index pairing. Positions are
+# 1-based here vs posexplode's 0-based — they only order the window
+# frames, which clip identically.
+def winnow_sql(
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    df_cutoff: int = 32,
+    top: int = 50,
+) -> str:
+    return f"""WITH base AS (
+  SELECT doc_id AS doc, {_word_shingles(TOKS, k)} AS shs FROM documents
+), flat AS (
+  SELECT doc, s['pos'] AS pos, substring(md5(s['sh']), 1, 16) AS h
+  FROM (SELECT doc,
+               unnest(list_transform(range(1, len(shs) + 1),
+                      i -> {{'pos': i, 'sh': shs[i]}})) AS s
+        FROM base)
+), marked AS (
+  SELECT doc, pos, h,
+         min(h) OVER (PARTITION BY doc ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+           AS m
+  FROM flat
+), sel AS (
+  SELECT doc, pos, h,
+         max(m) OVER (PARTITION BY doc ORDER BY pos
+                      ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+           AS mm
+  FROM marked
+), fps AS (
+  SELECT DISTINCT doc, h FROM sel WHERE mm = h
+), hot AS (
+  SELECT h FROM fps GROUP BY h HAVING count(*) > {df_cutoff}
+), kept AS (
+  SELECT f.doc, f.h FROM fps f
+  LEFT JOIN hot ON f.h = hot.h WHERE hot.h IS NULL
+), counts AS (
+  SELECT doc, CAST(count(*) AS BIGINT) AS fp FROM kept GROUP BY doc
+), pairs AS (
+  SELECT a.doc AS id_a, b.doc AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+  HAVING count(*) >= {min_shared}
+)
+SELECT p.id_a, p.id_b, p.n_shared,
+       ca.fp AS fp_a, cb.fp AS fp_b,
+       round(CAST(p.n_shared AS DOUBLE)
+             / CAST(least(ca.fp, cb.fp) AS DOUBLE), 6) AS overlap
+FROM pairs p
+JOIN counts ca ON p.id_a = ca.doc
+JOIN counts cb ON p.id_b = cb.doc
+ORDER BY n_shared DESC, id_a, id_b
+LIMIT {top}"""
+
+
+WINNOW_Q = winnow_sql()

@@ -2417,3 +2417,63 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return experiments.bootstrap_ci(tables.load(spark, sf_dir, "orders"))
+
+
+def did_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences treatment effect with paired-delta
+    standard error — the baseline-robust arm of the experiment
+    family."""
+    from .operators import experiments
+
+    tune_for_oracle(spark)
+    return experiments.did_report(tables.load(spark, sf_dir, "events"))
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format interop: the events table staged ONCE as ORC
+    (Spark's second first-class columnar format — content-fingerprint
+    + pid-keyed dir, the bucketed_join staging pattern) and read back
+    for a per-type rollup with decimal-exact sums and epoch-micros
+    timestamp bounds. The oracle aggregates the parquet original, so
+    a hash match proves the ORC round-trip preserved every value AND
+    timestamp semantics across formats — the interop guarantee a
+    multi-format lake job depends on."""
+    import hashlib
+    import os
+    import tempfile
+
+    tune_for_oracle(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{os.getpid()}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_orc_{fp}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_events"),
+            F.expr("CAST(count(DISTINCT user_id) AS BIGINT)").alias(
+                "n_users"
+            ),
+            F.expr(
+                "round(CAST(sum(CAST(value AS DECIMAL(18,6)))"
+                " AS DOUBLE), 4)"
+            ).alias("sum_value"),
+            F.expr("unix_micros(min(ts))").alias("first_us"),
+            F.expr("unix_micros(max(ts))").alias("last_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing/MOSS fingerprint overlap pairs: every >= w+k-1-token
+    shared run is guaranteed a shared fingerprint — the local
+    (non-probabilistic) member of the near-dup family."""
+    tune_for_oracle(spark)
+    return dedup.winnow_pairs(tables.load(spark, sf_dir, "documents"))

@@ -223,6 +223,9 @@ BENCH_QUERIES = [
     "stream_srm",
     "judge_agreement",
     "bootstrap_ci",
+    "did_report",
+    "orc_roundtrip",
+    "winnow_dedup",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

@@ -411,3 +411,91 @@ def test_bootstrap_weights_are_poisson1_like(spark):
     mean_w = w.agg(F.avg("w")).first()[0]
     assert abs(mean_w - 1.0) < 0.05
     assert len(POISSON1_CDF) == 6
+
+
+def test_did_matches_hand_computation_with_md5_arms(spark):
+    import hashlib
+
+    rows = []
+    per_user = {}
+    for uid in range(8):
+        x = float(uid + 1)
+        y = 2.0 * x + 3.0
+        per_user[uid] = (x, y)
+        rows.append((uid, "2024-01-10 00:00:00", x))
+        rows.append((uid, "2024-01-20 00:00:00", y))
+    ev = spark.createDataFrame(
+        rows, ["user_id", "ts_s", "value"]
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    r = experiments.did_report(ev).first()
+    arms = {
+        u: int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) % 2
+        for u in per_user
+    }
+    g1 = [per_user[u] for u in per_user if arms[u] == 1]
+    g0 = [per_user[u] for u in per_user if arms[u] == 0]
+    did = (
+        sum(y for _, y in g1) / len(g1) - sum(x for x, _ in g1) / len(g1)
+    ) - (
+        sum(y for _, y in g0) / len(g0) - sum(x for x, _ in g0) / len(g0)
+    )
+    assert r.n_treat == len(g1) and r.n_ctrl == len(g0)
+    assert abs(r.did - did) < 1e-6
+    # d = y - x = x + 3: var(d) > 0 unless an arm is a single user
+    assert r.se_did is not None
+
+
+def test_orc_roundtrip_equals_parquet_aggregate(spark):
+    from banking_data_etl_pipeline_spark import queries as Q
+
+    out = Q.orc_roundtrip(spark, SF_DIR).collect()
+    direct = (
+        tables.load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_events"),
+            F.expr("CAST(count(DISTINCT user_id) AS BIGINT)").alias("n_users"),
+            F.expr(
+                "round(CAST(sum(CAST(value AS DECIMAL(18,6)))"
+                " AS DOUBLE), 4)"
+            ).alias("sum_value"),
+            F.expr("unix_micros(min(ts))").alias("first_us"),
+            F.expr("unix_micros(max(ts))").alias("last_us"),
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    assert out == direct
+
+
+def test_winnow_guarantees_shared_fingerprint_for_long_runs(spark):
+    from banking_data_etl_pipeline_spark.operators import dedup
+
+    # k=3, w=4: any shared run of >= w+k-1 = 6 tokens MUST yield a
+    # shared fingerprint (the winnowing guarantee)
+    run = "alpha bravo charlie delta echo foxtrot"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {run} three four five six"),
+            (2, f"seven eight nine ten {run} eleven twelve"),
+            (3, "totally different text with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.winnow_pairs(docs, min_shared=1).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_selects_every_window_min(spark):
+    from banking_data_etl_pipeline_spark.operators import dedup
+
+    docs = tables.load(spark, SF_DIR, "documents").limit(30)
+    out = dedup.winnow_pairs(docs, min_shared=1, top=10**6)
+    # overlap is a valid containment fraction
+    for r in out.collect():
+        assert 0 < r.overlap <= 1.0
+        assert r.n_shared <= min(r.fp_a, r.fp_b)
