@@ -1319,3 +1319,98 @@ def judge_agreement(docs: DataFrame) -> DataFrame:
             " + 0.0"
         ).alias("kappa"),
     )
+
+
+# Interpolated Kneser–Ney conditional, shared verbatim with the twin:
+# all factors exact counts CAST to DOUBLE, identical operator tree.
+KN_P = (
+    "(greatest(CAST(c2 AS DOUBLE) - CAST(0.75 AS DOUBLE),"
+    " CAST(0 AS DOUBLE)) / CAST(c1 AS DOUBLE)"
+    " + CAST(0.75 AS DOUBLE) * CAST(n1p AS DOUBLE) / CAST(c1 AS DOUBLE)"
+    " * (CAST(nend AS DOUBLE) / CAST({ntot} AS DOUBLE)))"
+)
+
+
+def kneser_ney_xent(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under an interpolated KNESER–NEY
+    bigram LM (Kneser & Ney 1995; the smoothing KenLM ships and
+    CCNet-style perplexity filters actually use) — the published
+    upgrade over ``bigram_xent``'s add-one model: absolute
+    discounting D=0.75 on the bigram count, with the discount mass
+    backed off to the CONTINUATION unigram P_cont(w2) =
+    |distinct left-contexts of w2| / |distinct bigram types| (how
+    many contexts a word follows, not how often it occurs — the
+    famous "San Francisco" correction where 'Francisco' is frequent
+    but predictable).
+
+    P(w2|w1) = max(c(w1w2)-D, 0)/c(w1)
+             + D · N1+(w1,·)/c(w1) · P_cont(w2).
+    Every scored bigram is observed (model fit on the same corpus),
+    so the join is total and all denominators positive.
+
+    Scale shape mirrors ``bigram_xent``: the model is three
+    Zipf-small DataFrames (bigram counts, per-prefix totals +
+    continuation fan-outs, per-word context counts) from ONE shingle
+    groupBy; the distinct-bigram total enters as a scalar; scoring is
+    one equi-join on the bigram string. Parity: per-bigram -ln P
+    rounded 12 dp, DECIMAL(26,12) sum, 6-dp mean.
+
+    Returns (doc_id, n_bigrams, kn_xent), NULL for docs under 2
+    tokens."""
+    bg = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            texttools.word_shingles(texttools.tokens(F.col(text_col)), 2)
+        ).alias("bg"),
+    )
+    model = (
+        bg.filter(F.col("bg").isNotNull())
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .withColumn("w2", F.substring_index(F.col("bg"), " ", -1))
+        .persist()
+    )
+    left = model.groupBy("w1").agg(
+        F.sum("c2").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p"),
+    )
+    right = model.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nend")
+    )
+    ntot = model.agg(F.count(F.lit(1)).alias("_n")).first()["_n"]
+    logp = (
+        model.join(left, "w1")
+        .join(right, "w2")
+        .select(
+            "bg",
+            F.expr(
+                f"CAST(round(-ln({KN_P.format(ntot=int(ntot))}), 12)"
+                " AS DECIMAL(26,12))"
+            ).alias("neg_logp"),
+        )
+    )
+    per_doc = (
+        bg.filter(F.col("bg").isNotNull())
+        .join(logp, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("neg_logp").alias("_s"),
+        )
+    )
+    base = docs.select(id_col)
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.expr("CAST(coalesce(n_bigrams, 0) AS BIGINT)").alias(
+            "n_bigrams"
+        ),
+        F.expr(
+            "CASE WHEN n_bigrams > 0"
+            " THEN round(CAST(_s AS DOUBLE) / n_bigrams, 6) END"
+        ).alias("kn_xent"),
+    )

@@ -150,3 +150,138 @@ def chi2_independence(
             " * CAST(least(levels - 1, classes - 1) AS DOUBLE))), 6)"
         ).alias("cramers_v"),
     ).orderBy("feature")
+
+
+# Lift formula text shared with oracle.LIFT_TABLE_Q.
+LIFT_RATE = "CAST({p} AS DOUBLE) / CAST({n} AS DOUBLE)"
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_bands: int = 10,
+) -> DataFrame:
+    """Decile lift / gains table for a score against a binary
+    outcome — THE model-evaluation readout for targeting scores
+    (which slice of the scored population concentrates the
+    responders, and how much better than random): rank by score,
+    split into ``n_bands`` equal bands, and report per-band and
+    cumulative response rates and lifts.
+
+    Banding uses ``ntile`` over (score desc, id asc) — a TOTAL order,
+    so band membership is deterministic and integer-only cross-engine
+    (the xent_buckets argument; at 100 TB swap the global ntile for
+    approx-percentile threshold cuts, same output contract). The
+    per-band aggregation reduces to ``n_bands`` rows; cumulative
+    sums and the overall base rate are windows over that tiny frame.
+
+    Returns (band, n, n_pos, resp_rate, lift, cum_n, cum_pos,
+    cum_resp_rate, cum_lift), band 1 = highest scores."""
+    from pyspark.sql import Window
+
+    banded = df.select(
+        F.col(label_col).cast("int").alias("pos"),
+        F.ntile(n_bands)
+        .over(
+            Window.orderBy(
+                F.col(score_col).desc(), F.col(id_col).asc()
+            )
+        )
+        .alias("band"),
+    )
+    per = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    w = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "band",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(w).cast("bigint").alias("cum_pos"),
+        F.sum("n").over(tot).cast("bigint").alias("tot_n"),
+        F.sum("n_pos").over(tot).cast("bigint").alias("tot_pos"),
+    )
+    rate = LIFT_RATE.format(p="n_pos", n="n")
+    crate = LIFT_RATE.format(p="cum_pos", n="cum_n")
+    base = LIFT_RATE.format(p="tot_pos", n="tot_n")
+    return cum.select(
+        "band",
+        "n",
+        "n_pos",
+        F.expr(f"round({rate}, 6)").alias("resp_rate"),
+        F.expr(f"round(({rate}) / nullif({base}, 0.0), 6)").alias("lift"),
+        "cum_n",
+        "cum_pos",
+        F.expr(f"round({crate}, 6)").alias("cum_resp_rate"),
+        F.expr(f"round(({crate}) / nullif({base}, 0.0), 6)").alias(
+            "cum_lift"
+        ),
+    ).orderBy("band")
+
+
+# Shannon-entropy term text shared with oracle.COLUMN_ENTROPY_Q.
+ENTROPY_TERM = (
+    "-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+ENTROPY_SUM = (
+    f"CAST(sum(CAST({ENTROPY_TERM} AS DECIMAL(28,12))) AS DOUBLE)"
+)
+
+
+def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column Shannon entropy, normalized entropy, and top-value
+    concentration — the information-theoretic column profile that
+    ``profile_table``'s min/max/distinct can't see: a column with
+    1000 distinct values where one holds 99% of rows profiles as
+    high-cardinality but carries ~0 bits (a candidate constant /
+    skew hazard / useless feature). Data-discovery and
+    feature-triage both start here.
+
+    Scale shape: one map-side ``stack`` to (column, value) string
+    pairs, one map-side-combined groupBy to value counts, then
+    per-column aggregates over the (distinct-values)-sized frame with
+    the DECIMAL-routed entropy-term sum (order-independent).
+
+    Returns (column, n, distinct_n, entropy, norm_entropy,
+    top_share), norm_entropy = H / log2(distinct_n) (NULL for
+    single-valued columns), ordered by column."""
+    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    cells = (
+        df.select(
+            F.expr(f"stack({len(cols)}, {pairs}) AS (col, val)")
+        )
+        .groupBy("col", "val")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = cells.groupBy("col").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_n"),
+        F.max("c").cast("bigint").alias("top_c"),
+    )
+    stats = (
+        cells.join(tot, "col")
+        .groupBy("col", "n", "distinct_n", "top_c")
+        .agg(F.expr(ENTROPY_SUM).alias("h"))
+    )
+    return stats.select(
+        F.col("col").alias("column"),
+        "n",
+        "distinct_n",
+        F.expr("round(h, 6)").alias("entropy"),
+        F.expr(
+            "round(h / nullif(log2(CAST(distinct_n AS DOUBLE)), 0.0), 6)"
+        ).alias("norm_entropy"),
+        F.expr(
+            "round(CAST(top_c AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+        ).alias("top_share"),
+    ).orderBy("column")

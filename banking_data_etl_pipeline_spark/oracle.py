@@ -5314,3 +5314,135 @@ LIMIT {top}"""
 
 
 WINNOW_Q = winnow_sql()
+
+
+# Twin of operators.corpus.kneser_ney_xent: same model tables from the
+# one shingle groupBy, the KN_P conditional interpolated verbatim (the
+# distinct-bigram total appears as a cross-joined scalar here and as
+# the one-scalar literal on the Spark side), 12dp/DECIMAL/6dp ladder.
+def kneser_ney_sql() -> str:
+    from .operators.corpus import KN_P
+
+    return f"""WITH tk AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), bg AS (
+  SELECT doc_id, unnest({_word_shingles('toks', 2)}) AS bg FROM tk
+), model AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c2,
+         split_part(bg, ' ', 1) AS w1,
+         split_part(bg, ' ', -1) AS w2
+  FROM bg GROUP BY bg
+), lft AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1p
+  FROM model GROUP BY w1
+), rgt AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS nend FROM model GROUP BY w2
+), nt AS (
+  SELECT CAST(count(*) AS BIGINT) AS ntot FROM model
+), logp AS (
+  SELECT m.bg,
+         CAST(round(-ln({KN_P.format(ntot='nt.ntot')}), 12)
+              AS DECIMAL(26,12)) AS neg_logp
+  FROM model m
+  JOIN lft ON m.w1 = lft.w1
+  JOIN rgt ON m.w2 = rgt.w2
+  CROSS JOIN nt
+), per_doc AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         sum(l.neg_logp) AS s
+  FROM bg b JOIN logp l USING (bg) GROUP BY b.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CASE WHEN pd.n_bigrams > 0
+            THEN round(CAST(pd.s AS DOUBLE) / pd.n_bigrams, 6)
+       END AS kn_xent
+FROM tk t LEFT JOIN per_doc pd USING (doc_id)"""
+
+
+KNESER_NEY_Q = kneser_ney_sql()
+
+
+# Twin of queries.lift_deciles: same 6-dp engagement score, the same
+# (score desc, bank_id) ntile(10) total order, LIFT_RATE strings
+# interpolated over exact band counts.
+def lift_table_sql() -> str:
+    from .operators.profiling import LIFT_RATE
+
+    rate = LIFT_RATE.format(p="n_pos", n="n")
+    crate = LIFT_RATE.format(p="cum_pos", n="cum_n")
+    base = LIFT_RATE.format(p="tot_pos", n="tot_n")
+    return f"""{BANK_PREFIX},
+banded AS (
+  SELECT CASE WHEN y = 'yes' THEN 1 ELSE 0 END AS pos,
+         ntile(10) OVER (ORDER BY round({ENGAGEMENT}, 6) DESC,
+                         bank_id ASC) AS band
+  FROM valid
+), per AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM banded GROUP BY band
+), cum AS (
+  SELECT band, n, n_pos,
+         CAST(sum(n) OVER (ORDER BY band
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_n,
+         CAST(sum(n_pos) OVER (ORDER BY band
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_pos,
+         CAST(sum(n) OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+              AND UNBOUNDED FOLLOWING) AS BIGINT) AS tot_n,
+         CAST(sum(n_pos) OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+              AND UNBOUNDED FOLLOWING) AS BIGINT) AS tot_pos
+  FROM per
+)
+SELECT band, n, n_pos,
+       round({rate}, 6) AS resp_rate,
+       round(({rate}) / nullif({base}, 0.0), 6) AS lift,
+       cum_n, cum_pos,
+       round({crate}, 6) AS cum_resp_rate,
+       round(({crate}) / nullif({base}, 0.0), 6) AS cum_lift
+FROM cum
+ORDER BY band"""
+
+
+LIFT_TABLE_Q = lift_table_sql()
+
+
+# Twin of operators.profiling.column_entropy over customer
+# (c_mktsegment, c_nationkey, c_acctbal): UNION ALL plays stack; the
+# ENTROPY_SUM string is interpolated verbatim.
+def column_entropy_sql() -> str:
+    from .operators.profiling import ENTROPY_SUM
+
+    u = "\n  UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS val FROM customer"
+        for c in ["c_mktsegment", "c_nationkey", "c_acctbal"]
+    )
+    return f"""WITH u AS (
+  {u}
+), cells AS (
+  SELECT col, val, CAST(count(*) AS BIGINT) AS c
+  FROM u GROUP BY col, val
+), tot AS (
+  SELECT col, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS distinct_n,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM cells GROUP BY col
+), stats AS (
+  SELECT cells.col, tot.n, tot.distinct_n, tot.top_c,
+         {ENTROPY_SUM} AS h
+  FROM cells JOIN tot ON cells.col = tot.col
+  GROUP BY cells.col, tot.n, tot.distinct_n, tot.top_c
+)
+SELECT col AS "column", n, distinct_n,
+       round(h, 6) AS entropy,
+       round(h / nullif(log2(CAST(distinct_n AS DOUBLE)), 0.0), 6)
+         AS norm_entropy,
+       round(CAST(top_c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top_share
+FROM stats
+ORDER BY "column\""""
+
+
+COLUMN_ENTROPY_Q = column_entropy_sql()

@@ -2477,3 +2477,49 @@ def winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (non-probabilistic) member of the near-dup family."""
     tune_for_oracle(spark)
     return dedup.winnow_pairs(tables.load(spark, sf_dir, "documents"))
+
+
+def kn_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram cross-entropy per document —
+    the KenLM-grade perplexity signal (absolute discounting +
+    continuation-count back-off)."""
+    tune_for_oracle(spark)
+    return corpus.kneser_ney_xent(tables.load(spark, sf_dir, "documents"))
+
+
+def lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table: engagement score vs subscription
+    outcome on the valid bank rows — per-band and cumulative response
+    rates and lifts."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    v = _bank_valid(spark, sf_dir)
+    scored = v.select(
+        "bank_id",
+        F.round(
+            scoring.engagement_score(
+                F.col("previous"),
+                F.col("campaign"),
+                F.col("duration"),
+                F.col("y"),
+            ),
+            6,
+        ).alias("score"),
+        (F.col("y") == "yes").alias("subscribed"),
+    )
+    return profiling.lift_table(
+        scored, "score", "subscribed", "bank_id"
+    )
+
+
+def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-theoretic column profile of customer: Shannon
+    entropy, normalized entropy, top-value concentration."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    return profiling.column_entropy(
+        tables.load(spark, sf_dir, "customer"),
+        ["c_mktsegment", "c_nationkey", "c_acctbal"],
+    )
