@@ -1132,6 +1132,11 @@ def winnow_pairs(
     marked = sh.withColumn("m", F.min("h").over(fwd)).withColumn(
         "sel", F.max("m").over(bwd) == F.col("h")
     )
+    # persist the selected fingerprints: three consumers (hot-key
+    # screen, per-doc counts, the pair self-join) would each re-run
+    # the double window pass otherwise. Caller-owned, like bm25's
+    # postings (retrieval.py) — unpersist or clearCache when done
+    # (bench.py and the parity gate already do).
     fps = (
         marked.filter("sel").select("doc", "h").distinct().persist()
     )

@@ -289,6 +289,49 @@ def pq_train_codebooks(
     return books
 
 
+def train_residual_codebooks(
+    emb: DataFrame,
+    cents,
+    m: int = 4,
+    codes: int = 16,
+    train_iterations: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks on the RESIDUAL cloud ``v - centroid[cell]``
+    given an already-trained coarse quantizer — the classic-IVFPQ
+    training leg (Jégou et al. 2011 §III), extracted from
+    ``ivf_pq_topk`` so callers that stage model parameters per corpus
+    snapshot (the ``ann_recall`` amortization cache) can train the
+    residual books ONCE and inject them on every probe. Deterministic:
+    a fixed double expression of two literal-replayable stages."""
+    n_centroids = len(cents)
+    scorer = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
+    corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scorer)
+    cmap = _cent_map(cents)
+    # persist the residual training frame: each subspace walk is
+    # several jobs (validation, init, per-iteration update) and every
+    # one would otherwise recompute the coarse-assignment argmax + the
+    # zip_with subtraction from scratch
+    res_frame = (
+        corpus.withColumn(
+            "rvec",
+            F.zip_with(
+                F.col("v"), cmap[F.col("cell")],
+                lambda a, b: a.cast("double") - b,
+            ),
+        )
+        .select("vec_id", F.col("rvec").alias("embedding"))
+        .persist()
+    )
+    try:
+        return pq_train_codebooks(
+            res_frame, m, codes, train_iterations, "embedding", "vec_id"
+        )
+    finally:
+        res_frame.unpersist()
+
+
 def _pq_sqdist(a, b):
     """Same left fold as clustering._assign / oracle._kmeans_sqdist,
     so encode and ADC doubles are bit-identical across engines."""
@@ -509,20 +552,9 @@ def ivf_pq_topk(
             ),
         )
         if books is None:
-            # persist the residual training frame: each subspace walk
-            # is several jobs (validation, init, per-iteration update)
-            # and every one would otherwise recompute the coarse
-            # assignment argmax + the zip_with subtraction from scratch
-            res_frame = corpus.select(
-                "vec_id", F.col("rvec").alias("embedding")
-            ).persist()
-            try:
-                books = pq_train_codebooks(
-                    res_frame, m, codes, pq_train_iterations,
-                    "embedding", "vec_id",
-                )
-            finally:
-                res_frame.unpersist()
+            books = train_residual_codebooks(
+                emb, cents, m, codes, pq_train_iterations, vec_col, id_col
+            )
         enc_src = F.col("rvec")
     else:
         if books is None:
@@ -722,6 +754,9 @@ def ann_recall(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cents=None,
+    books=None,
+    res_books=None,
 ) -> DataFrame:
     """Recall@k evaluation harness for ALL the approximate index
     families: run brute force (ground truth), LSH, IVF, PQ/ADC, IVF+PQ
@@ -737,9 +772,13 @@ def ann_recall(
     Model sharing: the coarse quantizer is trained ONCE (k-means is
     deterministic, so ``ivf_topk(centroids=cents)`` equals the
     self-training call bit-for-bit) and the raw-space codebooks ONCE
-    for the pq and ivfpq arms; only the residual arm trains its own
-    codebooks (they live in a different space by construction). One
-    Lloyd walk instead of three.
+    for the pq and ivfpq arms; the residual arm's codebooks live in a
+    different space by construction and train separately. One Lloyd
+    walk instead of three. ``cents``/``books``/``res_books`` inject
+    PRE-TRAINED parameters (the per-corpus-snapshot staging cache in
+    ``queries.ann_recall`` — training is deterministic, so injected
+    and self-trained runs are bit-identical): the harness then runs
+    ZERO training jobs and the cost is the seven probes + truth.
 
     Returns (query_id, n_true, hit_lsh, recall_lsh, hit_ivf,
     recall_ivf, hit_pq, recall_pq, hit_ivfpq, recall_ivfpq,
@@ -747,8 +786,10 @@ def ann_recall(
     6-dp-rounded."""
     from . import clustering
 
-    cents = clustering.train_centroids(emb, 16, 2, vec_col, id_col)
-    books = pq_train_codebooks(emb, 4, 16, 1, vec_col, id_col)
+    if cents is None:
+        cents = clustering.train_centroids(emb, 16, 2, vec_col, id_col)
+    if books is None:
+        books = pq_train_codebooks(emb, 4, 16, 1, vec_col, id_col)
     b = brute_force_topk(emb, queries, k, vec_col, id_col).select(
         "query_id", "vec_id"
     )
@@ -766,7 +807,7 @@ def ann_recall(
         ),
         "ivfpq_res": ivf_pq_topk(
             emb, queries, k, vec_col=vec_col, id_col=id_col,
-            cents=cents, residual=True,
+            cents=cents, books=res_books, residual=True,
         ),
         "sq": sq_topk(emb, queries, k, vec_col=vec_col, id_col=id_col),
     }

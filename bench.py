@@ -226,6 +226,9 @@ BENCH_QUERIES = [
     "did_report",
     "orc_roundtrip",
     "winnow_dedup",
+    "kn_xent",
+    "lift_deciles",
+    "column_entropy",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

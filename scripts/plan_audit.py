@@ -101,6 +101,10 @@ def metrics(plan: str, name: str) -> tuple[int, int, int, int, int, list[str]]:
         "source_semantic_map", "pq_topk", "knn_classify",
         "rank_fusion", "source_jaccard", "ann_sq", "maxsim_topk",
         "bootstrap_ci",
+        # broadcast-LUT ADC probe over the prebuilt codes (pq_topk shape)
+        "ann_pq_prebuilt",
+        # pairwise one-row-per-group threshold join (groups² rows)
+        "theta_sketch",
     ):
         flags.append("bnlj")
     return shuffles, bcast, wscg, pushed, scans, flags

@@ -278,14 +278,30 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # 1-row base stats × 1-row bounds grid — the corpus totals
         # pattern, model-parameter scale by construction
         "bootstrap_ci",
+        # ADC probe broadcasts the tiny staged per-query LUTs against
+        # the codes-only corpus scan — the pq_topk shape with the LUT
+        # side read from the prebuilt index
+        "ann_pq_prebuilt",
+        # pairwise grp_a < grp_b inequality join over ONE ROW PER
+        # GROUP sketch thresholds (event types) — groups² rows of
+        # model parameters, never data-proportional. (Was masked
+        # until r9: the sorted sweep tripped on ann_pq_prebuilt
+        # first.)
+        "theta_sketch",
     }
+    # collect ALL violations before asserting: a first-failure abort
+    # masks every later name in the sorted sweep (theta_sketch hid
+    # behind ann_pq_prebuilt for a full round)
+    bad = []
     for name, fn in sorted(mod.queries().items()):
         if name in streaming_or_iterative:
             continue
         plan = _plan(fn(spark, SF_DIR))
-        assert "CartesianProduct" not in plan, name
-        if name not in allowed_bnlj:
-            assert "BroadcastNestedLoopJoin" not in plan, name
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: cartesian")
+        if name not in allowed_bnlj and "BroadcastNestedLoopJoin" in plan:
+            bad.append(f"{name}: bnlj")
+    assert not bad, bad
 
 
 def test_zorder_key_interleaves_bits(spark):
