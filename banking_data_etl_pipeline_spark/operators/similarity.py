@@ -760,9 +760,9 @@ def ann_recall(
 ) -> DataFrame:
     """Recall@k evaluation harness for ALL the approximate index
     families: run brute force (ground truth), LSH, IVF, PQ/ADC, IVF+PQ
-    (raw encoding), IVF+PQ (residual encoding), and 8-bit scalar
-    quantization over the SAME query set and report per-query hit
-    counts and recall — the measurement
+    (raw encoding), IVF+PQ (residual encoding), 8-bit scalar
+    quantization, and the NSW graph index over the SAME query set and
+    report per-query hit counts and recall — the measurement
     that decides n_bits/nprobe/n_centroids/m/codes before an index
     ships, and the raw-vs-residual comparison that justifies the
     classic-IVFPQ coupling. At 100 TB this runs on a sampled query set
@@ -782,8 +782,8 @@ def ann_recall(
 
     Returns (query_id, n_true, hit_lsh, recall_lsh, hit_ivf,
     recall_ivf, hit_pq, recall_pq, hit_ivfpq, recall_ivfpq,
-    hit_ivfpq_res, recall_ivfpq_res, hit_sq, recall_sq), recalls
-    6-dp-rounded."""
+    hit_ivfpq_res, recall_ivfpq_res, hit_sq, recall_sq, hit_graph,
+    recall_graph), recalls 6-dp-rounded."""
     from . import clustering
 
     if cents is None:
@@ -810,6 +810,9 @@ def ann_recall(
             cents=cents, books=res_books, residual=True,
         ),
         "sq": sq_topk(emb, queries, k, vec_col=vec_col, id_col=id_col),
+        "graph": nsw_topk(
+            emb, queries, k, vec_col=vec_col, id_col=id_col, cents=cents
+        ),
     }
     joined = b
     for name, arm in arms.items():
@@ -1298,4 +1301,350 @@ def probe_pq_index(
         pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "approx_dist", "rank")
+    )
+
+
+# ----------------------------------------------------------- graph ANN
+
+
+def graph_adjacency(
+    corpus: DataFrame,
+    r_neighbors: int = 8,
+) -> DataFrame:
+    """Within-cell top-R neighbor lists for the NSW-style graph index,
+    carrying the NEIGHBOR'S RAW VECTOR (the HNSW storage convention:
+    vectors live inside the index so a probe never touches the corpus
+    table). ``corpus`` is ``assign_cells`` output (vec_id, v, _nv,
+    cell). Neighbors rank by (rounded cosine desc, dst asc) — the
+    codebase-wide deterministic tie-break, so the graph is identical
+    across engines.
+
+    Scale shape: the pair join is CELL-BLOCKED (co-partitioned
+    equi-join on cell, never all-pairs); within-cell cost is
+    quadratic in cell size, so at scale n_centroids grows ~sqrt(n)
+    (the measured semdedup recalibration, SCALE.md) to hold cell
+    size — and therefore build cost per row — constant. Production
+    graph builds refine this seed graph with NN-descent; the
+    cell-blocked exact seed is already a valid navigable graph and
+    keeps both engines bit-identical."""
+    a = corpus.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("_sv"), "cell"
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("dst"), F.col("v").alias("dvec"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            "dvec",
+            F.round(
+                vectors.cosine(F.col("_sv"), F.col("dvec")), 6
+            ).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("_sim").desc(), F.col("dst").asc()
+    )
+    return (
+        pairs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= r_neighbors)
+        .select("src", "dst", "dvec")
+    )
+
+
+def graph_entries(corpus: DataFrame) -> DataFrame:
+    """One deterministic entry point per cell (lowest vec_id) with its
+    vector — the fixed search entry of the NSW layer, standing in for
+    HNSW's top-layer descent."""
+    return (
+        corpus.groupBy("cell")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .join(corpus.select("vec_id", F.col("v").alias("evec")), "vec_id")
+        .select("cell", "vec_id", "evec")
+    )
+
+
+def _beam_step(cand, adj, wq, beam: int, ef: int):
+    """One beam-search hop: expand the top-``beam`` candidates through
+    the adjacency lists, score the neighbors against the riding qvec,
+    and keep the best ``ef`` distinct candidates per query."""
+    frontier = (
+        cand.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= beam)
+        .select("query_id", "qvec", F.col("vec_id").alias("_f"))
+    )
+    nbrs = (
+        adj.join(F.broadcast(frontier), F.col("_f") == F.col("src"))
+        .select(
+            "query_id",
+            "qvec",
+            F.col("dst").alias("vec_id"),
+            F.round(vectors.cosine(F.col("dvec"), F.col("qvec")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    return (
+        cand.unionByName(nbrs)
+        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= ef)
+        .drop("_r")
+    )
+
+
+def nsw_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    r_neighbors: int = 8,
+    beam: int = 4,
+    ef: int = 32,
+    hops: int = 3,
+    train_iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cents=None,
+) -> DataFrame:
+    """Graph-based ANN (NSW / HNSW-lite; Malkov & Yashunin 2016): the
+    index family every production vector store defaults to, and the
+    one the harness lacked (r8 verdict). Build: a navigable graph =
+    within-cell top-R neighbor lists (``graph_adjacency``) over the
+    shared coarse quantizer's cells, plus one deterministic entry
+    point per cell. Probe: start from the entry points of the query's
+    ``nprobe`` nearest cells, then ``hops`` rounds of BEAM SEARCH —
+    expand the ``beam`` best candidates through their neighbor lists,
+    keep the ``ef`` best seen — and return the final top-``k``. Unlike
+    IVF (scan every row of the probed cells), the graph probe touches
+    only FRONTIER-ADJACENT rows: hops × beam × R scored vectors per
+    query, independent of cell size.
+
+    Fixed-hop beam search (not search-to-convergence) keeps the plan
+    STATIC: the whole probe is one lazy DataFrame of ``hops`` unrolled
+    join+window rounds — no driver-side loop, no eager jobs — and
+    makes the DuckDB twin an unrolled-CTE replay (the kmeans/pagerank
+    precedent). Every ranking breaks ties (score desc, id asc), so
+    candidate sets are deterministic end-to-end.
+
+    At 100 TB: adjacency is (n × R) rows carrying dim doubles —
+    bucket it by src (``build_graph_index``) so each hop's expansion
+    is a pruned read of the frontier's buckets instead of a full
+    adjacency scan (``probe_graph_index``); the telescoped form here
+    persists the adjacency across hops within the one action.
+
+    Returns (query_id, vec_id, cosine, rank), rank 1..k."""
+    from . import clustering
+
+    if cents is None:
+        cents = clustering.train_centroids(
+            emb, n_centroids, train_iterations, vec_col, id_col
+        )
+    scorer = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
+    corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scorer)
+    # persist: the adjacency feeds every hop's expansion join; within
+    # the single action all hops then read the cached build instead of
+    # re-running the cell-blocked pair join. Caller-owned, like bm25's
+    # postings (retrieval.py) — unpersist or clearCache when done.
+    adj = graph_adjacency(corpus, r_neighbors).persist()
+    entries = graph_entries(corpus)
+    probes = (
+        queries.select(
+            "query_id", "qvec", vectors.norm(F.col("qvec")).alias("_nq")
+        )
+        .select(
+            "query_id",
+            "qvec",
+            F.explode(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(scorer(F.col("qvec"), F.col("_nq")))
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "qvec", (-F.col("p.nc")).alias("cell"))
+    )
+    cand = (
+        probes.join(entries, "cell")
+        .select(
+            "query_id",
+            "qvec",
+            "vec_id",
+            F.round(vectors.cosine(F.col("evec"), F.col("qvec")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    for _ in range(hops):
+        cand = _beam_step(cand, adj, wq, beam, ef)
+    return (
+        cand.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def build_graph_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    r_neighbors: int = 8,
+    n_buckets: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_iterations: int = 2,
+    cents=None,
+) -> None:
+    """BUILD phase of the graph-index lifecycle: train (or accept) the
+    coarse quantizer, build the within-cell top-R adjacency, and
+    PERSIST the index — ``<path>/centroids`` (model parameters),
+    ``<path>/entries`` (one row per cell), and ``<path>/adjacency``
+    PARTITIONED BY ``bucket = pmod(src, n_buckets)``. The bucketed
+    layout is the point: a probe hop's frontier is beam × queries
+    node ids, so the expansion reads ONLY the frontier's bucket
+    directories (static partition pruning, the ``probe_ivf_index``
+    argument) — hops × beam × R rows of a 100 TB index instead of a
+    full adjacency scan per hop."""
+    if cents is None and train_iterations > 0:
+        from . import clustering
+
+        cents = clustering.train_centroids(
+            emb, n_centroids, train_iterations, vec_col, id_col
+        )
+    scorer = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
+    corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scorer)
+    adj = graph_adjacency(corpus, r_neighbors).withColumn(
+        "bucket", F.pmod(F.col("src"), F.lit(n_buckets))
+    )
+    adj.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/adjacency"
+    )
+    graph_entries(corpus).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/entries"
+    )
+    spark = emb.sparkSession
+    cent_rows = cents or sorted(
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[0],
+    )
+    spark.createDataFrame(
+        [(int(c[0]), [float(x) for x in c[1]]) for c in cent_rows],
+        "cid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def probe_graph_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    beam: int = 4,
+    ef: int = 32,
+    hops: int = 3,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """PROBE phase: beam search over the persisted graph WITHOUT the
+    build path. Each hop collects the frontier's node ids (beam ×
+    queries values — bounded model scale, the probed-cells pull of
+    ``probe_ivf_index``) and pushes them as literal ``bucket IN`` /
+    ``src IN`` filters on the bucket-partitioned adjacency, so the
+    scan lists and reads only frontier-adjacent files — pinned by
+    ``test_graph_probe_prunes_nonfrontier_buckets``. Results are
+    identical to ``nsw_topk`` with the same parameters (the
+    registered query shares its oracle)."""
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r.cid,
+    )
+    cents = [(int(r.cid), list(r.cvec)) for r in cent_rows]
+    scorer = _centroid_scorer(None, len(cents), "embedding", "vec_id", cents)
+    probes = (
+        queries.select(
+            "query_id", "qvec", vectors.norm(F.col("qvec")).alias("_nq")
+        )
+        .select(
+            "query_id",
+            "qvec",
+            F.explode(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(scorer(F.col("qvec"), F.col("_nq")))
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "qvec", (-F.col("p.nc")).alias("cell"))
+    )
+    entries = spark.read.parquet(f"{path}/entries")
+    cand = (
+        probes.join(entries, "cell")
+        .select(
+            "query_id",
+            "qvec",
+            "vec_id",
+            F.round(vectors.cosine(F.col("evec"), F.col("qvec")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    for _ in range(hops):
+        frontier_rows = (
+            cand.withColumn("_r", F.row_number().over(wq))
+            .filter(F.col("_r") <= beam)
+            .select("query_id", "qvec", F.col("vec_id").alias("_f"))
+        )
+        # bounded driver pull: beam × queries ids decide which bucket
+        # directories this hop may read at all (the static-pruning
+        # probed-cells pattern)
+        ids = sorted({r._f for r in frontier_rows.select("_f").collect()})
+        buckets = sorted({i % n_buckets for i in ids})
+        adj = (
+            spark.read.parquet(f"{path}/adjacency")
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("src").isin(ids))
+        )
+        nbrs = (
+            adj.join(F.broadcast(frontier_rows), F.col("_f") == F.col("src"))
+            .select(
+                "query_id",
+                "qvec",
+                F.col("dst").alias("vec_id"),
+                F.round(
+                    vectors.cosine(F.col("dvec"), F.col("qvec")), 6
+                ).alias("cosine"),
+            )
+            .filter(F.col("vec_id") != F.col("query_id"))
+        )
+        cand = (
+            cand.unionByName(nbrs)
+            .dropDuplicates(["query_id", "vec_id"])
+            .withColumn("_r", F.row_number().over(wq))
+            .filter(F.col("_r") <= ef)
+            .drop("_r")
+        )
+    return (
+        cand.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
     )

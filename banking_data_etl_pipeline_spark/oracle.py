@@ -494,6 +494,108 @@ def ann_lsh_sql(n_bits: int = 4, k: int = 10) -> str:
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}"""
 
+def ann_graph_sql(
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    r_neighbors: int = 8,
+    beam: int = 4,
+    ef: int = 32,
+    hops: int = 3,
+    iters: int = 2,
+    dim: int = 64,
+    k: int = 10,
+) -> str:
+    """Twin of ``similarity.nsw_topk``: the ``_kmeans_ctes`` coarse
+    walk, the within-cell top-R adjacency, one entry point per cell
+    (min vec_id), and ``hops`` UNROLLED beam-search rounds — each
+    round takes the (cosine desc, vec_id asc) top-``beam`` of the
+    previous candidate set, expands through the adjacency, and keeps
+    the distinct top-``ef``. Fixed hops + total tie-break orders make
+    every intermediate candidate set identical across engines (the
+    kmeans/pagerank unrolled-iteration precedent)."""
+    last = f"c{iters}"
+    parts = [
+        f"""{_kmeans_ctes(n_centroids, dim, iters)},
+assign AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cid FROM {last} c
+          ORDER BY round({_cosine('e.embedding', 'c.cvec')}, 6) DESC, c.cid ASC
+          LIMIT 1) AS cell
+  FROM embeddings e
+), adj AS (
+  SELECT src, dst, dvec FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst, b.embedding AS dvec,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round({_cosine('a.embedding', 'b.embedding')}, 6) DESC,
+                                       b.vec_id ASC) AS rn
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id != b.vec_id
+  ) WHERE rn <= {r_neighbors}
+), entries AS (
+  SELECT ae.cell, ae.vec_id, ae.embedding AS evec
+  FROM assign ae
+  JOIN (SELECT cell, min(vec_id) AS vec_id FROM assign GROUP BY cell) m
+    ON ae.vec_id = m.vec_id
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT 5
+), probes AS (
+  SELECT query_id, qvec, cid AS cell FROM (
+    SELECT q.query_id, q.qvec, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({_cosine('q.qvec', 'c.cvec')}, 6) DESC,
+                                       c.cid ASC) AS pr
+    FROM q CROSS JOIN {last} c
+  ) WHERE pr <= {nprobe}
+), cand0 AS (
+  SELECT p.query_id, p.qvec, en.vec_id,
+         round({_cosine('en.evec', 'p.qvec')}, 6) AS cosine
+  FROM probes p JOIN entries en ON en.cell = p.cell
+  WHERE en.vec_id != p.query_id
+)"""
+    ]
+    prev = "cand0"
+    for t in range(1, hops + 1):
+        parts.append(
+            f""", f{t} AS (
+  SELECT query_id, qvec, vec_id FROM (
+    SELECT query_id, qvec, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM {prev}
+  ) WHERE rn <= {beam}
+), n{t} AS (
+  SELECT f.query_id, f.qvec, a.dst AS vec_id,
+         round({_cosine('a.dvec', 'f.qvec')}, 6) AS cosine
+  FROM f{t} f JOIN adj a ON a.src = f.vec_id
+  WHERE a.dst != f.query_id
+), cand{t} AS (
+  SELECT query_id, qvec, vec_id, cosine FROM (
+    SELECT query_id, qvec, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM (
+      SELECT DISTINCT query_id, qvec, vec_id, cosine FROM (
+        SELECT query_id, qvec, vec_id, cosine FROM {prev}
+        UNION ALL
+        SELECT query_id, qvec, vec_id, cosine FROM n{t}
+      )
+    )
+  ) WHERE rn <= {ef}
+)"""
+        )
+        prev = f"cand{t}"
+    parts.append(
+        f"""
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM {prev}
+) WHERE rank <= {k}"""
+    )
+    return "".join(parts)
+
+
 # ------------------------------------------------------------- text ops
 
 _SQL_PUNCT = PUNCT_CHARS.replace("'", "''")
@@ -2714,6 +2816,7 @@ def ann_recall_sql() -> str:
         ("ivfpq", ivf_pq_topk_sql()),
         ("ivfpq_res", ivf_pq_residual_sql()),
         ("sq", SQ_TOPK_Q),
+        ("graph", ann_graph_sql()),
     ]
     ctes = ",\n".join(
         f"{name} AS (SELECT * FROM ({sql}))" for name, sql in arms

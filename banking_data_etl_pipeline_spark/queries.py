@@ -1786,6 +1786,49 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN (NSW / HNSW-lite): within-cell top-R navigable
+    graph over the shared coarse quantizer, fixed-hop beam search —
+    the index family every production vector store defaults to."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    cents, _books, _res = _ann_models(emb, sf_dir)
+    return similarity.nsw_topk(emb, q, k=10, cents=cents)
+
+
+def ann_graph_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN with the build/probe lifecycle split: adjacency
+    persists bucket-partitioned, each beam hop reads only the
+    frontier's buckets (static pruning) — same parameters, result,
+    and oracle as the telescoped ann_graph."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    # same content-fingerprint + atomic-publish staging as
+    # ann_ivf_prebuilt (see that builder for the rationale)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_nsw_{fp}")
+    if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
+        cents, _books, _res = _ann_models(emb, sf_dir)
+        build_dir = tempfile.mkdtemp(prefix="spark_graft_nsw_build_")
+        similarity.build_graph_index(emb, build_dir, cents=cents)
+        try:
+            os.rename(build_dir, path)
+        except OSError:  # another process published first
+            shutil.rmtree(build_dir, ignore_errors=True)
+    q = similarity.corpus_queries(emb, n=5)
+    return similarity.probe_graph_index(spark, path, q, k=10)
+
+
 def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate vs the corpus top-100 token vocabulary."""
     tune_for_oracle(spark)

@@ -229,6 +229,9 @@ BENCH_QUERIES = [
     "kn_xent",
     "lift_deciles",
     "column_entropy",
+    # round 9 additions
+    "ann_graph",
+    "ann_graph_prebuilt",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

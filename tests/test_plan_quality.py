@@ -203,6 +203,60 @@ def test_ivf_probe_prunes_nonprobed_cell_files(spark):
     assert read_cells == {f"cell={c}" for c in probed}, read_cells
 
 
+def test_graph_probe_prunes_nonfrontier_buckets(spark):
+    """The persisted-graph probe must touch only FRONTIER-ADJACENT
+    rows: every hop pushes the collected frontier ids as literal
+    ``bucket IN`` / ``src IN`` filters on the bucket-partitioned
+    adjacency, so each hop reads the frontier's bucket directories
+    instead of scanning the whole n×R adjacency (the graph-ANN
+    scale contract; the IVF-probe static-pruning argument)."""
+    import re
+
+    d = tempfile.mkdtemp(prefix="nsw_dpp_")
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    similarity.build_graph_index(emb, d, n_buckets=16)
+    q = similarity.corpus_queries(emb, n=2)
+    probe = similarity.probe_graph_index(
+        spark, d, q, k=5, beam=2, hops=2, n_buckets=16
+    )
+
+    plan = _plan(probe)
+    adj_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "/adjacency" in ln
+    ]
+    # every hop's adjacency scan (2 hops in the final lineage) carries
+    # a static bucket IN partition filter
+    assert adj_scans, plan
+    all_buckets = set()
+    for ln in adj_scans:
+        m = re.search(r"PartitionFilters: \[[^\]]*bucket#\d+L? IN \(([^)]*)\)", ln)
+        assert m, "adjacency scan without bucket IN filter:\n" + ln
+        all_buckets |= {int(x) for x in m.group(1).split(",")}
+    # 2 queries x beam 2 x 2 hops -> at most 8 frontier ids, so at
+    # most 8 of the 16 bucket dirs are ever listed
+    n_on_disk = len(
+        [p for p in os.listdir(os.path.join(d, "adjacency")) if p.startswith("bucket=")]
+    )
+    assert n_on_disk > 8, n_on_disk
+    assert 0 < len(all_buckets) <= 8, sorted(all_buckets)
+
+    # file-level runtime proof for one hop's filter: only the listed
+    # buckets' files open
+    read_files = {
+        r[0]
+        for r in spark.read.parquet(f"{d}/adjacency")
+        .filter(F.col("bucket").isin(sorted(all_buckets)))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    read_buckets = {
+        f.split("/adjacency/")[1].split("/")[0] for f in read_files
+    }
+    assert read_buckets <= {f"bucket={b}" for b in all_buckets}, read_buckets
+
+
 def test_ntile_deciles_has_no_single_partition_exchange(spark):
     # the distributed-rank NTILE must never collapse rows to one
     # reducer — the bare Window.orderBy it replaces planned an
