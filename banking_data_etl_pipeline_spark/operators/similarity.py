@@ -566,7 +566,32 @@ def ivf_pq_topk(
     encoded = corpus.select(
         "vec_id", "cell", *_pq_enc_cols(books, enc_src, m, sub)
     )
+    return _ivfpq_probe_tail(
+        encoded, corpus.select("vec_id", "v"), queries, scorer, cents,
+        books, m, sub, nprobe, rerank, k, residual,
+    )
 
+
+def _ivfpq_probe_tail(
+    encoded,
+    raw_vecs,
+    queries,
+    scorer,
+    cents,
+    books,
+    m: int,
+    sub: int,
+    nprobe: int,
+    rerank: int,
+    k: int,
+    residual: bool,
+) -> DataFrame:
+    """The IVFPQ PROBE: per-query nprobe cell selection, (residual)
+    LUT staging, ADC scoring of the encoded cells, two-phase partial
+    shortlist, exact re-rank of the shortlist against ``raw_vecs``.
+    Shared verbatim between the telescoped ``ivf_pq_topk`` and the
+    persisted-index ``probe_ivfpq_index`` so the split lifecycle
+    cannot drift from the oracle-proven plan."""
     probes = (
         queries.select(
             "query_id", "qvec", vectors.norm(F.col("qvec")).alias("_nq")
@@ -623,8 +648,7 @@ def ivf_pq_topk(
     )
     # exact re-rank: only the shortlist touches raw vectors
     rer = (
-        corpus.select("vec_id", "v")
-        .join(F.broadcast(short), "vec_id")
+        raw_vecs.join(F.broadcast(short), "vec_id")
         .join(
             F.broadcast(queries.select("query_id", "qvec")), "query_id"
         )
@@ -757,6 +781,7 @@ def ann_recall(
     cents=None,
     books=None,
     res_books=None,
+    arms_override=None,
 ) -> DataFrame:
     """Recall@k evaluation harness for ALL the approximate index
     families: run brute force (ground truth), LSH, IVF, PQ/ADC, IVF+PQ
@@ -793,26 +818,45 @@ def ann_recall(
     b = brute_force_topk(emb, queries, k, vec_col, id_col).select(
         "query_id", "vec_id"
     )
-    arms = {
-        "lsh": lsh_topk(emb, queries, k, vec_col=vec_col, id_col=id_col),
-        "ivf": ivf_topk(
+    # thunks, not DataFrames: building an arm's literal-heavy
+    # expression tree costs SECONDS of driver-side work (codebook and
+    # centroid literals, interpreted-fold columns), so an arm that
+    # ``arms_override`` replaces must never be constructed at all —
+    # eagerly building all defaults measured 15.7 s of pure plan
+    # construction in the fully-overridden recall query
+    defaults = {
+        "lsh": lambda: lsh_topk(
+            emb, queries, k, vec_col=vec_col, id_col=id_col
+        ),
+        "ivf": lambda: ivf_topk(
             emb, queries, k, vec_col=vec_col, id_col=id_col, centroids=cents
         ),
-        "pq": pq_topk(
+        "pq": lambda: pq_topk(
             emb, queries, k, vec_col=vec_col, id_col=id_col, books=books
         ),
-        "ivfpq": ivf_pq_topk(
+        "ivfpq": lambda: ivf_pq_topk(
             emb, queries, k, vec_col=vec_col, id_col=id_col,
             cents=cents, books=books,
         ),
-        "ivfpq_res": ivf_pq_topk(
+        "ivfpq_res": lambda: ivf_pq_topk(
             emb, queries, k, vec_col=vec_col, id_col=id_col,
             cents=cents, books=res_books, residual=True,
         ),
-        "sq": sq_topk(emb, queries, k, vec_col=vec_col, id_col=id_col),
-        "graph": nsw_topk(
+        "sq": lambda: sq_topk(
+            emb, queries, k, vec_col=vec_col, id_col=id_col
+        ),
+        "graph": lambda: nsw_topk(
             emb, queries, k, vec_col=vec_col, id_col=id_col, cents=cents
         ),
+    }
+    # ``arms_override`` swaps an arm for a result-identical prebuilt
+    # probe (each persisted lifecycle shares its telescoped twin's
+    # oracle, so the hit counts cannot differ) — how queries.ann_recall
+    # measures probes instead of re-running builds in-query
+    override = arms_override or {}
+    arms = {
+        name: override.get(name) if name in override else mk()
+        for name, mk in defaults.items()
     }
     joined = b
     for name, arm in arms.items():
@@ -1327,32 +1371,54 @@ def graph_adjacency(
     graph builds refine this seed graph with NN-descent; the
     cell-blocked exact seed is already a valid navigable graph and
     keeps both engines bit-identical."""
+    # norms staged once per side (corpus already carries _nv): one
+    # interpreted 64-element fold per pair instead of three — the
+    # higher-order-function cosine re-deriving both norms measured 13 s
+    # for the sf0.1 adjacency vs ~4 s staged; dot/(na*nb) is the same
+    # doubles to the last bit (the centroid-scorer argument)
     a = corpus.select(
-        F.col("vec_id").alias("src"), F.col("v").alias("_sv"), "cell"
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("_sv"),
+        F.col("_nv").alias("_ns"),
+        "cell",
     )
     b = corpus.select(
-        F.col("vec_id").alias("dst"), F.col("v").alias("dvec"), "cell"
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("dvec"),
+        F.col("_nv").alias("_nd"),
+        "cell",
     )
+    denom = F.col("_ns") * F.col("_nd")
+    # rank SLIM (src, dst, sim) triples — the neighbor vector would
+    # otherwise ride the ranking shuffle at dim × 8 bytes per
+    # candidate pair; the kept n × R rows re-acquire it with one
+    # dst-keyed equi-join
     pairs = (
         a.join(b, "cell")
         .filter(F.col("src") != F.col("dst"))
         .select(
             "src",
             "dst",
-            "dvec",
             F.round(
-                vectors.cosine(F.col("_sv"), F.col("dvec")), 6
+                F.when(denom == 0, F.lit(0.0)).otherwise(
+                    vectors.dot(F.col("_sv"), F.col("dvec")) / denom
+                ),
+                6,
             ).alias("_sim"),
         )
     )
     w = Window.partitionBy("src").orderBy(
         F.col("_sim").desc(), F.col("dst").asc()
     )
-    return (
+    kept = (
         pairs.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= r_neighbors)
-        .select("src", "dst", "dvec")
+        .select("src", "dst")
     )
+    return kept.join(
+        corpus.select(F.col("vec_id").alias("dst"), F.col("v").alias("dvec")),
+        "dst",
+    ).select("src", "dst", "dvec")
 
 
 def graph_entries(corpus: DataFrame) -> DataFrame:
@@ -1370,7 +1436,15 @@ def graph_entries(corpus: DataFrame) -> DataFrame:
 def _beam_step(cand, adj, wq, beam: int, ef: int):
     """One beam-search hop: expand the top-``beam`` candidates through
     the adjacency lists, score the neighbors against the riding qvec,
-    and keep the best ``ef`` distinct candidates per query."""
+    and keep the best ``ef`` distinct candidates per query.
+
+    The returned candidate frame is PERSISTED (queries × ef rows —
+    trivially small): ``cand`` feeds both the frontier ranking and the
+    union, so an unpersisted chain would re-execute the whole previous
+    hop TWICE per hop — 2^hops copies of the entry subtree and a
+    measured 17 s warm probe at sf0.1 from tiny-stage scheduling alone
+    (vs ~4 s persisted). Caller-owned, like the adjacency cache —
+    unpersist or clearCache when done."""
     frontier = (
         cand.withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= beam)
@@ -1394,6 +1468,7 @@ def _beam_step(cand, adj, wq, beam: int, ef: int):
         .withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= ef)
         .drop("_r")
+        .persist()
     )
 
 
@@ -1411,6 +1486,8 @@ def nsw_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cents=None,
+    adj=None,
+    entries=None,
 ) -> DataFrame:
     """Graph-based ANN (NSW / HNSW-lite; Malkov & Yashunin 2016): the
     index family every production vector store defaults to, and the
@@ -1447,12 +1524,17 @@ def nsw_topk(
         )
     scorer = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
     corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scorer)
-    # persist: the adjacency feeds every hop's expansion join; within
-    # the single action all hops then read the cached build instead of
+    # ``adj``/``entries`` inject a PREBUILT graph (e.g. the staged
+    # ``build_graph_index`` layout) so probing skips the build — the
+    # recall harness's prebuilt-arm hook. Self-built adjacency is
+    # persisted: it feeds every hop's expansion join; within the
+    # single action all hops then read the cached build instead of
     # re-running the cell-blocked pair join. Caller-owned, like bm25's
     # postings (retrieval.py) — unpersist or clearCache when done.
-    adj = graph_adjacency(corpus, r_neighbors).persist()
-    entries = graph_entries(corpus)
+    if adj is None:
+        adj = graph_adjacency(corpus, r_neighbors).persist()
+    if entries is None:
+        entries = graph_entries(corpus)
     probes = (
         queries.select(
             "query_id", "qvec", vectors.norm(F.col("qvec")).alias("_nq")
@@ -1636,15 +1718,169 @@ def probe_graph_index(
             )
             .filter(F.col("vec_id") != F.col("query_id"))
         )
+        # persisted per hop for the same 2^hops-duplication reason as
+        # _beam_step (the frontier collect already materializes it, so
+        # the cache fills for free); caller-owned
         cand = (
             cand.unionByName(nbrs)
             .dropDuplicates(["query_id", "vec_id"])
             .withColumn("_r", F.row_number().over(wq))
             .filter(F.col("_r") <= ef)
             .drop("_r")
+            .persist()
         )
     return (
         cand.withColumn("rank", F.row_number().over(wq))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 4,
+    codes: int = 16,
+    residual: bool = False,
+    train_iterations: int = 2,
+    pq_train_iterations: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cents=None,
+    books=None,
+) -> None:
+    """BUILD phase of the composed IVF+PQ lifecycle — the classic
+    FAISS IVFPQ on-disk shape: coarse centroids + subspace codebooks
+    (model parameters, kilobytes) and the corpus reduced to m small
+    ints per row, PARTITIONED BY CELL (``<path>/codes``). The layout
+    compounds both wins at probe time: cell partition pruning reads
+    ~nprobe/n_centroids of the files, and each file holds codes, not
+    dim×4-byte vectors. ``residual=True`` encodes ``v -
+    centroid[cell]`` (Jégou et al. 2011 §III); the flag must match at
+    probe time (the codes are meaningless in the other space), so it
+    is also persisted in ``<path>/meta``."""
+    if cents is None and train_iterations > 0:
+        from . import clustering
+
+        cents = clustering.train_centroids(
+            emb, n_centroids, train_iterations, vec_col, id_col
+        )
+    scorer = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
+    corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scorer)
+    if residual:
+        if books is None:
+            books = train_residual_codebooks(
+                emb, cents, m, codes, pq_train_iterations, vec_col, id_col
+            )
+        cmap = _cent_map(cents)
+        corpus = corpus.withColumn(
+            "rvec",
+            F.zip_with(
+                F.col("v"), cmap[F.col("cell")],
+                lambda a, b: a.cast("double") - b,
+            ),
+        )
+        enc_src = F.col("rvec")
+    else:
+        if books is None:
+            books = pq_train_codebooks(
+                emb, m, codes, pq_train_iterations, vec_col, id_col
+            )
+        enc_src = F.col("v")
+    sub = len(books[0][0])
+    encoded = corpus.select(
+        "vec_id", "cell", *_pq_enc_cols(books, enc_src, m, sub)
+    )
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/codes"
+    )
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [
+            (j, cid, [float(x) for x in vec])
+            for j, book in enumerate(books)
+            for cid, vec in enumerate(book)
+        ],
+        "j int, cid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    cent_rows = cents or sorted(
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[0],
+    )
+    spark.createDataFrame(
+        [(int(c[0]), [float(x) for x in c[1]]) for c in cent_rows],
+        "cid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(bool(residual), int(m))], "residual boolean, m int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def probe_ivfpq_index(
+    spark,
+    emb: DataFrame,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 30,
+) -> DataFrame:
+    """PROBE phase of the IVF+PQ lifecycle: pull the model parameters
+    back (centroids, codebooks, the residual flag — kilobytes), pick
+    each query's ``nprobe`` cells, push the DISTINCT probed-cell set
+    as a literal partition filter on the cell-partitioned codes
+    (static pruning, the ``probe_ivf_index`` argument), and run the
+    shared ADC + shortlist + exact-rerank tail. ``emb`` supplies raw
+    vectors for the shortlist re-rank only (queries × rerank rows via
+    a broadcast id join — the index itself never stores vectors).
+    Results are identical to ``ivf_pq_topk`` with the same parameters
+    (the registered query shares its oracle)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    residual, m = bool(meta.residual), int(meta.m)
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r.cid,
+    )
+    cents = [(int(r.cid), list(r.cvec)) for r in cent_rows]
+    scorer = _centroid_scorer(None, len(cents), "embedding", "vec_id", cents)
+    brows = spark.read.parquet(f"{path}/books").collect()
+    bmap: dict[int, dict[int, list[float]]] = {}
+    for r in brows:
+        bmap.setdefault(int(r.j), {})[int(r.cid)] = list(r.cvec)
+    books = [[bmap[j][c] for c in sorted(bmap[j])] for j in sorted(bmap)]
+    sub = len(books[0][0])
+    # bounded model-scale pull: at most n_centroids distinct cells,
+    # no matter how many queries probe
+    probed = (
+        queries.select(
+            "query_id", vectors.norm(F.col("qvec")).alias("_nq"), "qvec"
+        )
+        .select(
+            F.explode(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(scorer(F.col("qvec"), F.col("_nq")))
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("p")
+        )
+        .select((-F.col("p.nc")).alias("cell"))
+        .distinct()
+        .collect()
+    )
+    cells = sorted(r.cell for r in probed)
+    encoded = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(cells)
+    )
+    raw_vecs = emb.select(
+        F.col("vec_id"), F.col("embedding").alias("v")
+    )
+    return _ivfpq_probe_tail(
+        encoded, raw_vecs, queries, scorer, cents, books, m, sub,
+        nprobe, rerank, k, residual,
     )

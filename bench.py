@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     # round 9 additions
     "ann_graph",
     "ann_graph_prebuilt",
+    "ann_ivfpq_prebuilt",
     # round 7 additions
     "bm25_topk",
     "pq_topk",
@@ -364,9 +365,15 @@ def main() -> None:
         }
 
     # rows/sec for the flagship against the 1M/252s baseline anchor
-    # (cold, like the anchor's single fresh run)
+    # (cold, like the anchor's single fresh run) PLUS the warm
+    # steady-state anchor (r8 verdict): the 2x-of-baseline contract is
+    # really about steady-state throughput, and the cold number on a
+    # ~3 s query is dominated by ±0.5 s codegen noise — report both,
+    # keep BASELINE.md honest about the reference's single-fresh-run
+    # methodology
     flag_rows = qs["pipeline_enriched"](spark, SF_DIR).count()
     flag_rps = round(flag_rows / cold["pipeline_enriched"], 1)
+    flag_rps_warm = round(flag_rows / warm["pipeline_enriched"], 1)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     line = json.dumps(
@@ -381,6 +388,8 @@ def main() -> None:
             "flagship_rows": flag_rows,
             "flagship_cold_sec": cold["pipeline_enriched"],
             "flagship_rows_per_sec": flag_rps,
+            "flagship_warm_sec": warm["pipeline_enriched"],
+            "flagship_warm_rows_per_sec": flag_rps_warm,
             "regression_deltas": deltas,
         }
     )

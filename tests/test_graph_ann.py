@@ -101,6 +101,23 @@ def test_adjacency_degree_capped_and_deterministic(spark):
     assert {(r.src, r.dst) for r in adj2.collect()} == rows
 
 
+def test_ivfpq_prebuilt_probe_equals_telescoped(spark):
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    q = similarity.corpus_queries(emb, n=3)
+    tele = similarity.ivf_pq_topk(emb, q, k=5, residual=True).collect()
+    d = os.path.join(tempfile.mkdtemp(prefix="ivfpq_eq_"), "idx")
+    similarity.build_ivfpq_index(emb, d, residual=True)
+    pre = similarity.probe_ivfpq_index(spark, emb, d, q, k=5).collect()
+    assert sorted(map(tuple, tele)) == sorted(map(tuple, pre))
+    # the residual flag persists with the index: a probe of a raw
+    # index must NOT apply residual LUTs (meta drives it)
+    d2 = os.path.join(tempfile.mkdtemp(prefix="ivfpq_eq_"), "idx")
+    similarity.build_ivfpq_index(emb, d2, residual=False)
+    pre_raw = similarity.probe_ivfpq_index(spark, emb, d2, q, k=5).collect()
+    tele_raw = similarity.ivf_pq_topk(emb, q, k=5, residual=False).collect()
+    assert sorted(map(tuple, tele_raw)) == sorted(map(tuple, pre_raw))
+
+
 def test_prebuilt_probe_equals_telescoped(spark):
     emb = tables.load(spark, SF_DIR, "embeddings")
     q = similarity.corpus_queries(emb, n=3)
