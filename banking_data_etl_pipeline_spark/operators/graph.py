@@ -329,3 +329,104 @@ def link_prediction(
         .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
         .limit(top)
     )
+
+
+def kcore(
+    lineitem: DataFrame,
+    k: int = 3,
+    min_weight: int = 2,
+    max_rounds: int = 40,
+    plan_hook=None,
+) -> DataFrame:
+    """k-core of the REPEATED-co-purchase graph by iterative peeling:
+    keep only part pairs that co-occur in ≥ ``min_weight`` distinct
+    orders (one-off basket coincidences are noise edges — the raw
+    co-purchase graph is so dense that every node survives any
+    useful k), then repeat "drop every node with degree < k (and its
+    edges)" until stable — the standard cohesive-subgraph extractor
+    (Seidman 1983; how graph systems separate a dense engaged core
+    from the long pendant tail before community detection or
+    embedding training).
+
+    Edge build: the distinct (order, part) self-join is co-partitioned
+    on the order key with blast radius bounded by basket size (the
+    market_basket shape), and the HAVING prune keeps only repeated
+    pairs before the mirror union.
+
+    Spark shape: each round is ONE degree aggregation over the
+    surviving symmetric edge list plus two semi-join filters against
+    the ≥k node set — all equi-joins co-partitioned on node id, no
+    pairwise work. The round's edge frame is eagerly
+    ``localCheckpoint``ed and the previous round's cache released —
+    NOT persist: each round references ``cur`` three times (degree agg
+    + both endpoint filters), so an uncheckpointed chain triples the
+    LOGICAL tree per round and Catalyst analysis blows up
+    exponentially (the CC-loop lesson, dedup.py; reproduced here as a
+    2 GB plan string). The driver sees only the alive-node COUNT per
+    round (one scalar), and equal counts across consecutive rounds
+    imply a fixed point (peeling only ever removes nodes, so
+    keep ⊆ alive; equal size ⇒ equal set ⇒ no edge changed). Peeling
+    converges in O(peel-depth) rounds — small on real graphs;
+    ``max_rounds`` is a backstop, and the converged state is
+    IDEMPOTENT, so the DuckDB twin's fixed unroll reproduces it
+    exactly (the kmeans/pagerank precedent).
+
+    ``plan_hook(stage, df)`` receives round 1's pruned-edge frame —
+    the representative per-iteration plan for scripts/plan_audit.py.
+
+    Returns (part, degree) for every k-core member with its
+    WITHIN-CORE degree, ordered by part. Raises if ``max_rounds``
+    passes without a fixed point — a partial peel is NOT a k-core,
+    and silently returning one would corrupt every consumer (the
+    connected-components convention)."""
+    po = lineitem.select("l_orderkey", "l_partkey").distinct()
+    half = (
+        po.alias("a")
+        .join(po.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_weight)
+        .select("src", "dst")
+    )
+    cur = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    prev_alive = -1
+    converged = False
+    for i in range(max_rounds):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        n_alive = keep.count()
+        if n_alive == prev_alive:
+            converged = True
+            break
+        prev_alive = n_alive
+        pruned = (
+            cur.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+        )
+        if plan_hook and i == 0:
+            plan_hook("peel", pruned)
+        nxt = pruned.localCheckpoint()  # eager: cuts the tripled lineage
+        cur.unpersist()
+        cur = nxt
+    if not converged:
+        raise RuntimeError(
+            f"kcore: no fixed point after {max_rounds} rounds"
+        )
+    out = (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .select(F.col("src").alias("part"), "degree")
+        .orderBy("part")
+    )
+    return out

@@ -285,3 +285,145 @@ def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
             "round(CAST(top_c AS DOUBLE) / CAST(n AS DOUBLE), 6)"
         ).alias("top_share"),
     ).orderBy("column")
+
+
+# AUC formula text shared with oracle.score_auc_sql: doubled rank sum
+# r2 keeps every intermediate an exact integer (average ranks have .5
+# granularity, so 2*avg_rank = 2*cum_prev + cnt + 1 is integral) —
+# the sum is order-independent across engines by construction.
+AUC_EXPR = (
+    "CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)"
+    " / CAST(nullif(2 * n_pos * n_neg, 0) AS DOUBLE)"
+)
+
+
+def score_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC AUC of a score against a binary outcome via the
+    Mann–Whitney U statistic with average-rank tie handling — THE
+    threshold-free discrimination readout for any model score (the
+    probability a random positive outranks a random negative), the
+    companion to ``lift_table``'s banded view. AUC = (R⁺ −
+    n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺ sums positives' average ranks
+    (ties share the mean of their rank range).
+
+    Scale shape: ONE map-side-combined groupBy reduces the corpus to
+    its DISTINCT SCORES with (count, positives); the rank walk is a
+    window over that reduced frame (the xent_buckets/lift_table
+    argument — at 100 TB the distinct-score frame of any real score is
+    orders smaller than the data; a 6-dp-rounded score has ≤ 2M
+    possible values). INTEGER-ONLY until the final division: the
+    doubled rank sum r2 = Σ pos·(2·cum_prev + cnt + 1) is exact, so
+    no float-sum ordering can split the engines.
+
+    Returns ONE row (n, n_pos, n_neg, auc, gini), auc/gini
+    6-dp-rounded, NULL when a class is empty."""
+    from pyspark.sql import Window
+
+    g = (
+        df.select(
+            F.col(score_col).alias("s"),
+            F.col(label_col).cast("int").alias("pos"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("pos").cast("bigint").alias("npos"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "cnt",
+        "npos",
+        (
+            F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            + F.col("cnt")
+            + F.lit(1)
+        ).alias("r2x"),
+    )
+    agg = ranked.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("npos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("npos") * F.col("r2x")).cast("bigint").alias("r2"),
+    ).select(
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+        "r2",
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        "n_neg",
+        F.expr(f"round({AUC_EXPR}, 6)").alias("auc"),
+        F.expr(f"round(2 * ({AUC_EXPR}) - 1, 6)").alias("gini"),
+    )
+
+
+# Calibration formula text shared with oracle.calibration_sql: the
+# score sum routes through DECIMAL(28,12) so the per-bin mean is
+# order-independent across engines.
+CAL_MEAN = "CAST(s_sum AS DOUBLE) / CAST(n AS DOUBLE)"
+CAL_RATE = "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)"
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a probability-like score in [0, 1]: split
+    into ``n_bins`` equal-width bins and compare each bin's MEAN
+    PREDICTED score to its OBSERVED positive rate — the calibration
+    readout behind every reliability diagram, with the per-bin ECE
+    contribution (n/N · |gap|) so Σ ece_term is the expected
+    calibration error. A well-discriminating score (high AUC) can
+    still be badly calibrated; quality-filter thresholds and
+    temperature choices hang off THIS table, not the AUC.
+
+    Scale shape: one map-side bin assignment, one combined groupBy to
+    ``n_bins`` rows, window totals over that tiny frame. The score
+    sum routes through DECIMAL(28,12) (order-independent), counts are
+    exact ints.
+
+    Returns (bin, n, n_pos, mean_score, obs_rate, gap, ece_term),
+    bin 0 = [0, 1/n_bins), last bin closed above, ordered by bin."""
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.least(
+            F.greatest(
+                F.floor(F.col(score_col) * n_bins), F.lit(0)
+            ),
+            F.lit(n_bins - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        F.col(score_col).cast("decimal(28,12)").alias("sdec"),
+        F.col(label_col).cast("int").alias("pos"),
+    )
+    per = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("sdec").alias("s_sum"),
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.withColumn("tot_n", F.sum("n").over(tot).cast("bigint"))
+    return cum.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr(f"round({CAL_MEAN}, 6)").alias("mean_score"),
+        F.expr(f"round({CAL_RATE}, 6)").alias("obs_rate"),
+        F.expr(f"round(({CAL_RATE}) - ({CAL_MEAN}), 6)").alias("gap"),
+        F.expr(
+            "round(CAST(n AS DOUBLE) / CAST(tot_n AS DOUBLE)"
+            f" * abs(({CAL_RATE}) - ({CAL_MEAN})), 6)"
+        ).alias("ece_term"),
+    ).orderBy("bin")

@@ -5513,6 +5513,131 @@ ORDER BY band"""
 LIFT_TABLE_Q = lift_table_sql()
 
 
+# Twin of queries.score_auc: same 6-dp engagement score, the same
+# distinct-score rank walk with the integer doubled-rank sum (r2x =
+# 2*cum_prev + cnt + 1), AUC_EXPR interpolated verbatim.
+def score_auc_sql() -> str:
+    from .operators.profiling import AUC_EXPR
+
+    return f"""{BANK_PREFIX},
+scored AS (
+  SELECT round({ENGAGEMENT}, 6) AS s,
+         CASE WHEN y = 'yes' THEN 1 ELSE 0 END AS pos
+  FROM valid
+), g AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(pos) AS BIGINT) AS npos
+  FROM scored GROUP BY s
+), ranked AS (
+  SELECT cnt, npos,
+         2 * coalesce(sum(cnt) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS r2x
+  FROM g
+), agg AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(npos) AS BIGINT) AS n_pos,
+         CAST(sum(npos * r2x) AS BIGINT) AS r2
+  FROM ranked
+), aug AS (
+  SELECT n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg, r2 FROM agg
+)
+SELECT n, n_pos, n_neg,
+       round({AUC_EXPR}, 6) AS auc,
+       round(2 * ({AUC_EXPR}) - 1, 6) AS gini
+FROM aug"""
+
+
+SCORE_AUC_Q = score_auc_sql()
+
+
+# Twin of queries.calibration_bins: same 6-dp score, same clamped
+# equal-width binning, CAL_MEAN/CAL_RATE strings interpolated over the
+# DECIMAL-routed score sum.
+def calibration_sql(n_bins: int = 10) -> str:
+    from .operators.profiling import CAL_MEAN, CAL_RATE
+
+    return f"""{BANK_PREFIX},
+scored AS (
+  SELECT round({ENGAGEMENT}, 6) AS s,
+         CASE WHEN y = 'yes' THEN 1 ELSE 0 END AS pos
+  FROM valid
+), b AS (
+  SELECT CAST(least(greatest(floor(s * {n_bins}), 0), {n_bins - 1}) AS INT)
+           AS bin,
+         CAST(s AS DECIMAL(28,12)) AS sdec, pos
+  FROM scored
+), per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         sum(sdec) AS s_sum
+  FROM b GROUP BY bin
+), cum AS (
+  SELECT bin, n, n_pos, s_sum,
+         CAST(sum(n) OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+              AND UNBOUNDED FOLLOWING) AS BIGINT) AS tot_n
+  FROM per
+)
+SELECT bin, n, n_pos,
+       round({CAL_MEAN}, 6) AS mean_score,
+       round({CAL_RATE}, 6) AS obs_rate,
+       round(({CAL_RATE}) - ({CAL_MEAN}), 6) AS gap,
+       round(CAST(n AS DOUBLE) / CAST(tot_n AS DOUBLE)
+             * abs(({CAL_RATE}) - ({CAL_MEAN})), 6) AS ece_term
+FROM cum"""
+
+
+CALIBRATION_Q = calibration_sql()
+
+
+# Twin of operators.graph.kcore (k=3, min_weight=2): the repeated-
+# co-purchase edge build, then ``rounds`` UNROLLED peel iterations.
+# The converged state is idempotent, so any unroll >= the actual
+# peel depth reproduces the Spark fixpoint exactly (the
+# kmeans/pagerank/CC unrolled-iteration precedent; sf0.01 converges
+# in 10 rounds, sf0.001 in 1).
+def kcore_sql(k: int = 3, min_weight: int = 2, rounds: int = 14) -> str:
+    parts = [
+        f"""WITH po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), half AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM po a JOIN po b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {min_weight}
+), e0 AS (
+  SELECT src, dst FROM half
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM half
+)"""
+    ]
+    # MATERIALIZED is load-bearing: each round references the previous
+    # edge set three times (degree filter + both endpoint joins), and
+    # DuckDB inlines plain CTEs — an un-materialized unroll expands to
+    # 3^rounds lineitem scans (observed as "too many open files")
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+k{t} AS MATERIALIZED (
+  SELECT src FROM e{t - 1} GROUP BY src HAVING count(*) >= {k}
+), e{t} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{t - 1} e
+  JOIN k{t} x ON e.src = x.src
+  JOIN k{t} y ON e.dst = y.src
+)"""
+        )
+    parts.append(
+        f"""
+SELECT src AS part, CAST(count(*) AS BIGINT) AS degree
+FROM e{rounds} GROUP BY src"""
+    )
+    return "".join(parts)
+
+
+KCORE_Q = kcore_sql()
+
+
 # Twin of operators.profiling.column_entropy over customer
 # (c_mktsegment, c_nationkey, c_acctbal): UNION ALL plays stack; the
 # ENTROPY_SUM string is interpolated verbatim.

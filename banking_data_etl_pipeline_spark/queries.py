@@ -2685,3 +2685,59 @@ def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.load(spark, sf_dir, "customer"),
         ["c_mktsegment", "c_nationkey", "c_acctbal"],
     )
+
+
+def score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (Mann–Whitney, average-rank ties) of the
+    engagement score against the subscription outcome — the
+    threshold-free companion to lift_deciles' banded view."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    v = _bank_valid(spark, sf_dir)
+    scored = v.select(
+        F.round(
+            scoring.engagement_score(
+                F.col("previous"),
+                F.col("campaign"),
+                F.col("duration"),
+                F.col("y"),
+            ),
+            6,
+        ).alias("score"),
+        (F.col("y") == "yes").alias("subscribed"),
+    )
+    return profiling.score_auc(scored, "score", "subscribed")
+
+
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + per-bin ECE terms for the engagement score
+    as a probability of subscription — discrimination (AUC) and
+    calibration are different failures; this is the second readout."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    v = _bank_valid(spark, sf_dir)
+    scored = v.select(
+        F.round(
+            scoring.engagement_score(
+                F.col("previous"),
+                F.col("campaign"),
+                F.col("duration"),
+                F.col("y"),
+            ),
+            6,
+        ).alias("score"),
+        (F.col("y") == "yes").alias("subscribed"),
+    )
+    return profiling.calibration_bins(scored, "score", "subscribed")
+
+
+def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the repeated-co-purchase graph (pairs co-bought in
+    >= 2 orders): iterative peel to a fixed point — the cohesive-core
+    extractor run before community detection or embedding training."""
+    from .operators import graph
+
+    tune_for_oracle(spark)
+    return graph.kcore(tables.load(spark, sf_dir, "lineitem"))

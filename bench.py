@@ -233,6 +233,9 @@ BENCH_QUERIES = [
     "ann_graph",
     "ann_graph_prebuilt",
     "ann_ivfpq_prebuilt",
+    "score_auc",
+    "calibration_bins",
+    "kcore",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

@@ -35,7 +35,7 @@ SKIP = {
     # iterative (driver-side loop): representative per-iteration plans
     # captured via plan_hook in the second section below
     "kmeans", "dedup_resolve", "pagerank", "fuzzy_resolve",
-    "triangle_count", "bpe_merges", "bpe_merges_batched",
+    "triangle_count", "bpe_merges", "bpe_merges_batched", "kcore",
 }
 
 # which iterative capture covers each skipped query's loop
@@ -47,6 +47,7 @@ ITER_COVERAGE = {
     "fuzzy_resolve": "fuzzy_join row + cc[propagate+jump]",
     "bpe_merges": "bpe[pair-count]",
     "bpe_merges_batched": "bpe[pair-count] (same per-pass plan)",
+    "kcore": "kcore[peel]",
 }
 
 
@@ -204,6 +205,8 @@ def main() -> None:
     dedup.connected_components(pairs, plan_hook=hook_for("cc"))
     spark.catalog.clearCache()
     bpe.learn_bpe_merges(docs, n_merges=1, plan_hook=hook_for("bpe"))
+    spark.catalog.clearCache()
+    graph.kcore(lineitem, plan_hook=hook_for("kcore"))
     spark.catalog.clearCache()
 
     for label, plan in captured:

@@ -1,0 +1,137 @@
+"""Round-9 operators: exact ROC AUC (Mann–Whitney with average-rank
+ties), calibration/reliability bins with ECE terms, k-core peeling.
+Value parity is the oracle gate's job; these pin hand-computed
+formulas on tiny frames and the structural invariants a hash match
+can't express (tie handling, bin clamping, peel cascades)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from banking_data_etl_pipeline_spark.operators import graph, profiling
+
+
+# ------------------------------------------------------------- AUC
+
+
+def _auc(spark, rows):
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    return profiling.score_auc(df, "score", "label").collect()[0]
+
+
+def test_auc_hand_computed_with_ties(spark):
+    # ranks asc: 0.5 -> 1; the two 0.8s tie -> avg rank 2.5; 0.9 -> 4
+    # R+ = 4 + 2.5 = 6.5; AUC = (6.5 - 2*3/2) / (2*2) = 0.875
+    # cross-check by pair counting: 3 wins + 1 half-tie = 3.5 / 4
+    r = _auc(
+        spark,
+        [(0.9, True), (0.8, False), (0.8, True), (0.5, False)],
+    )
+    assert (r.n, r.n_pos, r.n_neg) == (4, 2, 2)
+    assert r.auc == 0.875
+    assert r.gini == round(2 * 0.875 - 1, 6)
+
+
+def test_auc_perfect_and_inverted_and_degenerate(spark):
+    perfect = _auc(spark, [(0.9, True), (0.8, True), (0.1, False)])
+    assert perfect.auc == 1.0
+    inverted = _auc(spark, [(0.1, True), (0.8, False), (0.9, False)])
+    assert inverted.auc == 0.0 and inverted.gini == -1.0
+    # all one class: undefined, NULL not a crash
+    degen = _auc(spark, [(0.5, True), (0.7, True)])
+    assert degen.auc is None and degen.n_neg == 0
+
+
+def test_auc_all_tied_is_half(spark):
+    r = _auc(spark, [(0.5, True), (0.5, False), (0.5, True), (0.5, False)])
+    assert r.auc == 0.5
+
+
+def test_auc_partition_invariant(spark):
+    rows = [(float(i % 13) / 13.0, i % 3 == 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    a = profiling.score_auc(df, "score", "label").collect()[0]
+    b = profiling.score_auc(
+        df.repartition(17), "score", "label"
+    ).collect()[0]
+    assert a.auc == b.auc and a.n_pos == b.n_pos
+
+
+# ----------------------------------------------------- calibration
+
+
+def test_calibration_hand_computed(spark):
+    # bin 0: scores .05/.05, one positive -> mean .05, rate .5
+    # bin 9: score 1.0 CLAMPS into bin 9 with .95 -> mean .975, rate 1
+    rows = [(0.05, True), (0.05, False), (0.95, True), (1.0, True)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = {
+        r.bin: r
+        for r in profiling.calibration_bins(df, "score", "label").collect()
+    }
+    assert set(out) == {0, 9}
+    b0, b9 = out[0], out[9]
+    assert (b0.n, b0.n_pos, b0.mean_score, b0.obs_rate) == (2, 1, 0.05, 0.5)
+    assert b0.gap == round(0.5 - 0.05, 6)
+    assert b0.ece_term == round(2 / 4 * 0.45, 6)
+    assert (b9.n, b9.n_pos, b9.mean_score, b9.obs_rate) == (2, 2, 0.975, 1.0)
+    assert b9.ece_term == round(2 / 4 * 0.025, 6)
+
+
+def test_calibration_perfectly_calibrated_score_has_zero_ece(spark):
+    # in each bin the score equals the empirical rate exactly
+    rows = []
+    for i in range(10):
+        s = i / 10.0 + 0.05
+        pos = round(s * 20)
+        rows += [(s, True)] * pos + [(s, False)] * (20 - pos)
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = profiling.calibration_bins(df, "score", "label").collect()
+    assert len(out) == 10
+    assert all(r.gap == 0.0 and r.ece_term == 0.0 for r in out)
+    assert sum(r.n for r in out) == 200
+
+
+# ----------------------------------------------------------- k-core
+
+
+def _li(spark, orders):
+    rows = [(ok, pk) for ok, parts in orders for pk in parts]
+    return spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+
+def test_kcore_peels_pendant_keeps_triangle(spark):
+    # triangle {1,2,3} with every pair in 2 orders; pendant 4 hangs off
+    # node 1 (weight 2); pair (5,6) occurs once -> below min_weight
+    li = _li(
+        spark,
+        [(1, [1, 2, 3]), (2, [1, 2, 3]), (3, [1, 4]), (4, [1, 4]),
+         (5, [5, 6])],
+    )
+    out = graph.kcore(li, k=2, min_weight=2).collect()
+    assert [(r.part, r.degree) for r in out] == [(1, 2), (2, 2), (3, 2)]
+
+
+def test_kcore_cascade_empties_a_path(spark):
+    # path 1-2-3-4 (each edge in 2 orders): peeling ends cascades
+    # inward over multiple rounds until nothing has degree >= 2
+    li = _li(
+        spark,
+        [(1, [1, 2]), (2, [1, 2]), (3, [2, 3]), (4, [2, 3]),
+         (5, [3, 4]), (6, [3, 4])],
+    )
+    assert graph.kcore(li, k=2, min_weight=2).count() == 0
+
+
+def test_kcore_is_idempotent_fixpoint(spark):
+    # running kcore on a frame whose graph IS already a k-core changes
+    # nothing: the cycle 1-2-3-4-1 is exactly its own 2-core
+    li = _li(
+        spark,
+        [(1, [1, 2]), (2, [1, 2]), (3, [2, 3]), (4, [2, 3]),
+         (5, [3, 4]), (6, [3, 4]), (7, [1, 4]), (8, [1, 4])],
+    )
+    out = graph.kcore(li, k=2, min_weight=2).collect()
+    assert [(r.part, r.degree) for r in out] == [
+        (1, 2), (2, 2), (3, 2), (4, 2)
+    ]
