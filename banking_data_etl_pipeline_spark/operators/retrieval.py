@@ -427,3 +427,61 @@ def phrase_search(
     return hits.groupBy("query_id", "phrase", id_col).agg(
         F.count(F.lit(1)).alias("n_hits")
     )
+
+
+def hard_negatives(
+    docs: DataFrame,
+    k_neg: int = 5,
+    pool: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: per
+    query, take the BM25 TOP-1 hit as the positive, then return the
+    ``k_neg`` highest-scoring pool documents from a DIFFERENT
+    ``group_col`` as hard negatives — lexically close enough to be
+    hard, provenance-separated enough to suppress false negatives
+    (the same-source filter is the standard near-duplicate guard;
+    swap in a near-dup screen or a labeled qrels table in
+    production, everything downstream is unchanged). This is the
+    mining loop behind every dual-encoder training set (DPR/ANCE
+    style) — high-ranked non-relevant documents teach the margin
+    that random negatives can't.
+
+    Scale shape: rides ``bm25_topk``'s pooled candidates (top
+    ``pool + 1`` per query — already two-phase partial top-k), one
+    broadcastable join to the per-doc group column, and a window over
+    queries × pool rows. No new corpus-sized work beyond the BM25
+    pass itself.
+
+    Returns (query_id, pos_doc_id, doc_id, score, neg_rank),
+    neg_rank 1..k_neg per query by (score desc, doc_id asc)."""
+    hits = bm25_topk(docs, k=pool + 1, text_col=text_col, id_col=id_col)
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(group_col).alias("_grp")
+    )
+    pos = (
+        hits.filter(F.col("rank") == 1)
+        .join(src, "doc_id")
+        .select(
+            "query_id",
+            F.col("doc_id").alias("pos_doc_id"),
+            F.col("_grp").alias("_pos_grp"),
+        )
+    )
+    cand = (
+        hits.filter(F.col("rank") > 1)
+        .join(src, "doc_id")
+        .join(F.broadcast(pos), "query_id")
+        .filter(F.col("_grp") != F.col("_pos_grp"))
+        .select("query_id", "pos_doc_id", "doc_id", "score")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(wq))
+        .filter(F.col("neg_rank") <= k_neg)
+        .select("query_id", "pos_doc_id", "doc_id", "score", "neg_rank")
+    )

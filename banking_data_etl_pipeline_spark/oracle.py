@@ -5638,6 +5638,35 @@ FROM e{rounds} GROUP BY src"""
 KCORE_Q = kcore_sql()
 
 
+# Twin of operators.retrieval.hard_negatives: the bm25_topk twin as a
+# derived table (pool+1 per query), top-1 = positive, same-source
+# candidates filtered, remaining re-ranked (score desc, doc_id asc).
+def hard_negatives_sql(k_neg: int = 5, pool: int = 20) -> str:
+    return f"""WITH hits AS (
+  SELECT * FROM ({bm25_topk_sql(k=pool + 1)})
+), src AS (
+  SELECT doc_id, source FROM documents
+), pos AS (
+  SELECT h.query_id, h.doc_id AS pos_doc_id, s.source AS pos_source
+  FROM hits h JOIN src s ON h.doc_id = s.doc_id
+  WHERE h.rank = 1
+), cand AS (
+  SELECT h.query_id, p.pos_doc_id, h.doc_id, h.score
+  FROM hits h
+  JOIN src s ON h.doc_id = s.doc_id
+  JOIN pos p ON h.query_id = p.query_id
+  WHERE h.rank > 1 AND s.source != p.pos_source
+), ranked AS (
+  SELECT query_id, pos_doc_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS neg_rank
+  FROM cand
+)
+SELECT query_id, pos_doc_id, doc_id, score,
+       CAST(neg_rank AS INT) AS neg_rank
+FROM ranked WHERE neg_rank <= {k_neg}"""
+
+
 # Twin of operators.profiling.column_entropy over customer
 # (c_mktsegment, c_nationkey, c_acctbal): UNION ALL plays stack; the
 # ENTROPY_SUM string is interpolated verbatim.

@@ -2741,3 +2741,13 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return graph.kcore(tables.load(spark, sf_dir, "lineitem"))
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hard-negative mining: per derived query, top-1 = positive,
+    top cross-source pool docs = negatives — the contrastive-training
+    data loop (DPR/ANCE style)."""
+    from .operators import retrieval
+
+    tune_for_oracle(spark)
+    return retrieval.hard_negatives(tables.load(spark, sf_dir, "documents"))

@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "score_auc",
     "calibration_bins",
     "kcore",
+    "hard_negatives",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

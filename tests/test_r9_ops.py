@@ -135,3 +135,38 @@ def test_kcore_is_idempotent_fixpoint(spark):
     assert [(r.part, r.degree) for r in out] == [
         (1, 2), (2, 2), (3, 2), (4, 2)
     ]
+
+
+# --------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_mining_invariants(spark):
+    from banking_data_etl_pipeline_spark.operators import retrieval
+    from banking_data_etl_pipeline_spark.sources import tables
+    from conftest import SF_DIR
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    out = retrieval.hard_negatives(docs, k_neg=5, pool=20).collect()
+    hits = {
+        (r.query_id, r.doc_id): r
+        for r in retrieval.bm25_topk(docs, k=21).collect()
+    }
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    pos_of = {q: d for (q, d), r in hits.items() if r.rank == 1}
+    assert out, "mining returned nothing on the fixture"
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        # positive is the BM25 rank-1 hit, and negatives never share
+        # its source (the false-negative guard)
+        assert all(r.pos_doc_id == pos_of[q] for r in rows)
+        assert all(src[r.doc_id] != src[pos_of[q]] for r in rows)
+        # negatives come from the pooled candidates with their pooled
+        # scores, ranked densely from 1 by (score desc, doc_id asc)
+        rows.sort(key=lambda r: r.neg_rank)
+        assert [r.neg_rank for r in rows] == list(range(1, len(rows) + 1))
+        assert all(r.score == hits[(q, r.doc_id)].score for r in rows)
+        scores = [(-r.score, r.doc_id) for r in rows]
+        assert scores == sorted(scores)
+        assert len(rows) <= 5
