@@ -5638,6 +5638,26 @@ FROM e{rounds} GROUP BY src"""
 KCORE_Q = kcore_sql()
 
 
+# Batch twin of streaming.events.topk_users_stream: the leaderboard
+# over the bounded feed is the plain groupBy-count top-k with shares
+# (batch-equivalence oracle — update-mode re-emissions reduce to the
+# terminal MAX per user, which equals the batch count).
+TOPK_USERS_Q = """WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+), t AS (
+  SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM c
+), ranked AS (
+  SELECT user_id, n_events,
+         round(CAST(n_events AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+           AS share,
+         row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS rank
+  FROM c CROSS JOIN t
+)
+SELECT user_id, n_events, share, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10"""
+
+
 # Twin of operators.retrieval.hard_negatives: the bm25_topk twin as a
 # derived table (pool+1 per query), top-1 = positive, same-source
 # candidates filtered, remaining re-ranked (score desc, doc_id asc).

@@ -2751,3 +2751,12 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return retrieval.hard_negatives(tables.load(spark, sf_dir, "documents"))
+
+
+def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: stateful per-user counts (update mode),
+    top-10 with shares at the availableNow drain — checked against
+    the batch groupBy-count top-k oracle."""
+    tune_for_oracle(spark)
+    d = _stream_src_dir(sf_dir, "events")
+    return EV.topk_users_stream(spark, d, "stream_topk_users_sink")

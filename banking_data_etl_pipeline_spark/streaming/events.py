@@ -1045,3 +1045,61 @@ def srm_stream(
         )
         q.awaitTermination()
     return experiments.srm_check(spark.sql(f"SELECT * FROM {name}"))
+
+
+def topk_users_stream(
+    spark: SparkSession, events_dir: str, name: str, k: int = 10
+) -> DataFrame:
+    """Streaming LEADERBOARD: unwindowed stateful per-user counts
+    (built-in streaming aggregate, update mode — per-key state only,
+    no windows to expire) drained with availableNow, then the final
+    top-``k`` by (count desc, user_id asc) with each user's share of
+    the total. The live-dashboard "most active entities right now"
+    monitor; batch-equivalent by construction on a bounded feed, so
+    the oracle is the plain groupBy-count top-k over the same events
+    (update mode re-emits a user's row on every increase — the
+    terminal MAX per user IS the final count).
+
+    At scale: state is one long per user (the streaming agg's own
+    store); the rank runs post-drain over the users-sized frame. A
+    true unbounded deployment would snapshot the counts table
+    periodically instead of ranking in-stream — the same shape this
+    takes with availableNow."""
+    from pyspark.sql import Window
+
+    stream = events_stream(spark, events_dir)
+    counts = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    with _state_partitions(spark):
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("user_id")
+        .agg(F.max("n_events").cast("bigint").alias("n_events"))
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wq = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    return (
+        final.withColumn("_tot", F.sum("n_events").over(tot))
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(
+            "user_id",
+            "n_events",
+            F.expr(
+                "round(CAST(n_events AS DOUBLE)"
+                " / CAST(_tot AS DOUBLE), 6)"
+            ).alias("share"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

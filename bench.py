@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "calibration_bins",
     "kcore",
     "hard_negatives",
+    "stream_topk_users",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

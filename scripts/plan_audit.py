@@ -32,6 +32,7 @@ SKIP = {
     "stream_quality_gate", "stream_minhash_screen",
     "stream_bloom_screen", "stream_funnel", "stream_psi_drift",
     "stream_attribution", "stream_ewma", "stream_srm",
+    "stream_topk_users",
     # iterative (driver-side loop): representative per-iteration plans
     # captured via plan_hook in the second section below
     "kmeans", "dedup_resolve", "pagerank", "fuzzy_resolve",

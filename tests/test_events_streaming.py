@@ -348,3 +348,48 @@ def test_stream_psi_drift_equals_batch_psi(spark):
     }
     assert streamed == batch
     spark.catalog.clearCache()
+
+
+def test_stream_topk_users_equals_batch_leaderboard(spark):
+    ev = tables.load(spark, SF_DIR, "events")
+    tot = ev.count()
+    batch = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="test_topk_users_")
+    os.symlink(
+        os.path.join(SF_DIR, "events.parquet"),
+        os.path.join(d, "events.parquet"),
+    )
+    out = EV.topk_users_stream(spark, d, "test_topk_sink").collect()
+    assert [(r.rank, r.user_id, r.n_events) for r in out] == [
+        (i + 1, b.user_id, b.n_events) for i, b in enumerate(batch)
+    ]
+    assert all(r.share == round(r.n_events / tot, 6) for r in out)
+
+
+def test_stream_topk_users_split_delivery_invariant(spark, tmp_path):
+    # the same events split across TWO files (micro-batches under
+    # availableNow) must produce the identical final leaderboard —
+    # update-mode re-emissions reduce to the terminal MAX per user
+    ev = tables.load(spark, SF_DIR, "events")
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        d, mode="append"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        d, mode="append"
+    )
+    whole = tempfile.mkdtemp(prefix="test_topk_whole_")
+    os.symlink(
+        os.path.join(SF_DIR, "events.parquet"),
+        os.path.join(whole, "events.parquet"),
+    )
+    a = EV.topk_users_stream(spark, d, "test_topk_split_sink").collect()
+    b = EV.topk_users_stream(spark, whole, "test_topk_whole_sink").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -300,6 +300,7 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "stream_ewma",  # same
         "ann_ivf_prebuilt",  # builds/reads the persisted index eagerly
         "kcore",  # iterative peel loop (localCheckpoint per round)
+        "stream_topk_users",  # runs its stream eagerly at build
     }
     # intentional broadcast cross joins: ann_brute scores the tiny
     # query set against the corpus; source_divergence expands the
