@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import texttools
+from ..functions import texttools, vectors
 
 # shared verbatim with oracle.BM25_TOPK_Q — evaluated over double
 # columns (tf, df, dl, n_docs, avgdl) in both engines, so the doubles
@@ -485,3 +485,96 @@ def hard_negatives(
         .filter(F.col("neg_rank") <= k_neg)
         .select("query_id", "pos_doc_id", "doc_id", "score", "neg_rank")
     )
+
+
+# MMR objective text shared with oracle.mmr_rerank_sql — identical
+# double arithmetic in both engines (rel and msim are already
+# deterministic: a windowed max-division and 6-dp-rounded cosines).
+MMR_EXPR = "0.5 * rel - 0.5 * msim"
+
+
+def mmr_rerank(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_select: int = 5,
+    pool: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    1998) of the BM25 pool: greedily pick the candidate maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked (λ=0.5) —
+    the diversification pass every RAG retrieval stack ships so the
+    context window doesn't fill with near-duplicates of the top hit.
+    Relevance is the per-query max-normalized BM25 score; redundancy
+    is embedding cosine against the picked set.
+
+    Spark shape: each greedy round joins the remaining pool (≤ pool
+    rows/query) to the picked set (≤ n_select rows/query), takes a
+    per-candidate max-sim groupBy and one window argmax — queries ×
+    pool × n_select work total, independent of corpus size (the
+    corpus was already reduced by BM25's two-phase top-k). Each
+    round's frames are eagerly ``localCheckpoint``ed, NOT persisted:
+    a round references the previous round's frames ~4 times, so an
+    un-truncated chain re-ANALYZES the whole BM25 subtree 4^rounds
+    times (the CC-loop lesson; measured 300 s of pure Catalyst
+    analysis at sf0.001 with lazy persists, ~8 s checkpointed). The
+    loop is therefore eager/iterative, like kcore. All ranking ties
+    break (objective desc, doc_id asc), so picks are deterministic
+    and the DuckDB twin replays the greedy walk as unrolled CTEs.
+
+    Returns (query_id, doc_id, rel, pick), pick 1..n_select in
+    selection order, rel 6-dp-rounded."""
+    hits = bm25_topk(docs, k=pool, text_col=text_col, id_col=id_col)
+    ev = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("v")
+    )
+    wq = Window.partitionBy("query_id")
+    cand = (
+        hits.join(ev, "doc_id")
+        .withColumn("rel", F.col("score") / F.max("score").over(wq))
+        .select("query_id", "doc_id", "rel", "v", "rank")
+    )
+    cand = cand.localCheckpoint()
+    sel = cand.filter(F.col("rank") == 1).select(
+        "query_id", "doc_id", "rel", "v", F.lit(1).alias("pick")
+    )
+    rem = cand.filter(F.col("rank") > 1).select(
+        "query_id", "doc_id", "rel", "v"
+    )
+    wpick = Window.partitionBy("query_id").orderBy(
+        F.expr(MMR_EXPR).desc(), F.col("doc_id").asc()
+    )
+    for t in range(2, n_select + 1):
+        msim = (
+            rem.alias("c")
+            .join(sel.alias("s"), "query_id")
+            .select(
+                "query_id",
+                F.col("c.doc_id").alias("doc_id"),
+                F.round(
+                    vectors.cosine(F.col("c.v"), F.col("s.v")), 6
+                ).alias("sim"),
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.max("sim").alias("msim"))
+        )
+        pick = (
+            rem.join(msim, ["query_id", "doc_id"])
+            .withColumn("_r", F.row_number().over(wpick))
+            .filter(F.col("_r") == 1)
+            .select("query_id", "doc_id", "rel", "v", F.lit(t).alias("pick"))
+            .localCheckpoint()
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+        rem = rem.join(
+            pick.select("query_id", "doc_id"),
+            ["query_id", "doc_id"],
+            "left_anti",
+        ).localCheckpoint()
+    return sel.select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("rel"), 6).alias("rel"),
+        F.col("pick").cast("int").alias("pick"),
+    ).orderBy("query_id", "pick")

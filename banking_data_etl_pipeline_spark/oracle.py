@@ -5658,6 +5658,68 @@ SELECT user_id, n_events, share, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10"""
 
 
+# Twin of operators.retrieval.mmr_rerank: the bm25 pool + embeddings,
+# then the greedy λ=0.5 MMR walk unrolled one CTE pair per pick —
+# same max-normalized relevance, same 6-dp cosines, same
+# (objective desc, doc_id asc) tie-break, MMR_EXPR interpolated
+# verbatim. MATERIALIZED: each round references the previous
+# remaining/selected sets repeatedly (the kcore_sql lesson).
+def mmr_rerank_sql(n_select: int = 5, pool: int = 20) -> str:
+    from .operators.retrieval import MMR_EXPR
+
+    parts = [
+        f"""WITH hits AS MATERIALIZED (
+  SELECT * FROM ({bm25_topk_sql(k=pool)})
+), ev AS (
+  SELECT vec_id AS doc_id, embedding AS v FROM embeddings
+), cand AS MATERIALIZED (
+  SELECT h.query_id, h.doc_id,
+         h.score / max(h.score) OVER (PARTITION BY h.query_id) AS rel,
+         e.v, h.rank
+  FROM hits h JOIN ev e ON h.doc_id = e.doc_id
+), sel1 AS MATERIALIZED (
+  SELECT query_id, doc_id, rel, v, 1 AS pick FROM cand WHERE rank = 1
+), rem1 AS MATERIALIZED (
+  SELECT query_id, doc_id, rel, v FROM cand WHERE rank > 1
+)"""
+    ]
+    for t in range(2, n_select + 1):
+        parts.append(
+            f""",
+m{t} AS MATERIALIZED (
+  SELECT c.query_id, c.doc_id,
+         max(round({_cosine('c.v', 's.v')}, 6)) AS msim
+  FROM rem{t - 1} c JOIN sel{t - 1} s ON c.query_id = s.query_id
+  GROUP BY c.query_id, c.doc_id
+), p{t} AS MATERIALIZED (
+  SELECT query_id, doc_id FROM (
+    SELECT r.query_id, r.doc_id,
+           row_number() OVER (PARTITION BY r.query_id
+                              ORDER BY {MMR_EXPR} DESC,
+                                       r.doc_id ASC) AS rn
+    FROM rem{t - 1} r
+    JOIN m{t} m ON r.query_id = m.query_id AND r.doc_id = m.doc_id
+  ) WHERE rn = 1
+), sel{t} AS MATERIALIZED (
+  SELECT * FROM sel{t - 1}
+  UNION ALL
+  SELECT c.query_id, c.doc_id, c.rel, c.v, {t} AS pick
+  FROM cand c JOIN p{t} p
+    ON c.query_id = p.query_id AND c.doc_id = p.doc_id
+), rem{t} AS MATERIALIZED (
+  SELECT r.* FROM rem{t - 1} r
+  ANTI JOIN p{t} p
+    ON r.query_id = p.query_id AND r.doc_id = p.doc_id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT query_id, doc_id, round(rel, 6) AS rel, CAST(pick AS INT) AS pick
+FROM sel{n_select}"""
+    )
+    return "".join(parts)
+
+
 # Twin of operators.retrieval.hard_negatives: the bm25_topk twin as a
 # derived table (pool+1 per query), top-1 = positive, same-source
 # candidates filtered, remaining re-ranked (score desc, doc_id asc).

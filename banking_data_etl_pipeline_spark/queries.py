@@ -2760,3 +2760,15 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     d = _stream_src_dir(sf_dir, "events")
     return EV.topk_users_stream(spark, d, "stream_topk_users_sink")
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification of the BM25 pool (lambda=0.5, embedding
+    cosine redundancy) — the RAG context-window re-ranker."""
+    from .operators import retrieval
+
+    tune_for_oracle(spark)
+    return retrieval.mmr_rerank(
+        tables.load(spark, sf_dir, "documents"),
+        tables.load(spark, sf_dir, "embeddings"),
+    )

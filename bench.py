@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "kcore",
     "hard_negatives",
     "stream_topk_users",
+    "mmr_rerank",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

@@ -37,6 +37,7 @@ SKIP = {
     # captured via plan_hook in the second section below
     "kmeans", "dedup_resolve", "pagerank", "fuzzy_resolve",
     "triangle_count", "bpe_merges", "bpe_merges_batched", "kcore",
+    "mmr_rerank",
 }
 
 # which iterative capture covers each skipped query's loop
@@ -49,6 +50,8 @@ ITER_COVERAGE = {
     "bpe_merges": "bpe[pair-count]",
     "bpe_merges_batched": "bpe[pair-count] (same per-pass plan)",
     "kcore": "kcore[peel]",
+    "mmr_rerank": "bm25_topk row (pool scan; pick rounds are "
+    "checkpointed joins over <= queries x pool rows)",
 }
 
 

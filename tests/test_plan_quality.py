@@ -301,6 +301,7 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "ann_ivf_prebuilt",  # builds/reads the persisted index eagerly
         "kcore",  # iterative peel loop (localCheckpoint per round)
         "stream_topk_users",  # runs its stream eagerly at build
+        "mmr_rerank",  # greedy selection loop (localCheckpoint per round)
     }
     # intentional broadcast cross joins: ann_brute scores the tiny
     # query set against the corpus; source_divergence expands the

@@ -170,3 +170,67 @@ def test_hard_negatives_mining_invariants(spark):
         scores = [(-r.score, r.doc_id) for r in rows]
         assert scores == sorted(scores)
         assert len(rows) <= 5
+
+
+# ------------------------------------------------------ MMR rerank
+
+
+def test_mmr_rerank_matches_python_greedy_reference(spark):
+    """Differential check: replay the greedy MMR walk in plain Python
+    (same max-normalized relevance, 6-dp cosines, 0.5/0.5 objective,
+    (objective desc, doc_id asc) ties) and demand identical pick
+    sequences per query."""
+    import math
+
+    from banking_data_etl_pipeline_spark.operators import retrieval
+    from banking_data_etl_pipeline_spark.sources import tables
+    from conftest import SF_DIR
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    out = retrieval.mmr_rerank(docs, emb, n_select=5, pool=20).collect()
+
+    hits = retrieval.bm25_topk(docs, k=20).collect()
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        d = math.sqrt(na) * math.sqrt(nb)
+        return round(dot / d, 6) if d else 0.0
+
+    by_q: dict[int, list] = {}
+    for r in hits:
+        by_q.setdefault(r.query_id, []).append(r)
+    expect: dict[int, list[int]] = {}
+    for q, rows in by_q.items():
+        mx = max(r.score for r in rows)
+        rel = {r.doc_id: r.score / mx for r in rows}
+        first = min(rows, key=lambda r: r.rank).doc_id
+        sel, rem = [first], [r.doc_id for r in rows if r.doc_id != first]
+        while len(sel) < 5 and rem:
+            best = min(
+                rem,
+                key=lambda d: (
+                    -(0.5 * rel[d]
+                      - 0.5 * max(cos(vecs[d], vecs[s]) for s in sel)),
+                    d,
+                ),
+            )
+            sel.append(best)
+            rem.remove(best)
+        expect[q] = sel
+    got: dict[int, list[int]] = {}
+    for r in sorted(out, key=lambda r: (r.query_id, r.pick)):
+        got.setdefault(r.query_id, []).append(r.doc_id)
+    assert got == expect
+    # every pick carries the normalized relevance, rounded
+    relmap = {}
+    for q, rows in by_q.items():
+        mx = max(r.score for r in rows)
+        for r in rows:
+            relmap[(q, r.doc_id)] = round(r.score / mx, 6)
+    assert all(r.rel == relmap[(r.query_id, r.doc_id)] for r in out)
