@@ -1,0 +1,46 @@
+"""The recall harness's amortization layers (r9): model-parameter
+JSON staging, prebuilt-index probes, and prepared-plan memoization.
+The oracle gate proves end-to-end values; these pin the cache
+CONTRACTS — bit-identical round-trips and semantics-free reuse."""
+
+from __future__ import annotations
+
+import glob
+
+from banking_data_etl_pipeline_spark import queries as Q
+from banking_data_etl_pipeline_spark.sources import tables
+from conftest import SF_DIR
+
+
+def test_ann_models_json_roundtrip_is_bit_identical(spark):
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    # first call may train or hit an earlier stage; the second call is
+    # ALWAYS the JSON path — training determinism + repr round-trip
+    # means both must be exactly equal, float by float
+    a = Q._ann_models(emb, SF_DIR)
+    fp_files = glob.glob("/tmp/spark_graft_annmodels_*.json")
+    assert fp_files, "staging file missing after _ann_models"
+    b = Q._ann_models(emb, SF_DIR)
+    assert a == b
+    cents, books, res_books = b
+    assert len(cents) == 16 and all(len(v) == 64 for _c, v in cents)
+    assert len(books) == 4 and all(len(bk) == 16 for bk in books)
+    assert len(res_books) == 4
+    # the cached load returns proper python floats (not strings)
+    assert all(isinstance(x, float) for _c, v in cents for x in v[:2])
+
+
+def test_ann_recall_plan_is_memoized_per_corpus(spark):
+    df1 = Q.ann_recall(spark, SF_DIR)
+    df2 = Q.ann_recall(spark, SF_DIR)
+    # same prepared plan object — construction cost paid once
+    assert df1 is df2
+    # and the memo key is the CORPUS, not the call: a different sf dir
+    # must build its own plan
+    df3 = Q.ann_recall(spark, "/root/testdata/sf0.01")
+    assert df3 is not df1
+    # re-executing the memoized plan still yields a stable result
+    rows1 = sorted(map(tuple, df1.collect()))
+    spark.catalog.clearCache()
+    rows2 = sorted(map(tuple, df1.collect()))
+    assert rows1 == rows2 and len(rows1) == 5
