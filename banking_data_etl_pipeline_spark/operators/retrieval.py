@@ -42,6 +42,41 @@ BM25_TERM_FORMULA = (
 )
 
 
+def derived_query_terms(
+    tk: DataFrame,
+    n_queries: int = 5,
+    terms_per_query: int = 2,
+    vocab_rank_start: int = 11,
+) -> DataFrame:
+    """The corpus-derived query set shared by bm25_topk and the
+    ranking-eval metrics: vocabulary ranked by (total occurrences
+    desc, token asc), ranks ``vocab_rank_start`` .. become
+    ``n_queries`` queries of ``terms_per_query`` tokens each. The
+    ranking is a TakeOrdered partial top-N whose rows collect and
+    inline as a literal table (model-parameter scale)."""
+    vocab = tk.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    n_terms = n_queries * terms_per_query
+    top = (
+        vocab.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_rank_start - 1 + n_terms)
+        .collect()
+    )
+    sel = top[vocab_rank_start - 1:]
+    if len(sel) < n_terms:
+        # a short vocabulary would silently produce an EMPTY (and
+        # vacuously oracle-matching) result — fail loudly instead,
+        # the psi_drift degenerate-domain convention
+        raise ValueError(
+            f"bm25_topk: vocabulary has {len(top)} tokens, need "
+            f">= {vocab_rank_start - 1 + n_terms} for the derived "
+            "query band — lower vocab_rank_start or shrink the query set"
+        )
+    return tk.sparkSession.createDataFrame(
+        [(i // terms_per_query, r.token) for i, r in enumerate(sel)],
+        "query_id int, token string",
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     k: int = 10,
@@ -87,26 +122,8 @@ def bm25_topk(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    vocab = tk.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    n_terms = n_queries * terms_per_query
-    top = (
-        vocab.orderBy(F.desc("cnt"), F.asc("token"))
-        .limit(vocab_rank_start - 1 + n_terms)
-        .collect()
-    )
-    sel = top[vocab_rank_start - 1:]
-    if len(sel) < n_terms:
-        # a short vocabulary would silently produce an EMPTY (and
-        # vacuously oracle-matching) result — fail loudly instead,
-        # the psi_drift degenerate-domain convention
-        raise ValueError(
-            f"bm25_topk: vocabulary has {len(top)} tokens, need "
-            f">= {vocab_rank_start - 1 + n_terms} for the derived "
-            "query band — lower vocab_rank_start or shrink the query set"
-        )
-    qterms = docs.sparkSession.createDataFrame(
-        [(i // terms_per_query, r.token) for i, r in enumerate(sel)],
-        "query_id int, token string",
+    qterms = derived_query_terms(
+        tk, n_queries, terms_per_query, vocab_rank_start
     )
     # prune the document-frequency table to the query terms BEFORE
     # broadcasting: F.broadcast overrides the size threshold, and the
@@ -578,3 +595,84 @@ def mmr_rerank(
         F.round(F.col("rel"), 6).alias("rel"),
         F.col("pick").cast("int").alias("pick"),
     ).orderBy("query_id", "pick")
+
+
+# nDCG gain/discount text shared with oracle.ndcg_sql — exact powers
+# of two for the integer grades, the codebase's proven log2 parity.
+NDCG_TERM = (
+    "(pow(CAST(2.0 AS DOUBLE), CAST(g AS DOUBLE)) - CAST(1.0 AS DOUBLE))"
+    " / log2(CAST({r} AS DOUBLE) + CAST(1.0 AS DOUBLE))"
+)
+
+
+def ndcg_at_k(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """nDCG@k of the BM25 ranking — THE graded ranking-quality metric
+    (Järvelin & Kekäläinen 2002): DCG sums (2^rel − 1)/log2(rank + 1)
+    over the retrieved list; nDCG divides by the ideal (re-sorted)
+    DCG of the same list. Relevance here is the deterministic
+    TERM-COVERAGE grade (how many distinct query terms the document
+    contains, 0..terms_per_query) — a labeled qrels table swaps in
+    for production evaluation, everything downstream unchanged. With
+    score_auc (classification) and calibration_bins (probability),
+    this completes the model-evaluation readouts: this one scores
+    RANKINGS.
+
+    Scale shape: rides bm25_topk (two-phase top-k); grades are one
+    distinct-postings join against the broadcast query terms; DCG and
+    ideal-DCG are windows over queries × k rows with the per-position
+    terms 12-dp rounded and summed through DECIMAL(26,12)
+    (order-independent across engines).
+
+    Returns (query_id, dcg, idcg, ndcg), 6-dp rounded."""
+    hits = bm25_topk(docs, k=k, text_col=text_col, id_col=id_col)
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(texttools.tokens(F.col(text_col))).alias("token"),
+    )
+    qt = derived_query_terms(tk.select(F.col("doc_id").alias(id_col), "token"))
+    grades = (
+        tk.select("doc_id", "token")
+        .distinct()
+        .join(F.broadcast(qt), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("g"))
+    )
+    scored = hits.join(grades, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "doc_id",
+        "rank",
+        F.coalesce(F.col("g"), F.lit(0)).alias("g"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("g").desc(), F.col("doc_id").asc()
+    )
+    terms = scored.withColumn("irank", F.row_number().over(wq)).select(
+        "query_id",
+        F.expr(
+            f"CAST(round({NDCG_TERM.format(r='rank')}, 12)"
+            " AS DECIMAL(26,12))"
+        ).alias("dt"),
+        F.expr(
+            f"CAST(round({NDCG_TERM.format(r='irank')}, 12)"
+            " AS DECIMAL(26,12))"
+        ).alias("it"),
+    )
+    return (
+        terms.groupBy("query_id")
+        .agg(F.sum("dt").alias("ds"), F.sum("it").alias("is_"))
+        .select(
+            "query_id",
+            F.expr("round(CAST(ds AS DOUBLE), 6)").alias("dcg"),
+            F.expr("round(CAST(is_ AS DOUBLE), 6)").alias("idcg"),
+            F.expr(
+                "round(CAST(ds AS DOUBLE)"
+                " / nullif(CAST(is_ AS DOUBLE), 0.0), 6)"
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

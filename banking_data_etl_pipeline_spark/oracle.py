@@ -5658,6 +5658,68 @@ SELECT user_id, n_events, share, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10"""
 
 
+# Twin of operators.retrieval.ndcg_at_k: the bm25 twin as a derived
+# table, the same derived-query-terms CTE for the term-coverage
+# grades, NDCG_TERM interpolated verbatim over (rank | ideal rank),
+# 12-dp terms summed as DECIMAL(26,12).
+def ndcg_sql(
+    k: int = 10,
+    n_queries: int = 5,
+    terms_per_query: int = 2,
+    vocab_rank_start: int = 11,
+) -> str:
+    from .operators.retrieval import NDCG_TERM
+
+    n_terms = n_queries * terms_per_query
+    return f"""WITH hits AS MATERIALIZED (
+  SELECT * FROM ({bm25_topk_sql(k=k)})
+), tk AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+), vranked AS (
+  SELECT token,
+         row_number() OVER (ORDER BY count(*) DESC, token ASC) AS vrank
+  FROM tk GROUP BY token
+), qt AS (
+  SELECT CAST((vrank - {vocab_rank_start}) // {terms_per_query} AS INT)
+           AS query_id,
+         token
+  FROM vranked
+  WHERE vrank >= {vocab_rank_start}
+    AND vrank < {vocab_rank_start} + {n_terms}
+), grades AS (
+  SELECT q.query_id, p.doc_id, CAST(count(*) AS INT) AS g
+  FROM (SELECT DISTINCT doc_id, token FROM tk) p
+  JOIN qt q ON p.token = q.token
+  GROUP BY q.query_id, p.doc_id
+), scored AS (
+  SELECT h.query_id, h.doc_id, h.rank, coalesce(g.g, 0) AS g
+  FROM hits h
+  LEFT JOIN grades g
+    ON h.query_id = g.query_id AND h.doc_id = g.doc_id
+), ideal AS (
+  SELECT query_id, rank, g,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY g DESC, doc_id ASC) AS irank
+  FROM scored
+), terms AS (
+  SELECT query_id,
+         CAST(round({NDCG_TERM.format(r='rank')}, 12)
+              AS DECIMAL(26,12)) AS dt,
+         CAST(round({NDCG_TERM.format(r='irank')}, 12)
+              AS DECIMAL(26,12)) AS it
+  FROM ideal
+), sums AS (
+  SELECT query_id, sum(dt) AS ds, sum(it) AS is_ FROM terms
+  GROUP BY query_id
+)
+SELECT query_id,
+       round(CAST(ds AS DOUBLE), 6) AS dcg,
+       round(CAST(is_ AS DOUBLE), 6) AS idcg,
+       round(CAST(ds AS DOUBLE) / nullif(CAST(is_ AS DOUBLE), 0.0), 6)
+         AS ndcg
+FROM sums"""
+
+
 # Twin of operators.retrieval.mmr_rerank: the bm25 pool + embeddings,
 # then the greedy λ=0.5 MMR walk unrolled one CTE pair per pick —
 # same max-normalized relevance, same 6-dp cosines, same

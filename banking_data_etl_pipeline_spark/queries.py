@@ -2772,3 +2772,13 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.load(spark, sf_dir, "documents"),
         tables.load(spark, sf_dir, "embeddings"),
     )
+
+
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 ranking under the deterministic
+    term-coverage grade — the graded ranking-quality readout
+    completing the evaluation family (AUC, calibration, nDCG)."""
+    from .operators import retrieval
+
+    tune_for_oracle(spark)
+    return retrieval.ndcg_at_k(tables.load(spark, sf_dir, "documents"))

@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "hard_negatives",
     "stream_topk_users",
     "mmr_rerank",
+    "ndcg_eval",
     # round 7 additions
     "bm25_topk",
     "pq_topk",

@@ -234,3 +234,59 @@ def test_mmr_rerank_matches_python_greedy_reference(spark):
         for r in rows:
             relmap[(q, r.doc_id)] = round(r.score / mx, 6)
     assert all(r.rel == relmap[(r.query_id, r.doc_id)] for r in out)
+
+
+# ------------------------------------------------------------ nDCG
+
+
+def test_ndcg_matches_python_reference_and_bounds(spark):
+    """Differential: recompute DCG/IDCG in plain Python from the
+    collected hits + term-coverage grades (same 12-dp term rounding)
+    and demand identical 6-dp results; plus the metric's bounds."""
+    import math
+
+    from banking_data_etl_pipeline_spark.operators import retrieval
+    from banking_data_etl_pipeline_spark.functions import texttools
+    from banking_data_etl_pipeline_spark.sources import tables
+    from conftest import SF_DIR
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    out = {r.query_id: r for r in retrieval.ndcg_at_k(docs).collect()}
+    hits = retrieval.bm25_topk(docs, k=10).collect()
+    tk = docs.select(
+        "doc_id", F.explode(texttools.tokens(F.col("text"))).alias("token")
+    )
+    qt = retrieval.derived_query_terms(tk).collect()
+    terms_of = {}
+    for r in qt:
+        terms_of.setdefault(r.query_id, set()).add(r.token)
+    doc_tokens = {
+        r.doc_id: set(r.toks)
+        for r in docs.select(
+            "doc_id", texttools.tokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    by_q: dict[int, list] = {}
+    for h in hits:
+        by_q.setdefault(h.query_id, []).append(h)
+    for q, rows in by_q.items():
+        grades = {
+            h.doc_id: len(terms_of[q] & doc_tokens[h.doc_id]) for h in rows
+        }
+        dcg = sum(
+            round((2.0 ** grades[h.doc_id] - 1.0) / math.log2(h.rank + 1.0), 12)
+            for h in rows
+        )
+        ideal = sorted(rows, key=lambda h: (-grades[h.doc_id], h.doc_id))
+        idcg = sum(
+            round((2.0 ** grades[h.doc_id] - 1.0) / math.log2(i + 2.0), 12)
+            for i, h in enumerate(ideal)
+        )
+        r = out[q]
+        assert r.dcg == round(dcg, 6)
+        assert r.idcg == round(idcg, 6)
+        assert r.ndcg == round(dcg / idcg, 6)
+        # bounds: dcg <= idcg always, and every retrieved doc contains
+        # a query term (score > 0), so grades >= 1 and ndcg in (0, 1]
+        assert 0.0 < r.ndcg <= 1.0
+        assert r.dcg <= r.idcg
