@@ -1191,3 +1191,76 @@ def winnow_pairs(
         .limit(top)
     )
     return out
+
+
+def substr_dedup(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT substring dedup: per-document maximal extents of token
+    spans that occur verbatim elsewhere in the corpus — the
+    suffix-array-window dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr, §4.1),
+    re-expressed relationally. Instead of one giant suffix array over
+    the concatenated corpus, slide an L-token window (stride 1) over
+    every document: any duplicated substring of >= L tokens is covered
+    by at least one duplicated window, and the union of a document's
+    duplicated windows — coalesced by the gaps-and-islands idiom —
+    yields exactly the maximal duplicated-span extents ExactSubstr
+    reports (complements ``winnow_pairs``, which samples fingerprints
+    and so can only approximate extents).
+
+    Scale shape: window fingerprints are computed MAP-SIDE in one
+    posexplode projection (md5 of the joined window — 128-bit, so the
+    shuffle carries fixed-width keys, never window text); the
+    occurrence count is ONE groupBy with map-side combine (a
+    boilerplate window repeated corpus-wide partially aggregates
+    before the shuffle); the count join back to positions is an
+    equi-join on the fingerprint — AQE broadcasts the duplicated-set
+    side when it fits and skew-splits hot fingerprints otherwise; the
+    island merge partitions by document (parallel, no cross-doc
+    traffic). No self-join of the window stream exists — the pairing
+    blow-up of pairwise dedup never appears because extents, not
+    pairs, are the output.
+
+    Returns (doc_id, start_tok, end_tok, span_tokens, max_occ):
+    0-based inclusive token offsets of each maximal duplicated span,
+    its length, and the corpus-wide occurrence count of its most
+    repeated window."""
+    from pyspark.sql import Window
+
+    L = min_tokens
+    wins = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            texttools.word_shingles(texttools.tokens(F.col(text_col)), L)
+        ).alias("pos", "win"),
+    ).select("doc", "pos", F.md5(F.col("win")).alias("h"))
+    counts = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+        .filter(F.col("occ") >= 2)
+    )
+    dup = wins.join(counts, "h").select("doc", "pos", "occ")
+    isl = dup.withColumn(
+        "_grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc").orderBy("pos")),
+    )
+    return (
+        isl.groupBy("doc", "_grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_tok"),
+            (F.max("pos") + F.lit(L - 1)).cast("bigint").alias("end_tok"),
+            F.max("occ").alias("max_occ"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok") + 1).alias("span_tokens"),
+            "max_occ",
+        )
+    )

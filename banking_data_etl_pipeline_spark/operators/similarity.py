@@ -257,7 +257,7 @@ def pq_train_codebooks(
     train_iterations: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> list[list[tuple[int, list[float]]]]:
+) -> list[list[list[float]]]:
     """Product-quantization codebooks: split the vector into ``m``
     contiguous subspaces and train one ``codes``-entry codebook per
     subspace with the SAME decimal-exact Lloyd walk as every other
@@ -297,6 +297,7 @@ def train_residual_codebooks(
     train_iterations: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    res_frame: DataFrame | None = None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks on the RESIDUAL cloud ``v - centroid[cell]``
     given an already-trained coarse quantizer — the classic-IVFPQ
@@ -304,26 +305,33 @@ def train_residual_codebooks(
     ``ivf_pq_topk`` so callers that stage model parameters per corpus
     snapshot (the ``ann_recall`` amortization cache) can train the
     residual books ONCE and inject them on every probe. Deterministic:
-    a fixed double expression of two literal-replayable stages."""
-    n_centroids = len(cents)
-    scorer = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
-    corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scorer)
-    cmap = _cent_map(cents)
-    # persist the residual training frame: each subspace walk is
-    # several jobs (validation, init, per-iteration update) and every
-    # one would otherwise recompute the coarse-assignment argmax + the
-    # zip_with subtraction from scratch
-    res_frame = (
-        corpus.withColumn(
+    a fixed double expression of two literal-replayable stages.
+
+    ``res_frame`` injects an ALREADY-COMPUTED residual frame with
+    columns ``(vec_id, embedding)`` (embedding = v - centroid[cell]).
+    Callers that have already run the coarse assignment for encoding
+    (``ivf_pq_topk``, ``build_ivfpq_index``) pass their own residual
+    projection here so the scorer literal tree and the assignment
+    argmax are built ONCE per plan, not twice — rebuilding them from
+    ``emb`` doubled driver-side analysis and cost ivf_pq_residual
+    +56%% warm in the r9 battery."""
+    if res_frame is None:
+        n_centroids = len(cents)
+        scorer = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
+        corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scorer)
+        cmap = _cent_map(cents)
+        res_frame = corpus.withColumn(
             "rvec",
             F.zip_with(
                 F.col("v"), cmap[F.col("cell")],
                 lambda a, b: a.cast("double") - b,
             ),
-        )
-        .select("vec_id", F.col("rvec").alias("embedding"))
-        .persist()
-    )
+        ).select("vec_id", F.col("rvec").alias("embedding"))
+    # persist the residual training frame: each subspace walk is
+    # several jobs (validation, init, per-iteration update) and every
+    # one would otherwise recompute the coarse-assignment argmax + the
+    # zip_with subtraction from scratch
+    res_frame = res_frame.persist()
     try:
         return pq_train_codebooks(
             res_frame, m, codes, train_iterations, "embedding", "vec_id"
@@ -552,8 +560,13 @@ def ivf_pq_topk(
             ),
         )
         if books is None:
+            # reuse THIS plan's coarse assignment for training: the
+            # scorer literal tree and argmax are already in `corpus`
             books = train_residual_codebooks(
-                emb, cents, m, codes, pq_train_iterations, vec_col, id_col
+                emb, cents, m, codes, pq_train_iterations, vec_col, id_col,
+                res_frame=corpus.select(
+                    "vec_id", F.col("rvec").alias("embedding")
+                ),
             )
         enc_src = F.col("rvec")
     else:
@@ -1570,7 +1583,15 @@ def nsw_topk(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
     for _ in range(hops):
-        cand = _beam_step(cand, adj, wq, beam, ef)
+        nxt = _beam_step(cand, adj, wq, beam, ef)
+        # materialize the new hop (queries × ef rows — one tiny job)
+        # BEFORE releasing its parent: unpersisting an unmaterialized
+        # parent would re-expose the 2^hops chain. Only the final
+        # frame stays cached, caller-owned.
+        nxt.count()
+        if cand.is_cached:
+            cand.unpersist()
+        cand = nxt
     return (
         cand.withColumn("rank", F.row_number().over(wq))
         .filter(F.col("rank") <= k)
@@ -1719,9 +1740,10 @@ def probe_graph_index(
             .filter(F.col("vec_id") != F.col("query_id"))
         )
         # persisted per hop for the same 2^hops-duplication reason as
-        # _beam_step (the frontier collect already materializes it, so
-        # the cache fills for free); caller-owned
-        cand = (
+        # _beam_step; materialized eagerly so the previous hop's cache
+        # can be released now — only the final frame stays cached,
+        # caller-owned
+        nxt = (
             cand.unionByName(nbrs)
             .dropDuplicates(["query_id", "vec_id"])
             .withColumn("_r", F.row_number().over(wq))
@@ -1729,6 +1751,10 @@ def probe_graph_index(
             .drop("_r")
             .persist()
         )
+        nxt.count()
+        if cand.is_cached:
+            cand.unpersist()
+        cand = nxt
     return (
         cand.withColumn("rank", F.row_number().over(wq))
         .filter(F.col("rank") <= k)
@@ -1769,10 +1795,6 @@ def build_ivfpq_index(
     scorer = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
     corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scorer)
     if residual:
-        if books is None:
-            books = train_residual_codebooks(
-                emb, cents, m, codes, pq_train_iterations, vec_col, id_col
-            )
         cmap = _cent_map(cents)
         corpus = corpus.withColumn(
             "rvec",
@@ -1781,6 +1803,15 @@ def build_ivfpq_index(
                 lambda a, b: a.cast("double") - b,
             ),
         )
+        if books is None:
+            # reuse THIS plan's coarse assignment for training (same
+            # sharing as ivf_pq_topk — one scorer tree per build)
+            books = train_residual_codebooks(
+                emb, cents, m, codes, pq_train_iterations, vec_col, id_col,
+                res_frame=corpus.select(
+                    "vec_id", F.col("rvec").alias("embedding")
+                ),
+            )
         enc_src = F.col("rvec")
     else:
         if books is None:

@@ -5419,6 +5419,42 @@ LIMIT {top}"""
 WINNOW_Q = winnow_sql()
 
 
+# Twin of operators.dedup.substr_dedup (min_tokens=8): same L-token
+# sliding windows (word_shingles), md5 fingerprints, occ>=2 groupBy,
+# and the gaps-and-islands coalesce. DuckDB's range() is 1-based where
+# posexplode is 0-based — the -1 keeps offsets identical; the island
+# key pos - row_number() is invariant to the shared constant shift.
+def substr_dedup_sql(min_tokens: int = 8) -> str:
+    L = min_tokens
+    return f"""WITH base AS (
+  SELECT doc_id AS doc, {_word_shingles(TOKS, L)} AS wins FROM documents
+), flat AS (
+  SELECT doc, s['pos'] - 1 AS pos, md5(s['win']) AS h
+  FROM (SELECT doc,
+               unnest(list_transform(range(1, len(wins) + 1),
+                      i -> {{'pos': i, 'win': wins[i]}})) AS s
+        FROM base)
+), counts AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS occ
+  FROM flat GROUP BY h HAVING count(*) >= 2
+), dup AS (
+  SELECT f.doc, f.pos, c.occ FROM flat f JOIN counts c ON f.h = c.h
+), isl AS (
+  SELECT doc, pos, occ,
+         pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc AS doc_id,
+       CAST(min(pos) AS BIGINT) AS start_tok,
+       CAST(max(pos) + {L - 1} AS BIGINT) AS end_tok,
+       CAST(max(pos) + {L - 1} - min(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(max(occ) AS BIGINT) AS max_occ
+FROM isl GROUP BY doc, grp"""
+
+
+SUBSTR_DEDUP_Q = substr_dedup_sql()
+
+
 # Twin of operators.corpus.kneser_ney_xent: same model tables from the
 # one shingle groupBy, the KN_P conditional interpolated verbatim (the
 # distinct-bigram total appears as a cross-joined scalar here and as

@@ -1532,21 +1532,33 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed production ANN index: IVF cell pruning + PQ/ADC
-    code scoring + exact-cosine re-rank of the shortlist."""
+    code scoring + exact-cosine re-rank of the shortlist. Model
+    parameters (coarse centroids + PQ codebooks) come from the
+    per-corpus-snapshot staging cache (`_ann_models`) — training is
+    deterministic and JSON round-trips doubles exactly, so the result
+    is bit-identical to in-plan training (the oracle twin retrains
+    every time and still hash-matches); `ann_ivf`/`ann_pq` stay fully
+    telescoped as the per-round in-plan-training oracle proof."""
     tune_for_oracle(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
     q = similarity.corpus_queries(emb, n=5)
-    return similarity.ivf_pq_topk(emb, q, k=10)
+    cents, books, _res = _ann_models(emb, sf_dir)
+    return similarity.ivf_pq_topk(emb, q, k=10, cents=cents, books=books)
 
 
 def ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic IVFPQ: PQ codebooks trained on and encoding the
     RESIDUAL (v - centroid[cell]) — the recall-sharpening coupling of
-    the two quantizers, per-probed-cell query LUTs."""
+    the two quantizers, per-probed-cell query LUTs. Centroids and
+    residual codebooks are staged per corpus snapshot (`_ann_models`,
+    bit-identical to in-plan training — see `ivf_pq_topk`)."""
     tune_for_oracle(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
     q = similarity.corpus_queries(emb, n=5)
-    return similarity.ivf_pq_topk(emb, q, k=10, residual=True)
+    cents, _books, res_books = _ann_models(emb, sf_dir)
+    return similarity.ivf_pq_topk(
+        emb, q, k=10, residual=True, cents=cents, books=res_books
+    )
 
 
 def ann_ivfpq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1776,8 +1788,21 @@ def _staged_index(sf_dir: str, kind: str, marker: str, build) -> str:
         build(build_dir)
         try:
             os.rename(build_dir, path)
-        except OSError:  # another process published first
-            shutil.rmtree(build_dir, ignore_errors=True)
+        except OSError:
+            # either another process published first (its _SUCCESS now
+            # exists — discard ours and read the winner's), or a stale
+            # HALF-PRUNED dir squats on the path (e.g. a tmp reaper
+            # deleted files inside it): then evict it and retry, else
+            # every call would rebuild, fail the rename, and return
+            # the broken path forever
+            if os.path.exists(os.path.join(path, marker, "_SUCCESS")):
+                shutil.rmtree(build_dir, ignore_errors=True)
+            else:
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.rename(build_dir, path)
+                except OSError:  # lost the re-publish race
+                    shutil.rmtree(build_dir, ignore_errors=True)
     return path
 
 
@@ -1912,12 +1937,31 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-based ANN (NSW / HNSW-lite): within-cell top-R navigable
     graph over the shared coarse quantizer, fixed-hop beam search —
-    the index family every production vector store defaults to."""
+    the index family every production vector store defaults to.
+    Centroids AND the adjacency/entry graph are staged per corpus
+    snapshot (the graph build runs once per snapshot at staging time,
+    via the same `build_graph_index` the prebuilt lifecycle proves);
+    the TELESCOPED beam plan here — whole-adjacency persisted joins,
+    no per-hop driver pull — stays distinct from
+    `ann_graph_prebuilt`'s bucket-pruned probe."""
     tune_for_oracle(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
     q = similarity.corpus_queries(emb, n=5)
     cents, _books, _res = _ann_models(emb, sf_dir)
-    return similarity.nsw_topk(emb, q, k=10, cents=cents)
+    nsw_path = _staged_index(
+        sf_dir, "nsw", "centroids",
+        lambda d: similarity.build_graph_index(emb, d, cents=cents),
+    )
+    return similarity.nsw_topk(
+        emb,
+        q,
+        k=10,
+        cents=cents,
+        adj=spark.read.parquet(f"{nsw_path}/adjacency").select(
+            "src", "dst", "dvec"
+        ),
+        entries=spark.read.parquet(f"{nsw_path}/entries"),
+    )
 
 
 def ann_graph_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2639,6 +2683,15 @@ def winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (non-probabilistic) member of the near-dup family."""
     tune_for_oracle(spark)
     return dedup.winnow_pairs(tables.load(spark, sf_dir, "documents"))
+
+
+def substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr): maximal
+    per-doc extents of >= 8-token spans that occur verbatim elsewhere
+    in the corpus — sliding-window fingerprints + gaps-and-islands
+    coalesce, the exact-extent complement of winnow_dedup."""
+    tune_for_oracle(spark)
+    return dedup.substr_dedup(tables.load(spark, sf_dir, "documents"))
 
 
 def kn_xent(spark: SparkSession, sf_dir: str) -> DataFrame:

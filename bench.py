@@ -283,6 +283,7 @@ BENCH_QUERIES = [
     "countmin_freq",
     "phrase_search",
     "containment_dedup",
+    "substr_dedup",
     "zorder_stats",
 ]
 
@@ -302,19 +303,26 @@ def main() -> None:
     # procedure r3-r6 each rediscovered: in-battery warm numbers carry
     # cross-query JVM/GC noise, and a phantom "regression" otherwise
     # costs a judge cycle.
-    prev: dict[str, float] = {}
-    result_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
-    )
-    try:
-        with open(result_path, encoding="utf-8") as f:
-            _prev_doc = json.load(f)
-        if _prev_doc.get("sf") == float(
-            SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-        ):
-            prev = _prev_doc.get("queries", {})
-    except (OSError, ValueError):
-        pass
+    def _load_warm_map(path: str) -> dict[str, float]:
+        try:
+            with open(path, encoding="utf-8") as f:
+                doc = json.load(f)
+            if doc.get("sf") == float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]):
+                return doc.get("queries", {})
+        except (OSError, ValueError):
+            pass
+        return {}
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev = _load_warm_map(os.path.join(here, "bench_result.json"))
+    # ROUND-OVER-ROUND anchor (r9 verdict): bench_result.json is
+    # overwritten by every run, so a regression that lands mid-round
+    # becomes its own baseline by round close — ivf_pq_residual's +56%
+    # was invisible to the run-over-run diff. BENCH_ANCHOR.json is the
+    # PREVIOUS round-close snapshot (committed once per round, never
+    # touched by ordinary runs), so the same gate against it catches
+    # anything that drifted since the last round closed.
+    anchor = _load_warm_map(os.path.join(here, "BENCH_ANCHOR.json"))
 
     # Warm the JVM/codegen paths once so per-query numbers measure the
     # plan, not first-call JIT (the driver anchor is steady-state too).
@@ -340,20 +348,25 @@ def main() -> None:
     def _is_regression(now: float, before: float) -> bool:
         return now > 1.4 * before and now - before > 0.3
 
-    flagged = [
+    flagged_prev = [
         n for n in BENCH_QUERIES
         if n in prev and _is_regression(warm[n], prev[n])
     ]
-    # bound the re-timing pass: confirm the 10 largest absolute deltas,
-    # mark any overflow explicitly rather than dropping it silently
-    flagged.sort(key=lambda n: prev[n] - warm[n])
-    deltas: dict[str, dict] = {}
-    for name in flagged[10:]:
-        deltas[name] = {
-            "prev_warm": prev[name], "battery_warm": warm[name],
-            "verdict": "unconfirmed (re-timing capped at 10 queries)",
-        }
-    for name in flagged[:10]:
+    flagged_anchor = [
+        n for n in BENCH_QUERIES
+        if n in anchor and _is_regression(warm[n], anchor[n])
+    ]
+    # bound the re-timing pass: confirm the 10 largest absolute deltas
+    # across BOTH baselines (one isolated n=3 per query, shared by both
+    # sections), mark any overflow explicitly rather than dropping it
+    to_retime = sorted(
+        set(flagged_prev) | set(flagged_anchor),
+        key=lambda n: -max(
+            warm[n] - prev.get(n, warm[n]), warm[n] - anchor.get(n, warm[n])
+        ),
+    )
+    retimed: dict[str, float] = {}
+    for name in to_retime[:10]:
         times = []
         for _ in range(3):
             t0 = time.time()
@@ -361,15 +374,26 @@ def main() -> None:
             times.append(time.time() - t0)
             spark.catalog.clearCache()
             spark._jvm.System.gc()
-        best = min(times)
-        deltas[name] = {
-            "prev_warm": prev[name],
-            "battery_warm": warm[name],
-            "isolated_n3_min": round(best, 3),
-            "verdict": (
-                "confirmed" if _is_regression(best, prev[name]) else "noise"
-            ),
-        }
+        retimed[name] = round(min(times), 3)
+
+    def _delta_section(flagged: list[str], base: dict[str, float], key: str):
+        out: dict[str, dict] = {}
+        for name in flagged:
+            d = {key: base[name], "battery_warm": warm[name]}
+            if name in retimed:
+                d["isolated_n3_min"] = retimed[name]
+                d["verdict"] = (
+                    "confirmed"
+                    if _is_regression(retimed[name], base[name])
+                    else "noise"
+                )
+            else:
+                d["verdict"] = "unconfirmed (re-timing capped at 10 queries)"
+            out[name] = d
+        return out
+
+    deltas = _delta_section(flagged_prev, prev, "prev_warm")
+    anchor_deltas = _delta_section(flagged_anchor, anchor, "anchor_warm")
 
     # rows/sec for the flagship against the 1M/252s baseline anchor
     # (cold, like the anchor's single fresh run) PLUS the warm
@@ -398,6 +422,7 @@ def main() -> None:
             "flagship_warm_sec": warm["pipeline_enriched"],
             "flagship_warm_rows_per_sec": flag_rps_warm,
             "regression_deltas": deltas,
+            "round_anchor_deltas": anchor_deltas,
         }
     )
     with open(
