@@ -1264,3 +1264,49 @@ def substr_dedup(
             "max_occ",
         )
     )
+
+
+def dup_profile(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus duplication profile: per document, how many of its
+    tokens sit inside an exact duplicated span (``substr_dedup``
+    extents are maximal and disjoint, so their lengths sum without
+    overlap) — the headline "X% of my corpus is duplicated text"
+    number every curation report leads with (Lee et al. 2022 report
+    corpus-level dup fractions this way, Table 2).
+
+    Scale shape: the extents side reduces to one row per (doc, span)
+    before the per-doc sum; the token-count side is a map-only
+    projection of the corpus; the final join keys on the doc id —
+    one shuffle each, and the extents side is duplicated-docs-sized,
+    typically a small fraction of the corpus.
+
+    Returns (doc_id, n_tokens, dup_tokens, dup_frac): dup_frac 6dp,
+    0.0 for clean docs, NULL only for zero-token docs."""
+    spans = (
+        substr_dedup(docs, min_tokens, text_col, id_col)
+        .groupBy(id_col)
+        .agg(F.sum("span_tokens").cast("bigint").alias("dup_tokens"))
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.size(texttools.tokens(F.col(text_col)))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return toks.join(spans, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias(
+            "dup_tokens"
+        ),
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+            / F.nullif(F.col("n_tokens"), F.lit(0)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )

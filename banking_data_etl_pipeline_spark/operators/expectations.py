@@ -200,6 +200,87 @@ def l_diversity(
     )
 
 
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """T-closeness screen (Li, Li & Venkatasubramanian, ICDE 2007) —
+    the third rung of the release-governance ladder: a class can be
+    k-anonymous AND l-diverse yet still leak if its sensitive-value
+    DISTRIBUTION diverges from the table's (e.g. one job/marital cell
+    holding only the oldest ages). For an ORDERED sensitive attribute
+    the paper's Earth Mover's Distance has the closed ordered form
+    EMD(Q, P) = (1/(m-1)) * sum_i |cumsum_i(q - p)| over the m global
+    values — pure cumulative-window algebra, no LP solve.
+
+    Scale shape: three groupBys (global value histogram, class sizes,
+    class × value cells — all map-side combined); the dense class ×
+    value grid comes from a broadcast cross join against the GLOBAL
+    value histogram (m rows — model-parameter scale), never against
+    the data; the cumulative walk partitions by class (parallel); the
+    two table totals enter as uncorrelated scalar subqueries.
+
+    Returns one row per class: (quasi_cols..., n, emd, at_risk) with
+    emd rounded 6dp and at_risk = emd > t."""
+    from pyspark.sql import Window
+
+    s = F.col(sensitive_col)
+    n_total = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    ).scalar()
+    vals = (
+        df.groupBy(s.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_nv"))
+        .select("_v", (F.col("_nv") / n_total).alias("_p"))
+    )
+    m = vals.agg(F.count(F.lit(1)).cast("double").alias("m")).scalar()
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cells = df.groupBy(*quasi_cols, s.alias("_v")).agg(
+        F.count(F.lit(1)).cast("double").alias("_ncv")
+    )
+    grid = (
+        classes.join(F.broadcast(vals))
+        .join(cells, [*quasi_cols, "_v"], "left")
+        .select(
+            *quasi_cols,
+            "n",
+            "_v",
+            "_p",
+            (F.coalesce(F.col("_ncv"), F.lit(0.0)) / F.col("n").cast("double")).alias("_q"),
+        )
+    )
+    wc = Window.partitionBy(*quasi_cols).orderBy("_v")
+    # the running sum is order-sensitive in IEEE-754; the repo-wide
+    # cross-engine ladder applies: quantize each step to 12dp, walk in
+    # DECIMAL (exact, accumulation-order-independent), 6dp at the end
+    walked = grid.withColumn(
+        "_cum",
+        F.sum(
+            F.round(F.col("_q") - F.col("_p"), 12).cast("decimal(32,12)")
+        ).over(wc),
+    )
+    return (
+        walked.groupBy(*quasi_cols, "n")
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("_cum"))).cast("double")
+                / (m - F.lit(1.0)),
+                6,
+            ).alias("emd")
+        )
+        .select(
+            *quasi_cols,
+            "n",
+            "emd",
+            (F.col("emd") > F.lit(t)).alias("at_risk"),
+        )
+    )
+
+
 def k_anonymity(
     df: DataFrame, quasi_cols: list[str], k: int = 5
 ) -> DataFrame:

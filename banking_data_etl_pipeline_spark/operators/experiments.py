@@ -405,3 +405,121 @@ def did_report(
             f"round(({DID_EFFECT}) / nullif({DID_SE}, 0.0), 6) + 0.0"
         ).alias("t_stat"),
     )
+
+
+# mSPRT mixture-normal likelihood ratio over the cumulative two-arm
+# stats (Johari, Koomen, Pekelis & Walsh, "Peeking at A/B Tests", KDD
+# 2017): prior N(0, tau^2) on the effect, plug-in pooled variance.
+# Formula TEXT shared verbatim with the DuckDB twin (the SRM_CHI2
+# pattern) over cumulative DOUBLE columns cn1/cs1/cq1/cn0/cs0/cq0; all
+# literals carry decimal points so both engines parse doubles.
+MSPRT_TAU2 = "CAST(1.0 AS DOUBLE)"
+_MU1 = "(cs1 / cn1)"
+_MU0 = "(cs0 / cn0)"
+MSPRT_DELTA = f"({_MU1} - {_MU0})"
+_VARP = (
+    f"((cq1 - cn1 * {_MU1} * {_MU1} + cq0 - cn0 * {_MU0} * {_MU0})"
+    " / (cn1 + cn0 - 2.0))"
+)
+MSPRT_VN = f"({_VARP} * (1.0 / cn1 + 1.0 / cn0))"
+MSPRT_LAMBDA = (
+    f"(sqrt({MSPRT_VN} / ({MSPRT_VN} + {MSPRT_TAU2}))"
+    f" * exp(({MSPRT_DELTA} * {MSPRT_DELTA} * {MSPRT_TAU2})"
+    f" / (2.0 * {MSPRT_VN} * ({MSPRT_VN} + {MSPRT_TAU2}))))"
+)
+
+
+def msprt_monitor(
+    events: DataFrame,
+    alpha: float = 0.05,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Always-valid sequential A/B monitoring (mSPRT): the
+    peek-any-time companion to the fixed-horizon ``cuped_report`` —
+    the experimenter reads the dashboard DAILY, and a classical t-test
+    p-value peeked repeatedly inflates false positives; the mixture
+    likelihood ratio Λ_n keeps the type-I guarantee at every look.
+    Arms come from the same md5-nibble user split as ``srm_check`` /
+    ``cuped_report`` so all three reports describe one experiment.
+
+    Per calendar day (the peek cadence): cumulative per-arm counts,
+    sums, and sums of squares; Λ via the mixture-normal closed form
+    with plug-in pooled variance; the always-valid p-value is the
+    RUNNING MIN of 1/Λ (monotone by construction).
+
+    Scale shape: one groupBy to day × arm partial sums (map-side
+    combine does the heavy lifting — the cumulative window then walks
+    day-count-many rows, not events); per-day sums quantize through
+    the trunc-12dp/DECIMAL ladder so cumulative accumulation order is
+    irrelevant; the day-ordered window is a single tiny partition
+    AFTER the reduction (the score_auc sizing argument). Days where
+    either arm has < 2 users' worth of data are withheld (variance
+    undefined).
+
+    Returns one row per day: (day, n_treat, n_ctrl, mean_diff,
+    lambda_ratio, p_always_valid, reject_h0), 6dp."""
+    from pyspark.sql import Window
+
+    t12 = "floor(({x}) * 1e12) / 1e12"
+    armed = events.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.expr(
+            f"CAST(conv(substring(md5(CAST({user_col} AS STRING)), 1, 1),"
+            " 16, 10) AS INT) % 2"
+        ).alias("arm"),
+        F.col(val_col).cast("double").alias("v"),
+    )
+    daily = armed.groupBy("day").agg(
+        F.expr("CAST(sum(arm) AS BIGINT)").alias("d_n1"),
+        F.expr(
+            "sum(CASE WHEN arm = 1 THEN CAST("
+            + t12.format(x="v")
+            + " AS DECIMAL(32,12)) ELSE CAST(0 AS DECIMAL(32,12)) END)"
+        ).alias("d_s1"),
+        F.expr(
+            "sum(CASE WHEN arm = 1 THEN CAST("
+            + t12.format(x="v * v")
+            + " AS DECIMAL(32,12)) ELSE CAST(0 AS DECIMAL(32,12)) END)"
+        ).alias("d_q1"),
+        F.expr("CAST(sum(1 - arm) AS BIGINT)").alias("d_n0"),
+        F.expr(
+            "sum(CASE WHEN arm = 0 THEN CAST("
+            + t12.format(x="v")
+            + " AS DECIMAL(32,12)) ELSE CAST(0 AS DECIMAL(32,12)) END)"
+        ).alias("d_s0"),
+        F.expr(
+            "sum(CASE WHEN arm = 0 THEN CAST("
+            + t12.format(x="v * v")
+            + " AS DECIMAL(32,12)) ELSE CAST(0 AS DECIMAL(32,12)) END)"
+        ).alias("d_q0"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("d_n1").over(w).cast("double").alias("cn1"),
+        F.sum("d_s1").over(w).cast("double").alias("cs1"),
+        F.sum("d_q1").over(w).cast("double").alias("cq1"),
+        F.sum("d_n0").over(w).cast("double").alias("cn0"),
+        F.sum("d_s0").over(w).cast("double").alias("cs0"),
+        F.sum("d_q0").over(w).cast("double").alias("cq0"),
+    ).filter((F.col("cn1") >= 2) & (F.col("cn0") >= 2))
+    scored = cum.select(
+        "day",
+        F.col("cn1").cast("bigint").alias("n_treat"),
+        F.col("cn0").cast("bigint").alias("n_ctrl"),
+        F.expr(f"round({MSPRT_DELTA}, 6) + 0.0").alias("mean_diff"),
+        F.expr(f"round({MSPRT_LAMBDA}, 6) + 0.0").alias("lambda_ratio"),
+        F.expr(f"least(1.0, 1.0 / {MSPRT_LAMBDA})").alias("_p_raw"),
+    )
+    wmin = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return scored.select(
+        F.col("day").cast("string").alias("day"),
+        "n_treat",
+        "n_ctrl",
+        "mean_diff",
+        "lambda_ratio",
+        F.round(F.min("_p_raw").over(wmin), 6).alias("p_always_valid"),
+        (F.min("_p_raw").over(wmin) < F.lit(alpha)).alias("reject_h0"),
+    )

@@ -430,3 +430,125 @@ def kcore(
         .orderBy("part")
     )
     return out
+
+
+def hits(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    iters: int = 2,
+    broadcast_nodes: int = 2_000_000,
+    plan_hook=None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the BIPARTITE
+    customer -> part purchase graph — the directed companion to the
+    undirected-co-purchase ``pagerank``: authorities are the parts
+    hub buyers concentrate on, hubs the customers whose baskets
+    concentrate on authoritative parts. Classic mutual recursion,
+    L2-normalized each half-step:
+
+        auth(p) = sum over edges (c,p) of hub(c);   auth /= ||auth||2
+        hub(c)  = sum over edges (c,p) of auth(p);  hub  /= ||hub||2
+
+    Cross-engine determinism: every score is truncated to 12 dp
+    (tie-free floor — the ``pagerank`` rule), every edge-sum and
+    norm's sum-of-squares accumulates in DECIMAL(32,12) (exact, so
+    accumulation order is irrelevant), and each L2 norm enters the
+    plan as an uncorrelated scalar subquery over the persisted
+    previous half-step — no driver-side pull at all.
+
+    Scale shape: the edge list (distinct customer–part purchase
+    pairs) persists once and both half-step joins reuse it; score
+    vectors are node-count-sized, so the per-iteration join
+    BROADCASTS them under ``broadcast_nodes`` (iterations become
+    map-only over the cached edges + one groupBy) and falls back to a
+    co-partitioned shuffle join above it. Each half-step is
+    persisted, materialized, and its predecessor released — the
+    lineage-truncation discipline every driver-side loop here follows.
+
+    Returns (role, node, score): role 'authority' for parts, 'hub'
+    for customers, scores from the final iteration."""
+    edges = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .persist()
+    )
+    n_nodes = edges.select("c").distinct().count()
+    bcast = n_nodes <= broadcast_nodes
+
+    def _l2(df: DataFrame, col: str):
+        return F.sqrt(
+            df.agg(
+                F.sum(
+                    _trunc12(F.col(col) * F.col(col)).cast("decimal(32,12)")
+                )
+                .cast("double")
+                .alias("_n2")
+            ).scalar()
+        )
+
+    hubs = edges.select("c").distinct().select(
+        F.col("c").alias("node"), F.lit(1.0).alias("score")
+    ).persist()
+    hubs.count()
+    auths = None
+    prev_h, prev_a = None, None
+    for it in range(iters):
+        h_in = F.broadcast(hubs) if bcast else hubs
+        a_raw = (
+            edges.join(h_in, edges["c"] == h_in["node"])
+            .groupBy("p")
+            .agg(
+                F.sum(F.col("score").cast("decimal(32,12)"))
+                .cast("double")
+                .alias("s")
+            )
+            .persist()
+        )
+        a_raw.count()
+        auths = a_raw.select(
+            F.col("p").alias("node"),
+            _trunc12(F.col("s") / _l2(a_raw, "s")).alias("score"),
+        ).persist()
+        if plan_hook is not None and it == 0:
+            plan_hook("iteration", auths)
+        auths.count()
+        a_raw.unpersist()
+        if prev_a is not None:
+            prev_a.unpersist()
+        prev_a = auths
+        a_in = F.broadcast(auths) if bcast else auths
+        h_raw = (
+            edges.join(a_in, edges["p"] == a_in["node"])
+            .groupBy("c")
+            .agg(
+                F.sum(F.col("score").cast("decimal(32,12)"))
+                .cast("double")
+                .alias("s")
+            )
+            .persist()
+        )
+        h_raw.count()
+        new_h = h_raw.select(
+            F.col("c").alias("node"),
+            _trunc12(F.col("s") / _l2(h_raw, "s")).alias("score"),
+        ).persist()
+        new_h.count()
+        h_raw.unpersist()
+        if prev_h is not None:
+            prev_h.unpersist()
+        if it == 0:
+            hubs.unpersist()  # the initial all-ones vector
+        prev_h = new_h
+        hubs = new_h
+    edges.unpersist()
+    # final frames stay persisted — caller-owned, node-count-sized
+    return auths.select(
+        F.lit("authority").alias("role"), "node", "score"
+    ).unionByName(
+        hubs.select(F.lit("hub").alias("role"), "node", "score")
+    )

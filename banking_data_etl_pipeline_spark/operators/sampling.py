@@ -358,3 +358,69 @@ def temperature_weights(
             6,
         ).alias("epochs_at_budget"),
     )
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985 farthest-point
+    traversal; the diverse-subset selection of Sener & Savarese 2018
+    "Active Learning for CNNs: A Core-Set Approach"): pick the point
+    farthest from the already-selected set, k times — the standard
+    "label/inspect a maximally diverse subset" primitive of a
+    training-data pipeline. Deterministic: the seed is the lowest id,
+    distance is the repo's squared-L2 left fold (bit-identical to the
+    kmeans/_assign ladder), ties break to the lowest id.
+
+    Scale shape: the running min-distance frame is corpus-sized and
+    DISTRIBUTED end-to-end; each of the k rounds is one map-only
+    ``least(d, dist-to-new-center)`` update against a literal centroid
+    (model-parameter scale) plus one global top-1 — the only driver
+    pulls are k single rows (the selected centers, i.e. the model
+    itself). Frames persist per round with eager materialize +
+    predecessor release (the lineage-truncation discipline), so the
+    k-th round reads a cached frame, not a k-deep plan.
+
+    Returns k rows (sel_rank, vec_id, dist): dist is the point's
+    distance to the previously-selected set at selection time (the
+    coverage radius sequence, 6dp; 0.0 for the seed)."""
+
+    def _sq(vec):
+        lit = F.lit([float(x) for x in vec])
+        return F.aggregate(
+            F.zip_with(
+                F.col("v"), lit, lambda a, b: (a.cast("double") - b) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    seed = base.orderBy(F.col("vec_id").asc()).first()
+    selected = [(1, seed[0], 0.0)]
+    mind = base.select("vec_id", "v", _sq(seed[1]).alias("d")).persist()
+    mind.count()
+    for r in range(2, k + 1):
+        far = (
+            mind.orderBy(F.col("d").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((r, far[0], float(far[2])))
+        nxt = mind.select(
+            "vec_id", "v", F.least(F.col("d"), _sq(far[1])).alias("d")
+        ).persist()
+        nxt.count()
+        mind.unpersist()
+        mind = nxt
+    mind.unpersist()
+    # 6dp via F.round (HALF_UP), not Python round (half-even), so the
+    # rounding rule matches every other cross-engine surface
+    return emb.sparkSession.createDataFrame(
+        selected, "sel_rank int, vec_id bigint, dist double"
+    ).select("sel_rank", "vec_id", F.round("dist", 6).alias("dist"))

@@ -1429,6 +1429,56 @@ r{k} AS (
     return "".join(parts)
 
 
+def hits_sql(iters: int = 2) -> str:
+    """Unrolled-CTE twin of operators.graph.hits: same bipartite
+    customer->part edge list, the identical trunc-12dp / DECIMAL-sum /
+    double-sqrt ladder per half-step, hubs and authorities unioned
+    from the final iteration."""
+
+    def t12(expr: str) -> str:
+        return f"floor(({expr}) * 1e12) / 1e12"
+
+    dsum = "CAST(sum(CAST({x} AS DECIMAL(32,12))) AS DOUBLE)"
+    parts = [
+        """WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+h0 AS (SELECT DISTINCT c AS node, CAST(1.0 AS DOUBLE) AS score FROM edges)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+a{k}r AS (
+  SELECT e.p, {dsum.format(x="h.score")} AS s
+  FROM edges e JOIN h{k - 1} h ON e.c = h.node GROUP BY e.p
+),
+a{k}n AS (SELECT sqrt({dsum.format(x=t12("s * s"))}) AS n2 FROM a{k}r),
+a{k} AS (SELECT p AS node,
+                {t12("s / (SELECT n2 FROM a" + str(k) + "n)")} AS score
+         FROM a{k}r),
+h{k}r AS (
+  SELECT e.c, {dsum.format(x="a.score")} AS s
+  FROM edges e JOIN a{k} a ON e.p = a.node GROUP BY e.c
+),
+h{k}n AS (SELECT sqrt({dsum.format(x=t12("s * s"))}) AS n2 FROM h{k}r),
+h{k} AS (SELECT c AS node,
+                {t12("s / (SELECT n2 FROM h" + str(k) + "n)")} AS score
+         FROM h{k}r)"""
+        )
+    parts.append(
+        f"""
+SELECT 'authority' AS role, node, score FROM a{iters}
+UNION ALL
+SELECT 'hub' AS role, node, score FROM h{iters}"""
+    )
+    return "".join(parts)
+
+
+HITS_Q = hits_sql()
+
+
+
 # -------------------------------- round 3f: streaming left-outer join
 
 # Twin of streaming.events.stream_left_interval_join_counts: the batch
@@ -1517,6 +1567,52 @@ def _kmeans_sqdist(e: str, c: str) -> str:
         f"list_reduce(list_transform(list_zip({e}, {c}),"
         " p -> power(CAST(p[1] AS DOUBLE) - p[2], 2)), (x, y) -> x + y)"
     )
+
+
+def kcenter_sql(k: int = 8) -> str:
+    """Unrolled twin of operators.sampling.kcenter_coreset: the same
+    greedy farthest-point walk — seed = lowest id, per round a
+    MATERIALIZED min-distance table (plain CTEs would inline the whole
+    chain per reference — the kcore lesson), squared-L2 via the shared
+    _kmeans_sqdist fold, (d DESC, id ASC) argmax, 6dp at the end."""
+    parts = [
+        """WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+s1 AS MATERIALIZED (
+  SELECT vec_id, embedding, CAST(0.0 AS DOUBLE) AS d
+  FROM e ORDER BY vec_id LIMIT 1
+),
+m1 AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding,
+         """
+        + _kmeans_sqdist("e.embedding", "(SELECT embedding FROM s1)")
+        + """ AS d
+  FROM e
+)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""",
+s{r} AS MATERIALIZED (
+  SELECT vec_id, embedding, d FROM m{r - 1}
+  ORDER BY d DESC, vec_id LIMIT 1
+),
+m{r} AS MATERIALIZED (
+  SELECT m.vec_id, m.embedding,
+         least(m.d, """
+            + _kmeans_sqdist("m.embedding", f"(SELECT embedding FROM s{r})")
+            + f""") AS d
+  FROM m{r - 1} m
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS sel_rank, vec_id, round(d, 6) AS dist FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+KCENTER_Q = kcenter_sql()
 
 
 def _kmeans_ctes(
@@ -3700,6 +3796,49 @@ SELECT age, job, marital, CAST(count(*) AS BIGINT) AS n,
 FROM valid GROUP BY age, job, marital"""
 
 
+# Twin of queries.t_closeness (quasi = job, marital; sensitive = age;
+# t = 0.2) over the valid bank rows. Ordered EMD closed form: per
+# class, running sum of (q - p) over the GLOBAL age histogram, mean
+# absolute value over the m-1 steps. The running sum walks in
+# DECIMAL(32,12) after a 12dp quantize (the repo cross-engine ladder)
+# so accumulation order cannot shift the doubles.
+T_CLOSENESS_Q = f"""{BANK_PREFIX},
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM valid),
+vals AS (
+  SELECT age AS _v, count(*) / (SELECT n_total FROM tot) AS _p
+  FROM valid GROUP BY age
+),
+mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM vals),
+classes AS (
+  SELECT job, marital, CAST(count(*) AS BIGINT) AS n
+  FROM valid GROUP BY job, marital
+),
+cells AS (
+  SELECT job, marital, age AS _v, CAST(count(*) AS DOUBLE) AS _ncv
+  FROM valid GROUP BY job, marital, age
+),
+grid AS (
+  SELECT c.job, c.marital, c.n, v._v, v._p,
+         coalesce(ce._ncv, 0.0) / CAST(c.n AS DOUBLE) AS _q
+  FROM classes c CROSS JOIN vals v
+  LEFT JOIN cells ce
+    ON ce.job = c.job AND ce.marital = c.marital AND ce._v = v._v
+),
+walked AS (
+  SELECT job, marital, n,
+         sum(CAST(round(_q - _p, 12) AS DECIMAL(32,12)))
+           OVER (PARTITION BY job, marital ORDER BY _v) AS _cum
+  FROM grid
+),
+emds AS (
+  SELECT job, marital, n,
+         round(CAST(sum(abs(_cum)) AS DOUBLE)
+               / ((SELECT m FROM mm) - 1.0), 6) AS emd
+  FROM walked GROUP BY job, marital, n
+)
+SELECT job, marital, n, emd, (emd > 0.2) AS at_risk FROM emds"""
+
+
 # Twin of operators.dedup.dedup_recall_report: exact n-gram Jaccard
 # truth vs MinHash-estimate pairs at the same threshold, one summary
 # row of precision/recall (NULL on zero denominators, like Spark's
@@ -5196,6 +5335,65 @@ FROM stats"""
 SRM_Q = srm_sql()
 
 
+# Twin of operators.experiments.msprt_monitor: same md5-nibble arm,
+# day x arm partial sums through the trunc-12dp/DECIMAL ladder,
+# cumulative window over days, and the shared MSPRT_* formula text.
+def msprt_sql(alpha: float = 0.05) -> str:
+    from .operators.experiments import MSPRT_DELTA, MSPRT_LAMBDA
+
+    t12 = "floor(({x}) * 1e12) / 1e12"
+    dsum = (
+        "sum(CASE WHEN arm = {a} THEN CAST("
+        + t12
+        + " AS DECIMAL(32,12)) ELSE CAST(0 AS DECIMAL(32,12)) END)"
+    )
+    return f"""WITH armed AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+              AS INT) % 2 AS INT) AS arm,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+), daily AS (
+  SELECT day,
+         CAST(sum(arm) AS BIGINT) AS d_n1,
+         {dsum.format(a=1, x="v")} AS d_s1,
+         {dsum.format(a=1, x="v * v")} AS d_q1,
+         CAST(sum(1 - arm) AS BIGINT) AS d_n0,
+         {dsum.format(a=0, x="v")} AS d_s0,
+         {dsum.format(a=0, x="v * v")} AS d_q0
+  FROM armed GROUP BY day
+), cum AS (
+  SELECT day,
+         CAST(sum(d_n1) OVER w AS DOUBLE) AS cn1,
+         CAST(sum(d_s1) OVER w AS DOUBLE) AS cs1,
+         CAST(sum(d_q1) OVER w AS DOUBLE) AS cq1,
+         CAST(sum(d_n0) OVER w AS DOUBLE) AS cn0,
+         CAST(sum(d_s0) OVER w AS DOUBLE) AS cs0,
+         CAST(sum(d_q0) OVER w AS DOUBLE) AS cq0
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), scored AS (
+  SELECT day,
+         CAST(cn1 AS BIGINT) AS n_treat,
+         CAST(cn0 AS BIGINT) AS n_ctrl,
+         round({MSPRT_DELTA}, 6) + 0.0 AS mean_diff,
+         round({MSPRT_LAMBDA}, 6) + 0.0 AS lambda_ratio,
+         least(1.0, 1.0 / {MSPRT_LAMBDA}) AS _p_raw
+  FROM cum WHERE cn1 >= 2 AND cn0 >= 2
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       n_treat, n_ctrl, mean_diff, lambda_ratio,
+       round(min(_p_raw) OVER wm, 6) AS p_always_valid,
+       (min(_p_raw) OVER wm < {alpha}) AS reject_h0
+FROM scored
+WINDOW wm AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW)"""
+
+
+MSPRT_Q = msprt_sql()
+
+
 # Twin of operators.corpus.judge_agreement: judge A = the full
 # QUALITY_ENSEMBLE_Q verdict, judge B = XENT_BUCKETS_Q bucket !=
 # 'tail'; the po/pe/kappa expressions interpolate the SAME KAPPA_*
@@ -5453,6 +5651,22 @@ FROM isl GROUP BY doc, grp"""
 
 
 SUBSTR_DEDUP_Q = substr_dedup_sql()
+
+
+# Twin of operators.dedup.dup_profile: substr_dedup extents summed per
+# doc (disjoint by construction), left-joined onto the per-doc token
+# counts; 6dp fraction, NULL only on zero-token docs.
+DUP_PROFILE_Q = f"""WITH spans AS (
+  SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+  FROM ({substr_dedup_sql()}) GROUP BY doc_id
+), toks AS (
+  SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT t.doc_id, t.n_tokens,
+       CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(coalesce(s.dup_tokens, 0) AS DOUBLE)
+             / CAST(nullif(t.n_tokens, 0) AS DOUBLE), 6) AS dup_frac
+FROM toks t LEFT JOIN spans s ON t.doc_id = s.doc_id"""
 
 
 # Twin of operators.corpus.kneser_ney_xent: same model tables from the

@@ -935,6 +935,20 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(tables.load(spark, sf_dir, "lineitem"), iters=3)
 
 
+def hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (2 iterations) over the bipartite
+    customer->part purchase graph — the directed mutual-recursion
+    companion to pagerank, L2-normalized per half-step."""
+    from .operators import graph
+
+    tune_for_oracle(spark)
+    return graph.hits(
+        tables.load(spark, sf_dir, "orders"),
+        tables.load(spark, sf_dir, "lineitem"),
+        iters=2,
+    )
+
+
 def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT-OUTER stream-stream interval join: follower counts
     including zero-follower events, whose unmatched rows emit only
@@ -2010,6 +2024,19 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-closeness screen on (job, marital) classes with age as the
+    ordered sensitive attribute (t=0.2) — the distribution-level
+    disclosure check k-anonymity and l-diversity both miss; ordered
+    EMD via the cumulative-difference closed form."""
+    from .operators import expectations
+
+    tune_for_oracle(spark)
+    return expectations.t_closeness(
+        _bank_valid(spark, sf_dir), ["job", "marital"], "age", t=0.2
+    )
+
+
 def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-mean content hash of each media payload's stream body,
     sliced from the real container — the media-dedup signature."""
@@ -2683,6 +2710,36 @@ def winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (non-probabilistic) member of the near-dup family."""
     tune_for_oracle(spark)
     return dedup.winnow_pairs(tables.load(spark, sf_dir, "documents"))
+
+
+def msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitoring (mSPRT, daily peeks)
+    over the hash-armed experiment — the peek-safe companion to
+    cuped_report/srm_check."""
+    from .operators import experiments
+
+    tune_for_oracle(spark)
+    return experiments.msprt_monitor(tables.load(spark, sf_dir, "events"))
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (k=8) over the embeddings — diverse
+    farthest-point subset selection with the coverage-radius
+    sequence."""
+    from .operators import sampling
+
+    tune_for_oracle(spark)
+    return sampling.kcenter_coreset(
+        tables.load(spark, sf_dir, "embeddings"), k=8
+    )
+
+
+def dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-token fraction from the substr_dedup
+    extents — the corpus-duplication headline stat (Lee et al. 2022
+    Table 2 shape)."""
+    tune_for_oracle(spark)
+    return dedup.dup_profile(tables.load(spark, sf_dir, "documents"))
 
 
 def substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

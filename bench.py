@@ -284,6 +284,11 @@ BENCH_QUERIES = [
     "phrase_search",
     "containment_dedup",
     "substr_dedup",
+    "t_closeness",
+    "hits",
+    "dup_profile",
+    "kcenter_coreset",
+    "msprt_monitor",
     "zorder_stats",
 ]
 

@@ -110,6 +110,9 @@ def metrics(plan: str, name: str) -> tuple[int, int, int, int, int, list[str]]:
         "ann_pq_prebuilt",
         # pairwise one-row-per-group threshold join (groups² rows)
         "theta_sketch",
+        # class × m-row global value histogram grid (model-parameter
+        # broadcast side)
+        "t_closeness",
     ):
         flags.append("bnlj")
     return shuffles, bcast, wscg, pushed, scans, flags

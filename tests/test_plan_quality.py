@@ -345,6 +345,10 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # until r9: the sorted sweep tripped on ann_pq_prebuilt
         # first.)
         "theta_sketch",
+        # class × GLOBAL-value-histogram dense grid: the broadcast
+        # side is the m-row value histogram (model-parameter scale),
+        # never the data
+        "t_closeness",
     }
     # collect ALL violations before asserting: a first-failure abort
     # masks every later name in the sorted sweep (theta_sketch hid

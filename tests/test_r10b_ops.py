@@ -1,0 +1,176 @@
+"""Round-10 second batch: t-closeness (ordered EMD), HITS
+hubs/authorities, duplication profile, k-center coreset, mSPRT
+sequential monitor. Value parity is the oracle gate's job; these pin
+hand-computed fixtures and the structural invariants a hash match
+can't express (EMD closed form, L2 normalization, greedy selection
+order, always-valid-p monotonicity)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from banking_data_etl_pipeline_spark.operators import (
+    dedup,
+    expectations,
+    experiments,
+    graph,
+    sampling,
+)
+
+
+# ----------------------------------------------------- t-closeness
+
+
+def test_t_closeness_hand_computed_ordered_emd(spark):
+    # global ages {1: 4/5, 2: 1/5}, m=2 so EMD = |q1 - p1|
+    # class A (all age 1): |1 - 0.8| = 0.2 ; class B (1,2): |0.5-0.8|=0.3
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("A", 1), ("B", 1), ("B", 2)],
+        "grp string, age int",
+    )
+    got = {
+        r.grp: r
+        for r in expectations.t_closeness(df, ["grp"], "age", t=0.25).collect()
+    }
+    assert got["A"].emd == 0.2 and got["A"].n == 3 and not got["A"].at_risk
+    assert got["B"].emd == 0.3 and got["B"].n == 2 and got["B"].at_risk
+
+
+def test_t_closeness_identical_distribution_is_zero(spark):
+    df = spark.createDataFrame(
+        [("A", v) for v in (1, 2, 3)] + [("B", v) for v in (1, 2, 3)],
+        "grp string, age int",
+    )
+    rows = expectations.t_closeness(df, ["grp"], "age", t=0.1).collect()
+    assert all(r.emd == 0.0 and not r.at_risk for r in rows)
+
+
+def test_t_closeness_missing_values_zero_filled(spark):
+    # class B never shows age 3 — the dense grid must still walk it
+    df = spark.createDataFrame(
+        [("A", 3)] * 3 + [("B", 1)],
+        "grp string, age int",
+    )
+    got = {r.grp: r for r in expectations.t_closeness(df, ["grp"], "age").collect()}
+    # p = (1/4, 3/4); class B q = (1, 0): cum |1-0.25| = 0.75
+    assert got["B"].emd == 0.75 and got["A"].emd == 0.25
+
+
+# ------------------------------------------------------------ HITS
+
+
+def _hits_frames(spark, pairs):
+    orders = spark.createDataFrame(
+        [(i, c) for i, (c, _p) in enumerate(pairs)],
+        "o_orderkey bigint, o_custkey bigint",
+    )
+    lineitem = spark.createDataFrame(
+        [(i, p) for i, (_c, p) in enumerate(pairs)],
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    return orders, lineitem
+
+
+def test_hits_hand_computed_first_iteration(spark):
+    # edges c1->p1, c1->p2, c2->p1 ; h0 = 1
+    # a1_raw: p1=2, p2=1, norm sqrt(5) -> a(p1)=2/sqrt5, a(p2)=1/sqrt5
+    orders, lineitem = _hits_frames(spark, [(1, 11), (1, 12), (2, 11)])
+    rows = graph.hits(orders, lineitem, iters=1).collect()
+    auth = {r.node: r.score for r in rows if r.role == "authority"}
+    hub = {r.node: r.score for r in rows if r.role == "hub"}
+    t12 = lambda x: math.floor(x * 1e12) / 1e12
+    assert auth[11] == t12(2.0 / math.sqrt(5.0))
+    assert auth[12] == t12(1.0 / math.sqrt(5.0))
+    # h1_raw: c1 = a(p1)+a(p2), c2 = a(p1); c1 hub > c2 hub
+    assert hub[1] > hub[2] > 0.0
+
+
+def test_hits_l2_normalized_and_partition_invariant(spark):
+    pairs = [(c, 10 + (c * j) % 5) for c in range(1, 8) for j in range(1, 4)]
+    orders, lineitem = _hits_frames(spark, pairs)
+    rows = graph.hits(orders, lineitem, iters=2).collect()
+    for role in ("authority", "hub"):
+        norm = math.sqrt(
+            sum(r.score**2 for r in rows if r.role == role)
+        )
+        assert abs(norm - 1.0) < 1e-6
+    rows2 = graph.hits(
+        orders.repartition(5), lineitem.repartition(3), iters=2
+    ).collect()
+    assert sorted(map(tuple, rows2)) == sorted(map(tuple, rows))
+
+
+# ----------------------------------------------------- dup profile
+
+
+def test_dup_profile_fraction(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c x y z"), (2, "a b c q")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r for r in dedup.dup_profile(docs, min_tokens=3).collect()
+    }
+    assert (got[1].n_tokens, got[1].dup_tokens, got[1].dup_frac) == (6, 3, 0.5)
+    assert (got[2].n_tokens, got[2].dup_tokens, got[2].dup_frac) == (4, 3, 0.75)
+
+
+def test_dup_profile_clean_docs_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id bigint, text string",
+    )
+    rows = dedup.dup_profile(docs, min_tokens=3).collect()
+    assert all(r.dup_tokens == 0 and r.dup_frac == 0.0 for r in rows)
+    assert len(rows) == 2  # clean docs still reported
+
+
+# ------------------------------------------------ k-center coreset
+
+
+def test_kcenter_greedy_selection_order(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.0]), (2, [1.0]), (3, [10.0]), (4, [4.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = sampling.kcenter_coreset(emb, k=4).collect()
+    got = [(r.sel_rank, r.vec_id, r.dist) for r in sorted(rows)]
+    # seed = min id; then farthest-first: id3 (d=100), id4 (min(16,36)=16),
+    # id2 (min(1,81,9)=1)
+    assert got == [(1, 1, 0.0), (2, 3, 100.0), (3, 4, 16.0), (4, 2, 1.0)]
+
+
+def test_kcenter_radius_sequence_non_increasing(spark):
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(100)
+    rows = sorted(
+        sampling.kcenter_coreset(emb, k=6).collect(), key=lambda r: r.sel_rank
+    )
+    dists = [r.dist for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    assert len({r.vec_id for r in rows}) == 6
+
+
+# -------------------------------------------------- mSPRT monitor
+
+
+def test_msprt_always_valid_p_monotone(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = sorted(
+        experiments.msprt_monitor(ev).collect(), key=lambda r: r.day
+    )
+    assert rows, "expected at least one daily peek"
+    ps = [r.p_always_valid for r in rows]
+    assert all(a >= b for a, b in zip(ps, ps[1:]))  # running min
+    assert all(0.0 < p <= 1.0 for p in ps)
+    assert all(r.lambda_ratio > 0.0 for r in rows)
+    # cumulative arm counts never decrease
+    for col in ("n_treat", "n_ctrl"):
+        seq = [r[col] for r in rows]
+        assert all(a <= b for a, b in zip(seq, seq[1:]))
+    # reject flag is exactly the alpha cut on the running-min p
+    assert all(r.reject_h0 == (r.p_always_valid < 0.05) or
+               abs(r.p_always_valid - 0.05) < 1e-9 for r in rows)
