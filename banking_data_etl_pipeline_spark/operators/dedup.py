@@ -1310,3 +1310,63 @@ def dup_profile(
             6,
         ).alias("dup_frac"),
     )
+
+
+def substr_dedup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingestion-time exact substring screen: which spans of NEW
+    documents already exist verbatim in the CORPUS — ``substr_dedup``
+    in the incremental shape every production crawl pipeline actually
+    runs (Lee et al. 2022 dedup new shards against the held corpus;
+    the ``minhash_lsh_incremental`` counterpart for exact spans).
+
+    Scale shape: the corpus side reduces to its DISTINCT window
+    fingerprints — the persisted "window index" a deployment builds
+    once and appends to per shard (16-byte md5 rows, never text) —
+    so each batch re-reads only itself: batch windows are map-side,
+    the probe is one equi-join against the index (AQE skew-splits
+    boilerplate fingerprints), and the island merge partitions by
+    batch doc. Corpus text is never re-tokenized per batch beyond the
+    index build.
+
+    Returns (doc_id, start_tok, end_tok, span_tokens) for batch
+    documents: maximal extents already present in the corpus."""
+    from pyspark.sql import Window
+
+    L = min_tokens
+
+    def _wins(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(
+                texttools.word_shingles(
+                    texttools.tokens(F.col(text_col)), L
+                )
+            ).alias("pos", "win"),
+        ).select("doc", "pos", F.md5(F.col("win")).alias("h"))
+
+    index = _wins(corpus).select("h").distinct()
+    dup = _wins(batch).join(index, "h").select("doc", "pos")
+    isl = dup.withColumn(
+        "_grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc").orderBy("pos")),
+    )
+    return (
+        isl.groupBy("doc", "_grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_tok"),
+            (F.max("pos") + F.lit(L - 1)).cast("bigint").alias("end_tok"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok") + 1).alias("span_tokens"),
+        )
+    )

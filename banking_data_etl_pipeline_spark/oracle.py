@@ -5394,6 +5394,59 @@ WINDOW wm AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
 MSPRT_Q = msprt_sql()
 
 
+_WOE_DP = "((CAST(n_pos AS DOUBLE) + 0.5) / (_tp + 0.5 * _k))"
+_WOE_DN = "((CAST(n - n_pos AS DOUBLE) + 0.5) / (_tn + 0.5 * _k))"
+_WOE = f"ln({_WOE_DP} / {_WOE_DN})"
+_WOE_TERM = f"({_WOE_DP} - {_WOE_DN}) * ({_WOE})"
+
+
+MSPRT_Q = msprt_sql()
+
+
+# Twin of operators.profiling.woe_iv over the valid bank rows
+# (label y = 'yes'; categorical features melted via unnest): identical
+# +0.5 Laplace smoothing (the psi_table convention), shared ln shape,
+# per-feature IV through the trunc-12dp/DECIMAL ladder.
+WOE_IV_Q = f"""{BANK_PREFIX},
+melted AS (
+  SELECT CASE WHEN y = 'yes' THEN 1 ELSE 0 END AS pos,
+         u['f'] AS feature, u['c'] AS category
+  FROM (SELECT y, unnest([
+      {{'f': 'job', 'c': job}},
+      {{'f': 'marital', 'c': marital}},
+      {{'f': 'education', 'c': education}},
+      {{'f': 'housing', 'c': housing}},
+      {{'f': 'loan', 'c': loan}},
+      {{'f': 'poutcome', 'c': poutcome}},
+      {{'f': 'contact', 'c': contact}}]) AS u FROM valid)
+),
+per AS (
+  SELECT feature, category, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM melted GROUP BY feature, category
+),
+tot AS (
+  SELECT feature, category, n, n_pos,
+         CAST(sum(n_pos) OVER wf AS DOUBLE) AS _tp,
+         CAST(sum(n - n_pos) OVER wf AS DOUBLE) AS _tn,
+         CAST(count(*) OVER wf AS DOUBLE) AS _k
+  FROM per
+  WINDOW wf AS (PARTITION BY feature)
+),
+scored AS (
+  SELECT feature, category, n, n_pos,
+         round({_WOE_DP}, 6) + 0.0 AS dist_pos,
+         round({_WOE_DN}, 6) + 0.0 AS dist_neg,
+         round({_WOE}, 6) + 0.0 AS woe,
+         round({_WOE_TERM}, 6) + 0.0 AS iv_term,
+         CAST(floor(({_WOE_TERM}) * 1e12) / 1e12 AS DECIMAL(32,12)) AS _t12
+  FROM tot
+)
+SELECT feature, category, n, n_pos, dist_pos, dist_neg, woe, iv_term,
+       round(CAST(sum(_t12) OVER (PARTITION BY feature) AS DOUBLE), 6) AS iv
+FROM scored"""
+
+
 # Twin of operators.corpus.judge_agreement: judge A = the full
 # QUALITY_ENSEMBLE_Q verdict, judge B = XENT_BUCKETS_Q bucket !=
 # 'tail'; the po/pe/kappa expressions interpolate the SAME KAPPA_*
@@ -5651,6 +5704,39 @@ FROM isl GROUP BY doc, grp"""
 
 
 SUBSTR_DEDUP_Q = substr_dedup_sql()
+
+
+# Twin of operators.dedup.substr_dedup_incremental (batch = doc_id %
+# 5 == 0 vs the rest; min_tokens=8): batch windows probed against the
+# corpus's distinct window fingerprints, islands coalesced per batch
+# doc.
+def substr_incr_sql(min_tokens: int = 8) -> str:
+    L = min_tokens
+    return f"""WITH wins AS (
+  SELECT doc_id AS doc, s['pos'] - 1 AS pos, md5(s['win']) AS h
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(wins) + 1),
+                      i -> {{'pos': i, 'win': wins[i]}})) AS s
+        FROM (SELECT doc_id, {_word_shingles(TOKS, L)} AS wins
+              FROM documents))
+), idx AS (
+  SELECT DISTINCT h FROM wins WHERE doc % 5 <> 0
+), dup AS (
+  SELECT w.doc, w.pos FROM wins w JOIN idx ON w.h = idx.h
+  WHERE w.doc % 5 = 0
+), isl AS (
+  SELECT doc, pos,
+         pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc AS doc_id,
+       CAST(min(pos) AS BIGINT) AS start_tok,
+       CAST(max(pos) + {L - 1} AS BIGINT) AS end_tok,
+       CAST(max(pos) + {L - 1} - min(pos) + 1 AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc, grp"""
+
+
+SUBSTR_INCR_Q = substr_incr_sql()
 
 
 # Twin of operators.dedup.dup_profile: substr_dedup extents summed per

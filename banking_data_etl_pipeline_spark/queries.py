@@ -2712,6 +2712,24 @@ def winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_pairs(tables.load(spark, sf_dir, "documents"))
 
 
+def woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE / information-value feature screen of the bank
+    categoricals against the subscription outcome — the classic
+    credit-scorecard predictor ranking."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    v = _bank_valid(spark, sf_dir).withColumn(
+        "_label", (F.col("y") == "yes").cast("int")
+    )
+    return profiling.woe_iv(
+        v,
+        ["job", "marital", "education", "housing", "loan", "poutcome",
+         "contact"],
+        "_label",
+    )
+
+
 def msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Always-valid sequential A/B monitoring (mSPRT, daily peeks)
     over the hash-armed experiment — the peek-safe companion to
@@ -2749,6 +2767,19 @@ def substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce, the exact-extent complement of winnow_dedup."""
     tune_for_oracle(spark)
     return dedup.substr_dedup(tables.load(spark, sf_dir, "documents"))
+
+
+def substr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time exact substring screen: spans of the simulated
+    new batch (doc_id % 5 == 0) already present verbatim in the
+    existing corpus — substr_dedup in the per-shard production
+    shape."""
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.substr_dedup_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+    )
 
 
 def kn_xent(spark: SparkSession, sf_dir: str) -> DataFrame:

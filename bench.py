@@ -289,6 +289,8 @@ BENCH_QUERIES = [
     "dup_profile",
     "kcenter_coreset",
     "msprt_monitor",
+    "woe_iv",
+    "substr_incremental",
     "zorder_stats",
 ]
 

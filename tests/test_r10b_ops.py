@@ -174,3 +174,83 @@ def test_msprt_always_valid_p_monotone(spark):
     # reject flag is exactly the alpha cut on the running-min p
     assert all(r.reject_h0 == (r.p_always_valid < 0.05) or
                abs(r.p_always_valid - 0.05) < 1e-9 for r in rows)
+
+
+# ----------------------------------------------------------- WOE/IV
+
+
+def test_woe_iv_hand_computed_with_smoothing(spark):
+    from banking_data_etl_pipeline_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("b", 0), ("b", 0)], "f string, lab int"
+    )
+    rows = {r.category: r for r in profiling.woe_iv(df, ["f"], "lab").collect()}
+    # tot_pos=1, tot_neg=3, k=2: dp_a=1.5/2=.75 dn_a=1.5/4=.375 -> ln 2
+    dp_a, dn_a = 0.75, 0.375
+    dp_b, dn_b = 0.25, 0.625
+    assert rows["a"].woe == round(math.log(dp_a / dn_a), 6)
+    assert rows["b"].woe == round(math.log(dp_b / dn_b), 6)  # negative, no ln(0)
+    iv = rows["a"].iv
+    t12 = lambda x: math.floor(x * 1e12) / 1e12
+    expect = round(
+        t12((dp_a - dn_a) * math.log(dp_a / dn_a))
+        + t12((dp_b - dn_b) * math.log(dp_b / dn_b)),
+        6,
+    )
+    assert iv == expect and rows["b"].iv == iv  # feature-level constant
+
+
+def test_woe_iv_multi_feature_independent(spark):
+    from banking_data_etl_pipeline_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 0), ("b", "x", 0), ("b", "y", 1)],
+        "f1 string, f2 string, lab int",
+    )
+    rows = profiling.woe_iv(df, ["f1", "f2"], "lab").collect()
+    feats = {r.feature for r in rows}
+    assert feats == {"f1", "f2"}
+    # per-feature totals are independent: each feature's rows count 4
+    for f in feats:
+        assert sum(r.n for r in rows if r.feature == f) == 4
+
+
+# ------------------------------------------- incremental substring
+
+
+def test_substr_incremental_only_corpus_spans_reported(spark):
+    from banking_data_etl_pipeline_spark.operators import dedup as D
+
+    batch = spark.createDataFrame(
+        [
+            (10, "the cat sat down today"),     # span in corpus
+            (20, "copy paste block here"),      # dup only inside batch
+            (25, "copy paste block here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "once the cat sat down"), (2, "unrelated words entirely now")],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        map(tuple, D.substr_dedup_incremental(batch, corpus, 3).collect())
+    )
+    # doc 10 positions 0,1 dup ("the cat sat", "cat sat down") -> [0,3]
+    assert got == [(10, 0, 3, 4)]
+
+
+def test_substr_incremental_extents_clip_to_shared_run(spark):
+    from banking_data_etl_pipeline_spark.operators import dedup as D
+
+    batch = spark.createDataFrame(
+        [(10, "zz the cat sat down qq")], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat down")], "doc_id bigint, text string"
+    )
+    got = sorted(
+        map(tuple, D.substr_dedup_incremental(batch, corpus, 3).collect())
+    )
+    assert got == [(10, 1, 4, 4)]
