@@ -495,6 +495,18 @@ def msprt_monitor(
             + " AS DECIMAL(32,12)) ELSE CAST(0 AS DECIMAL(32,12)) END)"
         ).alias("d_q0"),
     )
+    return msprt_walk(daily, alpha)
+
+
+def msprt_walk(daily: DataFrame, alpha: float = 0.05) -> DataFrame:
+    """The cumulative λ walk over a per-day partial-sums frame
+    (day, d_n1, d_s1, d_q1, d_n0, d_s0, d_q0) — shared between the
+    batch ``msprt_monitor`` and the streaming ``msprt_stream`` so the
+    two lifecycles cannot drift. The day-ordered windows are single-
+    partition BY SIZING: the input is the day-count-sized reduction,
+    never events (the score_auc argument)."""
+    from pyspark.sql import Window
+
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     cum = daily.select(
         "day",

@@ -365,6 +365,7 @@ def kcenter_coreset(
     k: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    plan_hook=None,
 ) -> DataFrame:
     """Greedy k-center coreset (Gonzalez 1985 farthest-point
     traversal; the diverse-subset selection of Sener & Savarese 2018
@@ -415,6 +416,8 @@ def kcenter_coreset(
         nxt = mind.select(
             "vec_id", "v", F.least(F.col("d"), _sq(far[1])).alias("d")
         ).persist()
+        if plan_hook is not None and r == 2:
+            plan_hook("update", nxt)
         nxt.count()
         mind.unpersist()
         mind = nxt

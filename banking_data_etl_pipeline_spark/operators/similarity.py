@@ -1915,3 +1915,108 @@ def probe_ivfpq_index(
         encoded, raw_vecs, queries, scorer, cents, books, m, sub,
         nprobe, rerank, k, residual,
     )
+
+
+def top_principal_component(
+    emb: DataFrame,
+    iters: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    plan_hook=None,
+) -> DataFrame:
+    """Dominant principal component of the embedding cloud by POWER
+    ITERATION on the covariance matrix — the embedding-health readout
+    behind anisotropy checks ("all-but-the-top", Mu & Viswanath 2018:
+    a fat top component means a common-direction bias worth removing)
+    and the exact-PCA companion to the random ``jl_project``.
+
+    Scale shape: the corpus is read ONCE — a double posexplode fans
+    each vector into d² (j, k, x_j·x_k) cells that one map-side-
+    combined groupBy reduces to the d×d second-moment matrix; means
+    come from the same pass's d-cell explode. Everything after is
+    MODEL-PARAMETER scale: the covariance frame is d² rows, each power
+    step is a d²⋈d join + groupBy + an uncorrelated-scalar L2
+    normalize. Every step LOCALCHECKPOINTS (not persist): each
+    iteration embeds the previous vector's plan twice (matvec + norm
+    subquery), so plan TEXT doubles per step and Catalyst's per-job
+    tree rendering went super-linear — the kcore/mmr lineage lesson;
+    checkpointing truncates the logical plan itself. No driver-side
+    math: the matrix never leaves the cluster.
+
+    Determinism: products, matvec terms, norms, and the Rayleigh
+    quotient all walk the trunc-12dp/DECIMAL ladder; v0 = 1/sqrt(d)
+    uniformly (both engines' IEEE sqrt), so the walk — including the
+    eigenvector's sign — is bit-identical and the DuckDB twin unrolls
+    it.
+
+    Returns d rows (pos, loading, eigenvalue, explained_frac):
+    loading = unit top eigenvector, eigenvalue = Rayleigh quotient,
+    explained_frac = eigenvalue / trace(C), 6dp on the scalars."""
+
+    def _t12(col):
+        return F.floor(col * F.lit(1e12)).cast("double") / F.lit(1e12)
+
+    def _dsum(col):
+        return F.sum(_t12(col).cast("decimal(32,12)")).cast("double")
+
+    d = len(emb.select(vec_col).first()[0])
+    n = emb.agg(F.count(F.lit(1)).cast("double").alias("n")).scalar()
+    flat = emb.select(
+        F.posexplode(F.col(vec_col)).alias("j", "xj"),
+        F.col(vec_col).alias("_v"),
+    )
+    pair = flat.select(
+        "j", "xj", F.posexplode(F.col("_v")).alias("k", "xk")
+    )
+    mu = flat.groupBy("j").agg((_dsum(F.col("xj")) / n).alias("mu"))
+    cov = (
+        pair.groupBy("j", "k")
+        .agg((_dsum(F.col("xj") * F.col("xk")) / n).alias("_sxx"))
+        .join(mu.select(F.col("j"), F.col("mu").alias("_mj")), "j")
+        .join(mu.select(F.col("j").alias("k"), F.col("mu").alias("_mk")), "k")
+        .select(
+            "j", "k", (F.col("_sxx") - F.col("_mj") * F.col("_mk")).alias("c")
+        )
+        .localCheckpoint()
+    )
+    v = cov.select("j").distinct().select(
+        F.col("j").alias("k"),
+        F.lit(1.0).cast("double") / F.sqrt(F.lit(float(d))).alias("_"),
+    ).toDF("k", "v").localCheckpoint()
+    for it in range(iters):
+        w = (
+            cov.join(v, "k")
+            .groupBy("j")
+            .agg(_dsum(F.col("c") * F.col("v")).alias("w"))
+        )
+        if plan_hook is not None and it == 0:
+            plan_hook("matvec", w)
+        w = w.localCheckpoint()
+        nv = F.sqrt(w.agg(_dsum(F.col("w") * F.col("w")).alias("n2")).scalar())
+        v = w.select(
+            F.col("j").alias("k"), _t12(F.col("w") / nv).alias("v")
+        ).localCheckpoint()
+    # Rayleigh quotient lambda = v'Cv and trace(C), both in-plan scalars
+    wfin = (
+        cov.join(v, "k")
+        .groupBy("j")
+        .agg(_dsum(F.col("c") * F.col("v")).alias("w"))
+    )
+    lam = (
+        wfin.join(v.select(F.col("k").alias("j"), "v"), "j")
+        .agg(_dsum(F.col("w") * F.col("v")).alias("l"))
+        .scalar()
+    )
+    trace = (
+        cov.filter(F.col("j") == F.col("k"))
+        .agg(_dsum(F.col("c")).alias("t"))
+        .scalar()
+    )
+    # cov and v are localCheckpointed (freed with the session / GC);
+    # the returned frame reads the checkpointed blocks
+    return v.select(
+        F.col("k").alias("pos"),
+        F.round(F.col("v"), 6).alias("loading"),
+        F.round(lam, 6).alias("eigenvalue"),
+        F.round(lam / trace, 6).alias("explained_frac"),
+    )

@@ -5739,6 +5739,82 @@ FROM isl GROUP BY doc, grp"""
 SUBSTR_INCR_Q = substr_incr_sql()
 
 
+# Twin of operators.similarity.top_principal_component (d inferred at
+# generation time; iters=6): one unnest pass to the d x d second
+# moments, unrolled MATERIALIZED power steps with the identical
+# trunc-12dp/DECIMAL ladder, Rayleigh quotient + trace at the end.
+def top_pc_sql(d: int = 64, iters: int = 6) -> str:
+    t12 = "floor(({x}) * 1e12) / 1e12"
+    dsum = "CAST(sum(CAST(" + t12 + " AS DECIMAL(32,12))) AS DOUBLE)"
+    parts = [
+        f"""WITH e AS MATERIALIZED (SELECT embedding FROM embeddings),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+flat AS MATERIALIZED (
+  SELECT u['j'] AS j, u['x'] AS xj, embedding AS vv
+  FROM (SELECT embedding,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {{'j': i - 1, 'x': embedding[i]}})) AS u
+        FROM e)
+),
+pair AS (
+  SELECT j, xj, w['k'] AS k, w['x'] AS xk
+  FROM (SELECT j, xj,
+               unnest(list_transform(range(1, len(vv) + 1),
+                      i -> {{'k': i - 1, 'x': vv[i]}})) AS w
+        FROM flat)
+),
+mu AS MATERIALIZED (
+  SELECT j, {dsum.format(x='xj')} / (SELECT n FROM nn) AS mu
+  FROM flat GROUP BY j
+),
+sxx AS (
+  SELECT j, k, {dsum.format(x='xj * xk')} / (SELECT n FROM nn) AS sxx
+  FROM pair GROUP BY j, k
+),
+cov AS MATERIALIZED (
+  SELECT s.j, s.k, s.sxx - a.mu * b.mu AS c
+  FROM sxx s JOIN mu a ON s.j = a.j JOIN mu b ON s.k = b.j
+),
+v0 AS MATERIALIZED (
+  SELECT DISTINCT j AS k, 1.0 / sqrt(CAST({d} AS DOUBLE)) AS v FROM cov
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+w{t} AS MATERIALIZED (
+  SELECT cov.j, {dsum.format(x='cov.c * p.v')} AS w
+  FROM cov JOIN v{t - 1} p ON cov.k = p.k GROUP BY cov.j
+),
+n{t} AS (SELECT sqrt({dsum.format(x='w * w')}) AS nv FROM w{t}),
+v{t} AS MATERIALIZED (
+  SELECT j AS k, {t12.format(x=f'w / (SELECT nv FROM n{t})')} AS v
+  FROM w{t}
+)"""
+        )
+    parts.append(
+        f""",
+wf AS (
+  SELECT cov.j, {dsum.format(x='cov.c * p.v')} AS w
+  FROM cov JOIN v{iters} p ON cov.k = p.k GROUP BY cov.j
+),
+lam AS (
+  SELECT {dsum.format(x='wf.w * p.v')} AS l
+  FROM wf JOIN v{iters} p ON wf.j = p.k
+),
+tr AS (SELECT {dsum.format(x='c')} AS t FROM cov WHERE j = k)
+SELECT k AS pos, round(v, 6) AS loading,
+       round((SELECT l FROM lam), 6) AS eigenvalue,
+       round((SELECT l FROM lam) / (SELECT t FROM tr), 6)
+         AS explained_frac
+FROM v{iters}"""
+    )
+    return "".join(parts)
+
+
+TOP_PC_Q = top_pc_sql()
+
+
 # Twin of operators.dedup.dup_profile: substr_dedup extents summed per
 # doc (disjoint by construction), left-joined onto the per-doc token
 # counts; 6dp fraction, NULL only on zero-token docs.

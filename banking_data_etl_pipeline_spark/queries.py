@@ -2634,6 +2634,15 @@ def stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.srm_stream(spark, d, "stream_srm_sink")
 
 
+def stream_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING mSPRT monitor: update-mode per-(day, arm) partial
+    sums drained with availableNow, terminal rows through the shared
+    λ walk — checked against the batch MSPRT_Q (batch-equivalence)."""
+    tune_for_oracle(spark)
+    d = _stream_src_dir(sf_dir, "events")
+    return EV.msprt_stream(spark, d, "stream_msprt_sink")
+
+
 def judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the quality-ensemble gate and the CCNet
     perplexity terciles — inter-judge agreement for curation
@@ -2710,6 +2719,16 @@ def winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (non-probabilistic) member of the near-dup family."""
     tune_for_oracle(spark)
     return dedup.winnow_pairs(tables.load(spark, sf_dir, "documents"))
+
+
+def emb_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding cloud (power
+    iteration on the in-cluster covariance) — the anisotropy /
+    common-direction health check."""
+    tune_for_oracle(spark)
+    return similarity.top_principal_component(
+        tables.load(spark, sf_dir, "embeddings")
+    )
 
 
 def woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:

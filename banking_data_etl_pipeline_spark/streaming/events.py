@@ -1103,3 +1103,76 @@ def topk_users_stream(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def msprt_stream(
+    spark: SparkSession, events_dir: str, name: str, alpha: float = 0.05
+) -> DataFrame:
+    """Streaming mSPRT experiment monitor: the always-valid sequential
+    A/B readout (``operators.experiments.msprt_monitor``) maintained ON
+    the feed — per-(day, arm) partial sums run as an UPDATE-mode
+    stateful aggregate (per-key running count/sum/sum-of-squares
+    state, the exact partials the batch path computes per day), the
+    drained sink keeps each key's terminal row, and the shared
+    ``msprt_walk`` turns the day-count-sized result into the λ / p
+    sequence. The experimenter's daily peek IS the streaming output —
+    which is the whole point of an always-valid p.
+
+    Terminal-row rule: update mode re-emits a key on every increase;
+    count, Σ value and Σ value² are all strictly increasing (values
+    are positive), so the per-key MAX of each column is the terminal
+    row — the ``topk_users_stream`` batch-equivalence argument.
+    Oracle: the batch MSPRT_Q must match exactly.
+
+    State is bounded by days × 2 arms keys; at 100 TB the same plan
+    runs with a watermark on the day window to expire closed days —
+    kept unwatermarked here so the drained availableNow run is
+    bit-equivalent to batch."""
+    from ..operators import experiments
+
+    t12 = "floor(({x}) * 1e12) / 1e12"
+    dsum = (
+        "sum(CAST(" + t12 + " AS DECIMAL(32,12)))"
+    )
+    armed = (
+        events_stream(spark, events_dir)
+        .select(
+            F.to_date(F.col("ts")).alias("day"),
+            F.expr(
+                "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1),"
+                " 16, 10) AS INT) % 2"
+            ).alias("arm"),
+            F.col("value").cast("double").alias("v"),
+        )
+    )
+    agg = armed.groupBy("day", "arm").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("cnt"),
+        F.expr(dsum.format(x="v")).alias("s"),
+        F.expr(dsum.format(x="v * v")).alias("q"),
+    )
+    with _state_partitions(spark, 16):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    drained = spark.sql(f"SELECT * FROM {name}")
+    terminal = drained.groupBy("day", "arm").agg(
+        F.max("cnt").alias("cnt"), F.max("s").alias("s"), F.max("q").alias("q")
+    )
+    daily = terminal.groupBy("day").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("d_n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("s"))).alias("d_s1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("q"))).alias("d_q1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("d_n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("s"))).alias("d_s0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("q"))).alias("d_q0"),
+    )
+    return experiments.msprt_walk(daily, alpha)

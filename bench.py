@@ -291,6 +291,8 @@ BENCH_QUERIES = [
     "msprt_monitor",
     "woe_iv",
     "substr_incremental",
+    "emb_top_pc",
+    "stream_msprt",
     "zorder_stats",
 ]
 

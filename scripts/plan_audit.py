@@ -32,12 +32,12 @@ SKIP = {
     "stream_quality_gate", "stream_minhash_screen",
     "stream_bloom_screen", "stream_funnel", "stream_psi_drift",
     "stream_attribution", "stream_ewma", "stream_srm",
-    "stream_topk_users",
+    "stream_topk_users", "stream_msprt",
     # iterative (driver-side loop): representative per-iteration plans
     # captured via plan_hook in the second section below
     "kmeans", "dedup_resolve", "pagerank", "fuzzy_resolve",
     "triangle_count", "bpe_merges", "bpe_merges_batched", "kcore",
-    "mmr_rerank",
+    "mmr_rerank", "hits", "kcenter_coreset", "emb_top_pc",
 }
 
 # which iterative capture covers each skipped query's loop
@@ -52,6 +52,11 @@ ITER_COVERAGE = {
     "kcore": "kcore[peel]",
     "mmr_rerank": "bm25_topk row (pool scan; pick rounds are "
     "checkpointed joins over <= queries x pool rows)",
+    "hits": "hits[iteration]",
+    "kcenter_coreset": "kcenter[update] (map-only least() vs a "
+    "literal center + one global top-1 per round)",
+    "emb_top_pc": "top_pc[matvec] (d^2-row checkpointed cov join "
+    "per step; corpus touched once in the cov build)",
 }
 
 
@@ -214,6 +219,16 @@ def main() -> None:
     bpe.learn_bpe_merges(docs, n_merges=1, plan_hook=hook_for("bpe"))
     spark.catalog.clearCache()
     graph.kcore(lineitem, plan_hook=hook_for("kcore"))
+    spark.catalog.clearCache()
+    orders = tables.load(spark, sf_dir, "orders")
+    graph.hits(orders, lineitem, iters=1, plan_hook=hook_for("hits"))
+    spark.catalog.clearCache()
+    from banking_data_etl_pipeline_spark.operators import sampling, similarity
+    sampling.kcenter_coreset(emb, k=2, plan_hook=hook_for("kcenter"))
+    spark.catalog.clearCache()
+    similarity.top_principal_component(
+        emb, iters=1, plan_hook=hook_for("top_pc")
+    )
     spark.catalog.clearCache()
 
     for label, plan in captured:

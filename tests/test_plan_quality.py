@@ -302,6 +302,10 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "kcore",  # iterative peel loop (localCheckpoint per round)
         "stream_topk_users",  # runs its stream eagerly at build
         "mmr_rerank",  # greedy selection loop (localCheckpoint per round)
+        "stream_msprt",  # runs its stream eagerly at build
+        "hits",  # iterative half-steps (persist+materialize per round)
+        "kcenter_coreset",  # greedy driver loop (one top-1 pull/round)
+        "emb_top_pc",  # power-iteration loop (localCheckpoint per step)
     }
     # intentional broadcast cross joins: ann_brute scores the tiny
     # query set against the corpus; source_divergence expands the

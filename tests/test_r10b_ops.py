@@ -254,3 +254,55 @@ def test_substr_incremental_extents_clip_to_shared_run(spark):
         map(tuple, D.substr_dedup_incremental(batch, corpus, 3).collect())
     )
     assert got == [(10, 1, 4, 4)]
+
+
+# ------------------------------------------------- top principal component
+
+
+def test_top_pc_recovers_known_direction(spark):
+    from banking_data_etl_pipeline_spark.operators import similarity
+
+    # rank-1 cloud along (0.6, 0.8): cov = 2.5 * vv', so the top
+    # component is exactly (0.6, 0.8) with eigenvalue 2.5 and
+    # explained_frac 1.0
+    emb = spark.createDataFrame(
+        [(i, [t * 0.6, t * 0.8]) for i, t in enumerate([-2.0, -1.0, 1.0, 2.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = sorted(
+        similarity.top_principal_component(emb, iters=8).collect()
+    )
+    assert [r.pos for r in rows] == [0, 1]
+    assert abs(rows[0].loading - 0.6) < 1e-6
+    assert abs(rows[1].loading - 0.8) < 1e-6
+    assert rows[0].eigenvalue == 2.5 and rows[0].explained_frac == 1.0
+
+
+def test_top_pc_unit_norm_and_partition_invariant(spark):
+    from banking_data_etl_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(150)
+    a = sorted(similarity.top_principal_component(emb, iters=3).collect())
+    norm = math.sqrt(sum(r.loading**2 for r in a))
+    assert abs(norm - 1.0) < 1e-5
+    assert 0.0 < a[0].explained_frac <= 1.0
+    b = sorted(
+        similarity.top_principal_component(
+            emb.repartition(7), iters=3
+        ).collect()
+    )
+    assert a == b
+
+
+# --------------------------------------------------- streaming mSPRT
+
+
+def test_stream_msprt_batch_equivalent(spark):
+    from banking_data_etl_pipeline_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, Q.stream_msprt(spark, sf).collect()))
+    want = sorted(map(tuple, Q.msprt_monitor(spark, sf).collect()))
+    assert got == want and len(got) > 0
