@@ -676,3 +676,65 @@ def ndcg_at_k(
         )
         .orderBy("query_id")
     )
+
+
+def mrr_at_k(
+    docs: DataFrame,
+    k: int = 10,
+    rel_grade: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MRR@k and hit-rate@k of the BM25 ranking — the binary-relevance
+    companions to ``ndcg_at_k`` (Voorhees 1999 TREC QA): reciprocal
+    rank of the FIRST relevant hit (term-coverage grade >=
+    ``rel_grade``, i.e. full query coverage at the default), 0 when
+    nothing relevant lands in the top k. Together with nDCG (graded)
+    this covers both evaluation regimes production search teams
+    report.
+
+    Scale shape: identical to ``ndcg_at_k`` — rides the two-phase
+    ``bm25_topk``, one distinct-postings join against the broadcast
+    query terms, then a per-query min over queries × k rows.
+
+    Returns (query_id, first_rel_rank, rr, hit): first_rel_rank NULL
+    and rr 0.0 when the top k holds no relevant document."""
+    hits = bm25_topk(docs, k=k, text_col=text_col, id_col=id_col)
+    # same deterministic term-coverage grading as ndcg_at_k (a labeled
+    # qrels table swaps in downstream-unchanged)
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(texttools.tokens(F.col(text_col))).alias("token"),
+    )
+    qt = derived_query_terms(tk.select(F.col("doc_id").alias(id_col), "token"))
+    grades = (
+        tk.select("doc_id", "token")
+        .distinct()
+        .join(F.broadcast(qt), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("g"))
+    )
+    rel = (
+        hits.join(grades, ["query_id", "doc_id"])
+        .filter(F.col("g") >= rel_grade)
+        .groupBy("query_id")
+        .agg(F.min("rank").cast("bigint").alias("first_rel_rank"))
+    )
+    return (
+        hits.select("query_id")
+        .distinct()
+        .join(rel, "query_id", "left")
+        .select(
+            "query_id",
+            "first_rel_rank",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rr"),
+            F.col("first_rel_rank").isNotNull().alias("hit"),
+        )
+        .orderBy("query_id")
+    )

@@ -427,3 +427,50 @@ def kcenter_coreset(
     return emb.sparkSession.createDataFrame(
         selected, "sel_rank int, vec_id bigint, dist double"
     ).select("sel_rank", "vec_id", F.round("dist", 6).alias("dist"))
+
+
+def curriculum_order(
+    docs: DataFrame,
+    n_stages: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum training order (Bengio et al. 2009): stage the
+    corpus easy -> hard — the standard LENGTH curriculum (shortest
+    docs first; swap any difficulty column in unchanged) — with a
+    DETERMINISTIC md5 shuffle inside each stage, so examples within a
+    difficulty band arrive in hash order, not corpus order (the
+    within-stage decorrelation every curriculum recipe requires),
+    and reruns/backfills emit the identical sequence.
+
+    Scale shape: difficulty banding is one global ``ntile`` over
+    (difficulty, id) — a total order, deterministic cross-engine; at
+    100 TB swap the global ntile for approx-percentile threshold cuts
+    (the ``lift_table`` note), same output contract. The emit index
+    is a window over (stage, hash) — the same single total order, one
+    sort.
+
+    Returns (doc_id, n_tokens, stage, emit_order): stage 1 = easiest
+    band, emit_order the global training sequence position."""
+    from ..functions import texttools
+
+    sized = docs.select(
+        F.col(id_col),
+        F.size(texttools.tokens(F.col(text_col)))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(F.concat(F.lit("cur|"), F.col(id_col).cast("string"))).alias(
+            "_h"
+        ),
+    )
+    wd = Window.orderBy(F.col("n_tokens").asc(), F.col(id_col).asc())
+    staged = sized.withColumn("stage", F.ntile(n_stages).over(wd))
+    we = Window.orderBy(
+        F.col("stage").asc(), F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return staged.select(
+        id_col,
+        "n_tokens",
+        F.col("stage").cast("int").alias("stage"),
+        F.row_number().over(we).cast("bigint").alias("emit_order"),
+    )

@@ -6074,6 +6074,74 @@ FROM ranked WHERE rank <= 10"""
 # table, the same derived-query-terms CTE for the term-coverage
 # grades, NDCG_TERM interpolated verbatim over (rank | ideal rank),
 # 12-dp terms summed as DECIMAL(26,12).
+def mrr_sql(
+    k: int = 10,
+    rel_grade: int = 2,
+    n_queries: int = 5,
+    terms_per_query: int = 2,
+    vocab_rank_start: int = 11,
+) -> str:
+    """Twin of operators.retrieval.mrr_at_k: the ndcg_sql CTE chain up
+    to the graded hits, then min-rank of the first grade >= rel_grade
+    hit per query, rr = 1/rank (0.0 on miss)."""
+    n_terms = n_queries * terms_per_query
+    return f"""WITH hits AS MATERIALIZED (
+  SELECT * FROM ({bm25_topk_sql(k=k)})
+), tk AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+), vranked AS (
+  SELECT token,
+         row_number() OVER (ORDER BY count(*) DESC, token ASC) AS vrank
+  FROM tk GROUP BY token
+), qt AS (
+  SELECT CAST((vrank - {vocab_rank_start}) // {terms_per_query} AS INT)
+           AS query_id,
+         token
+  FROM vranked
+  WHERE vrank >= {vocab_rank_start}
+    AND vrank < {vocab_rank_start} + {n_terms}
+), grades AS (
+  SELECT q.query_id, p.doc_id, CAST(count(*) AS INT) AS g
+  FROM (SELECT DISTINCT doc_id, token FROM tk) p
+  JOIN qt q ON p.token = q.token
+  GROUP BY q.query_id, p.doc_id
+), rel AS (
+  SELECT h.query_id, CAST(min(h.rank) AS BIGINT) AS first_rel_rank
+  FROM hits h
+  JOIN grades g ON h.query_id = g.query_id AND h.doc_id = g.doc_id
+  WHERE g.g >= {rel_grade}
+  GROUP BY h.query_id
+), qs AS (SELECT DISTINCT query_id FROM hits)
+SELECT q.query_id, r.first_rel_rank,
+       round(coalesce(1.0 / CAST(r.first_rel_rank AS DOUBLE), 0.0), 6)
+         AS rr,
+       (r.first_rel_rank IS NOT NULL) AS hit
+FROM qs q LEFT JOIN rel r ON q.query_id = r.query_id"""
+
+
+MRR_Q = mrr_sql()
+
+
+# Twin of operators.sampling.curriculum_order (n_stages=4, length
+# curriculum, md5 in-stage shuffle): same (n_tokens, id) ntile total
+# order and (stage, hash, id) emit ranking.
+CURRICULUM_Q = f"""WITH sized AS (
+  SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+         md5('cur|' || CAST(doc_id AS VARCHAR)) AS _h
+  FROM documents
+), staged AS (
+  SELECT doc_id, n_tokens,
+         CAST(ntile(4) OVER (ORDER BY n_tokens ASC, doc_id ASC) AS INT)
+           AS stage,
+         _h
+  FROM sized
+)
+SELECT doc_id, n_tokens, stage,
+       CAST(row_number() OVER (ORDER BY stage ASC, _h ASC, doc_id ASC)
+            AS BIGINT) AS emit_order
+FROM staged"""
+
+
 def ndcg_sql(
     k: int = 10,
     n_queries: int = 5,

@@ -2721,6 +2721,25 @@ def winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_pairs(tables.load(spark, sf_dir, "documents"))
 
 
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum training order: 4 easy->hard stages with a
+    deterministic md5 shuffle inside each stage."""
+    from .operators import sampling
+
+    tune_for_oracle(spark)
+    return sampling.curriculum_order(tables.load(spark, sf_dir, "documents"))
+
+
+def mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 / hit-rate@10 of the BM25 ranking under the same
+    deterministic term-coverage relevance as ndcg_eval — the
+    binary-relevance ranking readout."""
+    from .operators import retrieval
+
+    tune_for_oracle(spark)
+    return retrieval.mrr_at_k(tables.load(spark, sf_dir, "documents"))
+
+
 def emb_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal component of the embedding cloud (power
     iteration on the in-cluster covariance) — the anisotropy /

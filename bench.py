@@ -293,6 +293,8 @@ BENCH_QUERIES = [
     "substr_incremental",
     "emb_top_pc",
     "stream_msprt",
+    "mrr_eval",
+    "curriculum_order",
     "zorder_stats",
 ]
 

@@ -306,3 +306,44 @@ def test_stream_msprt_batch_equivalent(spark):
     got = sorted(map(tuple, Q.stream_msprt(spark, sf).collect()))
     want = sorted(map(tuple, Q.msprt_monitor(spark, sf).collect()))
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------------- MRR / curriculum
+
+
+def test_mrr_consistent_with_rank(spark):
+    from banking_data_etl_pipeline_spark.operators import retrieval
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = retrieval.mrr_at_k(docs).collect()
+    assert rows
+    for r in rows:
+        if r.first_rel_rank is None:
+            assert r.rr == 0.0 and not r.hit
+        else:
+            assert 1 <= r.first_rel_rank <= 10 and r.hit
+            assert r.rr == round(1.0 / r.first_rel_rank, 6)
+
+
+def test_curriculum_order_is_staged_permutation(spark):
+    from banking_data_etl_pipeline_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (1 + i % 7)) for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        sampling.curriculum_order(docs, n_stages=4).collect(),
+        key=lambda r: r.emit_order,
+    )
+    assert [r.emit_order for r in rows] == list(range(1, 41))
+    stages = [r.stage for r in rows]
+    assert stages == sorted(stages)  # stage blocks in order
+    # easy -> hard across stage boundaries (sorted total order)
+    for s in (1, 2, 3):
+        left = max(r.n_tokens for r in rows if r.stage == s)
+        right = min(r.n_tokens for r in rows if r.stage == s + 1)
+        assert left <= right
+    # within a stage, emit order follows the md5 hash, not doc order
+    s1 = [r.doc_id for r in rows if r.stage == 1]
+    assert s1 != sorted(s1)
