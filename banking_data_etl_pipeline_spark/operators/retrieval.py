@@ -720,8 +720,11 @@ def mrr_at_k(
         .groupBy("query_id")
         .agg(F.min("rank").cast("bigint").alias("first_rel_rank"))
     )
+    # the query universe comes from the TINY derived-terms frame, not
+    # from hits — re-deriving it from hits would re-execute the whole
+    # unpersisted bm25 subtree a second time (22 -> 13 shuffles)
     return (
-        hits.select("query_id")
+        qt.select("query_id")
         .distinct()
         .join(rel, "query_id", "left")
         .select(

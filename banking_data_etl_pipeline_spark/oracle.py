@@ -6111,7 +6111,7 @@ def mrr_sql(
   JOIN grades g ON h.query_id = g.query_id AND h.doc_id = g.doc_id
   WHERE g.g >= {rel_grade}
   GROUP BY h.query_id
-), qs AS (SELECT DISTINCT query_id FROM hits)
+), qs AS (SELECT DISTINCT query_id FROM qt)
 SELECT q.query_id, r.first_rel_rank,
        round(coalesce(1.0 / CAST(r.first_rel_rank AS DOUBLE), 0.0), 6)
          AS rr,

@@ -146,6 +146,15 @@ def main() -> None:
         "broadcast exchanges / WholeStageCodegen spans / parquet scans",
         "with pushed filters / total parquet scans.",
         "",
+        "Flagged single-partition exchanges are POST-REDUCTION sizing",
+        "decisions, not data funnels: score_auc reduces to DISTINCT",
+        "scores, calibration_bins/lift_deciles to their bins/bands,",
+        "bootstrap_ci to one base-stats row, msprt_monitor to day-count",
+        "rows before its cumulative walk. curriculum_order's global",
+        "ntile is the lift_table case — at 100 TB swap it for",
+        "approx-percentile threshold cuts (same output contract, note",
+        "in the operator docstring).",
+        "",
         "| query | shuffles | bcast | wscg | pushed/scans | flags |",
         "|---|---|---|---|---|---|",
     ]
