@@ -1930,24 +1930,36 @@ def top_principal_component(
     a fat top component means a common-direction bias worth removing)
     and the exact-PCA companion to the random ``jl_project``.
 
-    Scale shape: the corpus is read ONCE — a double posexplode fans
-    each vector into d² (j, k, x_j·x_k) cells that one map-side-
-    combined groupBy reduces to the d×d second-moment matrix; means
-    come from the same pass's d-cell explode. Everything after is
-    MODEL-PARAMETER scale: the covariance frame is d² rows, each power
-    step is a d²⋈d join + groupBy + an uncorrelated-scalar L2
-    normalize. Every step LOCALCHECKPOINTS (not persist): each
-    iteration embeds the previous vector's plan twice (matvec + norm
-    subquery), so plan TEXT doubles per step and Catalyst's per-job
-    tree rendering went super-linear — the kcore/mmr lineage lesson;
-    checkpointing truncates the logical plan itself. No driver-side
-    math: the matrix never leaves the cluster.
+    Scale shape: the corpus is read ONCE, through an ARROW-BATCHED
+    outer-product partial aggregation (``mapInPandas``): each batch
+    emits its d² truncated-product partial sums as EXACT int64s —
+    numpy does the n×d² multiply vectorized, where the first-cut
+    relational double-posexplode materialized d² ROWS per vector
+    (40 M rows at sf0.1 for 64 dims). This is the one shape where the
+    repo's built-ins-first rule yields: the fan-out is quadratic in d
+    and the kernel is exactly what batched array code is for. One
+    map-side-combined groupBy reduces the per-batch partials to the
+    d×d second-moment matrix (means and the row count ride the same
+    pass as k=-1 / j=-1 rows). Everything after is MODEL-PARAMETER
+    scale: the covariance frame is d² rows, each power step a d²⋈d
+    join + groupBy + an uncorrelated-scalar L2 normalize. Every step
+    LOCALCHECKPOINTS (not persist): each iteration embeds the
+    previous vector's plan twice (matvec + norm subquery), so plan
+    TEXT doubles per step and Catalyst's per-job tree rendering went
+    super-linear — the kcore/mmr lineage lesson; checkpointing
+    truncates the logical plan itself. No driver-side math: the
+    matrix never leaves the cluster.
 
-    Determinism: products, matvec terms, norms, and the Rayleigh
-    quotient all walk the trunc-12dp/DECIMAL ladder; v0 = 1/sqrt(d)
-    uniformly (both engines' IEEE sqrt), so the walk — including the
-    eigenvector's sign — is bit-identical and the DuckDB twin unrolls
-    it.
+    Determinism: every product is truncated to 12 dp BEFORE any sum
+    (numpy's floor((x_j·x_k)·1e12) is bit-identical to the JVM/DuckDB
+    floor of the same IEEE product), partials are exact integers, so
+    batch/partition boundaries cannot shift a double; the final cell
+    is CAST(Σ AS DOUBLE)/1e12 — the expression the DuckDB twin
+    computes from its HUGEINT sum of the SAME per-element integers.
+    Matvec terms, norms, and the Rayleigh quotient walk the
+    trunc-12dp/DECIMAL ladder; v0 = 1/sqrt(d) uniformly. The walk —
+    including the eigenvector's sign — is bit-identical across
+    engines.
 
     Returns d rows (pos, loading, eigenvalue, explained_frac):
     loading = unit top eigenvector, eigenvalue = Rayleigh quotient,
@@ -1960,18 +1972,65 @@ def top_principal_component(
         return F.sum(_t12(col).cast("decimal(32,12)")).cast("double")
 
     d = len(emb.select(vec_col).first()[0])
-    n = emb.agg(F.count(F.lit(1)).cast("double").alias("n")).scalar()
-    flat = emb.select(
-        F.posexplode(F.col(vec_col)).alias("j", "xj"),
-        F.col(vec_col).alias("_v"),
+
+    def _moments(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            s2 = np.zeros((d, d), dtype=np.int64)
+            s1 = np.zeros(d, dtype=np.int64)
+            # chunk rows so the (rows, d, d) product tensor stays
+            # bounded (~2048·d²·8 B ≈ 64 MB at d=64)
+            for lo in range(0, len(X), 2048):
+                ch = X[lo : lo + 2048]
+                s2 += (
+                    np.floor(ch[:, :, None] * ch[:, None, :] * 1e12)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+                s1 += np.floor(ch * 1e12).astype(np.int64).sum(axis=0)
+            yield pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "j": np.repeat(np.arange(d), d),
+                            "k": np.tile(np.arange(d), d),
+                            "psum": s2.ravel(),
+                        }
+                    ),
+                    pd.DataFrame(
+                        {"j": np.arange(d), "k": -1, "psum": s1}
+                    ),
+                    pd.DataFrame({"j": [-1], "k": [-1], "psum": [len(X)]}),
+                ],
+                ignore_index=True,
+            )
+
+    tot = (
+        emb.select(F.col(vec_col).alias("v"))
+        .mapInPandas(_moments, "j int, k int, psum long")
+        .groupBy("j", "k")
+        .agg(F.sum(F.col("psum").cast("decimal(38,0)")).alias("ps"))
+        .localCheckpoint()
     )
-    pair = flat.select(
-        "j", "xj", F.posexplode(F.col("_v")).alias("k", "xk")
+    n = (
+        tot.filter((F.col("j") == -1) & (F.col("k") == -1))
+        .agg(F.sum(F.col("ps").cast("double")).alias("n"))
+        .scalar()
     )
-    mu = flat.groupBy("j").agg((_dsum(F.col("xj")) / n).alias("mu"))
+    cell = F.col("ps").cast("double") / F.lit(1e12) / n
+    mu = tot.filter((F.col("j") >= 0) & (F.col("k") == -1)).select(
+        "j", cell.alias("mu")
+    )
     cov = (
-        pair.groupBy("j", "k")
-        .agg((_dsum(F.col("xj") * F.col("xk")) / n).alias("_sxx"))
+        tot.filter(F.col("k") >= 0)
+        .select("j", "k", cell.alias("_sxx"))
         .join(mu.select(F.col("j"), F.col("mu").alias("_mj")), "j")
         .join(mu.select(F.col("j").alias("k"), F.col("mu").alias("_mk")), "k")
         .select(

@@ -5746,6 +5746,13 @@ SUBSTR_INCR_Q = substr_incr_sql()
 def top_pc_sql(d: int = 64, iters: int = 6) -> str:
     t12 = "floor(({x}) * 1e12) / 1e12"
     dsum = "CAST(sum(CAST(" + t12 + " AS DECIMAL(32,12))) AS DOUBLE)"
+    # moment cells sum the EXACT per-element integers (the Spark side's
+    # Arrow-batched int64 partials), then divide the double once —
+    # identical final expression on both engines at any magnitude
+    isum = (
+        "CAST(sum(CAST(floor(({x}) * 1e12) AS HUGEINT)) AS DOUBLE)"
+        " / 1e12"
+    )
     parts = [
         f"""WITH e AS MATERIALIZED (SELECT embedding FROM embeddings),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
@@ -5764,11 +5771,11 @@ pair AS (
         FROM flat)
 ),
 mu AS MATERIALIZED (
-  SELECT j, {dsum.format(x='xj')} / (SELECT n FROM nn) AS mu
+  SELECT j, {isum.format(x='xj')} / (SELECT n FROM nn) AS mu
   FROM flat GROUP BY j
 ),
 sxx AS (
-  SELECT j, k, {dsum.format(x='xj * xk')} / (SELECT n FROM nn) AS sxx
+  SELECT j, k, {isum.format(x='xj * xk')} / (SELECT n FROM nn) AS sxx
   FROM pair GROUP BY j, k
 ),
 cov AS MATERIALIZED (
