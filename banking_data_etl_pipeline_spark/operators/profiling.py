@@ -515,3 +515,136 @@ def woe_iv(
             6,
         ).alias("iv"),
     )
+
+
+def bt_strengths(
+    docs: DataFrame,
+    top_n: int = 24,
+    judges: int = 5,
+    iters: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    plan_hook=None,
+) -> DataFrame:
+    """Bradley–Terry strengths from pairwise judge preferences — the
+    arena-style ranking model (Bradley & Terry 1952; Hunter 2004 MM
+    algorithm; the Chatbot-Arena/LMSYS leaderboard shape): given
+    win counts n_ij over document pairs, iterate
+
+        s_i  <-  W_i / sum_j  games_ij / (s_i + s_j)
+
+    and renormalize to mean 1 — the MM update whose fixpoint is the
+    BT maximum likelihood. Judging is a deterministic synthetic panel
+    (the harness stand-in for human/LLM preference labels): each of
+    ``judges`` judges perceives quality + an md5-derived jitter, so
+    win matrices are realistic (non-transitive upsets near ties)
+    while every engine replays them exactly.
+
+    Scale shape: contestants reduce to ``top_n`` rows BEFORE any
+    pairing (top-quality cut — the candidate-set discipline of every
+    pairwise family here), so the pair grid, judge panel, and MM loop
+    are all model-parameter scale (top_n² rows); the corpus is
+    touched once for the quality scores. Each MM step localCheckpoints
+    (the scalar-subquery-norm plan-text lesson). Division terms and
+    normalization walk the trunc-12dp/DECIMAL ladder.
+
+    Returns top_n rows (doc_id, wins, games, strength, rank):
+    strength mean-1-normalized at 6dp, rank by strength desc."""
+    from pyspark.sql import Window
+
+    from ..functions import texttools
+
+    def _t12(col):
+        return F.floor(col * F.lit(1e12)).cast("double") / F.lit(1e12)
+
+    def _dsum(col):
+        return F.sum(_t12(col).cast("decimal(32,12)")).cast("double")
+
+    q = F.round(texttools.quality_score(F.col(text_col)), 6)
+    cont = (
+        docs.select(F.col(id_col).alias("doc"), q.alias("q"))
+        .orderBy(F.col("q").desc(), F.col("doc").asc())
+        .limit(top_n)
+        .localCheckpoint()
+    )
+    jit = (
+        "CAST(CAST(conv(substring(md5(concat(CAST({d} AS STRING), '|',"
+        " CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000 AS DOUBLE)"
+        " / 1000.0 * 0.3"
+    )
+    games = (
+        cont.alias("a")
+        .join(cont.alias("b"), F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("i"),
+            F.col("b.doc").alias("j"),
+            F.col("a.q").alias("qi"),
+            F.col("b.q").alias("qj"),
+            F.explode(F.sequence(F.lit(1), F.lit(judges))).alias("k"),
+        )
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("qi") + F.expr(jit.format(d="i")))
+                > (F.col("qj") + F.expr(jit.format(d="j")))
+            ).alias("i_wins"),
+        )
+    )
+    wins = games.groupBy("i", "j").agg(
+        F.sum(F.col("i_wins").cast("int")).cast("bigint").alias("wi"),
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+    ).localCheckpoint()
+    # symmetric edge list: one row per (doc, opponent) with the doc's
+    # wins in that pairing and the games played
+    ed = wins.select(
+        F.col("i").alias("doc"), F.col("j").alias("opp"), F.col("wi").alias("w"), "g"
+    ).unionByName(
+        wins.select(
+            F.col("j").alias("doc"),
+            F.col("i").alias("opp"),
+            (F.col("g") - F.col("wi")).alias("w"),
+            "g",
+        )
+    ).localCheckpoint()
+    totals = ed.groupBy("doc").agg(
+        F.sum("w").cast("bigint").alias("wins"),
+        F.sum("g").cast("bigint").alias("games"),
+    ).localCheckpoint()
+    s = totals.select("doc", F.lit(1.0).alias("s")).localCheckpoint()
+    n_lit = F.lit(float(top_n))
+    for it in range(iters):
+        si = s.select(F.col("doc"), F.col("s").alias("_si"))
+        sj = s.select(F.col("doc").alias("opp"), F.col("s").alias("_sj"))
+        denom = (
+            ed.join(si, "doc")
+            .join(sj, "opp")
+            .groupBy("doc")
+            .agg(
+                _dsum(
+                    F.col("g").cast("double") / (F.col("_si") + F.col("_sj"))
+                ).alias("den")
+            )
+        )
+        raw = totals.join(denom, "doc").select(
+            "doc",
+            _t12(F.col("wins").cast("double") / F.col("den")).alias("r"),
+        )
+        if plan_hook is not None and it == 0:
+            plan_hook("mm-update", raw)
+        raw = raw.localCheckpoint()
+        tot = raw.agg(_dsum(F.col("r")).alias("t")).scalar()
+        s = raw.select(
+            "doc", _t12(F.col("r") * n_lit / tot).alias("s")
+        ).localCheckpoint()
+    wr = Window.orderBy(F.col("s").desc(), F.col("doc").asc())
+    return (
+        totals.join(s, "doc")
+        .select(
+            F.col("doc").alias(id_col),
+            "wins",
+            "games",
+            F.round(F.col("s"), 6).alias("strength"),
+            F.row_number().over(wr).cast("int").alias("rank"),
+        )
+    )

@@ -3839,6 +3839,91 @@ emds AS (
 SELECT job, marital, n, emd, (emd > 0.2) AS at_risk FROM emds"""
 
 
+# Twin of operators.profiling.bt_strengths (top_n=24, judges=5,
+# iters=8): same top-quality contestant cut, md5-jittered judge panel,
+# and unrolled MM updates through the trunc-12dp/DECIMAL ladder with a
+# mean-1 renormalize per step.
+def bt_sql(top_n: int = 24, judges: int = 5, iters: int = 8) -> str:
+    t12 = "floor(({x}) * 1e12) / 1e12"
+    dsum = "CAST(sum(CAST(" + t12 + " AS DECIMAL(32,12))) AS DOUBLE)"
+
+    def jit(d: str) -> str:
+        return (
+            f"CAST(CAST('0x' || substring(md5(CAST({d} AS VARCHAR) || '|' ||"
+            " CAST(k AS VARCHAR)), 1, 8) AS UBIGINT) % 1000 AS DOUBLE)"
+            " / 1000.0 * 0.3"
+        )
+
+    parts = [
+        f"""WITH tk AS (
+  SELECT doc_id, text, {TOKS} AS toks FROM documents
+), st AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE (length(text) - length(translate(text, '{_SQL_PUNCT}', '')))
+              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE {_hits('en')} / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
+  FROM tk
+), cont AS MATERIALIZED (
+  SELECT doc_id AS doc, round({_QUALITY}, 6) AS q FROM st
+  ORDER BY q DESC, doc ASC LIMIT {top_n}
+), games AS (
+  SELECT a.doc AS i, b.doc AS j, a.q AS qi, b.q AS qj, ks.k
+  FROM cont a JOIN cont b ON a.doc < b.doc
+  CROSS JOIN (SELECT unnest(range(1, {judges + 1})) AS k) ks
+), outc AS (
+  SELECT i, j, ((qi + {jit('i')}) > (qj + {jit('j')})) AS i_wins
+  FROM games
+), wins AS MATERIALIZED (
+  SELECT i, j,
+         CAST(sum(CASE WHEN i_wins THEN 1 ELSE 0 END) AS BIGINT) AS wi,
+         CAST(count(*) AS BIGINT) AS g
+  FROM outc GROUP BY i, j
+), ed AS MATERIALIZED (
+  SELECT i AS doc, j AS opp, wi AS w, g FROM wins
+  UNION ALL
+  SELECT j AS doc, i AS opp, g - wi AS w, g FROM wins
+), totals AS MATERIALIZED (
+  SELECT doc, CAST(sum(w) AS BIGINT) AS wins, CAST(sum(g) AS BIGINT) AS games
+  FROM ed GROUP BY doc
+), s0 AS MATERIALIZED (SELECT doc, CAST(1.0 AS DOUBLE) AS s FROM totals)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+d{t} AS (
+  SELECT e.doc, {dsum.format(x='CAST(e.g AS DOUBLE) / (si.s + sj.s)')} AS den
+  FROM ed e
+  JOIN s{t - 1} si ON e.doc = si.doc
+  JOIN s{t - 1} sj ON e.opp = sj.doc
+  GROUP BY e.doc
+),
+r{t} AS MATERIALIZED (
+  SELECT t.doc, {t12.format(x='CAST(t.wins AS DOUBLE) / d.den')} AS r
+  FROM totals t JOIN d{t} d ON t.doc = d.doc
+),
+n{t} AS (SELECT {dsum.format(x='r')} AS tot FROM r{t}),
+s{t} AS MATERIALIZED (
+  SELECT doc,
+         {t12.format(x=f'r * {float(top_n)} / (SELECT tot FROM n{t})')} AS s
+  FROM r{t}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT t.doc AS doc_id, t.wins, t.games, round(f.s, 6) AS strength,
+       CAST(row_number() OVER (ORDER BY f.s DESC, t.doc ASC) AS INT)
+         AS rank
+FROM totals t JOIN s{iters} f ON t.doc = f.doc"""
+    )
+    return "".join(parts)
+
+
+BT_Q = bt_sql()
+
+
 # Twin of operators.dedup.dedup_recall_report: exact n-gram Jaccard
 # truth vs MinHash-estimate pairs at the same threshold, one summary
 # row of precision/recall (NULL on zero denominators, like Spark's

@@ -2721,6 +2721,16 @@ def winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_pairs(tables.load(spark, sf_dir, "documents"))
 
 
+def bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths over a synthetic 5-judge preference
+    panel on the 24 top-quality docs — the arena-leaderboard MM
+    fixpoint, 8 iterations."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    return profiling.bt_strengths(tables.load(spark, sf_dir, "documents"))
+
+
 def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-curriculum training order: 4 easy->hard stages with a
     deterministic md5 shuffle inside each stage."""

@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "stream_msprt",
     "mrr_eval",
     "curriculum_order",
+    "bt_strengths",
     "zorder_stats",
 ]
 

@@ -38,6 +38,7 @@ SKIP = {
     "kmeans", "dedup_resolve", "pagerank", "fuzzy_resolve",
     "triangle_count", "bpe_merges", "bpe_merges_batched", "kcore",
     "mmr_rerank", "hits", "kcenter_coreset", "emb_top_pc",
+    "bt_strengths",
 }
 
 # which iterative capture covers each skipped query's loop
@@ -57,6 +58,8 @@ ITER_COVERAGE = {
     "literal center + one global top-1 per round)",
     "emb_top_pc": "top_pc[matvec] (d^2-row checkpointed cov join "
     "per step; corpus touched once in the cov build)",
+    "bt_strengths": "bt[mm-update] (top_n-row checkpointed join per "
+    "step; corpus touched once for the contestant cut)",
 }
 
 
@@ -238,6 +241,9 @@ def main() -> None:
     similarity.top_principal_component(
         emb, iters=1, plan_hook=hook_for("top_pc")
     )
+    spark.catalog.clearCache()
+    from banking_data_etl_pipeline_spark.operators import profiling
+    profiling.bt_strengths(docs, iters=1, plan_hook=hook_for("bt"))
     spark.catalog.clearCache()
 
     for label, plan in captured:

@@ -306,6 +306,7 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "hits",  # iterative half-steps (persist+materialize per round)
         "kcenter_coreset",  # greedy driver loop (one top-1 pull/round)
         "emb_top_pc",  # power-iteration loop (localCheckpoint per step)
+        "bt_strengths",  # MM iteration loop (localCheckpoint per step)
     }
     # intentional broadcast cross joins: ann_brute scores the tiny
     # query set against the corpus; source_divergence expands the

@@ -347,3 +347,40 @@ def test_curriculum_order_is_staged_permutation(spark):
     # within a stage, emit order follows the md5 hash, not doc order
     s1 = [r.doc_id for r in rows if r.stage == 1]
     assert s1 != sorted(s1)
+
+
+# --------------------------------------------------- Bradley-Terry
+
+
+def test_bt_strengths_recovers_dominance(spark):
+    from banking_data_etl_pipeline_spark.operators import profiling
+
+    # quality separation >> jitter (0.3): the panel is unanimous, so
+    # BT strength order must equal the quality order
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten " * 10),
+            (2, "word " * 4),
+            (3, "@@@@ #### $$$$ %%%%"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        profiling.bt_strengths(docs, top_n=3, judges=3, iters=6).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.doc_id for r in rows] == [1, 2, 3]
+    assert rows[0].strength > rows[1].strength > rows[2].strength
+    assert all(r.games == 6 for r in rows)  # 2 opponents x 3 judges
+    # total wins across docs = total decided games / 2 sides
+    assert sum(r.wins for r in rows) == 3 * 3  # pairs x judges
+
+
+def test_bt_strengths_mean_one_normalized(spark):
+    from banking_data_etl_pipeline_spark.operators import profiling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = profiling.bt_strengths(docs, top_n=8, judges=3, iters=4).collect()
+    assert len(rows) == 8
+    assert abs(sum(r.strength for r in rows) / 8 - 1.0) < 1e-4
+    assert len({r.rank for r in rows}) == 8
