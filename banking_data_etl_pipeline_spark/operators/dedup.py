@@ -1244,10 +1244,19 @@ def substr_dedup(
         .filter(F.col("occ") >= 2)
     )
     dup = wins.join(counts, "h").select("doc", "pos", "occ")
+    # island merge: two duplicated windows belong to one extent when
+    # their L-token spans touch or overlap (position gap <= L), not
+    # only when positions are consecutive — interleaved repeats like
+    # 'aa bb aa bb aa' mark positions {0, 2} whose spans share token
+    # 2, and emitting them separately would both split one contiguous
+    # duplicated region and double-count tokens in dup_profile
+    wdoc = Window.partitionBy("doc").orderBy("pos")
     isl = dup.withColumn(
+        "_brk",
+        F.when(F.col("pos") - F.lag("pos").over(wdoc) <= L, 0).otherwise(1),
+    ).withColumn(
         "_grp",
-        F.col("pos")
-        - F.row_number().over(Window.partitionBy("doc").orderBy("pos")),
+        F.sum("_brk").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return (
         isl.groupBy("doc", "_grp")
@@ -1352,10 +1361,14 @@ def substr_dedup_incremental(
 
     index = _wins(corpus).select("h").distinct()
     dup = _wins(batch).join(index, "h").select("doc", "pos")
+    # same span-touch island merge as substr_dedup (gap <= L)
+    wdoc = Window.partitionBy("doc").orderBy("pos")
     isl = dup.withColumn(
+        "_brk",
+        F.when(F.col("pos") - F.lag("pos").over(wdoc) <= L, 0).otherwise(1),
+    ).withColumn(
         "_grp",
-        F.col("pos")
-        - F.row_number().over(Window.partitionBy("doc").orderBy("pos")),
+        F.sum("_brk").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return (
         isl.groupBy("doc", "_grp")

@@ -266,11 +266,14 @@ def t_closeness(
     return (
         walked.groupBy(*quasi_cols, "n")
         .agg(
-            F.round(
+            # m == 1 means every row shares one sensitive value: all
+            # distributions are identical by definition (EMD 0), and
+            # the (m-1) normalizer would divide by zero under ANSI
+            F.when(m > F.lit(1.0), F.round(
                 F.sum(F.abs(F.col("_cum"))).cast("double")
                 / (m - F.lit(1.0)),
                 6,
-            ).alias("emd")
+            )).otherwise(F.lit(0.0)).alias("emd")
         )
         .select(
             *quasi_cols,

@@ -3832,8 +3832,10 @@ walked AS (
 ),
 emds AS (
   SELECT job, marital, n,
-         round(CAST(sum(abs(_cum)) AS DOUBLE)
-               / ((SELECT m FROM mm) - 1.0), 6) AS emd
+         CASE WHEN (SELECT m FROM mm) > 1.0
+              THEN round(CAST(sum(abs(_cum)) AS DOUBLE)
+                         / ((SELECT m FROM mm) - 1.0), 6)
+              ELSE 0.0 END AS emd
   FROM walked GROUP BY job, marital, n
 )
 SELECT job, marital, n, emd, (emd > 0.2) AS at_risk FROM emds"""
@@ -5757,9 +5759,11 @@ WINNOW_Q = winnow_sql()
 
 # Twin of operators.dedup.substr_dedup (min_tokens=8): same L-token
 # sliding windows (word_shingles), md5 fingerprints, occ>=2 groupBy,
-# and the gaps-and-islands coalesce. DuckDB's range() is 1-based where
-# posexplode is 0-based — the -1 keeps offsets identical; the island
-# key pos - row_number() is invariant to the shared constant shift.
+# and the span-touch island coalesce (positions merge when their gap
+# is <= L, i.e. the L-token spans touch or overlap). DuckDB's range()
+# is 1-based where posexplode is 0-based — the -1 keeps offsets
+# identical; gaps and the lag() breaks are invariant to the shared
+# constant shift.
 def substr_dedup_sql(min_tokens: int = 8) -> str:
     L = min_tokens
     return f"""WITH base AS (
@@ -5775,10 +5779,17 @@ def substr_dedup_sql(min_tokens: int = 8) -> str:
   FROM flat GROUP BY h HAVING count(*) >= 2
 ), dup AS (
   SELECT f.doc, f.pos, c.occ FROM flat f JOIN counts c ON f.h = c.h
+), brk AS (
+  SELECT doc, pos, occ,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc ORDER BY pos)
+                   <= {L} THEN 0 ELSE 1 END AS b
+  FROM dup
 ), isl AS (
   SELECT doc, pos, occ,
-         pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS grp
-  FROM dup
+         sum(b) OVER (PARTITION BY doc ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS grp
+  FROM brk
 )
 SELECT doc AS doc_id,
        CAST(min(pos) AS BIGINT) AS start_tok,
@@ -5809,10 +5820,17 @@ def substr_incr_sql(min_tokens: int = 8) -> str:
 ), dup AS (
   SELECT w.doc, w.pos FROM wins w JOIN idx ON w.h = idx.h
   WHERE w.doc % 5 = 0
+), brk AS (
+  SELECT doc, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc ORDER BY pos)
+                   <= {L} THEN 0 ELSE 1 END AS b
+  FROM dup
 ), isl AS (
   SELECT doc, pos,
-         pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS grp
-  FROM dup
+         sum(b) OVER (PARTITION BY doc ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS grp
+  FROM brk
 )
 SELECT doc AS doc_id,
        CAST(min(pos) AS BIGINT) AS start_tok,

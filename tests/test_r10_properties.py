@@ -1,0 +1,108 @@
+"""Property tests for the round-10 operators: exact-substring-dedup
+extent invariants (the claims the Lee et al. construction rests on)
+and t-closeness EMD bounds. One Spark pass per generated example
+(small example counts — the Spark job per case is the cost driver)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from banking_data_etl_pipeline_spark.operators import dedup, expectations
+
+# tiny vocab so duplicated windows arise naturally
+_WORD = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_DOC = st.lists(_WORD, min_size=0, max_size=24).map(" ".join)
+
+
+def _brute_extents(texts: dict[int, str], L: int):
+    """Reference implementation: mark duplicated windows by brute
+    force, coalesce positions whose L-token spans touch or overlap
+    (gap <= L) per doc."""
+    from collections import Counter
+
+    wins: Counter = Counter()
+    for t in texts.values():
+        toks = [w for w in t.lower().split() if w]
+        for p in range(len(toks) - L + 1):
+            wins[" ".join(toks[p : p + L])] += 1
+    out = set()
+    for did, t in texts.items():
+        toks = [w for w in t.lower().split() if w]
+        dup = [
+            p
+            for p in range(len(toks) - L + 1)
+            if wins[" ".join(toks[p : p + L])] >= 2
+        ]
+        start = None
+        prev = None
+        for p in dup + [None]:
+            if p is not None and prev is not None and p - prev <= L:
+                prev = p
+                continue
+            if prev is not None:
+                out.add((did, start, prev + L - 1, prev + L - 1 - start + 1))
+            start = prev = p
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_DOC, min_size=2, max_size=8))
+def test_substr_dedup_matches_bruteforce(spark, texts):
+    L = 3
+    tmap = dict(enumerate(texts))
+    docs = spark.createDataFrame(
+        list(tmap.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok, r.span_tokens)
+        for r in dedup.substr_dedup(docs, min_tokens=L).collect()
+    }
+    assert got == _brute_extents(tmap, L)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_DOC, min_size=2, max_size=6))
+def test_substr_dedup_extents_disjoint_and_min_length(spark, texts):
+    L = 3
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = dedup.substr_dedup(docs, min_tokens=L).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.span_tokens >= L
+        assert r.end_tok - r.start_tok + 1 == r.span_tokens
+        by_doc.setdefault(r.doc_id, []).append((r.start_tok, r.end_tok))
+    for spans in by_doc.values():
+        spans.sort()
+        # maximal extents are DISJOINT and never touch — successive
+        # islands' window positions gap > L, so successive token spans
+        # leave at least one clean token between them
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 + 1 < s2
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["A", "B", "C"]), st.integers(1, 5)),
+        min_size=4,
+        max_size=30,
+    )
+)
+def test_t_closeness_emd_bounds(spark, rows):
+    df = spark.createDataFrame(rows, "grp string, age int")
+    out = expectations.t_closeness(df, ["grp"], "age", t=0.2).collect()
+    n_by_grp = {}
+    for g, _ in rows:
+        n_by_grp[g] = n_by_grp.get(g, 0) + 1
+    assert {r.grp for r in out} == set(n_by_grp)
+    m = len({a for _, a in rows})
+    for r in out:
+        assert r.n == n_by_grp[r.grp]
+        if m == 1:
+            assert r.emd == 0.0  # single value: distributions identical
+        else:
+            # ordered EMD over m categories is bounded by (m-1)/(m-1)=1
+            assert 0.0 <= r.emd <= 1.0
+        assert r.at_risk == (r.emd > 0.2)
