@@ -741,3 +741,150 @@ def mrr_at_k(
         )
         .orderBy("query_id")
     )
+
+
+def rm3_topk(
+    docs: DataFrame,
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    alpha: str = "0.4",
+    k1: str = "1.2",
+    b: str = "0.75",
+    n_queries: int = 5,
+    terms_per_query: int = 2,
+    vocab_rank_start: int = 11,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 + RM3 pseudo-relevance feedback (Lavrenko & Croft 2001
+    relevance models; Abdul-Jaleel et al. 2004 RM3): run BM25 once,
+    treat the top ``fb_docs`` per query as pseudo-relevant, mine the
+    ``fb_terms`` highest-weight expansion terms under the RM1 estimate
+    w(t|q) = Σ_d (tf_td / dl_d) · score_d over the feedback docs, and
+    re-score with the expanded query — original terms at weight 1.0,
+    expansion terms at ``alpha``. The classic recall-boosting second
+    pass every lexical retrieval stack ships.
+
+    Scale shape: the postings build (tokenize + explode) persists once
+    and feeds BOTH passes; each pass is the ``bm25_topk`` shape — the
+    per-term table broadcasts (query-terms-sized, model parameters),
+    document-frequency rows are semi-join-pruned to the query terms
+    BEFORE broadcasting, and both top-k rankings are two-phase
+    (per-partition heaps, then the tiny global rank). Expansion
+    mining touches only feedback-doc postings (queries × fb_docs docs)
+    and ranks a per-query candidate set bounded by those docs' vocab.
+
+    Determinism: pass-1 ranks on 6-dp scores with doc-id tie-break;
+    RM1 weights walk the 12-dp/DECIMAL ladder and expansion selection
+    orders by (weight desc, token asc); pass-2 re-uses the shared
+    BM25 formula text with the per-term weight applied before the
+    12-dp round — the DuckDB twin replays every stage.
+
+    Returns (query_id, doc_id, score, rank), rank 1..k per query."""
+    tk = docs.select(
+        F.col(id_col), F.explode(texttools.tokens(F.col(text_col))).alias("token")
+    ).persist()
+    tf = tk.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tk.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = (
+        tk.select(id_col, "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    qterms = derived_query_terms(
+        tk, n_queries, terms_per_query, vocab_rank_start
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).scalar().cast("double")
+    sum_dl = dl.agg(F.sum("dl").alias("s")).scalar().cast("double")
+
+    def _score(term_table, weighted: bool):
+        dfq = dfreq.join(
+            F.broadcast(term_table.select("token").distinct()),
+            "token",
+            "left_semi",
+        )
+        cand = (
+            tf.join(F.broadcast(term_table), "token")
+            .join(dl, id_col)
+            .select(
+                "query_id",
+                F.col(id_col).alias("doc_id"),
+                F.col("tf").cast("double").alias("tf"),
+                F.col("dl").cast("double").alias("dl"),
+                "token",
+                *(["w"] if weighted else []),
+            )
+            .join(F.broadcast(dfq), "token")
+            .withColumn("df", F.col("df").cast("double"))
+            .withColumn("n_docs", n_docs)
+            .withColumn("avgdl", sum_dl / n_docs)
+        )
+        ts = F.expr(BM25_TERM_FORMULA.format(k1=k1, b=b))
+        if weighted:
+            ts = F.col("w") * ts
+        return (
+            cand.select(
+                "query_id",
+                "doc_id",
+                F.round(ts, 12).cast("decimal(26,12)").alias("ts"),
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.round(F.sum("ts").cast("double"), 6).alias("score"))
+        )
+
+    def _topk(scored, n):
+        order = [F.col("score").desc(), F.col("doc_id").asc()]
+        local = Window.partitionBy("query_id", "_part").orderBy(*order)
+        pruned = (
+            scored.withColumn("_part", F.spark_partition_id())
+            .withColumn("_lrank", F.row_number().over(local))
+            .filter(F.col("_lrank") <= n)
+        )
+        wq = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            pruned.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= n)
+            .select("query_id", "doc_id", "score", "rank")
+        )
+
+    fb = _topk(_score(qterms, weighted=False), fb_docs)
+    expc = (
+        tf.join(
+            fb.select("query_id", F.col("doc_id").alias(id_col), "score"),
+            id_col,
+        )
+        .join(dl, id_col)
+        .select(
+            "query_id",
+            "token",
+            F.round(
+                F.col("tf").cast("double")
+                / F.col("dl").cast("double")
+                * F.col("score"),
+                12,
+            )
+            .cast("decimal(26,12)")
+            .alias("t"),
+        )
+        .groupBy("query_id", "token")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("rm_w"))
+        .join(qterms, ["query_id", "token"], "left_anti")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("rm_w").desc(), F.col("token").asc()
+    )
+    exp_terms = (
+        expc.withColumn("_r", F.row_number().over(we))
+        .filter(F.col("_r") <= fb_terms)
+        .select(
+            "query_id", "token", F.expr(f"CAST({alpha} AS DOUBLE)").alias("w")
+        )
+    )
+    allterms = qterms.select(
+        "query_id", "token", F.lit(1.0).alias("w")
+    ).unionByName(exp_terms)
+    # Caller-owned postings cache (tk), like bm25_topk — unpersist or
+    # clearCache when done (bench.py and the parity gate already do).
+    return _topk(_score(allterms, weighted=True), k)

@@ -3435,6 +3435,124 @@ SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rank
 FROM rk WHERE rnk <= {k}"""
 
 
+def rm3_sql(
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    alpha: str = "0.4",
+    k1: str = "1.2",
+    b: str = "0.75",
+    n_queries: int = 5,
+    terms_per_query: int = 2,
+    vocab_rank_start: int = 11,
+) -> str:
+    """Twin of operators.retrieval.rm3_topk: the bm25_topk_sql CTE
+    chain for pass 1, the RM1 weight mine over the top-fb_docs
+    feedback set (12dp/DECIMAL per term-doc, 6dp per term,
+    (weight desc, token asc) selection), and the weighted second
+    pass with the shared formula text."""
+    from .operators.retrieval import BM25_TERM_FORMULA
+
+    n_terms = n_queries * terms_per_query
+    formula = BM25_TERM_FORMULA.format(k1=k1, b=b)
+    return f"""WITH tk AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tk GROUP BY doc_id, token
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id
+), dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY token
+), ranked AS (
+  SELECT token,
+         row_number() OVER (ORDER BY count(*) DESC, token ASC) AS vrank
+  FROM tk GROUP BY token
+), qterms AS (
+  SELECT CAST((vrank - {vocab_rank_start}) // {terms_per_query} AS INT)
+           AS query_id,
+         token
+  FROM ranked
+  WHERE vrank >= {vocab_rank_start}
+    AND vrank < {vocab_rank_start} + {n_terms}
+), scal AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_docs,
+         CAST((SELECT sum(dl) FROM dl) AS DOUBLE) AS sum_dl
+), cand1 AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(tf.tf AS DOUBLE) AS tf, CAST(dl.dl AS DOUBLE) AS dl,
+         CAST(d.df AS DOUBLE) AS df, s.n_docs,
+         s.sum_dl / s.n_docs AS avgdl
+  FROM tf
+  JOIN qterms q USING (token)
+  JOIN dl USING (doc_id)
+  JOIN dfreq d ON d.token = tf.token
+  CROSS JOIN scal s
+), scored1 AS (
+  SELECT query_id, doc_id,
+         round(CAST(sum(CAST(round({formula}, 12) AS DECIMAL(26,12)))
+                    AS DOUBLE), 6) AS score
+  FROM cand1 GROUP BY query_id, doc_id
+), fb AS MATERIALIZED (
+  SELECT query_id, doc_id, score FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM scored1
+  ) WHERE rnk <= {fb_docs}
+), expc AS (
+  SELECT f.query_id, tf.token,
+         round(CAST(sum(CAST(round(
+             CAST(tf.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE) * f.score,
+             12) AS DECIMAL(26,12))) AS DOUBLE), 6) AS rm_w
+  FROM fb f
+  JOIN tf ON tf.doc_id = f.doc_id
+  JOIN dl ON dl.doc_id = f.doc_id
+  GROUP BY f.query_id, tf.token
+), expf AS (
+  SELECT e.query_id, e.token, e.rm_w FROM expc e
+  LEFT JOIN qterms q ON e.query_id = q.query_id AND e.token = q.token
+  WHERE q.token IS NULL
+), expsel AS (
+  SELECT query_id, token FROM (
+    SELECT query_id, token,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rm_w DESC, token ASC) AS rnk
+    FROM expf
+  ) WHERE rnk <= {fb_terms}
+), allterms AS MATERIALIZED (
+  SELECT query_id, token, CAST(1.0 AS DOUBLE) AS w FROM qterms
+  UNION ALL
+  SELECT query_id, token, CAST({alpha} AS DOUBLE) AS w FROM expsel
+), cand2 AS (
+  SELECT a.query_id, tf.doc_id, a.w,
+         CAST(tf.tf AS DOUBLE) AS tf, CAST(dl.dl AS DOUBLE) AS dl,
+         CAST(d.df AS DOUBLE) AS df, s.n_docs,
+         s.sum_dl / s.n_docs AS avgdl
+  FROM tf
+  JOIN allterms a USING (token)
+  JOIN dl USING (doc_id)
+  JOIN dfreq d ON d.token = tf.token
+  CROSS JOIN scal s
+), scored2 AS (
+  SELECT query_id, doc_id,
+         round(CAST(sum(CAST(round(w * ({formula}), 12)
+                    AS DECIMAL(26,12))) AS DOUBLE), 6) AS score
+  FROM cand2 GROUP BY query_id, doc_id
+), rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored2
+)
+SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rank
+FROM rk WHERE rnk <= {k}"""
+
+
+RM3_Q = rm3_sql()
+
+
 def pq_topk_sql(
     k: int = 10,
     m: int = 4,

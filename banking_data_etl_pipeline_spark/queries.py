@@ -2740,6 +2740,16 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.curriculum_order(tables.load(spark, sf_dir, "documents"))
 
 
+def rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + RM3 pseudo-relevance feedback: expansion terms mined
+    from the top-5 feedback docs (RM1 weights), weighted second
+    pass — the classic recall-boosting lexical re-run."""
+    from .operators import retrieval
+
+    tune_for_oracle(spark)
+    return retrieval.rm3_topk(tables.load(spark, sf_dir, "documents"))
+
+
 def mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MRR@10 / hit-rate@10 of the BM25 ranking under the same
     deterministic term-coverage relevance as ndcg_eval — the

@@ -296,6 +296,7 @@ BENCH_QUERIES = [
     "mrr_eval",
     "curriculum_order",
     "bt_strengths",
+    "rm3_expansion",
     "zorder_stats",
 ]
 

@@ -384,3 +384,42 @@ def test_bt_strengths_mean_one_normalized(spark):
     assert len(rows) == 8
     assert abs(sum(r.strength for r in rows) / 8 - 1.0) < 1e-4
     assert len({r.rank for r in rows}) == 8
+
+
+# ------------------------------------------------------------- RM3
+
+
+def test_rm3_scores_dominate_plain_bm25(spark):
+    from banking_data_etl_pipeline_spark.operators import retrieval
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        (r.query_id, r.doc_id): r.score
+        for r in retrieval.bm25_topk(docs, k=10).collect()
+    }
+    rm3 = retrieval.rm3_topk(docs, k=10).collect()
+    assert len(rm3) == 50
+    # expansion only ADDS non-negative weighted contributions (the +1
+    # idf floor keeps every term score >= 0), so any doc present in
+    # both rankings scores at least its plain-BM25 value under RM3
+    for r in rm3:
+        key = (r.query_id, r.doc_id)
+        if key in base:
+            assert r.score >= base[key] - 1e-9
+    # ranks are 1..10 per query
+    per_q = {}
+    for r in rm3:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+
+
+def test_rm3_partition_invariant(spark):
+    from banking_data_etl_pipeline_spark.operators import retrieval
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, retrieval.rm3_topk(docs, k=5).collect()))
+    spark.catalog.clearCache()
+    b = sorted(
+        map(tuple, retrieval.rm3_topk(docs.repartition(13), k=5).collect())
+    )
+    assert a == b
