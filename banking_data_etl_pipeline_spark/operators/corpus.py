@@ -1414,3 +1414,96 @@ def kneser_ney_xent(
             " THEN round(CAST(_s AS DOUBLE) / n_bigrams, 6) END"
         ).alias("kn_xent"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    w: int = 4,
+    div: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the rsync / LBFS rolling-hash cut
+    rule; Muthitacharoen et al. 2001): a chunk boundary falls after
+    any ``w``-token window whose fingerprint is 0 mod ``div`` —
+    boundaries move WITH the content, so an insertion near the top of
+    a document reshuffles only the chunk it lands in, where
+    fixed-width chunking (``chunk_documents``) shifts every downstream
+    chunk. The storage-dedup primitive: identical text regions yield
+    identical (hash, length) chunks wherever they sit.
+
+    Scale shape: windows and the boundary predicate are MAP-SIDE
+    (word_shingles + md5 — fixed-width fingerprints, never window
+    text); the cut→chunk assignment is one per-doc running sum over
+    token positions (partitioned by doc — parallel, no cross-doc
+    traffic); per-chunk rows aggregate with an order-pinned
+    array_sort(collect_list(struct(pos, tok))) so the chunk hash is
+    partition-order-independent. Expected chunk length is ~``div``
+    tokens (geometric); production variants add min/max clamps —
+    omitted here so the cut rule stays a pure per-window predicate
+    both engines replay.
+
+    Returns (doc_id, chunk_idx, start_tok, end_tok, n_tokens,
+    chunk_hash): 0-based inclusive token offsets, chunk_idx 0-based
+    per doc, md5 of the space-joined chunk text."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(texttools.tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    cuts = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(
+                texttools.word_shingles(
+                    texttools.tokens(F.col(text_col)), w
+                )
+            ).alias("p", "win"),
+        )
+        .filter(
+            F.expr(
+                "CAST(conv(substring(md5(win), 1, 8), 16, 10) AS BIGINT)"
+                f" % {div} = 0"
+            )
+        )
+        .select("doc", (F.col("p") + F.lit(w)).alias("cut"))
+    )
+    flagged = toks.join(
+        cuts, (toks["doc"] == cuts["doc"]) & (toks["pos"] == cuts["cut"]),
+        "left",
+    ).select(
+        toks["doc"], "pos", "tok",
+        F.when(cuts["cut"].isNotNull(), 1).otherwise(0).alias("_cut"),
+    )
+    wdoc = Window.partitionBy("doc").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    assigned = flagged.withColumn("chunk_idx", F.sum("_cut").over(wdoc))
+    return (
+        assigned.groupBy("doc", "chunk_idx")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_tok"),
+            F.max("pos").cast("bigint").alias("end_tok"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda x: x["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "start_tok",
+            "end_tok",
+            "n_tokens",
+            "chunk_hash",
+        )
+    )

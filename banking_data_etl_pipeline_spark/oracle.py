@@ -3435,6 +3435,49 @@ SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rank
 FROM rk WHERE rnk <= {k}"""
 
 
+def cdc_sql(w: int = 4, div: int = 8) -> str:
+    """Twin of operators.corpus.cdc_chunks: same w-token windows and
+    md5-prefix cut rule, running-sum chunk assignment, order-pinned
+    string_agg chunk hash."""
+    return f"""WITH toks AS (
+  SELECT doc_id AS doc, u['p'] - 1 AS pos, u['t'] AS tok
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) + 1),
+                      i -> {{'p': i, 't': tk[i]}})) AS u
+        FROM (SELECT doc_id, {TOKS} AS tk FROM documents))
+), wins AS (
+  SELECT doc_id AS doc, s['p'] - 1 AS p, s['w'] AS win
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) + 1),
+                      i -> {{'p': i, 'w': ws[i]}})) AS s
+        FROM (SELECT doc_id, {_word_shingles(TOKS, w)} AS ws
+              FROM documents))
+), cuts AS (
+  SELECT doc, p + {w} AS cut FROM wins
+  WHERE CAST(CAST('0x' || substring(md5(win), 1, 8) AS UBIGINT)
+             AS BIGINT) % {div} = 0
+), flagged AS (
+  SELECT t.doc, t.pos, t.tok,
+         CASE WHEN c.cut IS NOT NULL THEN 1 ELSE 0 END AS b
+  FROM toks t LEFT JOIN cuts c ON t.doc = c.doc AND t.pos = c.cut
+), assigned AS (
+  SELECT doc, pos, tok,
+         sum(b) OVER (PARTITION BY doc ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS chunk_idx
+  FROM flagged
+)
+SELECT doc AS doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(min(pos) AS BIGINT) AS start_tok,
+       CAST(max(pos) AS BIGINT) AS end_tok,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+FROM assigned GROUP BY doc, chunk_idx"""
+
+
+CDC_Q = cdc_sql()
+
+
 def rm3_sql(
     k: int = 10,
     fb_docs: int = 5,

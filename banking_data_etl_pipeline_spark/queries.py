@@ -2740,6 +2740,14 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.curriculum_order(tables.load(spark, sf_dir, "documents"))
 
 
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rolling-hash cut rule): boundaries
+    move with the content, so shared regions chunk identically — the
+    storage-dedup primitive complementing fixed-width chunk_docs."""
+    tune_for_oracle(spark)
+    return corpus.cdc_chunks(tables.load(spark, sf_dir, "documents"))
+
+
 def rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 + RM3 pseudo-relevance feedback: expansion terms mined
     from the top-5 feedback docs (RM1 weights), weighted second

@@ -297,6 +297,7 @@ BENCH_QUERIES = [
     "curriculum_order",
     "bt_strengths",
     "rm3_expansion",
+    "cdc_chunks",
     "zorder_stats",
 ]
 
