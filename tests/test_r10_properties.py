@@ -106,3 +106,65 @@ def test_t_closeness_emd_bounds(spark, rows):
             # ordered EMD over m categories is bounded by (m-1)/(m-1)=1
             assert 0.0 <= r.emd <= 1.0
         assert r.at_risk == (r.emd > 0.2)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=6))
+def test_cdc_chunks_tile_any_corpus(spark, texts):
+    from banking_data_etl_pipeline_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = C.cdc_chunks(docs, w=2, div=4).collect()
+    lens = {
+        i: len([w for w in t.lower().split() if w])
+        for i, t in enumerate(texts)
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # token-less docs produce no chunks; every other doc tiles exactly
+    assert set(by_doc) == {i for i, n in lens.items() if n > 0}
+    for did, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert chunks[0].start_tok == 0
+        assert chunks[-1].end_tok == lens[did] - 1
+        assert sum(c.n_tokens for c in chunks) == lens[did]
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_tok == a.end_tok + 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z"]), st.booleans()),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_woe_iv_invariants(spark, rows):
+    from hypothesis import assume
+    from banking_data_etl_pipeline_spark.operators import profiling
+
+    labs = [int(b) for _, b in rows]
+    # smoothing handles all-one-class cells, but a class-empty TOTAL
+    # (tot_pos == 0 or tot_neg == 0) makes every WOE share one sign;
+    # keep both classes present so the invariants below are the
+    # interesting ones
+    assume(0 < sum(labs) < len(labs))
+    df = spark.createDataFrame(
+        [(c, int(b)) for c, b in rows], "f string, lab int"
+    )
+    out = profiling.woe_iv(df, ["f"], "lab").collect()
+    assert sum(r.n for r in out) == len(rows)
+    assert sum(r.n_pos for r in out) == sum(labs)
+    for r in out:
+        # smoothing keeps every share strictly inside (0, 1)
+        assert 0.0 < r.dist_pos < 1.0 and 0.0 < r.dist_neg < 1.0
+        # each IV term is non-negative ((dp-dn) and ln share sign);
+        # 6dp rounding can only leave an exact 0 or positive value
+        assert r.iv_term >= 0.0
+    ivs = {r.iv for r in out}
+    assert len(ivs) == 1  # feature-level constant
+    assert min(ivs) >= 0.0
