@@ -1983,6 +1983,20 @@ def top_principal_component(
             X = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
             )
+            # int64 headroom guard: a batch accumulates Σ floor(x_j·x_k
+            # ·1e12) per cell, worst case len(X)·max|x|²·1e12; numpy
+            # wraps silently on overflow while the DuckDB twin sums in
+            # HUGEINT, so large-magnitude embeddings must fail loudly
+            # here instead of silently diverging from the oracle.
+            mx = float(np.abs(X).max()) if X.size else 0.0
+            if mx * mx * 1e12 * len(X) >= 9.0e18:
+                raise ValueError(
+                    "top_principal_component: embedding magnitude "
+                    f"{mx:.3g} over {len(X)} rows exceeds the int64 "
+                    "partial-sum headroom (|x|^2 * 1e12 * batch_rows "
+                    ">= 9e18); rescale the vectors or shrink the "
+                    "Arrow batch size"
+                )
             s2 = np.zeros((d, d), dtype=np.int64)
             s1 = np.zeros(d, dtype=np.int64)
             # chunk rows so the (rows, d, d) product tensor stays

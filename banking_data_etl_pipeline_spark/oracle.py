@@ -5648,9 +5648,6 @@ _WOE = f"ln({_WOE_DP} / {_WOE_DN})"
 _WOE_TERM = f"({_WOE_DP} - {_WOE_DN}) * ({_WOE})"
 
 
-MSPRT_Q = msprt_sql()
-
-
 # Twin of operators.profiling.woe_iv over the valid bank rows
 # (label y = 'yes'; categorical features melted via unnest): identical
 # +0.5 Laplace smoothing (the psi_table convention), shared ln shape,

@@ -1812,7 +1812,23 @@ def _staged_index(sf_dir: str, kind: str, marker: str, build) -> str:
             if os.path.exists(os.path.join(path, marker, "_SUCCESS")):
                 shutil.rmtree(build_dir, ignore_errors=True)
             else:
-                shutil.rmtree(path, ignore_errors=True)
+                # evict the stale dir via an ATOMIC RENAME to a unique
+                # graveyard first: a plain rmtree(path) here had a
+                # TOCTOU window where a concurrent process could evict
+                # and re-publish a GOOD index between our _SUCCESS
+                # check and the delete — we'd then delete the published
+                # dir in place under a live reader. rename-then-rmtree
+                # means a published-good dir is never deleted in place;
+                # if the rename fails the dir changed owners (someone
+                # republished) and we just retry the publish below.
+                grave = tempfile.mkdtemp(
+                    prefix=f"spark_graft_{kind}_grave_"
+                )
+                try:
+                    os.rename(path, os.path.join(grave, "stale"))
+                except OSError:
+                    pass
+                shutil.rmtree(grave, ignore_errors=True)
                 try:
                     os.rename(build_dir, path)
                 except OSError:  # lost the re-publish race

@@ -1119,10 +1119,14 @@ def msprt_stream(
     which is the whole point of an always-valid p.
 
     Terminal-row rule: update mode re-emits a key on every increase;
-    count, Σ value and Σ value² are all strictly increasing (values
-    are positive), so the per-key MAX of each column is the terminal
-    row — the ``topk_users_stream`` batch-equivalence argument.
-    Oracle: the batch MSPRT_Q must match exactly.
+    count, Σ value and Σ value² are all strictly increasing BECAUSE
+    values are non-negative, so the per-key MAX of each column is the
+    terminal row — the ``topk_users_stream`` batch-equivalence
+    argument. A negative value would make the running sums
+    non-monotone and silently break that equivalence, so the armed
+    projection ENFORCES the precondition with an in-plan
+    ``raise_error`` guard (fail loudly, never diverge silently from
+    the batch oracle). Oracle: the batch MSPRT_Q must match exactly.
 
     State is bounded by days × 2 arms keys; at 100 TB the same plan
     runs with a watermark on the day window to expire closed days —
@@ -1142,7 +1146,13 @@ def msprt_stream(
                 "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1),"
                 " 16, 10) AS INT) % 2"
             ).alias("arm"),
-            F.col("value").cast("double").alias("v"),
+            F.expr(
+                "CASE WHEN CAST(value AS DOUBLE) >= 0.0"
+                " THEN CAST(value AS DOUBLE)"
+                " ELSE CAST(raise_error(concat('msprt_stream: negative"
+                " value breaks the terminal-row monotonicity rule: ',"
+                " CAST(value AS STRING))) AS DOUBLE) END"
+            ).alias("v"),
         )
     )
     agg = armed.groupBy("day", "arm").agg(
