@@ -302,6 +302,67 @@ BENCH_QUERIES = [
 ]
 
 
+def _cold_oneshot() -> None:
+    """Child-process mode: ONE fresh-JVM cold run of the flagship.
+
+    r10 verdict: the committed single-sample cold number carried ±40%
+    spread (31.0k rows/s at close vs 50.2k an hour earlier) while warm
+    was rock-stable — so the BASELINE.md cold anchor is now the MIN of
+    three fresh-JVM samples, each its own process (true cold: no shared
+    codegen cache, no warmed shuffle service). The child writes its
+    sample to $SPARK_GRAFT_COLD_OUT (stdout interleaves with Spark log
+    noise — the r3 lesson)."""
+    import __spark_entry__ as entry
+    from banking_data_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench-cold")
+    qs = entry.queries()
+    t0 = time.time()
+    qs["pipeline_enriched"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = round(time.time() - t0, 3)
+    with open(os.environ["SPARK_GRAFT_COLD_OUT"], "w", encoding="utf-8") as f:
+        json.dump({"flagship_cold_sec": dt}, f)
+    spark.stop()
+
+
+def _cold_n3min() -> float | None:
+    """Run the fresh-JVM cold one-shot three times sequentially and
+    return the min (None if any child fails — never sink the battery
+    over the anchor sample)."""
+    import subprocess
+    import tempfile
+
+    samples = []
+    for _ in range(3):
+        fd, out = tempfile.mkstemp(suffix=".json")
+        os.close(fd)
+        env = dict(os.environ)
+        env["SPARK_GRAFT_COLD_ONESHOT"] = "1"
+        env["SPARK_GRAFT_COLD_OUT"] = out
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                timeout=600,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            if r.returncode != 0:
+                return None
+            with open(out, encoding="utf-8") as f:
+                samples.append(json.load(f)["flagship_cold_sec"])
+        except (OSError, ValueError, subprocess.TimeoutExpired):
+            return None
+        finally:
+            try:
+                os.unlink(out)
+            except OSError:
+                pass
+    return min(samples)
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from banking_data_etl_pipeline_spark.session import get_spark
@@ -360,6 +421,12 @@ def main() -> None:
     total = round(sum(warm.values()), 3)
 
     def _is_regression(now: float, before: float) -> bool:
+        # Sub-second queries flap across the 1.4x ratio between battery
+        # samples (r10 close: 17 flags, 7 manual cap overflows, all
+        # noise) — for them only a >1s absolute jump is worth a
+        # re-timing; ratio+0.3s still guards everything >= 1s.
+        if before < 1.0:
+            return now - before > 1.0
         return now > 1.4 * before and now - before > 0.3
 
     flagged_prev = [
@@ -370,9 +437,12 @@ def main() -> None:
         n for n in BENCH_QUERIES
         if n in anchor and _is_regression(warm[n], anchor[n])
     ]
-    # bound the re-timing pass: confirm the 10 largest absolute deltas
+    # bound the re-timing pass: confirm the 24 largest absolute deltas
     # across BOTH baselines (one isolated n=3 per query, shared by both
     # sections), mark any overflow explicitly rather than dropping it
+    # — the cap was 10 in r8-r10 and overflowed 7 entries at the r10
+    # close into hand adjudication; with the sub-second pre-filter
+    # above, 24 comfortably covers every plausible real flag set
     to_retime = sorted(
         set(flagged_prev) | set(flagged_anchor),
         key=lambda n: -max(
@@ -380,7 +450,7 @@ def main() -> None:
         ),
     )
     retimed: dict[str, float] = {}
-    for name in to_retime[:10]:
+    for name in to_retime[:24]:
         times = []
         for _ in range(3):
             t0 = time.time()
@@ -402,7 +472,7 @@ def main() -> None:
                     else "noise"
                 )
             else:
-                d["verdict"] = "unconfirmed (re-timing capped at 10 queries)"
+                d["verdict"] = "unconfirmed (re-timing capped at 24 queries)"
             out[name] = d
         return out
 
@@ -420,6 +490,13 @@ def main() -> None:
     flag_rps = round(flag_rows / cold["pipeline_enriched"], 1)
     flag_rps_warm = round(flag_rows / warm["pipeline_enriched"], 1)
 
+    # The BASELINE.md cold anchor: min of three FRESH-JVM single runs
+    # (r10 verdict item 2 — the in-battery single cold sample carried
+    # ±40% spread; three independent processes bound the jitter while
+    # staying honest about the reference's fresh-run methodology).
+    cold_n3 = _cold_n3min()
+    cold_n3_rps = round(flag_rows / cold_n3, 1) if cold_n3 else None
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     line = json.dumps(
         {
@@ -432,6 +509,8 @@ def main() -> None:
             "sf": float(sf),
             "flagship_rows": flag_rows,
             "flagship_cold_sec": cold["pipeline_enriched"],
+            "flagship_cold_sec_n3min": cold_n3,
+            "flagship_cold_n3min_rows_per_sec": cold_n3_rps,
             "flagship_rows_per_sec": flag_rps,
             "flagship_warm_sec": warm["pipeline_enriched"],
             "flagship_warm_rows_per_sec": flag_rps_warm,
@@ -452,4 +531,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_COLD_ONESHOT"):
+        _cold_oneshot()
+    else:
+        main()
