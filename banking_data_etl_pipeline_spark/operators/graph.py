@@ -432,12 +432,69 @@ def kcore(
     return out
 
 
+def build_hits_edges(
+    orders: DataFrame, lineitem: DataFrame, out_dir: str
+) -> None:
+    """BUILD phase of the staged HITS lifecycle: materialize the
+    distinct customer→part purchase edge list once per corpus snapshot
+    (r10 verdict: the orders⋈lineitem⋈distinct build re-ran on every
+    ``hits`` invocation and dominated its 9 s warm time).
+
+    Layout (all under ``out_dir``):
+      - ``edges_by_c``  — edges hash-partitioned + sorted on ``c``
+      - ``edges_by_p``  — the SAME edges partitioned + sorted on ``p``
+      - ``meta``        — one row (n_c, n_p): node counts, so the probe
+        makes its broadcast-vs-shuffle decision without count jobs
+        (and from max(n_c, n_p) — both score vectors get broadcast)
+
+    The dual orientation is the at-scale layout: each HITS half-step
+    joins edges on a DIFFERENT key (authority step on ``c``, hub step
+    on ``p``), so above the broadcast threshold a single-orientation
+    edge list re-shuffles per half-step per iteration, while
+    orientation-matched copies keep every join's probe side already
+    clustered on its key — the classic store-the-graph-twice trade of
+    bipartite power iteration. ``meta`` is written LAST so its
+    ``_SUCCESS`` marker proves a complete publish."""
+    import os
+
+    edges = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .persist()
+    )
+    n_c = edges.select("c").distinct().count()
+    n_p = edges.select("p").distinct().count()
+    edges.repartition(8, "c").sortWithinPartitions("c").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "edges_by_c"))
+    edges.repartition(8, "p").sortWithinPartitions("p").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "edges_by_p"))
+    spark = edges.sparkSession
+    spark.createDataFrame(
+        [(n_c, n_p)], "n_c bigint, n_p bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "meta")
+    )
+    edges.unpersist()
+
+
 def hits(
-    orders: DataFrame,
-    lineitem: DataFrame,
+    orders: DataFrame | None = None,
+    lineitem: DataFrame | None = None,
     iters: int = 2,
     broadcast_nodes: int = 2_000_000,
     plan_hook=None,
+    *,
+    edges: DataFrame | None = None,
+    edges_by_p: DataFrame | None = None,
+    n_c: int | None = None,
+    n_p: int | None = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) over the BIPARTITE
     customer -> part purchase graph — the directed companion to the
@@ -465,20 +522,35 @@ def hits(
     persisted, materialized, and its predecessor released — the
     lineage-truncation discipline every driver-side loop here follows.
 
+    Prebuilt-lifecycle keywords: pass ``edges`` (the distinct (c, p)
+    frame, e.g. the staged ``edges_by_c`` parquet) to skip the
+    orders⋈lineitem build; ``edges_by_p`` optionally supplies the
+    p-oriented copy for the hub half-step (defaults to ``edges``);
+    ``n_c``/``n_p`` carry the staged node counts so no count jobs run.
+
     Returns (role, node, score): role 'authority' for parts, 'hub'
     for customers, scores from the final iteration."""
-    edges = (
-        orders.join(
-            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    if edges is None:
+        edges = (
+            orders.join(
+                lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+            )
+            .select(
+                F.col("o_custkey").alias("c"),
+                F.col("l_partkey").alias("p"),
+            )
+            .distinct()
         )
-        .select(
-            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-        .persist()
-    )
-    n_nodes = edges.select("c").distinct().count()
-    bcast = n_nodes <= broadcast_nodes
+    edges = edges.persist()
+    edges_p = edges if edges_by_p is None else edges_by_p.persist()
+    if n_c is None:
+        n_c = edges.select("c").distinct().count()
+    if n_p is None:
+        n_p = edges.select("p").distinct().count()
+    # broadcast decision sizes BOTH vectors that get broadcast: the
+    # hub (customer-count) and authority (part-count) score frames —
+    # sizing from customers alone under-estimated when parts dominate
+    bcast = max(n_c, n_p) <= broadcast_nodes
 
     def _l2(df: DataFrame, col: str):
         return F.sqrt(
@@ -523,7 +595,7 @@ def hits(
         prev_a = auths
         a_in = F.broadcast(auths) if bcast else auths
         h_raw = (
-            edges.join(a_in, edges["p"] == a_in["node"])
+            edges_p.join(a_in, edges_p["p"] == a_in["node"])
             .groupBy("c")
             .agg(
                 F.sum(F.col("score").cast("decimal(32,12)"))
@@ -546,6 +618,8 @@ def hits(
         prev_h = new_h
         hubs = new_h
     edges.unpersist()
+    if edges_p is not edges:
+        edges_p.unpersist()
     # final frames stay persisted — caller-owned, node-count-sized
     return auths.select(
         F.lit("authority").alias("role"), "node", "score"
