@@ -581,6 +581,20 @@ def stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.stateful_user_totals(spark, d, "stateful_totals_sink")
 
 
+def stream_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING checkpoint-recovery proof: the per-user stateful
+    totals driven across a kill-and-restart boundary — half the feed,
+    query terminates, second half lands, a NEW query resumes from the
+    same checkpoint's state store. Terminal rows over both runs'
+    emissions must equal the batch oracle over the FULL table, which
+    only holds if the restarted query recovered the first run's
+    state."""
+    tune_for_oracle(spark)
+    return EV.stateful_totals_recovery(
+        spark, tables.load(spark, sf_dir, "events"), "stream_recovery"
+    )
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup (dropDuplicatesWithinWatermark): the feed plays
     the events file TWICE (two symlinks = exact duplicate rows); the

@@ -169,6 +169,25 @@ def stateful_user_totals(spark: SparkSession, events_dir: str, name: str) -> Dat
     select keeps each user's last (max-count) emission, which is the
     final state regardless of how availableNow chunked the input.
     """
+    stream = events_stream(spark, events_dir)
+    updates = _user_totals_updates(stream)
+    with _state_partitions(spark):
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return _terminal_user_totals(spark.sql(f"SELECT * FROM {name}"))
+
+
+def _user_totals_updates(stream: DataFrame, mode: str = "update") -> DataFrame:
+    """The per-user running-totals stateful transform shared by
+    ``stateful_user_totals`` and the checkpoint-recovery proof —
+    see the former's docstring for the integer-micros exactness
+    argument."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -195,28 +214,115 @@ def stateful_user_totals(spark: SparkSession, events_dir: str, name: str) -> Dat
             }
         )
 
-    stream = events_stream(spark, events_dir)
-    updates = stream.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, mode, GroupStateTimeout.NoTimeout
     )
-    with _state_partitions(spark):
-        q = (
-            updates.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    # last emission per user == final state (n_events is monotone)
+
+
+def _terminal_user_totals(emissions: DataFrame) -> DataFrame:
+    """Last emission per user == final state (n_events is monotone)."""
     final = F.max(F.struct("n_events", "sum_value")).alias("s")
     return (
-        spark.sql(f"SELECT * FROM {name}")
-        .groupBy("user_id")
+        emissions.groupBy("user_id")
         .agg(final)
         .select("user_id", F.col("s.n_events").alias("n_events"),
                 F.col("s.sum_value").alias("sum_value"))
     )
+
+
+def stateful_totals_recovery(
+    spark: SparkSession, events_full: DataFrame, name: str
+) -> DataFrame:
+    """CHECKPOINT-RECOVERY proof for the stateful streaming operators:
+    the same per-user running totals as ``stateful_user_totals``, but
+    driven across a QUERY RESTART boundary — the property a 100 TB
+    streaming ingest actually needs and a single uninterrupted
+    availableNow run never exercises.
+
+    Protocol (deterministic, no racy mid-batch kill):
+      1. the feed is split into two files (event_id parity); file 1
+         lands in a fresh source dir;
+      2. query A runs availableNow with a CHECKPOINT dir and
+         terminates — state (per-user count + integer-micros sum)
+         survives only in the checkpoint's state store;
+      3. file 2 lands; query B starts FROM THE SAME CHECKPOINT — the
+         restart path: source offsets say file 1 is done, the state
+         store is reloaded, and only file 2 is processed ON TOP of the
+         recovered state;
+      4. the result is the per-user terminal row over BOTH runs'
+         emissions (n_events is monotone, so MAX absorbs any
+         at-least-once replay the sink saw).
+
+    The sink is a PARQUET FILE SINK in append mode — the memory sink
+    refuses checkpoint recovery outright ("does not support
+    recovering from checkpoint location"), while the file sink's
+    metadata log is the fault-tolerant, exactly-once sink a real
+    restart uses. Append mode is the arbitrary-stateful-operator
+    contract here: each micro-batch appends that batch's emission
+    rows; the terminal MAX per user reads the last one.
+
+    The batch oracle is the DECIMAL(18,6) groupBy over the FULL
+    table, so a broken recovery cannot pass: almost every user has
+    events on both sides of the parity split, and if query B started
+    from empty state (checkpoint ignored / state lost) its terminal
+    rows would carry file-2-only counts and hash-mismatch — query B's
+    emissions are the only place file-1 counts can come from.
+
+    Run artifacts (source dir, checkpoint, sink) live in a private
+    temp dir deleted before returning; the terminal frame is
+    localCheckpoint-materialized first (user-count-sized)."""
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="spark_graft_recovery_")
+    try:
+        src = os.path.join(work, "src")
+        ckpt = os.path.join(work, "ckpt")
+        os.makedirs(src)
+
+        def _land(df: DataFrame, fname: str) -> None:
+            # INT64 micros, never INT96: events_stream declares ts as
+            # INT64 (footer-probe contract), which INT96 can't satisfy
+            key = "spark.sql.parquet.outputTimestampType"
+            old = spark.conf.get(key)
+            spark.conf.set(key, "TIMESTAMP_MICROS")
+            stage = os.path.join(work, "stage_" + fname)
+            try:
+                df.coalesce(1).write.mode("overwrite").parquet(stage)
+            finally:
+                spark.conf.set(key, old)
+            part = next(
+                p for p in os.listdir(stage) if p.startswith("part-")
+            )
+            shutil.copyfile(
+                os.path.join(stage, part), os.path.join(src, fname)
+            )
+
+        sink = os.path.join(work, "sink")
+        for i in (0, 1):
+            _land(
+                events_full.filter(F.col("event_id") % 2 == i),
+                f"phase{i}.parquet",
+            )
+            updates = _user_totals_updates(
+                events_stream(spark, src), mode="append"
+            )
+            with _state_partitions(spark):
+                q = (
+                    updates.writeStream.outputMode("append")
+                    .format("parquet")
+                    .option("path", sink)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+        return _terminal_user_totals(
+            spark.read.parquet(sink)
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def stream_dedup_totals(

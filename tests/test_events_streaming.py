@@ -393,3 +393,41 @@ def test_stream_topk_users_split_delivery_invariant(spark, tmp_path):
     a = EV.topk_users_stream(spark, d, "test_topk_split_sink").collect()
     b = EV.topk_users_stream(spark, whole, "test_topk_whole_sink").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_stateful_totals_recovery_carries_state_across_restart(spark):
+    """The kill-and-restart protocol must produce FULL-table totals:
+    users with events in both parity halves prove query B resumed from
+    the checkpointed state rather than recounting from zero."""
+    ev = tables.load(spark, SF_DIR, "events")
+    got = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in EV.stateful_totals_recovery(
+            spark, ev, "test_recovery_sink"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the proof has teeth only if the split actually spans the restart:
+    # some user must have events in BOTH halves, so phase-2-only counts
+    # would NOT reproduce the batch totals
+    phase2_only = {
+        r.user_id: r.n_events
+        for r in ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert any(
+        phase2_only.get(u, 0) < n for u, (n, _s) in got.items()
+    ), "parity split left no user spanning the restart boundary"
