@@ -455,6 +455,137 @@ def countmin_freq(
     )
 
 
+def _cms_ngram_parts(
+    docs: DataFrame, n: int, d: int, w: int, text_col: str
+):
+    """Shared build for the heavy-hitter n-gram family: the occurrence
+    stream (one row per n-gram OCCURRENCE — heavy hitters count
+    repeats, unlike the distinct-shingle dedup ops), the d×w Count-Min
+    counter table, and the bucket expression."""
+
+    def bucket(j: int, kcol):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cmng{j}|"), kcol)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % w
+
+    grams = docs.select(
+        F.explode(
+            texttools.word_shingles(
+                texttools.tokens(F.col(text_col)), n
+            )
+        ).alias("g")
+    )
+    pairs = grams.select(
+        F.posexplode(
+            F.array(*[bucket(j, F.col("g")) for j in range(d)])
+        ).alias("j", "bucket")
+    )
+    counters = pairs.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return grams, counters, bucket
+
+
+def cms_ngram_hitters(
+    docs: DataFrame,
+    n: int = 3,
+    d: int = 4,
+    w: int = 1024,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-repeated n-grams via a Count-Min sketch
+    (Cormode & Muthukrishnan 2005) — the frequency-ranked complement
+    to ``substr_dedup``'s extents: "what is my corpus full of", the
+    question every training-data audit asks before choosing filters.
+
+    Scale shape: the counter table is a CONSTANT d×w cells regardless
+    of corpus size (map-side combine collapses each partition before
+    the one constant-size shuffle — the ``countmin_freq`` shape), and
+    the candidate probe joins the BROADCAST counter table (kilobytes),
+    so ranking is map-side + one top-k. The candidate set here is the
+    corpus's distinct n-grams (one dedup shuffle); at 100 TB you swap
+    that leg for per-partition SpaceSaving proposals and keep
+    everything else — the sketch, probe, and ranking are already the
+    bounded-state path. Estimates only ever OVER-count (collisions
+    add), so the true top-k can never be pushed out by a sketch error
+    — a heavy hitter's estimate >= its true count >= any true top-k
+    threshold.
+
+    Deterministic: salted md5 buckets, min over d rows, ties broken
+    (estimate DESC, ngram ASC). Returns (rank, ngram, estimate)."""
+    grams, counters, bucket = _cms_ngram_parts(docs, n, d, w, text_col)
+    cands = grams.distinct()
+    probe = cands.select(
+        "g",
+        F.posexplode(
+            F.array(*[bucket(j, F.col("g")) for j in range(d)])
+        ).alias("j", "bucket"),
+    )
+    est = (
+        probe.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("g")
+        .agg(F.min("cnt").alias("estimate"))
+    )
+    top = est.orderBy(F.desc("estimate"), F.asc("g")).limit(k)
+    wr = Window.orderBy(F.desc("estimate"), F.asc("g"))
+    return top.select(
+        F.row_number().over(wr).cast("int").alias("rank"),
+        F.col("g").alias("ngram"),
+        F.col("estimate").cast("long").alias("estimate"),
+    )
+
+
+def cms_ngram_hitters_exact(
+    docs: DataFrame,
+    n: int = 3,
+    d: int = 4,
+    w: int = 1024,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-top-k verification twin of ``cms_ngram_hitters``: the true
+    top-k n-grams by occurrence count, each with its Count-Min estimate
+    alongside so the sketch error is visible per row (the
+    ``hll_distinct``/``countmin_freq`` convention — the exact leg is
+    the eval harness you drop at 100 TB, the sketch column is what
+    remains). ``overcount`` is always >= 0 (CM only over-counts);
+    pinned by a property test. Returns (rank, ngram, exact_count,
+    estimate, overcount)."""
+    grams, counters, bucket = _cms_ngram_parts(docs, n, d, w, text_col)
+    exact = grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    top = exact.orderBy(F.desc("exact_count"), F.asc("g")).limit(k)
+    probe = top.select(
+        "g",
+        "exact_count",
+        F.posexplode(
+            F.array(*[bucket(j, F.col("g")) for j in range(d)])
+        ).alias("j", "bucket"),
+    )
+    est = (
+        probe.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("g", "exact_count")
+        .agg(F.min("cnt").alias("estimate"))
+    )
+    wr = Window.orderBy(F.desc("exact_count"), F.asc("g"))
+    return est.select(
+        F.row_number().over(wr).cast("int").alias("rank"),
+        F.col("g").alias("ngram"),
+        F.col("exact_count").cast("long").alias("exact_count"),
+        F.col("estimate").cast("long").alias("estimate"),
+        (F.col("estimate") - F.col("exact_count"))
+        .cast("long")
+        .alias("overcount"),
+    )
+
+
 def source_bottomk_jaccard(
     docs: DataFrame,
     k: int = 64,

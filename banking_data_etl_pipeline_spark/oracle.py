@@ -4425,6 +4425,89 @@ SELECT e.user_id, CAST(est.estimate AS BIGINT) AS estimate,
 FROM exact e JOIN est USING (user_id)"""
 
 
+def _cms_ngram_prefix(n: int, d: int, w: int, mid_ctes: str) -> str:
+    """Shared CTEs for the heavy-hitter n-gram twins: the n-gram
+    occurrence stream over documents, the d×w Count-Min counter table
+    (same salted md5-prefix buckets as
+    operators.sketches._cms_ngram_parts), and the min-over-rows
+    estimates for the ``cands`` CTE that ``mid_ctes`` must define."""
+
+    def bucket(j: int, key: str) -> str:
+        return (
+            f"CAST(CAST('0x' || substring(md5('cmng{j}|' || {key}),"
+            f" 1, 8) AS UBIGINT) AS BIGINT) % {w}"
+        )
+
+    sh = _word_shingles(TOKS, n)
+    pair_sel = "\n  UNION ALL ".join(
+        f"SELECT {j} AS j, {bucket(j, 'g')} AS bucket FROM grams"
+        for j in range(d)
+    )
+    probe_sel = "\n  UNION ALL ".join(
+        f"SELECT g, {j} AS j, {bucket(j, 'g')} AS bucket FROM cands"
+        for j in range(d)
+    )
+    return f"""WITH grams AS (
+  SELECT unnest({sh}) AS g FROM documents
+), {mid_ctes}, pairs AS (
+  {pair_sel}
+), counters AS (
+  SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY j, bucket
+), probe_pairs AS (
+  {probe_sel}
+), est AS (
+  SELECT p.g, min(c.cnt) AS estimate
+  FROM probe_pairs p JOIN counters c USING (j, bucket)
+  GROUP BY p.g
+)"""
+
+
+def cms_ngrams_sql(n: int = 3, d: int = 4, w: int = 1024, k: int = 20) -> str:
+    """Twin of operators.sketches.cms_ngram_hitters: distinct n-gram
+    candidates probe the counter table, rank by (estimate DESC, ngram
+    ASC) — a total order, so the top-k cut is deterministic."""
+    prefix = _cms_ngram_prefix(
+        n, d, w, "cands AS (\n  SELECT DISTINCT g FROM grams\n)"
+    )
+    return f"""{prefix},
+top AS (
+  SELECT g, estimate FROM est
+  ORDER BY estimate DESC, g ASC LIMIT {k}
+)
+SELECT CAST(row_number() OVER (ORDER BY estimate DESC, g ASC) AS INT)
+         AS rank,
+       g AS ngram, CAST(estimate AS BIGINT) AS estimate
+FROM top"""
+
+
+def cms_ngrams_exact_sql(
+    n: int = 3, d: int = 4, w: int = 1024, k: int = 20
+) -> str:
+    """Twin of operators.sketches.cms_ngram_hitters_exact: true top-k
+    by occurrence count with the sketch estimate + overcount
+    alongside."""
+    mid = f"""exact AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS exact_count
+  FROM grams GROUP BY g
+), cands AS (
+  SELECT g FROM exact ORDER BY exact_count DESC, g ASC LIMIT {k}
+)"""
+    prefix = _cms_ngram_prefix(n, d, w, mid)
+    return f"""{prefix},
+top AS (
+  SELECT e.g, e.exact_count, est.estimate
+  FROM exact e JOIN est USING (g)
+  JOIN cands USING (g)
+)
+SELECT CAST(row_number() OVER (ORDER BY exact_count DESC, g ASC) AS INT)
+         AS rank,
+       g AS ngram, exact_count,
+       CAST(estimate AS BIGINT) AS estimate,
+       CAST(estimate - exact_count AS BIGINT) AS overcount
+FROM top"""
+
+
 def phrase_search_sql(n_queries: int = 5) -> str:
     """Twin of operators.retrieval.phrase_search: adjacent-bigram
     expansion replaces the positional join (provably equivalent for a

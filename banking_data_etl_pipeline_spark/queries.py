@@ -2380,6 +2380,28 @@ def ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cms_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 repeated trigrams via Count-Min sketch —
+    the frequency-ranked "what is my corpus full of" audit view."""
+    from .operators import sketches
+
+    tune_for_oracle(spark)
+    return sketches.cms_ngram_hitters(
+        tables.load(spark, sf_dir, "documents")
+    )
+
+
+def cms_ngrams_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 trigram verification twin of cms_ngrams, sketch
+    estimate + overcount alongside (overcount >= 0 always)."""
+    from .operators import sketches
+
+    tune_for_oracle(spark)
+    return sketches.cms_ngram_hitters_exact(
+        tables.load(spark, sf_dir, "documents")
+    )
+
+
 def countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimates vs exact counts — the
     bounded-memory mergeable point-query sketch."""

@@ -299,6 +299,11 @@ BENCH_QUERIES = [
     "rm3_expansion",
     "cdc_chunks",
     "zorder_stats",
+    # round 11 additions
+    "hits_prebuilt",
+    "stream_recovery",
+    "cms_ngrams",
+    "cms_ngrams_exact",
 ]
 
 
