@@ -393,3 +393,64 @@ def dp_counts(
         ).alias("abs_err"),
         F.lit(float(epsilon)).alias("epsilon"),
     ).orderBy("grp", "day")
+
+
+def benford_first_digit(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit (Newcomb 1881,
+    Benford 1938; Nigrini's fraud-screen use): the leading-digit
+    distribution of an organically-grown monetary column should track
+    log10(1 + 1/d) — a synthetic, capped, or fabricated feed shows up
+    as a bulge the chi-square column localizes to its digit.
+
+    Shape: one map-side projection (first nonzero digit via regexp on
+    the decimal rendering — no log10, whose boundary behaviour near
+    powers of ten differs subtly between engines) + a 9-bucket groupBy
+    — constant-size shuffle at any scale, the sketch-family shape. The
+    digit frame left-joins a literal 1-9 spine so absent digits emit
+    n=0 rows, and the grand total rides a 9-row window.
+
+    Expected probabilities are driver-computed literals (repr
+    round-trips), chi2 terms (n_d − N·p_d)²/(N·p_d) are the same IEEE
+    expression in the DuckDB twin. Returns one row per digit 1-9:
+    (digit, n, frac, expected_p, chi2_term), fractions 6 dp."""
+    import math
+
+    from pyspark.sql import Window
+
+    ps = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+    parr = F.array(*[F.lit(float(x)) for x in ps])
+    spark = df.sparkSession
+    counts = (
+        df.select(
+            F.regexp_extract(F.col(col).cast("string"), "[1-9]", 0).alias(
+                "digit"
+            )
+        )
+        .filter(F.col("digit") != "")
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = spark.range(1, 10).select(
+        F.col("id").cast("string").alias("digit")
+    )
+    base = spine.join(counts, "digit", "left").select(
+        F.col("digit").cast("int").alias("digit"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+    )
+    tot = F.sum("n").over(Window.partitionBy())
+    exp_p = F.element_at(parr, F.col("digit"))
+    expected_n = tot.cast("double") * exp_p
+    return base.select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / tot.cast("double"), 6).alias(
+            "frac"
+        ),
+        F.round(exp_p, 6).alias("expected_p"),
+        F.round(
+            (F.col("n").cast("double") - expected_n)
+            * (F.col("n").cast("double") - expected_n)
+            / expected_n,
+            6,
+        ).alias("chi2_term"),
+    )

@@ -25,7 +25,7 @@ column. Two notes that matter at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -646,5 +646,167 @@ def bt_strengths(
             "games",
             F.round(F.col("s"), 6).alias("strength"),
             F.row_number().over(wr).cast("int").alias("rank"),
+        )
+    )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation (tie-aware, via average
+    ranks + Pearson on the ranks — the textbook definition under
+    ties). The training-data-audit question it answers: does the
+    quality score just proxy for length (rho -> 1), or carry
+    independent signal — per source, so one verbose crawl can't hide
+    another's degenerate scorer.
+
+    Exactness: average ranks are kept as DOUBLED integers
+    (2·avg_rank = 2·min_rank + tie_count − 1, always integral), every
+    moment (Σdx, Σdy, Σdx², Σdy², Σdx·dy) accumulates in
+    DECIMAL(38,0) — exact, order-free — and the Pearson numerator /
+    denominator are formed in the SAME exact integer arithmetic
+    before ONE conversion to double; the doubling cancels. So the
+    statistic is bit-identical across engines and partitionings
+    (the DuckDB twin runs HUGEINT through the same shape).
+
+    Shape: two window ranks (one shuffle on the group key — ranks and
+    moments reuse the same partitioning) + one groupBy. rho is NULL
+    for a degenerate group (all x or all y tied).
+
+    Returns (group, n_docs, spearman_rho) with rho rounded 6dp."""
+    g = F.col(group_col)
+    wq = Window.partitionBy(group_col).orderBy(F.col(x_col))
+    wt = Window.partitionBy(group_col).orderBy(F.col(y_col))
+    cq = Window.partitionBy(group_col, x_col)
+    ct = Window.partitionBy(group_col, y_col)
+    ranked = df.select(
+        g.alias("grp"),
+        (
+            2 * F.rank().over(wq) + F.count(F.lit(1)).over(cq) - 1
+        ).alias("dx"),
+        (
+            2 * F.rank().over(wt) + F.count(F.lit(1)).over(ct) - 1
+        ).alias("dy"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    mom = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("dx"))).alias("sx"),
+        F.sum(dec(F.col("dy"))).alias("sy"),
+        F.sum(dec(F.col("dx") * F.col("dx"))).alias("sxx"),
+        F.sum(dec(F.col("dy") * F.col("dy"))).alias("syy"),
+        F.sum(dec(F.col("dx") * F.col("dy"))).alias("sxy"),
+    )
+    n = dec(F.col("n"))
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    dena = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    denb = n * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = F.when(
+        (dena > 0) & (denb > 0),
+        F.round(
+            num.cast("double")
+            / F.sqrt(dena.cast("double") * denb.cast("double")),
+            6,
+        ),
+    )
+    return mom.select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_docs"),
+        rho.alias("spearman_rho"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    id_col: str,
+    ref: DataFrame,
+    m: int = 20,
+) -> DataFrame:
+    """Quantile normalization of a score column onto a REFERENCE
+    group's distribution (the cross-source calibration step before
+    mixing: a crawl whose quality scorer runs hot gets its scores
+    re-expressed as "the value the reference source would have given a
+    document at the same percentile").
+
+    Construction is interpolation-FREE so both engines agree bitwise:
+      1. the reference's empirical CDF over its DISTINCT values (one
+         groupBy + a cumulative count over the value histogram);
+      2. m+1 knots: knot_j = min{ v : cdf(v) >= j/m } — conditional
+         mins against literal fractions, no percentile interpolation
+         (whose a+(b-a)·g vs (1-g)·a+g·b shapes differ across
+         engines);
+      3. each row's percentile inside ITS group: percent_rank()
+         (exact rational (rank-1)/(n-1));
+      4. knot index kx = floor(pct·m + 0.5) (pure floor — no
+         round-half-to-even ambiguity) and a broadcast join against
+         the (m+1)-row knot frame.
+
+    Scale shape: step 3 partitions by group (each source ranks
+    independently); the knot frame is model-parameter-sized and never
+    driver-collected. Step 2's cumulative count orders the reference's
+    distinct-VALUE histogram — at 100 TB compress the reference to a
+    fixed-width value histogram first and the rest is unchanged.
+
+    Returns (group, id, val, pct, val_norm): pct 6 dp, val_norm = the
+    reference-distribution value at the row's percentile."""
+    total = Window.partitionBy(F.lit(1))
+    cum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = (
+        ref.select(F.col(val_col).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "v",
+            (
+                F.sum("c").over(cum).cast("double")
+                / F.sum("c").over(total).cast("double")
+            ).alias("cdf"),
+        )
+    )
+    knot_cols = [
+        F.min(
+            F.when(F.col("cdf") >= F.lit(float(j) / m), F.col("v"))
+        ).alias(f"k{j}")
+        for j in range(m + 1)
+    ]
+    knots_wide = hist.agg(*knot_cols)
+    knots = knots_wide.select(
+        F.expr(
+            "stack({}, {}) as (kx, knot_v)".format(
+                m + 1,
+                ", ".join(f"{j}, k{j}" for j in range(m + 1)),
+            )
+        )
+    )
+    wp = Window.partitionBy(group_col).orderBy(F.col(val_col))
+    rows = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(val_col).alias("val"),
+        F.percent_rank().over(wp).alias("_pct"),
+    ).select(
+        "grp",
+        "id",
+        "val",
+        "_pct",
+        F.floor(F.col("_pct") * m + F.lit(0.5)).cast("int").alias("kx"),
+    )
+    return (
+        rows.join(F.broadcast(knots), "kx")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("id").alias(id_col),
+            F.col("val").alias(val_col),
+            F.round(F.col("_pct"), 6).alias("pct"),
+            F.col("knot_v").alias("val_norm"),
         )
     )

@@ -888,3 +888,70 @@ def rm3_topk(
     # Caller-owned postings cache (tk), like bm25_topk — unpersist or
     # clearCache when done (bench.py and the parity gate already do).
     return _topk(_score(allterms, weighted=True), k)
+
+
+def rbo_overlap(
+    run_a: DataFrame, run_b: DataFrame, k: int = 10, p: float = 0.9
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    top-k rankings per query — the rank-SENSITIVE companion to the
+    recall harness: recall@k only says whether the approximate index
+    found the true neighbours; RBO@k scores whether it put them in the
+    right ORDER, with geometrically decaying weight on deeper ranks
+    (p = persistence; 0.9 ≈ the paper's "top-10 dominates" setting).
+
+        RBO@k = (1-p) · Σ_{d=1..k} p^(d-1) · |A_d ∩ B_d| / d
+
+    A common doc with ranks (ra, rb) is inside both depth-d prefixes
+    for every d >= max(ra, rb), so its total contribution is
+    W(m) = (1-p) · Σ_{d=m..k} p^(d-1)/d with m = max(ra, rb) — a
+    k-entry BUILD-TIME literal table. The whole measure is therefore
+    ONE equi-join on (query_id, vec_id) + a groupBy: no per-depth
+    explode, no window, no shuffle beyond the k·|queries|-row join —
+    at 100 TB the runs are top-k-sized (bounded by construction), so
+    this is model-parameter-scale work regardless of corpus size.
+
+    Cross-engine determinism: W values are driver-computed doubles
+    embedded as literals in BOTH engines (repr round-trips exactly),
+    each term is truncated to 12 dp and summed in DECIMAL(32,12)
+    (order-free), rounded to 6 dp once at the end.
+
+    The truncated sum maxes out at 1-p^k (identical prefixes), so the
+    result is NORMALIZED by that constant — rbo = 1 iff the two
+    prefixes agree exactly at every depth, the usual RBO@k reading.
+
+    Inputs: (query_id, vec_id, rank) frames, rank 1-based, <= k.
+    Returns (query_id, n_common, rbo) — rbo in [0, 1]."""
+    wts = [
+        (1.0 - p) * sum(p ** (d - 1) / d for d in range(m, k + 1))
+        for m in range(1, k + 1)
+    ]
+    warr = F.array(*[F.lit(float(x)) for x in wts])
+    a = run_a.select(
+        "query_id", "vec_id", F.col("rank").alias("_ra")
+    )
+    b = run_b.select(
+        "query_id", "vec_id", F.col("rank").alias("_rb")
+    )
+    wt = F.element_at(warr, F.greatest("_ra", "_rb").cast("int"))
+    t12 = F.floor(wt * F.lit(1e12)).cast("double") / F.lit(1e12)
+    agg = (
+        a.join(b, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(t12.cast("decimal(32,12)")).cast("double").alias("_s"),
+        )
+    )
+    qids = run_a.select("query_id").distinct()
+    return qids.join(agg, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias(
+            "n_common"
+        ),
+        F.round(
+            F.coalesce(F.col("_s"), F.lit(0.0))
+            / F.lit(float(1.0 - p**k)),
+            6,
+        ).alias("rbo"),
+    )

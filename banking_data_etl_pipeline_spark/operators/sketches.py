@@ -520,7 +520,15 @@ def cms_ngram_hitters(
     Deterministic: salted md5 buckets, min over d rows, ties broken
     (estimate DESC, ngram ASC). Returns (rank, ngram, estimate)."""
     grams, counters, bucket = _cms_ngram_parts(docs, n, d, w, text_col)
-    cands = grams.distinct()
+    return cms_rank_candidates(grams.distinct(), counters, bucket, d, k)
+
+
+def cms_rank_candidates(
+    cands: DataFrame, counters: DataFrame, bucket, d: int, k: int
+) -> DataFrame:
+    """Probe-and-rank shared by the batch and STREAMED counter tables:
+    candidates join the broadcast counters, min over the d rows is the
+    estimate, top-k by (estimate DESC, ngram ASC)."""
     probe = cands.select(
         "g",
         F.posexplode(

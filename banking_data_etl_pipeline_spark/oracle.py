@@ -4508,6 +4508,155 @@ SELECT CAST(row_number() OVER (ORDER BY exact_count DESC, g ASC) AS INT)
 FROM top"""
 
 
+SPEARMAN_QUALITY_Q = f"""WITH ts AS (
+  SELECT doc_id, n_tokens, quality_score FROM ({TEXT_STATS_Q})
+), base AS (
+  SELECT d.source, ts.quality_score AS q, ts.n_tokens AS t
+  FROM ts JOIN documents d USING (doc_id)
+), ranked AS (
+  SELECT source,
+    2 * rank() OVER (PARTITION BY source ORDER BY q)
+      + count(*) OVER (PARTITION BY source, q) - 1 AS dx,
+    2 * rank() OVER (PARTITION BY source ORDER BY t)
+      + count(*) OVER (PARTITION BY source, t) - 1 AS dy
+  FROM base
+), mom AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(dx AS HUGEINT)) AS sx, sum(CAST(dy AS HUGEINT)) AS sy,
+    sum(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS sxx,
+    sum(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS syy,
+    sum(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS sxy
+  FROM ranked GROUP BY source
+)
+SELECT source, n AS n_docs,
+  CASE WHEN (CAST(n AS HUGEINT) * sxx - sx * sx) > 0
+        AND (CAST(n AS HUGEINT) * syy - sy * sy) > 0
+       THEN round(
+         CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+         6)
+       ELSE NULL END AS spearman_rho
+FROM mom"""
+
+
+def quantile_normalize_sql(m: int = 20) -> str:
+    """Twin of operators.profiling.quantile_normalize over per-source
+    quality scores (reference = lowest source name): same distinct-
+    value CDF, conditional-min knots against the same literal
+    fractions (no percentile interpolation), same percent_rank +
+    floor(pct·m + 0.5) mapping."""
+    knot_aggs = ", ".join(
+        f"min(CASE WHEN cdf >= {float(j) / m!r} THEN v END) AS k{j}"
+        for j in range(m + 1)
+    )
+    knot_rows = "\n  UNION ALL ".join(
+        f"SELECT {j} AS kx, k{j} AS knot_v FROM kw" for j in range(m + 1)
+    )
+    return f"""WITH ts AS (
+  SELECT doc_id, quality_score FROM ({TEXT_STATS_Q})
+), scored AS (
+  SELECT d.source, d.doc_id, ts.quality_score AS q
+  FROM ts JOIN documents d USING (doc_id)
+), refsrc AS (
+  SELECT min(source) AS source FROM scored
+), ref AS (
+  SELECT q AS v FROM scored JOIN refsrc USING (source)
+), hist AS (
+  SELECT v,
+    CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS DOUBLE)
+      / CAST(sum(c) OVER () AS DOUBLE) AS cdf
+  FROM (SELECT v, count(*) AS c FROM ref GROUP BY v)
+), kw AS (
+  SELECT {knot_aggs} FROM hist
+), knots AS (
+  {knot_rows}
+), rows_ AS (
+  SELECT source, doc_id, q,
+         percent_rank() OVER (PARTITION BY source ORDER BY q) AS pct
+  FROM scored
+), mapped AS (
+  SELECT source, doc_id, q, pct,
+         CAST(floor(pct * {m} + 0.5) AS INT) AS kx
+  FROM rows_
+)
+SELECT mp.source, mp.doc_id, mp.q, round(mp.pct, 6) AS pct,
+       k.knot_v AS val_norm
+FROM mapped mp JOIN knots k USING (kx)"""
+
+
+def benford_sql(col: str = "o_totalprice", table: str = "orders") -> str:
+    """Twin of operators.expectations.benford_first_digit: same
+    regexp-on-decimal-rendering digit extraction (both engines print
+    doubles shortest-round-trip; no scientific notation below 1e7),
+    same literal log10(1+1/d) expectations, same IEEE chi2 terms."""
+    import math
+
+    cases = " ".join(
+        f"WHEN {d} THEN {math.log10(1.0 + 1.0 / d)!r}"
+        for d in range(1, 10)
+    )
+    return f"""WITH src AS (
+  SELECT regexp_extract(CAST({col} AS VARCHAR), '[1-9]') AS digit
+  FROM {table}
+), f AS (
+  SELECT CAST(digit AS INT) AS digit, CAST(count(*) AS BIGINT) AS n
+  FROM src WHERE digit <> '' GROUP BY digit
+), spine AS (
+  SELECT CAST(unnest(range(1, 10)) AS INT) AS digit
+), base AS (
+  SELECT s.digit, coalesce(f.n, 0) AS n
+  FROM spine s LEFT JOIN f USING (digit)
+), t AS (
+  SELECT digit, n, sum(n) OVER () AS tot,
+         CASE digit {cases} END AS p
+  FROM base
+)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS frac,
+       round(p, 6) AS expected_p,
+       round((CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * p)
+             * (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * p)
+             / (CAST(tot AS DOUBLE) * p), 6) AS chi2_term
+FROM t"""
+
+
+def rbo_sql(k: int = 10, p: float = 0.9) -> str:
+    """Twin of operators.retrieval.rbo_overlap over the exact
+    (ANN_BRUTE_Q) and IVF (ann_ivf_sql) rankings: same driver-computed
+    per-match weight literals W(m) = (1-p)·Σ_{d=m..k} p^(d-1)/d (repr
+    round-trips the doubles exactly), same trunc-12dp/DECIMAL sum,
+    same 6-dp rounding."""
+    wts = [
+        (1.0 - p) * sum(p ** (d - 1) / d for d in range(m, k + 1))
+        for m in range(1, k + 1)
+    ]
+    cases = " ".join(
+        f"WHEN {m} THEN {w!r}" for m, w in enumerate(wts, start=1)
+    )
+    return f"""WITH ra AS (
+  SELECT query_id, vec_id, rank FROM ({ANN_BRUTE_Q})
+), rb AS (
+  SELECT query_id, vec_id, rank FROM ({ann_ivf_sql()})
+), m AS (
+  SELECT ra.query_id,
+         CASE greatest(ra.rank, rb.rank) {cases} END AS wt
+  FROM ra JOIN rb USING (query_id, vec_id)
+), agg AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(CAST(floor(wt * 1e12) / 1e12 AS DECIMAL(32,12)))
+              AS DOUBLE) AS s
+  FROM m GROUP BY query_id
+), qs AS (
+  SELECT DISTINCT query_id FROM ra
+)
+SELECT q.query_id,
+       coalesce(a.n_common, 0) AS n_common,
+       round(coalesce(a.s, 0.0) / {float(1.0 - p**k)!r}, 6) AS rbo
+FROM qs q LEFT JOIN agg a USING (query_id)"""
+
+
 def phrase_search_sql(n_queries: int = 5) -> str:
     """Twin of operators.retrieval.phrase_search: adjacent-bigram
     expansion replaces the positional join (provably equivalent for a

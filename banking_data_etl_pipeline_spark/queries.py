@@ -343,6 +343,79 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, q, k=10, n_centroids=16, nprobe=2)
 
 
+def rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p=0.9) between the exact brute-force and
+    IVF top-10 rankings per query — the rank-sensitive index-quality
+    readout that complements ann_recall's set-level recall."""
+    from .operators import retrieval
+
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    a = similarity.brute_force_topk(emb, q, k=10)
+    b = similarity.ivf_topk(emb, q, k=10, n_centroids=16, nprobe=2)
+    return retrieval.rbo_overlap(a, b, k=10, p=0.9)
+
+
+def stream_cms_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Count-Min heavy-hitter n-grams: the d x w counter
+    table maintained as update-mode stream state (constant-size — the
+    reason CM is the on-feed sketch), drained terminal counters must
+    be bit-equal to the batch build; same probe + ranking after."""
+    from .streaming import docs as SD
+
+    tune_for_oracle(spark)
+    d = _stream_src_dir(sf_dir, "documents")
+    corpus = tables.load(spark, sf_dir, "documents")
+    return SD.cms_ngrams_stream(spark, d, corpus, "stream_cms_sink")
+
+
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize every source's quality scores onto the
+    reference source's distribution (reference = lowest source name)
+    — the cross-source calibration step before dataset mixing."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.round(texttools.quality_score(F.col("text")), 6).alias("q"),
+    )
+    refname = scored.agg(F.min("source").alias("source"))
+    ref = scored.join(F.broadcast(refname), "source")
+    return profiling.quantile_normalize(
+        scored, "source", "q", "doc_id", ref, m=20
+    )
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of o_totalprice: per digit 1-9,
+    observed vs log10(1+1/d) expectation + chi2 localization."""
+    from .operators import expectations
+
+    tune_for_oracle(spark)
+    return expectations.benford_first_digit(
+        tables.load(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+def spearman_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Spearman rank correlation between quality score and
+    token count — does the quality scorer carry signal beyond length?"""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        F.round(texttools.quality_score(F.col("text")), 6).alias("q"),
+        texttools.token_count(F.col("text")).alias("t"),
+    )
+    return profiling.spearman_by_group(base, "source", "q", "t")
+
+
 # ------------------------------------------------------------------ text
 
 

@@ -184,3 +184,52 @@ def bloom_screen_stream(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def cms_ngrams_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    corpus: DataFrame,
+    name: str,
+    n: int = 3,
+    d: int = 4,
+    w: int = 1024,
+    k: int = 20,
+) -> DataFrame:
+    """STREAMING Count-Min maintenance: the heavy-hitter n-gram
+    counter table (``sketches.cms_ngram_hitters``) kept ON the ingest
+    feed. The d×w per-(row, bucket) counts run as an UPDATE-mode
+    streaming aggregation — state is the CONSTANT-size counter table
+    itself, the defining property that makes CM the sketch you
+    maintain on an unbounded feed (the exact counts you'd need for a
+    true top-k are unbounded state). Counts are monotone, so the
+    drained sink's per-key MAX is the terminal counter table; the
+    candidate probe + ranking then run exactly as in batch.
+
+    Oracle: ``cms_ngrams_sql()`` VERBATIM — the streamed counters must
+    be bit-equal to the batch build, so this is the strongest
+    batch-equivalence form (the ``stream_window_agg`` convention)."""
+    from ..operators import sketches
+    from .events import _state_partitions
+
+    s_grams, s_counters, _b = sketches._cms_ngram_parts(
+        docs_stream(spark, docs_dir), n, d, w, "text"
+    )
+    with _state_partitions(spark, 16):
+        q = (
+            s_counters.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    counters = (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("j", "bucket")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    grams, _c, bucket = sketches._cms_ngram_parts(corpus, n, d, w, "text")
+    return sketches.cms_rank_candidates(
+        grams.distinct(), counters, bucket, d, k
+    )

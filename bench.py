@@ -304,6 +304,11 @@ BENCH_QUERIES = [
     "stream_recovery",
     "cms_ngrams",
     "cms_ngrams_exact",
+    "rbo_overlap",
+    "spearman_quality",
+    "benford_audit",
+    "quantile_normalize",
+    "stream_cms_ngrams",
 ]
 
 

@@ -124,3 +124,167 @@ def test_hits_prebuilt_equals_staged_hits(spark):
     a = sorted(map(tuple, Q.hits(spark, SF_DIR).collect()))
     b = sorted(map(tuple, Q.hits_prebuilt(spark, SF_DIR).collect()))
     assert a == b and len(a) > 0
+
+
+# --------------------------------------------------------------- RBO
+
+
+def _runs(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, vec_id long, rank int"
+    )
+
+
+def test_rbo_identity_disjoint_and_rank_sensitivity(spark):
+    from banking_data_etl_pipeline_spark.operators import retrieval
+
+    a = _runs(spark, [(1, 100 + r, r) for r in range(1, 11)])
+    same = retrieval.rbo_overlap(a, a, k=10, p=0.9).collect()[0]
+    assert same.rbo == 1.0 and same.n_common == 10
+    b = _runs(spark, [(1, 200 + r, r) for r in range(1, 11)])
+    assert retrieval.rbo_overlap(a, b, k=10, p=0.9).collect()[0].rbo == 0.0
+    # swap ranks 1 and 10: same SET, lower rbo — rank sensitivity,
+    # which recall@k cannot see
+    rows = [(1, 100 + r, r) for r in range(2, 10)]
+    rows += [(1, 110, 1), (1, 101, 10)]
+    c = _runs(spark, rows)
+    mixed = retrieval.rbo_overlap(a, c, k=10, p=0.9).collect()[0]
+    assert 0.0 < mixed.rbo < 1.0
+    # SAME set both sides — set-level recall@10 would read 1.0, RBO
+    # sees the rank swap
+    assert mixed.n_common == 10
+
+
+def test_rbo_matches_bruteforce_definition(spark):
+    from banking_data_etl_pipeline_spark.operators import retrieval
+
+    k, p = 10, 0.9
+    rng = random.Random(7)
+    ids = list(range(20))
+    rng.shuffle(ids)
+    a_list, b_list = ids[:k], ids[5:15]
+    a = _runs(spark, [(1, v, r + 1) for r, v in enumerate(a_list)])
+    b = _runs(spark, [(1, v, r + 1) for r, v in enumerate(b_list)])
+    want = sum(
+        p ** (d - 1)
+        * len(set(a_list[:d]) & set(b_list[:d]))
+        / d
+        for d in range(1, k + 1)
+    ) * (1 - p) / (1 - p**k)
+    got = retrieval.rbo_overlap(a, b, k=k, p=p).collect()[0].rbo
+    assert abs(got - want) < 1e-6
+
+
+# ---------------------------------------------------------- Spearman
+
+
+def _brute_spearman(xs, ys):
+    def avg_ranks(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        r = [0.0] * len(v)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and v[order[j]] == v[order[i]]:
+                j += 1
+            ar = (i + j - 1) / 2.0 + 1.0
+            for t in range(i, j):
+                r[order[t]] = ar
+            i = j
+        return r
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    da = math.sqrt(sum((a - mx) ** 2 for a in rx))
+    db = math.sqrt(sum((b - my) ** 2 for b in ry))
+    return num / (da * db) if da > 0 and db > 0 else None
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=3,
+        max_size=25,
+    )
+)
+def test_spearman_matches_bruteforce(spark, pts):
+    from banking_data_etl_pipeline_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [("g", float(x), float(y)) for x, y in pts],
+        "grp string, x double, y double",
+    )
+    row = profiling.spearman_by_group(df, "grp", "x", "y").collect()[0]
+    want = _brute_spearman([p[0] for p in pts], [p[1] for p in pts])
+    if want is None:
+        assert row.spearman_rho is None
+    else:
+        assert abs(row.spearman_rho - want) < 5.1e-7  # 6-dp rounding
+    assert row.n_docs == len(pts)
+
+
+def test_spearman_monotone_and_reversed(spark):
+    from banking_data_etl_pipeline_spark.operators import profiling
+
+    rows = [("a", float(i), float(i * 2)) for i in range(10)]
+    rows += [("b", float(i), float(-i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    got = {
+        r.grp: r.spearman_rho
+        for r in profiling.spearman_by_group(df, "grp", "x", "y").collect()
+    }
+    assert got == {"a": 1.0, "b": -1.0}
+
+
+# ----------------------------------------------------------- Benford
+
+
+def test_benford_audit_shape_and_localization(spark):
+    from banking_data_etl_pipeline_spark.operators import expectations
+
+    # powers of 2 are a classic Benford-conformant sequence; a
+    # constant-leading-digit column is the classic violation
+    vals = [(float(2**i),) for i in range(1, 40)]
+    good = expectations.benford_first_digit(
+        spark.createDataFrame(vals, "v double"), "v"
+    ).collect()
+    assert len(good) == 9
+    assert sum(r.n for r in good) == len(vals)
+    assert abs(sum(r.frac for r in good) - 1.0) < 1e-4
+    bad = expectations.benford_first_digit(
+        spark.createDataFrame([(9000.0 + i,) for i in range(50)], "v double"),
+        "v",
+    ).collect()
+    chi_good = sum(r.chi2_term for r in good)
+    chi_bad = sum(r.chi2_term for r in bad)
+    assert chi_bad > chi_good * 5
+
+
+# ------------------------------------------------ quantile normalize
+
+
+def test_quantile_normalize_reference_and_monotone(spark):
+    from banking_data_etl_pipeline_spark.operators import profiling
+
+    rng = random.Random(3)
+    rows = [("ref", i, float(rng.randint(0, 100))) for i in range(200)]
+    rows += [("hot", 1000 + i, float(50 + rng.randint(0, 100))) for i in range(150)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    ref = df.filter(F.col("grp") == "ref")
+    out = profiling.quantile_normalize(df, "grp", "v", "id", ref, m=20)
+    got = out.collect()
+    assert len(got) == 350
+    ref_vals = {r.v for r in ref.collect()}
+    by_grp: dict = {}
+    for r in got:
+        # normalized values are drawn FROM the reference distribution
+        assert r.val_norm in ref_vals
+        by_grp.setdefault(r.grp, []).append((r.v, r.val_norm))
+    # monotone within each group: higher raw value never maps lower
+    for pairs in by_grp.values():
+        pairs.sort()
+        for (v1, n1), (v2, n2) in zip(pairs, pairs[1:]):
+            assert n1 <= n2
