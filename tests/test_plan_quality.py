@@ -304,6 +304,9 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "mmr_rerank",  # greedy selection loop (localCheckpoint per round)
         "stream_msprt",  # runs its stream eagerly at build
         "hits",  # iterative half-steps (persist+materialize per round)
+        "hits_prebuilt",  # same loop over the staged edge copies
+        "stream_recovery",  # runs two checkpointed streams eagerly
+        "stream_cms_ngrams",  # runs its stream eagerly at build
         "kcenter_coreset",  # greedy driver loop (one top-1 pull/round)
         "emb_top_pc",  # power-iteration loop (localCheckpoint per step)
         "bt_strengths",  # MM iteration loop (localCheckpoint per step)
@@ -354,6 +357,10 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # side is the m-row value histogram (model-parameter scale),
         # never the data
         "t_closeness",
+        # composes brute_force_topk for the exact arm — the ann_brute
+        # intentional broadcast cross join; the RBO join itself is an
+        # equi-join on (query_id, vec_id)
+        "rbo_overlap",
     }
     # collect ALL violations before asserting: a first-failure abort
     # masks every later name in the sorted sweep (theta_sketch hid
