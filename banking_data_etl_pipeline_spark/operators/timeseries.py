@@ -222,3 +222,84 @@ def ewma_anomaly(
         F.round(F.abs(F.col("value") - num / den), 6).alias("abs_dev"),
     )
     return scored.orderBy(F.desc("abs_dev"), F.asc("event_id")).limit(top)
+
+
+def mase_eval(events: DataFrame, season_hours: int = 24) -> DataFrame:
+    """Seasonal-naive forecast error (MASE, Hyndman & Koehler 2006)
+    per event type over the hourly value series — the standard
+    scale-free answer to "is this feed's latest behaviour predictable
+    from the same hour yesterday, or drifting": MASE < 1 means the
+    seasonal-naive forecast beats the one-step-naive in-sample error,
+    > 1 flags structure the daily cycle does not explain.
+
+    Construction handles GAPS honestly: forecasts come from equi-joins
+    on (type, hour − season) and (type, hour − 1h) against the hourly
+    aggregate itself — not window ``lag``, which silently reads the
+    previous EXISTING row and scores the wrong horizon when hours are
+    missing. Only hours whose reference hour exists score in the
+    respective mean.
+
+    Scale shape: one groupBy to hourly totals (map-side combined),
+    then two self-equi-joins and a per-type reduce — everything after
+    the first aggregation is hours × types sized. Exactness: hourly
+    totals and the |error| sums ride DECIMAL(18,6)/(38,6) (exact,
+    order-free); the two means and their ratio are formed in ONE
+    double expression both engines share; 6-dp rounding at the end.
+
+    Returns (event_type, n_seasonal, n_naive, mae_seasonal,
+    mae_naive1, mase); mase NULL when the naive-1 error is zero."""
+    hourly = (
+        events.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("y")
+        )
+    )
+    a = hourly.alias("a")
+
+    def _err(offset_hours: int, tag: str) -> DataFrame:
+        b = hourly.alias(f"b{tag}")
+        return (
+            a.join(
+                b,
+                (F.col("a.event_type") == F.col(f"b{tag}.event_type"))
+                & (
+                    F.col("a.h")
+                    == F.col(f"b{tag}.h")
+                    + F.expr(f"INTERVAL {offset_hours} HOURS")
+                ),
+            )
+            .select(
+                F.col("a.event_type").alias("event_type"),
+                F.abs(
+                    F.col("a.y") - F.col(f"b{tag}.y")
+                ).alias("ae"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(f"n_{tag}"),
+                F.sum(F.col("ae").cast("decimal(38,6)")).alias(
+                    f"s_{tag}"
+                ),
+            )
+        )
+    seas = _err(season_hours, "seasonal")
+    nai = _err(1, "naive")
+    mae_s = F.col("s_seasonal").cast("double") / F.col(
+        "n_seasonal"
+    ).cast("double")
+    mae_n = F.col("s_naive").cast("double") / F.col("n_naive").cast(
+        "double"
+    )
+    return seas.join(nai, "event_type").select(
+        "event_type",
+        "n_seasonal",
+        "n_naive",
+        F.round(mae_s, 6).alias("mae_seasonal"),
+        F.round(mae_n, 6).alias("mae_naive1"),
+        F.when(
+            F.col("s_naive") > 0, F.round(mae_s / mae_n, 6)
+        ).alias("mase"),
+    )

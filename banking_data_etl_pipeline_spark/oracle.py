@@ -4540,6 +4540,37 @@ SELECT source, n AS n_docs,
 FROM mom"""
 
 
+MASE_Q = """WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         sum(CAST(value AS DECIMAL(18,6))) AS y
+  FROM events GROUP BY 1, 2
+), es AS (
+  SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_seasonal,
+         sum(CAST(abs(a.y - b.y) AS DECIMAL(38,6))) AS s_seasonal
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type
+   AND a.h = b.h + INTERVAL 24 HOURS
+  GROUP BY 1
+), en AS (
+  SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_naive,
+         sum(CAST(abs(a.y - b.y) AS DECIMAL(38,6))) AS s_naive
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type
+   AND a.h = b.h + INTERVAL 1 HOURS
+  GROUP BY 1
+)
+SELECT es.event_type, es.n_seasonal, en.n_naive,
+  round(CAST(es.s_seasonal AS DOUBLE) / CAST(es.n_seasonal AS DOUBLE), 6)
+    AS mae_seasonal,
+  round(CAST(en.s_naive AS DOUBLE) / CAST(en.n_naive AS DOUBLE), 6)
+    AS mae_naive1,
+  CASE WHEN en.s_naive > 0 THEN
+    round((CAST(es.s_seasonal AS DOUBLE) / CAST(es.n_seasonal AS DOUBLE))
+          / (CAST(en.s_naive AS DOUBLE) / CAST(en.n_naive AS DOUBLE)), 6)
+  END AS mase
+FROM es JOIN en USING (event_type)"""
+
+
 def quantile_normalize_sql(m: int = 20) -> str:
     """Twin of operators.profiling.quantile_normalize over per-source
     quality scores (reference = lowest source name): same distinct-

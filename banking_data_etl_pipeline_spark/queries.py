@@ -357,6 +357,44 @@ def rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.rbo_overlap(a, b, k=10, p=0.9)
 
 
+def mase_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive MASE per event type over hourly value totals —
+    is the feed predictable from the same hour yesterday?"""
+    from .operators import timeseries
+
+    tune_for_oracle(spark)
+    return timeseries.mase_eval(tables.load(spark, sf_dir, "events"))
+
+
+def cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL Count-Min maintenance: the standing corpus's
+    counter table (doc_id % 5 != 0 — in production a persisted d x w
+    parquet artifact, constant-size) merges with the new batch's
+    (doc_id % 5 == 0) by plain cell-wise SUM — the linearity that
+    makes CM the incremental-ingest sketch: no rebuild, no rescan of
+    the standing corpus at ranking time. The merged ranking must
+    equal the full-corpus build (shares cms_ngrams' oracle
+    VERBATIM), which is exactly the mergeability property the unit
+    suite pins cell-wise."""
+    from .operators import sketches
+
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    _g, c_old, _b = sketches._cms_ngram_parts(old, 3, 4, 1024, "text")
+    _g, c_new, _b = sketches._cms_ngram_parts(new, 3, 4, 1024, "text")
+    merged = (
+        c_old.unionByName(c_new)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    grams, _c, bucket = sketches._cms_ngram_parts(docs, 3, 4, 1024, "text")
+    return sketches.cms_rank_candidates(
+        grams.distinct(), merged, bucket, 4, 20
+    )
+
+
 def stream_cms_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING Count-Min heavy-hitter n-grams: the d x w counter
     table maintained as update-mode stream state (constant-size — the

@@ -309,6 +309,8 @@ BENCH_QUERIES = [
     "benford_audit",
     "quantile_normalize",
     "stream_cms_ngrams",
+    "cms_incremental",
+    "mase_eval",
 ]
 
 

@@ -288,3 +288,72 @@ def test_quantile_normalize_reference_and_monotone(spark):
         pairs.sort()
         for (v1, n1), (v2, n2) in zip(pairs, pairs[1:]):
             assert n1 <= n2
+
+
+# ------------------------------------------------- CMS incremental
+
+
+def test_cms_incremental_ranking_equals_full_build(spark):
+    texts = [f"{'a b c ' * (i % 4 + 1)}x{i} y z" for i in range(20)]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    _g, c_old, _b = sketches._cms_ngram_parts(
+        docs.filter(F.col("doc_id") % 5 != 0), 3, 2, 16, "text"
+    )
+    _g, c_new, _b = sketches._cms_ngram_parts(
+        docs.filter(F.col("doc_id") % 5 == 0), 3, 2, 16, "text"
+    )
+    merged = (
+        c_old.unionByName(c_new)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    grams, c_full, bucket = sketches._cms_ngram_parts(docs, 3, 2, 16, "text")
+    inc = sketches.cms_rank_candidates(
+        grams.distinct(), merged, bucket, 2, 10
+    ).collect()
+    full = sketches.cms_rank_candidates(
+        grams.distinct(), c_full, bucket, 2, 10
+    ).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in full]
+
+
+# -------------------------------------------------------------- MASE
+
+
+def test_mase_handles_gaps_and_matches_bruteforce(spark):
+    from datetime import datetime, timedelta
+
+    from banking_data_etl_pipeline_spark.operators import timeseries
+
+    base = datetime(2025, 1, 1, 0, 0, 0)
+    series = {}  # hour offset -> value, WITH a gap at offset 26
+    for off in list(range(0, 30)) + list(range(48, 60)):
+        if off == 26:
+            continue
+        series[off] = float(10 + (off * 7) % 13)
+    rows = [
+        (i, base + timedelta(hours=off), 1, "t", v, "{}")
+        for i, (off, v) in enumerate(sorted(series.items()))
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = timeseries.mase_eval(ev, season_hours=24).collect()[0]
+    seas = [
+        abs(series[o] - series[o - 24])
+        for o in series
+        if o - 24 in series
+    ]
+    nai = [
+        abs(series[o] - series[o - 1]) for o in series if o - 1 in series
+    ]
+    assert got.n_seasonal == len(seas)
+    assert got.n_naive == len(nai)
+    assert abs(got.mae_seasonal - sum(seas) / len(seas)) < 5.1e-7
+    assert abs(got.mae_naive1 - sum(nai) / len(nai)) < 5.1e-7
+    want_mase = (sum(seas) / len(seas)) / (sum(nai) / len(nai))
+    assert abs(got.mase - want_mase) < 5.1e-7
