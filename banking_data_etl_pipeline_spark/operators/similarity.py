@@ -2093,3 +2093,33 @@ def top_principal_component(
         F.round(lam, 6).alias("eigenvalue"),
         F.round(lam / trace, 6).alias("explained_frac"),
     )
+
+
+def prefix_recall(
+    full_run: DataFrame, pref_run: DataFrame, k: int = 10
+) -> DataFrame:
+    """Recall@k of a PREFIX-dimension ranking against the full-vector
+    truth — the Matryoshka-representation question (Kusupati et al.
+    2022): how much of the true top-k survives if only the first
+    d' dimensions ship to the index tier. One equi-join over two
+    top-k-sized runs + a groupBy; model-parameter scale at any corpus
+    size. Returns (query_id, n_common, recall), recall 6 dp."""
+    a = full_run.select("query_id", "vec_id")
+    b = pref_run.select("query_id", "vec_id")
+    hits = (
+        a.join(b, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    qids = full_run.select("query_id").distinct()
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_common"), F.lit(0))
+        .cast("bigint")
+        .alias("n_common"),
+        F.round(
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+            / F.lit(float(k)),
+            6,
+        ).alias("recall"),
+    )

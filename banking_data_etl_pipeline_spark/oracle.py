@@ -4540,6 +4540,43 @@ SELECT source, n AS n_docs,
 FROM mom"""
 
 
+def matryoshka_recall_sql(d_prefix: int = 16, k: int = 10) -> str:
+    """Twin of queries.matryoshka_recall: the ANN_BRUTE_Q shape run
+    twice — full vectors and list_slice prefixes — joined on
+    (query_id, vec_id)."""
+
+    def brute(vec_e: str, vec_q: str) -> str:
+        return f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_cosine(vec_e, vec_q)}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id FROM ranked WHERE rank <= {k}"""
+
+    full = brute("e.embedding", "q.qvec")
+    pref = brute(
+        f"list_slice(e.embedding, 1, {d_prefix})",
+        f"list_slice(q.qvec, 1, {d_prefix})",
+    )
+    return f"""WITH fa AS ({full}), pb AS ({pref}), hits AS (
+  SELECT fa.query_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM fa JOIN pb USING (query_id, vec_id)
+  GROUP BY fa.query_id
+), qs AS (SELECT DISTINCT query_id FROM fa)
+SELECT q.query_id, coalesce(h.n_common, 0) AS n_common,
+       round(CAST(coalesce(h.n_common, 0) AS DOUBLE) / {float(k)!r}, 6)
+         AS recall
+FROM qs q LEFT JOIN hits h USING (query_id)"""
+
+
 MASE_Q = """WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
          sum(CAST(value AS DECIMAL(18,6))) AS y

@@ -357,6 +357,21 @@ def rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.rbo_overlap(a, b, k=10, p=0.9)
 
 
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the prefix-16-dim brute ranking vs the full-64-dim
+    truth — would a Matryoshka-truncated index tier hold up?"""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    full = similarity.brute_force_topk(emb, q, k=10)
+    emb16 = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    q16 = q.select("query_id", F.slice("qvec", 1, 16).alias("qvec"))
+    pref = similarity.brute_force_topk(emb16, q16, k=10)
+    return similarity.prefix_recall(full, pref, k=10)
+
+
 def mase_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive MASE per event type over hourly value totals —
     is the feed predictable from the same hour yesterday?"""

@@ -311,6 +311,7 @@ BENCH_QUERIES = [
     "stream_cms_ngrams",
     "cms_incremental",
     "mase_eval",
+    "matryoshka_recall",
 ]
 
 

@@ -361,6 +361,9 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # intentional broadcast cross join; the RBO join itself is an
         # equi-join on (query_id, vec_id)
         "rbo_overlap",
+        # composes brute_force_topk TWICE (full + prefix dims) — same
+        # intentional broadcast cross join; the recall join is equi
+        "matryoshka_recall",
     }
     # collect ALL violations before asserting: a first-failure abort
     # masks every later name in the sorted sweep (theta_sketch hid

@@ -357,3 +357,21 @@ def test_mase_handles_gaps_and_matches_bruteforce(spark):
     assert abs(got.mae_naive1 - sum(nai) / len(nai)) < 5.1e-7
     want_mase = (sum(seas) / len(seas)) / (sum(nai) / len(nai))
     assert abs(got.mase - want_mase) < 5.1e-7
+
+
+# -------------------------------------------------------- Matryoshka
+
+
+def test_prefix_recall_bounds_and_identity(spark):
+    from banking_data_etl_pipeline_spark.operators import similarity
+
+    run = _runs(spark, [(1, 100 + r, r) for r in range(1, 11)])
+    ident = similarity.prefix_recall(run, run, k=10).collect()[0]
+    assert (ident.n_common, ident.recall) == (10, 1.0)
+    other = _runs(
+        spark,
+        [(1, 100 + r, r) for r in range(1, 6)]
+        + [(1, 300 + r, r) for r in range(6, 11)],
+    )
+    half = similarity.prefix_recall(run, other, k=10).collect()[0]
+    assert (half.n_common, half.recall) == (5, 0.5)
