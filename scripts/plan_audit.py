@@ -32,13 +32,14 @@ SKIP = {
     "stream_quality_gate", "stream_minhash_screen",
     "stream_bloom_screen", "stream_funnel", "stream_psi_drift",
     "stream_attribution", "stream_ewma", "stream_srm",
-    "stream_topk_users", "stream_msprt",
+    "stream_topk_users", "stream_msprt", "stream_recovery",
+    "stream_cms_ngrams",
     # iterative (driver-side loop): representative per-iteration plans
     # captured via plan_hook in the second section below
     "kmeans", "dedup_resolve", "pagerank", "fuzzy_resolve",
     "triangle_count", "bpe_merges", "bpe_merges_batched", "kcore",
-    "mmr_rerank", "hits", "kcenter_coreset", "emb_top_pc",
-    "bt_strengths",
+    "mmr_rerank", "hits", "hits_prebuilt", "kcenter_coreset",
+    "emb_top_pc", "bt_strengths",
 }
 
 # which iterative capture covers each skipped query's loop
@@ -54,6 +55,8 @@ ITER_COVERAGE = {
     "mmr_rerank": "bm25_topk row (pool scan; pick rounds are "
     "checkpointed joins over <= queries x pool rows)",
     "hits": "hits[iteration]",
+    "hits_prebuilt": "hits[iteration] (same loop over the staged "
+    "dual-orientation edge copies)",
     "kcenter_coreset": "kcenter[update] (map-only least() vs a "
     "literal center + one global top-1 per round)",
     "emb_top_pc": "top_pc[matvec] (d^2-row checkpointed cov join "
@@ -121,6 +124,9 @@ def metrics(plan: str, name: str) -> tuple[int, int, int, int, int, list[str]]:
         # class × m-row global value histogram grid (model-parameter
         # broadcast side)
         "t_closeness",
+        # compose brute_force_topk (the ann_brute intentional
+        # broadcast cross join); their own joins are equi-joins
+        "rbo_overlap", "matryoshka_recall",
     ):
         flags.append("bnlj")
     return shuffles, bcast, wscg, pushed, scans, flags
@@ -156,7 +162,10 @@ def main() -> None:
         "rows before its cumulative walk. curriculum_order's global",
         "ntile is the lift_table case — at 100 TB swap it for",
         "approx-percentile threshold cuts (same output contract, note",
-        "in the operator docstring).",
+        "in the operator docstring). benford_audit's window runs over",
+        "the 9-row digit spine; quantile_normalize's CDF window runs",
+        "over the reference's distinct-VALUE histogram (compress to a",
+        "fixed-width histogram at 100 TB, per its docstring).",
         "",
         "| query | shuffles | bcast | wscg | pushed/scans | flags |",
         "|---|---|---|---|---|---|",
