@@ -346,14 +346,21 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-biased overlap (p=0.9) between the exact brute-force and
     IVF top-10 rankings per query — the rank-sensitive index-quality
-    readout that complements ann_recall's set-level recall."""
+    readout that complements ann_recall's set-level recall. The IVF
+    arm probes with the STAGED trained centroids (`_ann_models` —
+    bit-identical to in-plan training, the ann_recall amortization),
+    so the measure costs two probes + one equi-join, not a Lloyd
+    walk."""
     from .operators import retrieval
 
     tune_for_oracle(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
     q = similarity.corpus_queries(emb, n=5)
     a = similarity.brute_force_topk(emb, q, k=10)
-    b = similarity.ivf_topk(emb, q, k=10, n_centroids=16, nprobe=2)
+    cents, _books, _res = _ann_models(emb, sf_dir)
+    b = similarity.ivf_topk(
+        emb, q, k=10, n_centroids=16, nprobe=2, centroids=cents
+    )
     return retrieval.rbo_overlap(a, b, k=10, p=0.9)
 
 
