@@ -159,9 +159,19 @@ def test_woe_iv_invariants(spark, rows):
     out = profiling.woe_iv(df, ["f"], "lab").collect()
     assert sum(r.n for r in out) == len(rows)
     assert sum(r.n_pos for r in out) == sum(labs)
+    k = len(out)  # distinct categories of the one feature
     for r in out:
-        # smoothing keeps every share strictly inside (0, 1)
-        assert 0.0 < r.dist_pos < 1.0 and 0.0 < r.dist_neg < 1.0
+        # smoothing keeps every share strictly inside (0, 1) when the
+        # feature has >= 2 categories; with a SINGLE category the
+        # smoothed share is (n_pos+0.5)/(tot_pos+0.5) == 1.0 exactly
+        # (degenerate feature — WOE 0, IV 0, asserted below), an edge
+        # hypothesis found in r11
+        if k >= 2:
+            assert 0.0 < r.dist_pos < 1.0 and 0.0 < r.dist_neg < 1.0
+        else:
+            assert (r.dist_pos, r.dist_neg, r.woe, r.iv) == (
+                1.0, 1.0, 0.0, 0.0,
+            )
         # each IV term is non-negative ((dp-dn) and ln share sign);
         # 6dp rounding can only leave an exact 0 or positive value
         assert r.iv_term >= 0.0
