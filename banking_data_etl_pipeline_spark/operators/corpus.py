@@ -8,7 +8,7 @@ a fixed-width md5 key."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import texttools
@@ -1506,4 +1506,203 @@ def cdc_chunks(
             "n_tokens",
             "chunk_hash",
         )
+    )
+
+
+def good_turing(docs: DataFrame, max_r: int = 10, text_col: str = "text") -> DataFrame:
+    """Simple Good–Turing frequency table (Gale & Sampson 1995, the
+    count-of-counts half) over corpus BIGRAMS: for bigram frequencies
+    r = 1..``max_r``, the count-of-counts N_r, the Turing-discounted
+    estimate r* = (r+1)·N_{r+1}/N_r, and the probability mass
+    r·N_r/N — whose r=1 row IS the Good–Turing unseen-mass estimate
+    P0 = N_1/N, the "how much of the n-gram space have I NOT seen
+    yet" answer that drives Katz back-off discounting and
+    crawl-stopping decisions. Bigrams, not unigrams, because that is
+    where the estimator lives (unigram vocabularies saturate — this
+    corpus's rarest token already appears 26×, so the unigram table
+    is empty by construction; the bigram tail is live).
+
+    Scale shape: one bigram groupBy (map-side combined over the
+    map-only ``word_shingles`` explode), then a groupBy on the COUNT
+    VALUE — the count-of-counts frame is tiny (distinct frequency
+    values), and the r+1 lookup is a self-equi-join on that tiny
+    frame. All integers until the two divisions (one shared double
+    expression each, 6 dp).
+
+    Returns (r, n_r, n_r_next, r_star, mass_share) for r = 1..max_r
+    where N_r > 0."""
+    counts = (
+        docs.select(
+            F.explode(
+                texttools.word_shingles(
+                    texttools.tokens(F.col(text_col)), 2
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    ff = counts.groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    total = counts.agg(
+        F.sum("r").cast("bigint").alias("n_tokens")
+    )
+    nxt = ff.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    return (
+        ff.filter(F.col("r") <= max_r)
+        .join(nxt, "r", "left")
+        .crossJoin(total)
+        .select(
+            "r",
+            "n_r",
+            F.coalesce("n_r_next", F.lit(0).cast("bigint")).alias(
+                "n_r_next"
+            ),
+            F.round(
+                (F.col("r") + 1).cast("double")
+                * F.coalesce("n_r_next", F.lit(0).cast("bigint")).cast(
+                    "double"
+                )
+                / F.col("n_r").cast("double"),
+                6,
+            ).alias("r_star"),
+            F.round(
+                (F.col("r") * F.col("n_r")).cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("mass_share"),
+        )
+        .orderBy("r")
+    )
+
+
+def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source lexical-diversity profile: type-token ratio, Guiraud
+    root-TTR (V/√N — the length-robust variant), Simpson repeat rate
+    (Σ n_i(n_i−1) / N(N−1) — the chance two sampled tokens coincide),
+    and Yule's K (10⁴·(Σn_i² − N)/N²) — the standard "is this source
+    templated spam or natural prose" screens (boilerplate and
+    machine-generated text collapse diversity long before exact dedup
+    fires).
+
+    Scale shape: one (source, token) groupBy (map-side combined), one
+    per-source reduce. Exactness: n_i, N, V are integers; Σn_i² rides
+    DECIMAL(38,0) (bigint would overflow when a 100 TB source's hot
+    token squares past 9.2e18); each reported ratio is one shared
+    double expression at 6 dp.
+
+    Returns (source, n_tokens, n_types, ttr, root_ttr, simpson_rr,
+    yule_k) ordered by source."""
+    counts = (
+        docs.select(
+            "source",
+            F.explode(texttools.tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_i"))
+    )
+    agg = counts.groupBy("source").agg(
+        F.sum("n_i").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(
+            (F.col("n_i") * F.col("n_i")).cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    v = F.col("n_types").cast("double")
+    s2 = F.col("s2").cast("double")
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(v / n, 6).alias("ttr"),
+        F.round(v / F.sqrt(n), 6).alias("root_ttr"),
+        F.round(
+            (s2 - n) / (n * (n - F.lit(1.0))), 6
+        ).alias("simpson_rr"),
+        F.round(F.lit(10_000.0) * (s2 - n) / (n * n), 6).alias(
+            "yule_k"
+        ),
+    ).orderBy("source")
+
+
+def heaps_law(
+    docs: DataFrame,
+    n_checkpoints: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: OLS of ln(cumulative
+    types) on ln(cumulative tokens) at ``n_checkpoints`` evenly-spaced
+    document checkpoints in ``id_col`` order — V(N) ≈ K·N^β, the
+    "how fast does new vocabulary arrive" curve (natural corpora sit
+    near β ≈ 0.5; β → 0 flags a closed/templated vocabulary, β → 1
+    flags an ID/hash-riddled token stream that will blow the
+    tokenizer) and the zipf_fit companion.
+
+    Scale shape: cumulative TYPES need each token's first occurrence —
+    one min(doc_id) groupBy on the token (map-side combined), then new
+    types per doc is a doc-keyed count; cumulative counts are ONE
+    global-window cumsum over per-doc rows (doc-count scale, not token
+    scale; at 100 TB range-partition the running sum by doc-id range —
+    same output contract). Checkpoint selection is integer arithmetic
+    (every ceil(n/k)-th doc-rank plus the final row). The fitted frame
+    is ``n_checkpoints`` literal rows (the zipf_fit inline-frame
+    precedent), aggregated with regr_* at 4 dp.
+
+    Returns one row (n_points, beta, ln_k, r2)."""
+    toks = docs.select(
+        F.col(id_col).alias("d"),
+        F.explode(texttools.tokens(F.col(text_col))).alias("token"),
+    )
+    per_doc = toks.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    first = toks.groupBy("token").agg(F.min("d").alias("d"))
+    new_types = first.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spine = (
+        per_doc.join(new_types, "d", "left")
+        .select(
+            "d",
+            F.sum("n_tok").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0).cast("bigint")))
+            .over(w)
+            .alias("cum_types"),
+            F.row_number().over(Window.orderBy("d")).alias("rn"),
+            F.count(F.lit(1))
+            .over(
+                Window.orderBy("d").rowsBetween(
+                    Window.unboundedPreceding,
+                    Window.unboundedFollowing,
+                )
+            )
+            .alias("n_docs"),
+        )
+    )
+    stride = F.expr(f"(n_docs + {n_checkpoints} - 1) DIV {n_checkpoints}")
+    pts = spine.filter(
+        (F.col("rn") % stride == 0) | (F.col("rn") == F.col("n_docs"))
+    ).select("cum_tokens", "cum_types")
+    rows = sorted(
+        (int(r["cum_tokens"]), int(r["cum_types"]))
+        for r in pts.collect()
+    )
+    lf = docs.sparkSession.createDataFrame(
+        rows, "cum_tokens bigint, cum_types bigint"
+    )
+    x = F.log(F.col("cum_tokens").cast("double"))
+    y = F.log(F.col("cum_types").cast("double"))
+    return lf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        (F.round(F.regr_slope(y, x), 4) + F.lit(0.0)).alias("beta"),
+        (F.round(F.regr_intercept(y, x), 4) + F.lit(0.0)).alias("ln_k"),
+        (F.round(F.regr_r2(y, x), 4) + F.lit(0.0)).alias("r2"),
     )

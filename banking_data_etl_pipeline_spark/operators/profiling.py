@@ -810,3 +810,84 @@ def quantile_normalize(
             F.col("knot_v").alias("val_norm"),
         )
     )
+
+
+def gini_concentration(
+    orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Gini coefficient + top-decile share of customer total spend per
+    market segment — the revenue-concentration profile ("how unequal
+    is this segment's wallet"), the same lens a data-curation pass
+    turns on per-source token budgets.
+
+    Uses the exact finite-population identity on the ascending sort
+    x_(1..n):  G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n  — no Lorenz
+    integration, no pair join. The rank is a row_number over the
+    deterministic total order (spend, custkey), so ties are stable
+    across engines; Σ i·x_(i) rides DECIMAL(38,6) with bigint ranks
+    (exact in any aggregation order); the two divisions happen once,
+    in one shared double expression.
+
+    Scale shape: one groupBy to per-customer spend (map-side
+    combined), one per-segment window rank, one per-segment reduce —
+    rank windows partition by segment, so the sort is per-segment
+    parallel, never global. Returns (c_mktsegment, n_customers,
+    total_spend, gini, top10_share) at 6 dp."""
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(
+                "spend"
+            )
+        )
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spend").asc(), F.col("o_custkey").asc()
+    )
+    ranked = spend.select(
+        "c_mktsegment",
+        "o_custkey",
+        "spend",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )
+    # top-decile membership needs the segment size next to each rank,
+    # so stage it through one more window column instead of a re-join
+    wall = Window.partitionBy("c_mktsegment")
+    staged = ranked.withColumn(
+        "n_seg", F.count(F.lit(1)).over(wall).cast("bigint")
+    )
+    agg = staged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("spend").cast("decimal(38,6)")).alias("sx"),
+        F.sum(
+            (F.col("rk") * F.col("spend")).cast("decimal(38,6)")
+        ).alias("six"),
+        F.sum(
+            F.when(
+                F.col("rk") * 10 > F.col("n_seg") * 9, F.col("spend")
+            )
+            .otherwise(F.lit(0))
+            .cast("decimal(38,6)")
+        ).alias("s_top"),
+    )
+    n = F.col("n_customers").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("six").cast("double")
+        / (n * F.col("sx").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        F.round(F.col("sx").cast("double"), 2).alias("total_spend"),
+        F.round(gini, 6).alias("gini"),
+        F.round(
+            F.col("s_top").cast("double") / F.col("sx").cast("double"), 6
+        ).alias("top10_share"),
+    )

@@ -303,3 +303,285 @@ def mase_eval(events: DataFrame, season_hours: int = 24) -> DataFrame:
             F.col("s_naive") > 0, F.round(mae_s / mae_n, 6)
         ).alias("mase"),
     )
+
+
+def mann_kendall(events: DataFrame) -> DataFrame:
+    """Mann–Kendall trend test per event type over the daily
+    event-count series — the standard nonparametric "is this feed
+    growing, shrinking, or flat" monitor (no distributional
+    assumptions, robust to outliers), with the tie-corrected variance
+    of Kendall (1975).
+
+    S = sum over day pairs i<j of sign(c_j − c_i);
+    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 over tied count
+    groups; Z applies the standard ±1 continuity correction.
+
+    Scale shape: the feed first collapses to (type, day) integer
+    counts — map-side combined, so the pair stage is sized by
+    types × days², which grows with CALENDAR TIME, not data volume
+    (100 TB of the same 30 days is the same pair count). The pair
+    stage is a per-type self-equi-join on the aggregate; everything
+    is exact integer arithmetic until the single Z division.
+
+    Returns (event_type, n_days, s_stat, var_s, z_stat) with z at
+    6 dp (NULL when the variance is zero — a constant series)."""
+    day_us = DAY_S * 1_000_000
+    daily = (
+        events.select(
+            "event_type", F.expr(f"unix_micros(ts) DIV {day_us}").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.signum(F.col("b.c") - F.col("a.c")).cast("bigint"))
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nrow = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("bigint").alias("tie_term")
+        )
+    )
+    n = F.col("n_days")
+    var_num = n * (n - 1) * (2 * n + 5) - F.col("tie_term")
+    var_s = var_num.cast("double") / F.lit(18.0)
+    z = F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s)) \
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s)) \
+        .otherwise(F.lit(0.0))
+    return (
+        nrow.join(ties, "event_type")
+        .join(s, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            F.round(var_s, 6).alias("var_s"),
+            F.when(var_num > 0, F.round(z, 6)).alias("z_stat"),
+        )
+    )
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """CUSUM changepoint localization per event type over daily
+    counts: the day t maximizing |Σ_{i≤t}(c_i − mean)| — the classic
+    single-shift estimator (Page 1954 / Taylor's cumulative-sum
+    bootstrap, point-estimate half).
+
+    Exactness: the cumulative deviation is rescaled by n so it stays
+    INTEGER — C_scaled(t) = n·cum(t) − t·total (equal to n·Σ(c_i−x̄),
+    same argmax) — so the argmax and tie-break (earliest day) are
+    exact in both engines; only the reported normalized magnitude
+    |C|/(n·total) divides doubles, once.
+
+    Scale shape: one map-side-combined groupBy to daily counts, one
+    per-type window cumsum, one per-type argmax — the pair-free
+    sibling of mann_kendall. Returns (event_type, n_days, total,
+    change_day, cusum_abs, cusum_norm)."""
+    day_us = DAY_S * 1_000_000
+    daily = (
+        events.select(
+            "event_type", F.expr(f"unix_micros(ts) DIV {day_us}").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    staged = daily.select(
+        "event_type",
+        "day",
+        F.sum("c").over(wcum).alias("cum"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("day")
+        ).cast("bigint").alias("t"),
+        F.sum("c").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_days"),
+    ).select(
+        "event_type",
+        "day",
+        "n_days",
+        "total",
+        (F.col("n_days") * F.col("cum") - F.col("t") * F.col("total"))
+        .alias("c_scaled"),
+    )
+    pick = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.abs(F.col("c_scaled")).desc(), F.col("day").asc()
+        )
+    )
+    return (
+        staged.withColumn("rk", pick)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            "total",
+            F.col("day").alias("change_day"),
+            F.abs(F.col("c_scaled")).cast("bigint").alias("cusum_abs"),
+            F.round(
+                F.abs(F.col("c_scaled")).cast("double")
+                / (F.col("n_days") * F.col("total")).cast("double"),
+                6,
+            ).alias("cusum_norm"),
+        )
+    )
+
+
+def survival_km(events: DataFrame, horizon_days: int = 7) -> DataFrame:
+    """Kaplan–Meier 7-day signup→purchase conversion curve (product-
+    limit estimator, Kaplan & Meier 1958): subjects are users with a
+    signup event, the event is their first purchase STRICTLY AFTER
+    that signup, and follow-up is administratively right-censored at
+    min(``horizon_days``, end-of-data − signup) — the honest "what
+    fraction has NOT yet converted by day t" curve under bounded
+    observation.
+
+    Conventions (documented because engines must agree exactly):
+    durations are whole days (``DIV`` on epoch micros); an event
+    counts as observed only when its duration is strictly inside the
+    follow-up cap, else the subject is censored AT the cap; subjects
+    censored at t remain at risk for deaths at t (censor-after-death,
+    the textbook tie rule).
+
+    Float parity: d_t and n_t are integers; each factor (1 − d/n) is
+    one double division; the survival curve is a LEFT FOLD of the
+    ordered factor prefix (Spark ``aggregate`` over a sorted array ==
+    DuckDB ``list_reduce`` over ``list(... ORDER BY ...)``), so both
+    engines run the identical IEEE multiply sequence — no exp/ln.
+
+    Scale shape: per-user reductions (first signup, first qualifying
+    purchase, both map-side combined on the user key), then the curve
+    lives on ≤ horizon_days+1 rows — the fold is driver-free and the
+    one single-row array is model-parameter-sized, never data-sized.
+
+    Returns (t_day, n_risk, d_events, survival) at each observed
+    event time."""
+    day_us = DAY_S * 1_000_000
+    t_us = F.expr("unix_micros(ts)")
+    signup = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(t_us).alias("t0"))
+    )
+    study_end = events.agg(F.max(t_us).alias("t_end"))
+    death = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", t_us.alias("tp"))
+        .join(signup, "user_id")
+        .filter(F.col("tp") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("td"), F.min("t0").alias("t0"))
+    )
+    subjects = (
+        signup.join(death.select("user_id", "td"), "user_id", "left")
+        .crossJoin(study_end)
+        .select(
+            "user_id",
+            F.least(
+                F.lit(horizon_days).cast("bigint"),
+                F.expr(f"(t_end - t0) DIV {day_us}").cast("bigint"),
+            ).alias("cap"),
+            F.when(
+                F.col("td").isNotNull(),
+                F.expr(f"(td - t0) DIV {day_us}").cast("bigint"),
+            ).alias("dur_raw"),
+        )
+        .select(
+            "user_id",
+            F.when(
+                F.col("dur_raw").isNotNull()
+                & (F.col("dur_raw") < F.col("cap")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("observed"),
+            F.when(
+                F.col("dur_raw").isNotNull()
+                & (F.col("dur_raw") < F.col("cap")),
+                F.col("dur_raw"),
+            )
+            .otherwise(F.col("cap"))
+            .alias("dur"),
+        )
+    )
+    n_subjects = subjects.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all")
+    )
+    at_dur = subjects.groupBy("dur").agg(
+        F.sum("observed").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leave"),
+    )
+    wprior = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    rows = (
+        at_dur.crossJoin(n_subjects)
+        .select(
+            "dur",
+            "d",
+            (F.col("n_all")
+             - F.coalesce(F.sum("leave").over(wprior), F.lit(0)))
+            .cast("bigint")
+            .alias("n_risk"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    factors = rows.select(
+        "dur",
+        "d",
+        "n_risk",
+        (
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_risk").cast("double")
+        ).alias("factor"),
+    )
+    curve = factors.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct("dur", "n_risk", "d", "factor"))
+        ).alias("arr")
+    )
+    step = curve.select(
+        F.posexplode("arr").alias("i", "row")
+    ).select(
+        F.col("row.dur").alias("t_day"),
+        F.col("row.n_risk").alias("n_risk"),
+        F.col("row.d").alias("d_events"),
+        F.col("i").alias("i"),
+        F.col("row.factor").alias("factor"),
+    )
+    surv = curve.crossJoin(step.drop("factor")).select(
+        "t_day",
+        "n_risk",
+        "d_events",
+        F.round(
+            F.expr(
+                "aggregate(slice(arr, 1, i + 1), CAST(1.0 AS DOUBLE),"
+                " (acc, x) -> acc * x.factor)"
+            ),
+            6,
+        ).alias("survival"),
+    )
+    return surv

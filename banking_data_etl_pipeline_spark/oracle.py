@@ -6895,3 +6895,250 @@ ORDER BY "column\""""
 
 
 COLUMN_ENTROPY_Q = column_entropy_sql()
+
+
+# --- round 11b: trend / changepoint / survival / concentration / CF /
+# corpus-growth twins
+
+_DAILY_COUNTS = """
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+"""
+
+MANN_KENDALL_Q = f"""WITH daily AS ({_DAILY_COUNTS}),
+s AS (
+  SELECT a.event_type,
+         CAST(sum(CAST(sign(b.c - a.c) AS BIGINT)) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+), nrow AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+), ties AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT nrow.event_type, n_days, s_stat,
+  round(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+             AS DOUBLE) / 18.0, 6) AS var_s,
+  CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5) - tie_term > 0 THEN
+    round(CASE
+      WHEN s_stat > 0 THEN (s_stat - 1)
+        / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+                    AS DOUBLE) / 18.0)
+      WHEN s_stat < 0 THEN (s_stat + 1)
+        / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+                    AS DOUBLE) / 18.0)
+      ELSE 0.0 END, 6)
+  END AS z_stat
+FROM nrow JOIN ties USING (event_type) JOIN s USING (event_type)"""
+
+CUSUM_Q = f"""WITH daily AS ({_DAILY_COUNTS}),
+staged AS (
+  SELECT event_type, day,
+    sum(c) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+         AS BIGINT) AS t,
+    sum(c) OVER (PARTITION BY event_type) AS total,
+    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+  FROM daily
+), scaled AS (
+  SELECT event_type, day, n_days, total,
+         n_days * cum - t * total AS c_scaled
+  FROM staged
+), pick AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY abs(c_scaled) DESC, day ASC) AS rk
+  FROM scaled
+)
+SELECT event_type, n_days, CAST(total AS BIGINT) AS total,
+       day AS change_day,
+       CAST(abs(c_scaled) AS BIGINT) AS cusum_abs,
+       round(CAST(abs(c_scaled) AS DOUBLE)
+             / CAST(n_days * total AS DOUBLE), 6) AS cusum_norm
+FROM pick WHERE rk = 1"""
+
+SURVIVAL_KM_Q = """WITH signup AS (
+  SELECT user_id, min(CAST(epoch_us(ts) AS BIGINT)) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), study AS (
+  SELECT max(CAST(epoch_us(ts) AS BIGINT)) AS t_end FROM events
+), death AS (
+  SELECT e.user_id, min(CAST(epoch_us(e.ts) AS BIGINT)) AS td
+  FROM events e JOIN signup s USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND CAST(epoch_us(e.ts) AS BIGINT) > s.t0
+  GROUP BY 1
+), subjects AS (
+  SELECT s.user_id,
+    least(CAST(7 AS BIGINT), (t_end - t0) // 86400000000) AS cap,
+    CASE WHEN td IS NOT NULL
+         THEN (td - t0) // 86400000000 END AS dur_raw
+  FROM signup s LEFT JOIN death d USING (user_id) CROSS JOIN study
+), subj2 AS (
+  SELECT user_id,
+    CASE WHEN dur_raw IS NOT NULL AND dur_raw < cap
+         THEN 1 ELSE 0 END AS observed,
+    CASE WHEN dur_raw IS NOT NULL AND dur_raw < cap
+         THEN dur_raw ELSE cap END AS dur
+  FROM subjects
+), at_dur AS (
+  SELECT dur, CAST(sum(observed) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS leave_
+  FROM subj2 GROUP BY 1
+), nall AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all FROM subj2
+), rows_ AS (
+  SELECT dur, d,
+    CAST(n_all - coalesce(sum(leave_) OVER (ORDER BY dur
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS n_risk
+  FROM at_dur CROSS JOIN nall
+), evt AS (
+  SELECT dur, d, n_risk,
+         1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+  FROM rows_ WHERE d > 0
+)
+SELECT e.dur AS t_day, e.n_risk, e.d AS d_events,
+  round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+      (SELECT list(f.factor ORDER BY f.dur) FROM evt f
+        WHERE f.dur <= e.dur)),
+    (acc, x) -> acc * x), 6) AS survival
+FROM evt e"""
+
+GINI_Q = """WITH spend AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+  FROM orders GROUP BY 1
+), seg AS (
+  SELECT c_mktsegment, s.o_custkey, spend
+  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+), ranked AS (
+  SELECT c_mktsegment, o_custkey, spend,
+    CAST(row_number() OVER (PARTITION BY c_mktsegment
+         ORDER BY spend ASC, o_custkey ASC) AS BIGINT) AS rk,
+    CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n_seg
+  FROM seg
+), agg AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+    sum(CAST(spend AS DECIMAL(38,6))) AS sx,
+    sum(CAST(rk * spend AS DECIMAL(38,6))) AS six,
+    sum(CAST(CASE WHEN rk * 10 > n_seg * 9 THEN spend ELSE 0 END
+             AS DECIMAL(38,6))) AS s_top
+  FROM ranked GROUP BY 1
+)
+SELECT c_mktsegment, n_customers,
+  round(CAST(sx AS DOUBLE), 2) AS total_spend,
+  round(2.0 * CAST(six AS DOUBLE)
+        / (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE))
+        - (CAST(n_customers AS DOUBLE) + 1.0)
+          / CAST(n_customers AS DOUBLE), 6) AS gini,
+  round(CAST(s_top AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS top10_share
+FROM agg"""
+
+ITEMITEM_CF_Q = """WITH inc AS (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), kept AS (
+  SELECT cust FROM inc GROUP BY cust HAVING count(*) <= 64
+), pruned AS (
+  SELECT inc.cust, inc.part FROM inc JOIN kept USING (cust)
+), npart AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS n FROM pruned GROUP BY 1
+), pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b,
+         CAST(count(*) AS BIGINT) AS common
+  FROM pruned a JOIN pruned b
+    ON a.cust = b.cust AND a.part < b.part
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, common, na.n AS n_a, nb.n AS n_b,
+  round(CAST(common AS DOUBLE)
+        / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 6)
+    AS cosine
+FROM pairs JOIN npart na ON pairs.part_a = na.part
+           JOIN npart nb ON pairs.part_b = nb.part
+ORDER BY cosine DESC, common DESC, part_a ASC, part_b ASC
+LIMIT 20"""
+
+GOOD_TURING_Q = f"""WITH counts AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS r
+  FROM (SELECT unnest({{bigrams}}) AS bigram FROM documents)
+  GROUP BY bigram
+), ff AS (
+  SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY r
+), tot AS (
+  SELECT CAST(sum(r) AS BIGINT) AS n_tokens FROM counts
+)
+SELECT f.r, f.n_r,
+  CAST(coalesce(g.n_r, 0) AS BIGINT) AS n_r_next,
+  round(CAST(f.r + 1 AS DOUBLE) * CAST(coalesce(g.n_r, 0) AS DOUBLE)
+        / CAST(f.n_r AS DOUBLE), 6) AS r_star,
+  round(CAST(f.r * f.n_r AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+    AS mass_share
+FROM ff f LEFT JOIN ff g ON g.r = f.r + 1 CROSS JOIN tot
+WHERE f.r <= 10
+ORDER BY f.r"""
+
+LEXDIV_Q = f"""WITH counts AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS n_i
+  FROM (SELECT source, unnest({{toks}}) AS token FROM documents)
+  GROUP BY 1, 2
+), agg AS (
+  SELECT source, CAST(sum(n_i) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         sum(CAST(n_i AS DECIMAL(19,0)) * n_i) AS s2
+  FROM counts GROUP BY 1
+)
+SELECT source, n_tokens, n_types,
+  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+  round(CAST(n_types AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE)), 6)
+    AS root_ttr,
+  round((CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+        / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)),
+        6) AS simpson_rr,
+  round(10000.0 * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+        / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+    AS yule_k
+FROM agg ORDER BY source"""
+
+HEAPS_Q = f"""WITH toks AS (
+  SELECT doc_id AS d, unnest({{toks}}) AS token FROM documents
+), per_doc AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY 1
+), first_ AS (
+  SELECT token, min(d) AS d FROM toks GROUP BY 1
+), new_types AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_new FROM first_ GROUP BY 1
+), spine AS (
+  SELECT p.d,
+    sum(n_tok) OVER (ORDER BY p.d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum_tokens,
+    sum(coalesce(n_new, 0)) OVER (ORDER BY p.d ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS cum_types,
+    row_number() OVER (ORDER BY p.d) AS rn,
+    count(*) OVER () AS n_docs
+  FROM per_doc p LEFT JOIN new_types USING (d)
+), pts AS (
+  SELECT CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         CAST(cum_types AS BIGINT) AS cum_types
+  FROM spine
+  WHERE rn % ((n_docs + 15) // 16) = 0 OR rn = n_docs
+)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+  round(regr_slope(ln(CAST(cum_types AS DOUBLE)),
+                   ln(CAST(cum_tokens AS DOUBLE))), 4) + 0.0 AS beta,
+  round(regr_intercept(ln(CAST(cum_types AS DOUBLE)),
+                   ln(CAST(cum_tokens AS DOUBLE))), 4) + 0.0 AS ln_k,
+  round(regr_r2(ln(CAST(cum_types AS DOUBLE)),
+                   ln(CAST(cum_tokens AS DOUBLE))), 4) + 0.0 AS r2
+FROM pts"""
+
+GOOD_TURING_Q = GOOD_TURING_Q.format(bigrams=_word_shingles(TOKS, 2))
+LEXDIV_Q = LEXDIV_Q.format(toks=TOKS)
+HEAPS_Q = HEAPS_Q.format(toks=TOKS)

@@ -3232,3 +3232,79 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return retrieval.ndcg_at_k(tables.load(spark, sf_dir, "documents"))
+
+
+def mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Kendall trend test per event type on daily
+    counts — nonparametric "is this feed drifting" monitor."""
+    from .operators import timeseries
+
+    tune_for_oracle(spark)
+    return timeseries.mann_kendall(tables.load(spark, sf_dir, "events"))
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM single-shift changepoint per event type on daily counts
+    (integer-rescaled cumulative deviation, exact argmax)."""
+    from .operators import timeseries
+
+    tune_for_oracle(spark)
+    return timeseries.cusum_changepoint(
+        tables.load(spark, sf_dir, "events")
+    )
+
+
+def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier 7-day signup->purchase conversion curve with
+    administrative right-censoring (ordered-fold product limit)."""
+    from .operators import timeseries
+
+    tune_for_oracle(spark)
+    return timeseries.survival_km(tables.load(spark, sf_dir, "events"))
+
+
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient + top-decile share of customer spend per
+    market segment — the revenue-concentration profile."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    return profiling.gini_concentration(
+        tables.load(spark, sf_dir, "orders"),
+        tables.load(spark, sf_dir, "customer"),
+    )
+
+
+def itemitem_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering cosine top pairs over the
+    customer-part incidence with the hot-user basket prune."""
+    from .operators import graph
+
+    tune_for_oracle(spark)
+    return graph.itemitem_cf(
+        tables.load(spark, sf_dir, "orders"),
+        tables.load(spark, sf_dir, "lineitem"),
+    )
+
+
+def good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing count-of-counts table r=1..10 with the unseen-mass
+    estimate (r=1 mass_share = P0) over the corpus vocabulary."""
+    tune_for_oracle(spark)
+    return corpus.good_turing(tables.load(spark, sf_dir, "documents"))
+
+
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TTR / root-TTR / Simpson repeat rate / Yule's K —
+    the templated-spam lexical screens."""
+    tune_for_oracle(spark)
+    return corpus.lexical_diversity(
+        tables.load(spark, sf_dir, "documents")
+    )
+
+
+def heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit at 16 doc checkpoints —
+    V(N) ~ K*N^beta, the zipf_fit companion."""
+    tune_for_oracle(spark)
+    return corpus.heaps_law(tables.load(spark, sf_dir, "documents"))

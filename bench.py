@@ -312,6 +312,15 @@ BENCH_QUERIES = [
     "cms_incremental",
     "mase_eval",
     "matryoshka_recall",
+    # round 11b additions
+    "mann_kendall",
+    "cusum_changepoint",
+    "survival_km",
+    "gini_concentration",
+    "itemitem_cf",
+    "good_turing",
+    "lexical_diversity",
+    "heaps_law",
 ]
 
 
