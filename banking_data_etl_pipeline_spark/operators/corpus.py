@@ -1706,3 +1706,52 @@ def heaps_law(
         (F.round(F.regr_intercept(y, x), 4) + F.lit(0.0)).alias("ln_k"),
         (F.round(F.regr_r2(y, x), 4) + F.lit(0.0)).alias("r2"),
     )
+
+
+def df_burstiness(
+    docs: DataFrame,
+    min_df: int = 5,
+    top: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Church–Gale term burstiness: collection frequency over document
+    frequency (cf/df — the mean repeat count inside the documents a
+    term touches) for the ``top`` burstiest vocabulary — bursty terms
+    (cf ≫ df) are topical/templated content concentrated in few docs,
+    the opposite signal from evenly-spread function words; the screen
+    that separates "frequent because everywhere" from "frequent
+    because spammed".
+
+    Scale shape: ONE (doc, token) groupBy gives per-doc counts; cf and
+    df are both one more map-side-combined reduce over it (cf = Σ
+    counts, df = row count — no second corpus scan); the top-n is a
+    TakeOrdered with deterministic ties (burstiness desc, token asc).
+    Integers until the single division (6 dp).
+
+    Returns (token, cf, df, burstiness)."""
+    per_doc = (
+        docs.select(
+            "doc_id",
+            F.explode(texttools.tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    stats = per_doc.groupBy("token").agg(
+        F.sum("c").cast("bigint").alias("cf"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    return (
+        stats.filter(F.col("df") >= min_df)
+        .select(
+            "token",
+            "cf",
+            "df",
+            F.round(
+                F.col("cf").cast("double") / F.col("df").cast("double"),
+                6,
+            ).alias("burstiness"),
+        )
+        .orderBy(F.desc("burstiness"), F.asc("token"))
+        .limit(top)
+    )

@@ -1383,3 +1383,155 @@ def substr_dedup_incremental(
             (F.col("end_tok") - F.col("start_tok") + 1).alias("span_tokens"),
         )
     )
+
+
+def tfidf_allpairs(
+    docs: DataFrame,
+    df_cap: int = 20,
+    top: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs TF-IDF cosine similarity (the APSS problem, Bayardo
+    et al. 2007) over bigram features, with DISCRIMINATIVE-TERM
+    blocking: candidate pairs must share at least one term with
+    df ≤ ``df_cap``, then each candidate's cosine is computed EXACTLY
+    over all its shared terms. This is the weighted complement to
+    ``ngram_jaccard`` (set overlap) and ``minhash_lsh_pairs``
+    (sketched Jaccard): near-duplicate and boilerplate detection where
+    REPEAT COUNTS and term rarity matter.
+
+    Why the blocking is the at-scale shape: the naive term self-join
+    explodes as Σ_term df² — one hot term ("the the") alone generates
+    |corpus|² pairs. Restricting candidate GENERATION to rare terms
+    bounds the join at Σ_{df≤cap} df² ≤ cap · Σ df = cap · corpus
+    tokens (linear), which is the prefix-filtering insight: a pair
+    with meaningful cosine must share a discriminative term, because
+    hot terms carry ~zero idf weight. Pairs sharing ONLY hot terms
+    are excluded by design (the documented recall trade, exactly the
+    LSH-banding contract).
+
+    Float parity: w = tf · ln(N/df) is one shared double expression;
+    per-term products w_a·w_b and squares ride DECIMAL(28,12) so the
+    dot product and norms are order-free sums; the cosine is one
+    double expression at 6 dp. Ties order (cosine desc, common desc,
+    doc_a, doc_b).
+
+    Returns the ``top`` pairs (doc_a, doc_b, common_terms, cosine)."""
+    spark = docs.sparkSession
+    terms = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                texttools.word_shingles(
+                    texttools.tokens(F.col(text_col)), 2
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    n_docs = docs.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    dfreq = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    weighted = (
+        terms.join(dfreq, "term")
+        .crossJoin(n_docs)
+        .select(
+            "doc",
+            "term",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("n").cast("double") / F.col("df").cast("double")
+                )
+            ).alias("w"),
+        )
+        .persist()
+    )
+    norms = weighted.groupBy("doc").agg(
+        F.sqrt(
+            F.sum(
+                (F.col("w") * F.col("w")).cast("decimal(28,12)")
+            ).cast("double")
+        ).alias("norm")
+    )
+    rare = weighted.filter(F.col("df") <= df_cap).select("doc", "term")
+    ra, rb = rare.alias("ra"), rare.alias("rb")
+    cand = (
+        ra.join(
+            rb,
+            (F.col("ra.term") == F.col("rb.term"))
+            & (F.col("ra.doc") < F.col("rb.doc")),
+        )
+        .select(
+            F.col("ra.doc").alias("doc_a"),
+            F.col("rb.doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ta = weighted.select(
+        F.col("doc").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    tb = weighted.select(
+        F.col("doc").alias("doc_b2"),
+        F.col("term").alias("term_b"),
+        F.col("w").alias("wb"),
+    )
+    dots = (
+        cand.join(ta, "doc_a")
+        .join(
+            tb,
+            (F.col("term") == F.col("term_b"))
+            & (F.col("doc_b2") == F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_terms"),
+            F.sum(
+                (F.col("wa") * F.col("wb")).cast("decimal(28,12)")
+            ).alias("dot"),
+        )
+    )
+    out = (
+        dots.join(
+            norms.select(
+                F.col("doc").alias("doc_a"), F.col("norm").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            norms.select(
+                F.col("doc").alias("doc_b"), F.col("norm").alias("nb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "common_terms",
+            # zero-norm docs (every term at idf 0 — e.g. a term in ALL
+            # docs) have no discriminative content: cosine undefined,
+            # NULL (hypothesis found the ANSI divide-by-zero)
+            F.when(
+                F.col("na") * F.col("nb") > 0,
+                F.round(
+                    F.col("dot").cast("double")
+                    / (F.col("na") * F.col("nb")),
+                    6,
+                ),
+            ).alias("cosine"),
+        )
+        .orderBy(
+            F.desc_nulls_last("cosine"),
+            F.desc("common_terms"),
+            F.asc("doc_a"),
+            F.asc("doc_b"),
+        )
+        .limit(top)
+    )
+    return out

@@ -891,3 +891,80 @@ def gini_concentration(
             F.col("s_top").cast("double") / F.col("sx").cast("double"), 6
         ).alias("top10_share"),
     )
+
+
+def hill_tail(
+    orders: DataFrame, customer: DataFrame, k: int = 50
+) -> DataFrame:
+    """Hill tail-index estimator (Hill 1975) of customer spend per
+    market segment: α̂ = k / Σ_{i=1..k} ln(x_(i)/x_(k+1)) over the
+    top-k order statistics — the standard "how heavy is this
+    distribution's tail" number (α ≤ 2 ⇒ infinite variance: sampling,
+    capping, and salting decisions all key off it; the gini companion
+    for the extreme tail).
+
+    Exactness: the order statistics come from a deterministic
+    per-segment rank (spend desc, custkey asc); each of the k log
+    terms is ONE shared double expression ln(x_i / x_{k+1}) routed
+    through DECIMAL(28,12) before the sum (order-free, the CHI2_SUM
+    pattern); α is one double division at 6 dp.
+
+    Scale shape: per-customer spend is one map-side-combined groupBy;
+    the rank window partitions by segment; everything after the
+    rank-(k+1) filter is k-rows-per-segment sized. Returns
+    (c_mktsegment, k, n_customers, x_kplus1, hill_alpha)."""
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(
+                "spend_d"
+            )
+        )
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .select(
+            "c_mktsegment",
+            "o_custkey",
+            F.col("spend_d").cast("double").alias("x"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("x").desc(), F.col("o_custkey").asc()
+    )
+    wall = Window.partitionBy("c_mktsegment")
+    ranked = spend.select(
+        "c_mktsegment",
+        "x",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_seg"),
+    ).filter(F.col("rk") <= k + 1)
+    thresh = ranked.filter(F.col("rk") == k + 1).select(
+        "c_mktsegment", F.col("x").alias("x_k1")
+    )
+    return (
+        ranked.filter(F.col("rk") <= k)
+        .join(thresh, "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max("n_seg").alias("n_customers"),
+            F.max("x_k1").alias("_xk1"),
+            F.sum(
+                F.log(F.col("x") / F.col("x_k1")).cast(
+                    "decimal(28,12)"
+                )
+            ).alias("lsum"),
+        )
+        .select(
+            "c_mktsegment",
+            F.lit(k).cast("bigint").alias("k"),
+            "n_customers",
+            F.round(F.col("_xk1"), 2).alias("x_kplus1"),
+            F.round(
+                F.lit(float(k)) / F.col("lsum").cast("double"), 6
+            ).alias("hill_alpha"),
+        )
+    )

@@ -585,3 +585,172 @@ def survival_km(events: DataFrame, horizon_days: int = 7) -> DataFrame:
         ).alias("survival"),
     )
     return surv
+
+
+
+# Integer-micro staging shared by acf_lags / seasonality_strength (and
+# their DuckDB twins verbatim): the hourly DECIMAL(18,6) total is
+# rescaled to an exact BIGINT of micro-units, so every downstream
+# moment (sums, products of sums) is integer/DECIMAL(38,0) arithmetic —
+# no decimal×decimal scale negotiation, which Spark (truncate to 6 dp
+# under the precision cap) and DuckDB (keep 12 dp) resolve DIFFERENTLY.
+# The 1e6 unit factor cancels in every reported ratio. Headroom note:
+# products of sums live near 1e26-1e32 here; at corpus magnitudes that
+# push Σ(yi)² past 1e38, drop the unit to 1e3 (same cancellation).
+YI = "CAST(CAST(y AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+
+
+def acf_lags(
+    events: DataFrame, lags: tuple[int, ...] = (1, 24)
+) -> DataFrame:
+    """Sample autocorrelation of the hourly value series per event
+    type at the given lags — lag 1 answers "is the feed sticky hour
+    to hour", lag 24 "is the daily cycle real" (the numeric companion
+    to mase_eval's forecast-error framing).
+
+    GAP-HONEST like mase_eval: each lag's sample is the equi-join of
+    the hourly aggregate with itself at h = h' + L — never window
+    ``lag``, which pairs the wrong horizon across missing hours. The
+    correlation is Pearson over the PAIRED sample (both means from
+    the joined rows, the standard ACF-with-gaps estimator).
+
+    Exactness: hourly totals become exact BIGINT micro-units (``YI``);
+    the five moments (Σa, Σb, Σab, Σa², Σb²) are exact DECIMAL(38,0)
+    integers in any aggregation order; r is formed from them in ONE
+    shared double expression (the unit factor cancels), 6 dp. Scale
+    shape: one map-side-combined groupBy to hours × types, then
+    per-lag self-equi-joins on that aggregate — everything after the
+    first reduction is calendar-sized.
+
+    Returns (event_type, lag, n_pairs, acf); acf NULL when either
+    side is constant (zero variance)."""
+    hourly = (
+        events.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("y"))
+        .select("event_type", "h", F.expr(YI).alias("yi"))
+    )
+    outs = []
+    a = hourly.alias("a")
+    for lag in lags:
+        b = hourly.alias(f"b{lag}")
+        paired = a.join(
+            b,
+            (F.col("a.event_type") == F.col(f"b{lag}.event_type"))
+            & (
+                F.col("a.h")
+                == F.col(f"b{lag}.h") + F.expr(f"INTERVAL {lag} HOURS")
+            ),
+        ).select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.yi").alias("ai"),
+            F.col(f"b{lag}.yi").alias("bi"),
+        )
+        m = paired.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("ai").cast("decimal(38,0)")).alias("sa"),
+            F.sum(F.col("bi").cast("decimal(38,0)")).alias("sb"),
+            F.sum(
+                F.col("ai").cast("decimal(19,0)") * F.col("bi")
+            ).alias("sab"),
+            F.sum(
+                F.col("ai").cast("decimal(19,0)") * F.col("ai")
+            ).alias("saa"),
+            F.sum(
+                F.col("bi").cast("decimal(19,0)") * F.col("bi")
+            ).alias("sbb"),
+        )
+        nd = F.col("n_pairs").cast("decimal(38,0)")
+        num = nd * F.col("sab") - F.col("sa") * F.col("sb")
+        da = nd * F.col("saa") - F.col("sa") * F.col("sa")
+        db = nd * F.col("sbb") - F.col("sb") * F.col("sb")
+        outs.append(
+            m.select(
+                "event_type",
+                F.lit(lag).cast("int").alias("lag"),
+                "n_pairs",
+                F.when(
+                    (da > 0) & (db > 0),
+                    F.round(
+                        num.cast("double")
+                        / F.sqrt(da.cast("double") * db.cast("double")),
+                        6,
+                    ),
+                ).alias("acf"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def seasonality_strength(events: DataFrame) -> DataFrame:
+    """Hour-of-day seasonality strength per event type: the one-way
+    ANOVA R² of "hourly total = its hour-of-day mean + residual" —
+    the STL-style "how much of this feed is explained by the daily
+    cycle" number (≈0 no cycle, →1 pure cycle), from sufficient
+    statistics only:
+
+        strength = (n·Σ_h S_h²/n_h − S²) / (n·Σy² − S²)
+
+    (both sides multiplied through by n, so the only non-integer step
+    is the per-hour-of-day S_h²/n_h term).
+
+    Exactness: hourly totals become exact BIGINT micro-units (``YI``);
+    S_h, n_h, S, Σy² are exact DECIMAL(38,0) moments; each of the ≤24
+    per-hod terms is one shared double expression routed through
+    DECIMAL(38,6) before the cross-hod sum (order-free, the CHI2_SUM
+    pattern); the final ratio is one double expression at 6 dp.
+
+    Scale: one groupBy to (type, hour), one to (type, hour-of-day),
+    one per-type reduce — calendar-sized after the first reduction.
+    Returns (event_type, n_hours, strength); NULL for a constant
+    series."""
+    hourly = (
+        events.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("y"))
+        .select(
+            "event_type",
+            F.expr(YI).alias("yi"),
+            F.expr(f"(unix_micros(h) DIV {HOUR_US}) % 24").alias("hod"),
+        )
+    )
+    by_hod = hourly.groupBy("event_type", "hod").agg(
+        F.sum(F.col("yi").cast("decimal(38,0)")).alias("s_h"),
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+    )
+    seas = by_hod.groupBy("event_type").agg(
+        F.sum(
+            (
+                F.col("s_h").cast("double")
+                * F.col("s_h").cast("double")
+                / F.col("n_h").cast("double")
+            ).cast("decimal(38,6)")
+        ).alias("seas_sum")
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum(F.col("yi").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("yi").cast("decimal(19,0)") * F.col("yi")
+        ).alias("syy"),
+    )
+    n = F.col("n_hours").cast("double")
+    grand = F.col("s").cast("double") * F.col("s").cast("double")
+    ss_model = (
+        n * F.col("seas_sum").cast("double") - grand
+    )
+    ss_total = n * F.col("syy").cast("double") - grand
+    return tot.join(seas, "event_type").select(
+        "event_type",
+        "n_hours",
+        F.when(ss_total > 0, F.round(ss_model / ss_total, 6)).alias(
+            "strength"
+        ),
+    )

@@ -7142,3 +7142,157 @@ FROM pts"""
 GOOD_TURING_Q = GOOD_TURING_Q.format(bigrams=_word_shingles(TOKS, 2))
 LEXDIV_Q = LEXDIV_Q.format(toks=TOKS)
 HEAPS_Q = HEAPS_Q.format(toks=TOKS)
+
+
+# --- round 11c: autocorrelation / seasonality / tail-index /
+# burstiness / all-pairs TF-IDF twins
+
+# integer-micro rescale shared with timeseries.YI (see that constant
+# for the decimal×decimal rationale); sums ride HUGEINT here, the
+# DECIMAL(38,0) twin of Spark's integer moments
+_HOURLY_YI = """
+  SELECT event_type, date_trunc('hour', ts) AS h,
+    CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+         * 1000000 AS BIGINT) AS yi
+  FROM events GROUP BY 1, 2
+"""
+
+
+def _acf_arm(lag: int) -> str:
+    m = f"""
+  SELECT a.event_type,
+    CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(a.yi) AS HUGEINT) AS sa,
+    CAST(sum(b.yi) AS HUGEINT) AS sb,
+    CAST(sum(CAST(a.yi AS HUGEINT) * b.yi) AS HUGEINT) AS sab,
+    CAST(sum(CAST(a.yi AS HUGEINT) * a.yi) AS HUGEINT) AS saa,
+    CAST(sum(CAST(b.yi AS HUGEINT) * b.yi) AS HUGEINT) AS sbb
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type
+   AND a.h = b.h + INTERVAL {lag} HOURS
+  GROUP BY 1"""
+    return f"""SELECT event_type, CAST({lag} AS INT) AS lag, n_pairs,
+  CASE WHEN CAST(n_pairs AS HUGEINT) * saa - sa * sa > 0
+        AND CAST(n_pairs AS HUGEINT) * sbb - sb * sb > 0 THEN
+    round(CAST(CAST(n_pairs AS HUGEINT) * sab - sa * sb AS DOUBLE)
+      / sqrt(CAST(CAST(n_pairs AS HUGEINT) * saa - sa * sa AS DOUBLE)
+           * CAST(CAST(n_pairs AS HUGEINT) * sbb - sb * sb AS DOUBLE)),
+      6)
+  END AS acf
+FROM ({m})"""
+
+
+ACF_Q = f"""WITH hourly AS ({_HOURLY_YI})
+{_acf_arm(1)}
+UNION ALL
+{_acf_arm(24)}"""
+
+SEASONALITY_Q = f"""WITH hourly AS (
+  SELECT event_type, yi,
+    (CAST(epoch_us(h) AS BIGINT) // 3600000000) % 24 AS hod
+  FROM ({_HOURLY_YI})
+), by_hod AS (
+  SELECT event_type, hod, CAST(sum(yi) AS HUGEINT) AS s_h,
+         CAST(count(*) AS BIGINT) AS n_h
+  FROM hourly GROUP BY 1, 2
+), seas AS (
+  SELECT event_type,
+    sum(CAST(CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE)
+             / CAST(n_h AS DOUBLE) AS DECIMAL(38,6))) AS seas_sum
+  FROM by_hod GROUP BY 1
+), tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+    CAST(sum(yi) AS HUGEINT) AS s,
+    CAST(sum(CAST(yi AS HUGEINT) * yi) AS HUGEINT) AS syy
+  FROM hourly GROUP BY 1
+)
+SELECT t.event_type, n_hours,
+  CASE WHEN CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0 THEN
+    round((CAST(n_hours AS DOUBLE) * CAST(seas_sum AS DOUBLE)
+           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+          / (CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+  END AS strength
+FROM tot t JOIN seas USING (event_type)"""
+
+HILL_Q = """WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS x
+  FROM orders GROUP BY 1
+), seg AS (
+  SELECT c_mktsegment, s.o_custkey, x
+  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+), ranked AS (
+  SELECT c_mktsegment, x,
+    CAST(row_number() OVER (PARTITION BY c_mktsegment
+         ORDER BY x DESC, o_custkey ASC) AS BIGINT) AS rk,
+    CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n_seg
+  FROM seg
+), thresh AS (
+  SELECT c_mktsegment, x AS x_k1 FROM ranked WHERE rk = 51
+)
+SELECT r.c_mktsegment, CAST(50 AS BIGINT) AS k,
+  max(n_seg) AS n_customers,
+  round(max(x_k1), 2) AS x_kplus1,
+  round(50.0 / CAST(sum(CAST(ln(x / x_k1) AS DECIMAL(28,12)))
+               AS DOUBLE), 6) AS hill_alpha
+FROM ranked r JOIN thresh USING (c_mktsegment)
+WHERE rk <= 50
+GROUP BY 1"""
+
+DF_BURSTINESS_Q = f"""WITH per_doc AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest({TOKS}) AS token FROM documents)
+  GROUP BY 1, 2
+), stats AS (
+  SELECT token, CAST(sum(c) AS BIGINT) AS cf,
+         CAST(count(*) AS BIGINT) AS df
+  FROM per_doc GROUP BY 1
+)
+SELECT token, cf, df,
+  round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness
+FROM stats WHERE df >= 5
+ORDER BY burstiness DESC, token ASC LIMIT 50"""
+
+TFIDF_ALLPAIRS_Q = f"""WITH terms AS (
+  SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id AS doc, unnest({_word_shingles(TOKS, 2)}) AS term
+        FROM documents)
+  GROUP BY 1, 2
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), dfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM terms GROUP BY 1
+), weighted AS (
+  SELECT doc, term, df,
+    CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+      AS w
+  FROM terms JOIN dfq USING (term) CROSS JOIN nd
+), norms AS (
+  SELECT doc,
+    sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS norm
+  FROM weighted GROUP BY 1
+), cand AS (
+  SELECT DISTINCT ra.doc AS doc_a, rb.doc AS doc_b
+  FROM weighted ra JOIN weighted rb
+    ON ra.term = rb.term AND ra.doc < rb.doc
+  WHERE ra.df <= 20 AND rb.df <= 20
+), dots AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(count(*) AS BIGINT) AS common_terms,
+    sum(CAST(ta.w * tb.w AS DECIMAL(28,12))) AS dot
+  FROM cand c
+  JOIN weighted ta ON ta.doc = c.doc_a
+  JOIN weighted tb ON tb.doc = c.doc_b AND tb.term = ta.term
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common_terms,
+  CASE WHEN na.norm * nb.norm > 0 THEN
+    round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6)
+  END AS cosine
+FROM dots JOIN norms na ON na.doc = dots.doc_a
+          JOIN norms nb ON nb.doc = dots.doc_b
+ORDER BY cosine DESC NULLS LAST, common_terms DESC, doc_a ASC,
+         doc_b ASC
+LIMIT 50"""

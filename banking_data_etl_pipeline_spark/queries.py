@@ -3308,3 +3308,50 @@ def heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     V(N) ~ K*N^beta, the zipf_fit companion."""
     tune_for_oracle(spark)
     return corpus.heaps_law(tables.load(spark, sf_dir, "documents"))
+
+
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-honest autocorrelation of hourly value totals at lags 1
+    and 24 per event type — DECIMAL-exact Pearson moments."""
+    from .operators import timeseries
+
+    tune_for_oracle(spark)
+    return timeseries.acf_lags(tables.load(spark, sf_dir, "events"))
+
+
+def seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality strength (one-way ANOVA R^2 from
+    sufficient statistics) per event type."""
+    from .operators import timeseries
+
+    tune_for_oracle(spark)
+    return timeseries.seasonality_strength(
+        tables.load(spark, sf_dir, "events")
+    )
+
+
+def hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index of customer spend per segment over the top-50
+    order statistics — how heavy is the wallet tail."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    return profiling.hill_tail(
+        tables.load(spark, sf_dir, "orders"),
+        tables.load(spark, sf_dir, "customer"),
+    )
+
+
+def df_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness (cf/df) top-50 — topical/templated
+    vs evenly-spread vocabulary."""
+    tune_for_oracle(spark)
+    return corpus.df_burstiness(tables.load(spark, sf_dir, "documents"))
+
+
+def tfidf_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs TF-IDF cosine (Bayardo APSS) over bigram features
+    with discriminative-term blocking — top-50 weighted near-dup
+    pairs."""
+    tune_for_oracle(spark)
+    return dedup.tfidf_allpairs(tables.load(spark, sf_dir, "documents"))

@@ -321,6 +321,11 @@ BENCH_QUERIES = [
     "good_turing",
     "lexical_diversity",
     "heaps_law",
+    "acf_lags",
+    "seasonality_strength",
+    "hill_tail",
+    "df_burstiness",
+    "tfidf_allpairs",
 ]
 
 

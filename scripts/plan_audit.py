@@ -127,6 +127,10 @@ def metrics(plan: str, name: str) -> tuple[int, int, int, int, int, list[str]]:
         # compose brute_force_topk (the ann_brute intentional
         # broadcast cross join); their own joins are equi-joins
         "rbo_overlap", "matryoshka_recall",
+        # single-row reduction sides only (study-end scalar, subject
+        # total, sorted factor array / corpus total / n_docs idf
+        # scalar)
+        "survival_km", "good_turing", "tfidf_allpairs",
     ):
         flags.append("bnlj")
     return shuffles, bcast, wscg, pushed, scans, flags
@@ -166,6 +170,11 @@ def main() -> None:
         "the 9-row digit spine; quantile_normalize's CDF window runs",
         "over the reference's distinct-VALUE histogram (compress to a",
         "fixed-width histogram at 100 TB, per its docstring).",
+        "survival_km's flagged windows run over the duration spine",
+        "(<= horizon_days+1 rows after the per-user reduction);",
+        "heaps_law's cumulative windows run over per-doc rows",
+        "(doc-count scale — range-partition the running sum at 100 TB,",
+        "per its docstring).",
         "",
         "| query | shuffles | bcast | wscg | pushed/scans | flags |",
         "|---|---|---|---|---|---|",

@@ -364,6 +364,17 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # composes brute_force_topk TWICE (full + prefix dims) — same
         # intentional broadcast cross join; the recall join is equi
         "matryoshka_recall",
+        # three single-row reduction sides (study-end scalar, subject
+        # total, the one-row sorted factor array) cross the ≤
+        # horizon_days-row curve — every broadcast side is one row by
+        # construction (the bootstrap_ci corpus-totals pattern)
+        "survival_km",
+        # 1-row corpus-total crossJoin against the ≤ max_r-row
+        # count-of-counts frame — the corpus totals pattern
+        "good_turing",
+        # 1-row n_docs crossJoin feeding the idf weights — the corpus
+        # totals pattern; candidate/dot joins are all equi-joins
+        "tfidf_allpairs",
     }
     # collect ALL violations before asserting: a first-failure abort
     # masks every later name in the sorted sweep (theta_sketch hid
