@@ -1755,3 +1755,83 @@ def df_burstiness(
         .orderBy(F.desc("burstiness"), F.asc("token"))
         .limit(top)
     )
+
+
+# Krippendorff per-unit / per-value term texts shared with the DuckDB
+# twin: both are single double expressions on exact BIGINT counts,
+# routed through DECIMAL(28,12) before their sums (order-free).
+KRIPP_UNIT_TERM = (
+    "(CAST(m_u AS DOUBLE) * CAST(m_u AS DOUBLE)"
+    " - CAST(sq AS DOUBLE)) / (CAST(m_u AS DOUBLE) - 1.0)"
+)
+
+
+def krippendorff_alpha(ratings: DataFrame) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) over a LONG ratings frame
+    (unit, rater, value) — the inter-rater agreement statistic that,
+    unlike Cohen's kappa (``judge_agreement``), handles ANY number of
+    raters, missing ratings, and >2 categories in one number: the
+    annotation-quality gate for LLM-judge panels and human labeling
+    campaigns. α = 1 − D_o/D_e with observed disagreement summed per
+    unit over its m_u ≥ 2 ratings and expected disagreement from the
+    pooled value margins.
+
+    Formulation (nominal δ): per unit, Σ_{c≠k} n_uc·n_uk = m_u² −
+    Σ_c n_uc², divided by (m_u − 1); pooled, n² − Σ_c n_c², divided
+    by (n − 1):  α = 1 − (n − 1)·Σ_u term_u / (n² − Σ_c n_c²)
+    — every count is an exact integer; the per-unit rational terms
+    ride DECIMAL(28,12); the final expression is one shared double.
+
+    Scale shape: one (unit, value) groupBy (map-side combined), one
+    per-unit reduce, one value-margin reduce — all keyed, no windows,
+    no collects. Returns one row (n_units, n_ratings, n_values,
+    d_o, d_e, alpha), d_o/d_e the per-pair disagreement rates,
+    6 dp."""
+    by_uv = ratings.groupBy("unit", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_uv")
+    )
+    by_u = (
+        by_uv.groupBy("unit")
+        .agg(
+            F.sum("n_uv").cast("bigint").alias("m_u"),
+            F.sum(F.col("n_uv") * F.col("n_uv"))
+            .cast("bigint")
+            .alias("sq"),
+        )
+        .filter(F.col("m_u") >= 2)
+    )
+    units = by_u.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("m_u").cast("bigint").alias("n_tot"),
+        F.sum(
+            F.expr(KRIPP_UNIT_TERM).cast("decimal(28,12)")
+        ).alias("obs_sum"),
+    )
+    # margins over the SAME kept units (m_u >= 2)
+    margins = (
+        by_uv.join(by_u.select("unit"), "unit")
+        .groupBy("value")
+        .agg(F.sum("n_uv").cast("bigint").alias("n_c"))
+    )
+    marg = margins.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum(F.col("n_c") * F.col("n_c")).cast("bigint").alias(
+            "sq_c"
+        ),
+    )
+    n = F.col("n_tot").cast("double")
+    d_o = F.col("obs_sum").cast("double") / n
+    d_e = (n * n - F.col("sq_c").cast("double")) / (
+        n * (n - F.lit(1.0))
+    )
+    return units.crossJoin(marg).select(
+        "n_units",
+        F.col("n_tot").alias("n_ratings"),
+        "n_values",
+        F.round(d_o, 6).alias("d_o"),
+        F.round(d_e, 6).alias("d_e"),
+        F.when(
+            F.col("sq_c") < F.col("n_tot") * F.col("n_tot"),
+            F.round(F.lit(1.0) - d_o / d_e, 6),
+        ).alias("alpha"),
+    )

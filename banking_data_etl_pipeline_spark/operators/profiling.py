@@ -968,3 +968,103 @@ def hill_tail(
             ).alias("hill_alpha"),
         )
     )
+
+
+# Brier per-bin term texts shared verbatim with oracle.BRIER_Q: both
+# decomposition terms are pure double arithmetic on exact moments
+# (s_sum is DECIMAL, counts BIGINT), routed through DECIMAL(28,12) so
+# the ≤ n_bins cross-bin sums are order-free (the CHI2_SUM pattern).
+BRIER_REL_TERM = (
+    "CAST(n AS DOUBLE) *"
+    " (CAST(s_sum AS DOUBLE) / CAST(n AS DOUBLE)"
+    "  - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(s_sum AS DOUBLE) / CAST(n AS DOUBLE)"
+    "  - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+BRIER_RES_TERM = (
+    "CAST(n AS DOUBLE) *"
+    " (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)"
+    "  - CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE))"
+    " * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)"
+    "  - CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE))"
+)
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over the same
+    clamped equal-width bins as ``calibration_bins``: BS_binned =
+    RELIABILITY − RESOLUTION + UNCERTAINTY — the one-row answer to
+    "is my probability score bad because it is MISCALIBRATED
+    (reliability, fixable by recalibration) or because it cannot
+    SEPARATE outcomes (low resolution, not fixable downstream)".
+    Also reports the raw per-forecast Brier score; the raw-vs-binned
+    gap is the within-bin variance MINUS within-bin covariance
+    (Stephenson et al. 2008) — either sign, shrinking as bins narrow.
+
+    Exactness: per-row squared errors (f − o)² are doubles routed
+    through DECIMAL(28,12) (order-free sum); per-bin moments are
+    exact (counts BIGINT, score sums DECIMAL); the two decomposition
+    terms are the shared ``BRIER_*_TERM`` double expressions routed
+    through DECIMAL(28,12) across ≤ n_bins rows; every division is
+    shared text. Scale: one map-side-combined groupBy to bins plus
+    one ungrouped reduce — nothing after is data-sized.
+
+    Returns one row (n, n_pos, brier_raw, reliability, resolution,
+    uncertainty, brier_binned), 6 dp."""
+    staged = df.select(
+        F.least(
+            F.greatest(
+                F.floor(F.col(score_col) * n_bins), F.lit(0)
+            ),
+            F.lit(n_bins - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        F.col(score_col).cast("decimal(28,12)").alias("sdec"),
+        F.col(score_col).cast("double").alias("f"),
+        F.col(label_col).cast("int").alias("pos"),
+    )
+    per = staged.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("sdec").alias("s_sum"),
+    )
+    raw = staged.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot_n"),
+        F.sum("pos").cast("bigint").alias("tot_pos"),
+        F.sum(
+            (
+                (F.col("f") - F.col("pos").cast("double"))
+                * (F.col("f") - F.col("pos").cast("double"))
+            ).cast("decimal(28,12)")
+        ).alias("sq_sum"),
+    )
+    terms = per.crossJoin(raw).groupBy("tot_n", "tot_pos", "sq_sum").agg(
+        F.sum(F.expr(BRIER_REL_TERM).cast("decimal(28,12)")).alias(
+            "rel_sum"
+        ),
+        F.sum(F.expr(BRIER_RES_TERM).cast("decimal(28,12)")).alias(
+            "res_sum"
+        ),
+    )
+    nd = F.col("tot_n").cast("double")
+    obar = F.col("tot_pos").cast("double") / nd
+    rel = F.col("rel_sum").cast("double") / nd
+    res = F.col("res_sum").cast("double") / nd
+    unc = obar * (F.lit(1.0) - obar)
+    return terms.select(
+        F.col("tot_n").alias("n"),
+        F.col("tot_pos").alias("n_pos"),
+        F.round(F.col("sq_sum").cast("double") / nd, 6).alias(
+            "brier_raw"
+        ),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(rel - res + unc, 6).alias("brier_binned"),
+    )

@@ -754,3 +754,75 @@ def seasonality_strength(events: DataFrame) -> DataFrame:
             "strength"
         ),
     )
+
+
+def theil_sen(events: DataFrame) -> DataFrame:
+    """Theil–Sen slope per event type over the daily count series: the
+    MEDIAN of all pairwise slopes (c_j − c_i)/(day_j − day_i) — the
+    robust trend-magnitude companion to ``mann_kendall`` (MK answers
+    "is there a trend", Sen answers "how steep", and the pair is the
+    standard monotone-trend report; up to ~29% of days can be corrupt
+    before the estimate moves).
+
+    Exactness: each pairwise slope is ONE integer/integer double
+    division (bit-identical cross-engine); the median is an ORDER
+    STATISTIC, not a sum — rank lo = (n+1) DIV 2 and hi = n DIV 2 + 1
+    over the deterministic order (slope, day_i, day_j), averaged
+    (equal for odd n; a single two-value IEEE add for even n).
+
+    Scale shape: identical to mann_kendall — the feed collapses to
+    (type, day) integer counts first, so the pair stage is
+    types × days², calendar-sized, not volume-sized.
+
+    Returns (event_type, n_days, n_pairs, sen_slope) at 6 dp."""
+    day_us = DAY_S * 1_000_000
+    daily = (
+        events.select(
+            "event_type", F.expr(f"unix_micros(ts) DIV {day_us}").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day").alias("di"),
+            F.col("b.day").alias("dj"),
+            (
+                (F.col("b.c") - F.col("a.c")).cast("double")
+                / (F.col("b.day") - F.col("a.day")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("slope").asc(), F.col("di").asc(), F.col("dj").asc()
+    )
+    wall = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_pairs"),
+    )
+    # integer rank bounds: lo = (n+1) DIV 2, hi = n DIV 2 + 1
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        | (F.col("rn") == F.expr("n_pairs DIV 2 + 1"))
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    med = mid.groupBy("event_type", "n_pairs").agg(
+        F.round(
+            F.sum("slope") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("sen_slope")
+    )
+    return n_days.join(med, "event_type").select(
+        "event_type", "n_days", "n_pairs", "sen_slope"
+    )

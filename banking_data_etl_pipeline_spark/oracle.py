@@ -7296,3 +7296,138 @@ FROM dots JOIN norms na ON na.doc = dots.doc_a
 ORDER BY cosine DESC NULLS LAST, common_terms DESC, doc_a ASC,
          doc_b ASC
 LIMIT 50"""
+
+
+# --- round 11d: Theil-Sen / Brier decomposition / Krippendorff alpha
+
+THEIL_SEN_Q = f"""WITH daily AS ({_DAILY_COUNTS}),
+slopes AS (
+  SELECT a.event_type, a.day AS di, b.day AS dj,
+    CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), ranked AS (
+  SELECT event_type, slope,
+    CAST(row_number() OVER (PARTITION BY event_type
+         ORDER BY slope ASC, di ASC, dj ASC) AS BIGINT) AS rn,
+    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+  FROM slopes
+), mid AS (
+  SELECT event_type, n_pairs, slope FROM ranked
+  WHERE rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1
+), nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+), med AS (
+  SELECT event_type, n_pairs,
+    round(sum(slope) / CAST(count(*) AS DOUBLE), 6) AS sen_slope
+  FROM mid GROUP BY 1, 2
+)
+SELECT nd.event_type, n_days, n_pairs, sen_slope
+FROM nd JOIN med USING (event_type)"""
+
+
+def brier_sql(n_bins: int = 10) -> str:
+    from .operators.profiling import BRIER_REL_TERM, BRIER_RES_TERM
+
+    return f"""{BANK_PREFIX},
+scored AS (
+  SELECT round({ENGAGEMENT}, 6) AS s,
+         CASE WHEN y = 'yes' THEN 1 ELSE 0 END AS pos
+  FROM valid
+), b AS (
+  SELECT CAST(least(greatest(floor(s * {n_bins}), 0), {n_bins - 1})
+           AS INT) AS bin,
+         CAST(s AS DECIMAL(28,12)) AS sdec, CAST(s AS DOUBLE) AS f,
+         pos
+  FROM scored
+), per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos, sum(sdec) AS s_sum
+  FROM b GROUP BY bin
+), raw AS (
+  SELECT CAST(count(*) AS BIGINT) AS tot_n,
+         CAST(sum(pos) AS BIGINT) AS tot_pos,
+         sum(CAST((f - CAST(pos AS DOUBLE))
+                  * (f - CAST(pos AS DOUBLE))
+                  AS DECIMAL(28,12))) AS sq_sum
+  FROM b
+), terms AS (
+  SELECT tot_n, tot_pos, sq_sum,
+    sum(CAST({BRIER_REL_TERM} AS DECIMAL(28,12))) AS rel_sum,
+    sum(CAST({BRIER_RES_TERM} AS DECIMAL(28,12))) AS res_sum
+  FROM per CROSS JOIN raw GROUP BY 1, 2, 3
+)
+SELECT tot_n AS n, tot_pos AS n_pos,
+  round(CAST(sq_sum AS DOUBLE) / CAST(tot_n AS DOUBLE), 6)
+    AS brier_raw,
+  round(CAST(rel_sum AS DOUBLE) / CAST(tot_n AS DOUBLE), 6)
+    AS reliability,
+  round(CAST(res_sum AS DOUBLE) / CAST(tot_n AS DOUBLE), 6)
+    AS resolution,
+  round(CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)
+        * (1.0 - CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6)
+    AS uncertainty,
+  round(CAST(rel_sum AS DOUBLE) / CAST(tot_n AS DOUBLE)
+        - CAST(res_sum AS DOUBLE) / CAST(tot_n AS DOUBLE)
+        + CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)
+          * (1.0 - CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)),
+        6) AS brier_binned
+FROM terms"""
+
+
+BRIER_Q = brier_sql()
+
+
+def judge_alpha_sql() -> str:
+    from .operators.corpus import KRIPP_UNIT_TERM
+
+    return f"""WITH ja AS ({QUALITY_ENSEMBLE_Q}),
+jb AS ({XENT_BUCKETS_Q}),
+jc AS ({REPETITION_Q}),
+ratings AS (
+  SELECT doc_id AS unit, 'ensemble' AS rater,
+         CAST(kept AS INT) AS value FROM ja
+  UNION ALL
+  SELECT doc_id AS unit, 'tercile' AS rater,
+         CASE WHEN bucket <> 'tail' THEN 1 ELSE 0 END AS value FROM jb
+  UNION ALL
+  SELECT doc_id AS unit, 'repetition' AS rater,
+         CAST(keep AS INT) AS value FROM jc
+), by_uv AS (
+  SELECT unit, value, CAST(count(*) AS BIGINT) AS n_uv
+  FROM ratings GROUP BY 1, 2
+), by_u AS (
+  SELECT unit, CAST(sum(n_uv) AS BIGINT) AS m_u,
+         CAST(sum(n_uv * n_uv) AS BIGINT) AS sq
+  FROM by_uv GROUP BY 1 HAVING sum(n_uv) >= 2
+), units AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(m_u) AS BIGINT) AS n_tot,
+         sum(CAST({KRIPP_UNIT_TERM} AS DECIMAL(28,12))) AS obs_sum
+  FROM by_u
+), margins AS (
+  SELECT value, CAST(sum(n_uv) AS BIGINT) AS n_c
+  FROM by_uv JOIN by_u USING (unit) GROUP BY 1
+), marg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_values,
+         CAST(sum(n_c * n_c) AS BIGINT) AS sq_c
+  FROM margins
+)
+SELECT n_units, n_tot AS n_ratings, n_values,
+  round(CAST(obs_sum AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS d_o,
+  round((CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+         - CAST(sq_c AS DOUBLE))
+        / (CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) - 1.0)), 6)
+    AS d_e,
+  CASE WHEN sq_c < n_tot * n_tot THEN
+    round(1.0 - (CAST(obs_sum AS DOUBLE) / CAST(n_tot AS DOUBLE))
+          / ((CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+              - CAST(sq_c AS DOUBLE))
+             / (CAST(n_tot AS DOUBLE)
+                * (CAST(n_tot AS DOUBLE) - 1.0))), 6)
+  END AS alpha
+FROM units CROSS JOIN marg"""
+
+
+JUDGE_ALPHA_Q = judge_alpha_sql()

@@ -3355,3 +3355,61 @@ def tfidf_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs."""
     tune_for_oracle(spark)
     return dedup.tfidf_allpairs(tables.load(spark, sf_dir, "documents"))
+
+
+def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope per event type (median pairwise
+    slope — the magnitude companion to mann_kendall)."""
+    from .operators import timeseries
+
+    tune_for_oracle(spark)
+    return timeseries.theil_sen(tables.load(spark, sf_dir, "events"))
+
+
+def brier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the engagement score's Brier score:
+    reliability vs resolution vs uncertainty — is the score
+    miscalibrated (fixable) or undiscriminating (not)."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    v = _bank_valid(spark, sf_dir)
+    scored = v.select(
+        F.round(
+            scoring.engagement_score(
+                F.col("previous"),
+                F.col("campaign"),
+                F.col("duration"),
+                F.col("y"),
+            ),
+            6,
+        ).alias("score"),
+        (F.col("y") == "yes").alias("subscribed"),
+    )
+    return profiling.brier_decomposition(scored, "score", "subscribed")
+
+
+def judge_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha across THREE automated quality judges
+    (ensemble gate, perplexity tercile, repetition filter) — the
+    multi-rater generalization of judge_agreement's Cohen kappa."""
+    tune_for_oracle(spark)
+    docs = tables.load(spark, sf_dir, "documents")
+    a = corpus.quality_ensemble(docs).select(
+        F.col("doc_id").alias("unit"),
+        F.lit("ensemble").alias("rater"),
+        F.col("kept").cast("int").alias("value"),
+    )
+    b = corpus.xent_buckets(docs).select(
+        F.col("doc_id").alias("unit"),
+        F.lit("tercile").alias("rater"),
+        F.when(F.col("bucket") != "tail", 1).otherwise(0).alias("value"),
+    )
+    c = docs.select(
+        F.col("doc_id").alias("unit"),
+        F.lit("repetition").alias("rater"),
+        texttools.repetition_signals(F.col("text"))[-1]
+        .cast("int")
+        .alias("value"),
+    )
+    return corpus.krippendorff_alpha(a.unionByName(b).unionByName(c))

@@ -326,6 +326,9 @@ BENCH_QUERIES = [
     "hill_tail",
     "df_burstiness",
     "tfidf_allpairs",
+    "theil_sen",
+    "brier_eval",
+    "judge_alpha",
 ]
 
 

@@ -129,8 +129,9 @@ def metrics(plan: str, name: str) -> tuple[int, int, int, int, int, list[str]]:
         "rbo_overlap", "matryoshka_recall",
         # single-row reduction sides only (study-end scalar, subject
         # total, sorted factor array / corpus total / n_docs idf
-        # scalar)
+        # scalar / global-moment rows)
         "survival_km", "good_turing", "tfidf_allpairs",
+        "brier_eval", "judge_alpha",
     ):
         flags.append("bnlj")
     return shuffles, bcast, wscg, pushed, scans, flags

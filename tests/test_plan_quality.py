@@ -375,6 +375,11 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # 1-row n_docs crossJoin feeding the idf weights — the corpus
         # totals pattern; candidate/dot joins are all equi-joins
         "tfidf_allpairs",
+        # 1-row global-moments crossJoin against the ≤ n_bins bin
+        # frame (the bootstrap_ci corpus-totals pattern)
+        "brier_eval",
+        # 1-row margins crossJoin against the 1-row unit reduction
+        "judge_alpha",
     }
     # collect ALL violations before asserting: a first-failure abort
     # masks every later name in the sorted sweep (theta_sketch hid
