@@ -1835,3 +1835,64 @@ def krippendorff_alpha(ratings: DataFrame) -> DataFrame:
             F.round(F.lit(1.0) - d_o / d_e, 6),
         ).alias("alpha"),
     )
+
+
+# Flesch component expression texts shared with the DuckDB twin: both
+# engines count the SAME regex structures (vowel runs cannot span
+# whitespace, so the whole-text count equals the per-word sum; the
+# character classes are written explicitly for Java-regex/RE2
+# agreement — the BPE_TOKEN_PATTERN precedent).
+FLESCH_EXPR = (
+    "206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE))"
+    " - 84.6 * (CAST(sylls AS DOUBLE) / CAST(words AS DOUBLE))"
+)
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per source (Flesch 1948; the readability
+    screen quality pipelines run next to perplexity): 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), with syllables
+    approximated as lowercase vowel-run counts and sentences as
+    [.!?]+ runs clamped to ≥1 per doc — a corpus with no sentence
+    punctuation (this synthetic one) scores as one giant run-on,
+    which is exactly what the screen is FOR.
+
+    Exactness: all three components are integer counts summed per
+    source (map-side combined); the score is ONE shared double
+    expression (``FLESCH_EXPR``) on the per-source totals, 6 dp —
+    equivalent to the doc-count-weighted formula on pooled text.
+
+    Returns (source, n_docs, words, sents, sylls, flesch) ordered by
+    source."""
+    text = F.col(text_col)
+    per_doc = docs.select(
+        "source",
+        F.size(texttools.tokens(text)).cast("bigint").alias("w"),
+        F.greatest(
+            F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("s"),
+        F.size(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)"
+            )
+        )
+        .cast("bigint")
+        .alias("sy"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("words"),
+        F.sum("s").cast("bigint").alias("sents"),
+        F.sum("sy").cast("bigint").alias("sylls"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sents",
+        "sylls",
+        F.round(F.expr(FLESCH_EXPR), 6).alias("flesch"),
+    ).orderBy("source")

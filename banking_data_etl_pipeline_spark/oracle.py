@@ -7431,3 +7431,56 @@ FROM units CROSS JOIN marg"""
 
 
 JUDGE_ALPHA_Q = judge_alpha_sql()
+
+
+# --- round 11e: streaming histogram percentile / readability twins
+
+STREAM_P95_Q = """WITH cells AS (
+  SELECT event_type,
+    CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT) AS bucket,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), staged AS (
+  SELECT event_type, bucket,
+    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum,
+    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM cells
+), t AS (
+  SELECT *, (19 * n + 19) // 20 AS target FROM staged
+), hit AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY bucket) AS rk
+  FROM t WHERE cum >= target
+)
+SELECT event_type, n, bucket AS p95_bucket,
+  bucket * 25.0 AS bucket_lo, (bucket + 1) * 25.0 AS bucket_hi,
+  cum AS cum_at_bucket
+FROM hit WHERE rk = 1"""
+
+
+def readability_sql() -> str:
+    from .operators.corpus import FLESCH_EXPR
+
+    return f"""WITH per_doc AS (
+  SELECT source,
+    CAST(len({TOKS}) AS BIGINT) AS w,
+    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+         AS BIGINT) AS s,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         AS BIGINT) AS sy
+  FROM documents
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(w) AS BIGINT) AS words,
+    CAST(sum(s) AS BIGINT) AS sents,
+    CAST(sum(sy) AS BIGINT) AS sylls
+  FROM per_doc GROUP BY 1
+)
+SELECT source, n_docs, words, sents, sylls,
+  round({FLESCH_EXPR}, 6) AS flesch
+FROM agg ORDER BY source"""
+
+
+READABILITY_Q = readability_sql()

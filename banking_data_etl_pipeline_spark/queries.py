@@ -3413,3 +3413,19 @@ def judge_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value"),
     )
     return corpus.krippendorff_alpha(a.unionByName(b).unionByName(c))
+
+
+def stream_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING histogram-percentile monitor: per-type fixed-width
+    value-bucket counts as constant-size update-mode state, exact
+    histogram p95 at drain — bit-equal to the batch bucketing."""
+    tune_for_oracle(spark)
+    d = _stream_src_dir(sf_dir, "events")
+    return EV.histogram_p95_stream(spark, d, "stream_p95_sink")
+
+
+def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source (vowel-run syllables, clamped
+    sentence runs) — the readability quality screen."""
+    tune_for_oracle(spark)
+    return corpus.readability(tables.load(spark, sf_dir, "documents"))

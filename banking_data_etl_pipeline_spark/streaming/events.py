@@ -1292,3 +1292,85 @@ def msprt_stream(
         F.sum(F.when(F.col("arm") == 0, F.col("q"))).alias("d_q0"),
     )
     return experiments.msprt_walk(daily, alpha)
+
+
+def histogram_p95_stream(
+    spark: SparkSession,
+    events_dir: str,
+    name: str,
+    width: float = 25.0,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Streaming PERCENTILE monitor on constant-size state: per
+    (event_type, fixed-width value bucket) counts maintained as an
+    update-mode streaming aggregate (state = types × ``n_buckets``
+    longs — the reason production latency/value monitors ship
+    histogram percentiles, never exact sorts), drained with
+    availableNow, then the exact histogram p95 per type: the smallest
+    bucket whose cumulative count reaches ceil(0.95·n), computed as
+    the INTEGER target (19n + 19) DIV 20 — no float percentile math
+    anywhere.
+
+    Update mode re-emits a cell on every increase, so the terminal
+    MAX per cell IS the final count (the topk_users_stream argument),
+    and the drained table is bit-equal to the batch bucketing — the
+    oracle is the same histogram + target rule over the same events.
+
+    Returns (event_type, n, p95_bucket, bucket_lo, bucket_hi,
+    cum_at_bucket)."""
+    from pyspark.sql import Window
+
+    stream = events_stream(spark, events_dir)
+    cells = stream.select(
+        "event_type",
+        F.least(
+            F.greatest(
+                F.floor(F.col("value") / F.lit(width)), F.lit(0)
+            ),
+            F.lit(n_buckets - 1),
+        )
+        .cast("int")
+        .alias("bucket"),
+    ).groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    with _state_partitions(spark):
+        q = (
+            cells.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("event_type", "bucket")
+        .agg(F.max("cnt").cast("bigint").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    staged = final.select(
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(wcum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wall).cast("bigint").alias("n"),
+    ).withColumn("target", F.expr("(19 * n + 19) DIV 20"))
+    pick = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("bucket")
+    )
+    hit = staged.filter(F.col("cum") >= F.col("target")).withColumn(
+        "rk", pick
+    )
+    return hit.filter(F.col("rk") == 1).select(
+        "event_type",
+        "n",
+        F.col("bucket").alias("p95_bucket"),
+        (F.col("bucket") * F.lit(width)).alias("bucket_lo"),
+        ((F.col("bucket") + 1) * F.lit(width)).alias("bucket_hi"),
+        F.col("cum").alias("cum_at_bucket"),
+    )

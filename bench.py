@@ -329,6 +329,8 @@ BENCH_QUERIES = [
     "theil_sen",
     "brier_eval",
     "judge_alpha",
+    "stream_p95",
+    "readability",
 ]
 
 

@@ -33,7 +33,7 @@ SKIP = {
     "stream_bloom_screen", "stream_funnel", "stream_psi_drift",
     "stream_attribution", "stream_ewma", "stream_srm",
     "stream_topk_users", "stream_msprt", "stream_recovery",
-    "stream_cms_ngrams",
+    "stream_cms_ngrams", "stream_p95",
     # iterative (driver-side loop): representative per-iteration plans
     # captured via plan_hook in the second section below
     "kmeans", "dedup_resolve", "pagerank", "fuzzy_resolve",

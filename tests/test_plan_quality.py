@@ -307,6 +307,7 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "hits_prebuilt",  # same loop over the staged edge copies
         "stream_recovery",  # runs two checkpointed streams eagerly
         "stream_cms_ngrams",  # runs its stream eagerly at build
+        "stream_p95",  # runs its stream eagerly at build
         "kcenter_coreset",  # greedy driver loop (one top-1 pull/round)
         "emb_top_pc",  # power-iteration loop (localCheckpoint per step)
         "bt_strengths",  # MM iteration loop (localCheckpoint per step)
