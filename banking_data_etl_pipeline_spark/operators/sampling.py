@@ -474,3 +474,84 @@ def curriculum_order(
         F.col("stage").cast("int").alias("stage"),
         F.row_number().over(we).cast("bigint").alias("emit_order"),
     )
+
+
+def negative_samples(
+    docs: DataFrame, k: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic unigram^0.75 negative sampling (the word2vec /
+    contrastive-training negative draw, Mikolov et al. 2013): build
+    the smoothed-unigram sampling table once, then draw ``k``
+    negatives per document from md5-seeded uniforms — reproducible
+    across engines and reruns, which is what makes the training data
+    auditable.
+
+    Float parity, by construction: c^0.75 is computed as
+    sqrt(c · sqrt(c)) — ``sqrt`` is IEEE CORRECTLY-ROUNDED in every
+    engine, unlike ``pow``, whose last ulp differs between JVM and C
+    libm (the ewma_anomaly lesson) — then quantized to integer
+    millionths BEFORE the cumulative sum, so the CDF is exact integer
+    arithmetic (window cumsum over doubles would tie the result to
+    each engine's summation tree). Draws are 32-bit md5 integers
+    reduced mod the total weight (deterministic; the ≤ 2^-32·vocab
+    modulo bias is irrelevant for negative sampling and documented
+    here).
+
+    Scale shape: the vocab table is Zipf-small and BROADCASTS; the
+    draw→token interval lookup is a broadcast range join (draw count
+    × vocab comparisons — the source_divergence pattern; production
+    would bucket the CDF into equal-width cells for an equi-join,
+    same output contract). The per-token weight/CDF build is one
+    token groupBy plus one vocab-sized window.
+
+    Returns (doc_id, draw_idx, neg_token)."""
+    from ..functions import texttools
+
+    toks = docs.select(
+        F.explode(texttools.tokens(F.col(text_col))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w075 = F.sqrt(F.col("c").cast("double") * F.sqrt(F.col("c").cast("double")))
+    wq = F.floor(w075 * F.lit(1e6)).cast("bigint")
+    cdf = vocab.select(
+        "token",
+        wq.alias("wq"),
+        F.sum(wq)
+        .over(
+            Window.orderBy("token").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint")
+        .alias("cum"),
+    )
+    total = cdf.agg(F.max("cum").alias("t")).scalar()
+    # k draw rows per doc without a cross join: a literal array explode
+    draws = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_j"),
+    ).select("doc_id", F.col("_j").cast("int").alias("draw_idx"))
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.col("doc_id"), F.col("draw_idx"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    targeted = draws.select(
+        "doc_id", "draw_idx", (u32 % total).alias("target")
+    )
+    hit = targeted.join(
+        F.broadcast(cdf),
+        (F.col("target") >= F.col("cum") - F.col("wq"))
+        & (F.col("target") < F.col("cum")),
+    )
+    return hit.select(
+        "doc_id", "draw_idx", F.col("token").alias("neg_token")
+    )

@@ -826,3 +826,89 @@ def theil_sen(events: DataFrame) -> DataFrame:
     return n_days.join(med, "event_type").select(
         "event_type", "n_days", "n_pairs", "sen_slope"
     )
+
+
+def leadlag_ccf(
+    events: DataFrame, lags: tuple[int, ...] = (0, 1, 2)
+) -> DataFrame:
+    """Lead-lag cross-correlation between EVENT-TYPE PAIRS on the
+    hourly value series: for every ordered pair (a, b) and lag L,
+    Pearson corr(a_t, b_{t−L}) — "does activity in b lead activity in
+    a by L hours", the cross-series companion to ``acf_lags`` (its
+    diagonal) and the standard first pass of causal-structure /
+    leading-indicator mining over a metrics feed.
+
+    Same machinery as acf_lags and shares its exactness contract:
+    hourly totals rescale to exact BIGINT micro-units (``YI``), the
+    five Pearson moments are exact DECIMAL(38,0)/HUGEINT integers, r
+    is one shared double expression. GAP-HONEST equi-joins at
+    h = h' + L; the pair stage is types² × calendar-sized, not
+    volume-sized.
+
+    Returns (type_a, type_b, lag, n_pairs, ccf); NULL ccf when either
+    side is constant."""
+    hourly = (
+        events.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("y"))
+        .select("event_type", "h", F.expr(YI).alias("yi"))
+    )
+    outs = []
+    a = hourly.alias("a")
+    for lag in lags:
+        b = hourly.alias(f"b{lag}")
+        paired = a.join(
+            b,
+            (F.col("a.event_type") != F.col(f"b{lag}.event_type"))
+            & (
+                F.col("a.h")
+                == F.col(f"b{lag}.h") + F.expr(f"INTERVAL {lag} HOURS")
+            ),
+        ).select(
+            F.col("a.event_type").alias("type_a"),
+            F.col(f"b{lag}.event_type").alias("type_b"),
+            F.col("a.yi").alias("ai"),
+            F.col(f"b{lag}.yi").alias("bi"),
+        )
+        m = paired.groupBy("type_a", "type_b").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("ai").cast("decimal(38,0)")).alias("sa"),
+            F.sum(F.col("bi").cast("decimal(38,0)")).alias("sb"),
+            F.sum(
+                F.col("ai").cast("decimal(19,0)") * F.col("bi")
+            ).alias("sab"),
+            F.sum(
+                F.col("ai").cast("decimal(19,0)") * F.col("ai")
+            ).alias("saa"),
+            F.sum(
+                F.col("bi").cast("decimal(19,0)") * F.col("bi")
+            ).alias("sbb"),
+        )
+        nd = F.col("n_pairs").cast("decimal(38,0)")
+        num = nd * F.col("sab") - F.col("sa") * F.col("sb")
+        da = nd * F.col("saa") - F.col("sa") * F.col("sa")
+        db = nd * F.col("sbb") - F.col("sb") * F.col("sb")
+        outs.append(
+            m.select(
+                "type_a",
+                "type_b",
+                F.lit(lag).cast("int").alias("lag"),
+                "n_pairs",
+                F.when(
+                    (da > 0) & (db > 0),
+                    F.round(
+                        num.cast("double")
+                        / F.sqrt(
+                            da.cast("double") * db.cast("double")
+                        ),
+                        6,
+                    ),
+                ).alias("ccf"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

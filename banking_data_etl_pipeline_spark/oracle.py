@@ -7484,3 +7484,66 @@ FROM agg ORDER BY source"""
 
 
 READABILITY_Q = readability_sql()
+
+
+# --- round 11f: lead-lag CCF / negative sampling twins
+
+
+def _ccf_arm(lag: int) -> str:
+    m = f"""
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(a.yi) AS HUGEINT) AS sa,
+    CAST(sum(b.yi) AS HUGEINT) AS sb,
+    CAST(sum(CAST(a.yi AS HUGEINT) * b.yi) AS HUGEINT) AS sab,
+    CAST(sum(CAST(a.yi AS HUGEINT) * a.yi) AS HUGEINT) AS saa,
+    CAST(sum(CAST(b.yi AS HUGEINT) * b.yi) AS HUGEINT) AS sbb
+  FROM hourly a JOIN hourly b
+    ON a.event_type <> b.event_type
+   AND a.h = b.h + INTERVAL {lag} HOURS
+  GROUP BY 1, 2"""
+    return f"""SELECT type_a, type_b, CAST({lag} AS INT) AS lag, n_pairs,
+  CASE WHEN CAST(n_pairs AS HUGEINT) * saa - sa * sa > 0
+        AND CAST(n_pairs AS HUGEINT) * sbb - sb * sb > 0 THEN
+    round(CAST(CAST(n_pairs AS HUGEINT) * sab - sa * sb AS DOUBLE)
+      / sqrt(CAST(CAST(n_pairs AS HUGEINT) * saa - sa * sa AS DOUBLE)
+           * CAST(CAST(n_pairs AS HUGEINT) * sbb - sb * sb AS DOUBLE)),
+      6)
+  END AS ccf
+FROM ({m})"""
+
+
+LEADLAG_Q = f"""WITH hourly AS ({_HOURLY_YI})
+{_ccf_arm(0)}
+UNION ALL
+{_ccf_arm(1)}
+UNION ALL
+{_ccf_arm(2)}"""
+
+NEGSAMP_Q = f"""WITH toks AS (
+  SELECT unnest({TOKS}) AS token FROM documents
+), vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1
+), cdf AS (
+  SELECT token,
+    CAST(floor(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE)))
+               * 1e6) AS BIGINT) AS wq,
+    CAST(sum(CAST(floor(sqrt(CAST(c AS DOUBLE)
+                             * sqrt(CAST(c AS DOUBLE))) * 1e6)
+                  AS BIGINT))
+         OVER (ORDER BY token ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS cum
+  FROM vocab
+), tot AS (
+  SELECT max(cum) AS t FROM cdf
+), draws AS (
+  SELECT doc_id, CAST(j AS INT) AS draw_idx,
+    CAST(CAST('0x' || substring(
+        md5(CAST(doc_id AS VARCHAR) || ':' || CAST(CAST(j AS INT)
+            AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)
+      % (SELECT t FROM tot) AS target
+  FROM documents, unnest(generate_series(0, 3)) AS u(j)
+)
+SELECT d.doc_id, d.draw_idx, cdf.token AS neg_token
+FROM draws d JOIN cdf
+  ON d.target >= cdf.cum - cdf.wq AND d.target < cdf.cum"""

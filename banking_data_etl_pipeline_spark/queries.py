@@ -3429,3 +3429,35 @@ def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentence runs) — the readability quality screen."""
     tune_for_oracle(spark)
     return corpus.readability(tables.load(spark, sf_dir, "documents"))
+
+
+def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HyperLogLog: the 2^p register table as constant-size
+    update-mode state, drained registers bit-equal to the batch build
+    — shares HLL_DISTINCT_Q verbatim (the cms_incremental precedent)."""
+    tune_for_oracle(spark)
+    d = _stream_src_dir(sf_dir, "events")
+    return EV.hll_stream(
+        spark, d, tables.load(spark, sf_dir, "events"), "stream_hll_sink"
+    )
+
+
+def leadlag_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between event-type pairs at lags
+    0/1/2 hours — which feeds lead which (acf_lags' off-diagonal)."""
+    from .operators import timeseries
+
+    tune_for_oracle(spark)
+    return timeseries.leadlag_ccf(tables.load(spark, sf_dir, "events"))
+
+
+def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic unigram^0.75 negative sampling (word2vec /
+    contrastive draw): 4 md5-seeded negatives per document from the
+    integer-quantized smoothed-unigram CDF."""
+    from .operators import sampling
+
+    tune_for_oracle(spark)
+    return sampling.negative_samples(
+        tables.load(spark, sf_dir, "documents")
+    )

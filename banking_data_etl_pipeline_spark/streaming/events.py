@@ -1374,3 +1374,101 @@ def histogram_p95_stream(
         ((F.col("bucket") + 1) * F.lit(width)).alias("bucket_hi"),
         F.col("cum").alias("cum_at_bucket"),
     )
+
+
+def hll_stream(
+    spark: SparkSession,
+    events_dir: str,
+    events_batch: DataFrame,
+    name: str,
+    col: str = "user_id",
+    p: int = 8,
+) -> DataFrame:
+    """STREAMING HyperLogLog: the m = 2^p register table maintained as
+    update-mode stream state (register = MAX rho — monotone, so the
+    terminal MAX per index IS the final register; constant-size state
+    on an unbounded feed, the entire reason HLL is the on-feed
+    distinct sketch), drained with availableNow and fed into the SAME
+    estimator tail as the batch ``sketches.hll_distinct`` — drained
+    registers are bit-equal to the batch build, so this shares
+    HLL_DISTINCT_Q verbatim (the cms_incremental precedent). The
+    expression texts below mirror sketches.hll_distinct and must
+    change together (cited there; kept inline so the batch operator's
+    plan — and its driver-window slot — stays untouched).
+
+    ``events_batch`` supplies only the exact-count column the report
+    carries for the error readout (production would drop it).
+
+    Returns the same one-row shape as hll_distinct."""
+    m = 2**p
+    wbits = 32 - p
+    stream = events_stream(spark, events_dir)
+    h32 = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    s_regs = (
+        stream.select(h32.alias("h32"))
+        .select(
+            F.shiftright(F.col("h32"), wbits).alias("idx"),
+            (F.col("h32").bitwiseAND(F.lit((1 << wbits) - 1))).alias(
+                "w"
+            ),
+        )
+        .select(
+            "idx",
+            F.when(F.col("w") == 0, F.lit(wbits + 1))
+            .otherwise(F.lit(wbits + 1) - F.length(F.bin(F.col("w"))))
+            .alias("rho"),
+        )
+        .groupBy("idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+    with _state_partitions(spark):
+        q = (
+            s_regs.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    regs = (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("idx")
+        .agg(F.max("reg").alias("reg"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    sketch = regs.agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("z_used"),
+    ).select(
+        F.lit(m).alias("m"),
+        F.col("n_used").cast("long").alias("n_used"),
+        (
+            F.col("z_used")
+            + (F.lit(m) - F.col("n_used")) * F.lit(1.0)
+        ).alias("_z"),
+        (F.lit(m) - F.col("n_used")).cast("double").alias("_v"),
+    )
+    exact = (
+        events_batch.agg(
+            F.count_distinct(F.col(col)).alias("exact_distinct")
+        )
+        .scalar()
+        .cast("long")
+    )
+    est_raw = (
+        F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / F.col("_z")
+    )
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (F.col("_v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v")),
+    ).otherwise(est_raw)
+    return sketch.select(
+        "m",
+        "n_used",
+        F.round(est_raw, 6).alias("raw_estimate"),
+        F.round(est, 6).alias("estimate"),
+        exact.alias("exact_distinct"),
+        F.round(F.abs(est - exact) / exact, 6).alias("rel_error"),
+    )

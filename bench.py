@@ -331,6 +331,9 @@ BENCH_QUERIES = [
     "judge_alpha",
     "stream_p95",
     "readability",
+    "stream_hll",
+    "leadlag_ccf",
+    "negative_samples",
 ]
 
 

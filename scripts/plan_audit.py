@@ -33,7 +33,7 @@ SKIP = {
     "stream_bloom_screen", "stream_funnel", "stream_psi_drift",
     "stream_attribution", "stream_ewma", "stream_srm",
     "stream_topk_users", "stream_msprt", "stream_recovery",
-    "stream_cms_ngrams", "stream_p95",
+    "stream_cms_ngrams", "stream_p95", "stream_hll",
     # iterative (driver-side loop): representative per-iteration plans
     # captured via plan_hook in the second section below
     "kmeans", "dedup_resolve", "pagerank", "fuzzy_resolve",
@@ -132,6 +132,8 @@ def metrics(plan: str, name: str) -> tuple[int, int, int, int, int, list[str]]:
         # scalar / global-moment rows)
         "survival_km", "good_turing", "tfidf_allpairs",
         "brier_eval", "judge_alpha",
+        # broadcast range join of draws vs the Zipf-small vocab CDF
+        "negative_samples",
     ):
         flags.append("bnlj")
     return shuffles, bcast, wscg, pushed, scans, flags
@@ -175,7 +177,9 @@ def main() -> None:
         "(<= horizon_days+1 rows after the per-user reduction);",
         "heaps_law's cumulative windows run over per-doc rows",
         "(doc-count scale — range-partition the running sum at 100 TB,",
-        "per its docstring).",
+        "per its docstring); negative_samples' flagged windows build",
+        "the Zipf-small vocab CDF (model-parameter scale — bucket the",
+        "CDF at 100 TB, per its docstring).",
         "",
         "| query | shuffles | bcast | wscg | pushed/scans | flags |",
         "|---|---|---|---|---|---|",

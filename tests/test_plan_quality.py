@@ -308,6 +308,7 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "stream_recovery",  # runs two checkpointed streams eagerly
         "stream_cms_ngrams",  # runs its stream eagerly at build
         "stream_p95",  # runs its stream eagerly at build
+        "stream_hll",  # runs its stream eagerly at build
         "kcenter_coreset",  # greedy driver loop (one top-1 pull/round)
         "emb_top_pc",  # power-iteration loop (localCheckpoint per step)
         "bt_strengths",  # MM iteration loop (localCheckpoint per step)
@@ -381,6 +382,10 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "brier_eval",
         # 1-row margins crossJoin against the 1-row unit reduction
         "judge_alpha",
+        # broadcast RANGE join of draws against the Zipf-small vocab
+        # CDF (the source_divergence pattern; production would bucket
+        # the CDF for an equi-join, per the operator docstring)
+        "negative_samples",
     }
     # collect ALL violations before asserting: a first-failure abort
     # masks every later name in the sorted sweep (theta_sketch hid
