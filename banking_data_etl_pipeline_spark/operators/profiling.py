@@ -1068,3 +1068,81 @@ def brier_decomposition(
         F.round(unc, 6).alias("uncertainty"),
         F.round(rel - res + unc, 6).alias("brier_binned"),
     )
+
+
+def pareto_cut(
+    orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Pareto 80/20 cut of customer spend per market segment: the
+    smallest top-ranked customer set whose cumulative spend reaches
+    80% of the segment total — "how few wallets carry this segment",
+    the actionable companion to ``gini_concentration``'s index (and
+    the same question a curation pass asks of per-source token
+    budgets).
+
+    Exactness: spend and cumulative spend are exact DECIMALs over a
+    deterministic rank (spend desc, custkey asc); the 80% threshold
+    compares 5·cum ≥ 4·total in EXACT decimal arithmetic — no float
+    enters until the two reported shares (one double division each,
+    6 dp).
+
+    Scale shape: one map-side-combined groupBy to per-customer spend,
+    one per-segment rank window (parallel by segment), one per-segment
+    reduce. Returns (c_mktsegment, n_customers, n_top80,
+    cust_share, spend_share)."""
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(
+                "spend"
+            )
+        )
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spend").desc(), F.col("o_custkey").asc()
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("c_mktsegment")
+    staged = spend.select(
+        "c_mktsegment",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.sum(F.col("spend").cast("decimal(38,6)")).over(wcum).alias(
+            "cum"
+        ),
+        F.sum(F.col("spend").cast("decimal(38,6)")).over(wall).alias(
+            "total"
+        ),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_seg"),
+    )
+    hit = staged.filter(
+        F.col("cum") * 5 >= F.col("total") * 4
+    ).withColumn(
+        "pick",
+        F.row_number().over(
+            Window.partitionBy("c_mktsegment").orderBy("rk")
+        ),
+    )
+    return (
+        hit.filter(F.col("pick") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("n_seg").alias("n_customers"),
+            F.col("rk").alias("n_top80"),
+            F.round(
+                F.col("rk").cast("double") / F.col("n_seg").cast("double"),
+                6,
+            ).alias("cust_share"),
+            F.round(
+                F.col("cum").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("spend_share"),
+        )
+        .orderBy("c_mktsegment")
+    )

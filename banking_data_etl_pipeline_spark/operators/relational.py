@@ -1519,3 +1519,71 @@ def market_basket(
     return scored.orderBy(
         F.desc("lift"), F.asc("part_a"), F.asc("part_b")
     ).limit(top)
+
+
+def position_attribution(events: DataFrame) -> DataFrame:
+    """POSITION-BASED (U-shaped, 40/20/40) multi-touch attribution:
+    for each user's FIRST purchase, every preceding view/click touch
+    gets credit — first touch 0.4, last touch 0.4, middles split the
+    remaining 0.2 equally (one touch → 1.0, two → 0.5 each) — the
+    standard middle ground between ``last_touch_attribution``'s
+    winner-takes-all and linear attribution, reported as total credit
+    per touch type.
+
+    Float parity: each touch's credit is ONE shared double expression
+    on integer rank/count (0.2 / (k − 2) is the only data-dependent
+    division), routed through DECIMAL(28,12) before the per-type sum
+    (order-free, the CHI2_SUM pattern).
+
+    Scale shape: first-purchase per user is one map-side-combined
+    groupBy; touches join back on the user key (co-partitioned); rank
+    and touch-count are one user-partitioned window pass — parallel by
+    user at any scale, no global structure.
+
+    Returns (event_type, n_touches, total_credit), credit 6 dp."""
+    from pyspark.sql import Window
+
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.expr("unix_micros(ts)")).alias("t_conv"))
+    )
+    touches = (
+        events.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.expr("unix_micros(ts)").alias("t"),
+        )
+        .join(conv, "user_id")
+        .filter(F.col("t") < F.col("t_conv"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t").asc(), F.col("event_id").asc()
+    )
+    wall = Window.partitionBy("user_id")
+    ranked = touches.select(
+        "event_type",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("k"),
+    )
+    k = F.col("k").cast("double")
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when(F.col("rk") == 1, F.lit(0.4))
+        .when(F.col("rk") == F.col("k"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (k - F.lit(2.0)))
+    )
+    return (
+        ranked.select(
+            "event_type", credit.cast("decimal(28,12)").alias("c")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(F.sum("c").cast("double"), 6).alias("total_credit"),
+        )
+        .orderBy("event_type")
+    )

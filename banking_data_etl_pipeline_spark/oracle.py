@@ -7547,3 +7547,65 @@ NEGSAMP_Q = f"""WITH toks AS (
 SELECT d.doc_id, d.draw_idx, cdf.token AS neg_token
 FROM draws d JOIN cdf
   ON d.target >= cdf.cum - cdf.wq AND d.target < cdf.cum"""
+
+
+# --- round 11g: position attribution / Pareto cut twins
+
+POSITION_ATTR_Q = """WITH conv AS (
+  SELECT user_id, min(CAST(epoch_us(ts) AS BIGINT)) AS t_conv
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), touches AS (
+  SELECT e.user_id, e.event_type, e.event_id,
+         CAST(epoch_us(e.ts) AS BIGINT) AS t
+  FROM events e JOIN conv USING (user_id)
+  WHERE e.event_type IN ('view', 'click')
+    AND CAST(epoch_us(e.ts) AS BIGINT) < t_conv
+), ranked AS (
+  SELECT event_type,
+    CAST(row_number() OVER (PARTITION BY user_id
+         ORDER BY t ASC, event_id ASC) AS BIGINT) AS rk,
+    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS k
+  FROM touches
+), credited AS (
+  SELECT event_type,
+    CAST(CASE WHEN k = 1 THEN 1.0
+              WHEN k = 2 THEN 0.5
+              WHEN rk = 1 THEN 0.4
+              WHEN rk = k THEN 0.4
+              ELSE 0.2 / (CAST(k AS DOUBLE) - 2.0)
+         END AS DECIMAL(28,12)) AS c
+  FROM ranked
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+       round(CAST(sum(c) AS DOUBLE), 6) AS total_credit
+FROM credited GROUP BY 1 ORDER BY 1"""
+
+PARETO_CUT_Q = """WITH spend AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+  FROM orders GROUP BY 1
+), seg AS (
+  SELECT c_mktsegment, s.o_custkey, spend
+  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+), staged AS (
+  SELECT c_mktsegment,
+    CAST(row_number() OVER (PARTITION BY c_mktsegment
+         ORDER BY spend DESC, o_custkey ASC) AS BIGINT) AS rk,
+    CAST(sum(CAST(spend AS DECIMAL(38,6))) OVER (
+         PARTITION BY c_mktsegment
+         ORDER BY spend DESC, o_custkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS DECIMAL(38,6)) AS cum,
+    CAST(sum(CAST(spend AS DECIMAL(38,6))) OVER (
+         PARTITION BY c_mktsegment) AS DECIMAL(38,6)) AS total,
+    CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n_seg
+  FROM seg
+), hit AS (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+            ORDER BY rk) AS pick
+  FROM staged WHERE cum * 5 >= total * 4
+)
+SELECT c_mktsegment, n_seg AS n_customers, rk AS n_top80,
+  round(CAST(rk AS DOUBLE) / CAST(n_seg AS DOUBLE), 6) AS cust_share,
+  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+    AS spend_share
+FROM hit WHERE pick = 1 ORDER BY c_mktsegment"""

@@ -3461,3 +3461,25 @@ def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.negative_samples(
         tables.load(spark, sf_dir, "documents")
     )
+
+
+def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (40/20/40) multi-touch attribution per touch type for
+    each user's first purchase — the middle ground between last-touch
+    and linear credit."""
+    tune_for_oracle(spark)
+    return relational.position_attribution(
+        tables.load(spark, sf_dir, "events")
+    )
+
+
+def pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto 80/20 cut per segment: the smallest top-spender set
+    reaching 80% of segment revenue (exact decimal threshold)."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    return profiling.pareto_cut(
+        tables.load(spark, sf_dir, "orders"),
+        tables.load(spark, sf_dir, "customer"),
+    )

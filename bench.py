@@ -334,6 +334,8 @@ BENCH_QUERIES = [
     "stream_hll",
     "leadlag_ccf",
     "negative_samples",
+    "position_attribution",
+    "pareto_cut",
 ]
 
 
