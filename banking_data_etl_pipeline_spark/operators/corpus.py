@@ -1629,6 +1629,107 @@ def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).orderBy("source")
 
 
+def _heaps_spine(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_ranges: int = 16,
+) -> tuple[DataFrame, int]:
+    """The cumulative (tokens, types) spine for ``heaps_law`` as a
+    DISTRIBUTED two-pass prefix sum — the shape a 100 TB corpus needs,
+    where a bare ``Window.orderBy`` cumsum would collapse every per-doc
+    row onto one reducer:
+
+      pass 0: doc-id bounds (one 1-row aggregate) define ``n_ranges``
+        equal-width buckets — DETERMINISTIC integer arithmetic, unlike
+        repartitionByRange's sampled boundaries, so the bucket id is
+        stable across the subtotal job and the spine job;
+      pass 1: per-bucket subtotals (Σ tokens, Σ new types, row count)
+        — one map-side-combined groupBy, ``n_ranges`` rows collected;
+      pass 2: the driver folds subtotals into EXCLUSIVE per-bucket
+        offsets (broadcast as an n_ranges-row literal frame) and each
+        bucket runs a LOCAL window cumsum (partitionBy bucket) on top
+        of its offset.
+
+    Returns (spine, n_docs): spine = (d, cum_tokens, cum_types, rn)
+    with rn the 1-based global doc rank in ``id_col`` order; n_docs a
+    driver int (from the pass-1 subtotals — no extra count job).
+    Empty corpus → (empty frame, 0)."""
+    toks = docs.select(
+        F.col(id_col).alias("d"),
+        F.explode(texttools.tokens(F.col(text_col))).alias("token"),
+    )
+    per_doc = toks.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    first = toks.groupBy("token").agg(F.min("d").alias("d"))
+    new_types = first.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    base = per_doc.join(new_types, "d", "left").select(
+        "d",
+        "n_tok",
+        F.coalesce("n_new", F.lit(0).cast("bigint")).alias("n_new"),
+    )
+    spark = docs.sparkSession
+    bounds = base.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        empty = spark.createDataFrame(
+            [], "d bigint, cum_tokens bigint, cum_types bigint, rn bigint"
+        )
+        return empty, 0
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = hi - lo + 1
+    pid = F.floor(
+        (F.col("d").cast("bigint") - F.lit(lo)) * F.lit(n_ranges)
+        / F.lit(span)
+    ).cast("int")
+    staged = base.withColumn("pid", pid)
+    subs = sorted(
+        (
+            int(r["pid"]),
+            int(r["s_tok"]),
+            int(r["s_new"]),
+            int(r["n_rows"]),
+        )
+        for r in staged.groupBy("pid")
+        .agg(
+            F.sum("n_tok").cast("bigint").alias("s_tok"),
+            F.sum("n_new").cast("bigint").alias("s_new"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .collect()
+    )
+    offs, o_tok, o_new, o_rows = [], 0, 0, 0
+    for p, s_tok, s_new, n_rows in subs:
+        offs.append((p, o_tok, o_new, o_rows))
+        o_tok, o_new, o_rows = o_tok + s_tok, o_new + s_new, o_rows + n_rows
+    off_df = spark.createDataFrame(
+        offs, "pid int, off_tok bigint, off_new bigint, off_rows bigint"
+    )
+    w = Window.partitionBy("pid").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spine = staged.join(F.broadcast(off_df), "pid").select(
+        "d",
+        (F.col("off_tok") + F.sum("n_tok").over(w))
+        .cast("bigint")
+        .alias("cum_tokens"),
+        (F.col("off_new") + F.sum("n_new").over(w))
+        .cast("bigint")
+        .alias("cum_types"),
+        (
+            F.col("off_rows")
+            + F.row_number().over(Window.partitionBy("pid").orderBy("d"))
+        )
+        .cast("bigint")
+        .alias("rn"),
+    )
+    return spine, o_rows
+
+
 def heaps_law(
     docs: DataFrame,
     n_checkpoints: int = 16,
@@ -1645,56 +1746,33 @@ def heaps_law(
 
     Scale shape: cumulative TYPES need each token's first occurrence —
     one min(doc_id) groupBy on the token (map-side combined), then new
-    types per doc is a doc-keyed count; cumulative counts are ONE
-    global-window cumsum over per-doc rows (doc-count scale, not token
-    scale; at 100 TB range-partition the running sum by doc-id range —
-    same output contract). Checkpoint selection is integer arithmetic
-    (every ceil(n/k)-th doc-rank plus the final row). The fitted frame
-    is ``n_checkpoints`` literal rows (the zipf_fit inline-frame
-    precedent), aggregated with regr_* at 4 dp.
+    types per doc is a doc-keyed count; cumulative counts are a
+    TWO-PASS PARTITIONED PREFIX SUM over the per-doc rows (the r11
+    docstring remedy, now the real code path): docs bucket by doc-id
+    range (deterministic integer arithmetic off the min/max bounds —
+    no sampling, so re-evaluation across jobs is stable), pass 1
+    reduces per-bucket subtotals (``n_ranges`` rows, collected —
+    bounded), the driver turns them into exclusive offsets, and pass 2
+    is a PARTITIONED window cumsum (partitionBy bucket) plus the
+    broadcast offset — never an ``Exchange SinglePartition`` over the
+    spine (plan-asserted in test_plan_quality). Checkpoint selection
+    is integer arithmetic (every ceil(n/k)-th doc-rank plus the final
+    row). The fitted frame is ``n_checkpoints`` literal rows (the
+    zipf_fit inline-frame precedent), aggregated with regr_* at 4 dp.
 
     Returns one row (n_points, beta, ln_k, r2)."""
-    toks = docs.select(
-        F.col(id_col).alias("d"),
-        F.explode(texttools.tokens(F.col(text_col))).alias("token"),
-    )
-    per_doc = toks.groupBy("d").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tok")
-    )
-    first = toks.groupBy("token").agg(F.min("d").alias("d"))
-    new_types = first.groupBy("d").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_new")
-    )
-    w = Window.orderBy("d").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    spine = (
-        per_doc.join(new_types, "d", "left")
-        .select(
-            "d",
-            F.sum("n_tok").over(w).alias("cum_tokens"),
-            F.sum(F.coalesce("n_new", F.lit(0).cast("bigint")))
-            .over(w)
-            .alias("cum_types"),
-            F.row_number().over(Window.orderBy("d")).alias("rn"),
-            F.count(F.lit(1))
-            .over(
-                Window.orderBy("d").rowsBetween(
-                    Window.unboundedPreceding,
-                    Window.unboundedFollowing,
-                )
-            )
-            .alias("n_docs"),
+    spine, n_docs = _heaps_spine(docs, text_col, id_col)
+    if n_docs == 0:
+        rows: list[tuple[int, int]] = []
+    else:
+        stride = (n_docs + n_checkpoints - 1) // n_checkpoints
+        pts = spine.filter(
+            (F.col("rn") % stride == 0) | (F.col("rn") == n_docs)
+        ).select("cum_tokens", "cum_types")
+        rows = sorted(
+            (int(r["cum_tokens"]), int(r["cum_types"]))
+            for r in pts.collect()
         )
-    )
-    stride = F.expr(f"(n_docs + {n_checkpoints} - 1) DIV {n_checkpoints}")
-    pts = spine.filter(
-        (F.col("rn") % stride == 0) | (F.col("rn") == F.col("n_docs"))
-    ).select("cum_tokens", "cum_types")
-    rows = sorted(
-        (int(r["cum_tokens"]), int(r["cum_types"]))
-        for r in pts.collect()
-    )
     lf = docs.sparkSession.createDataFrame(
         rows, "cum_tokens bigint, cum_types bigint"
     )

@@ -919,9 +919,15 @@ def rbo_overlap(
     The truncated sum maxes out at 1-p^k (identical prefixes), so the
     result is NORMALIZED by that constant — rbo = 1 iff the two
     prefixes agree exactly at every depth, the usual RBO@k reading.
+    That constant is only the max for EXACT-k runs, so the plan
+    ENFORCES the precondition with an in-plan ``raise_error`` guard
+    (r11 advice): a per-query run shorter than k would silently
+    under-normalize — fail loudly instead (the msprt_stream
+    non-negativity pattern). A query absent from run_b entirely is
+    fine (disjoint prefixes, rbo 0).
 
-    Inputs: (query_id, vec_id, rank) frames, rank 1-based, <= k.
-    Returns (query_id, n_common, rbo) — rbo in [0, 1]."""
+    Inputs: (query_id, vec_id, rank) frames, rank 1-based, == k rows
+    per query. Returns (query_id, n_common, rbo) — rbo in [0, 1]."""
     wts = [
         (1.0 - p) * sum(p ** (d - 1) / d for d in range(m, k + 1))
         for m in range(1, k + 1)
@@ -943,15 +949,35 @@ def rbo_overlap(
             F.sum(t12.cast("decimal(32,12)")).cast("double").alias("_s"),
         )
     )
-    qids = run_a.select("query_id").distinct()
-    return qids.join(agg, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias(
-            "n_common"
-        ),
-        F.round(
-            F.coalesce(F.col("_s"), F.lit(0.0))
-            / F.lit(float(1.0 - p**k)),
-            6,
-        ).alias("rbo"),
+    sz_a = run_a.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_na")
+    )
+    sz_b = run_b.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nb")
+    )
+    run_ok = (F.col("_na") == k) & (
+        F.coalesce(F.col("_nb"), F.lit(k)).cast("bigint") == k
+    )
+    rbo = F.round(
+        F.coalesce(F.col("_s"), F.lit(0.0)) / F.lit(float(1.0 - p**k)),
+        6,
+    )
+    return (
+        sz_a.join(agg, "query_id", "left")
+        .join(sz_b, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias(
+                "n_common"
+            ),
+            F.when(run_ok, rbo)
+            .otherwise(
+                F.expr(
+                    "CAST(raise_error('rbo_overlap: a per-query run is"
+                    " not exactly k rows — the 1-p^k normalization"
+                    " would be wrong') AS DOUBLE)"
+                )
+            )
+            .alias("rbo"),
+        )
     )

@@ -2103,7 +2103,16 @@ def prefix_recall(
     2022): how much of the true top-k survives if only the first
     d' dimensions ship to the index tier. One equi-join over two
     top-k-sized runs + a groupBy; model-parameter scale at any corpus
-    size. Returns (query_id, n_common, recall), recall 6 dp."""
+    size.
+
+    The denominator is the PER-QUERY truth-run row count, not the
+    literal ``k`` (r11 advice): a truth run shorter than k (corpus
+    smaller than k+1, filtered runs) must report recall over the
+    neighbours that actually exist, not a deflated /k ratio. ``k`` is
+    kept as the documented nominal depth only.
+
+    Returns (query_id, n_common, recall), recall 6 dp."""
+    del k  # nominal depth only; the denominator is the actual run size
     a = full_run.select("query_id", "vec_id")
     b = pref_run.select("query_id", "vec_id")
     hits = (
@@ -2111,15 +2120,17 @@ def prefix_recall(
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
     )
-    qids = full_run.select("query_id").distinct()
-    return qids.join(hits, "query_id", "left").select(
+    truth_n = a.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_truth")
+    )
+    return truth_n.join(hits, "query_id", "left").select(
         "query_id",
         F.coalesce(F.col("n_common"), F.lit(0))
         .cast("bigint")
         .alias("n_common"),
         F.round(
             F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
-            / F.lit(float(k)),
+            / F.col("_n_truth").cast("double"),
             6,
         ).alias("recall"),
     )

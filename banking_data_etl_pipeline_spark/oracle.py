@@ -4566,15 +4566,20 @@ SELECT query_id, vec_id FROM ranked WHERE rank <= {k}"""
         f"list_slice(e.embedding, 1, {d_prefix})",
         f"list_slice(q.qvec, 1, {d_prefix})",
     )
+    # recall denominator = per-query TRUTH-run size, not the literal k
+    # (r11 advice: a truth run shorter than k must not deflate recall)
     return f"""WITH fa AS ({full}), pb AS ({pref}), hits AS (
   SELECT fa.query_id, CAST(count(*) AS BIGINT) AS n_common
   FROM fa JOIN pb USING (query_id, vec_id)
   GROUP BY fa.query_id
-), qs AS (SELECT DISTINCT query_id FROM fa)
-SELECT q.query_id, coalesce(h.n_common, 0) AS n_common,
-       round(CAST(coalesce(h.n_common, 0) AS DOUBLE) / {float(k)!r}, 6)
-         AS recall
-FROM qs q LEFT JOIN hits h USING (query_id)"""
+), truth AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+  FROM fa GROUP BY query_id
+)
+SELECT t.query_id, coalesce(h.n_common, 0) AS n_common,
+       round(CAST(coalesce(h.n_common, 0) AS DOUBLE)
+             / CAST(t.n_truth AS DOUBLE), 6) AS recall
+FROM truth t LEFT JOIN hits h USING (query_id)"""
 
 
 MASE_Q = """WITH hourly AS (

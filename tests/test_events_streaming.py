@@ -428,6 +428,9 @@ def test_stateful_totals_recovery_carries_state_across_restart(spark):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .collect()
     }
+    # a user with 0 < phase-2 count < total genuinely has events on
+    # BOTH sides of the restart (r11 advice: `< n` alone is satisfied
+    # by a phase-1-only user, making the guard nearly vacuous)
     assert any(
-        phase2_only.get(u, 0) < n for u, (n, _s) in got.items()
+        0 < phase2_only.get(u, 0) < n for u, (n, _s) in got.items()
     ), "parity split left no user spanning the restart boundary"

@@ -620,6 +620,32 @@ def test_bigram_pmi_totals_are_scalar_subqueries(spark):
             assert "partial_sum" in below, plan
 
 
+def test_heaps_spine_has_no_single_partition_window(spark):
+    """heaps_law's cumulative token/type spine must be the two-pass
+    partitioned prefix sum (r11 verdict item 2): a bare Window.orderBy
+    cumsum would plan `Exchange SinglePartition` over every per-doc
+    row — the window must be partitioned by the doc-id range bucket."""
+    from banking_data_etl_pipeline_spark.operators import corpus
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    spine, n_docs = corpus._heaps_spine(docs)
+    assert n_docs == docs.count()
+    plan = _plan(spine)
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan, plan
+    # the offsets side enters as a broadcast, never a shuffled join
+    assert "BroadcastHashJoin" in plan, plan
+    # the global rank and cumulative sums must agree with the naive
+    # single-partition spine on the fixture (correctness of the
+    # offset fold)
+    rows = spine.orderBy("d").collect()
+    assert [r.rn for r in rows] == list(range(1, n_docs + 1))
+    assert all(
+        a.cum_tokens < b.cum_tokens and a.cum_types <= b.cum_types
+        for a, b in zip(rows, rows[1:])
+    )
+
+
 def test_zorder_stats_rectangles_bounded(spark):
     """Fixed-width curve buckets must (a) partition the rows exactly
     and (b) bound each rectangle: the top 4 key bits are the top 2
