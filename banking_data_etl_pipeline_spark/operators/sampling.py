@@ -497,12 +497,20 @@ def negative_samples(
     modulo bias is irrelevant for negative sampling and documented
     here).
 
-    Scale shape: the vocab table is Zipf-small and BROADCASTS; the
-    draw→token interval lookup is a broadcast range join (draw count
-    × vocab comparisons — the source_divergence pattern; production
-    would bucket the CDF into equal-width cells for an equi-join,
-    same output contract). The per-token weight/CDF build is one
-    token groupBy plus one vocab-sized window.
+    Scale shape: the vocab table is Zipf-small and BROADCASTS, and the
+    draw→token interval lookup is a bucketed EQUI-JOIN (the r11
+    verdict's production shape, now the real code path): the CDF is
+    quantized into ``n_cells`` equal-width integer cells (cell width =
+    ceil(total/n_cells), exact integer DIV), each token explodes to
+    the cells its interval overlaps (Σ ≤ vocab + n_cells rows — still
+    broadcast-sized), each draw computes its cell with the same DIV,
+    and the join hashes on the cell with the residual interval
+    predicate (cum-wq ≤ target < cum) as a post-join filter — a
+    BroadcastHashJoin probing ~1 token per draw, never a
+    per-draw × per-vocab nested-loop comparison. The corpus total
+    enters as an in-plan SCALAR SUBQUERY (no 1-row crossJoin). The
+    per-token weight/CDF build is one token groupBy plus one
+    vocab-sized window.
 
     Returns (doc_id, draw_idx, neg_token)."""
     from ..functions import texttools
@@ -527,6 +535,7 @@ def negative_samples(
         .cast("bigint")
         .alias("cum"),
     )
+    n_cells = 4096
     total = cdf.agg(F.max("cum").alias("t")).scalar()
     # k draw rows per doc without a cross join: a literal array explode
     draws = docs.select(
@@ -544,13 +553,38 @@ def negative_samples(
         16,
         10,
     ).cast("long")
+    # exact-integer cell width shared by both sides (DIV, never float)
+    cw = f"(_t + {n_cells - 1}) DIV {n_cells}"
     targeted = draws.select(
-        "doc_id", "draw_idx", (u32 % total).alias("target")
+        "doc_id",
+        "draw_idx",
+        (u32 % total).alias("target"),
+        total.alias("_t"),
+    ).select(
+        "doc_id",
+        "draw_idx",
+        "target",
+        F.expr(f"target DIV ({cw})").alias("cell"),
+    )
+    cells = (
+        cdf.select("token", "wq", "cum", total.alias("_t"))
+        .select(
+            "token",
+            "wq",
+            "cum",
+            F.explode(
+                F.sequence(
+                    F.expr(f"(cum - wq) DIV ({cw})"),
+                    F.expr(f"(cum - 1) DIV ({cw})"),
+                )
+            ).alias("cell"),
+        )
     )
     hit = targeted.join(
-        F.broadcast(cdf),
+        F.broadcast(cells),
         (F.col("target") >= F.col("cum") - F.col("wq"))
-        & (F.col("target") < F.col("cum")),
+        & (F.col("target") < F.col("cum"))
+        & (targeted["cell"] == cells["cell"]),
     )
     return hit.select(
         "doc_id", "draw_idx", F.col("token").alias("neg_token")

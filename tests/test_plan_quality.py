@@ -382,11 +382,11 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "brier_eval",
         # 1-row margins crossJoin against the 1-row unit reduction
         "judge_alpha",
-        # broadcast RANGE join of draws against the Zipf-small vocab
-        # CDF (the source_divergence pattern; production would bucket
-        # the CDF for an equi-join, per the operator docstring)
-        "negative_samples",
     }
+    # r12: negative_samples left this allowlist — its draw→interval
+    # lookup is now a bucketed-cell BroadcastHashJoin (the production
+    # shape the r11 docstring promised), so the sweep holds it to the
+    # no-BNLJ standard like everything else
     # collect ALL violations before asserting: a first-failure abort
     # masks every later name in the sorted sweep (theta_sketch hid
     # behind ann_pq_prebuilt for a full round)
@@ -618,6 +618,20 @@ def test_bigram_pmi_totals_are_scalar_subqueries(spark):
         if "Exchange SinglePartition" in ln:
             below = "\n".join(lines[i + 1 : i + 3])
             assert "partial_sum" in below, plan
+
+
+def test_negative_samples_joins_on_cdf_cell(spark):
+    """The draw→token interval lookup must hash on the quantized CDF
+    cell (r11 verdict item 3): a BroadcastHashJoin with the interval
+    residual as a filter, never a nested-loop range join over
+    draws × vocab."""
+    from banking_data_etl_pipeline_spark.operators import sampling
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    plan = _plan(sampling.negative_samples(docs))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_heaps_spine_has_no_single_partition_window(spark):
