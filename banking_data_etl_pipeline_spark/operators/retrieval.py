@@ -396,13 +396,17 @@ def phrase_search(
     occurrence POSITIONS (overlaps included), one row per matching
     document per phrase."""
     toks = texttools.tokens(F.col(text_col))
-    base = docs.select(F.col(id_col), toks.alias("toks"))
-    # positional-index persist: both phrase words probe it. Caller-owned,
-    # like ``graph.triangle_counts`` — unpersist or clearCache when done
-    # (bench.py and the parity gate already do).
+    # tokenized-corpus persist: the bigram query derivation AND both
+    # phrase-word probes read it, so tokenization runs once, not three
+    # times (r12: this was the r10->r11 phrase_search drift — the
+    # positional persist alone still re-tokenized for the bigram
+    # pass). Caller-owned, like ``graph.triangle_counts`` — unpersist
+    # or clearCache when done (bench.py and the parity gate already
+    # do).
+    base = docs.select(F.col(id_col), toks.alias("toks")).persist()
     pos = base.select(
         id_col, F.posexplode("toks").alias("pos", "token")
-    ).persist()
+    )
     bigrams = base.select(
         F.explode(
             F.expr(

@@ -1229,10 +1229,14 @@ def msprt_stream(
     values are non-negative, so the per-key MAX of each column is the
     terminal row — the ``topk_users_stream`` batch-equivalence
     argument. A negative value would make the running sums
-    non-monotone and silently break that equivalence, so the armed
-    projection ENFORCES the precondition with an in-plan
-    ``raise_error`` guard (fail loudly, never diverge silently from
-    the batch oracle). Oracle: the batch MSPRT_Q must match exactly.
+    non-monotone and silently break that equivalence, so the plan
+    ENFORCES the precondition with an in-plan ``raise_error`` guard
+    (fail loudly, never diverge silently from the batch oracle) — at
+    the AGGREGATE level (r12): the streaming state carries min(v) per
+    key and the terminal select trips the guard if any key ever saw a
+    negative, one branch per (day, arm) key instead of a per-row CASE
+    in the hot path (the per-row form cost ~0.3s/run at sf0.1).
+    Oracle: the batch MSPRT_Q must match exactly.
 
     State is bounded by days × 2 arms keys; at 100 TB the same plan
     runs with a watermark on the day window to expire closed days —
@@ -1252,19 +1256,14 @@ def msprt_stream(
                 "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1),"
                 " 16, 10) AS INT) % 2"
             ).alias("arm"),
-            F.expr(
-                "CASE WHEN CAST(value AS DOUBLE) >= 0.0"
-                " THEN CAST(value AS DOUBLE)"
-                " ELSE CAST(raise_error(concat('msprt_stream: negative"
-                " value breaks the terminal-row monotonicity rule: ',"
-                " CAST(value AS STRING))) AS DOUBLE) END"
-            ).alias("v"),
+            F.expr("CAST(value AS DOUBLE)").alias("v"),
         )
     )
     agg = armed.groupBy("day", "arm").agg(
         F.expr("CAST(count(*) AS BIGINT)").alias("cnt"),
         F.expr(dsum.format(x="v")).alias("s"),
         F.expr(dsum.format(x="v * v")).alias("q"),
+        F.min("v").alias("mn"),
     )
     with _state_partitions(spark, 16):
         q = (
@@ -1277,7 +1276,25 @@ def msprt_stream(
         q.awaitTermination()
     drained = spark.sql(f"SELECT * FROM {name}")
     terminal = drained.groupBy("day", "arm").agg(
-        F.max("cnt").alias("cnt"), F.max("s").alias("s"), F.max("q").alias("q")
+        F.max("cnt").alias("cnt"),
+        F.max("s").alias("s"),
+        F.max("q").alias("q"),
+        F.min("mn").alias("mn"),
+    ).select(
+        "day",
+        "arm",
+        # the monotonicity precondition, checked once per key: any
+        # negative value anywhere makes the terminal-MAX drain unsound
+        F.when(
+            F.col("mn") >= 0, F.col("cnt")
+        ).otherwise(
+            F.expr(
+                "CAST(raise_error('msprt_stream: negative value breaks"
+                " the terminal-row monotonicity rule') AS BIGINT)"
+            )
+        ).alias("cnt"),
+        "s",
+        "q",
     )
     daily = terminal.groupBy("day").agg(
         F.sum(F.when(F.col("arm") == 1, F.col("cnt")).otherwise(0))

@@ -24,7 +24,13 @@ time regressed >1.4x and >0.3s vs the committed previous
 bench_result.json is re-timed in ISOLATION (n=3, min) after the
 battery, and the JSON line's `regression_deltas` field carries a
 confirmed/noise verdict per query — the manual procedure SCALE.md's
-bench notes document from r3-r6, automated.
+bench notes document from r3-r6, automated. THREE baselines feed the
+same gate (r11 verdict item 1): the last run (bench_result.json), the
+intra-round anchor (BENCH_ANCHOR.json), and the PREVIOUS ROUND'S
+COMMITTED CLOSE (highest-numbered BENCH_r{N}.json — never overwritten
+after a round closes), so a drift that lands mid-round and then
+becomes its own anchor still gets adjudicated against the last close
+(`round_over_round_deltas`).
 
 Each query is forced end-to-end with a noop write (full computation,
 no driver-side collect). The flagship `pipeline_enriched` is the
@@ -419,8 +425,13 @@ def main() -> None:
         try:
             with open(path, encoding="utf-8") as f:
                 doc = json.load(f)
+            # driver-committed BENCH_r{N}.json wraps the metric line
+            # in a "parsed" key; bench_result.json / BENCH_ANCHOR.json
+            # are the bare line
+            if isinstance(doc.get("parsed"), dict):
+                doc = doc["parsed"]
             if doc.get("sf") == float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]):
-                return doc.get("queries", {})
+                return doc.get("queries", {}) or {}
         except (OSError, ValueError):
             pass
         return {}
@@ -435,6 +446,27 @@ def main() -> None:
     # touched by ordinary runs), so the same gate against it catches
     # anything that drifted since the last round closed.
     anchor = _load_warm_map(os.path.join(here, "BENCH_ANCHOR.json"))
+    # CROSS-ROUND axis (r11 verdict item 1): BENCH_ANCHOR advances with
+    # every intra-round battery, so a drift that lands between round
+    # closes is never adjudicated against the PREVIOUS ROUND's close
+    # (stream_msprt 1.50->2.40s and phrase_search 1.15->1.64s crossed
+    # r10->r11 unchecked). BENCH_CLOSE_r{N}.json is a copy of the
+    # FINAL bench_result.json of round N, committed once at that
+    # round's close and never touched again (the driver's own
+    # BENCH_r{N}.json can carry parsed:null when stdout truncates, so
+    # the repo keeps its own authoritative close snapshots). The
+    # highest-numbered one is the previous-round baseline.
+    import glob
+    import re
+
+    round_files = sorted(
+        glob.glob(os.path.join(here, "BENCH_CLOSE_r*.json")),
+        key=lambda p: int(
+            re.search(r"BENCH_CLOSE_r(\d+)\.json$", p).group(1)
+        ),
+    )
+    prev_round_file = round_files[-1] if round_files else ""
+    prev_round = _load_warm_map(prev_round_file) if prev_round_file else {}
 
     # Warm the JVM/codegen paths once so per-query numbers measure the
     # plan, not first-call JIT (the driver anchor is steady-state too).
@@ -460,10 +492,15 @@ def main() -> None:
     def _is_regression(now: float, before: float) -> bool:
         # Sub-second queries flap across the 1.4x ratio between battery
         # samples (r10 close: 17 flags, 7 manual cap overflows, all
-        # noise) — for them only a >1s absolute jump is worth a
-        # re-timing; ratio+0.3s still guards everything >= 1s.
+        # noise) — for them a >1s absolute jump, OR a >3x ratio that
+        # lands above 0.5s, is worth a re-timing (r11 advice: the
+        # absolute-only rule let a 0.1->1.0s 10x creep compound
+        # unflagged round over round); ratio+0.3s still guards
+        # everything >= 1s.
         if before < 1.0:
-            return now - before > 1.0
+            return (now - before > 1.0) or (
+                now > 3.0 * before and now > 0.5
+            )
         return now > 1.4 * before and now - before > 0.3
 
     flagged_prev = [
@@ -474,6 +511,10 @@ def main() -> None:
         n for n in BENCH_QUERIES
         if n in anchor and _is_regression(warm[n], anchor[n])
     ]
+    flagged_round = [
+        n for n in BENCH_QUERIES
+        if n in prev_round and _is_regression(warm[n], prev_round[n])
+    ]
     # bound the re-timing pass: confirm the 24 largest absolute deltas
     # across BOTH baselines (one isolated n=3 per query, shared by both
     # sections), mark any overflow explicitly rather than dropping it
@@ -481,9 +522,11 @@ def main() -> None:
     # close into hand adjudication; with the sub-second pre-filter
     # above, 24 comfortably covers every plausible real flag set
     to_retime = sorted(
-        set(flagged_prev) | set(flagged_anchor),
+        set(flagged_prev) | set(flagged_anchor) | set(flagged_round),
         key=lambda n: -max(
-            warm[n] - prev.get(n, warm[n]), warm[n] - anchor.get(n, warm[n])
+            warm[n] - prev.get(n, warm[n]),
+            warm[n] - anchor.get(n, warm[n]),
+            warm[n] - prev_round.get(n, warm[n]),
         ),
     )
     retimed: dict[str, float] = {}
@@ -515,6 +558,9 @@ def main() -> None:
 
     deltas = _delta_section(flagged_prev, prev, "prev_warm")
     anchor_deltas = _delta_section(flagged_anchor, anchor, "anchor_warm")
+    round_deltas = _delta_section(
+        flagged_round, prev_round, "prev_round_close_warm"
+    )
 
     # rows/sec for the flagship against the 1M/252s baseline anchor
     # (cold, like the anchor's single fresh run) PLUS the warm
@@ -553,6 +599,8 @@ def main() -> None:
             "flagship_warm_rows_per_sec": flag_rps_warm,
             "regression_deltas": deltas,
             "round_anchor_deltas": anchor_deltas,
+            "round_over_round_deltas": round_deltas,
+            "round_over_round_baseline": os.path.basename(prev_round_file),
         }
     )
     with open(
