@@ -728,6 +728,18 @@ def stream_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_recovery_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-recovery proof for the BUILT-IN aggregation state
+    store (stream_recovery covers the applyInPandasWithState path):
+    the msprt partial sums driven across a kill-and-restart boundary
+    via a foreachBatch parquet sink sharing one checkpoint. The
+    readout must equal the batch MSPRT_Q over the full table, which
+    only holds if the restarted query recovered phase 1's (day, arm)
+    sums from the state store."""
+    tune_for_oracle(spark)
+    return EV.msprt_recovery(spark, tables.load(spark, sf_dir, "events"))
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup (dropDuplicatesWithinWatermark): the feed plays
     the events file TWICE (two symlinks = exact duplicate rows); the

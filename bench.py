@@ -342,6 +342,8 @@ BENCH_QUERIES = [
     "negative_samples",
     "position_attribution",
     "pareto_cut",
+    # round 12 additions
+    "stream_recovery_msprt",
 ]
 
 

@@ -306,6 +306,7 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "hits",  # iterative half-steps (persist+materialize per round)
         "hits_prebuilt",  # same loop over the staged edge copies
         "stream_recovery",  # runs two checkpointed streams eagerly
+        "stream_recovery_msprt",  # same, over the built-in agg state
         "stream_cms_ngrams",  # runs its stream eagerly at build
         "stream_p95",  # runs its stream eagerly at build
         "stream_hll",  # runs its stream eagerly at build
