@@ -7303,6 +7303,81 @@ ORDER BY cosine DESC NULLS LAST, common_terms DESC, doc_a ASC,
 LIMIT 50"""
 
 
+def tfidf_recall_sql(
+    n_slice: int = 300, df_cap: int = 20, top: int = 50
+) -> str:
+    """Twin of operators.dedup.tfidf_recall: the TFIDF_ALLPAIRS_Q
+    machinery run twice over the lowest-doc_id slice — blocked
+    (df ≤ cap candidate generation) and exact (every shared term) —
+    then set recall of the blocked top-k against the exact top-k."""
+
+    def top_pairs(name: str, block: bool) -> str:
+        where = (
+            f"WHERE ra.df <= {df_cap} AND rb.df <= {df_cap}"
+            if block
+            else ""
+        )
+        return f"""cand_{name} AS (
+  SELECT DISTINCT ra.doc AS doc_a, rb.doc AS doc_b
+  FROM weighted ra JOIN weighted rb
+    ON ra.term = rb.term AND ra.doc < rb.doc
+  {where}
+), dots_{name} AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(count(*) AS BIGINT) AS common_terms,
+    sum(CAST(ta.w * tb.w AS DECIMAL(28,12))) AS dot
+  FROM cand_{name} c
+  JOIN weighted ta ON ta.doc = c.doc_a
+  JOIN weighted tb ON tb.doc = c.doc_b AND tb.term = ta.term
+  GROUP BY 1, 2
+), top_{name} AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT d.doc_a, d.doc_b, d.common_terms,
+      CASE WHEN na.norm * nb.norm > 0 THEN
+        round(CAST(d.dot AS DOUBLE) / (na.norm * nb.norm), 6)
+      END AS cosine
+    FROM dots_{name} d JOIN norms na ON na.doc = d.doc_a
+                       JOIN norms nb ON nb.doc = d.doc_b
+    ORDER BY cosine DESC NULLS LAST, common_terms DESC,
+             d.doc_a ASC, d.doc_b ASC
+    LIMIT {top}
+  )
+)"""
+
+    return f"""WITH sl AS (
+  SELECT * FROM documents ORDER BY doc_id ASC LIMIT {n_slice}
+), terms AS (
+  SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id AS doc, unnest({_word_shingles(TOKS, 2)}) AS term
+        FROM sl)
+  GROUP BY 1, 2
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM sl
+), dfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM terms GROUP BY 1
+), weighted AS (
+  SELECT doc, term, df,
+    CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+      AS w
+  FROM terms JOIN dfq USING (term) CROSS JOIN nd
+), norms AS (
+  SELECT doc,
+    sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS norm
+  FROM weighted GROUP BY 1
+), {top_pairs("b", True)}, {top_pairs("e", False)}, hit AS (
+  SELECT e.doc_a, e.doc_b
+  FROM top_e e JOIN top_b b USING (doc_a, doc_b)
+)
+SELECT (SELECT n FROM nd) AS n_docs,
+  (SELECT CAST(count(*) AS BIGINT) FROM top_e) AS n_exact,
+  (SELECT CAST(count(*) AS BIGINT) FROM top_b) AS n_blocked,
+  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+  CASE WHEN (SELECT count(*) FROM top_e) > 0 THEN
+    round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+          / CAST((SELECT count(*) FROM top_e) AS DOUBLE), 6)
+  END AS recall"""
+
+
 # --- round 11d: Theil-Sen / Brier decomposition / Krippendorff alpha
 
 THEIL_SEN_Q = f"""WITH daily AS ({_DAILY_COUNTS}),

@@ -3369,6 +3369,14 @@ def tfidf_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.tfidf_allpairs(tables.load(spark, sf_dir, "documents"))
 
 
+def tfidf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of tfidf_allpairs' df<=20 blocking vs the exact
+    all-shared-term top-50 on the lowest-300-doc_id audit slice —
+    the exact twin every approximate family carries."""
+    tune_for_oracle(spark)
+    return dedup.tfidf_recall(tables.load(spark, sf_dir, "documents"))
+
+
 def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend slope per event type (median pairwise
     slope — the magnitude companion to mann_kendall)."""

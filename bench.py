@@ -344,6 +344,7 @@ BENCH_QUERIES = [
     "pareto_cut",
     # round 12 additions
     "stream_recovery_msprt",
+    "tfidf_recall",
 ]
 
 
