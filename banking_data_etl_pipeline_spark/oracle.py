@@ -3048,6 +3048,72 @@ SELECT media_id, kind, CAST(n AS BIGINT) AS n_body,
        string_agg(bit, '' ORDER BY blk) AS phash
 FROM bits GROUP BY media_id, kind, n"""
 
+# Twin of multimodal.binaryops.decode_ppm over synthesize_ppm's
+# uncompressed P6 lane: the Spark side REALLY decodes (header
+# tokenizer + raster bytes); the twin recomputes the per-channel
+# sums from the synthesis arithmetic (pixel i of doc d is
+# (d*131 + i*17) % 256, channel i%3) with no byte access at all —
+# agreement proves the decoder read every raster byte correctly.
+MEDIA_DECODE_Q = """WITH d AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 13 AS width,
+         8 + doc_id % 11 AS height
+  FROM documents
+), px AS (
+  SELECT media_id, width, height,
+         unnest(range(0, width * height * 3)) AS i
+  FROM d
+), v AS (
+  SELECT media_id, width, height, i % 3 AS ch,
+         (media_id * 131 + i * 17) % 256 AS val
+  FROM px
+)
+SELECT media_id,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(255 AS INT) AS maxval,
+       CAST(width AS BIGINT) * height AS n_px,
+       CAST(sum(CASE WHEN ch = 0 THEN val END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN ch = 1 THEN val END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN ch = 2 THEN val END) AS BIGINT) AS sum_b
+FROM v GROUP BY media_id, width, height"""
+
+# Twin of multimodal.binaryops.decode_pcm over the WAV lane (odd
+# doc_ids): the data chunk carries exactly the UTF-8 body, so sample
+# j is the little-endian int16 at body bytes (2j, 2j+1) — recomputed
+# here from hex(body) byte pairs; a trailing odd byte is not a
+# sample. Zero-crossing = adjacent sign changes (negative vs
+# non-negative), via lag.
+MEDIA_PCM_Q = """WITH m AS (
+  SELECT doc_id AS media_id, encode(text) AS body
+  FROM documents WHERE doc_id % 2 = 1
+), b AS (
+  SELECT media_id, octet_length(body) AS nb, hex(body) AS hx FROM m
+  WHERE octet_length(body) >= 2
+), s AS (
+  SELECT media_id, unnest(range(0, nb // 2)) AS j, hx FROM b
+), u AS (
+  SELECT media_id, j,
+         CAST('0x' || substring(hx, CAST(j AS INT) * 4 + 3, 2)
+                   || substring(hx, CAST(j AS INT) * 4 + 1, 2) AS INT) AS uv
+  FROM s
+), sv AS (
+  SELECT media_id, j,
+         CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS v
+  FROM u
+), zc AS (
+  SELECT media_id, v,
+         lag(v) OVER (PARTITION BY media_id ORDER BY j) AS pv
+  FROM sv
+)
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sum_amp,
+       CAST(max(abs(v)) AS INT) AS peak_abs,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+FROM zc GROUP BY media_id"""
+
 
 def pretrain_export_sql(min_quality: float = 0.5, lang: str = "en") -> str:
     """Twin of operators.corpus.pretrain_export: the corpus_filter

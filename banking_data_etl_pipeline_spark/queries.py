@@ -3503,3 +3503,24 @@ def pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.load(spark, sf_dir, "orders"),
         tables.load(spark, sf_dir, "customer"),
     )
+
+
+def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over the uncompressed-PPM lane: per-channel
+    exact pixel sums from a genuine P6 header+raster parse (the
+    DuckDB twin recomputes the stats from the synthesis arithmetic,
+    proving the decoder read every byte correctly)."""
+    tune_for_oracle(spark)
+    media = binaryops.synthesize_ppm(tables.load(spark, sf_dir, "documents"))
+    return binaryops.decode_ppm(media)
+
+
+def media_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over the WAV lane: RIFF chunk walk to the
+    data chunk, int16-LE sample reinterpretation, exact integer signal
+    stats (count / amplitude sum / peak / zero crossings)."""
+    tune_for_oracle(spark)
+    media = binaryops.synthesize_media(
+        tables.load(spark, sf_dir, "documents")
+    ).filter(F.col("kind") == "audio")
+    return binaryops.decode_pcm(media)

@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "stream_sessionize_append",
     "media_metadata",
     "media_features",
+    "media_decode",
+    "media_pcm",
     "frame_sample",
     "vocab_topn",
     "tfidf_terms",
