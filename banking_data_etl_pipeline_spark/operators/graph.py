@@ -726,3 +726,77 @@ def itemitem_cf(
         F.asc("part_b"),
     ).limit(top)
     return out
+
+
+def bfs_depths(
+    lineitem: DataFrame,
+    max_depth: int = 8,
+    min_weight: int = 2,
+) -> DataFrame:
+    """Single-source BFS shortest-path depths over the repeated-
+    co-purchase graph (the kcore edge build: part pairs sharing
+    ≥ ``min_weight`` distinct orders), seeded at the minimum part id —
+    the level-synchronous frontier expansion every distributed graph
+    engine uses for unweighted shortest paths (Pregel's hello-world),
+    here as plain DataFrame ops.
+
+    Per level: ONE equi-join of the (small) frontier against the
+    symmetric edge list on the node key, a distinct, and an anti-join
+    against the visited set — no pairwise work, no path enumeration
+    (walk-counting explodes combinatorially on dense graphs; the
+    visited anti-join is what keeps each node expanded exactly once).
+    The frontier/visited frames are eagerly ``localCheckpoint``ed per
+    level (the kcore lineage lesson) and the loop early-exits on an
+    empty frontier — ``max_depth`` bounds the diameter explored, so
+    the DuckDB twin's fixed unroll reproduces the result exactly.
+
+    Scale shape: visited grows to the reachable component, but every
+    join is node-keyed (co-partitioned under AQE); the per-level
+    frontier is broadcast when small. 100 TB of orders only densifies
+    the EDGE build (one groupBy + HAVING); the BFS itself is sized by
+    the part catalog, not the fact table.
+
+    Returns (part, depth), depth ∈ [0, max_depth], ordered by part."""
+    po = lineitem.select("l_orderkey", "l_partkey").distinct()
+    half = (
+        po.alias("a")
+        .join(po.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_weight)
+        .select("src", "dst")
+    )
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    seed = edges.agg(F.min("src").alias("s")).collect()[0]["s"]
+    spark = lineitem.sparkSession
+    if seed is None:
+        edges.unpersist()
+        return spark.createDataFrame([], "part bigint, depth int")
+    visited = spark.createDataFrame(
+        [(int(seed), 0)], "part bigint, depth int"
+    ).localCheckpoint()
+    frontier = visited.select("part")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            F.broadcast(frontier)
+            .join(edges, frontier["part"] == edges["src"])
+            .select(F.col("dst").cast("bigint").alias("part"))
+            .distinct()
+            .join(visited.select("part"), "part", "left_anti")
+            .select("part", F.lit(d).cast("int").alias("depth"))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        prev = visited
+        visited = visited.union(nxt).localCheckpoint()
+        prev.unpersist()
+        frontier = nxt.select("part")
+    edges.unpersist()
+    return visited.orderBy("part")

@@ -1146,3 +1146,159 @@ def pareto_cut(
         )
         .orderBy("c_mktsegment")
     )
+
+
+def _two_sample_spine(
+    events: DataFrame,
+    type_a: str,
+    type_b: str,
+    value_col: str = "value",
+    n_ranges: int = 16,
+) -> DataFrame:
+    """Shared cumulative spine for the rank/EDF two-sample tests
+    (``ks_two_sample``, ``mann_whitney``): per distinct value v of the
+    pooled samples, the counts (c_a, c_b) at v and the inclusive
+    cumulative counts (cum_a, cum_b) up to v in value order — i.e. the
+    un-normalized empirical CDFs of both samples evaluated at every
+    pooled jump point.
+
+    Scale shape: the distinct-value spine is data-sized, so the
+    cumulative counts are the TWO-PASS PARTITIONED PREFIX SUM (the
+    heaps_law remedy, corpus._heaps_spine): value-range buckets from
+    one min/max pass (deterministic double arithmetic — stable across
+    re-evaluation), per-bucket subtotals collected (``n_ranges`` rows),
+    driver-folded exclusive offsets broadcast back, and a LOCAL window
+    cumsum per bucket — never an ``Exchange SinglePartition`` over the
+    spine.
+
+    Returns (v, c_a, c_b, cum_a, cum_b) — all counts exact bigints."""
+    flagged = events.filter(
+        F.col("event_type").isin([type_a, type_b])
+    ).select(
+        F.col(value_col).alias("v"),
+        F.when(F.col("event_type") == type_a, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_a"),
+    )
+    per_v = flagged.groupBy("v").agg(
+        F.sum("is_a").alias("c_a"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("bigint").alias("c_b"),
+    )
+    spark = events.sparkSession
+    bounds = per_v.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    if bounds["lo"] is None:
+        return spark.createDataFrame(
+            [], "v double, c_a bigint, c_b bigint, cum_a bigint, cum_b bigint"
+        )
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    span = hi - lo
+    pid = (
+        F.lit(0).cast("int")
+        if span == 0.0
+        else F.least(
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(span) * n_ranges),
+            F.lit(n_ranges - 1),
+        ).cast("int")
+    )
+    staged = per_v.withColumn("pid", pid)
+    subs = sorted(
+        (int(r["pid"]), int(r["s_a"]), int(r["s_b"]))
+        for r in staged.groupBy("pid")
+        .agg(F.sum("c_a").alias("s_a"), F.sum("c_b").alias("s_b"))
+        .collect()
+    )
+    offs, o_a, o_b = [], 0, 0
+    for p, s_a, s_b in subs:
+        offs.append((p, o_a, o_b))
+        o_a, o_b = o_a + s_a, o_b + s_b
+    off_df = spark.createDataFrame(offs, "pid int, off_a bigint, off_b bigint")
+    w = Window.partitionBy("pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return staged.join(F.broadcast(off_df), "pid").select(
+        "v",
+        "c_a",
+        "c_b",
+        (F.col("off_a") + F.sum("c_a").over(w)).cast("bigint").alias("cum_a"),
+        (F.col("off_b") + F.sum("c_b").over(w)).cast("bigint").alias("cum_b"),
+    )
+
+
+def ks_two_sample(
+    events: DataFrame, type_a: str = "purchase", type_b: str = "click"
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the value
+    distributions of two event types — the standard distribution-free
+    "did this metric's shape move" screen next to psi_drift's binned
+    variant (Massey 1951). D = sup_v |F_a(v) - F_b(v)|, evaluated at
+    every pooled jump point via the shared prefix-sum spine
+    (``_two_sample_spine``) and kept EXACT by cross-multiplication:
+    d_num = max |cum_a·n_b - cum_b·n_a| is an integer, and D is the
+    single terminal division d_num / (n_a·n_b).
+
+    Returns one row (n_a, n_b, d_num, ks_d)."""
+    spine = _two_sample_spine(events, type_a, type_b)
+    totals = spine.agg(
+        F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
+    )
+    return (
+        spine.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            ).alias("diff"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("diff").cast("bigint").alias("d_num"))
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("ks_d"),
+        )
+    )
+
+
+def mann_whitney(
+    events: DataFrame, type_a: str = "purchase", type_b: str = "click"
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between two event types'
+    values — the nonparametric "is one sample stochastically larger"
+    companion to ks_two_sample's shape test (Mann & Whitney 1947).
+    Kept EXACT by doubling: with ties counting half,
+    2·U_a = Σ_v c_a(v)·(2·cum_b(v-) + c_b(v)) over the shared spine —
+    an integer (cum_b(v-) = the strictly-below cumulative). The rank-
+    biserial effect size r = 2U_a/(n_a·n_b) - 1 is one terminal
+    division off the exact integers.
+
+    Returns one row (n_a, n_b, u2x, rank_biserial) with u2x = 2·U_a."""
+    spine = _two_sample_spine(events, type_a, type_b)
+    totals = spine.agg(
+        F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
+    )
+    return (
+        spine.select(
+            (
+                F.col("c_a")
+                * (2 * (F.col("cum_b") - F.col("c_b")) + F.col("c_b"))
+            ).alias("contrib")
+        )
+        .agg(F.sum("contrib").cast("bigint").alias("u2x"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            "u2x",
+            (
+                F.col("u2x").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+                - F.lit(1.0)
+            ).alias("rank_biserial"),
+        )
+    )

@@ -912,3 +912,75 @@ def leadlag_ccf(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def kendall_tau(
+    events: DataFrame, type_x: str = "purchase", type_y: str = "click"
+) -> DataFrame:
+    """Kendall's tau-b rank correlation between two event types' daily
+    count series — the tie-robust companion to spearman_by_group
+    (Kendall 1945 tau-b: ties corrected in BOTH margins), the standard
+    "do these two feeds co-move" monitor.
+
+    Over all day pairs i<j: concordant when (x_j−x_i)(y_j−y_i) > 0,
+    discordant when < 0, and pairs tied in x (or y) shrink the
+    respective margin; tau_b = (nc − nd) / √((n0 − tx)(n0 − ty)) with
+    n0 = n(n−1)/2. Everything is exact integer counting until the
+    single terminal sqrt/division.
+
+    Scale shape: identical to mann_kendall — the feed collapses to
+    per-day integer counts first (map-side combined), so the pair
+    self-join is sized by days², which grows with CALENDAR TIME, not
+    data volume; the join is a broadcast of the daily aggregate.
+
+    Returns one row (n_days, concordant, discordant, ties_x, ties_y,
+    tau_b)."""
+    day_us = DAY_S * 1_000_000
+    daily = (
+        events.filter(F.col("event_type").isin([type_x, type_y]))
+        .select(
+            F.expr(f"unix_micros(ts) DIV {day_us}").alias("day"),
+            F.when(F.col("event_type") == type_x, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_x"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("is_x").alias("x"),
+            (F.count(F.lit(1)) - F.sum("is_x")).cast("bigint").alias("y"),
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    dx = F.col("b.x") - F.col("a.x")
+    dy = F.col("b.y") - F.col("a.y")
+    pairs = a.join(F.broadcast(b), F.col("a.day") < F.col("b.day")).select(
+        (dx * dy > 0).cast("bigint").alias("conc"),
+        (dx * dy < 0).cast("bigint").alias("disc"),
+        (dx == 0).cast("bigint").alias("tx"),
+        (dy == 0).cast("bigint").alias("ty"),
+    )
+    agg = pairs.agg(
+        F.sum("conc").cast("bigint").alias("concordant"),
+        F.sum("disc").cast("bigint").alias("discordant"),
+        F.sum("tx").cast("bigint").alias("ties_x"),
+        F.sum("ty").cast("bigint").alias("ties_y"),
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return agg.crossJoin(F.broadcast(n)).select(
+        "n_days",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        (
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.sqrt(
+                (
+                    (F.col("n0") - F.col("ties_x"))
+                    * (F.col("n0") - F.col("ties_y"))
+                ).cast("double")
+            )
+        ).alias("tau_b"),
+    )

@@ -7755,3 +7755,131 @@ SELECT c_mktsegment, n_seg AS n_customers, rk AS n_top80,
   round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
     AS spend_share
 FROM hit WHERE pick = 1 ORDER BY c_mktsegment"""
+
+
+# Shared EDF spine for the two-sample tests: per distinct pooled
+# value, counts and inclusive cumulative counts of each sample
+# (twin of operators.profiling._two_sample_spine — the window cumsum
+# here is the semantic spec; the Spark side computes it as the
+# two-pass partitioned prefix sum).
+_TWO_SAMPLE_SPINE = """
+  SELECT v, c_a, c_b,
+         CAST(sum(c_a) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(sum(c_b) OVER (ORDER BY v) AS BIGINT) AS cum_b
+  FROM (
+    SELECT value AS v,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c_a,
+           CAST(count(*)
+                - sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c_b
+    FROM events WHERE event_type IN ('purchase', 'click')
+    GROUP BY value
+  )
+"""
+
+# Twin of operators.profiling.ks_two_sample: D = sup|F_a - F_b| at
+# every pooled jump point, exact by cross-multiplication (d_num is an
+# integer; the only float op is the single terminal division).
+KS_DRIFT_Q = f"""WITH cum AS ({_TWO_SAMPLE_SPINE}),
+t AS (
+  SELECT max(cum_a) AS n_a, max(cum_b) AS n_b FROM cum
+)
+SELECT n_a, n_b,
+       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+         / CAST(n_a * n_b AS DOUBLE) AS ks_d
+FROM cum, t GROUP BY n_a, n_b"""
+
+# Twin of operators.profiling.mann_whitney: 2·U_a (exact integer via
+# the ties-count-half doubling) + the rank-biserial effect size.
+MANNWHITNEY_Q = f"""WITH cum AS ({_TWO_SAMPLE_SPINE}),
+t AS (
+  SELECT max(cum_a) AS n_a, max(cum_b) AS n_b FROM cum
+), u AS (
+  SELECT CAST(sum(c_a * (2 * (cum_b - c_b) + c_b)) AS BIGINT) AS u2x
+  FROM cum
+)
+SELECT n_a, n_b, u2x,
+       CAST(u2x AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+         - CAST(1.0 AS DOUBLE) AS rank_biserial
+FROM u, t"""
+
+# Twin of operators.timeseries.kendall_tau over the purchase/click
+# daily count series: exact concordant/discordant/tie pair counts,
+# one terminal sqrt/division for tau-b.
+KENDALL_TAU_Q = """WITH f AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_x
+  FROM events WHERE event_type IN ('purchase', 'click')
+), daily AS (
+  SELECT day, CAST(sum(is_x) AS BIGINT) AS x,
+         CAST(count(*) - sum(is_x) AS BIGINT) AS y
+  FROM f GROUP BY day
+), pairs AS (
+  SELECT CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS disc,
+         CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS tx,
+         CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS ty
+  FROM daily a JOIN daily b ON a.day < b.day
+), agg AS (
+  SELECT CAST(sum(conc) AS BIGINT) AS concordant,
+         CAST(sum(disc) AS BIGINT) AS discordant,
+         CAST(sum(tx) AS BIGINT) AS ties_x,
+         CAST(sum(ty) AS BIGINT) AS ties_y,
+         CAST(count(*) AS BIGINT) AS n0
+  FROM pairs
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily
+)
+SELECT n_days, concordant, discordant, ties_x, ties_y,
+       CAST(concordant - discordant AS DOUBLE)
+         / sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE)) AS tau_b
+FROM agg, n"""
+
+
+def bfs_depths_sql(max_depth: int = 8, min_weight: int = 2) -> str:
+    """Twin of operators.graph.bfs_depths: the kcore repeated-
+    co-purchase edge build, then ``max_depth`` UNROLLED level-
+    synchronous frontier steps (MATERIALIZED — the kcore_sql lesson:
+    un-materialized unrolls re-expand the lineitem scan per
+    reference). A recursive CTE would enumerate WALKS (combinatorial
+    on a dense graph); the per-level visited anti-join is the BFS."""
+    parts = [
+        f"""WITH po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), half AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM po a JOIN po b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {min_weight}
+), e AS MATERIALIZED (
+  SELECT src, dst FROM half
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM half
+), v0 AS MATERIALIZED (
+  SELECT CAST(min(src) AS BIGINT) AS part, 0 AS depth FROM e
+  WHERE (SELECT count(*) FROM e) > 0
+), f0 AS (SELECT part FROM v0)"""
+    ]
+    for t in range(1, max_depth + 1):
+        parts.append(
+            f""",
+f{t} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS part FROM e JOIN f{t - 1} f ON e.src = f.part
+  WHERE NOT EXISTS (SELECT 1 FROM v{t - 1} v WHERE v.part = e.dst)
+), v{t} AS MATERIALIZED (
+  SELECT part, depth FROM v{t - 1}
+  UNION ALL
+  SELECT part, {t} AS depth FROM f{t}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT part, CAST(depth AS INT) AS depth FROM v{max_depth}"""
+    )
+    return "".join(parts)
+
+
+BFS_DEPTHS_Q = bfs_depths_sql()

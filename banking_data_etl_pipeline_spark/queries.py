@@ -3524,3 +3524,40 @@ def media_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.load(spark, sf_dir, "documents")
     ).filter(F.col("kind") == "audio")
     return binaryops.decode_pcm(media)
+
+
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between purchase and click
+    value distributions — exact cross-multiplied integers over the
+    partitioned-prefix-sum EDF spine."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    return profiling.ks_two_sample(tables.load(spark, sf_dir, "events"))
+
+
+def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (as exact 2U) between purchase and click values
+    plus the rank-biserial effect size."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    return profiling.mann_whitney(tables.load(spark, sf_dir, "events"))
+
+
+def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between the purchase and click daily count
+    series — exact pair counts, one terminal sqrt."""
+    from .operators import timeseries
+
+    tune_for_oracle(spark)
+    return timeseries.kendall_tau(tables.load(spark, sf_dir, "events"))
+
+
+def bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest-path depths over the repeated-
+    co-purchase graph, level-synchronous frontier expansion."""
+    from .operators import graph
+
+    tune_for_oracle(spark)
+    return graph.bfs_depths(tables.load(spark, sf_dir, "lineitem"))

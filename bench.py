@@ -344,6 +344,10 @@ BENCH_QUERIES = [
     "negative_samples",
     "position_attribution",
     "pareto_cut",
+    "ks_drift",
+    "mannwhitney_u",
+    "kendall_tau",
+    "bfs_depths",
     # round 12 additions
     "stream_recovery_msprt",
     "tfidf_recall",
