@@ -1974,3 +1974,81 @@ def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "sylls",
         F.round(F.expr(FLESCH_EXPR), 6).alias("flesch"),
     ).orderBy("source")
+
+
+def _xlnx(c: F.Column) -> F.Column:
+    """x·ln(x) with the 0·ln(0) = 0 convention — the Shannon/Dunning
+    building block, kept in one fixed shape so the oracle twin's
+    identical expression rounds the same double."""
+    d = c.cast("double")
+    return F.when(c > 0, d * F.log(d)).otherwise(F.lit(0.0))
+
+
+def bigram_llr(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top: int = 50,
+) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning 1993): the
+    G² statistic of the 2×2 bigram contingency table — rows "first
+    word is x", columns "second word is y" over the N adjacent-pair
+    events — the phrase-mining score that, unlike PMI, does not
+    explode on rare pairs (it weighs evidence, not just lift).
+
+    Margins are the PREFIX and SUFFIX counts from the bigram stream
+    itself (NOT unigram counts — those double-count sentence edges and
+    can push k22 negative): k11 = c(xy), k12 = pre(x) − k11,
+    k21 = suf(y) − k11, k22 = N − pre(x) − suf(y) + k11, and
+    G² = 2·(ΣS(k) − S(r1) − S(r2) − S(c1) − S(c2) + S(N)) with
+    S = x·ln x — every operand an exact integer until the ln.
+
+    Scale shape: one map-only shingle explode feeds THREE map-side-
+    combined groupBys (bigram / prefix / suffix counts); ``min_count``
+    prunes the head BEFORE the two margin-lookup joins (margin frames
+    are Zipf-small — AQE broadcasts); top-n is a TakeOrdered.
+
+    Returns (bigram, cnt, pre_x, suf_y, llr) — llr 6-dp, desc, bigram
+    tie-break, limit ``top``."""
+    toks = texttools.tokens(F.col(text_col))
+    big_all = (
+        docs.select(F.explode(texttools.word_shingles(toks, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    parts = F.split(F.col("bigram"), " ", 2)
+    split_all = big_all.select(
+        "bigram", "cnt", parts[0].alias("_x"), parts[1].alias("_y")
+    )
+    pre = split_all.groupBy("_x").agg(F.sum("cnt").cast("bigint").alias("pre_x"))
+    suf = split_all.groupBy("_y").agg(F.sum("cnt").cast("bigint").alias("suf_y"))
+    n_big = (
+        docs.agg(F.sum(F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"))
+        .scalar()
+        .cast("bigint")
+    )
+    head = split_all.filter(F.col("cnt") >= min_count)
+    j = head.join(pre, "_x").join(suf, "_y").withColumn("n_all", n_big)
+    k11 = F.col("cnt")
+    k12 = F.col("pre_x") - k11
+    k21 = F.col("suf_y") - k11
+    k22 = F.col("n_all") - F.col("pre_x") - F.col("suf_y") + k11
+    r2 = F.col("n_all") - F.col("pre_x")
+    c2 = F.col("n_all") - F.col("suf_y")
+    # fixed left-to-right association — the oracle twin writes the
+    # identical term order; + 0.0 normalizes a rounded -0.0
+    llr = F.round(
+        F.lit(2.0)
+        * (
+            _xlnx(k11) + _xlnx(k12) + _xlnx(k21) + _xlnx(k22)
+            - _xlnx(F.col("pre_x")) - _xlnx(r2)
+            - _xlnx(F.col("suf_y")) - _xlnx(c2)
+            + _xlnx(F.col("n_all"))
+        ),
+        6,
+    ) + F.lit(0.0)
+    return (
+        j.select("bigram", "cnt", "pre_x", "suf_y", llr.alias("llr"))
+        .orderBy(F.desc("llr"), F.asc("bigram"))
+        .limit(top)
+    )

@@ -535,3 +535,54 @@ def msprt_walk(daily: DataFrame, alpha: float = 0.05) -> DataFrame:
         F.round(F.min("_p_raw").over(wmin), 6).alias("p_always_valid"),
         (F.min("_p_raw").over(wmin) < F.lit(alpha)).alias("reject_h0"),
     )
+
+
+def strat_ate(valid: DataFrame) -> DataFrame:
+    """Stratified treatment-effect table on the validated bank rows:
+    treatment = has_loans (housing or personal loan), outcome =
+    subscription (y = 'yes'), strata = age_group × wealth_segment —
+    the exact-within-stratum form of inverse-propensity weighting
+    (each stratum's comparison is balanced by construction; weighting
+    the per-stratum differences by n_s/N outside this operator gives
+    the classic stratified ATE). The standard observational-causal
+    screen before a CUPED/DiD design.
+
+    Everything is exact integer counting (one map-side-combined
+    groupBy over the 9 strata) until the two per-row rate divisions;
+    strata missing either arm are dropped (no contrast exists).
+
+    Returns (age_group, wealth_segment, n_s, n_treated, n_control,
+    rate_treated, rate_control, diff) ordered by the stratum keys."""
+    from ..functions import scoring
+
+    t = scoring.has_loans(F.col("housing"), F.col("loan")).cast("bigint")
+    y1 = (F.col("y") == "yes").cast("bigint")
+    cells = (
+        valid.select(
+            scoring.age_group(F.col("age")).alias("age_group"),
+            scoring.wealth_segment(F.col("balance")).alias("wealth_segment"),
+            t.alias("t"),
+            y1.alias("y1"),
+        )
+        .groupBy("age_group", "wealth_segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_s"),
+            F.sum("t").cast("bigint").alias("n_treated"),
+            F.sum(F.col("t") * F.col("y1")).cast("bigint").alias("y_t"),
+            F.sum((1 - F.col("t")) * F.col("y1")).cast("bigint").alias("y_c"),
+        )
+        .withColumn("n_control", (F.col("n_s") - F.col("n_treated")).cast("bigint"))
+        .filter((F.col("n_treated") > 0) & (F.col("n_control") > 0))
+    )
+    rate_t = F.col("y_t").cast("double") / F.col("n_treated").cast("double")
+    rate_c = F.col("y_c").cast("double") / F.col("n_control").cast("double")
+    return cells.select(
+        "age_group",
+        "wealth_segment",
+        "n_s",
+        "n_treated",
+        "n_control",
+        rate_t.alias("rate_treated"),
+        rate_c.alias("rate_control"),
+        (rate_t - rate_c).alias("diff"),
+    ).orderBy("age_group", "wealth_segment")

@@ -800,3 +800,77 @@ def bfs_depths(
         frontier = nxt.select("part")
     edges.unpersist()
     return visited.orderBy("part")
+
+
+def assortativity(lineitem: DataFrame, min_weight: int = 2) -> DataFrame:
+    """Degree assortativity of the repeated-co-purchase graph (Newman
+    2002): the Pearson correlation of (deg(src), deg(dst)) over the
+    symmetric edge list — positive means hubs link to hubs (a core-
+    periphery catalog), negative means hubs fan out to leaves; the
+    one-number structure summary next to kcore/triangle_count.
+
+    Exactness: the five sufficient statistics (M, Σx, Σxy, Σx², Σy²)
+    are integer sums over edges (degrees are counts), aggregated in
+    ONE map-side-combined pass; the correlation assembles them as
+    doubles — products are taken AFTER the cast (M·Σx² at 100 TB edge
+    counts would overflow int64; the double product is deterministic
+    IEEE on both engines). The degree lookup is edges ⋈ degrees twice
+    on the node key — the degree frame is node-catalog-sized, AQE
+    broadcasts it when it fits.
+
+    On a symmetric edge list Σx = Σy and Σx² = Σy² by construction —
+    both are still computed (and emitted) independently as a built-in
+    consistency check.
+
+    Returns one row (m_edges, s_x, s_xy, assortativity) — the exact
+    sums plus the 6-dp correlation."""
+    po = lineitem.select("l_orderkey", "l_partkey").distinct()
+    half = (
+        po.alias("a")
+        .join(po.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_weight)
+        .select("src", "dst")
+    )
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    labeled = (
+        edges.join(deg, "src")
+        .withColumnRenamed("deg", "dx")
+        .join(deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy")), "dst")
+    )
+    sums = labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("s_x"),
+        F.sum("dy").cast("bigint").alias("s_y"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("s_xy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("s_xx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("s_yy"),
+    )
+    m = F.col("m").cast("double")
+    num = m * F.col("s_xy").cast("double") - F.col("s_x").cast("double") * F.col(
+        "s_y"
+    ).cast("double")
+    den_x = m * F.col("s_xx").cast("double") - F.col("s_x").cast("double") * F.col(
+        "s_x"
+    ).cast("double")
+    den_y = m * F.col("s_yy").cast("double") - F.col("s_y").cast("double") * F.col(
+        "s_y"
+    ).cast("double")
+    return sums.select(
+        F.col("m").alias("m_edges"),
+        "s_x",
+        "s_xy",
+        (F.round(num / F.sqrt(den_x * den_y), 6) + F.lit(0.0)).alias(
+            "assortativity"
+        ),
+    )

@@ -984,3 +984,67 @@ def kendall_tau(
             )
         ).alias("tau_b"),
     )
+
+
+def holt_linear(events: DataFrame, horizon: int = 7) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing per event
+    type over the daily count series, α = β = 1/2 — the level+trend
+    upgrade of the single-EWMA monitor (Holt 1957), with the
+    ``horizon``-day-ahead linear forecast l + h·b.
+
+    Recursion (classic init l₂ = x₂, b₂ = x₂ − x₁, fold from x₃):
+    l_t = 0.5·x_t + 0.5·(l + b); b_t = 0.5·(l_t − l) + 0.5·b. Halving
+    is an exact mantissa shift, and the fold is a strict left-to-right
+    ``F.aggregate`` over the day-sorted array, so the DuckDB twin's
+    linear recursive CTE (same expressions, same order) produces
+    bit-identical doubles — no pow(), whose last ulp differs between
+    JVM and libm (the ewma_anomaly lesson).
+
+    Scale shape: the feed collapses to (type, day) counts first
+    (map-side combined); the per-type array is CALENDAR-sized, so the
+    fold is O(days) per type — never data-volume-sized. Types with
+    fewer than 2 days are dropped (no trend is defined).
+
+    Returns (event_type, n_days, level, trend, forecast) — 6-dp,
+    forecast = level + horizon·trend before rounding."""
+    day_us = DAY_S * 1_000_000
+    daily = (
+        events.select(
+            "event_type", F.expr(f"unix_micros(ts) DIV {day_us}").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "c"))), lambda s: s["c"]
+        ).alias("xs")
+    )
+    xs = F.col("xs")
+    n = F.size(xs)
+    init = F.struct(
+        xs[1].alias("l"), (xs[1] - xs[0]).alias("b")
+    )
+
+    def step(acc, x):
+        l_new = F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (F.lit(0.5) * (l_new - acc["l"]) + F.lit(0.5) * acc["b"]).alias("b"),
+        )
+
+    fitted = series.filter(n >= 2).select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        F.aggregate(F.slice(xs, 3, n - 2), init, step).alias("st"),
+    )
+    h = F.lit(float(horizon))
+    return fitted.select(
+        "event_type",
+        "n_days",
+        (F.round(F.col("st.l"), 6) + F.lit(0.0)).alias("level"),
+        (F.round(F.col("st.b"), 6) + F.lit(0.0)).alias("trend"),
+        (F.round(F.col("st.l") + h * F.col("st.b"), 6) + F.lit(0.0)).alias(
+            "forecast"
+        ),
+    )

@@ -7883,3 +7883,174 @@ SELECT part, CAST(depth AS INT) AS depth FROM v{max_depth}"""
 
 
 BFS_DEPTHS_Q = bfs_depths_sql()
+
+
+# x·ln(x) with 0·ln(0) = 0 — twin of corpus._xlnx, same fixed shape.
+def _xlnx_sql(x: str) -> str:
+    return (
+        f"CASE WHEN {x} > 0 THEN CAST({x} AS DOUBLE) * ln(CAST({x} AS DOUBLE))"
+        f" ELSE CAST(0.0 AS DOUBLE) END"
+    )
+
+
+def bigram_llr_sql(min_count: int = 5, top: int = 50) -> str:
+    """Twin of operators.corpus.bigram_llr: Dunning G² over the 2×2
+    bigram contingency with prefix/suffix margins — identical term
+    order to the Spark expression so both engines round the same
+    double."""
+    s = _xlnx_sql
+    llr = (
+        f"round(CAST(2.0 AS DOUBLE) * ("
+        f"{s('k11')} + {s('k12')} + {s('k21')} + {s('k22')}"
+        f" - {s('pre_x')} - {s('r2')} - {s('suf_y')} - {s('c2')}"
+        f" + {s('n_all')}), 6) + 0.0"
+    )
+    return f"""WITH d AS (
+  SELECT {TOKS} AS toks FROM documents
+), big_all AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_word_shingles('toks', 2)}) AS bigram FROM d)
+  GROUP BY bigram
+), split_all AS (
+  SELECT bigram, cnt,
+         split_part(bigram, ' ', 1) AS _x,
+         split_part(bigram, ' ', 2) AS _y
+  FROM big_all
+), pre AS (
+  SELECT _x, CAST(sum(cnt) AS BIGINT) AS pre_x FROM split_all GROUP BY _x
+), suf AS (
+  SELECT _y, CAST(sum(cnt) AS BIGINT) AS suf_y FROM split_all GROUP BY _y
+), tot AS (
+  SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_all FROM d
+), k AS (
+  SELECT h.bigram, h.cnt, p.pre_x, sf.suf_y, tot.n_all,
+         h.cnt AS k11,
+         p.pre_x - h.cnt AS k12,
+         sf.suf_y - h.cnt AS k21,
+         tot.n_all - p.pre_x - sf.suf_y + h.cnt AS k22,
+         tot.n_all - p.pre_x AS r2,
+         tot.n_all - sf.suf_y AS c2
+  FROM split_all h
+  JOIN pre p ON h._x = p._x
+  JOIN suf sf ON h._y = sf._y
+  CROSS JOIN tot
+  WHERE h.cnt >= {min_count}
+)
+SELECT bigram, cnt, pre_x, suf_y, {llr} AS llr
+FROM k ORDER BY llr DESC, bigram ASC LIMIT {top}"""
+
+
+BIGRAM_LLR_Q = bigram_llr_sql()
+
+
+def holt_linear_sql(horizon: int = 7) -> str:
+    """Twin of operators.timeseries.holt_linear: the same α = β = 1/2
+    recursion as a LINEAR recursive CTE over the day-ranked series —
+    one row advanced per step per event type, identical expressions
+    and order to the Spark fold, so the doubles are bit-identical."""
+    return f"""WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+), walk AS (
+  WITH RECURSIVE h(event_type, rn, n_days, l, b) AS (
+    SELECT r2.event_type, 2, r2.n_days,
+           r2.c,
+           r2.c - r1.c
+    FROM ranked r2 JOIN ranked r1
+      ON r1.event_type = r2.event_type AND r1.rn = 1
+    WHERE r2.rn = 2
+    UNION ALL
+    SELECT d.event_type, h.rn + 1, h.n_days,
+           CAST(0.5 AS DOUBLE) * d.c + CAST(0.5 AS DOUBLE) * (h.l + h.b),
+           CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * d.c
+               + CAST(0.5 AS DOUBLE) * (h.l + h.b)) - h.l)
+             + CAST(0.5 AS DOUBLE) * h.b
+    FROM h JOIN ranked d
+      ON d.event_type = h.event_type AND d.rn = h.rn + 1
+  )
+  SELECT * FROM h
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       round(l, 6) + 0.0 AS level,
+       round(b, 6) + 0.0 AS trend,
+       round(l + CAST({horizon}.0 AS DOUBLE) * b, 6) + 0.0 AS forecast
+FROM walk WHERE rn = n_days"""
+
+
+HOLT_Q = holt_linear_sql()
+
+
+# Twin of operators.graph.assortativity (min_weight=2): the kcore
+# repeated-co-purchase edge build, degree lookups, exact sufficient
+# statistics, correlation assembled in doubles (products AFTER the
+# cast — same order as Spark).
+ASSORT_Q = """WITH po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), half AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM po a JOIN po b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+), e AS (
+  SELECT src, dst FROM half
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM half
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+), lab AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM e
+  JOIN deg dx ON e.src = dx.src
+  JOIN deg dy ON e.dst = dy.src
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dx) AS BIGINT) AS s_x,
+         CAST(sum(dy) AS BIGINT) AS s_y,
+         CAST(sum(dx * dy) AS BIGINT) AS s_xy,
+         CAST(sum(dx * dx) AS BIGINT) AS s_xx,
+         CAST(sum(dy * dy) AS BIGINT) AS s_yy
+  FROM lab
+)
+SELECT m AS m_edges, s_x, s_xy,
+       round((CAST(m AS DOUBLE) * CAST(s_xy AS DOUBLE)
+              - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))
+             / sqrt((CAST(m AS DOUBLE) * CAST(s_xx AS DOUBLE)
+                     - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+                    * (CAST(m AS DOUBLE) * CAST(s_yy AS DOUBLE)
+                       - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))), 6)
+         + 0.0 AS assortativity
+FROM sums"""
+
+
+# Twin of operators.experiments.strat_ate: exact per-stratum counts
+# over the validated bank rows (treatment = has_loans, outcome =
+# y = 'yes', strata = age_group × wealth_segment), two terminal rate
+# divisions per row.
+STRAT_ATE_Q = f"""{BANK_PREFIX},
+cells AS (
+  SELECT {AGE_GROUP} AS age_group, {WEALTH} AS wealth_segment,
+         CAST(count(*) AS BIGINT) AS n_s,
+         CAST(sum(CASE WHEN {HAS_LOANS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_treated,
+         CAST(sum(CASE WHEN {HAS_LOANS} AND y = 'yes' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y_t,
+         CAST(sum(CASE WHEN NOT ({HAS_LOANS}) AND y = 'yes' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y_c
+  FROM valid GROUP BY 1, 2
+)
+SELECT age_group, wealth_segment, n_s, n_treated,
+       CAST(n_s - n_treated AS BIGINT) AS n_control,
+       CAST(y_t AS DOUBLE) / CAST(n_treated AS DOUBLE) AS rate_treated,
+       CAST(y_c AS DOUBLE) / CAST(n_s - n_treated AS DOUBLE) AS rate_control,
+       CAST(y_t AS DOUBLE) / CAST(n_treated AS DOUBLE)
+         - CAST(y_c AS DOUBLE) / CAST(n_s - n_treated AS DOUBLE) AS diff
+FROM cells
+WHERE n_treated > 0 AND n_s - n_treated > 0"""

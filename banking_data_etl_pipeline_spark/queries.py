@@ -3561,3 +3561,38 @@ def bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return graph.bfs_depths(tables.load(spark, sf_dir, "lineitem"))
+
+
+def bigram_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood collocations over the corpus bigrams —
+    the evidence-weighing companion to bigram_pmi."""
+    tune_for_oracle(spark)
+    return corpus.bigram_llr(tables.load(spark, sf_dir, "documents"))
+
+
+def holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential level+trend smoothing per event type
+    with a 7-day linear forecast — exact-halving fold, bit-identical
+    to the oracle's linear recursive CTE."""
+    from .operators import timeseries
+
+    tune_for_oracle(spark)
+    return timeseries.holt_linear(tables.load(spark, sf_dir, "events"))
+
+
+def assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the repeated-co-purchase graph —
+    exact sufficient statistics, one terminal correlation."""
+    from .operators import graph
+
+    tune_for_oracle(spark)
+    return graph.assortativity(tables.load(spark, sf_dir, "lineitem"))
+
+
+def strat_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified treatment-effect table (has_loans → subscription)
+    across age × wealth strata on the validated bank rows."""
+    from .operators import experiments
+
+    tune_for_oracle(spark)
+    return experiments.strat_ate(_bank_valid(spark, sf_dir))

@@ -348,6 +348,10 @@ BENCH_QUERIES = [
     "mannwhitney_u",
     "kendall_tau",
     "bfs_depths",
+    "bigram_llr",
+    "holt_linear",
+    "assortativity",
+    "strat_ate",
     # round 12 additions
     "stream_recovery_msprt",
     "tfidf_recall",
