@@ -2052,3 +2052,92 @@ def bigram_llr(
         .orderBy(F.desc("llr"), F.asc("bigram"))
         .limit(top)
     )
+
+
+def langid_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Confusion matrix of the n-gram language-ID heuristic against
+    the labeled ``lang`` column — the eval that turns lang_id from a
+    feature into a measured classifier (per-label recall shares are
+    what a corpus-mix designer actually reads before trusting the
+    predictions to route documents).
+
+    ONE groupBy over (label, prediction) — cells are
+    |labels|×|langs|-sized, constants — plus a label-total join for
+    the recall share (exact integer counts, one terminal division).
+
+    Returns (label, pred, n, label_n, share) ordered by label, pred."""
+    pred = texttools.lang_id(F.col(text_col))
+    cells = docs.groupBy(
+        F.col("lang").alias("label"), pred.alias("pred")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    totals = cells.groupBy("label").agg(
+        F.sum("n").cast("bigint").alias("label_n")
+    )
+    return (
+        cells.join(totals, "label")
+        .select(
+            "label",
+            "pred",
+            "n",
+            "label_n",
+            (F.col("n").cast("double") / F.col("label_n").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("label", "pred")
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    ks: tuple = (10, 100, 1000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k vocabulary coverage curve: the share of all token
+    occurrences covered by the k most frequent tokens, for each
+    ``k`` — the Zipf-head summary a tokenizer designer reads to size a
+    vocabulary (50% coverage from 100 tokens is natural text; needing
+    10⁵ flags an ID-riddled stream).
+
+    Scale shape: ONE map-side-combined vocab count; the head is a
+    TakeOrdered ``limit(max(ks))`` (count desc, token asc — total
+    order), so the cumulative window runs over at most ``max(ks)``
+    LITERAL rows (bounded, like the heaps_law checkpoint frame — a
+    deliberate, constant-size single partition, not a data-sized one);
+    the total enters as a scalar subquery. All exact integers until
+    the share division.
+
+    Returns one row per k: (k, covered, total, share) — k asc; when
+    the vocabulary is smaller than k the full-vocab coverage (share
+    1.0) is reported."""
+    toks = texttools.tokens(F.col(text_col))
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    total = vocab.agg(F.sum("cnt").alias("t")).scalar().cast("bigint")
+    head = vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(max(ks))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = head.select(
+        F.row_number().over(w).alias("rn"),
+        F.sum("cnt").over(w).cast("bigint").alias("covered"),
+    )
+    n_vocab = vocab.agg(F.count(F.lit(1)).alias("v")).scalar().cast("bigint")
+    spark = docs.sparkSession
+    kf = spark.createDataFrame([(int(k),) for k in sorted(ks)], "k bigint")
+    return (
+        kf.withColumn("v", n_vocab)
+        .join(ranked, F.col("rn") == F.least(F.col("k"), F.col("v")))
+        .select(
+            "k",
+            "covered",
+            total.alias("total"),
+            (F.col("covered").cast("double") / total.cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("k")
+    )

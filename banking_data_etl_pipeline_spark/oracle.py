@@ -8054,3 +8054,89 @@ SELECT age_group, wealth_segment, n_s, n_treated,
          - CAST(y_c AS DOUBLE) / CAST(n_s - n_treated AS DOUBLE) AS diff
 FROM cells
 WHERE n_treated > 0 AND n_s - n_treated > 0"""
+
+
+# Twin of operators.corpus.langid_confusion: the langid_sql CTEs plus
+# the labeled lang column, exact cell/margin counts, one division.
+LANGID_CONFUSION_Q = f"""WITH tk AS (
+  SELECT doc_id, lang AS label, {TOKS} AS toks FROM documents
+), sc AS (
+  SELECT doc_id, label, {_lang_sel_sql()} FROM tk
+), p AS (
+  SELECT label, {_lang_case_sql()} AS pred FROM sc
+), cells AS (
+  SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+  FROM p GROUP BY label, pred
+), totals AS (
+  SELECT label, CAST(sum(n) AS BIGINT) AS label_n FROM cells GROUP BY label
+)
+SELECT c.label, c.pred, c.n, t.label_n,
+       CAST(c.n AS DOUBLE) / CAST(t.label_n AS DOUBLE) AS share
+FROM cells c JOIN totals t ON c.label = t.label"""
+
+
+def vocab_coverage_sql(ks: tuple = (10, 100, 1000)) -> str:
+    """Twin of operators.corpus.vocab_coverage — same (count desc,
+    token asc) total order, exact cumulative integers."""
+    kvals = ", ".join(f"({int(k)})" for k in sorted(ks))
+    return f"""WITH d AS (
+  SELECT {TOKS} AS toks FROM documents
+), vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS v
+  FROM vocab
+), head AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rn
+  FROM vocab ORDER BY cnt DESC, tok ASC LIMIT {max(ks)}
+), ranked AS (
+  SELECT rn, CAST(sum(cnt) OVER (ORDER BY rn) AS BIGINT) AS covered
+  FROM head
+), kf AS (
+  SELECT CAST(k AS BIGINT) AS k FROM (VALUES {kvals}) AS t(k)
+)
+SELECT kf.k, r.covered, tot.total,
+       CAST(r.covered AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share
+FROM kf
+CROSS JOIN tot
+JOIN ranked r ON r.rn = least(kf.k, tot.v)"""
+
+
+VOCAB_COVERAGE_Q = vocab_coverage_sql()
+
+
+# Twin of operators.graph.clustering_coeff: the triangle enumeration
+# (same orientation) left-joined onto the degree->=2 node set.
+CLUSTERING_COEFF_Q = """WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), o AS (
+  SELECT h.src, h.dst, ds.deg AS ds, dd.deg AS dd
+  FROM (SELECT src, dst FROM edges WHERE src < dst) h
+  JOIN deg ds ON h.src = ds.src JOIN deg dd ON h.dst = dd.src
+), e AS (
+  SELECT CASE WHEN ds < dd OR (ds = dd AND src < dst) THEN src ELSE dst END AS lo,
+         CASE WHEN ds < dd OR (ds = dd AND src < dst) THEN dst ELSE src END AS hi
+  FROM o
+), tri AS (
+  SELECT p.x, p.y, p.z
+  FROM (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        FROM e e1 JOIN e e2 ON e1.hi = e2.lo) p
+  WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = p.x AND e.hi = p.z)
+), ntri AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+  FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node
+)
+SELECT d.src AS node,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(d.deg AS BIGINT) AS degree,
+       round(CAST(coalesce(t.n_tri, 0) * 2 AS DOUBLE)
+             / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS coeff
+FROM deg d LEFT JOIN ntri t ON d.src = t.node
+WHERE d.deg >= 2"""

@@ -3596,3 +3596,26 @@ def strat_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return experiments.strat_ate(_bank_valid(spark, sf_dir))
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the labeled lang column —
+    exact cells plus per-label recall shares."""
+    tune_for_oracle(spark)
+    return corpus.langid_confusion(tables.load(spark, sf_dir, "documents"))
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary coverage curve (k = 10/100/1000) — the
+    Zipf-head summary for tokenizer vocabulary sizing."""
+    tune_for_oracle(spark)
+    return corpus.vocab_coverage(tables.load(spark, sf_dir, "documents"))
+
+
+def clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-purchase
+    graph — oriented triangle enumeration plus one degree pass."""
+    from .operators import graph
+
+    tune_for_oracle(spark)
+    return graph.clustering_coeff(tables.load(spark, sf_dir, "lineitem"))

@@ -352,6 +352,9 @@ BENCH_QUERIES = [
     "holt_linear",
     "assortativity",
     "strat_ate",
+    "langid_confusion",
+    "vocab_coverage",
+    "clustering_coeff",
     # round 12 additions
     "stream_recovery_msprt",
     "tfidf_recall",
