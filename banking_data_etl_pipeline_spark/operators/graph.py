@@ -172,6 +172,7 @@ def triangle_counts(
     broadcast_nodes: int = 2_000_000,
     broadcast_edges: int = 20_000_000,
     plan_hook=None,
+    with_degrees: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts over the co-purchase graph — the
     standard graph-locality/clustering signal (and the classic
@@ -231,7 +232,8 @@ def triangle_counts(
     ).repartition(width, "lo").persist()
     n_oriented = e.count()
     edges.unpersist()
-    deg.unpersist()  # e is materialized; nothing reads deg anymore
+    if not with_degrees:
+        deg.unpersist()  # e is materialized; nothing reads deg anymore
     # The adjacency table totals m array entries across node-count
     # rows, so its broadcast gate is the EDGE count, not the node
     # count (2M half-edges ≈ 16 MB of longs). Below the gate the
@@ -265,6 +267,26 @@ def triangle_counts(
         plan_hook("enumerate", out)
     out.count()  # materialize before releasing the oriented-edge cache
     e.unpersist()
+    if with_degrees:
+        # clustering_coeff consumer: every degree>=2 node, zero-
+        # triangle nodes included — reuses the deg frame this pass
+        # already built instead of a second edge build (measured 2x
+        # on the sf0.1 battery)
+        res = (
+            deg.filter(F.col("deg") >= 2)
+            .select(
+                F.col("src").alias("node"),
+                F.col("deg").cast("bigint").alias("degree"),
+            )
+            .join(out, "node", "left")
+            .select(
+                "node",
+                F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+                "degree",
+            )
+        )
+        deg.unpersist()
+        return res
     # caller-owned, one row per node (unpersist or clearCache when done
     # — bench.py and the parity gate already do)
     return out
@@ -882,41 +904,23 @@ def clustering_coeff(lineitem: DataFrame) -> DataFrame:
     neighborhood is to a clique (Watts & Strogatz 1998), the
     node-level refinement of triangle_count's global signal.
 
-    Reuses the oriented-intersection triangle enumeration
-    (``triangle_counts`` — O(m^1.5), never a wedge shuffle) and ONE
-    degree aggregation over the same undirected edge set; nodes with
-    degree < 2 have no defined coefficient and are dropped, nodes in
-    no triangle coalesce to 0. Exact integers until the single
+    Reuses the oriented-intersection triangle enumeration AND its
+    degree frame in one pass (``triangle_counts(with_degrees=True)``
+    — O(m^1.5), never a wedge shuffle, no second edge build); nodes
+    with degree < 2 have no defined coefficient and are dropped, nodes
+    in no triangle coalesce to 0. Exact integers until the single
     division.
 
     Returns (node, n_tri, degree, coeff) — coeff 6-dp, ordered by
     node."""
-    tri = triangle_counts(lineitem)
-    li = lineitem.select("l_orderkey", "l_partkey").distinct()
-    deg = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("node"),
-            F.col("b.l_partkey").alias("nbr"),
-        )
-        .distinct()
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-        .filter(F.col("degree") >= 2)
-    )
-    return (
-        deg.join(tri.withColumnRenamed("node", "node"), "node", "left")
-        .select(
-            "node",
-            F.coalesce("n_tri", F.lit(0).cast("bigint")).alias("n_tri"),
-            "degree",
-            F.round(
-                (F.coalesce("n_tri", F.lit(0)) * 2).cast("double")
-                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
-                6,
-            ).alias("coeff"),
-        )
-        .orderBy("node")
-    )
+    td = triangle_counts(lineitem, with_degrees=True)
+    return td.select(
+        "node",
+        "n_tri",
+        "degree",
+        F.round(
+            (F.col("n_tri") * 2).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            6,
+        ).alias("coeff"),
+    ).orderBy("node")
