@@ -8140,3 +8140,34 @@ SELECT d.src AS node,
              / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS coeff
 FROM deg d LEFT JOIN ntri t ON d.src = t.node
 WHERE d.deg >= 2"""
+
+
+# Twin of queries.partition_prune: the same one-week slice named by
+# plain epoch arithmetic over the RAW events table — equality proves
+# the day-partitioned staged copy is complete and pruning dropped
+# nothing it shouldn't.
+PARTITION_PRUNE_Q = """SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS value_sum
+FROM events
+WHERE CAST(epoch_us(ts) AS BIGINT) // 86400000000 BETWEEN 19730 AND 19736
+GROUP BY event_type"""
+
+
+# Batch twin of streaming.events.langid_mix_stream: counts are
+# monotone under update-mode re-emission, so the drained terminal MAX
+# per label equals this plain batch mix exactly.
+LANGID_MIX_Q = f"""WITH tk AS (
+  SELECT {TOKS} AS toks FROM documents
+), sc2 AS (
+  SELECT {_lang_case_sql()} AS pred FROM (
+    SELECT {_lang_sel_sql()} FROM tk
+  )
+), cells AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n FROM sc2 GROUP BY pred
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS t FROM cells
+)
+SELECT pred, n, CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
+FROM cells, tot"""

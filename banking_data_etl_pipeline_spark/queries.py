@@ -3619,3 +3619,68 @@ def clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return graph.clustering_coeff(tables.load(spark, sf_dir, "lineitem"))
+
+
+# 2024-01-01 is epoch day 19723; the pruned week is days 8..14 of the
+# feed — fixed absolute ids so the Spark filter and the oracle's
+# epoch arithmetic name the same slice.
+_PRUNE_LO, _PRUNE_HI = 19730, 19736
+
+
+def partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan lifecycle — the layout feature that makes
+    a 100 TB time-series table queryable: STAGE the events table once
+    per corpus snapshot as day-partitioned parquet (hive-style day=N
+    directories, content-fingerprinted like the prebuilt ANN indexes),
+    then answer a one-week question by reading ONLY that week's
+    directories. The day filter lands in the scan's PartitionFilters
+    (plan-asserted in tests) — file listing, not data reading, does
+    the elimination, so the scan cost is proportional to the slice,
+    not the table.
+
+    The aggregation is per event type: exact count plus the DECIMAL-
+    exact value sum (the repo-wide double-sum rule). The oracle twin
+    runs the same week filter as plain epoch arithmetic over the raw
+    table — equality proves the partitioned copy is complete and the
+    pruning dropped nothing it shouldn't.
+
+    Returns (event_type, n, value_sum) — value_sum 4-dp."""
+    import os
+
+    day_us = 86_400 * 1_000_000
+
+    def build(build_dir: str) -> None:
+        ev = tables.load(spark, sf_dir, "events")
+        (
+            ev.withColumn(
+                "day", F.expr(f"unix_micros(ts) DIV {day_us}")
+            )
+            .repartition("day")
+            .write.partitionBy("day")
+            .parquet(os.path.join(build_dir, "byday"))
+        )
+
+    tune_for_oracle(spark)
+    path = _staged_index(
+        sf_dir, "events_byday", "byday", build, srcs=("events.parquet",)
+    )
+    part = spark.read.parquet(os.path.join(path, "byday"))
+    return (
+        part.filter(F.col("day").between(_PRUNE_LO, _PRUNE_HI))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("value_sum"),
+        )
+    )
+
+
+def stream_langid_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming language-mix monitor over the documents feed —
+    constant-size per-label state, drained counts equal the batch
+    language-ID mix exactly."""
+    tune_for_oracle(spark)
+    d = _stream_src_dir(sf_dir, "documents")
+    return EV.langid_mix_stream(spark, d, "stream_langid_mix_sink")

@@ -1575,3 +1575,53 @@ def hll_stream(
         exact.alias("exact_distinct"),
         F.round(F.abs(est - exact) / exact, 6).alias("rel_error"),
     )
+
+
+def langid_mix_stream(spark: SparkSession, docs_dir: str, name: str) -> DataFrame:
+    """STREAMING language-mix monitor over a documents feed: running
+    counts per predicted language (the n-gram stopword-density
+    heuristic — ``functions.texttools.lang_id``, the same expression
+    the batch confusion matrix uses), the on-ingest view a corpus
+    curator watches to catch a mix shift before it lands in a
+    training snapshot.
+
+    Shape: the predicted label is a pure projection (no UDF), so the
+    stream is ONE update-mode groupBy with |langs|+1 rows of state —
+    constant regardless of feed size. Counts are monotone under
+    update-mode re-emission, so the terminal MAX per label after an
+    availableNow drain IS the final count (the hll_stream/cms
+    precedent), making the batch twin an exact shared oracle. The
+    parquet source declares only the ``text`` column — projection
+    pushdown at the scan, the other document columns are never read.
+
+    Returns (pred, n, share) — share of drained docs per label."""
+    from ..functions import texttools
+
+    stream = (
+        spark.readStream.schema("text string")
+        .format("parquet")
+        .load(docs_dir)
+    )
+    counts = stream.groupBy(
+        texttools.lang_id(F.col("text")).alias("pred")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    with _state_partitions(spark):
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("pred")
+        .agg(F.max("n").cast("bigint").alias("n"))
+    )
+    total = final.agg(F.sum("n").alias("t")).scalar().cast("bigint")
+    return final.select(
+        "pred",
+        "n",
+        (F.col("n").cast("double") / total.cast("double")).alias("share"),
+    )

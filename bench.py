@@ -355,6 +355,8 @@ BENCH_QUERIES = [
     "langid_confusion",
     "vocab_coverage",
     "clustering_coeff",
+    "partition_prune",
+    "stream_langid_mix",
     # round 12 additions
     "stream_recovery_msprt",
     "tfidf_recall",
