@@ -79,6 +79,7 @@ def ranks_over_edges(
     iters: int = 3,
     broadcast_nodes: int = 2_000_000,
     plan_hook=None,
+    seed_mod: int | None = None,
 ) -> DataFrame:
     """Ranks after ``iters`` damped power iterations over a symmetric
     (src, dst) edge list, for nodes with at least one edge. Returns
@@ -102,7 +103,15 @@ def ranks_over_edges(
     ``plan_hook(stage, df)``, when given, receives the first
     iteration's rank-update DataFrame before it materializes — the
     representative per-iteration plan for ``scripts/plan_audit.py``
-    (the loop is driver-side, invisible to the query-level audit)."""
+    (the loop is driver-side, invisible to the query-level audit).
+
+    ``seed_mod`` switches to PERSONALIZED PageRank (Page et al. 1999
+    §6; Haveliwala 2002): teleport mass goes only to the seed set
+    {node : node % seed_mod == 0} — init 1/|S| on seeds and 0
+    elsewhere, per-node restart term 0.15/|S| on seeds and 0
+    elsewhere. Identical plan shape per iteration (the restart term
+    is a pure CASE projection); the symmetric graph guarantees every
+    node receives contributions, so no rank row is ever dropped."""
     # PERSIST the raw edge list first: the degree aggregation and the
     # deg-folded table both consume it, and without the cache the
     # upstream edge build would run once per consumer (it is the
@@ -126,11 +135,35 @@ def ranks_over_edges(
     ed = edges.join(F.broadcast(deg) if bcast else deg, "src").persist()
     ed.count()
     edges.unpersist()
-    base = F.lit(0.15) / F.lit(float(n_nodes))
+    if seed_mod is None:
+
+        def base_of(node_col: F.Column) -> F.Column:
+            return F.lit(0.15) / F.lit(float(n_nodes))
+
+        def init_of(node_col: F.Column) -> F.Column:
+            return _trunc12(F.lit(1.0) / F.lit(float(n_nodes)))
+
+    else:
+        n_seeds = deg.filter(F.col("src") % seed_mod == 0).count()
+        if n_seeds == 0:
+            raise ValueError(
+                f"ppr: no seed nodes (node % {seed_mod} == 0) in the graph"
+            )
+
+        def base_of(node_col: F.Column) -> F.Column:
+            return F.when(
+                node_col % seed_mod == 0, F.lit(0.15) / F.lit(float(n_seeds))
+            ).otherwise(F.lit(0.0))
+
+        def init_of(node_col: F.Column) -> F.Column:
+            return F.when(
+                node_col % seed_mod == 0,
+                _trunc12(F.lit(1.0) / F.lit(float(n_seeds))),
+            ).otherwise(F.lit(0.0))
 
     ranks = deg.select(
         F.col("src").alias("node"),
-        _trunc12(F.lit(1.0) / F.lit(float(n_nodes))).alias("r"),
+        init_of(F.col("src")).alias("r"),
     )
     prev = None
     for it in range(iters):
@@ -146,7 +179,9 @@ def ranks_over_edges(
             )
             .select(
                 F.col("dst").alias("node"),
-                _trunc12(base + F.lit(DAMPING) * F.col("s")).alias("r"),
+                _trunc12(
+                    base_of(F.col("dst")) + F.lit(DAMPING) * F.col("s")
+                ).alias("r"),
             )
             .persist()
         )
@@ -924,3 +959,25 @@ def clustering_coeff(lineitem: DataFrame) -> DataFrame:
             6,
         ).alias("coeff"),
     ).orderBy("node")
+
+
+def ppr(
+    lineitem: DataFrame,
+    seed_mod: int = 50,
+    iters: int = 3,
+    broadcast_nodes: int = 2_000_000,
+    plan_hook=None,
+) -> DataFrame:
+    """Personalized PageRank over the co-purchase graph: the teleport
+    restarts at the deterministic seed set (part % ``seed_mod`` == 0)
+    instead of everywhere — "importance as seen FROM these parts",
+    the standard related-items / seeded-recommendation ranker
+    (Haveliwala 2002). Same damped power iteration, broadcast rank
+    vector and lineage-truncation discipline as ``pagerank``."""
+    return ranks_over_edges(
+        copurchase_edges(lineitem),
+        iters,
+        broadcast_nodes,
+        plan_hook,
+        seed_mod=seed_mod,
+    )

@@ -1587,3 +1587,37 @@ def position_attribution(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def cheapest_supplier(lineitem: DataFrame) -> DataFrame:
+    """Minimum-cost supplier per part — the TPC-H Q2 pattern
+    (correlated MIN subquery) expressed Spark-first as ONE window over
+    the per-(part, supplier) aggregate: unit price from DECIMAL-exact
+    price/quantity sums (order-independent, so the double ratio is
+    bit-identical cross-engine), then row_number per part on the
+    (unit_price, suppkey) total order. The aggregate is one map-side-
+    combined groupBy; the window partitions by part — parallel by key,
+    never a global sort.
+
+    Returns (l_partkey, l_suppkey, unit_price, n_lines) — unit_price
+    the RAW double ratio (both engines compute the identical two exact
+    DECIMAL sums and one IEEE division, so the bits match; rounding it
+    would re-introduce the half-way round()-convention divergence),
+    one row per part."""
+    ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+        ).alias("unit_price"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("unit_price"), F.asc("l_suppkey")
+    )
+    return (
+        ps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "unit_price", "n_lines")
+    )

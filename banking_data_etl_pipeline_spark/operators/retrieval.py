@@ -985,3 +985,78 @@ def rbo_overlap(
             .alias("rbo"),
         )
     )
+
+
+def map_at_k(
+    docs: DataFrame,
+    k: int = 10,
+    rel_grade: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MAP@k (mean average precision) of the BM25 ranking — the
+    classic TREC order-sensitive binary-relevance summary completing
+    the ranking-eval family (nDCG graded, MRR first-hit, AP the full
+    precision-recall area): AP = Σ_{relevant i ≤ k} P@i / min(R, k),
+    with R the query's corpus-wide relevant count (term-coverage
+    grade >= ``rel_grade``, the same deterministic qrels as
+    ndcg/mrr — a labeled table swaps in downstream-unchanged).
+
+    Scale shape: identical to ``mrr_at_k`` — rides the two-phase
+    ``bm25_topk``, one distinct-postings join against the broadcast
+    query terms; P@i = (relevant-so-far)/i comes from one window over
+    queries × k rows, each term 12-dp rounded and summed through
+    DECIMAL(26,12) (order-independent); R is one corpus-wide grade
+    count per query (a |queries|-row frame).
+
+    Returns (query_id, n_rel, ap): n_rel the corpus-wide relevant
+    count, ap 6-dp (0.0 when nothing relevant exists)."""
+    hits = bm25_topk(docs, k=k, text_col=text_col, id_col=id_col)
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(texttools.tokens(F.col(text_col))).alias("token"),
+    )
+    qt = derived_query_terms(tk.select(F.col("doc_id").alias(id_col), "token"))
+    grades = (
+        tk.select("doc_id", "token")
+        .distinct()
+        .join(F.broadcast(qt), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("g"))
+    )
+    rel_hits = hits.join(grades, ["query_id", "doc_id"]).filter(
+        F.col("g") >= rel_grade
+    )
+    terms = rel_hits.select(
+        "query_id",
+        F.expr(
+            "CAST(round(CAST(row_number() OVER"
+            " (PARTITION BY query_id ORDER BY rank)"
+            " AS DOUBLE) / CAST(rank AS DOUBLE), 12) AS DECIMAL(26,12))"
+        ).alias("p_at_i"),
+    )
+    ap_sum = terms.groupBy("query_id").agg(F.sum("p_at_i").alias("s"))
+    n_rel = (
+        grades.filter(F.col("g") >= rel_grade)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    )
+    return (
+        qt.select("query_id")
+        .distinct()
+        .join(n_rel, "query_id", "left")
+        .join(ap_sum, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0).cast("bigint")).alias("n_rel"),
+            F.round(
+                F.coalesce(
+                    F.col("s").cast("double")
+                    / F.least(F.col("n_rel"), F.lit(k)).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("ap"),
+        )
+        .orderBy("query_id")
+    )

@@ -8171,3 +8171,135 @@ LANGID_MIX_Q = f"""WITH tk AS (
 )
 SELECT pred, n, CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
 FROM cells, tot"""
+
+
+def ppr_sql(iters: int = 3, seed_mod: int = 50) -> str:
+    """Unrolled-CTE twin of operators.graph.ppr: pagerank_sql's edge
+    build and trunc-12dp/DECIMAL ladder, with teleport mass CASEd onto
+    the seed set (node % seed_mod == 0) — init 1/|S| on seeds, restart
+    0.15/|S| on seeds, 0 elsewhere."""
+
+    def t12(expr: str) -> str:
+        return f"floor(({expr}) * 1e12) / 1e12"
+
+    parts = [
+        f"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM deg
+       WHERE src % {seed_mod} = 0),
+ed AS (SELECT e0.src, e0.dst, d.deg FROM edges e0 JOIN deg d ON e0.src = d.src),
+r0 AS (SELECT src AS node,
+              CASE WHEN src % {seed_mod} = 0
+                   THEN {t12('CAST(1.0 AS DOUBLE) / ns.s')}
+                   ELSE CAST(0.0 AS DOUBLE) END AS r
+       FROM deg CROSS JOIN ns)"""
+    ]
+    for k in range(1, iters + 1):
+        base = (
+            f"CASE WHEN e.dst % {seed_mod} = 0"
+            " THEN CAST(0.15 AS DOUBLE) / max(ns.s)"
+            " ELSE CAST(0.0 AS DOUBLE) END"
+        )
+        newr = (
+            base + " + CAST(0.85 AS DOUBLE)"
+            " * CAST(sum(CAST(" + t12("p.r / e.deg") + " AS DECIMAL(32,12))) AS DOUBLE)"
+        )
+        parts.append(
+            f""",
+r{k} AS (
+  SELECT e.dst AS node, {t12(newr)} AS r
+  FROM ed e JOIN r{k - 1} p ON e.src = p.node CROSS JOIN ns
+  GROUP BY e.dst
+)"""
+        )
+    parts.append(f"\nSELECT node, r FROM r{iters}")
+    return "".join(parts)
+
+
+PPR_Q = ppr_sql()
+
+
+def map_eval_sql(
+    k: int = 10,
+    rel_grade: int = 2,
+    n_queries: int = 5,
+    terms_per_query: int = 2,
+    vocab_rank_start: int = 11,
+) -> str:
+    """Twin of operators.retrieval.map_at_k: the mrr_sql CTE chain up
+    to the graded hits, P@i terms 12-dp-rounded and DECIMAL-summed,
+    AP denominator min(corpus-relevant, k)."""
+    n_terms = n_queries * terms_per_query
+    return f"""WITH hits AS MATERIALIZED (
+  SELECT * FROM ({bm25_topk_sql(k=k)})
+), tk AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+), vranked AS (
+  SELECT token,
+         row_number() OVER (ORDER BY count(*) DESC, token ASC) AS vrank
+  FROM tk GROUP BY token
+), qt AS (
+  SELECT CAST((vrank - {vocab_rank_start}) // {terms_per_query} AS INT)
+           AS query_id,
+         token
+  FROM vranked
+  WHERE vrank >= {vocab_rank_start}
+    AND vrank < {vocab_rank_start} + {n_terms}
+), grades AS (
+  SELECT q.query_id, p.doc_id, CAST(count(*) AS INT) AS g
+  FROM (SELECT DISTINCT doc_id, token FROM tk) p
+  JOIN qt q ON p.token = q.token
+  GROUP BY q.query_id, p.doc_id
+), rel_hits AS (
+  SELECT h.query_id, h.rank
+  FROM hits h
+  JOIN grades g ON h.query_id = g.query_id AND h.doc_id = g.doc_id
+  WHERE g.g >= {rel_grade}
+), terms AS (
+  SELECT query_id,
+         CAST(round(CAST(row_number() OVER
+                (PARTITION BY query_id ORDER BY rank)
+              AS DOUBLE) / CAST(rank AS DOUBLE), 12) AS DECIMAL(26,12))
+           AS p_at_i
+  FROM rel_hits
+), ap_sum AS (
+  SELECT query_id, sum(p_at_i) AS s FROM terms GROUP BY query_id
+), n_rel AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+  FROM grades WHERE g >= {rel_grade} GROUP BY query_id
+), qs AS (SELECT DISTINCT query_id FROM qt)
+SELECT q.query_id,
+       CAST(coalesce(r.n_rel, 0) AS BIGINT) AS n_rel,
+       round(coalesce(CAST(a.s AS DOUBLE)
+                      / CAST(least(r.n_rel, {k}) AS DOUBLE), 0.0), 6) AS ap
+FROM qs q
+LEFT JOIN n_rel r ON q.query_id = r.query_id
+LEFT JOIN ap_sum a ON q.query_id = a.query_id"""
+
+
+MAP_EVAL_Q = map_eval_sql()
+
+
+# Twin of queries.cheapest_supplier: per-(part, supplier) DECIMAL-
+# exact unit price, min per part by (ratio, suppkey) total order —
+# the TPC-H Q2 pattern expressed as one window instead of a
+# correlated subquery.
+CHEAPEST_SUPPLIER_Q = """WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+           AS unit_price,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), ranked AS (
+  SELECT l_partkey, l_suppkey, unit_price, n_lines,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_price ASC, l_suppkey ASC) AS rn
+  FROM ps
+)
+SELECT l_partkey, l_suppkey, unit_price, n_lines
+FROM ranked WHERE rn = 1"""

@@ -3684,3 +3684,31 @@ def stream_langid_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     d = _stream_src_dir(sf_dir, "documents")
     return EV.langid_mix_stream(spark, d, "stream_langid_mix_sink")
+
+
+def ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at part % 50 == 0 — importance as
+    seen from a seed set, the related-items ranker."""
+    from .operators import graph
+
+    tune_for_oracle(spark)
+    return graph.ppr(tables.load(spark, sf_dir, "lineitem"))
+
+
+def map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 of the BM25 ranking under the deterministic
+    term-coverage relevance — the order-sensitive binary summary
+    completing the nDCG/MRR ranking-eval family."""
+    from .operators import retrieval
+
+    tune_for_oracle(spark)
+    return retrieval.map_at_k(tables.load(spark, sf_dir, "documents"))
+
+
+def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per part (the TPC-H Q2 correlated-MIN
+    pattern as one per-part window)."""
+    tune_for_oracle(spark)
+    return relational.cheapest_supplier(
+        tables.load(spark, sf_dir, "lineitem")
+    )

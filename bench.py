@@ -357,6 +357,9 @@ BENCH_QUERIES = [
     "clustering_coeff",
     "partition_prune",
     "stream_langid_mix",
+    "ppr",
+    "map_eval",
+    "cheapest_supplier",
     # round 12 additions
     "stream_recovery_msprt",
     "tfidf_recall",
