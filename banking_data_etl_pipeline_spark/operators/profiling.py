@@ -1302,3 +1302,44 @@ def mann_whitney(
             ).alias("rank_biserial"),
         )
     )
+
+
+def lorenz_deciles(orders: DataFrame) -> DataFrame:
+    """Lorenz curve at deciles of customer revenue — the curve behind
+    gini_concentration's scalar: customers ntile'd by total spend
+    (ascending, custkey tie-break), each decile's exact-DECIMAL revenue
+    and the cumulative share of total revenue. The ''bottom 50% of
+    customers hold x% of revenue'' readout.
+
+    Scale shape: ONE map-side-combined per-customer aggregate; the
+    ntile ranks customer-count rows in a per-decile-bounded window
+    (same as ntile_deciles); the cumulative runs over exactly 10
+    literal rows. Sums stay in DECIMAL(18,6)/(38,6) end-to-end —
+    order-independent — with doubles only at the two terminal
+    emissions.
+
+    Returns (decile, n_cust, decile_rev, cum_share) — decile 1..10
+    asc, decile_rev 4-dp, cum_share 6-dp."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
+    )
+    w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
+    tiled = per_cust.select(
+        F.ntile(10).over(w).alias("decile"), "rev"
+    )
+    per_dec = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("rev").alias("drev"),
+    )
+    total = per_dec.agg(F.sum("drev").alias("t")).scalar()
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_dec.select(
+        "decile",
+        "n_cust",
+        F.round(F.col("drev").cast("double"), 4).alias("decile_rev"),
+        F.round(
+            F.sum("drev").over(wc).cast("double") / total.cast("double"), 6
+        ).alias("cum_share"),
+    ).orderBy("decile")

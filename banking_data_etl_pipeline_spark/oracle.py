@@ -8303,3 +8303,66 @@ CHEAPEST_SUPPLIER_Q = """WITH ps AS (
 )
 SELECT l_partkey, l_suppkey, unit_price, n_lines
 FROM ranked WHERE rn = 1"""
+
+
+# Twin of queries.event_trigrams: two leads over the user timeline,
+# exact trigram counts, (n desc, t1, t2, t3) total order, top 25.
+EVENT_TRIGRAMS_Q = """WITH t AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t3
+  FROM events
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM t WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC
+LIMIT 25"""
+
+# Twin of queries.transition_entropy: exact transition counts, 12-dp
+# entropy terms summed through DECIMAL(26,12), 6-dp rounded.
+TRANSITION_ENTROPY_Q = """WITH t AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), trans AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+  FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+), tot AS (
+  SELECT from_type, CAST(sum(c) AS BIGINT) AS n_out
+  FROM trans GROUP BY from_type
+), terms AS (
+  SELECT tr.from_type, tt.n_out,
+         CAST(round(-(CAST(tr.c AS DOUBLE) / CAST(tt.n_out AS DOUBLE))
+                    * ln(CAST(tr.c AS DOUBLE) / CAST(tt.n_out AS DOUBLE)),
+                    12) AS DECIMAL(26,12)) AS h
+  FROM trans tr JOIN tot tt ON tr.from_type = tt.from_type
+)
+SELECT from_type, n_out,
+       round(CAST(sum(h) AS DOUBLE), 6) + 0.0 AS entropy
+FROM terms GROUP BY from_type, n_out"""
+
+# Twin of operators.profiling.lorenz_deciles: DECIMAL-exact revenue
+# sums end-to-end, doubles only at the two terminal emissions.
+LORENZ_Q = """WITH pc AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT CAST(ntile(10) OVER (ORDER BY rev ASC, o_custkey ASC) AS INT)
+           AS decile,
+         rev
+  FROM pc
+), pd AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_cust, sum(rev) AS drev
+  FROM tiled GROUP BY decile
+), tot AS (
+  SELECT sum(drev) AS t FROM pd
+)
+SELECT decile, n_cust,
+       round(CAST(drev AS DOUBLE), 4) AS decile_rev,
+       round(CAST(sum(drev) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(tot.t AS DOUBLE), 6) AS cum_share
+FROM pd CROSS JOIN tot"""

@@ -3712,3 +3712,76 @@ def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.cheapest_supplier(
         tables.load(spark, sf_dir, "lineitem")
     )
+
+
+def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-3 behavioral patterns: top-25 event-type trigrams over
+    each user's timeline (two leads over ONE user-partitioned window,
+    one 5³-cardinality groupBy) — the sequence-mining step past
+    event_transitions' pairs."""
+    tune_for_oracle(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"), F.asc("t3"))
+        .limit(25)
+    )
+
+
+def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition entropy per source state: H(next | from) =
+    -Σ_j p(j|i)·ln p(j|i) over each user's event-type transitions —
+    how predictable the next action is from the current one (uniform
+    5-way ≈ 1.609 nats; 0 = deterministic funnel). Exact transition
+    counts; each entropy term is 12-dp rounded and summed through
+    DECIMAL(26,12) (order-independent), the repo-wide float-sum rule.
+
+    Returns (from_type, n_out, entropy) — entropy 6-dp."""
+    tune_for_oracle(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = trans.groupBy("from_type").agg(
+        F.sum("c").cast("bigint").alias("n_out")
+    )
+    term = F.expr(
+        "CAST(round(-(CAST(c AS DOUBLE) / CAST(n_out AS DOUBLE))"
+        " * ln(CAST(c AS DOUBLE) / CAST(n_out AS DOUBLE)), 12)"
+        " AS DECIMAL(26,12))"
+    )
+    return (
+        trans.join(tot, "from_type")
+        .select("from_type", "n_out", term.alias("h"))
+        .groupBy("from_type", "n_out")
+        .agg(
+            (F.round(F.sum("h").cast("double"), 6) + F.lit(0.0)).alias(
+                "entropy"
+            )
+        )
+        .orderBy("from_type")
+    )
+
+
+def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at customer-revenue deciles — the distribution
+    behind the Gini scalar."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    return profiling.lorenz_deciles(tables.load(spark, sf_dir, "orders"))

@@ -360,6 +360,9 @@ BENCH_QUERIES = [
     "ppr",
     "map_eval",
     "cheapest_supplier",
+    "event_trigrams",
+    "transition_entropy",
+    "lorenz_deciles",
     # round 12 additions
     "stream_recovery_msprt",
     "tfidf_recall",
