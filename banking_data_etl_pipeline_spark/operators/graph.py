@@ -789,6 +789,7 @@ def bfs_depths(
     lineitem: DataFrame,
     max_depth: int = 8,
     min_weight: int = 2,
+    plan_hook=None,
 ) -> DataFrame:
     """Single-source BFS shortest-path depths over the repeated-
     co-purchase graph (the kcore edge build: part pairs sharing
@@ -840,15 +841,17 @@ def bfs_depths(
     ).localCheckpoint()
     frontier = visited.select("part")
     for d in range(1, max_depth + 1):
-        nxt = (
+        expand = (
             F.broadcast(frontier)
             .join(edges, frontier["part"] == edges["src"])
             .select(F.col("dst").cast("bigint").alias("part"))
             .distinct()
             .join(visited.select("part"), "part", "left_anti")
             .select("part", F.lit(d).cast("int").alias("depth"))
-            .localCheckpoint()
         )
+        if plan_hook is not None and d == 1:
+            plan_hook("frontier", expand)
+        nxt = expand.localCheckpoint()
         if nxt.count() == 0:
             break
         prev = visited

@@ -1304,42 +1304,93 @@ def mann_whitney(
     )
 
 
-def lorenz_deciles(orders: DataFrame) -> DataFrame:
+def lorenz_deciles(orders: DataFrame, tiles: int = 10) -> DataFrame:
     """Lorenz curve at deciles of customer revenue — the curve behind
     gini_concentration's scalar: customers ntile'd by total spend
     (ascending, custkey tie-break), each decile's exact-DECIMAL revenue
     and the cumulative share of total revenue. The ''bottom 50% of
     customers hold x% of revenue'' readout.
 
-    Scale shape: ONE map-side-combined per-customer aggregate; the
-    ntile ranks customer-count rows in a per-decile-bounded window
-    (same as ntile_deciles); the cumulative runs over exactly 10
-    literal rows. Sums stay in DECIMAL(18,6)/(38,6) end-to-end —
-    order-independent — with doubles only at the two terminal
-    emissions.
+    Scale shape: ONE map-side-combined per-customer aggregate, then
+    the DISTRIBUTED-RANK ntile (the acctbal_deciles construction — a
+    bare ``ntile() OVER (ORDER BY ...)`` would ship every customer row
+    to one reducer): deterministic ``repartitionByRange`` on the sort
+    key, per-partition counts folded into broadcast offsets, LOCAL
+    row_number per range partition + offset = exact global rank, then
+    the first-N%t-tiles-get-⌈N/t⌉ arithmetic — bit-identical to ntile
+    with every exchange parallel. The per-decile DECIMAL sums (≤
+    ``tiles`` rows — model-parameter scale) are pulled to the driver
+    and cumulated EXACTLY in Python decimal (the heaps-offsets
+    precedent), so the result frame is ``tiles`` literal rows with no
+    single-partition window anywhere. Doubles appear only at the two
+    terminal emissions.
 
-    Returns (decile, n_cust, decile_rev, cum_share) — decile 1..10
+    Returns (decile, n_cust, decile_rev, cum_share) — decile 1..tiles
     asc, decile_rev 4-dp, cum_share 6-dp."""
+    spark = orders.sparkSession
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
     )
-    w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
-    tiled = per_cust.select(
-        F.ntile(10).over(w).alias("decile"), "rev"
+    key = [F.col("rev").asc(), F.col("o_custkey").asc()]
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = per_cust.repartitionByRange(shuffle_n, *key).withColumn(
+        "_pid", F.spark_partition_id()
     )
-    per_dec = tiled.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
-        F.sum("rev").alias("drev"),
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    acc, offsets = 0, {}
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_n"]
+    total_n = acc
+    out_schema = (
+        "decile int, n_cust bigint, decile_rev double, cum_share double"
     )
-    total = per_dec.agg(F.sum("drev").alias("t")).scalar()
-    wc = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    if total_n == 0:
+        return spark.createDataFrame([], out_schema)
+    off_map = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in offsets]),
+        F.array(*[F.lit(v) for v in offsets.values()]),
     )
-    return per_dec.select(
+    w = Window.partitionBy("_pid").orderBy(*key)
+    rank = (
+        F.row_number().over(w).cast("long") + off_map[F.col("_pid")]
+    ).alias("_rank")
+    base, rem = total_n // tiles, total_n % tiles
+    cut = rem * (base + 1)
+    decile = (
+        F.when(F.col("_rank") <= cut, F.expr(f"(_rank - 1) DIV {base + 1}"))
+        .otherwise(F.expr(f"{rem} + (_rank - {cut} - 1) DIV {max(base, 1)}"))
+        .cast("int")
+        + 1
+    ).alias("decile")
+    per_dec = sorted(
+        (int(r["decile"]), int(r["n_cust"]), r["drev"])
+        for r in ranged.select("rev", rank)
+        .select("rev", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.sum("rev").alias("drev"),
+        )
+        .collect()
+    )
+    total_rev = sum(d for _, _, d in per_dec)  # exact decimal.Decimal
+    rows, cum = [], None
+    for d, n, drev in per_dec:
+        cum = drev if cum is None else cum + drev  # exact
+        rows.append((d, n, float(drev), float(cum) / float(total_rev)))
+    # float(Decimal) is the correctly-rounded decimal->double cast —
+    # identical to the engines' CAST(DECIMAL AS DOUBLE) — and the
+    # share division is one IEEE op on those bits; the final 4/6-dp
+    # rounds run in Spark so the round-half convention matches the
+    # rest of the repo (Spark round == oracle round here: both see
+    # the identical double)
+    lf = spark.createDataFrame(
+        rows, "decile int, n_cust bigint, _rev double, _share double"
+    )
+    return lf.select(
         "decile",
         "n_cust",
-        F.round(F.col("drev").cast("double"), 4).alias("decile_rev"),
-        F.round(
-            F.sum("drev").over(wc).cast("double") / total.cast("double"), 6
-        ).alias("cum_share"),
+        F.round("_rev", 4).alias("decile_rev"),
+        F.round("_share", 6).alias("cum_share"),
     ).orderBy("decile")

@@ -34,12 +34,13 @@ SKIP = {
     "stream_attribution", "stream_ewma", "stream_srm",
     "stream_topk_users", "stream_msprt", "stream_recovery",
     "stream_cms_ngrams", "stream_p95", "stream_hll",
+    "stream_recovery_msprt", "stream_langid_mix",
     # iterative (driver-side loop): representative per-iteration plans
     # captured via plan_hook in the second section below
     "kmeans", "dedup_resolve", "pagerank", "fuzzy_resolve",
     "triangle_count", "bpe_merges", "bpe_merges_batched", "kcore",
     "mmr_rerank", "hits", "hits_prebuilt", "kcenter_coreset",
-    "emb_top_pc", "bt_strengths",
+    "emb_top_pc", "bt_strengths", "ppr", "bfs_depths",
 }
 
 # which iterative capture covers each skipped query's loop
@@ -63,6 +64,10 @@ ITER_COVERAGE = {
     "per step; corpus touched once in the cov build)",
     "bt_strengths": "bt[mm-update] (top_n-row checkpointed join per "
     "step; corpus touched once for the contestant cut)",
+    "ppr": "ppr[iteration] (pagerank loop with the seed-CASE restart "
+    "term — identical join/agg shape)",
+    "bfs_depths": "bfs[frontier] (per-level broadcast frontier join "
+    "+ visited anti-join)",
 }
 
 
@@ -245,6 +250,10 @@ def main() -> None:
         emb, k=8, iterations=1, plan_hook=hook_for("kmeans")
     )
     graph.pagerank(lineitem, iters=1, plan_hook=hook_for("pagerank"))
+    spark.catalog.clearCache()
+    graph.ppr(lineitem, iters=1, plan_hook=hook_for("ppr"))
+    spark.catalog.clearCache()
+    graph.bfs_depths(lineitem, max_depth=1, plan_hook=hook_for("bfs"))
     spark.catalog.clearCache()
     graph.triangle_counts(lineitem, plan_hook=hook_for("triangle_count"))
     spark.catalog.clearCache()
