@@ -897,12 +897,16 @@ def assortativity(lineitem: DataFrame, min_weight: int = 2) -> DataFrame:
         .filter(F.col("w") >= min_weight)
         .select("src", "dst")
     )
+    # persist: the edge list feeds the degree agg AND both lookup
+    # joins, and deg itself is probed twice — without the caches the
+    # dominant-cost edge build would run once per consumer (the
+    # pagerank/kcore discipline; measured 22 -> ~8 distinct exchanges)
     edges = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).persist()
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
-    )
+    ).persist()
     labeled = (
         edges.join(deg, "src")
         .withColumnRenamed("deg", "dx")
@@ -915,7 +919,9 @@ def assortativity(lineitem: DataFrame, min_weight: int = 2) -> DataFrame:
         F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("s_xy"),
         F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("s_xx"),
         F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("s_yy"),
-    )
+    ).localCheckpoint()  # eager 1-row materialize, then release caches
+    edges.unpersist()
+    deg.unpersist()
     m = F.col("m").cast("double")
     num = m * F.col("s_xy").cast("double") - F.col("s_x").cast("double") * F.col(
         "s_y"
