@@ -383,6 +383,19 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "brier_eval",
         # 1-row margins crossJoin against the 1-row unit reduction
         "judge_alpha",
+        # 1-row (n_a, n_b) totals crossJoin against the EDF spine /
+        # the 1-row 2U reduction — the corpus-totals pattern (the
+        # spine itself is equi-join + partitioned prefix sum)
+        "ks_drift",
+        "mannwhitney_u",
+        # day-pair inequality self-join over the CALENDAR-sized daily
+        # aggregate (days², never data-proportional — the mann_kendall
+        # precedent) plus the 1-row n_days crossJoin
+        "kendall_tau",
+        # tfidf_allpairs twice on a capped audit slice (its 1-row
+        # corpus-total crossJoin, bounded at n_slice) + four scalar
+        # subqueries over <= top-row frames
+        "tfidf_recall",
     }
     # r12: negative_samples left this allowlist — its draw→interval
     # lookup is now a bucketed-cell BroadcastHashJoin (the production
