@@ -8366,3 +8366,25 @@ SELECT decile, n_cust,
        round(CAST(sum(drev) OVER (ORDER BY decile) AS DOUBLE)
              / CAST(tot.t AS DOUBLE), 6) AS cum_share
 FROM pd CROSS JOIN tot"""
+
+
+# Twin of operators.profiling.cvm_two_sample: the pooled-jump EDF
+# integral, exact via cross-multiplication in DECIMAL(38,0), then the
+# same two-division association as the Spark expression.
+CVM_DRIFT_Q = f"""WITH cum AS ({_TWO_SAMPLE_SPINE}),
+t AS (
+  SELECT max(cum_a) AS n_a, max(cum_b) AS n_b FROM cum
+), s AS (
+  SELECT n_a, n_b,
+         CAST(sum(CAST(c_a + c_b AS DECIMAL(38,0))
+                  * CAST((cum_a * n_b - cum_b * n_a)
+                         * (cum_a * n_b - cum_b * n_a)
+                    AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t_num
+  FROM cum, t GROUP BY n_a, n_b
+)
+SELECT n_a, n_b,
+       CAST(t_num AS DOUBLE) AS t_num,
+       CAST(t_num AS DOUBLE)
+         / CAST((n_a + n_b) * (n_a + n_b) AS DOUBLE)
+         / CAST(n_a * n_b AS DOUBLE) AS cvm_t
+FROM s"""

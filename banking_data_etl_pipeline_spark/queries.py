@@ -3785,3 +3785,12 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return profiling.lorenz_deciles(tables.load(spark, sf_dir, "orders"))
+
+
+def cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises drift (integrated EDF distance) —
+    completes the drift family: PSI binned, KS sup-norm, CvM integral."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    return profiling.cvm_two_sample(tables.load(spark, sf_dir, "events"))

@@ -363,6 +363,7 @@ BENCH_QUERIES = [
     "event_trigrams",
     "transition_entropy",
     "lorenz_deciles",
+    "cvm_drift",
     # round 12 additions
     "stream_recovery_msprt",
     "tfidf_recall",

@@ -135,3 +135,26 @@ def test_bfs_depths_empty_graph(spark):
     """No repeated pair at min_weight=2 → empty result, no crash."""
     li = _lineitem(spark, [[1, 2], [3, 4]])
     assert graph.bfs_depths(li).count() == 0
+
+
+def test_cvm_two_sample_hand_computed(spark):
+    """a = {1,2}, b = {1,3}: EDFs differ only on [2,3) where
+    |F_a−F_b| = 1/2 with pooled weight 1 → t_num = 1·(2·2−1·2)² = 4,
+    T = 4/(4²·4) = 0.0625."""
+    ev = _events(
+        spark,
+        [("purchase", 1), ("purchase", 2), ("click", 1), ("click", 3)],
+    )
+    row = profiling.cvm_two_sample(ev).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (2, 2)
+    assert row["t_num"] == 4.0
+    assert row["cvm_t"] == pytest.approx(0.0625)
+
+
+def test_cvm_identical_samples_zero(spark):
+    ev = _events(
+        spark,
+        [("purchase", 5), ("purchase", 7), ("click", 5), ("click", 7)],
+    )
+    row = profiling.cvm_two_sample(ev).collect()[0]
+    assert row["t_num"] == 0.0 and row["cvm_t"] == 0.0
