@@ -212,3 +212,121 @@ def kmeans(
         .withColumn("centroid", cent_arr[F.col("cluster")])
         .select("cluster", "n_members", "centroid")
     )
+
+
+def cluster_purity(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """External clustering evaluation of the k-means assignment
+    against the labeled ``label`` column — purity (Σ_c max_l n_cl / N,
+    the "how label-homogeneous are the clusters" share) and NMI
+    (I(C;L)/√(H(C)·H(L)), Strehl & Ghosh 2002 — purity's inflation-
+    resistant companion: assigning everything to singletons games
+    purity but not NMI). The readout that turns kmeans from an
+    operator into a measured clusterer.
+
+    Scale shape: rides the same decimal-exact Lloyd training and
+    map-only literal-centroid assignment as ``kmeans``; everything
+    after is ONE groupBy over the |clusters|×|labels| contingency
+    (model-parameter scale) plus margin joins on that tiny frame.
+    Exact integer counts throughout; the entropy/MI terms are 12-dp
+    rounded and summed through DECIMAL(26,12) (order-independent),
+    divisions terminal.
+
+    Returns one row (n, n_clusters, n_labels, purity_num, purity,
+    nmi) — purity/nmi 6-dp."""
+    centroids = train_centroids(emb, k, iterations, vec_col, id_col)
+    assigned = _assign(emb, centroids, vec_col, id_col)
+    cells = (
+        assigned.select("vec_id", "cluster")
+        .join(
+            emb.select(F.col(id_col).alias("vec_id"), F.col(label_col)),
+            "vec_id",
+        )
+        .groupBy("cluster", label_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cl"))
+    )
+    cl_tot = cells.groupBy("cluster").agg(
+        F.sum("n_cl").cast("bigint").alias("n_c")
+    )
+    lb_tot = cells.groupBy(label_col).agg(
+        F.sum("n_cl").cast("bigint").alias("n_l")
+    )
+    n_all = cells.agg(F.sum("n_cl").alias("n")).scalar().cast("bigint")
+    purity_num = (
+        cl_tot.join(
+            cells.groupBy("cluster").agg(F.max("n_cl").alias("mx")), "cluster"
+        )
+        .agg(F.sum("mx").alias("p"))
+        .scalar()
+        .cast("bigint")
+    )
+    # per-cell MI term and per-margin entropy terms: exact ints into
+    # one fixed double expression, 12-dp rounded, DECIMAL-summed
+    j = cells.join(cl_tot, "cluster").join(lb_tot, label_col).withColumn(
+        "n_all", n_all
+    )
+    mi_term = F.expr(
+        "CAST(round((CAST(n_cl AS DOUBLE) / CAST(n_all AS DOUBLE))"
+        " * ln(CAST(n_cl AS DOUBLE) * CAST(n_all AS DOUBLE)"
+        "      / (CAST(n_c AS DOUBLE) * CAST(n_l AS DOUBLE))), 12)"
+        " AS DECIMAL(26,12))"
+    )
+    mi = j.agg(F.sum(mi_term).alias("mi"))
+    hc = (
+        cl_tot.withColumn("n_all", n_all)
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(-(CAST(n_c AS DOUBLE) / CAST(n_all AS DOUBLE))"
+                    " * ln(CAST(n_c AS DOUBLE) / CAST(n_all AS DOUBLE)), 12)"
+                    " AS DECIMAL(26,12))"
+                )
+            ).alias("hc")
+        )
+    )
+    hl = (
+        lb_tot.withColumn("n_all", n_all)
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(-(CAST(n_l AS DOUBLE) / CAST(n_all AS DOUBLE))"
+                    " * ln(CAST(n_l AS DOUBLE) / CAST(n_all AS DOUBLE)), 12)"
+                    " AS DECIMAL(26,12))"
+                )
+            ).alias("hl")
+        )
+    )
+    counts = cells.agg(
+        F.count_distinct("cluster").cast("bigint").alias("n_clusters"),
+        F.count_distinct(label_col).cast("bigint").alias("n_labels"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            n_all.alias("n"),
+            "n_clusters",
+            "n_labels",
+            purity_num.alias("purity_num"),
+            F.round(
+                purity_num.cast("double") / n_all.cast("double"), 6
+            ).alias("purity"),
+            (
+                F.round(
+                    F.col("mi").cast("double")
+                    / F.sqrt(
+                        F.col("hc").cast("double") * F.col("hl").cast("double")
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("nmi"),
+        )
+    )

@@ -8388,3 +8388,119 @@ SELECT n_a, n_b,
          / CAST((n_a + n_b) * (n_a + n_b) AS DOUBLE)
          / CAST(n_a * n_b AS DOUBLE) AS cvm_t
 FROM s"""
+
+
+def kmeans_purity_sql(k: int = 8, dim: int = 64, iters: int = 3) -> str:
+    """Twin of operators.clustering.cluster_purity: the _kmeans_ctes
+    walk + kmeans_sql's afinal assignment, then exact contingency
+    counts and the identical 12-dp DECIMAL-summed entropy/MI terms."""
+
+    def sqdist(e: str, c: str) -> str:
+        return _kmeans_sqdist(e, c)
+
+    last = f"c{iters}"
+    return f"""{_kmeans_ctes(k, dim, iters)},
+afinal AS (
+  SELECT e.vec_id,
+    (SELECT c.cid FROM {last} c
+     ORDER BY {sqdist('e.embedding', 'c.cvec')} ASC, c.cid ASC
+     LIMIT 1) AS cluster
+  FROM emb e
+),
+cells AS (
+  SELECT a.cluster, e2.label, CAST(count(*) AS BIGINT) AS n_cl
+  FROM afinal a JOIN embeddings e2 ON a.vec_id = e2.vec_id
+  GROUP BY a.cluster, e2.label
+),
+cl_tot AS (SELECT cluster, CAST(sum(n_cl) AS BIGINT) AS n_c
+           FROM cells GROUP BY cluster),
+lb_tot AS (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l
+           FROM cells GROUP BY label),
+tot AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n_all FROM cells),
+pur AS (
+  SELECT CAST(sum(mx) AS BIGINT) AS purity_num FROM (
+    SELECT cluster, max(n_cl) AS mx FROM cells GROUP BY cluster
+  )
+),
+mi AS (
+  SELECT sum(CAST(round((CAST(c.n_cl AS DOUBLE) / CAST(t.n_all AS DOUBLE))
+        * ln(CAST(c.n_cl AS DOUBLE) * CAST(t.n_all AS DOUBLE)
+             / (CAST(ct.n_c AS DOUBLE) * CAST(lt.n_l AS DOUBLE))), 12)
+        AS DECIMAL(26,12))) AS mi
+  FROM cells c
+  JOIN cl_tot ct ON c.cluster = ct.cluster
+  JOIN lb_tot lt ON c.label = lt.label
+  CROSS JOIN tot t
+),
+hc AS (
+  SELECT sum(CAST(round(-(CAST(n_c AS DOUBLE) / CAST(t.n_all AS DOUBLE))
+        * ln(CAST(n_c AS DOUBLE) / CAST(t.n_all AS DOUBLE)), 12)
+        AS DECIMAL(26,12))) AS hc
+  FROM cl_tot CROSS JOIN tot t
+),
+hl AS (
+  SELECT sum(CAST(round(-(CAST(n_l AS DOUBLE) / CAST(t.n_all AS DOUBLE))
+        * ln(CAST(n_l AS DOUBLE) / CAST(t.n_all AS DOUBLE)), 12)
+        AS DECIMAL(26,12))) AS hl
+  FROM lb_tot CROSS JOIN tot t
+),
+cnts AS (
+  SELECT CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+         CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+  FROM cells
+)
+SELECT t.n_all AS n, cnts.n_clusters, cnts.n_labels, pur.purity_num,
+       round(CAST(pur.purity_num AS DOUBLE) / CAST(t.n_all AS DOUBLE), 6)
+         AS purity,
+       round(CAST(mi.mi AS DOUBLE)
+             / sqrt(CAST(hc.hc AS DOUBLE) * CAST(hl.hl AS DOUBLE)), 6)
+         + 0.0 AS nmi
+FROM tot t, pur, mi, hc, hl, cnts"""
+
+
+KMEANS_PURITY_Q = kmeans_purity_sql()
+
+
+# Twin of queries.lateness_audit: per-user running event-time maximum
+# (window), an event is LATE when it arrives below the max seen so
+# far; exact counts + the worst regression in microseconds.
+LATENESS_Q = """WITH w AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS t,
+         max(CAST(epoch_us(ts) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS max_before
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN max_before IS NOT NULL AND t < max_before
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(CASE WHEN max_before IS NOT NULL AND t < max_before
+                THEN max_before - t END) AS BIGINT) AS worst_lag_us
+FROM w GROUP BY user_id"""
+
+
+# Twin of queries.overdispersion: daily-count mean/variance ratio per
+# event type in exact integer sufficient statistics (n·Σx² − (Σx)²),
+# one terminal double assembly.
+OVERDISPERSION_Q = """WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days, s1 AS n_events,
+       round((CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n_days AS DOUBLE) * CAST(n_days - 1 AS DOUBLE))
+             / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)
+         AS dispersion
+FROM s WHERE n_days > 1"""

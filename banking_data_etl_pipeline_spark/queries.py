@@ -3794,3 +3794,78 @@ def cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return profiling.cvm_two_sample(tables.load(spark, sf_dir, "events"))
+
+
+def kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering eval: purity + NMI of the k-means
+    assignment against the embedding labels — turns kmeans into a
+    measured clusterer."""
+    from .operators import clustering
+
+    tune_for_oracle(spark)
+    return clustering.cluster_purity(
+        tables.load(spark, sf_dir, "embeddings"), k=8
+    )
+
+
+def lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness audit per user: how many events arrived
+    behind the running event-time maximum (arrival order = event_id)
+    and the worst regression — the batch readout that sizes a
+    streaming watermark before deploying the windowed aggregations.
+    ONE user-partitioned window, exact integers."""
+    tune_for_oracle(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.unix_micros(F.col("ts"))
+    flagged = ev.select(
+        "user_id",
+        t.alias("t"),
+        F.max(t).over(w).alias("max_before"),
+    )
+    late = F.col("max_before").isNotNull() & (F.col("t") < F.col("max_before"))
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(late.cast("bigint")).cast("bigint").alias("n_late"),
+        F.max(F.when(late, F.col("max_before") - F.col("t")))
+        .cast("bigint")
+        .alias("worst_lag_us"),
+    )
+
+
+def overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/mean ratio of daily counts per event type — the
+    Poisson-overdispersion screen (ratio 1 = Poisson arrivals; >> 1 =
+    bursty/contagious, the signal that a negative-binomial model or a
+    burst monitor is needed). Exact integer sufficient statistics,
+    one terminal double assembly."""
+    day_us = 86_400 * 1_000_000
+    tune_for_oracle(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type", F.expr(f"unix_micros(ts) DIV {day_us}").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    nd = F.col("n_days").cast("double")
+    s1 = F.col("s1").cast("double")
+    var = (nd * F.col("s2").cast("double") - s1 * s1) / (
+        nd * (F.col("n_days") - 1).cast("double")
+    )
+    return s.filter(F.col("n_days") > 1).select(
+        "event_type",
+        "n_days",
+        F.col("s1").alias("n_events"),
+        F.round(var / (s1 / nd), 6).alias("dispersion"),
+    )

@@ -364,6 +364,9 @@ BENCH_QUERIES = [
     "transition_entropy",
     "lorenz_deciles",
     "cvm_drift",
+    "kmeans_purity",
+    "lateness_audit",
+    "overdispersion",
     # round 12 additions
     "stream_recovery_msprt",
     "tfidf_recall",
