@@ -396,6 +396,13 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # corpus-total crossJoin, bounded at n_slice) + four scalar
         # subqueries over <= top-row frames
         "tfidf_recall",
+        # 1-row (n_a, n_b) totals crossJoin over the EDF spine — the
+        # ks_drift shape with the integrated statistic
+        "cvm_drift",
+        # three 1-row metric reductions (MI, H(C), H(L)) crossJoined
+        # with the 1-row distinct-counts frame — every side one row
+        # by construction (the judge_alpha pattern)
+        "kmeans_purity",
     }
     # r12: negative_samples left this allowlist — its draw→interval
     # lookup is now a bucketed-cell BroadcastHashJoin (the production
