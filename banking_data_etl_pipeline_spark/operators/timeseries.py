@@ -925,8 +925,11 @@ def kendall_tau(
     Over all day pairs i<j: concordant when (x_j−x_i)(y_j−y_i) > 0,
     discordant when < 0, and pairs tied in x (or y) shrink the
     respective margin; tau_b = (nc − nd) / √((n0 − tx)(n0 − ty)) with
-    n0 = n(n−1)/2. Everything is exact integer counting until the
-    single terminal sqrt/division.
+    n0 = n(n−1)/2 (NULL when a margin is fully tied — the
+    denominator vanishes and no correlation is defined; a bare
+    division would ANSI-fail the whole job on a degenerate series,
+    caught by the property suite). Everything is exact integer
+    counting until the single terminal sqrt/division.
 
     Scale shape: identical to mann_kendall — the feed collapses to
     per-day integer counts first (map-side combined), so the pair
@@ -976,11 +979,14 @@ def kendall_tau(
         "ties_y",
         (
             (F.col("concordant") - F.col("discordant")).cast("double")
-            / F.sqrt(
-                (
-                    (F.col("n0") - F.col("ties_x"))
-                    * (F.col("n0") - F.col("ties_y"))
-                ).cast("double")
+            / F.nullif(
+                F.sqrt(
+                    (
+                        (F.col("n0") - F.col("ties_x"))
+                        * (F.col("n0") - F.col("ties_y"))
+                    ).cast("double")
+                ),
+                F.lit(0.0),
             )
         ).alias("tau_b"),
     )

@@ -7834,7 +7834,8 @@ KENDALL_TAU_Q = """WITH f AS (
 )
 SELECT n_days, concordant, discordant, ties_x, ties_y,
        CAST(concordant - discordant AS DOUBLE)
-         / sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE)) AS tau_b
+         / nullif(sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE)) AS tau_b
 FROM agg, n"""
 
 
