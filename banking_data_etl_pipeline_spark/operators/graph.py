@@ -840,9 +840,20 @@ def bfs_depths(
         [(int(seed), 0)], "part bigint, depth int"
     ).localCheckpoint()
     frontier = visited.select("part")
+    frontier_n = 1
+    # same gate as ranks_over_edges' broadcast_nodes: on a dense
+    # connected graph the level-1/2 frontier approaches the whole node
+    # set — broadcast only while it is provably small, else let the
+    # node-keyed shuffle join (AQE co-partitioned) carry the level
+    broadcast_frontier = 2_000_000
     for d in range(1, max_depth + 1):
-        expand = (
+        f_in = (
             F.broadcast(frontier)
+            if frontier_n <= broadcast_frontier
+            else frontier
+        )
+        expand = (
+            f_in
             .join(edges, frontier["part"] == edges["src"])
             .select(F.col("dst").cast("bigint").alias("part"))
             .distinct()
@@ -852,7 +863,8 @@ def bfs_depths(
         if plan_hook is not None and d == 1:
             plan_hook("frontier", expand)
         nxt = expand.localCheckpoint()
-        if nxt.count() == 0:
+        frontier_n = nxt.count()
+        if frontier_n == 0:
             break
         prev = visited
         visited = visited.union(nxt).localCheckpoint()

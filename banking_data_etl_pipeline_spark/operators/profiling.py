@@ -1174,6 +1174,10 @@ def _two_sample_spine(
     Returns (v, c_a, c_b, cum_a, cum_b) — all counts exact bigints."""
     flagged = events.filter(
         F.col("event_type").isin([type_a, type_b])
+        # NULL values would land in a NULL pid bucket and crash the
+        # driver-side offset fold; both engines drop them up front so
+        # the spines stay aligned by construction
+        & F.col(value_col).isNotNull()
     ).select(
         F.col(value_col).alias("v"),
         F.when(F.col("event_type") == type_a, 1)
@@ -1333,8 +1337,14 @@ def lorenz_deciles(orders: DataFrame, tiles: int = 10) -> DataFrame:
     )
     key = [F.col("rev").asc(), F.col("o_custkey").asc()]
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = per_cust.repartitionByRange(shuffle_n, *key).withColumn(
-        "_pid", F.spark_partition_id()
+    # persist BEFORE the counts collect: the offset map and the decile
+    # aggregation are two separately planned jobs, and RangePartitioner
+    # boundary sampling is only guaranteed identical when both jobs
+    # read the one materialized partitioning (not two re-samplings)
+    ranged = (
+        per_cust.repartitionByRange(shuffle_n, *key)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
     acc, offsets = 0, {}
@@ -1346,6 +1356,7 @@ def lorenz_deciles(orders: DataFrame, tiles: int = 10) -> DataFrame:
         "decile int, n_cust bigint, decile_rev double, cum_share double"
     )
     if total_n == 0:
+        ranged.unpersist()
         return spark.createDataFrame([], out_schema)
     off_map = F.map_from_arrays(
         F.array(*[F.lit(p) for p in offsets]),
@@ -1374,6 +1385,7 @@ def lorenz_deciles(orders: DataFrame, tiles: int = 10) -> DataFrame:
         )
         .collect()
     )
+    ranged.unpersist()
     total_rev = sum(d for _, _, d in per_dec)  # exact decimal.Decimal
     rows, cum = [], None
     for d, n, drev in per_dec:
@@ -1420,7 +1432,12 @@ def cvm_two_sample(
     totals = spine.agg(
         F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
     )
-    d = F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    # cast to DECIMAL(38,0) BEFORE squaring: d itself fits int64
+    # whenever n_a·n_b does (same bound as ks_two_sample), but d² wraps
+    # int64 once |d| passes ~3.03e9 — squaring must happen in decimal
+    d = (
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    ).cast("decimal(38,0)")
     return (
         spine.crossJoin(F.broadcast(totals))
         .select(
@@ -1428,7 +1445,7 @@ def cvm_two_sample(
             "n_b",
             (
                 (F.col("c_a") + F.col("c_b")).cast("decimal(38,0)")
-                * (d * d).cast("decimal(38,0)")
+                * (d * d)
             ).alias("term"),
         )
         .groupBy("n_a", "n_b")

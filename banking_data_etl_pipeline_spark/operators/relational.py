@@ -409,10 +409,15 @@ def acctbal_deciles(customer: DataFrame, tiles: int = 10) -> DataFrame:
     key = [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
     spark = customer.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # persist BEFORE the counts collect: the offset map and the final
+    # decile aggregation are two separately planned jobs, and
+    # RangePartitioner boundary sampling is only guaranteed identical
+    # when both jobs read the one materialized partitioning
     ranged = (
         customer.select("c_custkey", "c_acctbal")
         .repartitionByRange(shuffle_n, *key)
         .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
 
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()

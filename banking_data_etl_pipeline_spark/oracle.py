@@ -7774,6 +7774,7 @@ _TWO_SAMPLE_SPINE = """
                 - sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                 AS BIGINT) AS c_b
     FROM events WHERE event_type IN ('purchase', 'click')
+      AND value IS NOT NULL
     GROUP BY value
   )
 """
@@ -7860,8 +7861,12 @@ def bfs_depths_sql(max_depth: int = 8, min_weight: int = 2) -> str:
   UNION ALL
   SELECT dst AS src, src AS dst FROM half
 ), v0 AS MATERIALIZED (
-  SELECT CAST(min(src) AS BIGINT) AS part, 0 AS depth FROM e
-  WHERE (SELECT count(*) FROM e) > 0
+  -- an ungrouped min() over zero rows still yields one (NULL) row, so
+  -- the seed must be filtered on its own NULL-ness, not on the input
+  -- count, for an empty graph to yield zero rows like the Spark side
+  SELECT part, 0 AS depth FROM (
+    SELECT CAST(min(src) AS BIGINT) AS part FROM e
+  ) WHERE part IS NOT NULL
 ), f0 AS (SELECT part FROM v0)"""
     ]
     for t in range(1, max_depth + 1):
@@ -8378,9 +8383,9 @@ t AS (
 ), s AS (
   SELECT n_a, n_b,
          CAST(sum(CAST(c_a + c_b AS DECIMAL(38,0))
-                  * CAST((cum_a * n_b - cum_b * n_a)
-                         * (cum_a * n_b - cum_b * n_a)
-                    AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t_num
+                  * (CAST(cum_a * n_b - cum_b * n_a AS DECIMAL(38,0))
+                     * CAST(cum_a * n_b - cum_b * n_a AS DECIMAL(38,0)))
+                 ) AS DECIMAL(38,0)) AS t_num
   FROM cum, t GROUP BY n_a, n_b
 )
 SELECT n_a, n_b,
