@@ -429,6 +429,50 @@ def kcenter_coreset(
     ).select("sel_rank", "vec_id", F.round("dist", 6).alias("dist"))
 
 
+def _dist_rank(df, key, rank_name: str):
+    """Exact global ``row_number`` over ``key`` with every exchange
+    parallel — the lorenz_deciles/acctbal_deciles distributed-rank
+    construction as a reusable helper: deterministic
+    ``repartitionByRange`` on the sort key (persisted so the offset
+    job and the consumer read ONE materialized partitioning — the
+    RangePartitioner-resampling hazard), per-partition counts folded
+    into broadcast offsets on the driver (≤ #partitions longs), LOCAL
+    ``row_number`` per range partition + offset = exact global rank.
+
+    Returns (ranked_df, total_n); ranked_df carries ``rank_name`` as a
+    long and stays backed by the persisted range partitioning (LRU-
+    evictable; eviction only costs a recompute of a deterministic
+    plan, correctness holds because the consumer reads ranks, not
+    partition ids, after this function's own offset fold)."""
+    spark = df.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(shuffle_n, *key)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = (
+        ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    acc, offsets = 0, {}
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_n"]
+    if acc == 0:
+        ranged.unpersist()
+        return None, 0
+    off_map = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in offsets]),
+        F.array(*[F.lit(v) for v in offsets.values()]),
+    )
+    w = Window.partitionBy("_pid").orderBy(*key)
+    out = ranged.withColumn(
+        rank_name,
+        F.row_number().over(w).cast("long") + off_map[F.col("_pid")],
+    ).drop("_pid")
+    return out, acc
+
+
 def curriculum_order(
     docs: DataFrame,
     n_stages: int = 4,
@@ -443,12 +487,17 @@ def curriculum_order(
     within-stage decorrelation every curriculum recipe requires),
     and reruns/backfills emit the identical sequence.
 
-    Scale shape: difficulty banding is one global ``ntile`` over
-    (difficulty, id) — a total order, deterministic cross-engine; at
-    100 TB swap the global ntile for approx-percentile threshold cuts
-    (the ``lift_table`` note), same output contract. The emit index
-    is a window over (stage, hash) — the same single total order, one
-    sort.
+    Scale shape: BOTH total orders (difficulty banding AND the emit
+    index) are the DISTRIBUTED-RANK construction — the
+    lorenz_deciles/acctbal_deciles pattern generalized by
+    ``_dist_rank`` — never a bare ``ntile()``/``row_number()`` over an
+    unpartitioned window (which would plan an ``Exchange
+    SinglePartition`` shipping every document row through one reducer,
+    the classic 100 TB scale-killer). Pass 1 ranks (n_tokens, id) and
+    bands with exact first-N%t-tiles-get-⌈N/t⌉ arithmetic — bit-
+    identical to ``ntile(n_stages)``; pass 2 ranks (stage, hash, id)
+    for the emit index. Two parallel range shuffles total; the only
+    driver traffic is 2×#partitions count rows.
 
     Returns (doc_id, n_tokens, stage, emit_order): stage 1 = easiest
     band, emit_order the global training sequence position."""
@@ -463,16 +512,33 @@ def curriculum_order(
             "_h"
         ),
     )
-    wd = Window.orderBy(F.col("n_tokens").asc(), F.col(id_col).asc())
-    staged = sized.withColumn("stage", F.ntile(n_stages).over(wd))
-    we = Window.orderBy(
-        F.col("stage").asc(), F.col("_h").asc(), F.col(id_col).asc()
-    )
-    return staged.select(
+    key1 = [F.col("n_tokens").asc(), F.col(id_col).asc()]
+    ranked1, total_n = _dist_rank(sized, key1, "_rank")
+    if total_n == 0:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, n_tokens bigint, stage int,"
+            " emit_order bigint"
+        )
+    base, rem = total_n // n_stages, total_n % n_stages
+    cut = rem * (base + 1)  # ranks 1..cut live in the (base+1)-sized tiles
+    stage = (
+        F.when(
+            F.col("_rank") <= cut, F.expr(f"(_rank - 1) DIV {base + 1}")
+        )
+        .otherwise(
+            F.expr(f"{rem} + (_rank - {cut} - 1) DIV {max(base, 1)}")
+        )
+        .cast("int")
+        + 1
+    ).alias("stage")
+    staged = ranked1.select(id_col, "n_tokens", "_h", stage)
+    key2 = [F.col("stage").asc(), F.col("_h").asc(), F.col(id_col).asc()]
+    ranked2, _ = _dist_rank(staged, key2, "emit_order")
+    return ranked2.select(
         id_col,
         "n_tokens",
-        F.col("stage").cast("int").alias("stage"),
-        F.row_number().over(we).cast("bigint").alias("emit_order"),
+        "stage",
+        F.col("emit_order").cast("bigint").alias("emit_order"),
     )
 
 

@@ -681,6 +681,32 @@ def test_heaps_spine_has_no_single_partition_window(spark):
     )
 
 
+def test_curriculum_order_has_no_single_partition_window(spark):
+    """curriculum_order's two total orders (stage banding + emit
+    index) must be the distributed-rank construction (r12 verdict item
+    1): a bare ntile/row_number over an unpartitioned window would
+    plan `Exchange SinglePartition` over every document row — both
+    windows must be partitioned by the range-bucket pid, with the
+    offsets entering as literals."""
+    from banking_data_etl_pipeline_spark.operators import sampling
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    out = sampling.curriculum_order(docs, n_stages=4)
+    plan = _plan(out)
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan, plan
+    # correctness of the two-level offset fold: emit_order is the
+    # exact permutation 1..N and stages are contiguous emit bands
+    rows = out.orderBy("emit_order").collect()
+    n = docs.count()
+    assert [r.emit_order for r in rows] == list(range(1, n + 1))
+    assert [r.stage for r in rows] == sorted(r.stage for r in rows)
+    sizes = {}
+    for r in rows:
+        sizes[r.stage] = sizes.get(r.stage, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
 def test_zorder_stats_rectangles_bounded(spark):
     """Fixed-width curve buckets must (a) partition the rows exactly
     and (b) bound each rectangle: the top 4 key bits are the top 2
