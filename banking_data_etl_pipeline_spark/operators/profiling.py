@@ -726,6 +726,8 @@ def quantile_normalize(
     id_col: str,
     ref: DataFrame,
     m: int = 20,
+    n_buckets: int = 1024,
+    plan_hook=None,
 ) -> DataFrame:
     """Quantile normalization of a score column onto a REFERENCE
     group's distribution (the cross-source calibration step before
@@ -733,52 +735,102 @@ def quantile_normalize(
     re-expressed as "the value the reference source would have given a
     document at the same percentile").
 
-    Construction is interpolation-FREE so both engines agree bitwise:
-      1. the reference's empirical CDF over its DISTINCT values (one
-         groupBy + a cumulative count over the value histogram);
-      2. m+1 knots: knot_j = min{ v : cdf(v) >= j/m } — conditional
-         mins against literal fractions, no percentile interpolation
-         (whose a+(b-a)·g vs (1-g)·a+g·b shapes differ across
-         engines);
-      3. each row's percentile inside ITS group: percent_rank()
+    Construction is interpolation-FREE and integer-EXACT so both
+    engines agree bitwise:
+      1. m+1 knots: knot_j = min{ v : cum(v) >= T_j } with cum the
+         reference's cumulative DISTINCT-value count and
+         T_j = max(⌈j·total/m⌉, 1) — i.e. knot_j is exactly the
+         T_j-th order statistic; integer comparisons, no percentile
+         interpolation (whose a+(b-a)·g vs (1-g)·a+g·b shapes differ
+         across engines) and no double cdf >= j/m boundary rounding;
+      2. each row's percentile inside ITS group: percent_rank()
          (exact rational (rank-1)/(n-1));
-      4. knot index kx = floor(pct·m + 0.5) (pure floor — no
+      3. knot index kx = floor(pct·m + 0.5) (pure floor — no
          round-half-to-even ambiguity) and a broadcast join against
          the (m+1)-row knot frame.
 
-    Scale shape: step 3 partitions by group (each source ranks
-    independently); the knot frame is model-parameter-sized and never
-    driver-collected. Step 2's cumulative count orders the reference's
-    distinct-VALUE histogram — at 100 TB compress the reference to a
-    fixed-width value histogram first and the rest is unchanged.
+    Scale shape (the r12 verdict's compressed-CDF path): the knot
+    search NEVER runs a data-sized cumulative window. One min/max
+    pass fixes ``n_buckets`` literal-width value buckets; the
+    per-bucket counts (≤ n_buckets longs — model-parameter scale, the
+    _two_sample_spine precedent) are pulled to the driver, where the
+    exact integer targets T_j locate each knot's CANDIDATE bucket from
+    the bucket-level cumulative. Only the ≤ m+1 candidate buckets'
+    distinct values re-enter the plan (broadcast semi-join), and the
+    within-bucket cumulative window is PARTITIONED BY BUCKET — its
+    input is candidate-bucket-sized, not distinct-value-sized. Step
+    2 partitions by group (each source ranks independently); the knot
+    frame is (m+1) rows.
 
     Returns (group, id, val, pct, val_norm): pct 6 dp, val_norm = the
     reference-distribution value at the row's percentile."""
-    total = Window.partitionBy(F.lit(1))
-    cum = (
-        Window.partitionBy(F.lit(1))
-        .orderBy(F.col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark = ref.sparkSession
+    vals = ref.select(F.col(val_col).alias("v")).filter(
+        F.col("v").isNotNull()
     )
-    hist = (
-        ref.select(F.col(val_col).alias("v"))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select(
-            "v",
-            (
-                F.sum("c").over(cum).cast("double")
-                / F.sum("c").over(total).cast("double")
-            ).alias("cdf"),
+    bounds = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    vtype = ref.schema[val_col].dataType.simpleString()
+    if bounds["lo"] is None:
+        # empty reference: every knot is NULL (the pre-compression
+        # behavior — an agg over an empty histogram)
+        knots_wide = spark.range(1).select(
+            *[F.lit(None).cast(vtype).alias(f"k{j}") for j in range(m + 1)]
         )
-    )
-    knot_cols = [
-        F.min(
-            F.when(F.col("cdf") >= F.lit(float(j) / m), F.col("v"))
-        ).alias(f"k{j}")
-        for j in range(m + 1)
-    ]
-    knots_wide = hist.agg(*knot_cols)
+        total = 0
+    else:
+        lo, hi = float(bounds["lo"]), float(bounds["hi"])
+        span = hi - lo
+        bid = (
+            F.lit(0).cast("int")
+            if span == 0.0
+            else F.least(
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(span) * n_buckets),
+                F.lit(n_buckets - 1),
+            ).cast("int")
+        )
+        bcounts = sorted(
+            (int(r["b"]), int(r["c"]))
+            for r in vals.groupBy(bid.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        total = sum(c for _, c in bcounts)
+        # exact integer targets and their candidate buckets
+        cands = {}  # bucket -> exclusive offset
+        targets = []
+        for j in range(m + 1):
+            t_j = max(-((-j * total) // m), 1)  # ceil(j·total/m), ≥ 1
+            targets.append(t_j)
+            acc = 0
+            for b, c in bcounts:
+                if acc + c >= t_j:
+                    cands[b] = acc
+                    break
+                acc += c
+        cand_df = spark.createDataFrame(
+            sorted(cands.items()), "b int, _off bigint"
+        )
+        wb = Window.partitionBy("b").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        per_v = (
+            vals.withColumn("b", bid)
+            .join(F.broadcast(cand_df), "b")
+            .groupBy("b", "_off", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                "v", (F.col("_off") + F.sum("c").over(wb)).alias("cum")
+            )
+        )
+        if plan_hook is not None:
+            plan_hook("knot_cdf", per_v)
+        knot_cols = [
+            F.min(
+                F.when(F.col("cum") >= F.lit(targets[j]), F.col("v"))
+            ).alias(f"k{j}")
+            for j in range(m + 1)
+        ]
+        knots_wide = per_v.agg(*knot_cols)
     knots = knots_wide.select(
         F.expr(
             "stack({}, {}) as (kx, knot_v)".format(

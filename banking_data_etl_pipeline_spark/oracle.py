@@ -4681,12 +4681,18 @@ FROM es JOIN en USING (event_type)"""
 
 def quantile_normalize_sql(m: int = 20) -> str:
     """Twin of operators.profiling.quantile_normalize over per-source
-    quality scores (reference = lowest source name): same distinct-
-    value CDF, conditional-min knots against the same literal
-    fractions (no percentile interpolation), same percent_rank +
-    floor(pct·m + 0.5) mapping."""
+    quality scores (reference = lowest source name): integer-exact
+    order-statistic knots knot_j = min{{v : cum(v) >= max(⌈j·total/m⌉,
+    1)}} (the window cumsum over the distinct-value histogram here is
+    the semantic SPEC; the Spark side locates each knot through the
+    driver-folded fixed-width bucket histogram — same knots, no
+    data-sized window), same percent_rank + floor(pct·m + 0.5)
+    mapping, no percentile interpolation anywhere."""
+    # cum >= max(⌈j·total/m⌉, 1) ⟺ m·cum >= j·total: every histogram
+    # row has cum >= 1, so the max(,1) clamp only matters at j = 0
+    # where 0 >= 0 is already true for every row
     knot_aggs = ", ".join(
-        f"min(CASE WHEN cdf >= {float(j) / m!r} THEN v END) AS k{j}"
+        f"min(CASE WHEN cum * {m} >= {j} * total THEN v END) AS k{j}"
         for j in range(m + 1)
     )
     knot_rows = "\n  UNION ALL ".join(
@@ -4704,8 +4710,8 @@ def quantile_normalize_sql(m: int = 20) -> str:
 ), hist AS (
   SELECT v,
     CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-                      AND CURRENT ROW) AS DOUBLE)
-      / CAST(sum(c) OVER () AS DOUBLE) AS cdf
+                      AND CURRENT ROW) AS BIGINT) AS cum,
+    CAST(sum(c) OVER () AS BIGINT) AS total
   FROM (SELECT v, count(*) AS c FROM ref GROUP BY v)
 ), kw AS (
   SELECT {knot_aggs} FROM hist
