@@ -3078,6 +3078,37 @@ SELECT media_id,
        CAST(sum(CASE WHEN ch = 2 THEN val END) AS BIGINT) AS sum_b
 FROM v GROUP BY media_id, width, height"""
 
+# Twin of multimodal.binaryops.decode_png over synthesize_png's
+# zlib-compressed lane: the Spark side REALLY decodes (CRC-checked
+# chunk walk, multi-IDAT zlib inflate, un-filtering across all five
+# PNG filter types); the twin recomputes the per-channel sums from
+# the synthesis arithmetic (raw raster byte i of doc d is
+# (d*131 + i*17) % 256, channel i%3 — the same formulas as the PPM
+# lane) with no byte access at all — agreement proves inflate +
+# un-filter reproduced every raster byte.
+MEDIA_PNG_Q = """WITH d AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 13 AS width,
+         8 + doc_id % 11 AS height
+  FROM documents
+), px AS (
+  SELECT media_id, width, height,
+         unnest(range(0, width * height * 3)) AS i
+  FROM d
+), v AS (
+  SELECT media_id, width, height, i % 3 AS ch,
+         (media_id * 131 + i * 17) % 256 AS val
+  FROM px
+)
+SELECT media_id,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(width AS BIGINT) * height AS n_px,
+       CAST(sum(CASE WHEN ch = 0 THEN val END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN ch = 1 THEN val END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN ch = 2 THEN val END) AS BIGINT) AS sum_b
+FROM v GROUP BY media_id, width, height"""
+
 # Twin of multimodal.binaryops.decode_pcm over the WAV lane (odd
 # doc_ids): the data chunk carries exactly the UTF-8 body, so sample
 # j is the little-endian int16 at body bytes (2j, 2j+1) — recomputed

@@ -3526,6 +3526,17 @@ def media_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binaryops.decode_pcm(media)
 
 
+def media_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode over the zlib-PNG lane: CRC-checked
+    chunk walk, multi-IDAT inflate, all-five-filter-type scanline
+    reconstruction, exact per-channel pixel sums (the DuckDB twin
+    recomputes the stats from the synthesis arithmetic byte-free,
+    proving inflate + un-filter reproduced every raster byte)."""
+    tune_for_oracle(spark)
+    media = binaryops.synthesize_png(tables.load(spark, sf_dir, "documents"))
+    return binaryops.decode_png(media)
+
+
 def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D between purchase and click
     value distributions — exact cross-multiplied integers over the

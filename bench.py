@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "media_features",
     "media_decode",
     "media_pcm",
+    "media_png",
     "frame_sample",
     "vocab_topn",
     "tfidf_terms",
