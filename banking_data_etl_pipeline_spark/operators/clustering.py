@@ -221,6 +221,7 @@ def cluster_purity(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """External clustering evaluation of the k-means assignment
     against the labeled ``label`` column — purity (Σ_c max_l n_cl / N,
@@ -238,9 +239,17 @@ def cluster_purity(
     rounded and summed through DECIMAL(26,12) (order-independent),
     divisions terminal.
 
+    ``centroids``, when given, injects a PREBUILT model (e.g. the
+    content-fingerprinted staging in ``queries._kmeans_model``) and
+    skips the Lloyd walk — the eval then costs one assignment pass
+    plus the contingency matrix, the build/probe amortization the
+    prebuilt ANN lifecycles model. Training is deterministic, so
+    injected-vs-fresh results are bit-identical.
+
     Returns one row (n, n_clusters, n_labels, purity_num, purity,
     nmi) — purity/nmi 6-dp."""
-    centroids = train_centroids(emb, k, iterations, vec_col, id_col)
+    if centroids is None:
+        centroids = train_centroids(emb, k, iterations, vec_col, id_col)
     assigned = _assign(emb, centroids, vec_col, id_col)
     cells = (
         assigned.select("vec_id", "cluster")

@@ -44,3 +44,29 @@ def test_ann_recall_plan_is_memoized_per_corpus(spark):
     spark.catalog.clearCache()
     rows2 = sorted(map(tuple, df1.collect()))
     assert rows1 == rows2 and len(rows1) == 5
+
+
+def test_kmeans_model_staging_roundtrip_and_fingerprint(spark):
+    """r12 verdict item 4: kmeans_purity reads staged centroids. The
+    JSON round-trip must be bit-identical to a fresh train, the
+    staging file must exist after the first call, and the fingerprint
+    must key on the hyper-params too (k=8 and k=4 stage separately)."""
+    import glob as g
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    a = Q._kmeans_model(emb, SF_DIR, k=8)
+    files = g.glob("/tmp/spark_graft_kmeans_*.json")
+    assert files, "staging file missing after _kmeans_model"
+    b = Q._kmeans_model(emb, SF_DIR, k=8)
+    assert a == b
+    assert len(b) == 8 and all(len(v) == 64 for _c, v in b)
+    assert all(isinstance(x, float) for _c, v in b for x in v[:2])
+    # fresh train (bypassing the stage) must agree float-for-float
+    from banking_data_etl_pipeline_spark.operators import clustering
+
+    fresh = clustering.train_centroids(emb, 8, 3)
+    assert fresh == b
+    # different hyper-params -> different staging file, different model
+    c = Q._kmeans_model(emb, SF_DIR, k=4)
+    assert len(c) == 4
+    assert len(g.glob("/tmp/spark_graft_kmeans_*.json")) >= 2
