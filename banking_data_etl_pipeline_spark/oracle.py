@@ -7928,6 +7928,167 @@ SELECT part, CAST(depth AS INT) AS depth FROM v{max_depth}"""
 BFS_DEPTHS_Q = bfs_depths_sql()
 
 
+def _unigram_dp_block(
+    r: int, vprev: str, max_word: int, max_piece: int
+) -> str:
+    """One hard-EM segmentation pass as unrolled SQL (the
+    ``bfs_depths_sql`` pattern): edges = (word, i→j, piece, cnt)
+    against the ``vprev`` vocab CTE, then ``max_word`` frontier steps
+    keeping per (word, pos, #pieces) the single dominant partial state
+    via arg_min over the shared padded-string key (same dominance as
+    ``operators.unigram.segment_key``), completes collected per step,
+    final best key per word by plain min()."""
+    pk = "lpad(CAST(1000000000000 - s AS VARCHAR), 13, '0') || seq"
+    parts = [
+        f""",
+e{r} AS MATERIALIZED (
+  SELECT p.word, p.wn, p.i, p.i + length(v.piece) AS j, v.piece, v.cnt
+  FROM (
+    SELECT word, wn, i,
+           unnest(range(1, 1 + least({max_piece}, length(word) - i))) AS l
+    FROM (
+      SELECT word, wn, unnest(range(0, length(word))) AS i FROM wf
+    )
+  ) p JOIN {vprev} v ON v.piece = substr(p.word, CAST(p.i AS INT) + 1,
+                                         CAST(p.l AS INT))
+), f{r}_0 AS (
+  SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS s,
+         '' AS seq
+  FROM wf
+)"""
+    ]
+    for t in range(1, max_word + 1):
+        parts.append(
+            f""",
+g{r}_{t} AS (
+  SELECT f.word, e.j AS pos, f.s + e.cnt AS s,
+         CASE WHEN f.seq = '' THEN e.piece
+              ELSE f.seq || chr(31) || e.piece END AS seq
+  FROM f{r}_{t - 1} f JOIN e{r} e ON f.word = e.word AND f.pos = e.i
+), f{r}_{t} AS MATERIALIZED (
+  SELECT word, pos, arg_min(s, {pk}) AS s, arg_min(seq, {pk}) AS seq
+  FROM g{r}_{t} GROUP BY word, pos
+), c{r}_{t} AS (
+  SELECT word, lpad('{t}', 2, '0')
+           || lpad(CAST(1000000000000 - s AS VARCHAR), 13, '0')
+           || seq AS key
+  FROM f{r}_{t} WHERE pos = length(word)
+)"""
+        )
+    completes = " UNION ALL ".join(
+        f"SELECT * FROM c{r}_{t}" for t in range(1, max_word + 1)
+    )
+    parts.append(
+        f""",
+best{r} AS MATERIALIZED (
+  SELECT word, min(key) AS key FROM ({completes}) GROUP BY word
+)"""
+    )
+    return "".join(parts)
+
+
+def unigram_sql(
+    rounds: int = 2,
+    max_piece: int = 4,
+    max_word: int = 12,
+    tokenize: bool = False,
+) -> str:
+    """Twin of ``operators.unigram``: the same seed (all ≤max_piece
+    substrings, frequency-weighted), the same hard-EM rounds (DP
+    segmentation unrolled to ``max_word`` steps per round — the window
+    cumsum-style spec the Spark side computes via the Arrow-batched
+    per-word DP), the same ⌊3n/4⌋+all-chars prune, everything in exact
+    integers through the shared padded-string state key.
+
+    ``tokenize=False`` → the trainer output (rank, piece, cnt);
+    ``tokenize=True`` → one more segmentation pass under the final
+    vocab and the per-doc aggregate (doc_id, n_words, n_pieces,
+    n_chars, chars_per_piece)."""
+    parts = [
+        f"""WITH wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS wn FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' AND length(word) <= {max_word}
+  GROUP BY word
+), v0 AS MATERIALIZED (
+  SELECT piece, CAST(sum(wn) AS BIGINT) AS cnt FROM (
+    SELECT substr(word, CAST(i AS INT) + 1, CAST(l AS INT)) AS piece, wn
+    FROM (
+      SELECT word, wn, i,
+             unnest(range(1, 1 + least({max_piece}, length(word) - i))) AS l
+      FROM (
+        SELECT word, wn, unnest(range(0, length(word))) AS i FROM wf
+      )
+    )
+  ) GROUP BY piece
+), chars AS (
+  SELECT piece FROM v0 WHERE length(piece) = 1
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(_unigram_dp_block(r, f"v{r - 1}", max_word, max_piece))
+        parts.append(
+            f""",
+use{r} AS MATERIALIZED (
+  SELECT piece, CAST(sum(wn) AS BIGINT) AS cnt FROM (
+    SELECT b.word,
+           unnest(string_split(substr(b.key, 16), chr(31))) AS piece
+    FROM best{r} b
+  ) u JOIN wf USING (word) GROUP BY piece
+), kept{r} AS (
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk,
+           (SELECT count(*) FROM use{r}) AS nv
+    FROM use{r}
+  ) WHERE rk <= (3 * nv) // 4
+), v{r} AS MATERIALIZED (
+  SELECT piece, cnt FROM kept{r}
+  UNION ALL
+  SELECT c.piece, CAST(coalesce(u.cnt, 0) AS BIGINT) AS cnt
+  FROM chars c LEFT JOIN use{r} u USING (piece)
+  WHERE c.piece NOT IN (SELECT piece FROM kept{r})
+)"""
+        )
+    if not tokenize:
+        parts.append(
+            f"""
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) AS INT)
+         AS rank,
+       piece, cnt
+FROM v{rounds}"""
+        )
+        return "".join(parts)
+    rf = rounds + 1
+    parts.append(_unigram_dp_block(rf, f"v{rounds}", max_word, max_piece))
+    parts.append(
+        f""",
+segf AS (
+  SELECT word, CAST(substr(key, 1, 2) AS INT) AS t FROM best{rf}
+), docw AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' AND length(word) <= {max_word}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(t) AS BIGINT) AS n_pieces,
+       CAST(sum(length(word)) AS BIGINT) AS n_chars,
+       round(CAST(sum(length(word)) AS DOUBLE) / CAST(sum(t) AS DOUBLE), 6)
+         AS chars_per_piece
+FROM docw JOIN segf USING (word)
+GROUP BY doc_id"""
+    )
+    return "".join(parts)
+
+
+UNIGRAM_MERGES_Q = unigram_sql(tokenize=False)
+UNIGRAM_TOKENIZE_Q = unigram_sql(tokenize=True)
+
+
 # x·ln(x) with 0·ln(0) = 0 — twin of corpus._xlnx, same fixed shape.
 def _xlnx_sql(x: str) -> str:
     return (

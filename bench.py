@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "media_decode",
     "media_pcm",
     "media_png",
+    "unigram_lm_merges",
+    "unigram_tokenize",
     "frame_sample",
     "vocab_topn",
     "tfidf_terms",
