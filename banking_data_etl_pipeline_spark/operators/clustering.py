@@ -315,27 +315,26 @@ def cluster_purity(
         F.count_distinct("cluster").cast("bigint").alias("n_clusters"),
         F.count_distinct(label_col).cast("bigint").alias("n_labels"),
     )
-    return (
-        counts.crossJoin(F.broadcast(mi))
-        .crossJoin(F.broadcast(hc))
-        .crossJoin(F.broadcast(hl))
-        .select(
-            n_all.alias("n"),
-            "n_clusters",
-            "n_labels",
-            purity_num.alias("purity_num"),
+    # the three 1-row metric reductions (MI, H(C), H(L)) enter as
+    # uncorrelated scalar subqueries like n_all/purity_num above — no
+    # 1-row crossJoins/NLJs anywhere (r12 verdict item 7)
+    mi_s = mi.scalar()
+    hc_s = hc.scalar()
+    hl_s = hl.scalar()
+    return counts.select(
+        n_all.alias("n"),
+        "n_clusters",
+        "n_labels",
+        purity_num.alias("purity_num"),
+        F.round(
+            purity_num.cast("double") / n_all.cast("double"), 6
+        ).alias("purity"),
+        (
             F.round(
-                purity_num.cast("double") / n_all.cast("double"), 6
-            ).alias("purity"),
-            (
-                F.round(
-                    F.col("mi").cast("double")
-                    / F.sqrt(
-                        F.col("hc").cast("double") * F.col("hl").cast("double")
-                    ),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("nmi"),
-        )
+                mi_s.cast("double")
+                / F.sqrt(hc_s.cast("double") * hl_s.cast("double")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("nmi"),
     )

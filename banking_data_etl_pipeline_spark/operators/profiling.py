@@ -1293,22 +1293,33 @@ def ks_two_sample(
     d_num = max |cum_a·n_b - cum_b·n_a| is an integer, and D is the
     single terminal division d_num / (n_a·n_b).
 
+    The (n_a, n_b) totals enter as ONE uncorrelated scalar subquery
+    (a struct, threaded through a single column reference — the
+    sketches.py precedent), so the plan is subquery + one aggregate:
+    no 1-row crossJoin, no BroadcastNestedLoopJoin (r12 verdict item
+    7 — the global no-NLJ sweep holds this query unconditionally).
+
     Returns one row (n_a, n_b, d_num, ks_d)."""
     spine = _two_sample_spine(events, type_a, type_b)
-    totals = spine.agg(
-        F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
-    )
+    tot = spine.agg(
+        F.struct(
+            F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
+        ).alias("t")
+    ).scalar()
     return (
-        spine.crossJoin(F.broadcast(totals))
+        spine.withColumn("_t", tot)
         .select(
-            "n_a",
-            "n_b",
+            "_t",
             F.abs(
-                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+                F.col("cum_a") * F.col("_t.n_b")
+                - F.col("cum_b") * F.col("_t.n_a")
             ).alias("diff"),
         )
-        .groupBy("n_a", "n_b")
-        .agg(F.max("diff").cast("bigint").alias("d_num"))
+        .agg(
+            F.max("_t.n_a").cast("bigint").alias("n_a"),
+            F.max("_t.n_b").cast("bigint").alias("n_b"),
+            F.max("diff").cast("bigint").alias("d_num"),
+        )
         .select(
             "n_a",
             "n_b",
@@ -1333,11 +1344,16 @@ def mann_whitney(
     biserial effect size r = 2U_a/(n_a·n_b) - 1 is one terminal
     division off the exact integers.
 
+    The totals enter as one uncorrelated scalar subquery (struct,
+    single reference — no 1-row crossJoin/NLJ, r12 verdict item 7).
+
     Returns one row (n_a, n_b, u2x, rank_biserial) with u2x = 2·U_a."""
     spine = _two_sample_spine(events, type_a, type_b)
-    totals = spine.agg(
-        F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
-    )
+    tot = spine.agg(
+        F.struct(
+            F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
+        ).alias("t")
+    ).scalar()
     return (
         spine.select(
             (
@@ -1346,14 +1362,14 @@ def mann_whitney(
             ).alias("contrib")
         )
         .agg(F.sum("contrib").cast("bigint").alias("u2x"))
-        .crossJoin(F.broadcast(totals))
+        .withColumn("_t", tot)
         .select(
-            "n_a",
-            "n_b",
+            F.col("_t.n_a").cast("bigint").alias("n_a"),
+            F.col("_t.n_b").cast("bigint").alias("n_b"),
             "u2x",
             (
                 F.col("u2x").cast("double")
-                / (F.col("n_a") * F.col("n_b")).cast("double")
+                / (F.col("_t.n_a") * F.col("_t.n_b")).cast("double")
                 - F.lit(1.0)
             ).alias("rank_biserial"),
         )
@@ -1481,27 +1497,33 @@ def cvm_two_sample(
     single-partition window). Returns one row (n_a, n_b, t_num,
     cvm_t)."""
     spine = _two_sample_spine(events, type_a, type_b)
-    totals = spine.agg(
-        F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
-    )
+    # totals enter as one uncorrelated scalar subquery (struct, single
+    # reference — no 1-row crossJoin/NLJ, r12 verdict item 7)
+    tot = spine.agg(
+        F.struct(
+            F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
+        ).alias("t")
+    ).scalar()
     # cast to DECIMAL(38,0) BEFORE squaring: d itself fits int64
     # whenever n_a·n_b does (same bound as ks_two_sample), but d² wraps
     # int64 once |d| passes ~3.03e9 — squaring must happen in decimal
     d = (
-        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        F.col("cum_a") * F.col("_t.n_b") - F.col("cum_b") * F.col("_t.n_a")
     ).cast("decimal(38,0)")
     return (
-        spine.crossJoin(F.broadcast(totals))
+        spine.withColumn("_t", tot)
         .select(
-            "n_a",
-            "n_b",
+            "_t",
             (
                 (F.col("c_a") + F.col("c_b")).cast("decimal(38,0)")
                 * (d * d)
             ).alias("term"),
         )
-        .groupBy("n_a", "n_b")
-        .agg(F.sum("term").cast("decimal(38,0)").alias("t_num"))
+        .agg(
+            F.max("_t.n_a").cast("bigint").alias("n_a"),
+            F.max("_t.n_b").cast("bigint").alias("n_b"),
+            F.sum("term").cast("decimal(38,0)").alias("t_num"),
+        )
         .select(
             "n_a",
             "n_b",

@@ -640,10 +640,57 @@ def main() -> None:
         encoding="utf-8",
     ) as f:
         f.write(line + "\n")
+    # The driver's stdout capture keeps only a ~2000-char tail (r12
+    # verdict item 6: BENCH_r12.json carried parsed:null because the
+    # full per-query line outgrew it) — print a COMPACT summary line
+    # that always fits; the authoritative per-query map and the
+    # regression adjudication bodies live in bench_result.json (copied
+    # to BENCH_CLOSE_r{N}.json at each round close).
+    def _confirmed(sections) -> list[str]:
+        return sorted(
+            {
+                n
+                for sec in sections
+                for n, d in sec.items()
+                if d.get("verdict") == "confirmed"
+            }
+        )
+
+    slowest = dict(
+        sorted(warm.items(), key=lambda kv: -kv[1])[:8]
+    )
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total_warm_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf),
+            "n_queries": len(BENCH_QUERIES),
+            "battery_wall": battery,
+            "flagship_rows": flag_rows,
+            "flagship_cold_sec": cold["pipeline_enriched"],
+            "flagship_cold_sec_n3min": cold_n3,
+            "flagship_cold_n3min_rows_per_sec": cold_n3_rps,
+            "flagship_warm_sec": warm["pipeline_enriched"],
+            "flagship_warm_rows_per_sec": flag_rps_warm,
+            "regressions_confirmed": _confirmed(
+                [deltas, anchor_deltas, round_deltas]
+            ),
+            "n_flagged": {
+                "vs_prev_run": len(deltas),
+                "vs_anchor": len(anchor_deltas),
+                "vs_prev_round_close": len(round_deltas),
+            },
+            # the 8 slowest warm queries — dict-shaped per the driver
+            # contract; the FULL 300+-entry map is in bench_result.json
+            "queries": slowest,
+            "queries_full": "bench_result.json",
+        }
+    )
     # drain any buffered Spark/log noise before the one stdout line
     sys.stderr.flush()
     sys.stdout.flush()
-    print(line, flush=True)
+    print(compact, flush=True)
 
 
 if __name__ == "__main__":

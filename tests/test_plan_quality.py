@@ -383,31 +383,24 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "brier_eval",
         # 1-row margins crossJoin against the 1-row unit reduction
         "judge_alpha",
-        # 1-row (n_a, n_b) totals crossJoin against the EDF spine /
-        # the 1-row 2U reduction — the corpus-totals pattern (the
-        # spine itself is equi-join + partitioned prefix sum)
-        "ks_drift",
-        "mannwhitney_u",
         # day-pair inequality self-join over the CALENDAR-sized daily
         # aggregate (days², never data-proportional — the mann_kendall
-        # precedent) plus the 1-row n_days crossJoin
+        # precedent); its 1-row n_days total is a scalar subquery
+        # since r13, so the pair join is the only NLJ left
         "kendall_tau",
         # tfidf_allpairs twice on a capped audit slice (its 1-row
         # corpus-total crossJoin, bounded at n_slice) + four scalar
         # subqueries over <= top-row frames
         "tfidf_recall",
-        # 1-row (n_a, n_b) totals crossJoin over the EDF spine — the
-        # ks_drift shape with the integrated statistic
-        "cvm_drift",
-        # three 1-row metric reductions (MI, H(C), H(L)) crossJoined
-        # with the 1-row distinct-counts frame — every side one row
-        # by construction (the judge_alpha pattern)
-        "kmeans_purity",
     }
     # r12: negative_samples left this allowlist — its draw→interval
     # lookup is now a bucketed-cell BroadcastHashJoin (the production
     # shape the r11 docstring promised), so the sweep holds it to the
-    # no-BNLJ standard like everything else
+    # no-BNLJ standard like everything else.
+    # r13 (verdict item 7): ks_drift / mannwhitney_u / cvm_drift /
+    # kmeans_purity left too — their 1-row totals now enter as
+    # uncorrelated scalar subqueries (struct-typed, single column
+    # reference), so the sweep holds them unconditionally
     # collect ALL violations before asserting: a first-failure abort
     # masks every later name in the sorted sweep (theta_sketch hid
     # behind ann_pq_prebuilt for a full round)
