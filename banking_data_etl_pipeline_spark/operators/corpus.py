@@ -1545,16 +1545,18 @@ def good_turing(docs: DataFrame, max_r: int = 10, text_col: str = "text") -> Dat
     ff = counts.groupBy("r").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_r")
     )
+    # the corpus total enters as an uncorrelated scalar subquery — no
+    # 1-row crossJoin/NLJ (r12 verdict item 7)
     total = counts.agg(
         F.sum("r").cast("bigint").alias("n_tokens")
-    )
+    ).scalar()
     nxt = ff.select(
         (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
     )
     return (
         ff.filter(F.col("r") <= max_r)
         .join(nxt, "r", "left")
-        .crossJoin(total)
+        .withColumn("n_tokens", total)
         .select(
             "r",
             "n_r",
@@ -1891,27 +1893,42 @@ def krippendorff_alpha(ratings: DataFrame) -> DataFrame:
         .groupBy("value")
         .agg(F.sum("n_uv").cast("bigint").alias("n_c"))
     )
+    # the 1-row margins reduction enters as an uncorrelated scalar
+    # subquery (struct, single reference — no 1-row crossJoin/NLJ,
+    # r12 verdict item 7)
     marg = margins.groupBy().agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_values"),
-        F.sum(F.col("n_c") * F.col("n_c")).cast("bigint").alias(
-            "sq_c"
-        ),
-    )
+        F.struct(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.sum(F.col("n_c") * F.col("n_c")).cast("bigint").alias(
+                "sq_c"
+            ),
+        ).alias("t")
+    ).scalar()
     n = F.col("n_tot").cast("double")
     d_o = F.col("obs_sum").cast("double") / n
     d_e = (n * n - F.col("sq_c").cast("double")) / (
         n * (n - F.lit(1.0))
     )
-    return units.crossJoin(marg).select(
-        "n_units",
-        F.col("n_tot").alias("n_ratings"),
-        "n_values",
-        F.round(d_o, 6).alias("d_o"),
-        F.round(d_e, 6).alias("d_e"),
-        F.when(
-            F.col("sq_c") < F.col("n_tot") * F.col("n_tot"),
-            F.round(F.lit(1.0) - d_o / d_e, 6),
-        ).alias("alpha"),
+    return (
+        units.withColumn("_m", marg)
+        .select(
+            "n_units",
+            "n_tot",
+            "obs_sum",
+            F.col("_m.n_values").alias("n_values"),
+            F.col("_m.sq_c").alias("sq_c"),
+        )
+        .select(
+            "n_units",
+            F.col("n_tot").alias("n_ratings"),
+            "n_values",
+            F.round(d_o, 6).alias("d_o"),
+            F.round(d_e, 6).alias("d_e"),
+            F.when(
+                F.col("sq_c") < F.col("n_tot") * F.col("n_tot"),
+                F.round(F.lit(1.0) - d_o / d_e, 6),
+            ).alias("alpha"),
+        )
     )
 
 

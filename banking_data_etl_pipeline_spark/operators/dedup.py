@@ -1440,15 +1440,17 @@ def tfidf_allpairs(
         .groupBy("doc", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
+    # n_docs enters as an uncorrelated scalar subquery — no 1-row
+    # crossJoin/NLJ (r12 verdict item 7)
     n_docs = docs.groupBy().agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
-    )
+    ).scalar()
     dfreq = terms.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
     weighted = (
         terms.join(dfreq, "term")
-        .crossJoin(n_docs)
+        .withColumn("n", n_docs)
         .select(
             "doc",
             "term",

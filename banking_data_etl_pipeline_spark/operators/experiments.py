@@ -281,13 +281,26 @@ def bootstrap_ci(
             for t, a in [("mean_b", "sm"), ("mean_b * mean_b", "smm")]
         ],
     )
+    # the 1-row base stats enter as an uncorrelated scalar subquery
+    # (struct, single reference — no 1-row crossJoin/NLJ, r12 verdict
+    # item 7)
     base = df.agg(
-        F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
-        F.expr(
-            f"CAST(sum(CAST({val_col} AS DECIMAL(18,6))) AS DOUBLE)"
-        ).alias("sv"),
-    )
-    return base.crossJoin(bounds).select(
+        F.struct(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
+            F.expr(
+                f"CAST(sum(CAST({val_col} AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("sv"),
+        ).alias("t")
+    ).scalar()
+    return bounds.withColumn("_b", base).select(
+        F.col("_b.n_rows").alias("n_rows"),
+        F.col("_b.sv").alias("sv"),
+        "ci_lo",
+        "ci_hi",
+        "bb",
+        "sm",
+        "smm",
+    ).select(
         "n_rows",
         F.lit(b_replicas).cast("int").alias("b_replicas"),
         F.expr(

@@ -1086,17 +1086,30 @@ def brier_decomposition(
         F.sum("pos").cast("bigint").alias("n_pos"),
         F.sum("sdec").alias("s_sum"),
     )
+    # the 1-row global moments enter as an uncorrelated scalar
+    # subquery (struct, single reference — no 1-row crossJoin/NLJ,
+    # r12 verdict item 7)
     raw = staged.groupBy().agg(
-        F.count(F.lit(1)).cast("bigint").alias("tot_n"),
-        F.sum("pos").cast("bigint").alias("tot_pos"),
-        F.sum(
-            (
-                (F.col("f") - F.col("pos").cast("double"))
-                * (F.col("f") - F.col("pos").cast("double"))
-            ).cast("decimal(28,12)")
-        ).alias("sq_sum"),
-    )
-    terms = per.crossJoin(raw).groupBy("tot_n", "tot_pos", "sq_sum").agg(
+        F.struct(
+            F.count(F.lit(1)).cast("bigint").alias("tot_n"),
+            F.sum("pos").cast("bigint").alias("tot_pos"),
+            F.sum(
+                (
+                    (F.col("f") - F.col("pos").cast("double"))
+                    * (F.col("f") - F.col("pos").cast("double"))
+                ).cast("decimal(28,12)")
+            ).alias("sq_sum"),
+        ).alias("t")
+    ).scalar()
+    terms = per.withColumn("_r", raw).select(
+        "bin",
+        "n",
+        "n_pos",
+        "s_sum",
+        F.col("_r.tot_n").alias("tot_n"),
+        F.col("_r.tot_pos").alias("tot_pos"),
+        F.col("_r.sq_sum").alias("sq_sum"),
+    ).groupBy("tot_n", "tot_pos", "sq_sum").agg(
         F.sum(F.expr(BRIER_REL_TERM).cast("decimal(28,12)")).alias(
             "rel_sum"
         ),

@@ -485,7 +485,10 @@ def survival_km(events: DataFrame, horizon_days: int = 7) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min(t_us).alias("t0"))
     )
-    study_end = events.agg(F.max(t_us).alias("t_end"))
+    # the three single-row reductions below (study end, subject
+    # total, the one-row sorted factor array) enter as uncorrelated
+    # scalar subqueries — no 1-row crossJoins/NLJs (r12 verdict item 7)
+    study_end = events.agg(F.max(t_us).alias("t_end")).scalar()
     death = (
         events.filter(F.col("event_type") == "purchase")
         .select("user_id", t_us.alias("tp"))
@@ -496,7 +499,7 @@ def survival_km(events: DataFrame, horizon_days: int = 7) -> DataFrame:
     )
     subjects = (
         signup.join(death.select("user_id", "td"), "user_id", "left")
-        .crossJoin(study_end)
+        .withColumn("t_end", study_end)
         .select(
             "user_id",
             F.least(
@@ -528,7 +531,7 @@ def survival_km(events: DataFrame, horizon_days: int = 7) -> DataFrame:
     )
     n_subjects = subjects.groupBy().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_all")
-    )
+    ).scalar()
     at_dur = subjects.groupBy("dur").agg(
         F.sum("observed").cast("bigint").alias("d"),
         F.count(F.lit(1)).cast("bigint").alias("leave"),
@@ -538,7 +541,7 @@ def survival_km(events: DataFrame, horizon_days: int = 7) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     )
     rows = (
-        at_dur.crossJoin(n_subjects)
+        at_dur.withColumn("n_all", n_subjects)
         .select(
             "dur",
             "d",
@@ -572,7 +575,7 @@ def survival_km(events: DataFrame, horizon_days: int = 7) -> DataFrame:
         F.col("i").alias("i"),
         F.col("row.factor").alias("factor"),
     )
-    surv = curve.crossJoin(step.drop("factor")).select(
+    surv = step.drop("factor").withColumn("arr", curve.scalar()).select(
         "t_day",
         "n_risk",
         "d_events",

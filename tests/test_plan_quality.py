@@ -343,9 +343,6 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # slice-bag scoring broadcasts the queries×m slice table
         # against the corpus slices — the ann_brute pattern
         "maxsim_topk",
-        # 1-row base stats × 1-row bounds grid — the corpus totals
-        # pattern, model-parameter scale by construction
-        "bootstrap_ci",
         # ADC probe broadcasts the tiny staged per-query LUTs against
         # the codes-only corpus scan — the pq_topk shape with the LUT
         # side read from the prebuilt index
@@ -367,40 +364,25 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # composes brute_force_topk TWICE (full + prefix dims) — same
         # intentional broadcast cross join; the recall join is equi
         "matryoshka_recall",
-        # three single-row reduction sides (study-end scalar, subject
-        # total, the one-row sorted factor array) cross the ≤
-        # horizon_days-row curve — every broadcast side is one row by
-        # construction (the bootstrap_ci corpus-totals pattern)
-        "survival_km",
-        # 1-row corpus-total crossJoin against the ≤ max_r-row
-        # count-of-counts frame — the corpus totals pattern
-        "good_turing",
-        # 1-row n_docs crossJoin feeding the idf weights — the corpus
-        # totals pattern; candidate/dot joins are all equi-joins
-        "tfidf_allpairs",
-        # 1-row global-moments crossJoin against the ≤ n_bins bin
-        # frame (the bootstrap_ci corpus-totals pattern)
-        "brier_eval",
-        # 1-row margins crossJoin against the 1-row unit reduction
-        "judge_alpha",
         # day-pair inequality self-join over the CALENDAR-sized daily
         # aggregate (days², never data-proportional — the mann_kendall
         # precedent); its 1-row n_days total is a scalar subquery
         # since r13, so the pair join is the only NLJ left
         "kendall_tau",
-        # tfidf_allpairs twice on a capped audit slice (its 1-row
-        # corpus-total crossJoin, bounded at n_slice) + four scalar
-        # subqueries over <= top-row frames
-        "tfidf_recall",
     }
     # r12: negative_samples left this allowlist — its draw→interval
     # lookup is now a bucketed-cell BroadcastHashJoin (the production
     # shape the r11 docstring promised), so the sweep holds it to the
     # no-BNLJ standard like everything else.
-    # r13 (verdict item 7): ks_drift / mannwhitney_u / cvm_drift /
-    # kmeans_purity left too — their 1-row totals now enter as
-    # uncorrelated scalar subqueries (struct-typed, single column
-    # reference), so the sweep holds them unconditionally
+    # r13 (verdict item 7): every 1-row-totals crossJoin left this
+    # allowlist — ks_drift / mannwhitney_u / cvm_drift / kmeans_purity
+    # / survival_km / good_turing / tfidf_allpairs / tfidf_recall /
+    # brier_eval / judge_alpha / bootstrap_ci now thread their 1-row
+    # reductions as uncorrelated scalar subqueries (struct-typed,
+    # single column reference), so the sweep holds them
+    # unconditionally; the remaining entries are intentional
+    # tiny-broadcast cross joins (queries×corpus scoring, catalog
+    # grids) plus kendall_tau's calendar-sized inequality pair join
     # collect ALL violations before asserting: a first-failure abort
     # masks every later name in the sorted sweep (theta_sketch hid
     # behind ann_pq_prebuilt for a full round)
