@@ -454,3 +454,105 @@ def benford_first_digit(df: DataFrame, col: str) -> DataFrame:
             6,
         ).alias("chi2_term"),
     )
+
+
+def emb_dim_psi(
+    emb: DataFrame,
+    n_bins: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-DIMENSION Population Stability Index over an embedding
+    column — the vector-space companion to ``psi_drift``: split the
+    corpus into two deterministic halves (even/odd ids — the snapshot
+    self-drift screen; swap any group predicate in unchanged) and
+    score each embedding dimension's distribution shift. The readout
+    that localizes "the new encoder batch moved" to specific
+    dimensions before a retraining/ANN-rebuild decision.
+
+    Same parity discipline as psi_drift: ``n_bins`` equal-width bins
+    over the REFERENCE (even) half's per-dim min/max — pulled to the
+    driver as 2·dim doubles (model-parameter scale, the spine
+    precedent) and re-broadcast as literal maps so the bucket
+    expression is pure; out-of-range current values clamp into edge
+    bins; Laplace +0.5 smoothing; per-bin terms 12-dp-rounded and
+    DECIMAL-summed per dim (order-independent), psi 6 dp.
+
+    Scale shape: ONE posexplode pass (map-only), one (dim, bin,
+    side) groupBy onto dim·n_bins keys, dim-keyed joins of the tiny
+    margin frames — no windows, no NLJs, nothing data-sized after the
+    first groupBy.
+
+    Returns (dim, n_ref, n_cur, psi) — one row per dimension."""
+    ex = emb.select(
+        (F.col(id_col) % 2 == 0).alias("is_ref"),
+        F.posexplode(F.col(vec_col)).alias("dim", "xf"),
+    ).select("is_ref", "dim", F.col("xf").cast("double").alias("x"))
+    mm = {
+        int(r["dim"]): (float(r["lo"]), float(r["hi"]))
+        for r in ex.filter("is_ref")
+        .groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    }
+    if not mm:
+        raise ValueError("emb_dim_psi: reference half is empty")
+    dims = sorted(mm)
+    lo_map = F.map_from_arrays(
+        F.array(*[F.lit(d) for d in dims]),
+        F.array(*[F.lit(mm[d][0]) for d in dims]),
+    )
+    # width computed driver-side with the same IEEE division the twin
+    # runs in SQL; a constant dimension (width 0) maps every value to
+    # bin 0 on both sides, so its psi is exactly 0
+    w_map = F.map_from_arrays(
+        F.array(*[F.lit(d) for d in dims]),
+        F.array(
+            *[F.lit((mm[d][1] - mm[d][0]) / float(n_bins)) for d in dims]
+        ),
+    )
+    width = w_map[F.col("dim")]
+    bucket = F.when(width == 0.0, F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("x") - lo_map[F.col("dim")]) / width),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+    )
+    binned = (
+        ex.select("is_ref", "dim", bucket.cast("int").alias("bin"))
+        .groupBy("dim", "bin")
+        .agg(
+            F.sum(F.col("is_ref").cast("bigint"))
+            .cast("bigint")
+            .alias("n_ref"),
+            F.sum((~F.col("is_ref")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_cur"),
+        )
+    )
+    tots = binned.groupBy("dim").agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_cur").cast("double").alias("t_cur"),
+    )
+    p_ref = (F.col("n_ref") + F.lit(0.5)) / (
+        F.col("t_ref") + F.lit(0.5 * n_bins)
+    )
+    p_cur = (F.col("n_cur") + F.lit(0.5)) / (
+        F.col("t_cur") + F.lit(0.5 * n_bins)
+    )
+    term = F.round(
+        (p_cur - p_ref) * F.log(p_cur / p_ref), 12
+    ).cast("decimal(26,12)")
+    return (
+        binned.join(F.broadcast(tots), "dim")
+        .select("dim", "n_ref", "n_cur", term.alias("term"))
+        .groupBy("dim")
+        .agg(
+            F.sum("n_ref").cast("bigint").alias("n_ref"),
+            F.sum("n_cur").cast("bigint").alias("n_cur"),
+            F.round(F.sum("term").cast("double"), 6).alias("psi"),
+        )
+    )

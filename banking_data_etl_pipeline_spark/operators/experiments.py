@@ -599,3 +599,149 @@ def strat_ate(valid: DataFrame) -> DataFrame:
         rate_c.alias("rate_control"),
         (rate_t - rate_c).alias("diff"),
     ).orderBy("age_group", "wealth_segment")
+
+
+def perm_test(
+    events: DataFrame,
+    type_a: str = "purchase",
+    type_b: str = "click",
+    b: int = 32,
+) -> DataFrame:
+    """Randomization (relabeling) test for the mean-value difference
+    between two event types — the distribution-free significance
+    companion to ``bootstrap_ci``'s interval (Fisher 1935 / the
+    relabeling null: if the type label carries no information, a
+    random relabeling preserving the group-A marginal rate should
+    produce |mean diff| at least as large as observed about p of the
+    time).
+
+    Deterministic & engine-portable, the ``negative_samples`` md5
+    discipline: replicate r relabels event e into group A' iff
+    ``u32(md5('perm:r:event_id')) · (n_a+n_b) < n_a · 2³²`` — an
+    EXACT integer comparison (no float thresholds), identical in both
+    engines. Group sums ride DECIMAL; each replicate's mean diff and
+    the observed diff are the same fixed double expression, so the
+    |diff_r| ≥ |obs| comparisons agree bitwise. Replicates with an
+    empty side yield a NULL diff and drop from the count (both
+    engines, same rule). p = (1 + #{|diff_r| ≥ |obs|}) / (n_valid+1),
+    the add-one permutation-p convention.
+
+    Scale shape: ONE pass collapses the feed to (event_id, value,
+    is_a); the (n_a, n_b, sums) observed reduction enters as an
+    uncorrelated scalar subquery (struct, single reference); the
+    replicate explode multiplies only the two-type SUBSET by ``b``
+    (map-only row generation) before a (replicate)-keyed groupBy —
+    at 100 TB drop ``b`` or pre-sample; no windows, no NLJs.
+
+    Returns one row (n_a, n_b, obs_diff, b_replicas, n_valid, n_ge,
+    p_value) — obs_diff/p_value 6 dp."""
+    base = events.filter(
+        F.col("event_type").isin([type_a, type_b])
+        & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.when(F.col("event_type") == type_a, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_a"),
+    )
+    obs = base.agg(
+        F.struct(
+            F.sum("is_a").cast("bigint").alias("n_a"),
+            (F.count(F.lit(1)) - F.sum("is_a")).cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("is_a") == 1, F.col("v"))).alias("s_a"),
+            F.sum(F.when(F.col("is_a") == 0, F.col("v"))).alias("s_b"),
+        ).alias("t")
+    ).scalar()
+
+    def mean_diff(s_a, n_a, s_b, n_b):
+        return s_a.cast("double") / n_a.cast("double") - s_b.cast(
+            "double"
+        ) / n_b.cast("double")
+
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit("perm"), F.col("r"), F.col("event_id")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    reps = (
+        base.withColumn("_t", obs)
+        .select(
+            "event_id",
+            "v",
+            "_t",
+            F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("r"),
+        )
+        .select(
+            "r",
+            "v",
+            "_t",
+            (
+                u32 * (F.col("_t.n_a") + F.col("_t.n_b"))
+                < F.col("_t.n_a") * F.lit(1 << 32)
+            )
+            .cast("bigint")
+            .alias("in_a"),
+        )
+        .groupBy("r")
+        .agg(
+            F.max("_t").alias("_t"),
+            F.sum("in_a").cast("bigint").alias("ra"),
+            (F.count(F.lit(1)) - F.sum("in_a")).cast("bigint").alias("rb"),
+            F.sum(F.when(F.col("in_a") == 1, F.col("v"))).alias("sa"),
+            F.sum(F.when(F.col("in_a") == 0, F.col("v"))).alias("sb"),
+        )
+        .select(
+            "_t",
+            F.when(
+                (F.col("ra") > 0) & (F.col("rb") > 0),
+                mean_diff(F.col("sa"), F.col("ra"), F.col("sb"), F.col("rb")),
+            ).alias("diff"),
+        )
+    )
+    obs_diff = mean_diff(
+        F.col("_t.s_a"), F.col("_t.n_a"), F.col("_t.s_b"), F.col("_t.n_b")
+    )
+    return (
+        reps.select(
+            "_t",
+            "diff",
+            obs_diff.alias("od"),
+        )
+        .agg(
+            F.max("_t.n_a").alias("n_a"),
+            F.max("_t.n_b").alias("n_b"),
+            F.max("od").alias("_od"),
+            F.sum(F.col("diff").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_valid"),
+            F.sum(
+                (F.abs(F.col("diff")) >= F.abs(F.col("od")))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_ge"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.round("_od", 6).alias("obs_diff"),
+            F.lit(b).cast("int").alias("b_replicas"),
+            "n_valid",
+            F.coalesce("n_ge", F.lit(0).cast("bigint")).alias("n_ge"),
+            F.round(
+                (F.coalesce("n_ge", F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("n_valid") + F.lit(1)).cast("double"),
+                6,
+            ).alias("p_value"),
+        )
+    )

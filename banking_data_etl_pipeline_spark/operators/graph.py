@@ -874,6 +874,86 @@ def bfs_depths(
     return visited.orderBy("part")
 
 
+def label_prop(
+    lineitem: DataFrame,
+    iters: int = 4,
+    min_weight: int = 2,
+    plan_hook=None,
+) -> DataFrame:
+    """Community labels by synchronous MIN-LABEL propagation over the
+    repeated-co-purchase graph (the hash-min connected-components
+    iteration of Rastogi et al. 2013 — the deterministic variant of
+    label propagation: every node adopts the smallest label in its
+    closed neighborhood each round, so after ``iters`` rounds each
+    label has flooded its ``iters``-hop ball; run to fixpoint it IS
+    weakly-connected components). Fixed ``iters`` keeps the DuckDB
+    twin an exact unroll (the ``bfs_depths_sql`` pattern) and the
+    result deterministic at any scale — no tie-break randomness
+    anywhere, min() over bigint labels only.
+
+    Scale shape: the edge build is the kcore/bfs repeated-co-purchase
+    construction (one groupBy + HAVING over the fact table — the
+    100 TB data touches exactly this pass); each round is ONE
+    node-keyed equi-join (edges ⋈ labels, AQE co-partitioned), one
+    min-groupBy, one left join — all keyed, no windows, no NLJs.
+    Frames are eagerly ``localCheckpoint``ed per round (the kcore
+    lineage lesson) so round k reads a materialized frame, not a
+    k-deep plan.
+
+    Returns (part, community) for every node, community = the
+    smallest node id the label wave has reached it from."""
+    po = lineitem.select("l_orderkey", "l_partkey").distinct()
+    half = (
+        po.alias("a")
+        .join(po.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_weight)
+        .select("src", "dst")
+    )
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").cast("bigint").alias("part"))
+        .distinct()
+        .select("part", F.col("part").alias("community"))
+        .localCheckpoint()
+    )
+    for i in range(1, iters + 1):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("part").alias("src"),
+                    F.col("community").alias("nc"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").cast("bigint").alias("part"))
+            .agg(F.min("nc").alias("nbr"))
+        )
+        nxt = labels.join(nbr, "part", "left").select(
+            "part",
+            F.least(
+                F.col("community"),
+                F.coalesce(F.col("nbr"), F.col("community")),
+            )
+            .cast("bigint")
+            .alias("community"),
+        )
+        if plan_hook is not None and i == 1:
+            plan_hook("round", nxt)
+        prev = labels
+        labels = nxt.localCheckpoint()
+        prev.unpersist()
+    edges.unpersist()
+    return labels.orderBy("part")
+
+
 def assortativity(lineitem: DataFrame, min_weight: int = 2) -> DataFrame:
     """Degree assortativity of the repeated-co-purchase graph (Newman
     2002): the Pearson correlation of (deg(src), deg(dst)) over the

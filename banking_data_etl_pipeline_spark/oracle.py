@@ -7928,6 +7928,147 @@ SELECT part, CAST(depth AS INT) AS depth FROM v{max_depth}"""
 BFS_DEPTHS_Q = bfs_depths_sql()
 
 
+def label_prop_sql(iters: int = 4, min_weight: int = 2) -> str:
+    """Twin of operators.graph.label_prop: the kcore repeated-
+    co-purchase edge build, then ``iters`` UNROLLED synchronous
+    min-label rounds (MATERIALIZED per round — the bfs_depths_sql
+    pattern); each round is the identical least(own, min-neighbor)
+    update, so both engines walk bit-identical label states."""
+    parts = [
+        f"""WITH po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), half AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM po a JOIN po b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {min_weight}
+), e AS MATERIALIZED (
+  SELECT src, dst FROM half
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM half
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT CAST(src AS BIGINT) AS part,
+         CAST(src AS BIGINT) AS community
+  FROM e
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+l{i} AS MATERIALIZED (
+  SELECT l.part,
+         CAST(least(l.community, coalesce(m.nbr, l.community)) AS BIGINT)
+           AS community
+  FROM l{i - 1} l LEFT JOIN (
+    SELECT CAST(e.dst AS BIGINT) AS part, min(l2.community) AS nbr
+    FROM e JOIN l{i - 1} l2 ON e.src = l2.part GROUP BY e.dst
+  ) m USING (part)
+)"""
+        )
+    parts.append(f"""
+SELECT part, community FROM l{iters}""")
+    return "".join(parts)
+
+
+LABEL_PROP_Q = label_prop_sql()
+
+
+# Twin of operators.experiments.perm_test: identical md5-seeded
+# relabeling (exact integer threshold comparison), DECIMAL group sums,
+# the same fixed double mean-diff expression on both sides.
+PERM_TEST_Q = """WITH base AS (
+  SELECT event_id, CAST(value AS DECIMAL(18,6)) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+), t AS (
+  SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+         CAST(count(*) - sum(is_a) AS BIGINT) AS n_b,
+         sum(CASE WHEN is_a = 1 THEN v END) AS s_a,
+         sum(CASE WHEN is_a = 0 THEN v END) AS s_b
+  FROM base
+), reps AS (
+  SELECT r,
+         CAST(sum(in_a) AS BIGINT) AS ra,
+         CAST(count(*) - sum(in_a) AS BIGINT) AS rb,
+         sum(CASE WHEN in_a = 1 THEN v END) AS sa,
+         sum(CASE WHEN in_a = 0 THEN v END) AS sb
+  FROM (
+    SELECT b.v, g.r,
+           CASE WHEN CAST('0x' || substring(
+                    md5(concat_ws(':', 'perm', g.r, b.event_id)), 1, 8)
+                  AS BIGINT) * (t.n_a + t.n_b)
+                < t.n_a * 4294967296
+                THEN 1 ELSE 0 END AS in_a
+    FROM base b, t, (SELECT unnest(range(0, 32)) AS r) g
+  ) GROUP BY r
+), scored AS (
+  SELECT CASE WHEN ra > 0 AND rb > 0
+              THEN CAST(sa AS DOUBLE) / CAST(ra AS DOUBLE)
+                   - CAST(sb AS DOUBLE) / CAST(rb AS DOUBLE)
+         END AS diff
+  FROM reps
+), od AS (
+  SELECT CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS v
+  FROM t
+)
+SELECT t.n_a, t.n_b,
+       round(od.v, 6) AS obs_diff,
+       CAST(32 AS INT) AS b_replicas,
+       CAST(count(diff) AS BIGINT) AS n_valid,
+       CAST(coalesce(sum(CASE WHEN abs(diff) >= abs(od.v)
+                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ge,
+       round(CAST(coalesce(sum(CASE WHEN abs(diff) >= abs(od.v)
+                                     THEN 1 ELSE 0 END), 0) + 1 AS DOUBLE)
+             / CAST(count(diff) + 1 AS DOUBLE), 6) AS p_value
+FROM scored, t, od
+GROUP BY t.n_a, t.n_b, od.v"""
+
+
+# Twin of operators.expectations.emb_dim_psi: per-dimension PSI over
+# even/odd halves — the reference half's min/max fix the bins (the
+# Spark side pulls them as literals; same doubles either way), the
+# identical clamp/smoothing/12-dp-DECIMAL-term arithmetic.
+EMB_PSI_Q = """WITH ex AS (
+  SELECT (e.vec_id % 2 = 0) AS is_ref,
+         CAST(d.i - 1 AS INT) AS dim,
+         CAST(e.embedding[d.i] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+), mm AS (
+  SELECT dim, min(x) AS lo, (max(x) - min(x)) / 8.0 AS w
+  FROM ex WHERE is_ref GROUP BY dim
+), binned AS (
+  SELECT ex.dim,
+         CASE WHEN mm.w = 0 THEN 0
+              ELSE CAST(least(greatest(floor((ex.x - mm.lo) / mm.w),
+                                       0), 7) AS INT)
+         END AS bin,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_cur
+  FROM ex JOIN mm ON ex.dim = mm.dim
+  GROUP BY 1, 2
+), tots AS (
+  SELECT dim, CAST(sum(n_ref) AS DOUBLE) AS t_ref,
+         CAST(sum(n_cur) AS DOUBLE) AS t_cur
+  FROM binned GROUP BY dim
+)
+SELECT b.dim,
+       CAST(sum(b.n_ref) AS BIGINT) AS n_ref,
+       CAST(sum(b.n_cur) AS BIGINT) AS n_cur,
+       round(CAST(sum(CAST(round(
+         ((b.n_cur + 0.5) / (t.t_cur + 4.0)
+          - (b.n_ref + 0.5) / (t.t_ref + 4.0))
+         * ln(((b.n_cur + 0.5) / (t.t_cur + 4.0))
+              / ((b.n_ref + 0.5) / (t.t_ref + 4.0))), 12)
+         AS DECIMAL(26,12))) AS DOUBLE), 6) AS psi
+FROM binned b JOIN tots t USING (dim)
+GROUP BY b.dim"""
+
+
 def _unigram_dp_block(
     r: int, vprev: str, max_word: int, max_piece: int
 ) -> str:

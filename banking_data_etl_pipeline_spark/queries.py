@@ -3847,6 +3847,35 @@ def _kmeans_model(
     return cents
 
 
+def label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels by synchronous min-label propagation (hash-min
+    CC iterations, 4 rounds) over the repeated-co-purchase graph."""
+    from .operators import graph
+
+    tune_for_oracle(spark)
+    return graph.label_prop(tables.load(spark, sf_dir, "lineitem"))
+
+
+def perm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (md5-relabeling) significance test for the
+    purchase-vs-click mean value difference — exact integer relabel
+    thresholds, 32 deterministic replicates."""
+    from .operators import experiments
+
+    tune_for_oracle(spark)
+    return experiments.perm_test(tables.load(spark, sf_dir, "events"))
+
+
+def emb_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension PSI drift screen over the embedding column
+    (even/odd-id halves): localizes distribution shift to specific
+    dimensions before an ANN-rebuild/retraining decision."""
+    from .operators import expectations
+
+    tune_for_oracle(spark)
+    return expectations.emb_dim_psi(tables.load(spark, sf_dir, "embeddings"))
+
+
 def _unigram_model(
     docs: DataFrame, sf_dir: str, rounds: int = 2
 ) -> dict[str, int]:

@@ -132,6 +132,9 @@ BENCH_QUERIES = [
     "media_png",
     "unigram_lm_merges",
     "unigram_tokenize",
+    "label_prop",
+    "perm_test",
+    "emb_psi",
     "frame_sample",
     "vocab_topn",
     "tfidf_terms",
