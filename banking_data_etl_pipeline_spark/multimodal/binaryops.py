@@ -701,6 +701,12 @@ def synthesize_png(docs: DataFrame) -> DataFrame:
     lane off the pure-Column path: Arrow-batched ``mapInPandas``,
     compression per payload, memory bounded at batch size.
 
+    A ``tEXt`` ancillary chunk (key "Source", value = the document's
+    source string) sits between IHDR and the IDAT run — real PNG
+    metadata a compliant decoder must CRC-check and skip
+    (``decode_png`` does) and a metadata extractor can read without
+    inflating anything (``png_text_chunks``).
+
     ``meta.sha256`` is the hash of the RAW raster (the media essence,
     identical to what ``synthesize_ppm`` hashes for the same doc)."""
     import hashlib
@@ -708,7 +714,7 @@ def synthesize_png(docs: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for d in pdf["doc_id"]:
+            for d, src in zip(pdf["doc_id"], pdf["source"]):
                 d = int(d)
                 w, h = 8 + d % 13, 8 + d % 11
                 n = w * h * 3
@@ -719,7 +725,13 @@ def synthesize_png(docs: DataFrame) -> DataFrame:
                 ihdr = (
                     struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
                 )
-                payload = PNG_SIG + _png_chunk_bytes(b"IHDR", ihdr)
+                payload = (
+                    PNG_SIG
+                    + _png_chunk_bytes(b"IHDR", ihdr)
+                    + _png_chunk_bytes(
+                        b"tEXt", b"Source\x00" + str(src).encode()
+                    )
+                )
                 for off in range(0, len(z), 64):
                     payload += _png_chunk_bytes(
                         b"IDAT", z[off : off + 64]
@@ -741,7 +753,7 @@ def synthesize_png(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    return docs.select("doc_id").mapInPandas(op, SYNTH_PNG_SCHEMA)
+    return docs.select("doc_id", "source").mapInPandas(op, SYNTH_PNG_SCHEMA)
 
 
 SYNTH_PNG_SCHEMA = T.StructType(
@@ -1099,4 +1111,66 @@ def phash_near_dup(
         cand.select("id_a", "id_b", "kind", ham.alias("hamming"))
         .orderBy(F.asc("hamming"), F.asc("id_a"), F.asc("id_b"))
         .limit(top)
+    )
+
+
+def png_text_chunks(media: DataFrame, max_chunks: int = 4) -> DataFrame:
+    """NATIVE PNG ancillary-metadata extraction: an unrolled chunk
+    walk (``max_chunks`` steps — tEXt precedes the unbounded IDAT run
+    in this repo's synthesis, and PNG recommends textual chunks
+    early) entirely in JVM-side Column expressions — length u32 at
+    the cursor, type bytes, cursor += 12 + length — no UDF, no
+    Python, no inflate. The first ``tEXt`` chunk's data splits at its
+    NUL into (key, value) per the PNG spec §11.3.4.
+
+    This is the metadata lane's point: reading "where did this image
+    come from" must not cost a decode, and the extractor must still
+    be a real walk (chunk lengths are data, not fixed offsets — a
+    different IHDR or an early ancillary chunk reorders nothing).
+
+    Scale shape: map-only over the payload column; the payload bytes
+    never leave the JVM. Returns (media_id, key, value) for payloads
+    whose walk finds a tEXt chunk."""
+    df = media.select("media_id", "payload").withColumn(
+        "_p0", F.lit(9).cast("bigint")
+    )
+    for i in range(max_chunks):
+        df = (
+            df.withColumn(
+                f"_l{i}",
+                F.expr(
+                    f"CAST(conv(hex(substring(payload, CAST(_p{i} AS INT),"
+                    " 4)), 16, 10) AS BIGINT)"
+                ),
+            )
+            .withColumn(
+                f"_t{i}",
+                F.expr(
+                    f"CAST(substring(payload, CAST(_p{i} AS INT) + 4, 4)"
+                    " AS STRING)"
+                ),
+            )
+            .withColumn(
+                f"_p{i + 1}", F.expr(f"_p{i} + 12 + _l{i}").cast("bigint")
+            )
+        )
+    data = F.coalesce(
+        *[
+            F.expr(
+                f"CASE WHEN _t{i} = 'tEXt' THEN"
+                f" CAST(substring(payload, CAST(_p{i} AS INT) + 8,"
+                f" CAST(_l{i} AS INT)) AS STRING) END"
+            )
+            for i in range(max_chunks)
+        ]
+    )
+    parts = F.split(data, "\x00", 2)
+    return (
+        df.select("media_id", parts.alias("_kv"))
+        .filter(F.col("_kv").isNotNull() & (F.size("_kv") == 2))
+        .select(
+            "media_id",
+            F.col("_kv")[0].alias("key"),
+            F.col("_kv")[1].alias("value"),
+        )
     )

@@ -745,3 +745,104 @@ def perm_test(
             ).alias("p_value"),
         )
     )
+
+
+def ate_report(valid: DataFrame) -> DataFrame:
+    """One-row causal summary on top of ``strat_ate``'s per-stratum
+    table: the naive unadjusted difference, the stratified ATE
+    (n_s/N-weighted within-stratum contrasts — algebraically the IPW
+    estimator with exact within-stratum propensities), the ATT
+    (controls reweighted to the treated strata mix, n_t,s/n_c,s
+    weights) and the ATC (the mirror) — Imbens & Rubin ch. 17's
+    weighting-estimator family as exact-arithmetic aggregates.
+    The single-row "did the treatment do anything, for whom" readout
+    next to the per-stratum localization table.
+
+    Exactness: all counts integer from ONE 9-stratum groupBy; each
+    per-stratum term is the same fixed double expression in both
+    engines, 12-dp-rounded and DECIMAL-summed (order-independent),
+    one terminal division per estimand, 6 dp. Strata missing either
+    arm are dropped from every estimand (no contrast exists there) —
+    the strat_ate rule; the naive diff runs over ALL rows.
+
+    Returns one row (n, n_treated, n_control, n_strata_used,
+    diff_naive, ate, att, atc)."""
+    from ..functions import scoring
+
+    t = scoring.has_loans(F.col("housing"), F.col("loan")).cast("bigint")
+    y1 = (F.col("y") == "yes").cast("bigint")
+    staged = valid.select(
+        scoring.age_group(F.col("age")).alias("age_group"),
+        scoring.wealth_segment(F.col("balance")).alias("wealth_segment"),
+        t.alias("t"),
+        y1.alias("y1"),
+    )
+    # the naive (all-rows) contrast enters as a scalar subquery struct
+    naive = staged.agg(
+        F.struct(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("t").cast("bigint").alias("n_t"),
+            F.sum(F.col("t") * F.col("y1")).cast("bigint").alias("y_t"),
+            F.sum((1 - F.col("t")) * F.col("y1"))
+            .cast("bigint")
+            .alias("y_c"),
+        ).alias("s")
+    ).scalar()
+    cells = (
+        staged.groupBy("age_group", "wealth_segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_s"),
+            F.sum("t").cast("bigint").alias("n_t"),
+            F.sum(F.col("t") * F.col("y1")).cast("bigint").alias("y_t"),
+            F.sum((1 - F.col("t")) * F.col("y1"))
+            .cast("bigint")
+            .alias("y_c"),
+        )
+        .withColumn("n_c", (F.col("n_s") - F.col("n_t")).cast("bigint"))
+        .filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    )
+    rt = F.col("y_t").cast("double") / F.col("n_t").cast("double")
+    rc = F.col("y_c").cast("double") / F.col("n_c").cast("double")
+
+    def dec12(c):
+        return F.round(c, 12).cast("decimal(26,12)")
+
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata_used"),
+        F.sum("n_s").cast("bigint").alias("n_used"),
+        F.sum("n_t").cast("bigint").alias("nt_used"),
+        F.sum("n_c").cast("bigint").alias("nc_used"),
+        F.sum(dec12((rt - rc) * F.col("n_s").cast("double"))).alias(
+            "ate_num"
+        ),
+        F.sum(dec12((rt - rc) * F.col("n_t").cast("double"))).alias(
+            "att_num"
+        ),
+        F.sum(dec12((rt - rc) * F.col("n_c").cast("double"))).alias(
+            "atc_num"
+        ),
+    )
+    return agg.withColumn("_s", naive).select(
+        F.col("_s.n").alias("n"),
+        F.col("_s.n_t").alias("n_treated"),
+        (F.col("_s.n") - F.col("_s.n_t")).cast("bigint").alias("n_control"),
+        "n_strata_used",
+        F.round(
+            F.col("_s.y_t").cast("double") / F.col("_s.n_t").cast("double")
+            - F.col("_s.y_c").cast("double")
+            / (F.col("_s.n") - F.col("_s.n_t")).cast("double"),
+            6,
+        ).alias("diff_naive"),
+        F.round(
+            F.col("ate_num").cast("double") / F.col("n_used").cast("double"),
+            6,
+        ).alias("ate"),
+        F.round(
+            F.col("att_num").cast("double") / F.col("nt_used").cast("double"),
+            6,
+        ).alias("att"),
+        F.round(
+            F.col("atc_num").cast("double") / F.col("nc_used").cast("double"),
+            6,
+        ).alias("atc"),
+    )

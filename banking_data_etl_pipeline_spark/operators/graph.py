@@ -836,6 +836,16 @@ def bfs_depths(
     if seed is None:
         edges.unpersist()
         return spark.createDataFrame([], "part bigint, depth int")
+    visited = _bfs_from(spark, edges, int(seed), max_depth, plan_hook)
+    edges.unpersist()
+    return visited.orderBy("part")
+
+
+def _bfs_from(spark, edges, seed: int, max_depth: int, plan_hook=None):
+    """The level-synchronous frontier loop from one seed over a
+    persisted symmetric edge list — shared by ``bfs_depths`` and
+    ``graph_diameter``'s double sweep. Returns the visited frame
+    (part, depth)."""
     visited = spark.createDataFrame(
         [(int(seed), 0)], "part bigint, depth int"
     ).localCheckpoint()
@@ -870,8 +880,64 @@ def bfs_depths(
         visited = visited.union(nxt).localCheckpoint()
         prev.unpersist()
         frontier = nxt.select("part")
+    return visited
+
+
+def graph_diameter(
+    lineitem: DataFrame,
+    max_depth: int = 8,
+    min_weight: int = 2,
+) -> DataFrame:
+    """Double-sweep diameter LOWER BOUND of the repeated-co-purchase
+    graph (Magnien, Latapy & Habib 2009: BFS from any node, then BFS
+    from the farthest node found — the second eccentricity is a lower
+    bound that is exact on trees and empirically tight on real
+    graphs; an exact diameter is all-pairs and off the table at
+    scale). The one-number "how stretched is this catalog's
+    co-purchase structure" readout next to assortativity.
+
+    Both sweeps reuse ONE persisted edge build and the shared
+    ``_bfs_from`` frontier loop (broadcast-gated, per-level lineage
+    truncation); driver traffic is two single-row pulls (seed and the
+    argmax far node). ``max_depth`` bounds both sweeps; depths are
+    exact BFS levels within the reachable, depth-bounded ball.
+
+    Returns one row (seed, ecc_seed, far_node, diameter_lb)."""
+    po = lineitem.select("l_orderkey", "l_partkey").distinct()
+    half = (
+        po.alias("a")
+        .join(po.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_weight)
+        .select("src", "dst")
+    )
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    spark = lineitem.sparkSession
+    seed = edges.agg(F.min("src").alias("s")).collect()[0]["s"]
+    if seed is None:
+        edges.unpersist()
+        return spark.createDataFrame(
+            [], "seed bigint, ecc_seed int, far_node bigint,"
+            " diameter_lb int"
+        )
+    d1 = _bfs_from(spark, edges, int(seed), max_depth)
+    far = (
+        d1.orderBy(F.desc("depth"), F.asc("part")).limit(1).collect()[0]
+    )
+    d2 = _bfs_from(spark, edges, int(far["part"]), max_depth)
+    ecc2 = d2.agg(F.max("depth").alias("m")).collect()[0]["m"]
     edges.unpersist()
-    return visited.orderBy("part")
+    return spark.createDataFrame(
+        [(int(seed), int(far["depth"]), int(far["part"]), int(ecc2))],
+        "seed bigint, ecc_seed int, far_node bigint, diameter_lb int",
+    )
 
 
 def label_prop(

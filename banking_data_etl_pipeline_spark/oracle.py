@@ -3109,6 +3109,17 @@ SELECT media_id,
        CAST(sum(CASE WHEN ch = 2 THEN val END) AS BIGINT) AS sum_b
 FROM v GROUP BY media_id, width, height"""
 
+# Twin of multimodal.binaryops.png_text_chunks over synthesize_png:
+# the Spark side REALLY walks the container (u32 chunk lengths, type
+# bytes, cursor arithmetic — all JVM-side Column ops); the twin
+# recomputes the (key, value) pairs from the synthesis inputs with no
+# byte access — agreement proves the walk followed the real chunk
+# boundaries past a variable-length tEXt payload.
+MEDIA_TEXT_Q = """SELECT doc_id AS media_id,
+       'Source' AS key,
+       source AS value
+FROM documents"""
+
 # Twin of multimodal.binaryops.decode_pcm over the WAV lane (odd
 # doc_ids): the data chunk carries exactly the UTF-8 body, so sample
 # j is the little-endian int16 at body bytes (2j, 2j+1) — recomputed
@@ -7877,15 +7888,7 @@ SELECT n_days, concordant, discordant, ties_x, ties_y,
 FROM agg, n"""
 
 
-def bfs_depths_sql(max_depth: int = 8, min_weight: int = 2) -> str:
-    """Twin of operators.graph.bfs_depths: the kcore repeated-
-    co-purchase edge build, then ``max_depth`` UNROLLED level-
-    synchronous frontier steps (MATERIALIZED — the kcore_sql lesson:
-    un-materialized unrolls re-expand the lineitem scan per
-    reference). A recursive CTE would enumerate WALKS (combinatorial
-    on a dense graph); the per-level visited anti-join is the BFS."""
-    parts = [
-        f"""WITH po AS (
+_BFS_EDGE_BUILD = """WITH po AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ), half AS (
   SELECT a.l_partkey AS src, b.l_partkey AS dst
@@ -7897,32 +7900,85 @@ def bfs_depths_sql(max_depth: int = 8, min_weight: int = 2) -> str:
   SELECT src, dst FROM half
   UNION ALL
   SELECT dst AS src, src AS dst FROM half
-), v0 AS MATERIALIZED (
-  -- an ungrouped min() over zero rows still yields one (NULL) row, so
-  -- the seed must be filtered on its own NULL-ness, not on the input
+)"""
+
+
+def _bfs_cte_block(pfx: str, seed_sql: str, max_depth: int) -> str:
+    """One seeded level-synchronous BFS as unrolled CTEs over the
+    shared ``e`` edge CTE: ``{pfx}v{t}`` visited / ``{pfx}f{t}``
+    frontier tables, seed from ``seed_sql`` (one row or zero rows).
+    MATERIALIZED per level — the kcore_sql lesson: un-materialized
+    unrolls re-expand the base scan per reference. A recursive CTE
+    would enumerate WALKS (combinatorial on a dense graph); the
+    per-level visited anti-join is the BFS."""
+    parts = [
+        f""",
+{pfx}v0 AS MATERIALIZED (
+  -- an ungrouped min()/argmax over zero rows still yields one (NULL)
+  -- row, so the seed filters on its own NULL-ness, not on the input
   -- count, for an empty graph to yield zero rows like the Spark side
-  SELECT part, 0 AS depth FROM (
-    SELECT CAST(min(src) AS BIGINT) AS part FROM e
-  ) WHERE part IS NOT NULL
-), f0 AS (SELECT part FROM v0)"""
+  SELECT part, 0 AS depth FROM ({seed_sql}) WHERE part IS NOT NULL
+), {pfx}f0 AS (SELECT part FROM {pfx}v0)"""
     ]
     for t in range(1, max_depth + 1):
         parts.append(
             f""",
-f{t} AS MATERIALIZED (
-  SELECT DISTINCT e.dst AS part FROM e JOIN f{t - 1} f ON e.src = f.part
-  WHERE NOT EXISTS (SELECT 1 FROM v{t - 1} v WHERE v.part = e.dst)
-), v{t} AS MATERIALIZED (
-  SELECT part, depth FROM v{t - 1}
+{pfx}f{t} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS part
+  FROM e JOIN {pfx}f{t - 1} f ON e.src = f.part
+  WHERE NOT EXISTS (SELECT 1 FROM {pfx}v{t - 1} v WHERE v.part = e.dst)
+), {pfx}v{t} AS MATERIALIZED (
+  SELECT part, depth FROM {pfx}v{t - 1}
   UNION ALL
-  SELECT part, {t} AS depth FROM f{t}
+  SELECT part, {t} AS depth FROM {pfx}f{t}
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def bfs_depths_sql(max_depth: int = 8, min_weight: int = 2) -> str:
+    """Twin of operators.graph.bfs_depths: the kcore repeated-
+    co-purchase edge build + one ``_bfs_cte_block`` seeded at the
+    minimum node."""
+    return (
+        _BFS_EDGE_BUILD.format(min_weight=min_weight)
+        + _bfs_cte_block(
+            "", "SELECT CAST(min(src) AS BIGINT) AS part FROM e", max_depth
+        )
+        + f"""
 SELECT part, CAST(depth AS INT) AS depth FROM v{max_depth}"""
     )
-    return "".join(parts)
+
+
+def graph_diameter_sql(max_depth: int = 8, min_weight: int = 2) -> str:
+    """Twin of operators.graph.graph_diameter: the double sweep —
+    BFS from the min node, argmax (depth DESC, part ASC) picks the
+    far node, BFS again from it; the second eccentricity is the
+    diameter lower bound."""
+    far_seed = f"""SELECT part FROM (
+    SELECT part FROM v{max_depth} ORDER BY depth DESC, part ASC LIMIT 1
+  )"""
+    return (
+        _BFS_EDGE_BUILD.format(min_weight=min_weight)
+        + _bfs_cte_block(
+            "", "SELECT CAST(min(src) AS BIGINT) AS part FROM e", max_depth
+        )
+        + _bfs_cte_block("s2", far_seed, max_depth)
+        + f""",
+far AS (
+  SELECT part, depth FROM v{max_depth} ORDER BY depth DESC, part ASC
+  LIMIT 1
+)
+SELECT (SELECT CAST(min(src) AS BIGINT) FROM e) AS seed,
+       CAST(far.depth AS INT) AS ecc_seed,
+       far.part AS far_node,
+       CAST((SELECT max(depth) FROM s2v{max_depth}) AS INT)
+         AS diameter_lb
+FROM far"""
+    )
+
+
+GRAPH_DIAMETER_Q = graph_diameter_sql()
 
 
 BFS_DEPTHS_Q = bfs_depths_sql()
@@ -8399,6 +8455,62 @@ SELECT age_group, wealth_segment, n_s, n_treated,
          - CAST(y_c AS DOUBLE) / CAST(n_s - n_treated AS DOUBLE) AS diff
 FROM cells
 WHERE n_treated > 0 AND n_s - n_treated > 0"""
+
+
+# Twin of operators.experiments.ate_report: same 9-stratum cells,
+# identical fixed-double per-stratum terms 12-dp-rounded and
+# DECIMAL-summed, one terminal division per estimand.
+ATE_REPORT_Q = f"""{BANK_PREFIX},
+staged AS (
+  SELECT {AGE_GROUP} AS age_group, {WEALTH} AS wealth_segment,
+         CASE WHEN {HAS_LOANS} THEN 1 ELSE 0 END AS t,
+         CASE WHEN y = 'yes' THEN 1 ELSE 0 END AS y1
+  FROM valid
+), naive AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS n_t,
+         CAST(sum(t * y1) AS BIGINT) AS y_t,
+         CAST(sum((1 - t) * y1) AS BIGINT) AS y_c
+  FROM staged
+), cells AS (
+  SELECT age_group, wealth_segment,
+         CAST(count(*) AS BIGINT) AS n_s,
+         CAST(sum(t) AS BIGINT) AS n_t,
+         CAST(sum(t * y1) AS BIGINT) AS y_t,
+         CAST(sum((1 - t) * y1) AS BIGINT) AS y_c,
+         CAST(count(*) - sum(t) AS BIGINT) AS n_c
+  FROM staged GROUP BY 1, 2
+), kept AS (
+  SELECT *,
+         CAST(y_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+           - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS d
+  FROM cells WHERE n_t > 0 AND n_c > 0
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_strata_used,
+         CAST(sum(n_s) AS BIGINT) AS n_used,
+         CAST(sum(n_t) AS BIGINT) AS nt_used,
+         CAST(sum(n_c) AS BIGINT) AS nc_used,
+         sum(CAST(round(d * CAST(n_s AS DOUBLE), 12)
+                  AS DECIMAL(26,12))) AS ate_num,
+         sum(CAST(round(d * CAST(n_t AS DOUBLE), 12)
+                  AS DECIMAL(26,12))) AS att_num,
+         sum(CAST(round(d * CAST(n_c AS DOUBLE), 12)
+                  AS DECIMAL(26,12))) AS atc_num
+  FROM kept
+)
+SELECT n.n, n.n_t AS n_treated,
+       CAST(n.n - n.n_t AS BIGINT) AS n_control,
+       a.n_strata_used,
+       round(CAST(n.y_t AS DOUBLE) / CAST(n.n_t AS DOUBLE)
+             - CAST(n.y_c AS DOUBLE) / CAST(n.n - n.n_t AS DOUBLE), 6)
+         AS diff_naive,
+       round(CAST(a.ate_num AS DOUBLE) / CAST(a.n_used AS DOUBLE), 6)
+         AS ate,
+       round(CAST(a.att_num AS DOUBLE) / CAST(a.nt_used AS DOUBLE), 6)
+         AS att,
+       round(CAST(a.atc_num AS DOUBLE) / CAST(a.nc_used AS DOUBLE), 6)
+         AS atc
+FROM naive n, agg a"""
 
 
 # Twin of operators.corpus.langid_confusion: the langid_sql CTEs plus

@@ -3876,6 +3876,34 @@ def emb_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expectations.emb_dim_psi(tables.load(spark, sf_dir, "embeddings"))
 
 
+def ate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row causal summary (naive diff, stratified ATE, ATT, ATC)
+    of has_loans → subscription over age × wealth strata."""
+    from .operators import experiments
+
+    tune_for_oracle(spark)
+    return experiments.ate_report(_bank_valid(spark, sf_dir))
+
+
+def media_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native PNG ancillary-metadata extraction: the unrolled
+    JVM-side chunk walk reads each image's tEXt (Source=...) pair
+    without a decode; the twin recomputes the pairs from the
+    synthesis inputs byte-free."""
+    tune_for_oracle(spark)
+    media = binaryops.synthesize_png(tables.load(spark, sf_dir, "documents"))
+    return binaryops.png_text_chunks(media)
+
+
+def graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep BFS diameter lower bound of the repeated-
+    co-purchase graph (exact on trees, tight in practice)."""
+    from .operators import graph
+
+    tune_for_oracle(spark)
+    return graph.graph_diameter(tables.load(spark, sf_dir, "lineitem"))
+
+
 def _unigram_model(
     docs: DataFrame, sf_dir: str, rounds: int = 2
 ) -> dict[str, int]:

@@ -135,6 +135,9 @@ BENCH_QUERIES = [
     "label_prop",
     "perm_test",
     "emb_psi",
+    "ate_report",
+    "media_text_chunks",
+    "graph_diameter",
     "frame_sample",
     "vocab_topn",
     "tfidf_terms",
