@@ -1551,3 +1551,76 @@ def cvm_two_sample(
             ).alias("cvm_t"),
         )
     )
+
+
+def moments_profile(
+    events: DataFrame,
+    value_col: str = "value",
+    unit: int = 1000,
+) -> DataFrame:
+    """Per-event-type higher-moment profile — mean, std, skewness
+    (g1) and excess kurtosis (g2) of the value distribution — the
+    shape summary that tells a curation pass whether a metric is
+    heavy-tailed or lopsided before thresholds get set.
+
+    Exactness, the acf_lags integer-unit discipline: values are
+    quantized to exact BIGINT ``unit``-ths (milli-units by default),
+    the four raw power sums S1..S4 accumulate in DECIMAL(38,0) —
+    order-independent, no float summation tree — and every reported
+    statistic is ONE fixed double expression over the exact sums.
+    g1 = m3/(m2·√m2) and g2 = m4/m2² − 3 are scale-free, so the unit
+    cancels entirely there (√ is correctly rounded IEEE in both
+    engines; no pow()); only mean/std divide by the unit. Headroom:
+    S4 ≈ n·(unit·|x|)⁴ — at corpus magnitudes that push past 1e38,
+    drop ``unit`` (the YI note's trade).
+
+    Scale shape: one map-side-combined groupBy over |event_types|
+    keys; nothing else. Returns (event_type, n, mean, std, skewness,
+    kurtosis_excess) — 6 dp, NULL shape stats on degenerate (m2 = 0)
+    groups."""
+    y = F.expr(
+        f"CAST(CAST({value_col} AS DECIMAL(18,6)) * {unit} AS BIGINT)"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        events.filter(F.col(value_col).isNotNull())
+        .select("event_type", y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(dec(F.col("y"))).alias("s1"),
+            F.sum(dec(F.col("y") * F.col("y"))).alias("s2"),
+            F.sum(dec(F.col("y")) * dec(F.col("y")) * dec(F.col("y"))).alias(
+                "s3"
+            ),
+            F.sum(
+                dec(F.col("y") * F.col("y")) * dec(F.col("y") * F.col("y"))
+            ).alias("s4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    r1 = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    m2 = r2 - r1 * r1
+    m3 = r3 - F.lit(3.0) * r1 * r2 + F.lit(2.0) * r1 * r1 * r1
+    m4 = (
+        r4
+        - F.lit(4.0) * r1 * r3
+        + F.lit(6.0) * r1 * r1 * r2
+        - F.lit(3.0) * r1 * r1 * r1 * r1
+    )
+    u = F.lit(float(unit))
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(r1 / u, 6).alias("mean"),
+        F.round(F.sqrt(m2) / u, 6).alias("std"),
+        F.when(m2 > 0, F.round(m3 / (m2 * F.sqrt(m2)), 6)).alias(
+            "skewness"
+        ),
+        F.when(m2 > 0, F.round(m4 / (m2 * m2) - F.lit(3.0), 6)).alias(
+            "kurtosis_excess"
+        ),
+    )

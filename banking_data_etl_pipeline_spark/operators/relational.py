@@ -1626,3 +1626,109 @@ def cheapest_supplier(lineitem: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_partkey", "l_suppkey", "unit_price", "n_lines")
     )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    quarter, keep the supplier(s) whose revenue EQUALS the maximum —
+    the classic view+max formulation, here with the max entering as
+    an uncorrelated scalar subquery over the persisted per-supplier
+    aggregate (never a 1-row crossJoin/NLJ, never a global sort).
+
+    Scale shape: the date predicate pushes into the parquet scan
+    (PushedFilters), ONE map-side-combined groupBy collapses the fact
+    table to |suppliers| rows (persisted — the max subquery and the
+    filter read the same cache, not two fact scans), and the supplier
+    dim joins broadcast. Revenue is exact DECIMAL end-to-end; one
+    terminal cast for the report.
+
+    Returns (s_suppkey, s_name, total_revenue) for the argmax
+    supplier(s), revenue 4 dp."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            ).alias("rev")
+        )
+        .persist()
+    )
+    mx = rev.agg(F.max("rev").alias("m")).scalar()
+    return (
+        rev.filter(F.col("rev") == mx)
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            rev["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev").cast("double"), 4).alias("total_revenue"),
+        )
+    )
+
+
+def nation_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue between every
+    ORDERED pair of distinct (supplier nation, customer nation) per
+    ship year — the cross-border trade matrix.
+
+    Scale shape: the ship-date predicate pushes into the fact scan;
+    the fact⋈orders join shuffles on the order key (the one big-big
+    join — co-partition/bucket at production scale), customer joins
+    on its key, and the nation dims broadcast twice under distinct
+    aliases. Revenue is exact DECIMAL until one terminal cast.
+
+    Returns (supp_nation, cust_nation, l_year, revenue) with
+    supp_nation != cust_nation, revenue 4 dp."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+        (
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        ).cast("decimal(18,6)").alias("vol"),
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(F.sum("vol").cast("double"), 4).alias("revenue")
+        )
+    )

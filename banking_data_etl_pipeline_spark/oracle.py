@@ -793,6 +793,81 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name"""
 
+# Twin of operators.relational.top_supplier (TPC-H Q15 shape): same
+# quarter filter, DECIMAL revenue, argmax via scalar-subquery equality.
+TOP_SUPPLIER_Q = """WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       round(CAST(r.rev AS DOUBLE), 4) AS total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rev = (SELECT max(rev) FROM rev)"""
+
+# Twin of operators.relational.nation_volume (TPC-H Q7 shape): the
+# cross-border trade matrix by ship year, DECIMAL revenue.
+NATION_VOLUME_Q = """SELECT n2.n_name AS supp_nation,
+       n1.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND n2.n_name <> n1.n_name
+GROUP BY 1, 2, 3"""
+
+# Twin of operators.profiling.moments_profile: identical milli-unit
+# quantization, DECIMAL(38,0) power sums (the squaring/cubing happens
+# in decimal — y³ would wrap int64), the same fixed double assembly.
+MOMENTS_Q = """WITH base AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000 AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(y AS DECIMAL(38,0))) AS s1,
+         sum(CAST(y * y AS DECIMAL(38,0))) AS s2,
+         sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))
+             * CAST(y AS DECIMAL(38,0))) AS s3,
+         sum(CAST(y * y AS DECIMAL(38,0))
+             * CAST(y * y AS DECIMAL(38,0))) AS s4
+  FROM base GROUP BY event_type
+), r AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS r1,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+  FROM agg
+), m AS (
+  SELECT event_type, n, r1,
+         r2 - r1 * r1 AS m2,
+         r3 - 3.0 * r1 * r2 + 2.0 * r1 * r1 * r1 AS m3,
+         r4 - 4.0 * r1 * r3 + 6.0 * r1 * r1 * r2
+            - 3.0 * r1 * r1 * r1 * r1 AS m4
+  FROM r
+)
+SELECT event_type, n,
+       round(r1 / 1000.0, 6) AS mean,
+       round(sqrt(m2) / 1000.0, 6) AS std,
+       CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6) END
+         AS skewness,
+       CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 6) END
+         AS kurtosis_excess
+FROM m"""
+
 PRICING_SUMMARY_Q = f"""SELECT l_returnflag, l_linestatus,
   {_dec_sum_sql("l_quantity", "sum_qty")},
   {_dec_sum_sql("l_extendedprice", "sum_base_price")},

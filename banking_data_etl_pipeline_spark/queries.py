@@ -3904,6 +3904,38 @@ def graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.graph_diameter(tables.load(spark, sf_dir, "lineitem"))
 
 
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the quarter's argmax-revenue supplier(s),
+    max via scalar subquery over the persisted per-supplier rollup."""
+    tune_for_oracle(spark)
+    return relational.top_supplier(
+        tables.load(spark, sf_dir, "lineitem"),
+        tables.load(spark, sf_dir, "supplier"),
+    )
+
+
+def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border revenue between every ordered
+    nation pair per ship year."""
+    tune_for_oracle(spark)
+    return relational.nation_volume(
+        tables.load(spark, sf_dir, "lineitem"),
+        tables.load(spark, sf_dir, "orders"),
+        tables.load(spark, sf_dir, "customer"),
+        tables.load(spark, sf_dir, "supplier"),
+        tables.load(spark, sf_dir, "nation"),
+    )
+
+
+def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean/std/skewness/excess-kurtosis from exact
+    DECIMAL power sums of milli-quantized values."""
+    from .operators import profiling
+
+    tune_for_oracle(spark)
+    return profiling.moments_profile(tables.load(spark, sf_dir, "events"))
+
+
 def _unigram_model(
     docs: DataFrame, sf_dir: str, rounds: int = 2
 ) -> dict[str, int]:

@@ -138,6 +138,9 @@ BENCH_QUERIES = [
     "ate_report",
     "media_text_chunks",
     "graph_diameter",
+    "top_supplier",
+    "nation_volume",
+    "moments_profile",
     "frame_sample",
     "vocab_topn",
     "tfidf_terms",
