@@ -1578,11 +1578,22 @@ def moments_profile(
     keys; nothing else. Returns (event_type, n, mean, std, skewness,
     kurtosis_excess) — 6 dp, NULL shape stats on degenerate (m2 = 0)
     groups."""
+    agg = moments_power_sums(events, value_col, unit)
+    return moments_assembly(agg, unit)
+
+
+def moments_power_sums(
+    events: DataFrame, value_col: str = "value", unit: int = 1000
+) -> DataFrame:
+    """The exact sufficient statistics: per event_type, n and the
+    DECIMAL(38,0) power sums S1..S4 of the ``unit``-quantized value —
+    shared by the batch profile and the streaming monitor (whose
+    update-mode state is exactly this frame)."""
     y = F.expr(
         f"CAST(CAST({value_col} AS DECIMAL(18,6)) * {unit} AS BIGINT)"
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    agg = (
+    return (
         events.filter(F.col(value_col).isNotNull())
         .select("event_type", y.alias("y"))
         .groupBy("event_type")
@@ -1598,6 +1609,12 @@ def moments_profile(
             ).alias("s4"),
         )
     )
+
+
+def moments_assembly(agg: DataFrame, unit: int = 1000) -> DataFrame:
+    """The fixed double assembly over (event_type, n, s1..s4) — one
+    expression tree, identical in both engines and in the streaming
+    drain path."""
     nd = F.col("n").cast("double")
     r1 = F.col("s1").cast("double") / nd
     r2 = F.col("s2").cast("double") / nd

@@ -3462,6 +3462,15 @@ def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING higher-moment monitor: exact DECIMAL power sums as
+    constant update-mode state, latest-state drain via max_by on the
+    monotone row count — shares MOMENTS_Q verbatim."""
+    tune_for_oracle(spark)
+    d = _stream_src_dir(sf_dir, "events")
+    return EV.moments_stream(spark, d, "stream_moments_sink")
+
+
 def leadlag_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lead-lag cross-correlation between event-type pairs at lags
     0/1/2 hours — which feeds lead which (acf_lags' off-diagonal)."""

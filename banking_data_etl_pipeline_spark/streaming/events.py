@@ -1625,3 +1625,55 @@ def langid_mix_stream(spark: SparkSession, docs_dir: str, name: str) -> DataFram
         "n",
         (F.col("n").cast("double") / total.cast("double")).alias("share"),
     )
+
+
+def moments_stream(
+    spark: SparkSession,
+    events_dir: str,
+    name: str,
+    unit: int = 1000,
+) -> DataFrame:
+    """STREAMING higher-moment monitor: per event type, the exact
+    DECIMAL power sums S1..S4 of the milli-quantized value maintained
+    as |event_types| rows of update-mode state — constant on an
+    unbounded feed — then the SAME fixed double assembly as the batch
+    ``profiling.moments_profile``, so this shares MOMENTS_Q verbatim
+    (the hll_stream/cms precedent).
+
+    Drain rule: sums of SIGNED values are not monotone, so the
+    terminal-MAX drain the count sketches use would be wrong here —
+    instead every emitted state row carries its row count n (strictly
+    increasing per key on every update), and the drain takes
+    ``max_by(s_k, n)`` per key: the LATEST emitted state, regardless
+    of sum direction. The parquet source declares only
+    (event_type, value) — projection pushdown at the scan.
+
+    Returns the moments_profile shape (event_type, n, mean, std,
+    skewness, kurtosis_excess)."""
+    from ..operators import profiling
+
+    stream = events_stream(spark, events_dir).select(
+        "event_type", "value"
+    )
+    s_agg = profiling.moments_power_sums(stream, "value", unit)
+    with _state_partitions(spark):
+        q = (
+            s_agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    latest = (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max_by("s1", "n").alias("s1"),
+            F.max_by("s2", "n").alias("s2"),
+            F.max_by("s3", "n").alias("s3"),
+            F.max_by("s4", "n").alias("s4"),
+        )
+    )
+    return profiling.moments_assembly(latest, unit)

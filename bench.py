@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "top_supplier",
     "nation_volume",
     "moments_profile",
+    "stream_moments",
     "frame_sample",
     "vocab_topn",
     "tfidf_terms",

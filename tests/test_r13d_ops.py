@@ -112,3 +112,27 @@ def test_moments_profile_degenerate_group(spark):
     # symmetric two-point group: skew 0, excess kurtosis -2
     assert got["b"].skewness == 0.0
     assert got["b"].kurtosis_excess == -2.0
+
+
+def test_stream_moments_split_delivery_equals_batch(spark, tmp_path):
+    """Sums of SIGNED values are not monotone, so the drain takes the
+    latest state by the monotone row count — two micro-batch files
+    must still reproduce the batch profile EXACTLY."""
+    import os
+
+    from banking_data_etl_pipeline_spark.streaming import events as EV
+
+    ev = tables.load(spark, SF_DIR, "events")
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        d, mode="append"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        d, mode="append"
+    )
+    got = sorted(
+        map(tuple, EV.moments_stream(spark, d, "test_moments_sink").collect())
+    )
+    want = sorted(map(tuple, profiling.moments_profile(ev).collect()))
+    assert got == want
