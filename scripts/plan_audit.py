@@ -34,13 +34,14 @@ SKIP = {
     "stream_attribution", "stream_ewma", "stream_srm",
     "stream_topk_users", "stream_msprt", "stream_recovery",
     "stream_cms_ngrams", "stream_p95", "stream_hll",
-    "stream_recovery_msprt", "stream_langid_mix",
+    "stream_recovery_msprt", "stream_langid_mix", "stream_moments",
     # iterative (driver-side loop): representative per-iteration plans
     # captured via plan_hook in the second section below
     "kmeans", "dedup_resolve", "pagerank", "fuzzy_resolve",
     "triangle_count", "bpe_merges", "bpe_merges_batched", "kcore",
     "mmr_rerank", "hits", "hits_prebuilt", "kcenter_coreset",
-    "emb_top_pc", "bt_strengths", "ppr", "bfs_depths",
+    "emb_top_pc", "bt_strengths", "ppr", "bfs_depths", "label_prop",
+    "graph_diameter",
 }
 
 # which iterative capture covers each skipped query's loop
@@ -66,8 +67,12 @@ ITER_COVERAGE = {
     "step; corpus touched once for the contestant cut)",
     "ppr": "ppr[iteration] (pagerank loop with the seed-CASE restart "
     "term — identical join/agg shape)",
-    "bfs_depths": "bfs[frontier] (per-level broadcast frontier join "
-    "+ visited anti-join)",
+    "bfs_depths": "bfs[frontier] (per-level broadcast-gated frontier "
+    "join + visited anti-join)",
+    "label_prop": "label_prop[round] (node-keyed equi-join + "
+    "min-groupBy + left join per round, checkpointed)",
+    "graph_diameter": "bfs[frontier] (two _bfs_from sweeps over one "
+    "persisted edge build; driver traffic two single rows)",
 }
 
 
@@ -171,13 +176,11 @@ def main() -> None:
         "decisions, not data funnels: score_auc reduces to DISTINCT",
         "scores, calibration_bins/lift_deciles to their bins/bands,",
         "bootstrap_ci to one base-stats row, msprt_monitor to day-count",
-        "rows before its cumulative walk. curriculum_order's global",
-        "ntile is the lift_table case — at 100 TB swap it for",
-        "approx-percentile threshold cuts (same output contract, note",
-        "in the operator docstring). benford_audit's window runs over",
-        "the 9-row digit spine; quantile_normalize's CDF window runs",
-        "over the reference's distinct-VALUE histogram (compress to a",
-        "fixed-width histogram at 100 TB, per its docstring).",
+        "rows before its cumulative walk. benford_audit's window runs",
+        "over the 9-row digit spine. (r13: curriculum_order now uses",
+        "the distributed-rank construction and quantile_normalize the",
+        "candidate-bucket compressed CDF — both former flags are",
+        "plan-asserted gone in tests/test_plan_quality.py.)",
         "survival_km's flagged windows run over the duration spine",
         "(<= horizon_days+1 rows after the per-user reduction);",
         "heaps_law's cumulative windows run over per-doc rows",
@@ -276,6 +279,8 @@ def main() -> None:
     spark.catalog.clearCache()
     from banking_data_etl_pipeline_spark.operators import profiling
     profiling.bt_strengths(docs, iters=1, plan_hook=hook_for("bt"))
+    spark.catalog.clearCache()
+    graph.label_prop(lineitem, iters=1, plan_hook=hook_for("label_prop"))
     spark.catalog.clearCache()
 
     for label, plan in captured:

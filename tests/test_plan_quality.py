@@ -310,6 +310,7 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "stream_cms_ngrams",  # runs its stream eagerly at build
         "stream_p95",  # runs its stream eagerly at build
         "stream_hll",  # runs its stream eagerly at build
+        "stream_moments",  # runs its stream eagerly at build
         "kcenter_coreset",  # greedy driver loop (one top-1 pull/round)
         "emb_top_pc",  # power-iteration loop (localCheckpoint per step)
         "bt_strengths",  # MM iteration loop (localCheckpoint per step)
