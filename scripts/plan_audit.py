@@ -137,11 +137,10 @@ def metrics(plan: str, name: str) -> tuple[int, int, int, int, int, list[str]]:
         # compose brute_force_topk (the ann_brute intentional
         # broadcast cross join); their own joins are equi-joins
         "rbo_overlap", "matryoshka_recall",
-        # single-row reduction sides only (study-end scalar, subject
-        # total, sorted factor array / corpus total / n_docs idf
-        # scalar / global-moment rows)
-        "survival_km", "good_turing", "tfidf_allpairs",
-        "brier_eval", "judge_alpha",
+        # day-pair inequality self-join over the CALENDAR-sized daily
+        # aggregate (days² rows, never data-proportional); its 1-row
+        # totals are scalar subqueries since r13
+        "kendall_tau",
         # broadcast range join of draws vs the Zipf-small vocab CDF
         "negative_samples",
     ):
