@@ -1893,42 +1893,34 @@ def krippendorff_alpha(ratings: DataFrame) -> DataFrame:
         .groupBy("value")
         .agg(F.sum("n_uv").cast("bigint").alias("n_c"))
     )
-    # the 1-row margins reduction enters as an uncorrelated scalar
-    # subquery (struct, single reference — no 1-row crossJoin/NLJ,
-    # r12 verdict item 7)
+    # the 1-row margins reduction stays a broadcast crossJoin HERE, by
+    # measurement: a scalar subquery is planned separately, so exchange
+    # reuse cannot dedupe the expensive shared ratings build across the
+    # subquery and the main plan (the r13 conversion attempt measured
+    # 2x on the battery; within ONE tree, ReusedExchange computes the
+    # by_uv shuffle once). A 1-row x 1-row broadcast NLJ is
+    # model-parameter work at any scale — allowlisted with this note.
     marg = margins.groupBy().agg(
-        F.struct(
-            F.count(F.lit(1)).cast("bigint").alias("n_values"),
-            F.sum(F.col("n_c") * F.col("n_c")).cast("bigint").alias(
-                "sq_c"
-            ),
-        ).alias("t")
-    ).scalar()
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum(F.col("n_c") * F.col("n_c")).cast("bigint").alias(
+            "sq_c"
+        ),
+    )
     n = F.col("n_tot").cast("double")
     d_o = F.col("obs_sum").cast("double") / n
     d_e = (n * n - F.col("sq_c").cast("double")) / (
         n * (n - F.lit(1.0))
     )
-    return (
-        units.withColumn("_m", marg)
-        .select(
-            "n_units",
-            "n_tot",
-            "obs_sum",
-            F.col("_m.n_values").alias("n_values"),
-            F.col("_m.sq_c").alias("sq_c"),
-        )
-        .select(
-            "n_units",
-            F.col("n_tot").alias("n_ratings"),
-            "n_values",
-            F.round(d_o, 6).alias("d_o"),
-            F.round(d_e, 6).alias("d_e"),
-            F.when(
-                F.col("sq_c") < F.col("n_tot") * F.col("n_tot"),
-                F.round(F.lit(1.0) - d_o / d_e, 6),
-            ).alias("alpha"),
-        )
+    return units.crossJoin(F.broadcast(marg)).select(
+        "n_units",
+        F.col("n_tot").alias("n_ratings"),
+        "n_values",
+        F.round(d_o, 6).alias("d_o"),
+        F.round(d_e, 6).alias("d_e"),
+        F.when(
+            F.col("sq_c") < F.col("n_tot") * F.col("n_tot"),
+            F.round(F.lit(1.0) - d_o / d_e, 6),
+        ).alias("alpha"),
     )
 
 

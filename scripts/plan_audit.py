@@ -141,6 +141,10 @@ def metrics(plan: str, name: str) -> tuple[int, int, int, int, int, list[str]]:
         # aggregate (days² rows, never data-proportional); its 1-row
         # totals are scalar subqueries since r13
         "kendall_tau",
+        # 1-row margins x 1-row units crossJoin kept by measurement
+        # (single-tree exchange reuse beats a separately-planned
+        # subquery 2x)
+        "judge_alpha",
         # broadcast range join of draws vs the Zipf-small vocab CDF
         "negative_samples",
     ):

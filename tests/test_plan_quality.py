@@ -375,15 +375,16 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
     # lookup is now a bucketed-cell BroadcastHashJoin (the production
     # shape the r11 docstring promised), so the sweep holds it to the
     # no-BNLJ standard like everything else.
-    # r13 (verdict item 7): every 1-row-totals crossJoin left this
+    # r13 (verdict item 7): the 1-row-totals crossJoins left this
     # allowlist — ks_drift / mannwhitney_u / cvm_drift / kmeans_purity
     # / survival_km / good_turing / tfidf_allpairs / tfidf_recall /
-    # brier_eval / judge_alpha / bootstrap_ci now thread their 1-row
-    # reductions as uncorrelated scalar subqueries (struct-typed,
-    # single column reference), so the sweep holds them
-    # unconditionally; the remaining entries are intentional
-    # tiny-broadcast cross joins (queries×corpus scoring, catalog
-    # grids) plus kendall_tau's calendar-sized inequality pair join
+    # brier_eval / bootstrap_ci now thread their 1-row reductions as
+    # uncorrelated scalar subqueries (struct-typed, single column
+    # reference), so the sweep holds them unconditionally; the
+    # remaining entries are intentional tiny-broadcast cross joins
+    # (queries×corpus scoring, catalog grids), kendall_tau's
+    # calendar-sized inequality pair join, and judge_alpha's
+    # measured-beneficial single-tree 1-row crossJoin (above)
     # collect ALL violations before asserting: a first-failure abort
     # masks every later name in the sorted sweep (theta_sketch hid
     # behind ann_pq_prebuilt for a full round)
