@@ -31,6 +31,35 @@ FIXED_TS = "2026-01-01T00:00:00Z"
 
 
 
+def _cache_root() -> str:
+    """Per-user 0700 staging root for every content-fingerprinted
+    cache artifact (streaming symlink dirs, prebuilt ANN indexes,
+    bucketed tables, trained-model JSON). On a shared host the
+    world-writable gettempdir() means a predictable
+    /tmp/spark_graft_* name could be pre-planted (or rewritten
+    in place) by another user and trusted blindly (r13 ADVICE,
+    medium). $XDG_CACHE_HOME when set, else
+    <tmp>/spark_graft_cache_<uid>; created 0700 and VERIFIED owned
+    by this uid with no group/other permission bits before anything
+    under it is trusted — a squatting dir owned by someone else is a
+    hard error, never a silent fallthrough."""
+    import os
+    import tempfile
+
+    base = os.environ.get("XDG_CACHE_HOME") or tempfile.gettempdir()
+    d = os.path.join(base, f"spark_graft_cache_{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"cache dir {d} is owned by uid {st.st_uid}, not "
+            f"{os.getuid()} — refusing to trust staged artifacts"
+        )
+    if st.st_mode & 0o077:
+        os.chmod(d, 0o700)  # we own it; tighten a loose umask
+    return d
+
+
 def _stream_src_dir(sf_dir: str, table: str) -> str:
     """Deterministic per-corpus-snapshot symlink dir for streaming
     file sources (they require a DIRECTORY; the fixtures ship one
@@ -49,7 +78,7 @@ def _stream_src_dir(sf_dir: str, table: str) -> str:
     fp = hashlib.md5(
         f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_src_{table}_{fp}")
+    d = os.path.join(_cache_root(), f"spark_graft_src_{table}_{fp}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{table}.parquet")
     if not os.path.islink(link):
@@ -755,7 +784,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = hashlib.md5(
         f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_src_events2_{fp}")
+    d = os.path.join(_cache_root(), f"spark_graft_src_events2_{fp}")
     os.makedirs(d, exist_ok=True)
     for ln in ("a.parquet", "b.parquet"):
         if not os.path.islink(os.path.join(d, ln)):
@@ -2013,9 +2042,11 @@ def _staged_index(
             f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
         )
     fp = hashlib.md5("||".join(parts).encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{fp}")
+    path = os.path.join(_cache_root(), f"spark_graft_{kind}_{fp}")
     if not os.path.exists(os.path.join(path, marker, "_SUCCESS")):
-        build_dir = tempfile.mkdtemp(prefix=f"spark_graft_{kind}_build_")
+        build_dir = tempfile.mkdtemp(
+            prefix=f"spark_graft_{kind}_build_", dir=_cache_root()
+        )
         build(build_dir)
         try:
             os.rename(build_dir, path)
@@ -2039,7 +2070,7 @@ def _staged_index(
                 # if the rename fails the dir changed owners (someone
                 # republished) and we just retry the publish below.
                 grave = tempfile.mkdtemp(
-                    prefix=f"spark_graft_{kind}_grave_"
+                    prefix=f"spark_graft_{kind}_grave_", dir=_cache_root()
                 )
                 try:
                     os.rename(path, os.path.join(grave, "stale"))
@@ -2075,7 +2106,7 @@ def _ann_models(emb: DataFrame, sf_dir: str):
     fp = hashlib.md5(
         f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_annmodels_{fp}.json")
+    path = os.path.join(_cache_root(), f"spark_graft_annmodels_{fp}.json")
     if os.path.exists(path):
         with open(path) as f:
             d = json.load(f)
@@ -2086,7 +2117,7 @@ def _ann_models(emb: DataFrame, sf_dir: str):
     cents = clustering.train_centroids(emb, 16, 2)
     books = similarity.pq_train_codebooks(emb, 4, 16, 1)
     res_books = similarity.train_residual_codebooks(emb, cents, 4, 16, 1)
-    fd, tmp = tempfile.mkstemp(dir=tempfile.gettempdir(), suffix=".json")
+    fd, tmp = tempfile.mkstemp(dir=_cache_root(), suffix=".json")
     with os.fdopen(fd, "w") as f:
         json.dump(
             {"cents": cents, "books": books, "res_books": res_books}, f
@@ -2819,7 +2850,7 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = hashlib.md5(
         f"{src}|{st.st_size}|{st.st_mtime_ns}|{os.getpid()}".encode()
     ).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_buckets_{fp}")
+    base = os.path.join(_cache_root(), f"spark_graft_buckets_{fp}")
     to = sinks.write_bucketed(
         spark, orders, f"b_orders_{fp}", os.path.join(base, "orders"),
         "o_custkey",
@@ -2946,7 +2977,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = hashlib.md5(
         f"{src}|{st.st_size}|{st.st_mtime_ns}|{os.getpid()}".encode()
     ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_orc_{fp}")
+    path = os.path.join(_cache_root(), f"spark_graft_orc_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
@@ -3838,9 +3869,7 @@ def _kmeans_model(
     fp = hashlib.md5(
         f"{src}|{st.st_size}|{st.st_mtime_ns}|k={k}|it={iterations}".encode()
     ).hexdigest()[:16]
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_kmeans_{fp}.json"
-    )
+    path = os.path.join(_cache_root(), f"spark_graft_kmeans_{fp}.json")
     if os.path.exists(path):
         with open(path) as f:
             return [
@@ -3849,7 +3878,7 @@ def _kmeans_model(
     from .operators import clustering
 
     cents = clustering.train_centroids(emb, k, iterations)
-    fd, tmp = tempfile.mkstemp(dir=tempfile.gettempdir(), suffix=".json")
+    fd, tmp = tempfile.mkstemp(dir=_cache_root(), suffix=".json")
     with os.fdopen(fd, "w") as f:
         json.dump(cents, f)
     os.replace(tmp, path)
@@ -3963,16 +3992,14 @@ def _unigram_model(
     fp = hashlib.md5(
         f"{src}|{st.st_size}|{st.st_mtime_ns}|r={rounds}".encode()
     ).hexdigest()[:16]
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_unigram_{fp}.json"
-    )
+    path = os.path.join(_cache_root(), f"spark_graft_unigram_{fp}.json")
     if os.path.exists(path):
         with open(path) as f:
             return {p: int(c) for p, c in json.load(f).items()}
     from .operators import unigram
 
     vocab = unigram.train_unigram(docs, rounds=rounds)
-    fd, tmp = tempfile.mkstemp(dir=tempfile.gettempdir(), suffix=".json")
+    fd, tmp = tempfile.mkstemp(dir=_cache_root(), suffix=".json")
     with os.fdopen(fd, "w") as f:
         json.dump(vocab, f)
     os.replace(tmp, path)

@@ -266,6 +266,22 @@ def test_ntile_deciles_has_no_single_partition_exchange(spark):
     assert "rangepartitioning" in plan.lower(), plan
 
 
+def test_judge_alpha_reuses_ratings_exchange(spark):
+    # pins the justification for judge_alpha's allowed_bnlj entry:
+    # keeping the 1-row margins reduction in the SAME tree as the
+    # main plan lets ReusedExchange dedupe the expensive shared
+    # ratings/by_uv build (the scalar-subquery form plans the build
+    # twice and measured 2x slower on the battery, commit 9346fec).
+    # If this ReusedExchange ever disappears, the crossJoin has lost
+    # its reason to exist — re-measure before re-allowlisting.
+    import __spark_entry__ as mod
+
+    df = mod.queries()["judge_alpha"](spark, SF_DIR)
+    df.collect()  # AQE surfaces ReusedExchange only in the final plan
+    plan = _plan(df)
+    assert "ReusedExchange" in plan, plan
+
+
 def test_no_query_plans_cartesian_or_nested_loop(spark):
     # sweep every registered batch query: the only nested-loop join
     # allowed is ann_brute's intentional broadcast-scoring crossJoin
@@ -370,6 +386,14 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # precedent); its 1-row n_days total is a scalar subquery
         # since r13, so the pair join is the only NLJ left
         "kendall_tau",
+        # measured-beneficial single-tree 1-row crossJoin (commit
+        # 9346fec): the 1-row judge-mean reduction shares the
+        # expensive ratings build with the main plan, so keeping it
+        # in ONE tree lets ReusedExchange dedupe the shared build —
+        # the scalar-subquery form plans the build twice and ran 2x
+        # slower. test_judge_alpha_reuses_ratings_exchange pins the
+        # ReusedExchange that justifies this entry.
+        "judge_alpha",
     }
     # r12: negative_samples left this allowlist — its draw→interval
     # lookup is now a bucketed-cell BroadcastHashJoin (the production

@@ -6,6 +6,7 @@ CONTRACTS — bit-identical round-trips and semantics-free reuse."""
 from __future__ import annotations
 
 import glob
+import os
 
 from banking_data_etl_pipeline_spark import queries as Q
 from banking_data_etl_pipeline_spark.sources import tables
@@ -18,7 +19,9 @@ def test_ann_models_json_roundtrip_is_bit_identical(spark):
     # ALWAYS the JSON path — training determinism + repr round-trip
     # means both must be exactly equal, float by float
     a = Q._ann_models(emb, SF_DIR)
-    fp_files = glob.glob("/tmp/spark_graft_annmodels_*.json")
+    fp_files = glob.glob(
+        os.path.join(Q._cache_root(), "spark_graft_annmodels_*.json")
+    )
     assert fp_files, "staging file missing after _ann_models"
     b = Q._ann_models(emb, SF_DIR)
     assert a == b
@@ -55,7 +58,9 @@ def test_kmeans_model_staging_roundtrip_and_fingerprint(spark):
 
     emb = tables.load(spark, SF_DIR, "embeddings")
     a = Q._kmeans_model(emb, SF_DIR, k=8)
-    files = g.glob("/tmp/spark_graft_kmeans_*.json")
+    files = g.glob(
+        os.path.join(Q._cache_root(), "spark_graft_kmeans_*.json")
+    )
     assert files, "staging file missing after _kmeans_model"
     b = Q._kmeans_model(emb, SF_DIR, k=8)
     assert a == b
@@ -69,4 +74,23 @@ def test_kmeans_model_staging_roundtrip_and_fingerprint(spark):
     # different hyper-params -> different staging file, different model
     c = Q._kmeans_model(emb, SF_DIR, k=4)
     assert len(c) == 4
-    assert len(g.glob("/tmp/spark_graft_kmeans_*.json")) >= 2
+    assert (
+        len(g.glob(os.path.join(Q._cache_root(), "spark_graft_kmeans_*.json")))
+        >= 2
+    )
+
+
+def test_cache_root_is_private_and_owned():
+    """r13 ADVICE (medium): staged models must never live at
+    predictable world-writable names. The cache root is per-uid,
+    mode 0700, and owned by us — and a loose umask gets tightened."""
+    import os
+    import stat
+
+    d = Q._cache_root()
+    st = os.stat(d)
+    assert st.st_uid == os.getuid()
+    assert not (st.st_mode & 0o077), oct(st.st_mode)
+    assert f"spark_graft_cache_{os.getuid()}" in d
+    # idempotent: a second call returns the same validated dir
+    assert Q._cache_root() == d
