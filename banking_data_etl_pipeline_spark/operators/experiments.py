@@ -744,6 +744,11 @@ def perm_test(
                 6,
             ).alias("p_value"),
         )
+        # degenerate-input shape parity (r13 ADVICE): an EMPTY
+        # two-type subset leaves the twin's grouped terminal SELECT
+        # with zero rows, while the ungrouped agg here would emit one
+        # all-NULL row — drop it so both engines return zero rows
+        .where(F.col("n_a").isNotNull())
     )
 
 

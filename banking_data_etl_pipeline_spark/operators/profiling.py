@@ -769,11 +769,13 @@ def quantile_normalize(
     # histogram pull, and the candidate-bucket join are three jobs
     # over the same (possibly expensive-to-derive) column — without
     # the cache each re-runs the upstream (measured 2x on the battery
-    # when the compressed-CDF path first landed)
-    vals = (
-        ref.select(F.col(val_col).alias("v"))
-        .filter(F.col("v").isNotNull())
-        .persist()
+    # when the compressed-CDF path first landed). Pinned for
+    # end-of-query release (the returned plan depends on it, so this
+    # function can't unpersist; r13 ADVICE).
+    from ..session import pin_for_query
+
+    vals = pin_for_query(
+        ref.select(F.col(val_col).alias("v")).filter(F.col("v").isNotNull())
     )
     bounds = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
     vtype = ref.schema[val_col].dataType.simpleString()
@@ -1596,8 +1598,15 @@ def moments_power_sums(
     DECIMAL(38,0) power sums S1..S4 of the ``unit``-quantized value —
     shared by the batch profile and the streaming monitor (whose
     update-mode state is exactly this frame)."""
+    # the explicit decimal-space round(...,0) before the BIGINT cast is
+    # load-bearing: a bare decimal->bigint cast TRUNCATES in Spark but
+    # rounds half-away in DuckDB, so any sub-1/unit precision in the
+    # value silently diverged between engine and twin (r13 ADVICE);
+    # round on DECIMAL is exact arithmetic with identical
+    # half-away-from-zero ties in both engines (probed incl. negatives)
     y = F.expr(
-        f"CAST(CAST({value_col} AS DECIMAL(18,6)) * {unit} AS BIGINT)"
+        f"CAST(round(CAST({value_col} AS DECIMAL(18,6)) * {unit}, 0)"
+        " AS BIGINT)"
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     return (

@@ -412,12 +412,15 @@ def acctbal_deciles(customer: DataFrame, tiles: int = 10) -> DataFrame:
     # persist BEFORE the counts collect: the offset map and the final
     # decile aggregation are two separately planned jobs, and
     # RangePartitioner boundary sampling is only guaranteed identical
-    # when both jobs read the one materialized partitioning
-    ranged = (
+    # when both jobs read the one materialized partitioning. Pinned
+    # for end-of-query release (r13 ADVICE) — release is eviction-
+    # equivalent and the construction is documented LRU-eviction-safe.
+    from ..session import pin_for_query
+
+    ranged = pin_for_query(
         customer.select("c_custkey", "c_acctbal")
         .repartitionByRange(shuffle_n, *key)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
 
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
@@ -1662,8 +1665,12 @@ def top_supplier(
                 ).cast("decimal(18,6)")
             ).alias("rev")
         )
-        .persist()
     )
+    # pinned for end-of-query release: the max pull and the returned
+    # argmax filter are two jobs over the same aggregate (r13 ADVICE)
+    from ..session import pin_for_query
+
+    rev = pin_for_query(rev)
     mx = rev.agg(F.max("rev").alias("m")).scalar()
     return (
         rev.filter(F.col("rev") == mx)

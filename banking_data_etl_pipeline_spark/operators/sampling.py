@@ -444,12 +444,17 @@ def _dist_rank(df, key, rank_name: str):
     evictable; eviction only costs a recompute of a deterministic
     plan, correctness holds because the consumer reads ranks, not
     partition ids, after this function's own offset fold)."""
+    from ..session import pin_for_query
+
     spark = df.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = (
-        df.repartitionByRange(shuffle_n, *key)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    # pinned for end-of-query release (r13 ADVICE): eviction-safe per
+    # the docstring, so releasing after the query costs at most one
+    # deterministic recompute
+    ranged = pin_for_query(
+        df.repartitionByRange(shuffle_n, *key).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     counts = (
         ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()

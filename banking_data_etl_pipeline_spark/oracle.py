@@ -832,7 +832,8 @@ GROUP BY 1, 2, 3"""
 # in decimal — y³ would wrap int64), the same fixed double assembly.
 MOMENTS_Q = """WITH base AS (
   SELECT event_type,
-         CAST(CAST(value AS DECIMAL(18,6)) * 1000 AS BIGINT) AS y
+         CAST(round(CAST(value AS DECIMAL(18,6)) * 1000, 0) AS BIGINT)
+           AS y
   FROM events WHERE value IS NOT NULL
 ), agg AS (
   SELECT event_type,

@@ -53,8 +53,37 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
 
     Idempotent and cheap; every ``queries()`` callable routes through
     this so results are timezone-stable regardless of who built the
-    session.
+    session — and so the PREVIOUS query's pinned frames get released
+    (see :func:`pin_for_query`): cached partitions never accumulate
+    across a 317-query battery evicting other queries' working sets
+    (r13 ADVICE).
     """
+    release_pinned()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
+
+
+# persisted frames whose lifetime is "this query": the returned plan
+# depends on them, so the operator cannot unpersist before returning —
+# the NEXT query's tune_for_oracle() releases them. Release is
+# correctness-safe by the same argument that makes these persists
+# LRU-evictable: the partitionings are deterministic recomputes, and
+# consumers read derived values (ranks, knots, maxima), never raw
+# partition ids across jobs. Worst case after release is one recompute
+# if the old plan is re-executed.
+_PINNED: list = []
+
+
+def pin_for_query(df):
+    """Persist ``df`` and register it for end-of-query cleanup."""
+    _PINNED.append(df.persist())
+    return df
+
+
+def release_pinned() -> None:
+    while _PINNED:
+        try:
+            _PINNED.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release

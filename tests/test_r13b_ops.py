@@ -116,3 +116,14 @@ def test_emb_psi_nonnegative_and_constant_dim(spark):
     )
     crows = expectations.emb_dim_psi(const).collect()
     assert all(r.psi == 0.0 for r in crows)
+
+
+def test_perm_test_empty_subset_yields_zero_rows(spark):
+    """r13 ADVICE: an empty two-type subset must return ZERO rows in
+    BOTH engines — the twin's grouped terminal SELECT yields none,
+    so the Spark side's ungrouped agg must drop its all-NULL row."""
+    ev = spark.createDataFrame(
+        [(1, "view", 1.0), (2, "view", 2.0)],
+        "event_id bigint, event_type string, value double",
+    )
+    assert experiments.perm_test(ev, b=4).count() == 0

@@ -82,9 +82,13 @@ def test_moments_profile_matches_python(spark):
     ]
     by_type: dict[str, list[int]] = {}
     for t, v in vals:
-        # the same milli quantization (decimal scaling truncates the
-        # already-6dp decimal exactly; values are finite)
-        by_type.setdefault(t, []).append(int(round(v * 1e6)) // 1000)
+        # the same milli quantization: 6dp decimal capture, then an
+        # exact decimal round-half-away-from-zero to milli (the r14
+        # fix — a bare decimal->bigint cast truncated in Spark but
+        # rounded in DuckDB on sub-milli values)
+        d = int(round(v * 1e6))  # fixture values are 2dp; no 6dp ties
+        y = (abs(d) + 500) // 1000 * (1 if d >= 0 else -1)
+        by_type.setdefault(t, []).append(y)
     for t, ys in by_type.items():
         n = len(ys)
         r1 = sum(ys) / n
@@ -136,3 +140,44 @@ def test_stream_moments_split_delivery_equals_batch(spark, tmp_path):
     )
     want = sorted(map(tuple, profiling.moments_profile(ev).collect()))
     assert got == want
+
+
+def test_moments_submilli_quantization_matches_duckdb(spark):
+    """r13 ADVICE: sub-milli values must quantize IDENTICALLY in both
+    engines — the bare decimal->bigint cast truncated in Spark but
+    rounded half-away in DuckDB, masked until now only because the
+    fixtures carry 2dp values. Pins the explicit decimal round."""
+    import duckdb
+
+    rows = [
+        ("a", 0.0005),
+        ("a", 0.0015),
+        ("a", -0.0005),
+        ("a", 0.0024999),
+        ("b", 1.2345),
+        ("b", -2.0515),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        r.event_type: (r.n, int(r.s1))
+        for r in profiling.moments_power_sums(df).collect()
+    }
+    con = duckdb.connect()
+    con.register("ev", __import__("pandas").DataFrame(
+        rows, columns=["event_type", "value"]
+    ))
+    want = {
+        t: (n, s1)
+        for t, n, s1 in con.execute(
+            """SELECT event_type, count(*),
+                      CAST(sum(CAST(round(
+                        CAST(value AS DECIMAL(18,6)) * 1000, 0
+                      ) AS BIGINT)) AS BIGINT)
+               FROM ev GROUP BY event_type"""
+        ).fetchall()
+    }
+    assert got == want, (got, want)
+    # the specific trap values: 0.0005 -> 1 (not 0), -0.0005 -> -1,
+    # and 0.0024999 -> 0.002500 at the 6dp capture -> 3 (two stacked
+    # half-away roundings, identical in both engines)
+    assert got["a"] == (4, 1 + 2 - 1 + 3)
