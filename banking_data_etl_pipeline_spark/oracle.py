@@ -9037,3 +9037,84 @@ SELECT event_type, n_days, s1 AS n_events,
              / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)
          AS dispersion
 FROM s WHERE n_days > 1"""
+
+
+def _ivfinc_ctes(
+    n_centroids: int = 16, iters: int = 2, dim: int = 64
+) -> str:
+    """Shared WITH-prefix for the MAINTAINED-IVF twins
+    (``ann_ivf_incremental``, ``ivf_cell_growth``): the Lloyd walk
+    trains on the pre-existing corpus ONLY (vec_id % 5 != 0 — the
+    incremental-screen convention), then the FULL corpus is assigned
+    to those frozen centroids — exactly the state add_to_ivf_index
+    leaves behind (base assigned at build + batch appended, same
+    quantizer), rebuilt from scratch in SQL."""
+    last = f"c{iters}"
+    train = _kmeans_ctes(
+        n_centroids,
+        dim,
+        iters,
+        src_sql=(
+            "SELECT vec_id, embedding FROM embeddings"
+            " WHERE vec_id % 5 != 0"
+        ),
+    )
+    return f"""{train},
+assign AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cid FROM {last} c
+          ORDER BY round({_cosine('e.embedding', 'c.cvec')}, 6) DESC, c.cid ASC
+          LIMIT 1) AS cell
+  FROM embeddings e
+)"""
+
+
+def ann_ivf_incremental_sql(
+    n_centroids: int = 16, nprobe: int = 2, iters: int = 2,
+    dim: int = 64, k: int = 10,
+) -> str:
+    """Twin of queries.ann_ivf_incremental: identical to ann_ivf_sql
+    except the quantizer trains on the base split only — a hash match
+    proves the add-batch path equals a frozen-quantizer rebuild."""
+    last = f"c{iters}"
+    return f"""{_ivfinc_ctes(n_centroids, iters, dim)},
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT 5
+), probes AS (
+  SELECT query_id, qvec, cid AS cell FROM (
+    SELECT q.query_id, q.qvec, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({_cosine('q.qvec', 'c.cvec')}, 6) DESC,
+                                       c.cid ASC) AS pr
+    FROM q CROSS JOIN {last} c
+  ) WHERE pr <= {nprobe}
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({_cosine('a.embedding', 'p.qvec')}, 6) AS cosine
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id != p.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def ivf_cell_growth_sql(
+    n_centroids: int = 16, iters: int = 2, dim: int = 64
+) -> str:
+    """Twin of queries.ivf_cell_growth: per-cell base/added counts of
+    the maintained index, exact integers + one 6dp share."""
+    return f"""{_ivfinc_ctes(n_centroids, iters, dim)}
+SELECT CAST(cell AS INT) AS cell,
+       CAST(sum(CASE WHEN vec_id % 5 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_base,
+       CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       round(CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS added_share
+FROM assign GROUP BY cell"""

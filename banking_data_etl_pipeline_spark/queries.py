@@ -4109,3 +4109,51 @@ def overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s1").alias("n_events"),
         F.round(var / (s1 / nd), 6).alias("dispersion"),
     )
+
+
+# ------------------------------------------------ round 14: new ops
+
+
+def _ivfinc_path(spark: SparkSession, sf_dir: str) -> str:
+    """The MAINTAINED IVF index staged once per corpus snapshot: build
+    on the existing corpus (vec_id % 5 != 0 — the incremental-screen
+    convention of minhash_incremental), then ADD the simulated new
+    batch (vec_id % 5 == 0) to the frozen centroids via
+    ``similarity.add_to_ivf_index`` — no retrain, O(batch) appends
+    into the cell-partitioned layout."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    def build(d: str) -> None:
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        similarity.build_ivf_index(base, d)
+        similarity.add_to_ivf_index(
+            spark, d, emb.filter(F.col("vec_id") % 5 == 0)
+        )
+
+    return _staged_index(sf_dir, "ivfinc", "centroids", build)
+
+
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (r13 verdict item 4): probe
+    the MAINTAINED index — centroids trained on the pre-existing
+    corpus only, the new batch appended to the frozen cells — for the
+    standard 5-query top-10. The oracle twin rebuilds the identical
+    maintained state from scratch in SQL (base-trained Lloyd walk,
+    full-corpus assignment), so a hash match proves add-batch ==
+    rebuild-with-frozen-quantizer exactly."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    path = _ivfinc_path(spark, sf_dir)
+    q = similarity.corpus_queries(emb, n=5)
+    return similarity.probe_ivf_index(spark, path, q, k=10)
+
+
+def ivf_cell_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell growth/skew readout of the maintained IVF index: how
+    the appended batch distributed over the frozen cells (n_base,
+    n_added, added_share per cell). The staleness monitor that decides
+    when the add-batch path has drifted far enough to warrant a
+    retrain."""
+    tune_for_oracle(spark)
+    path = _ivfinc_path(spark, sf_dir)
+    return similarity.ivf_cell_stats(spark, path)

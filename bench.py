@@ -383,6 +383,9 @@ BENCH_QUERIES = [
     # round 12 additions
     "stream_recovery_msprt",
     "tfidf_recall",
+    # round 14 additions
+    "ann_ivf_incremental",
+    "ivf_cell_growth",
 ]
 
 
@@ -515,6 +518,12 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    # host-contention context (r13 verdict item 3): the r13 driver
+    # battery "confirmed" two regressions that were pure VM contention
+    # (load ~6 ran everything ~1.5x slow) — record the 1m/5m/15m load
+    # average at battery start/end and at every isolated re-time so
+    # adjudication is data, not narrative
+    load_start = [round(x, 2) for x in os.getloadavg()]
     t_all = time.time()
     for name in BENCH_QUERIES:
         for times in (cold, warm):
@@ -528,6 +537,7 @@ def main() -> None:
             spark.catalog.clearCache()
             spark._jvm.System.gc()
     battery = round(time.time() - t_all, 3)
+    load_end = [round(x, 2) for x in os.getloadavg()]
     total = round(sum(warm.values()), 3)
 
     def _is_regression(now: float, before: float) -> bool:
@@ -556,12 +566,12 @@ def main() -> None:
         n for n in BENCH_QUERIES
         if n in prev_round and _is_regression(warm[n], prev_round[n])
     ]
-    # bound the re-timing pass: confirm the 24 largest absolute deltas
-    # across BOTH baselines (one isolated n=3 per query, shared by both
-    # sections), mark any overflow explicitly rather than dropping it
-    # — the cap was 10 in r8-r10 and overflowed 7 entries at the r10
-    # close into hand adjudication; with the sub-second pre-filter
-    # above, 24 comfortably covers every plausible real flag set
+    # re-time EVERY flagged query (r13 verdict item 3: the 24-entry
+    # cap left 26 anchor deltas "unconfirmed (capped)" exactly when
+    # the battery was noisiest — the cap is gone; the sub-second
+    # pre-filter already bounds the flag set to real candidates).
+    # Ordering stays largest-delta-first so a manual abort still
+    # covers the worst offenders.
     to_retime = sorted(
         set(flagged_prev) | set(flagged_anchor) | set(flagged_round),
         key=lambda n: -max(
@@ -571,7 +581,8 @@ def main() -> None:
         ),
     )
     retimed: dict[str, float] = {}
-    for name in to_retime[:24]:
+    retime_load: dict[str, list[float]] = {}
+    for name in to_retime:
         times = []
         for _ in range(3):
             t0 = time.time()
@@ -580,6 +591,7 @@ def main() -> None:
             spark.catalog.clearCache()
             spark._jvm.System.gc()
         retimed[name] = round(min(times), 3)
+        retime_load[name] = [round(x, 2) for x in os.getloadavg()]
 
     def _delta_section(flagged: list[str], base: dict[str, float], key: str):
         out: dict[str, dict] = {}
@@ -587,13 +599,14 @@ def main() -> None:
             d = {key: base[name], "battery_warm": warm[name]}
             if name in retimed:
                 d["isolated_n3_min"] = retimed[name]
+                d["load_at_retime"] = retime_load[name]
                 d["verdict"] = (
                     "confirmed"
                     if _is_regression(retimed[name], base[name])
                     else "noise"
                 )
-            else:
-                d["verdict"] = "unconfirmed (re-timing capped at 24 queries)"
+            else:  # unreachable since r14 (cap removed); kept defensive
+                d["verdict"] = "unconfirmed (not re-timed)"
             out[name] = d
         return out
 
@@ -638,6 +651,8 @@ def main() -> None:
             "flagship_rows_per_sec": flag_rps,
             "flagship_warm_sec": warm["pipeline_enriched"],
             "flagship_warm_rows_per_sec": flag_rps_warm,
+            "loadavg_battery_start": load_start,
+            "loadavg_battery_end": load_end,
             "regression_deltas": deltas,
             "round_anchor_deltas": anchor_deltas,
             "round_over_round_deltas": round_deltas,
@@ -683,6 +698,7 @@ def main() -> None:
             "flagship_cold_n3min_rows_per_sec": cold_n3_rps,
             "flagship_warm_sec": warm["pipeline_enriched"],
             "flagship_warm_rows_per_sec": flag_rps_warm,
+            "loadavg": {"start": load_start, "end": load_end},
             "regressions_confirmed": _confirmed(
                 [deltas, anchor_deltas, round_deltas]
             ),

@@ -1,0 +1,111 @@
+"""Round-14 operators, batch A: incremental IVF index maintenance —
+the add-batch path, the growth/skew monitor, and the staleness
+(recall-vs-rebuild) check (r13 verdict item 4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from banking_data_etl_pipeline_spark.operators import similarity as S
+from banking_data_etl_pipeline_spark.sources import tables
+from conftest import SF_DIR
+
+
+def _split(spark):
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    return (
+        emb,
+        emb.filter(F.col("vec_id") % 5 != 0),
+        emb.filter(F.col("vec_id") % 5 == 0),
+    )
+
+
+def test_add_batch_equals_frozen_quantizer_rebuild(spark, tmp_path):
+    """The maintained index (build on base + add batch) must hold the
+    EXACT same (vec_id, cell) assignment a from-scratch assignment of
+    the full corpus against the frozen base-trained centroids gives —
+    add-batch is an optimization, never a semantic change."""
+    emb, base, batch = _split(spark)
+    d = str(tmp_path / "ivf")
+    S.build_ivf_index(base, d)
+    S.add_to_ivf_index(spark, d, batch)
+    got = {
+        (r.vec_id, int(r.cell))
+        for r in spark.read.parquet(f"{d}/cells").collect()
+    }
+    cents = S.load_ivf_centroids(spark, d)
+    scorer = S._centroid_scorer(None, len(cents), "embedding", "vec_id", cents)
+    want = {
+        (r.vec_id, int(r.cell))
+        for r in S.assign_cells(emb, len(cents), scorer=scorer).collect()
+    }
+    assert got == want
+    assert len(got) == emb.count()
+
+
+def test_add_batch_is_map_only_over_the_batch(spark, tmp_path):
+    """Maintenance must cost O(batch): the append plan reads NEITHER
+    the existing cells nor shuffles — assignment is a pure projection
+    with literal centroids."""
+    emb, base, batch = _split(spark)
+    d = str(tmp_path / "ivf")
+    S.build_ivf_index(base, d)
+    cents = S.load_ivf_centroids(spark, d)
+    scorer = S._centroid_scorer(None, len(cents), "embedding", "vec_id", cents)
+    plan = (
+        S.assign_cells(batch, len(cents), scorer=scorer)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "cells" not in plan  # never scans the existing index
+
+
+def test_cell_growth_conserves_and_flags_additions(spark, tmp_path):
+    emb, base, batch = _split(spark)
+    d = str(tmp_path / "ivf")
+    S.build_ivf_index(base, d)
+    S.add_to_ivf_index(spark, d, batch)
+    rows = S.ivf_cell_stats(spark, d).collect()
+    assert sum(r.n_base for r in rows) == base.count()
+    assert sum(r.n_added for r in rows) == batch.count()
+    assert all(0.0 <= r.added_share <= 1.0 for r in rows)
+    assert any(r.n_added > 0 for r in rows)
+    # sorted by cell, no duplicate cells
+    cells = [r.cell for r in rows]
+    assert cells == sorted(set(cells))
+
+
+def test_staleness_recall_vs_rebuild(spark, tmp_path):
+    """The recall-vs-rebuild check: a maintained index (frozen
+    quantizer) may trail a fresh full-corpus rebuild, but must stay a
+    working index — measured against brute-force exact top-10. At
+    sf0.001 the measured points are 0.72 (maintained) vs 0.82
+    (rebuild); the floors below leave noise margin while proving the
+    add-batch path did not collapse recall."""
+    emb, base, batch = _split(spark)
+    q = S.corpus_queries(emb, n=5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.brute_force_topk(emb, q, k=10).collect()
+    }
+    d1 = str(tmp_path / "maint")
+    S.build_ivf_index(base, d1)
+    S.add_to_ivf_index(spark, d1, batch)
+    maint = {
+        (r.query_id, r.vec_id)
+        for r in S.probe_ivf_index(spark, d1, q, k=10).collect()
+    }
+    d2 = str(tmp_path / "full")
+    S.build_ivf_index(emb, d2)
+    full = {
+        (r.query_id, r.vec_id)
+        for r in S.probe_ivf_index(spark, d2, q, k=10).collect()
+    }
+    r_maint = len(maint & exact) / len(exact)
+    r_full = len(full & exact) / len(exact)
+    assert r_maint >= 0.5, r_maint
+    # staleness cost is bounded: the frozen quantizer gives up at most
+    # 0.25 absolute recall vs the fresh rebuild at this scale
+    assert r_maint >= r_full - 0.25, (r_maint, r_full)
