@@ -1616,3 +1616,85 @@ def tfidf_recall(
             ),
         ).alias("recall"),
     )
+
+
+def chunk_dup_rollup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 32,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    hot_threshold: int = 256,
+) -> DataFrame:
+    """Paragraph/chunk-level near-dup with doc-level roll-up (r13
+    verdict item 5): MinHash+LSH over fixed token windows instead of
+    whole documents, then per-document duplication share — the
+    curation signal BETWEEN doc-level minhash (misses partial reuse)
+    and char-level ExactSubstr (exact-match only): "40% of this doc's
+    chunks already exist near-verbatim elsewhere" catches template
+    boilerplate, quoted reuse, and stitched-together scrapes that
+    neither endpoint flags.
+
+    Pipeline: ``corpus.chunk_documents`` token windows (map-only
+    posexplode) -> per-chunk banded MinHash signatures (the
+    ``_minhash_banded`` machinery, chunk uid = 'doc:idx') -> the
+    skew-salted band-bucket self-join -> CROSS-DOC pairs at
+    ``est_jaccard >= threshold`` -> distinct dup chunk uids -> one
+    doc-keyed groupBy. Every stage is banded/keyed (never all-pairs)
+    — the minhash_lsh_pairs scale argument applies verbatim, with
+    ~len/stride more rows and proportionally smaller shingle sets.
+
+    Returns (doc_id, n_chunks, n_dup_chunks, dup_chunk_share) for
+    every doc with >= 1 token; share 6 dp."""
+    from . import skew
+    from .corpus import chunk_documents
+
+    chunks = chunk_documents(docs, text_col, id_col, size, stride).select(
+        F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.col("chunk_idx").cast("string")
+        ).alias("cuid"),
+        F.col(id_col).alias("doc"),
+        "chunk_text",
+    )
+    banded = _minhash_banded(chunks, "chunk_text", "cuid", num_hashes, bands)
+    pairs = skew.salted_self_pair_join(
+        banded,
+        keys=["band_idx", "band_key"],
+        id_col="cuid",
+        payload=["sig"],
+        hot_threshold=hot_threshold,
+    ).dropDuplicates(["id_a", "id_b"])
+    doc_of = lambda c: F.split(F.col(c), ":")[0]  # noqa: E731
+    cross = pairs.filter(
+        (_sig_agreement(num_hashes) >= threshold)
+        & (doc_of("id_a") != doc_of("id_b"))
+    )
+    dup_cuids = (
+        cross.select(F.col("id_a").alias("cuid"))
+        .union(cross.select(F.col("id_b").alias("cuid")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        chunks.join(dup_cuids, "cuid", "left")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.col("_dup").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(
+                F.col("n_dup_chunks").cast("double")
+                / F.col("n_chunks").cast("double"),
+                6,
+            ).alias("dup_chunk_share"),
+        )
+    )

@@ -9118,3 +9118,88 @@ SELECT CAST(cell AS INT) AS cell,
        round(CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS added_share
 FROM assign GROUP BY cell"""
+
+
+def chunk_dup_rollup_sql(
+    size: int = 32,
+    stride: int = 32,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """Twin of ``dedup.chunk_dup_rollup``: the CHUNK_DOCS_Q windowing,
+    the minhash_lsh_sql signature/banding arithmetic applied per
+    chunk (uid 'doc:idx'), the UNSALTED band-bucket self-join (row-
+    identical to the salted plan), cross-doc pairs at the threshold,
+    and the per-doc roll-up. Chunks too short to shingle stay in the
+    denominator but can never flag — same as the Spark side's
+    shingles-dropped-after-chunking staging."""
+    rows = num_hashes // bands
+    n_passes = (num_hashes + 3) // 4
+    passes = ", ".join(
+        f"list_transform(shingles, s -> md5('mh{p}:' || s)) AS md{p}"
+        for p in range(n_passes)
+    )
+    comps = ", ".join(
+        f"list_min(list_transform(md{i // 4}, m -> substring(m, {1 + 8 * (i % 4)}, 8)))"
+        for i in range(num_hashes)
+    )
+    band_exprs = []
+    for b in range(bands):
+        parts = ", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        band_exprs.append(f"md5(concat_ws('|', 'b{b}', {parts})) AS band{b}")
+    band_list = ", ".join(f"band{b}" for b in range(bands))
+    matches = (
+        f"list_sum(list_transform(range(1, {num_hashes} + 1),"
+        " i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))"
+    )
+    return f"""WITH t AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), t2 AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+), idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, GREATEST(
+           CAST(ceil((n - {size}) / CAST({stride}.0 AS DOUBLE)) AS INT) + 1,
+           1))) AS ci
+  FROM t2
+), chunks AS (
+  SELECT doc_id,
+         concat(CAST(doc_id AS VARCHAR), ':', CAST(ci AS VARCHAR)) AS cuid,
+         list_slice(toks, ci * {stride} + 1, ci * {stride} + {size}) AS ctoks
+  FROM idx
+), sh AS (
+  SELECT doc_id, cuid,
+         list_distinct({_word_shingles("ctoks", 3)}) AS shingles
+  FROM chunks
+), md AS (
+  SELECT doc_id, cuid, {passes} FROM sh WHERE len(shingles) > 0
+), sigs AS (
+  SELECT doc_id, cuid, [{comps}] AS sig FROM md
+), banded AS (
+  SELECT doc_id, cuid, sig, {", ".join(band_exprs)} FROM sigs
+), keys AS (
+  SELECT doc_id, cuid, sig, unnest([{band_list}]) AS band_key FROM banded
+), cand AS (
+  SELECT DISTINCT a.cuid AS id_a, b.cuid AS id_b,
+         a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.cuid < b.cuid
+), cross_dup AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sigs a ON a.cuid = c.id_a JOIN sigs b ON b.cuid = c.id_b
+  WHERE c.doc_a != c.doc_b
+    AND CAST({matches} AS DOUBLE) / CAST({num_hashes} AS DOUBLE)
+        >= CAST({threshold} AS DOUBLE)
+), dup_cuids AS (
+  SELECT id_a AS cuid FROM cross_dup
+  UNION
+  SELECT id_b AS cuid FROM cross_dup
+)
+SELECT ch.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN d.cuid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       round(CAST(sum(CASE WHEN d.cuid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_chunk_share
+FROM chunks ch LEFT JOIN dup_cuids d ON d.cuid = ch.cuid
+GROUP BY ch.doc_id"""

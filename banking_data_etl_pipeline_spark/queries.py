@@ -4157,3 +4157,13 @@ def ivf_cell_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     path = _ivfinc_path(spark, sf_dir)
     return similarity.ivf_cell_stats(spark, path)
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level near-dup roll-up (r13 verdict item 5): per-doc
+    share of 32-token chunks that near-duplicate a chunk of ANOTHER
+    doc (banded MinHash, est_jaccard >= 0.5) — the partial-reuse
+    curation signal between doc-level minhash and char-level
+    ExactSubstr."""
+    tune_for_oracle(spark)
+    return dedup.chunk_dup_rollup(tables.load(spark, sf_dir, "documents"))

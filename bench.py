@@ -386,6 +386,7 @@ BENCH_QUERIES = [
     # round 14 additions
     "ann_ivf_incremental",
     "ivf_cell_growth",
+    "chunk_dedup",
 ]
 
 

@@ -109,3 +109,50 @@ def test_staleness_recall_vs_rebuild(spark, tmp_path):
     # staleness cost is bounded: the frozen quantizer gives up at most
     # 0.25 absolute recall vs the fresh rebuild at this scale
     assert r_maint >= r_full - 0.25, (r_maint, r_full)
+
+
+def test_chunk_dup_rollup_hand_worked(spark):
+    """Crafted corpus: block A is shared by docs 1 and 2 (one chunk
+    each), block D repeats WITHIN doc 4 only — cross-doc filtering
+    must flag the A chunks and nothing else."""
+    from banking_data_etl_pipeline_spark.operators import dedup
+
+    def block(word, n=32):
+        return " ".join(f"{word}{i}" for i in range(n))
+
+    a, bb, c, dd, e = (block(w) for w in ["alpha", "beta", "gam", "del", "eps"])
+    docs = spark.createDataFrame(
+        [
+            (1, a + " " + bb),   # chunks: A, B
+            (2, a + " " + c),    # chunks: A, C
+            (3, e),              # unique single chunk
+            (4, dd + " " + dd),  # same block twice, same doc
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks, r.dup_chunk_share)
+        for r in dedup.chunk_dup_rollup(docs).collect()
+    }
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (1, 0, 0.0)
+    # within-doc repetition is NOT cross-doc duplication
+    assert got[4] == (2, 0, 0.0)
+
+
+def test_chunk_dup_rollup_plans_no_pair_stage(spark):
+    """The chunk-level LSH must keep the banded-join shape: no
+    cartesian, no nested-loop — the minhash_lsh_pairs guarantee
+    holds at chunk granularity."""
+    from banking_data_etl_pipeline_spark.operators import dedup
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    plan = (
+        dedup.chunk_dup_rollup(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
