@@ -2212,3 +2212,111 @@ def prefix_recall(
             6,
         ).alias("recall"),
     )
+
+
+def hnsw_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    l1_mod: int = 8,
+    r1_neighbors: int = 4,
+    beam1: int = 2,
+    ef1: int = 8,
+    hops1: int = 2,
+    r_neighbors: int = 8,
+    beam: int = 4,
+    ef: int = 32,
+    hops: int = 2,
+    train_iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hierarchical graph ANN (HNSW; Malkov & Yashunin 2016) — the
+    TWO-LAYER extension of ``nsw_topk`` (r13 verdict item 7): instead
+    of scanning every centroid to pick entry cells, the probe GREEDY-
+    DESCENDS an upper layer from one global entry point, then refines
+    on the base layer. Layer 1 = the 1-in-``l1_mod`` id-residue sample
+    (HNSW's exponentially-thinned upper layer; pick l1_mod ~ sqrt(n)
+    so the layer holds ~sqrt(n) nodes) wired as within-cell top-R1
+    lists PLUS the complete cell-entry grid — the entry grid is what
+    makes every cell reachable from the single global entry (lowest
+    entry id), and it is cells² rows of model parameters, never data.
+    Layer 0 = the full within-cell adjacency of the NSW probe, seeded
+    by the layer-1 winners.
+
+    Static-plan discipline is inherited: both descents are fixed-hop
+    unrolled ``_beam_step`` rounds (no driver loop), every ranking
+    tie-breaks (cosine desc, id asc), so the DuckDB twin replays the
+    exact candidate sets. Probe cost: hops1·beam1·max(R1, cells) +
+    hops·beam·R scored vectors per query — independent of corpus
+    size. At 100 TB the cells² entry grid is the recursion base:
+    when cells ~ sqrt(n) makes the grid corpus-scale, thin it with
+    another residue layer (layer 2 over entries) exactly as layer 1
+    thins the corpus; two layers are sufficient at this harness's
+    scales and keep the twin tractable."""
+    from . import clustering
+
+    cents = clustering.train_centroids(
+        emb, n_centroids, train_iterations, vec_col, id_col
+    )
+    scorer = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
+    corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scorer)
+    # ---- layer 1: sampled nodes + entry grid
+    l1 = corpus.filter(F.pmod(F.col("vec_id"), F.lit(l1_mod)) == 0)
+    adj1_cell = graph_adjacency(l1, r1_neighbors)
+    entries = graph_entries(corpus)
+    ea = entries.select(F.col("vec_id").alias("src"))
+    ebx = entries.select(
+        F.col("vec_id").alias("dst"), F.col("evec").alias("dvec")
+    )
+    # cells x cells entry grid — intentional tiny broadcast cross
+    # join (the source_semantic_map catalog-grid shape)
+    adj1_entry = ea.crossJoin(F.broadcast(ebx)).filter(
+        F.col("src") != F.col("dst")
+    )
+    adj1 = adj1_cell.unionByName(adj1_entry).dropDuplicates(
+        ["src", "dst"]
+    ).persist()
+    # ---- global entry: the lowest-id cell entry (ONE row)
+    gentry = (
+        entries.groupBy()
+        .agg(F.min("vec_id").alias("gid"))
+        .join(entries, F.col("gid") == entries["vec_id"])
+        .select(F.col("gid").alias("vec_id"), "evec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    # the seed keeps a query==entry self-candidate (a query CAN be the
+    # global entry — excluding it here starves that query's whole
+    # descent); traversal through the query node is legal HNSW, and
+    # the self row is dropped at output ranking below
+    cand = queries.crossJoin(F.broadcast(gentry)).select(
+        "query_id",
+        "qvec",
+        "vec_id",
+        F.round(vectors.cosine(F.col("evec"), F.col("qvec")), 6).alias(
+            "cosine"
+        ),
+    )
+    for _ in range(hops1):
+        nxt = _beam_step(cand, adj1, wq, beam1, ef1)
+        nxt.count()
+        if cand.is_cached:
+            cand.unpersist()
+        cand = nxt
+    # ---- layer 0: refine from the layer-1 winners
+    adj0 = graph_adjacency(corpus, r_neighbors).persist()
+    for _ in range(hops):
+        nxt = _beam_step(cand, adj0, wq, beam, ef)
+        nxt.count()
+        if cand.is_cached:
+            cand.unpersist()
+        cand = nxt
+    return (
+        cand.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

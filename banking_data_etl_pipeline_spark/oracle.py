@@ -9203,3 +9203,122 @@ SELECT ch.doc_id,
              / CAST(count(*) AS DOUBLE), 6) AS dup_chunk_share
 FROM chunks ch LEFT JOIN dup_cuids d ON d.cuid = ch.cuid
 GROUP BY ch.doc_id"""
+
+
+def ann_hnsw_sql(
+    n_centroids: int = 16,
+    l1_mod: int = 8,
+    r1_neighbors: int = 4,
+    beam1: int = 2,
+    ef1: int = 8,
+    hops1: int = 2,
+    r_neighbors: int = 8,
+    beam: int = 4,
+    ef: int = 32,
+    hops: int = 2,
+    iters: int = 2,
+    dim: int = 64,
+    k: int = 10,
+) -> str:
+    """Twin of ``similarity.hnsw_topk``: the ann_graph_sql machinery
+    with a LAYER-1 descent prepended — sampled within-cell top-R1
+    lists unioned with the complete cell-entry grid, a single global
+    entry (min entry id), ``hops1`` unrolled greedy rounds, then the
+    base-layer beam search seeded by the layer-1 winners."""
+    last = f"c{iters}"
+    parts = [
+        f"""{_kmeans_ctes(n_centroids, dim, iters)},
+assign AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cid FROM {last} c
+          ORDER BY round({_cosine('e.embedding', 'c.cvec')}, 6) DESC, c.cid ASC
+          LIMIT 1) AS cell
+  FROM embeddings e
+), l1 AS (
+  SELECT * FROM assign WHERE vec_id % {l1_mod} = 0
+), adj1_cell AS (
+  SELECT src, dst, dvec FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst, b.embedding AS dvec,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round({_cosine('a.embedding', 'b.embedding')}, 6) DESC,
+                                       b.vec_id ASC) AS rn
+    FROM l1 a JOIN l1 b ON a.cell = b.cell AND a.vec_id != b.vec_id
+  ) WHERE rn <= {r1_neighbors}
+), entries AS (
+  SELECT ae.cell, ae.vec_id, ae.embedding AS evec
+  FROM assign ae
+  JOIN (SELECT cell, min(vec_id) AS vec_id FROM assign GROUP BY cell) m
+    ON ae.vec_id = m.vec_id
+), adj1 AS (
+  SELECT DISTINCT src, dst, dvec FROM (
+    SELECT src, dst, dvec FROM adj1_cell
+    UNION ALL
+    SELECT e1.vec_id AS src, e2.vec_id AS dst, e2.evec AS dvec
+    FROM entries e1 JOIN entries e2 ON e1.vec_id != e2.vec_id
+  )
+), adj0 AS (
+  SELECT src, dst, dvec FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst, b.embedding AS dvec,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round({_cosine('a.embedding', 'b.embedding')}, 6) DESC,
+                                       b.vec_id ASC) AS rn
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id != b.vec_id
+  ) WHERE rn <= {r_neighbors}
+), gentry AS (
+  SELECT vec_id, evec FROM entries ORDER BY vec_id ASC LIMIT 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT 5
+), cand0 AS (
+  SELECT q.query_id, q.qvec, g.vec_id,
+         round({_cosine('g.evec', 'q.qvec')}, 6) AS cosine
+  FROM q CROSS JOIN gentry g
+)"""
+    ]
+    prev = "cand0"
+    t = 0
+    for b_, e_, adj_, n_rounds in (
+        (beam1, ef1, "adj1", hops1),
+        (beam, ef, "adj0", hops),
+    ):
+        for _ in range(n_rounds):
+            t += 1
+            parts.append(
+                f""", f{t} AS (
+  SELECT query_id, qvec, vec_id FROM (
+    SELECT query_id, qvec, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM {prev}
+  ) WHERE rn <= {b_}
+), n{t} AS (
+  SELECT f.query_id, f.qvec, a.dst AS vec_id,
+         round({_cosine('a.dvec', 'f.qvec')}, 6) AS cosine
+  FROM f{t} f JOIN {adj_} a ON a.src = f.vec_id
+  WHERE a.dst != f.query_id
+), cand{t} AS (
+  SELECT query_id, qvec, vec_id, cosine FROM (
+    SELECT query_id, qvec, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM (
+      SELECT DISTINCT query_id, qvec, vec_id, cosine FROM (
+        SELECT query_id, qvec, vec_id, cosine FROM {prev}
+        UNION ALL
+        SELECT query_id, qvec, vec_id, cosine FROM n{t}
+      )
+    )
+  ) WHERE rn <= {e_}
+)"""
+            )
+            prev = f"cand{t}"
+    parts.append(
+        f"""
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM {prev} WHERE vec_id != query_id
+) WHERE rank <= {k}"""
+    )
+    return "".join(parts)

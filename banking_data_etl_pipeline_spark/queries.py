@@ -4167,3 +4167,14 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ExactSubstr."""
     tune_for_oracle(spark)
     return dedup.chunk_dup_rollup(tables.load(spark, sf_dir, "documents"))
+
+
+def ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical graph ANN (r13 verdict item 7): two-layer HNSW —
+    greedy descent over the sampled upper layer + cell-entry grid
+    from ONE global entry point, then base-layer beam refinement.
+    Retires nsw_topk's 'single-layer' gap."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    return similarity.hnsw_topk(emb, q, k=10)

@@ -387,6 +387,7 @@ BENCH_QUERIES = [
     "ann_ivf_incremental",
     "ivf_cell_growth",
     "chunk_dedup",
+    "ann_hnsw",
 ]
 
 

@@ -394,6 +394,10 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # slower. test_judge_alpha_reuses_ratings_exchange pins the
         # ReusedExchange that justifies this entry.
         "judge_alpha",
+        # HNSW's cells x cells entry grid (model-parameter scale — the
+        # source_semantic_map catalog-grid shape) and the 1-row global
+        # entry seed are intentional tiny broadcast cross joins
+        "ann_hnsw",
     }
     # r12: negative_samples left this allowlist — its draw→interval
     # lookup is now a bucketed-cell BroadcastHashJoin (the production

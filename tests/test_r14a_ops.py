@@ -156,3 +156,53 @@ def test_chunk_dup_rollup_plans_no_pair_stage(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hnsw_returns_full_topk_and_navigates_cells(spark):
+    """Two-layer HNSW: every query — INCLUDING the one that is itself
+    the global entry point — gets exactly k results, never itself,
+    and the descent escapes the entry's own cell (the entry grid is
+    doing its navigation job)."""
+    from pyspark.sql import functions as F
+
+    from banking_data_etl_pipeline_spark.operators import clustering
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    q = S.corpus_queries(emb, n=5)
+    out = S.hnsw_topk(emb, q, k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.vec_id != r.query_id
+    assert len(by_q) == 5
+    assert all(len(v) == 10 for v in by_q.values())
+    # the global entry (min vec_id overall = min entry id) IS one of
+    # the 5 lowest-id queries — its descent must not starve
+    gid = min(r.vec_id for r in emb.select("vec_id").collect())
+    assert gid in by_q
+    # navigation: results span more than one quantizer cell
+    cents = clustering.train_centroids(emb, 16, 2)
+    scorer = S._centroid_scorer(None, 16, "embedding", "vec_id", cents)
+    cells = {
+        r.vec_id: int(r.cell)
+        for r in S.assign_cells(emb, 16, scorer=scorer).collect()
+    }
+    assert len({cells[r.vec_id] for r in out}) > 1
+
+
+def test_hnsw_recall_floor_vs_brute(spark):
+    """Sanity floor on these near-random fixture embeddings (graph
+    ANN recall is inherently weak when vectors are ~orthogonal): the
+    hierarchical probe must stay in the single-layer NSW's measured
+    band, not collapse to zero."""
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    q = S.corpus_queries(emb, n=5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.brute_force_topk(emb, q, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in S.hnsw_topk(emb, q, k=10).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.05
