@@ -1928,6 +1928,47 @@ def build_ivfpq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def add_to_ivfpq_index(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """MAINTAIN phase of the composed IVF+PQ lifecycle — the
+    ``add_to_ivf_index`` contract applied to the compressed index:
+    new vectors are assigned to the FROZEN coarse centroids and
+    encoded with the FROZEN subspace codebooks (both read back from
+    ``<path>`` — kilobytes), then appended as new parquet files in
+    the cell-partitioned codes layout. Map-only over the batch (both
+    model tables ride as literals), O(batch) cost, probes see the
+    union via partition listing. Staleness compounds here: frozen
+    cells AND frozen codebooks both drift — monitor with
+    ``ivf_cell_stats`` over the codes layout and the recall harness."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    residual, m = bool(meta.residual), int(meta.m)
+    cents = load_ivf_centroids(spark, path)
+    brows = spark.read.parquet(f"{path}/books").collect()
+    bmap: dict[int, dict[int, list[float]]] = {}
+    for r in brows:
+        bmap.setdefault(int(r.j), {})[int(r.cid)] = list(r.cvec)
+    books = [[bmap[j][c] for c in sorted(bmap[j])] for j in sorted(bmap)]
+    sub = len(books[0][0])
+    scorer = _centroid_scorer(None, len(cents), vec_col, id_col, cents)
+    corpus = assign_cells(new_vecs, len(cents), vec_col, id_col, scorer=scorer)
+    if residual:
+        cmap = _cent_map(cents)
+        enc_src = F.zip_with(
+            F.col("v"), cmap[F.col("cell")],
+            lambda a, b: a.cast("double") - b,
+        )
+    else:
+        enc_src = F.col("v")
+    corpus.select(
+        "vec_id", "cell", *_pq_enc_cols(books, enc_src, m, sub)
+    ).write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+
+
 def probe_ivfpq_index(
     spark,
     emb: DataFrame,

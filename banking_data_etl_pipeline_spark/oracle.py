@@ -3866,19 +3866,30 @@ def ivf_pq_topk_sql(
     pq_iters: int = 1,
     dim: int = 64,
     n_queries: int = 5,
+    train_where: str = "",
 ) -> str:
     """Twin of operators.similarity.ivf_pq_topk — the composed index:
     the unprefixed ``_kmeans_ctes`` coarse walk (cells via rounded-
     cosine argmax, as ann_ivf_sql), ``m`` prefixed subspace walks
     (codebooks + encode, as pq_topk_sql), ADC shortlist of ``rerank``
-    per query within probed cells, exact-cosine re-rank to top-k."""
+    per query within probed cells, exact-cosine re-rank to top-k.
+    ``train_where`` restricts BOTH training walks (coarse + every
+    subspace) to a sub-corpus — the maintained-index twin
+    (``ann_ivfpq_incremental``) trains on the base split while
+    assignment/encoding stay full-corpus."""
     sub = dim // m
     last = f"c{iters}"
-    parts = [_kmeans_ctes(n_centroids, dim, iters)]
+    tw = f" WHERE {train_where}" if train_where else ""
+    parts = [
+        _kmeans_ctes(
+            n_centroids, dim, iters,
+            src_sql=f"SELECT vec_id, embedding FROM embeddings{tw}",
+        )
+    ]
     for j in range(m):
         src = (
             f"SELECT vec_id, list_slice(embedding, {j * sub + 1},"
-            f" {(j + 1) * sub}) AS embedding FROM embeddings"
+            f" {(j + 1) * sub}) AS embedding FROM embeddings{tw}"
         )
         parts.append(
             _kmeans_ctes(

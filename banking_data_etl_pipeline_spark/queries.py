@@ -4178,3 +4178,27 @@ def ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     q = similarity.corpus_queries(emb, n=5)
     return similarity.hnsw_topk(emb, q, k=10)
+
+
+def ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the COMPRESSED index (r13 verdict
+    item 4, IVFPQ half): coarse centroids AND subspace codebooks train
+    on the pre-existing corpus only; the new batch is assigned and
+    encoded with both models frozen and appended to the cell-
+    partitioned codes. The twin rebuilds the identical maintained
+    state from scratch (base-trained walks, full-corpus encoding), so
+    a hash match proves add-batch == frozen-model rebuild for the
+    full ADC + rerank probe."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    def build(d: str) -> None:
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        similarity.build_ivfpq_index(base, d)
+        similarity.add_to_ivfpq_index(
+            spark, d, emb.filter(F.col("vec_id") % 5 == 0)
+        )
+
+    path = _staged_index(sf_dir, "ivfpqinc", "meta", build)
+    q = similarity.corpus_queries(emb, n=5)
+    return similarity.probe_ivfpq_index(spark, emb, path, q, k=10)

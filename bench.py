@@ -388,6 +388,7 @@ BENCH_QUERIES = [
     "ivf_cell_growth",
     "chunk_dedup",
     "ann_hnsw",
+    "ann_ivfpq_incremental",
 ]
 
 

@@ -206,3 +206,35 @@ def test_hnsw_recall_floor_vs_brute(spark):
         for r in S.hnsw_topk(emb, q, k=10).collect()
     }
     assert len(got & exact) / len(exact) >= 0.05
+
+
+def test_ivfpq_add_batch_equals_frozen_rebuild(spark, tmp_path):
+    """The maintained IVFPQ codes (build on base + add batch) must
+    equal a from-scratch encode of the full corpus under the SAME
+    frozen centroids and codebooks — cell AND all m code columns."""
+    emb, base, batch = _split(spark)
+    d = str(tmp_path / "ivfpq")
+    S.build_ivfpq_index(base, d)
+    S.add_to_ivfpq_index(spark, d, batch)
+    got = {
+        (r.vec_id, int(r.cell), r.c0, r.c1, r.c2, r.c3)
+        for r in spark.read.parquet(f"{d}/codes").collect()
+    }
+    cents = S.load_ivf_centroids(spark, d)
+    brows = spark.read.parquet(f"{d}/books").collect()
+    bmap = {}
+    for r in brows:
+        bmap.setdefault(int(r.j), {})[int(r.cid)] = list(r.cvec)
+    books = [[bmap[j][c] for c in sorted(bmap[j])] for j in sorted(bmap)]
+    scorer = S._centroid_scorer(None, len(cents), "embedding", "vec_id", cents)
+    corpus = S.assign_cells(emb, len(cents), scorer=scorer)
+    want = {
+        (r.vec_id, int(r.cell), r.c0, r.c1, r.c2, r.c3)
+        for r in corpus.select(
+            "vec_id",
+            "cell",
+            *S._pq_enc_cols(books, F.col("v"), 4, len(books[0][0])),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == emb.count()
