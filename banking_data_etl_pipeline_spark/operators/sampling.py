@@ -660,3 +660,154 @@ def negative_samples(
     return hit.select(
         "doc_id", "draw_idx", F.col("token").alias("neg_token")
     )
+
+
+def _dist_prefix_sum(df, key, val_col: str, out_col: str):
+    """Exact global RUNNING SUM over ``key`` order with every exchange
+    parallel — the ``_dist_rank`` construction applied to prefix sums:
+    deterministic ``repartitionByRange`` on the sort key (pinned so the
+    per-partition-totals job and the consumer read ONE materialized
+    partitioning), per-partition BIGINT totals folded into broadcast
+    offsets on the driver (<= #partitions longs), a LOCAL running-sum
+    window per range partition + offset = the exact global prefix sum.
+    The bare ``Window.orderBy().rowsBetween(unboundedPreceding, 0)``
+    it replaces plans an ``Exchange SinglePartition`` over the whole
+    table — the classic 100 TB scale-killer.
+
+    ``val_col`` must be integral (exactness = order-independence).
+    Returns (df + out_col, grand_total)."""
+    from ..session import pin_for_query
+
+    spark = df.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = pin_for_query(
+        df.repartitionByRange(shuffle_n, *key).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    sums = ranged.groupBy("_pid").agg(
+        F.sum(F.col(val_col)).cast("bigint").alias("_s")
+    ).collect()
+    acc, offsets = 0, {}
+    for r in sorted(sums, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_s"] or 0
+    if not offsets:
+        return df.withColumn(out_col, F.lit(0).cast("bigint")), 0
+    off_map = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in offsets]),
+        F.array(*[F.lit(v) for v in offsets.values()]),
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ranged.withColumn(
+        out_col,
+        F.sum(F.col(val_col)).over(w).cast("bigint")
+        + off_map[F.col("_pid")],
+    ).drop("_pid")
+    return out, acc
+
+
+def shard_plan(
+    docs: DataFrame,
+    shard_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget output-shard planner: assign documents (in
+    deterministic id order) to fixed-token-budget training shards —
+    the step that turns a curated corpus into the balanced files a
+    trainer streams (shard boundaries by CUMULATIVE token count, not
+    doc count, so shards are byte-balanced under skewed doc lengths).
+    Doc -> shard containing its FIRST token: shard_id =
+    (cum_before) div shard_tokens.
+
+    Scale shape: one distributed prefix sum (``_dist_prefix_sum`` —
+    range shuffle + per-partition offsets, no single-partition
+    window), one shard-keyed rollup. Returns per-shard (shard_id,
+    n_docs, n_tokens, first_doc, last_doc), exact integers."""
+    from ..functions import texttools
+
+    per_doc = docs.select(
+        F.col(id_col),
+        texttools.token_count(F.col(text_col)).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    cum, _total = _dist_prefix_sum(
+        per_doc, [F.col(id_col).asc()], "n_tokens", "cum_tokens"
+    )
+    return (
+        cum.withColumn(
+            "shard_id",
+            # integer DIV, not double /: cumulative token counts exceed
+            # 2^53 at corpus scale, where double division drifts
+            F.expr(f"(cum_tokens - n_tokens) DIV {int(shard_tokens)}"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+    )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-sampling mixture allocation (tau = 2, i.e. weights
+    proportional to n_tokens^(1/2) — the multilingual up-sampling
+    recipe of XLM-R/mT5 applied at the source level): how a training
+    run should re-weight corpus sources so small sources are not
+    drowned (weight) and what that implies per epoch of the mixture
+    (expected_epochs > 1 = the source repeats).
+
+    Exactness: sqrt is correctly-rounded IEEE in both engines (the
+    moments precedent — alpha = 1/2 exists precisely to avoid pow()'s
+    last-ulp libm divergence); per-source terms round to 12 dp and sum
+    through DECIMAL(28,12) (order-independent, the ate_report ladder);
+    each output is one fixed double expression, 6 dp. The final
+    unpartitioned window runs over |sources| rows — model-parameter
+    scale, post-reduction."""
+    from ..functions import texttools
+
+    per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(texttools.token_count(F.col(text_col)))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    term = F.round(F.sqrt(F.col("n_tokens").cast("double")), 12).cast(
+        "decimal(28,12)"
+    )
+    w_all = Window.partitionBy()
+    staged = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        term.alias("_t"),
+        F.sum(term).over(w_all).alias("_tot"),
+        F.sum("n_tokens").over(w_all).cast("bigint").alias("_ntot"),
+    )
+    weight = F.round(
+        F.col("_t").cast("double") / F.col("_tot").cast("double"), 6
+    )
+    return staged.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        weight.alias("weight"),
+        F.round(
+            F.col("_ntot").cast("double")
+            * weight
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("expected_epochs"),
+    )

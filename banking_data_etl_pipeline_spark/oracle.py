@@ -9333,3 +9333,50 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
 ) WHERE rank <= {k}"""
     )
     return "".join(parts)
+
+
+# Twin of operators.sampling.shard_plan (shard_tokens=512): global
+# prefix sum over doc_id order (the Spark side distributes it via the
+# range-partition + offsets construction; values are exact BIGINTs so
+# the single-partition SQL window here reproduces it bit-for-bit),
+# start-offset shard assignment, per-shard rollup.
+SHARD_PLAN_Q = f"""WITH t AS (
+  SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM t
+)
+SELECT CAST((cum - n_tokens) // 512 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c GROUP BY 1"""
+
+# Twin of operators.sampling.temperature_mix: per-source token masses,
+# sqrt (correctly-rounded IEEE in both engines — the alpha=1/2
+# temperature exists to avoid pow's libm divergence), 12-dp DECIMAL
+# term ladder, fixed double assembly at 6 dp.
+TEMPERATURE_MIX_Q = f"""WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 12)
+              AS DECIMAL(28,12)) AS tt,
+         sum(CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 12)
+                  AS DECIMAL(28,12))) OVER () AS tot,
+         CAST(sum(n_tokens) OVER () AS BIGINT) AS ntot
+  FROM s
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(tt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
+       round(CAST(ntot AS DOUBLE)
+             * round(CAST(tt AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             / CAST(n_tokens AS DOUBLE), 6) AS expected_epochs
+FROM t"""

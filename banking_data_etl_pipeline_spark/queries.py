@@ -4202,3 +4202,23 @@ def ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _staged_index(sf_dir, "ivfpqinc", "meta", build)
     q = similarity.corpus_queries(emb, n=5)
     return similarity.probe_ivfpq_index(spark, emb, path, q, k=10)
+
+
+def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard planner: docs -> fixed-512-token training
+    shards by distributed prefix sum (range shuffle + broadcast
+    offsets — never a single-partition window), per-shard rollup."""
+    from .operators import sampling
+
+    tune_for_oracle(spark)
+    return sampling.shard_plan(tables.load(spark, sf_dir, "documents"))
+
+
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampling mixture allocation (tau=2): per-source
+    weights proportional to sqrt(token mass) + implied epochs — the
+    multilingual up-sampling recipe at the source level."""
+    from .operators import sampling
+
+    tune_for_oracle(spark)
+    return sampling.temperature_mix(tables.load(spark, sf_dir, "documents"))

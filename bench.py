@@ -389,6 +389,8 @@ BENCH_QUERIES = [
     "chunk_dedup",
     "ann_hnsw",
     "ann_ivfpq_incremental",
+    "shard_plan",
+    "mix_temperature",
 ]
 
 

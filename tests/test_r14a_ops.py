@@ -238,3 +238,66 @@ def test_ivfpq_add_batch_equals_frozen_rebuild(spark, tmp_path):
     }
     assert got == want
     assert len(got) == emb.count()
+
+
+def test_shard_plan_invariants(spark):
+    """Conservation + contiguity: every token lands in exactly one
+    shard, shard ids are dense from 0, docs are assigned in id order
+    (first/last ranges never interleave), and every full shard start
+    boundary advances by >= shard_tokens of cumulative mass."""
+    from banking_data_etl_pipeline_spark.operators import sampling
+    from banking_data_etl_pipeline_spark.functions import texttools
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    rows = sorted(
+        sampling.shard_plan(docs).collect(), key=lambda r: r.shard_id
+    )
+    total = docs.select(
+        F.sum(texttools.token_count(F.col("text"))).alias("t")
+    ).collect()[0].t
+    assert sum(r.n_tokens for r in rows) == total
+    assert sum(r.n_docs for r in rows) == docs.count()
+    ids = [r.shard_id for r in rows]
+    assert ids[0] == 0 and ids == sorted(set(ids))
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_doc < b.first_doc  # id-ordered, non-interleaved
+
+
+def test_shard_plan_no_single_partition_exchange(spark):
+    """The prefix sum must stay distributed: no Exchange
+    SinglePartition anywhere in the plan (the bare global running-sum
+    window it replaces ships every row through one reducer)."""
+    from banking_data_etl_pipeline_spark.operators import sampling
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    plan = (
+        sampling.shard_plan(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_temperature_mix_hand_worked(spark):
+    """Two crafted sources with 100 and 400 tokens: sqrt weights
+    10/30 and 20/30, epochs = weight * 500 / n_tokens."""
+    from banking_data_etl_pipeline_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["a"] * 100), "small"),
+            (2, " ".join(["b"] * 200), "big"),
+            (3, " ".join(["c"] * 200), "big"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    got = {r.source: r for r in sampling.temperature_mix(docs).collect()}
+    assert got["small"].n_tokens == 100 and got["big"].n_tokens == 400
+    assert got["small"].weight == round(10 / 30, 6)
+    assert got["big"].weight == round(20 / 30, 6)
+    # small source repeats ~1.67x per mixture epoch; big undersamples
+    assert got["small"].expected_epochs == round(500 * round(10 / 30, 6) / 100, 6)
+    assert got["big"].expected_epochs == round(500 * round(20 / 30, 6) / 400, 6)
+    assert got["small"].expected_epochs > 1.0 > got["big"].expected_epochs
