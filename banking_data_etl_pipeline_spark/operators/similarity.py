@@ -2272,6 +2272,9 @@ def hnsw_topk(
     train_iterations: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cents=None,
+    adj0=None,
+    entries=None,
 ) -> DataFrame:
     """Hierarchical graph ANN (HNSW; Malkov & Yashunin 2016) — the
     TWO-LAYER extension of ``nsw_topk`` (r13 verdict item 7): instead
@@ -2296,17 +2299,25 @@ def hnsw_topk(
     another residue layer (layer 2 over entries) exactly as layer 1
     thins the corpus; two layers are sufficient at this harness's
     scales and keep the twin tractable."""
-    from . import clustering
+    # ``cents``/``adj0``/``entries`` inject the STAGED graph-index
+    # artifacts (the ann_graph/nsw_topk hook): training and the
+    # layer-0 adjacency build then run once per corpus snapshot, not
+    # per probe. Self-built fallbacks keep the operator standalone.
+    if cents is None:
+        from . import clustering
 
-    cents = clustering.train_centroids(
-        emb, n_centroids, train_iterations, vec_col, id_col
-    )
+        cents = clustering.train_centroids(
+            emb, n_centroids, train_iterations, vec_col, id_col
+        )
     scorer = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
     corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scorer)
-    # ---- layer 1: sampled nodes + entry grid
+    # ---- layer 1: sampled nodes + entry grid (always built here —
+    # the sample is 1/l1_mod of the corpus; its within-cell pair join
+    # is 1/l1_mod^2 of the layer-0 build)
     l1 = corpus.filter(F.pmod(F.col("vec_id"), F.lit(l1_mod)) == 0)
     adj1_cell = graph_adjacency(l1, r1_neighbors)
-    entries = graph_entries(corpus)
+    if entries is None:
+        entries = graph_entries(corpus)
     ea = entries.select(F.col("vec_id").alias("src"))
     ebx = entries.select(
         F.col("vec_id").alias("dst"), F.col("evec").alias("dvec")
@@ -2348,7 +2359,8 @@ def hnsw_topk(
             cand.unpersist()
         cand = nxt
     # ---- layer 0: refine from the layer-1 winners
-    adj0 = graph_adjacency(corpus, r_neighbors).persist()
+    if adj0 is None:
+        adj0 = graph_adjacency(corpus, r_neighbors).persist()
     for _ in range(hops):
         nxt = _beam_step(cand, adj0, wq, beam, ef)
         nxt.count()

@@ -4177,7 +4177,21 @@ def ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
     q = similarity.corpus_queries(emb, n=5)
-    return similarity.hnsw_topk(emb, q, k=10)
+    cents, _books, _res = _ann_models(emb, sf_dir)
+    nsw_path = _staged_index(
+        sf_dir, "nsw", "centroids",
+        lambda d: similarity.build_graph_index(emb, d, cents=cents),
+    )
+    return similarity.hnsw_topk(
+        emb,
+        q,
+        k=10,
+        cents=cents,
+        adj0=spark.read.parquet(f"{nsw_path}/adjacency").select(
+            "src", "dst", "dvec"
+        ),
+        entries=spark.read.parquet(f"{nsw_path}/entries"),
+    )
 
 
 def ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
