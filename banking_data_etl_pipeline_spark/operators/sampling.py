@@ -755,59 +755,3 @@ def shard_plan(
             F.max(id_col).alias("last_doc"),
         )
     )
-
-
-def temperature_mix(
-    docs: DataFrame,
-    text_col: str = "text",
-    source_col: str = "source",
-) -> DataFrame:
-    """Temperature-sampling mixture allocation (tau = 2, i.e. weights
-    proportional to n_tokens^(1/2) — the multilingual up-sampling
-    recipe of XLM-R/mT5 applied at the source level): how a training
-    run should re-weight corpus sources so small sources are not
-    drowned (weight) and what that implies per epoch of the mixture
-    (expected_epochs > 1 = the source repeats).
-
-    Exactness: sqrt is correctly-rounded IEEE in both engines (the
-    moments precedent — alpha = 1/2 exists precisely to avoid pow()'s
-    last-ulp libm divergence); per-source terms round to 12 dp and sum
-    through DECIMAL(28,12) (order-independent, the ate_report ladder);
-    each output is one fixed double expression, 6 dp. The final
-    unpartitioned window runs over |sources| rows — model-parameter
-    scale, post-reduction."""
-    from ..functions import texttools
-
-    per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(texttools.token_count(F.col(text_col)))
-        .cast("bigint")
-        .alias("n_tokens"),
-    )
-    term = F.round(F.sqrt(F.col("n_tokens").cast("double")), 12).cast(
-        "decimal(28,12)"
-    )
-    w_all = Window.partitionBy()
-    staged = per_src.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        term.alias("_t"),
-        F.sum(term).over(w_all).alias("_tot"),
-        F.sum("n_tokens").over(w_all).cast("bigint").alias("_ntot"),
-    )
-    weight = F.round(
-        F.col("_t").cast("double") / F.col("_tot").cast("double"), 6
-    )
-    return staged.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        weight.alias("weight"),
-        F.round(
-            F.col("_ntot").cast("double")
-            * weight
-            / F.col("n_tokens").cast("double"),
-            6,
-        ).alias("expected_epochs"),
-    )

@@ -9356,27 +9356,3 @@ SELECT CAST((cum - n_tokens) // 512 AS BIGINT) AS shard_id,
        max(doc_id) AS last_doc
 FROM c GROUP BY 1"""
 
-# Twin of operators.sampling.temperature_mix: per-source token masses,
-# sqrt (correctly-rounded IEEE in both engines — the alpha=1/2
-# temperature exists to avoid pow's libm divergence), 12-dp DECIMAL
-# term ladder, fixed double assembly at 6 dp.
-TEMPERATURE_MIX_Q = f"""WITH s AS (
-  SELECT source,
-         CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(len({TOKS})) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source
-), t AS (
-  SELECT source, n_docs, n_tokens,
-         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 12)
-              AS DECIMAL(28,12)) AS tt,
-         sum(CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 12)
-                  AS DECIMAL(28,12))) OVER () AS tot,
-         CAST(sum(n_tokens) OVER () AS BIGINT) AS ntot
-  FROM s
-)
-SELECT source, n_docs, n_tokens,
-       round(CAST(tt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
-       round(CAST(ntot AS DOUBLE)
-             * round(CAST(tt AS DOUBLE) / CAST(tot AS DOUBLE), 6)
-             / CAST(n_tokens AS DOUBLE), 6) AS expected_epochs
-FROM t"""

@@ -4226,13 +4226,3 @@ def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return sampling.shard_plan(tables.load(spark, sf_dir, "documents"))
-
-
-def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-sampling mixture allocation (tau=2): per-source
-    weights proportional to sqrt(token mass) + implied epochs — the
-    multilingual up-sampling recipe at the source level."""
-    from .operators import sampling
-
-    tune_for_oracle(spark)
-    return sampling.temperature_mix(tables.load(spark, sf_dir, "documents"))

@@ -390,7 +390,6 @@ BENCH_QUERIES = [
     "ann_hnsw",
     "ann_ivfpq_incremental",
     "shard_plan",
-    "mix_temperature",
 ]
 
 

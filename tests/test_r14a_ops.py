@@ -278,26 +278,3 @@ def test_shard_plan_no_single_partition_exchange(spark):
     )
     assert "SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan.lower()
-
-
-def test_temperature_mix_hand_worked(spark):
-    """Two crafted sources with 100 and 400 tokens: sqrt weights
-    10/30 and 20/30, epochs = weight * 500 / n_tokens."""
-    from banking_data_etl_pipeline_spark.operators import sampling
-
-    docs = spark.createDataFrame(
-        [
-            (1, " ".join(["a"] * 100), "small"),
-            (2, " ".join(["b"] * 200), "big"),
-            (3, " ".join(["c"] * 200), "big"),
-        ],
-        "doc_id bigint, text string, source string",
-    )
-    got = {r.source: r for r in sampling.temperature_mix(docs).collect()}
-    assert got["small"].n_tokens == 100 and got["big"].n_tokens == 400
-    assert got["small"].weight == round(10 / 30, 6)
-    assert got["big"].weight == round(20 / 30, 6)
-    # small source repeats ~1.67x per mixture epoch; big undersamples
-    assert got["small"].expected_epochs == round(500 * round(10 / 30, 6) / 100, 6)
-    assert got["big"].expected_epochs == round(500 * round(20 / 30, 6) / 400, 6)
-    assert got["small"].expected_epochs > 1.0 > got["big"].expected_epochs
