@@ -147,6 +147,10 @@ def metrics(plan: str, name: str) -> tuple[int, int, int, int, int, list[str]]:
         "judge_alpha",
         # broadcast range join of draws vs the Zipf-small vocab CDF
         "negative_samples",
+        # HNSW's cells x cells entry grid + 1-row global-entry seed —
+        # intentional tiny broadcast cross joins (model-parameter
+        # scale; mirrors the test_plan_quality allowlist entry)
+        "ann_hnsw",
     ):
         flags.append("bnlj")
     return shuffles, bcast, wscg, pushed, scans, flags
