@@ -10,8 +10,12 @@ correct CRC-32, an IDAT chunk, IEND) and canonical RIFF/WAVE files
 Below the container level the decode lane has a REAL positive path
 where no codec is needed — ``decode_ppm`` (raw-raster P6 images from
 ``synthesize_ppm``) and ``decode_pcm`` (the WAV data chunk IS the
-int16 samples) — while codec-requiring decodes (zlib image data)
-remain honestly guarded by ``DecodeNotAvailable``.
+int16 samples) — plus two real compressed codecs: the zlib-PNG lane
+here (``synthesize_png``/``decode_png``) and the baseline-JPEG lane
+in ``multimodal/jpeg.py`` (r14 — marker walk, in-stream Huffman
+tables, entropy decode, IDCT). ``DecodeNotAvailable`` now guards only
+the generic any-format feature/resize stubs, which would require
+external codec libraries this container does not ship.
 
 Scale shape: payloads are large, so operators here are
 ``mapInPandas`` (Arrow-batched, streaming per-partition iterator —

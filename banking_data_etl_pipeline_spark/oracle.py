@@ -9356,3 +9356,32 @@ SELECT CAST((cum - n_tokens) // 512 AS BIGINT) AS shard_id,
        max(doc_id) AS last_doc
 FROM c GROUP BY 1"""
 
+
+
+# Twin of multimodal.jpeg.decode_jpeg over synthesize_jpeg: the
+# content is constant per 8x8 block (value (d*37 + bx*11 + by*23) %
+# 256 on a (2+d%3) x (2+d%2) grid), on which quantizer-1 baseline
+# JPEG is exactly lossless — the twin recomputes the decode stats
+# from the synthesis arithmetic with no byte access, so agreement
+# proves the Huffman/prediction/stuffing/dequant/IDCT round trip
+# reproduced every pixel.
+MEDIA_JPEG_Q = """WITH g AS (
+  SELECT doc_id AS media_id,
+         2 + doc_id % 3 AS bw,
+         2 + doc_id % 2 AS bh
+  FROM documents
+), k AS (
+  SELECT media_id, bw, bh, unnest(range(0, bw * bh)) AS k FROM g
+), v AS (
+  SELECT media_id, bw, bh,
+         (media_id * 37 + (k % bw) * 11 + (k // bw) * 23) % 256 AS val
+  FROM k
+)
+SELECT media_id,
+       CAST(8 * bw AS INT) AS width,
+       CAST(8 * bh AS INT) AS height,
+       CAST(64 * bw * bh AS BIGINT) AS n_px,
+       CAST(64 * sum(val) AS BIGINT) AS sum_luma,
+       CAST(min(val) AS INT) AS min_luma,
+       CAST(max(val) AS INT) AS max_luma
+FROM v GROUP BY media_id, bw, bh"""

@@ -4226,3 +4226,16 @@ def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_oracle(spark)
     return sampling.shard_plan(tables.load(spark, sf_dir, "documents"))
+
+
+def media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (retires the last media-decode stub):
+    marker walk, in-stream DQT/DHT tables, canonical Huffman entropy
+    decode with DC prediction, byte unstuffing, dequantize + IDCT —
+    exact per-image luma stats on content where quantizer-1 JPEG is
+    lossless, so the twin proves the full bitstream round trip."""
+    from .multimodal import jpeg as J
+
+    tune_for_oracle(spark)
+    media = J.synthesize_jpeg(tables.load(spark, sf_dir, "documents"))
+    return J.decode_jpeg(media)

@@ -390,6 +390,7 @@ BENCH_QUERIES = [
     "ann_hnsw",
     "ann_ivfpq_incremental",
     "shard_plan",
+    "media_jpeg",
 ]
 
 
