@@ -1620,10 +1620,14 @@ def nsw_topk(
     # recall harness's prebuilt-arm hook. Self-built adjacency is
     # persisted: it feeds every hop's expansion join; within the
     # single action all hops then read the cached build instead of
-    # re-running the cell-blocked pair join. Caller-owned, like bm25's
-    # postings (retrieval.py) — unpersist or clearCache when done.
+    # re-running the cell-blocked pair join. Registered via
+    # session.pin_for_query so the NEXT query's tune_for_oracle
+    # releases it — cached partitions never accumulate across a
+    # battery (r14 ADVICE).
+    from ..session import pin_for_query
+
     if adj is None:
-        adj = graph_adjacency(corpus, r_neighbors).persist()
+        adj = pin_for_query(graph_adjacency(corpus, r_neighbors))
     if entries is None:
         entries = graph_entries(corpus)
     probes = (
@@ -1665,11 +1669,12 @@ def nsw_topk(
         # materialize the new hop (queries × ef rows — one tiny job)
         # BEFORE releasing its parent: unpersisting an unmaterialized
         # parent would re-expose the 2^hops chain. Only the final
-        # frame stays cached, caller-owned.
+        # frame stays cached — pinned for end-of-query release.
         nxt.count()
         if cand.is_cached:
             cand.unpersist()
         cand = nxt
+    pin_for_query(cand)
     return (
         cand.withColumn("rank", F.row_number().over(wq))
         .filter(F.col("rank") <= k)
@@ -1820,7 +1825,7 @@ def probe_graph_index(
         # persisted per hop for the same 2^hops-duplication reason as
         # _beam_step; materialized eagerly so the previous hop's cache
         # can be released now — only the final frame stays cached,
-        # caller-owned
+        # pinned below for end-of-query release
         nxt = (
             cand.unionByName(nbrs)
             .dropDuplicates(["query_id", "vec_id"])
@@ -1833,6 +1838,9 @@ def probe_graph_index(
         if cand.is_cached:
             cand.unpersist()
         cand = nxt
+    from ..session import pin_for_query
+
+    pin_for_query(cand)
     return (
         cand.withColumn("rank", F.row_number().over(wq))
         .filter(F.col("rank") <= k)
@@ -2327,9 +2335,11 @@ def hnsw_topk(
     adj1_entry = ea.crossJoin(F.broadcast(ebx)).filter(
         F.col("src") != F.col("dst")
     )
-    adj1 = adj1_cell.unionByName(adj1_entry).dropDuplicates(
-        ["src", "dst"]
-    ).persist()
+    from ..session import pin_for_query
+
+    adj1 = pin_for_query(
+        adj1_cell.unionByName(adj1_entry).dropDuplicates(["src", "dst"])
+    )
     # ---- global entry: the lowest-id cell entry (ONE row)
     gentry = (
         entries.groupBy()
@@ -2360,13 +2370,14 @@ def hnsw_topk(
         cand = nxt
     # ---- layer 0: refine from the layer-1 winners
     if adj0 is None:
-        adj0 = graph_adjacency(corpus, r_neighbors).persist()
+        adj0 = pin_for_query(graph_adjacency(corpus, r_neighbors))
     for _ in range(hops):
         nxt = _beam_step(cand, adj0, wq, beam, ef)
         nxt.count()
         if cand.is_cached:
             cand.unpersist()
         cand = nxt
+    pin_for_query(cand)
     return (
         cand.filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(wq))

@@ -42,14 +42,30 @@ def _cache_root() -> str:
     <tmp>/spark_graft_cache_<uid>; created 0700 and VERIFIED owned
     by this uid with no group/other permission bits before anything
     under it is trusted — a squatting dir owned by someone else is a
-    hard error, never a silent fallthrough."""
+    hard error, never a silent fallthrough.
+
+    The check is SYMLINK-AWARE (r14 ADVICE, medium): os.stat/chmod
+    dereference, so a pre-planted symlink at the predictable name
+    pointing at a victim-owned directory would pass an ownership
+    check and redirect every staged artifact into an attacker-chosen
+    location. lstat the path and hard-error on a symlink (or a
+    non-directory) BEFORE any dereferencing stat/chmod runs."""
     import os
+    import stat as stat_mod
     import tempfile
 
     base = os.environ.get("XDG_CACHE_HOME") or tempfile.gettempdir()
     d = os.path.join(base, f"spark_graft_cache_{os.getuid()}")
     os.makedirs(d, mode=0o700, exist_ok=True)
-    st = os.stat(d)
+    st = os.lstat(d)
+    if stat_mod.S_ISLNK(st.st_mode):
+        raise RuntimeError(
+            f"cache dir {d} is a symlink — refusing to follow it "
+            "(pre-planted link on a shared host would redirect staged "
+            "artifacts to an attacker-chosen directory)"
+        )
+    if not stat_mod.S_ISDIR(st.st_mode):
+        raise RuntimeError(f"cache path {d} exists but is not a directory")
     if st.st_uid != os.getuid():
         raise RuntimeError(
             f"cache dir {d} is owned by uid {st.st_uid}, not "

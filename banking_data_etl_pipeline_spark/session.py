@@ -76,8 +76,21 @@ _PINNED: list = []
 
 
 def pin_for_query(df):
-    """Persist ``df`` and register it for end-of-query cleanup."""
-    _PINNED.append(df.persist())
+    """Persist ``df`` and register it for end-of-query cleanup.
+
+    CONTRACT (r14 ADVICE): the pin registry is process-global and
+    assumes the battery's STRICTLY SEQUENTIAL build-then-consume
+    usage — build query N, collect it, then build query N+1 (whose
+    ``tune_for_oracle`` releases N's pins). Building a second query
+    while a prior query's returned DataFrame is still being consumed,
+    or driving queries from concurrent threads, unpersists the other
+    query's pinned frames mid-flight. That is CORRECTNESS-SAFE (the
+    release contract below: deterministic recomputes, derived-value
+    consumers) but silently forfeits the cache benefit; a concurrent
+    runner should key pins per query and release its own."""
+    if not df.is_cached:  # idempotent: _beam_step frames arrive cached
+        df.persist()
+    _PINNED.append(df)
     return df
 
 
