@@ -1449,10 +1449,13 @@ def graph_adjacency(
     """Within-cell top-R neighbor lists for the NSW-style graph index,
     carrying the NEIGHBOR'S RAW VECTOR (the HNSW storage convention:
     vectors live inside the index so a probe never touches the corpus
-    table). ``corpus`` is ``assign_cells`` output (vec_id, v, _nv,
-    cell). Neighbors rank by (rounded cosine desc, dst asc) — the
-    codebase-wide deterministic tie-break, so the graph is identical
-    across engines.
+    table) AND the rounded edge similarity ``_sim`` — the ranking key
+    itself is part of the index state so the add-batch maintenance
+    path (``add_to_graph_index``) can merge delta candidates against
+    stored rows without re-scoring the whole graph. ``corpus`` is
+    ``assign_cells`` output (vec_id, v, _nv, cell). Neighbors rank by
+    (rounded cosine desc, dst asc) — the codebase-wide deterministic
+    tie-break, so the graph is identical across engines.
 
     Scale shape: the pair join is CELL-BLOCKED (co-partitioned
     equi-join on cell, never all-pairs); within-cell cost is
@@ -1504,12 +1507,50 @@ def graph_adjacency(
     kept = (
         pairs.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= r_neighbors)
-        .select("src", "dst")
+        .select("src", "dst", "_sim")
     )
     return kept.join(
         corpus.select(F.col("vec_id").alias("dst"), F.col("v").alias("dvec")),
         "dst",
-    ).select("src", "dst", "dvec")
+    ).select("src", "dst", "dvec", "_sim")
+
+
+def _cell_pairs(srcs: DataFrame, dsts: DataFrame) -> DataFrame:
+    """ALL scored same-cell (src, dst) pairs between two
+    ``assign_cells``-shaped frames — the maintenance path's candidate
+    generator (src side = affected-cell nodes, dst side = the new
+    batch, or vice versa). Carries the neighbor vector directly (the
+    dst side is batch-sized, so the slim-then-rejoin trick of
+    ``graph_adjacency`` buys nothing here). Same rounded-cosine
+    arithmetic, so ``_sim`` is bit-identical to stored rows."""
+    a = srcs.select(
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("_sv"),
+        F.col("_nv").alias("_ns"),
+        "cell",
+    )
+    b = dsts.select(
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("dvec"),
+        F.col("_nv").alias("_nd"),
+        "cell",
+    )
+    denom = F.col("_ns") * F.col("_nd")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            "dvec",
+            F.round(
+                F.when(denom == 0, F.lit(0.0)).otherwise(
+                    vectors.dot(F.col("_sv"), F.col("dvec")) / denom
+                ),
+                6,
+            ).alias("_sim"),
+        )
+    )
 
 
 def graph_entries(corpus: DataFrame) -> DataFrame:
@@ -1688,6 +1729,8 @@ def build_graph_index(
     n_centroids: int = 16,
     r_neighbors: int = 8,
     n_buckets: int = 16,
+    l1_mod: int = 8,
+    r1_neighbors: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     train_iterations: int = 2,
@@ -1695,14 +1738,32 @@ def build_graph_index(
 ) -> None:
     """BUILD phase of the graph-index lifecycle: train (or accept) the
     coarse quantizer, build the within-cell top-R adjacency, and
-    PERSIST the index — ``<path>/centroids`` (model parameters),
-    ``<path>/entries`` (one row per cell), and ``<path>/adjacency``
-    PARTITIONED BY ``bucket = pmod(src, n_buckets)``. The bucketed
-    layout is the point: a probe hop's frontier is beam × queries
-    node ids, so the expansion reads ONLY the frontier's bucket
-    directories (static partition pruning, the ``probe_ivf_index``
-    argument) — hops × beam × R rows of a 100 TB index instead of a
-    full adjacency scan per hop."""
+    PERSIST the index —
+
+    - ``<path>/centroids``  — model parameters (written LAST: its
+      _SUCCESS is the staging marker proving a complete publish)
+    - ``<path>/entries``    — one row per cell
+    - ``<path>/adjacency``  — layer 0, PARTITIONED BY ``bucket =
+      pmod(src, n_buckets)``, rows (src, dst, dvec, _sim)
+    - ``<path>/adjacency1`` — the HNSW layer-1 sampled (1-in-l1_mod
+      id residue) within-cell top-R1 lists (r14 verdict item 1:
+      corpus-snapshot state, staged instead of rebuilt per probe)
+    - ``<path>/entrygrid``  — the cells² entry-to-entry grid that
+      makes every cell reachable from the single global entry
+      (model-parameter scale; REWRITTEN wholesale on maintenance
+      because entries can change)
+    - ``<path>/nodes``      — the assigned corpus (vec_id, v, _nv,
+      cell) PARTITIONED BY cell: the maintenance path's source of
+      truth for within-cell merges, read partition-pruned by the
+      batch's affected cells only
+
+    The bucketed adjacency layout is the point: a probe hop's
+    frontier is beam × queries node ids, so the expansion reads ONLY
+    the frontier's bucket directories (static partition pruning, the
+    ``probe_ivf_index`` argument) — hops × beam × R rows of a 100 TB
+    index instead of a full adjacency scan per hop. ``_sim`` (the
+    rounded ranking key) is stored so ``add_to_graph_index`` can
+    merge delta candidates against stored rows exactly."""
     if cents is None and train_iterations > 0:
         from . import clustering
 
@@ -1711,15 +1772,31 @@ def build_graph_index(
         )
     scorer = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
     corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scorer)
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/nodes"
+    )
     adj = graph_adjacency(corpus, r_neighbors).withColumn(
         "bucket", F.pmod(F.col("src"), F.lit(n_buckets))
     )
     adj.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/adjacency"
     )
-    graph_entries(corpus).coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/entries"
+    l1 = corpus.filter(F.pmod(F.col("vec_id"), F.lit(l1_mod)) == 0)
+    graph_adjacency(l1, r1_neighbors).write.mode("overwrite").parquet(
+        f"{path}/adjacency1"
     )
+    entries = graph_entries(corpus)
+    entries.coalesce(1).write.mode("overwrite").parquet(f"{path}/entries")
+    ea = entries.select(F.col("vec_id").alias("src"))
+    ebx = entries.select(
+        F.col("vec_id").alias("dst"), F.col("evec").alias("dvec")
+    )
+    # cells² rows — intentional tiny broadcast cross join of model-
+    # scale frames, built once at staging time (the probe plan no
+    # longer contains it)
+    ea.crossJoin(F.broadcast(ebx)).filter(
+        F.col("src") != F.col("dst")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/entrygrid")
     spark = emb.sparkSession
     cent_rows = cents or sorted(
         emb.filter(F.col(id_col) < n_centroids)
@@ -1845,6 +1922,245 @@ def probe_graph_index(
         cand.withColumn("rank", F.row_number().over(wq))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def add_to_graph_index(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    r_neighbors: int = 8,
+    n_buckets: int = 16,
+    l1_mod: int = 8,
+    r1_neighbors: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """MAINTAIN phase of the graph-index lifecycle (r14 verdict item
+    2): insert a batch with the coarse quantizer FROZEN — the
+    IVF/IVFPQ add-batch contract applied to the navigable graph, so
+    the graph index is no longer the only build-once/read-many one.
+
+    The insert is APPEND-ONLY with an enter-top-R screen (LSM-style):
+
+    - new-src rows: each batch node's exact within-cell top-R over
+      ALL members (existing ∪ batch) of its cell — the classic
+      graph-ANN insert;
+    - old-src entrants: a (old src, new dst) candidate is appended
+      IFF it enters the src's CURRENT top-R, judged by merging the
+      stored rows' ``_sim`` keys with the batch candidates' — the
+      back-link half of a real HNSW insert, without rewriting any
+      stored file.
+
+    The probe-side merge (``effective_graph_adjacency``: top-R per
+    src by the stored ranking key) then reproduces the frozen-model
+    REBUILD graph exactly: stored rows always contain the true top-R
+    (an edge in the rebuild's top-R either predates the batch — then
+    it was already stored — or entered at the batch that introduced
+    its dst, because later batches only ADD candidates and ranks
+    only fall monotonically), and superseded rows rank strictly
+    below, so the top-R window never selects them. Per batch a src
+    gains at most R rows, so storage is bounded by R × batches —
+    the live-fraction readout (``graph_index_stats``) is the
+    compact-when-stale trigger.
+
+    Cost shape at 100 TB: the batch assigns map-only against literal
+    centroids; the pair joins touch only the batch's AFFECTED cells
+    (partition-pruned read of ``nodes``), never the corpus; the
+    entries/entry-grid rewrite is model-parameter scale. Insert cost
+    is O(Σ cell_size × batch_in_cell) — the standard graph-ANN
+    insertion bill, independent of total corpus size."""
+    cents = load_ivf_centroids(spark, path)
+    scorer = _centroid_scorer(None, len(cents), vec_col, id_col, cents)
+    new_nodes = assign_cells(
+        new_vecs, len(cents), vec_col, id_col, scorer=scorer
+    ).persist()
+    affected = sorted(
+        r.cell for r in new_nodes.select("cell").distinct().collect()
+    )
+    old_nodes = spark.read.parquet(f"{path}/nodes").filter(
+        F.col("cell").isin(affected)
+    )
+
+    def delta(stored, olds, news, r):
+        members = olds.unionByName(news)
+        w_new = Window.partitionBy("src").orderBy(
+            F.col("_sim").desc(), F.col("dst").asc()
+        )
+        newsrc = (
+            _cell_pairs(news, members)
+            .withColumn("_r", F.row_number().over(w_new))
+            .filter(F.col("_r") <= r)
+            .select("src", "dst", "dvec", "_sim")
+        )
+        cand = _cell_pairs(olds, news).withColumn("_new", F.lit(1))
+        stored_aff = (
+            stored.join(
+                olds.select(F.col("vec_id").alias("src")), "src"
+            )
+            .select("src", "dst", "dvec", "_sim")
+            .withColumn("_new", F.lit(0))
+        )
+        entrants = (
+            stored_aff.unionByName(cand)
+            .withColumn("_r", F.row_number().over(w_new))
+            .filter((F.col("_r") <= r) & (F.col("_new") == 1))
+            .select("src", "dst", "dvec", "_sim")
+        )
+        return newsrc.unionByName(entrants)
+
+    # materialize each delta BEFORE appending to the directory it was
+    # computed from — the write job must never list its own output
+    adj0 = spark.read.parquet(f"{path}/adjacency").select(
+        "src", "dst", "dvec", "_sim"
+    )
+    delta0 = delta(adj0, old_nodes, new_nodes, r_neighbors).withColumn(
+        "bucket", F.pmod(F.col("src"), F.lit(n_buckets))
+    ).persist()
+    delta0.count()
+    delta0.write.mode("append").partitionBy("bucket").parquet(
+        f"{path}/adjacency"
+    )
+    new_l1 = new_nodes.filter(F.pmod(F.col("vec_id"), F.lit(l1_mod)) == 0)
+    old_l1 = old_nodes.filter(F.pmod(F.col("vec_id"), F.lit(l1_mod)) == 0)
+    adj1 = spark.read.parquet(f"{path}/adjacency1")
+    delta1 = delta(adj1, old_l1, new_l1, r1_neighbors).persist()
+    delta1.count()
+    delta1.write.mode("append").parquet(f"{path}/adjacency1")
+    new_nodes.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/nodes"
+    )
+    # entries + entry grid: model-parameter scale, merged driver-side
+    # (≤ n_centroids rows) and REWRITTEN — a new node with a lower id
+    # than its cell's entry becomes the entry, exactly as a rebuild
+    # would pick it
+    entries_df = spark.read.parquet(f"{path}/entries")
+    e_schema = entries_df.schema
+    best = {
+        r.cell: (int(r.vec_id), list(r.evec)) for r in entries_df.collect()
+    }
+    new_min = (
+        new_nodes.groupBy("cell")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .join(
+            new_nodes.select("vec_id", F.col("v").alias("evec")), "vec_id"
+        )
+        .select("cell", "vec_id", "evec")
+        .collect()
+    )
+    for r in new_min:
+        cur = best.get(r.cell)
+        if cur is None or int(r.vec_id) < cur[0]:
+            best[r.cell] = (int(r.vec_id), list(r.evec))
+    new_nodes.unpersist()
+    delta0.unpersist()
+    delta1.unpersist()
+    e_rows = [(c, v, ev) for c, (v, ev) in sorted(best.items())]
+    spark.createDataFrame(e_rows, e_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/entries")
+    g_schema = spark.read.parquet(f"{path}/entrygrid").schema
+    g_rows = [
+        (v1, v2, ev2)
+        for _, (v1, _ev1) in sorted(best.items())
+        for _, (v2, ev2) in sorted(best.items())
+        if v1 != v2
+    ]
+    spark.createDataFrame(g_rows, g_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/entrygrid")
+
+
+def effective_graph_adjacency(
+    spark, path: str, r_neighbors: int = 8
+) -> DataFrame:
+    """The MAINTAINED graph's live neighbor lists: top-R per src by
+    the stored ranking key (``_sim`` desc, dst asc) over base + delta
+    rows. For an unmaintained index this is the identity (exactly R
+    stored rows per src); after ``add_to_graph_index`` batches it
+    reproduces the frozen-quantizer rebuild's adjacency exactly (see
+    the monotone-entrants argument there). One src-keyed window over
+    n × ~R rows; at 100 TB this same expression IS the compaction
+    job — overwrite ``adjacency`` with its result to reclaim the
+    superseded rows when ``graph_index_stats`` flags staleness."""
+    w = Window.partitionBy("src").orderBy(
+        F.col("_sim").desc(), F.col("dst").asc()
+    )
+    return (
+        spark.read.parquet(f"{path}/adjacency")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= r_neighbors)
+        .select("src", "dst", "dvec")
+    )
+
+
+def graph_index_stats(
+    spark,
+    path: str,
+    r_neighbors: int = 8,
+    base_mod: int = 5,
+) -> DataFrame:
+    """Growth/staleness readout of a maintained graph index, per
+    cell: node growth (n_base/n_added under the incremental-screen
+    convention) plus the append-only adjacency's live fraction —
+    n_stored rows vs n_live (still in some src's effective top-R).
+    ``stale_share`` rising is the compact trigger (rewrite adjacency
+    through ``effective_graph_adjacency``), the graph twin of
+    ``ivf_cell_stats``'s retrain trigger."""
+    nodes = spark.read.parquet(f"{path}/nodes")
+    node_agg = nodes.groupBy(
+        F.col("cell").cast("int").alias("cell")
+    ).agg(
+        F.sum((F.col("vec_id") % base_mod != 0).cast("bigint")).alias(
+            "n_base"
+        ),
+        F.sum((F.col("vec_id") % base_mod == 0).cast("bigint")).alias(
+            "n_added"
+        ),
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("_sim").desc(), F.col("dst").asc()
+    )
+    adj_agg = (
+        spark.read.parquet(f"{path}/adjacency")
+        .withColumn("_r", F.row_number().over(w))
+        .join(
+            nodes.select(
+                F.col("vec_id").alias("src"),
+                F.col("cell").cast("int").alias("cell"),
+            ),
+            "src",
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_stored"),
+            F.sum((F.col("_r") <= r_neighbors).cast("bigint")).alias(
+                "n_live"
+            ),
+        )
+    )
+    return (
+        node_agg.join(adj_agg, "cell", "left")
+        .select(
+            "cell",
+            "n_base",
+            "n_added",
+            F.coalesce(F.col("n_stored"), F.lit(0)).alias("n_stored"),
+            F.coalesce(F.col("n_live"), F.lit(0)).alias("n_live"),
+            F.when(
+                F.coalesce(F.col("n_stored"), F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    F.lit(1.0)
+                    - F.col("n_live").cast("double")
+                    / F.col("n_stored").cast("double"),
+                    6,
+                )
+            )
+            .alias("stale_share"),
+        )
+        .orderBy("cell")
     )
 
 
@@ -2282,6 +2598,7 @@ def hnsw_topk(
     id_col: str = "vec_id",
     cents=None,
     adj0=None,
+    adj1=None,
     entries=None,
 ) -> DataFrame:
     """Hierarchical graph ANN (HNSW; Malkov & Yashunin 2016) — the
@@ -2307,10 +2624,18 @@ def hnsw_topk(
     another residue layer (layer 2 over entries) exactly as layer 1
     thins the corpus; two layers are sufficient at this harness's
     scales and keep the twin tractable."""
-    # ``cents``/``adj0``/``entries`` inject the STAGED graph-index
-    # artifacts (the ann_graph/nsw_topk hook): training and the
-    # layer-0 adjacency build then run once per corpus snapshot, not
-    # per probe. Self-built fallbacks keep the operator standalone.
+    # ``cents``/``adj0``/``adj1``/``entries`` inject the STAGED
+    # graph-index artifacts (the ann_hnsw/build_graph_index hook):
+    # training, the layer-0 adjacency build, AND the layer-1 sampled
+    # lists + entry grid (r14 verdict item 1 — these are corpus-
+    # snapshot state, so rebuilding them per probe was the battery's
+    # biggest residual cost) then all run once per corpus snapshot,
+    # not per probe. Self-built fallbacks keep the operator
+    # standalone. An injected ``adj1`` must already be the union of
+    # the sampled within-cell lists and the cell-entry grid
+    # (``build_graph_index`` stages them as adjacency1 + entrygrid).
+    from ..session import pin_for_query
+
     if cents is None:
         from . import clustering
 
@@ -2319,27 +2644,29 @@ def hnsw_topk(
         )
     scorer = _centroid_scorer(emb, n_centroids, vec_col, id_col, cents)
     corpus = assign_cells(emb, n_centroids, vec_col, id_col, scorer=scorer)
-    # ---- layer 1: sampled nodes + entry grid (always built here —
-    # the sample is 1/l1_mod of the corpus; its within-cell pair join
-    # is 1/l1_mod^2 of the layer-0 build)
-    l1 = corpus.filter(F.pmod(F.col("vec_id"), F.lit(l1_mod)) == 0)
-    adj1_cell = graph_adjacency(l1, r1_neighbors)
     if entries is None:
         entries = graph_entries(corpus)
-    ea = entries.select(F.col("vec_id").alias("src"))
-    ebx = entries.select(
-        F.col("vec_id").alias("dst"), F.col("evec").alias("dvec")
-    )
-    # cells x cells entry grid — intentional tiny broadcast cross
-    # join (the source_semantic_map catalog-grid shape)
-    adj1_entry = ea.crossJoin(F.broadcast(ebx)).filter(
-        F.col("src") != F.col("dst")
-    )
-    from ..session import pin_for_query
-
-    adj1 = pin_for_query(
-        adj1_cell.unionByName(adj1_entry).dropDuplicates(["src", "dst"])
-    )
+    if adj1 is None:
+        # ---- layer 1: sampled nodes + entry grid (self-build — the
+        # sample is 1/l1_mod of the corpus; its within-cell pair join
+        # is 1/l1_mod^2 of the layer-0 build)
+        l1 = corpus.filter(F.pmod(F.col("vec_id"), F.lit(l1_mod)) == 0)
+        adj1_cell = graph_adjacency(l1, r1_neighbors).select(
+            "src", "dst", "dvec"
+        )
+        ea = entries.select(F.col("vec_id").alias("src"))
+        ebx = entries.select(
+            F.col("vec_id").alias("dst"), F.col("evec").alias("dvec")
+        )
+        # cells x cells entry grid — intentional tiny broadcast cross
+        # join (the source_semantic_map catalog-grid shape)
+        adj1_entry = ea.crossJoin(F.broadcast(ebx)).filter(
+            F.col("src") != F.col("dst")
+        )
+        adj1 = adj1_cell.unionByName(adj1_entry).dropDuplicates(
+            ["src", "dst"]
+        )
+    adj1 = pin_for_query(adj1)
     # ---- global entry: the lowest-id cell entry (ONE row)
     gentry = (
         entries.groupBy()

@@ -504,6 +504,7 @@ def ann_graph_sql(
     iters: int = 2,
     dim: int = 64,
     k: int = 10,
+    train_src_sql: str | None = None,
 ) -> str:
     """Twin of ``similarity.nsw_topk``: the ``_kmeans_ctes`` coarse
     walk, the within-cell top-R adjacency, one entry point per cell
@@ -512,10 +513,15 @@ def ann_graph_sql(
     previous candidate set, expands through the adjacency, and keeps
     the distinct top-``ef``. Fixed hops + total tie-break orders make
     every intermediate candidate set identical across engines (the
-    kmeans/pagerank unrolled-iteration precedent)."""
+    kmeans/pagerank unrolled-iteration precedent).
+
+    ``train_src_sql`` restricts the Lloyd walk's training set (the
+    maintained-index twins train on the pre-existing corpus only);
+    assignment, adjacency and the probe always run over the FULL
+    corpus — the frozen-quantizer rebuild."""
     last = f"c{iters}"
     parts = [
-        f"""{_kmeans_ctes(n_centroids, dim, iters)},
+        f"""{_kmeans_ctes(n_centroids, dim, iters, src_sql=train_src_sql)},
 assign AS (
   SELECT e.vec_id, e.embedding,
          (SELECT c.cid FROM {last} c
@@ -9385,3 +9391,86 @@ SELECT media_id,
        CAST(min(val) AS INT) AS min_luma,
        CAST(max(val) AS INT) AS max_luma
 FROM v GROUP BY media_id, bw, bh"""
+
+
+# ------------------------------------------------ round 15 twins
+
+ANN_GRAPH_INC_TRAIN_SRC = (
+    "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 != 0"
+)
+
+
+def ann_graph_incremental_sql() -> str:
+    """Twin of queries.ann_graph_incremental: identical to
+    ann_graph_sql except the quantizer trains on the base split only
+    (the incremental-screen convention) — adjacency, entries and the
+    beam descent all rebuild over the FULL corpus from scratch, so a
+    hash match proves the append-only insert + probe-side top-R
+    merge equals a frozen-quantizer rebuild of the whole graph."""
+    return ann_graph_sql(train_src_sql=ANN_GRAPH_INC_TRAIN_SRC)
+
+
+def graph_index_growth_sql(
+    n_centroids: int = 16,
+    r_neighbors: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """Twin of queries.graph_index_growth: rebuilds the maintained
+    adjacency's STORED-ROW ledger from first principles — per base
+    src the build-time top-R over base members plus the batch
+    entrants (full-rebuild top-R rows whose dst is new: exactly the
+    rows the enter-top-R screen appends, by the monotone argument in
+    ``add_to_graph_index``), per new src its insert-time top-R; live
+    rows are the full rebuild's top-R. Cell-level sums + the stale
+    share."""
+    return f"""{_ivfinc_ctes(n_centroids, iters, dim)},
+base_adj AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round({_cosine('a.embedding', 'b.embedding')}, 6) DESC,
+                                       b.vec_id ASC) AS rn
+    FROM assign a JOIN assign b
+      ON a.cell = b.cell AND a.vec_id != b.vec_id
+    WHERE a.vec_id % 5 != 0 AND b.vec_id % 5 != 0
+  ) WHERE rn <= {r_neighbors}
+), full_adj AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round({_cosine('a.embedding', 'b.embedding')}, 6) DESC,
+                                       b.vec_id ASC) AS rn
+    FROM assign a JOIN assign b
+      ON a.cell = b.cell AND a.vec_id != b.vec_id
+  ) WHERE rn <= {r_neighbors}
+), bsc AS (
+  SELECT src, count(*) AS c FROM base_adj GROUP BY src
+), ent AS (
+  SELECT src, count(*) AS c FROM full_adj WHERE dst % 5 = 0 GROUP BY src
+), fsc AS (
+  SELECT src, count(*) AS c FROM full_adj GROUP BY src
+), src_stats AS (
+  SELECT s.vec_id, s.cell,
+         CASE WHEN s.vec_id % 5 != 0
+              THEN coalesce(b.c, 0) + coalesce(e.c, 0)
+              ELSE coalesce(f.c, 0) END AS n_stored,
+         coalesce(f.c, 0) AS n_live
+  FROM assign s
+  LEFT JOIN bsc b ON b.src = s.vec_id
+  LEFT JOIN ent e ON e.src = s.vec_id
+  LEFT JOIN fsc f ON f.src = s.vec_id
+)
+SELECT CAST(cell AS INT) AS cell,
+       CAST(sum(CASE WHEN vec_id % 5 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_base,
+       CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(sum(n_stored) AS BIGINT) AS n_stored,
+       CAST(sum(n_live) AS BIGINT) AS n_live,
+       CASE WHEN sum(n_stored) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE round(CAST(1.0 AS DOUBLE)
+                       - CAST(sum(n_live) AS DOUBLE)
+                         / CAST(sum(n_stored) AS DOUBLE), 6) END
+         AS stale_share
+FROM src_stats GROUP BY cell"""

@@ -2185,7 +2185,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda d: similarity.build_pq_index(emb, d),
     )
     nsw_path = _staged_index(
-        sf_dir, "nsw", "centroids",
+        sf_dir, "gidx", "centroids",
         lambda d: similarity.build_graph_index(emb, d, cents=cents),
     )
     ivfpq_path = _staged_index(
@@ -2243,7 +2243,7 @@ def ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = similarity.corpus_queries(emb, n=5)
     cents, _books, _res = _ann_models(emb, sf_dir)
     nsw_path = _staged_index(
-        sf_dir, "nsw", "centroids",
+        sf_dir, "gidx", "centroids",
         lambda d: similarity.build_graph_index(emb, d, cents=cents),
     )
     return similarity.nsw_topk(
@@ -2266,7 +2266,7 @@ def ann_graph_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
     path = _staged_index(
-        sf_dir, "nsw", "centroids",
+        sf_dir, "gidx", "centroids",
         lambda d: similarity.build_graph_index(
             emb, d, cents=_ann_models(emb, sf_dir)[0]
         ),
@@ -4189,14 +4189,23 @@ def ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical graph ANN (r13 verdict item 7): two-layer HNSW —
     greedy descent over the sampled upper layer + cell-entry grid
     from ONE global entry point, then base-layer beam refinement.
-    Retires nsw_topk's 'single-layer' gap."""
+    Retires nsw_topk's 'single-layer' gap. ALL graph state is staged
+    per corpus snapshot (r14 verdict item 1): layer 0, the sampled
+    layer-1 lists AND the cells² entry grid load from the persisted
+    index — the probe plan builds nothing but the two descents."""
     tune_for_oracle(spark)
     emb = tables.load(spark, sf_dir, "embeddings")
     q = similarity.corpus_queries(emb, n=5)
     cents, _books, _res = _ann_models(emb, sf_dir)
     nsw_path = _staged_index(
-        sf_dir, "nsw", "centroids",
+        sf_dir, "gidx", "centroids",
         lambda d: similarity.build_graph_index(emb, d, cents=cents),
+    )
+    adj1 = (
+        spark.read.parquet(f"{nsw_path}/adjacency1")
+        .select("src", "dst", "dvec")
+        .unionByName(spark.read.parquet(f"{nsw_path}/entrygrid"))
+        .dropDuplicates(["src", "dst"])
     )
     return similarity.hnsw_topk(
         emb,
@@ -4206,6 +4215,7 @@ def ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         adj0=spark.read.parquet(f"{nsw_path}/adjacency").select(
             "src", "dst", "dvec"
         ),
+        adj1=adj1,
         entries=spark.read.parquet(f"{nsw_path}/entries"),
     )
 
@@ -4255,3 +4265,61 @@ def media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     media = J.synthesize_jpeg(tables.load(spark, sf_dir, "documents"))
     return J.decode_jpeg(media)
+
+
+# ------------------------------------------------ round 15: new ops
+
+
+def _gidxinc_path(spark: SparkSession, sf_dir: str) -> str:
+    """The MAINTAINED graph index staged once per corpus snapshot:
+    build on the existing corpus (vec_id % 5 != 0), then INSERT the
+    simulated new batch (vec_id % 5 == 0) with the quantizer frozen
+    via ``similarity.add_to_graph_index`` — append-only deltas with
+    the enter-top-R screen, entries/entry-grid remerged."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    def build(d: str) -> None:
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        similarity.build_graph_index(base, d)
+        similarity.add_to_graph_index(
+            spark, d, emb.filter(F.col("vec_id") % 5 == 0)
+        )
+
+    return _staged_index(sf_dir, "gidxinc", "centroids", build)
+
+
+def ann_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental GRAPH-index maintenance (r14 verdict item 2): probe
+    the maintained navigable graph — coarse quantizer trained on the
+    pre-existing corpus only, the new batch inserted append-only with
+    back-link entrants, neighbor lists resolved by the probe-side
+    top-R merge (``effective_graph_adjacency``) — for the standard
+    5-query top-10 beam search. The oracle twin rebuilds the
+    identical maintained state from scratch in SQL (base-trained
+    Lloyd walk, full-corpus assignment + adjacency), so a hash match
+    proves insert == frozen-quantizer rebuild for the whole graph:
+    adjacency, entries, and the beam descent."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    path = _gidxinc_path(spark, sf_dir)
+    q = similarity.corpus_queries(emb, n=5)
+    cents = similarity.load_ivf_centroids(spark, path)
+    return similarity.nsw_topk(
+        emb,
+        q,
+        k=10,
+        cents=cents,
+        adj=similarity.effective_graph_adjacency(spark, path),
+        entries=spark.read.parquet(f"{path}/entries"),
+    )
+
+
+def graph_index_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth/staleness readout of the maintained graph index: how
+    the inserted batch distributed over the frozen cells, plus the
+    append-only adjacency's live fraction (stored rows vs rows still
+    in an effective top-R) — the compact-when-stale monitor that is
+    the graph twin of ``ivf_cell_growth``."""
+    tune_for_oracle(spark)
+    path = _gidxinc_path(spark, sf_dir)
+    return similarity.graph_index_stats(spark, path)

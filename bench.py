@@ -391,6 +391,9 @@ BENCH_QUERIES = [
     "ann_ivfpq_incremental",
     "shard_plan",
     "media_jpeg",
+    # round 15 additions
+    "ann_graph_incremental",
+    "graph_index_growth",
 ]
 
 

@@ -394,9 +394,9 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         # slower. test_judge_alpha_reuses_ratings_exchange pins the
         # ReusedExchange that justifies this entry.
         "judge_alpha",
-        # HNSW's cells x cells entry grid (model-parameter scale — the
-        # source_semantic_map catalog-grid shape) and the 1-row global
-        # entry seed are intentional tiny broadcast cross joins
+        # HNSW's 1-row global entry seed is an intentional tiny
+        # broadcast cross join (the cells² entry grid left the probe
+        # plan in r15 — it is staged by build_graph_index now)
         "ann_hnsw",
     }
     # r12: negative_samples left this allowlist — its draw→interval
