@@ -1066,6 +1066,14 @@ def probe_ivf_index(
     corpus = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(probed_cells)
     )
+    # tombstone mask (deletion lifecycle): scanning the probed cells
+    # minus the deleted ids IS the frozen-quantizer
+    # rebuild-without-deleted, so the masked probe stays hash-exact
+    # vs that oracle; the anti-join is skipped entirely when no
+    # delete was ever recorded
+    ts = load_tombstones(spark, path)
+    if ts is not None:
+        corpus = corpus.join(ts, "vec_id", "left_anti")
     denom = F.col("_nv") * F.col("_nq")
     scored = (
         corpus.join(F.broadcast(probes), "cell")
@@ -1620,6 +1628,7 @@ def nsw_topk(
     cents=None,
     adj=None,
     entries=None,
+    mask=None,
 ) -> DataFrame:
     """Graph-based ANN (NSW / HNSW-lite; Malkov & Yashunin 2016): the
     index family every production vector store defaults to, and the
@@ -1716,6 +1725,14 @@ def nsw_topk(
             cand.unpersist()
         cand = nxt
     pin_for_query(cand)
+    # ``mask`` (DataFrame of vec_id): the tombstone semantic for graph
+    # probes — deleted nodes stay TRAVERSABLE (their edges still route
+    # the beam; candidate sets are unchanged) but are excluded from
+    # the RESULT ranking, so top-k ranks are re-drawn over survivors
+    # only. Exactly replayable by the oracle: same candidate sets,
+    # one extra filter before the final window.
+    if mask is not None:
+        cand = cand.join(mask, "vec_id", "left_anti")
     return (
         cand.withColumn("rank", F.row_number().over(wq))
         .filter(F.col("rank") <= k)
@@ -2164,6 +2181,84 @@ def graph_index_stats(
     )
 
 
+def tombstone_index(
+    spark,
+    path: str,
+    deleted: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """DELETE phase of every staged-index lifecycle (r14 verdict item
+    3): record deleted vector ids as an append-only
+    ``<path>/tombstones`` set — at 100 TB deletions (takedowns, dedup
+    purges) are as routine as appends, and rewriting a
+    cell-partitioned index per delete would be O(corpus). Probes mask
+    the tombstone set instead (``probe_ivf_index`` /
+    ``probe_ivfpq_index`` honor it automatically; the graph probes
+    take it as ``mask`` — tombstoned nodes stay TRAVERSABLE there,
+    they are only excluded from results, the standard graph-ANN
+    tombstone semantic). ``ivf_live_stats`` is the live-fraction
+    monitor that triggers compaction (rewrite the cells/codes minus
+    tombstones, drop the tombstone set)."""
+    deleted.select(F.col(id_col).alias("vec_id")).write.mode(
+        "append"
+    ).parquet(f"{path}/tombstones")
+
+
+def load_tombstones(spark, path: str):
+    """The index's tombstone set as a DataFrame(vec_id), or None if
+    no deletion was ever recorded (probes then skip the mask join
+    entirely — the common case costs nothing)."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "tombstones", "_SUCCESS")):
+        return None
+    return spark.read.parquet(f"{path}/tombstones").select(
+        "vec_id"
+    ).distinct()
+
+
+def ivf_live_stats(
+    spark, path: str, threshold: float = 0.8
+) -> DataFrame:
+    """Per-cell live fraction of a tombstoned IVF index: n_total /
+    n_deleted / live_frac and the compact flag (live_frac below
+    ``threshold``). The deletion-side staleness monitor pairing
+    ``ivf_cell_stats``' growth side: a cell the probe keeps scanning
+    for mostly-dead rows is paying tombstone rent — compact it."""
+    cells = spark.read.parquet(f"{path}/cells").select("vec_id", "cell")
+    ts = load_tombstones(spark, path)
+    if ts is None:
+        dead = F.lit(False)
+        cells = cells.withColumn("_dead", dead)
+    else:
+        cells = cells.join(
+            ts.withColumn("_dead", F.lit(True)), "vec_id", "left"
+        ).withColumn("_dead", F.coalesce(F.col("_dead"), F.lit(False)))
+    return (
+        cells.groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("_dead").cast("bigint")).alias("n_deleted"),
+        )
+        .select(
+            "cell",
+            "n_total",
+            "n_deleted",
+            F.round(
+                (F.col("n_total") - F.col("n_deleted")).cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("live_frac"),
+            (
+                (F.col("n_total") - F.col("n_deleted")).cast("double")
+                / F.col("n_total").cast("double")
+                < F.lit(threshold)
+            ).alias("needs_compaction"),
+        )
+        .orderBy("cell")
+    )
+
+
 def build_ivfpq_index(
     emb: DataFrame,
     path: str,
@@ -2351,6 +2446,11 @@ def probe_ivfpq_index(
     encoded = spark.read.parquet(f"{path}/codes").filter(
         F.col("cell").isin(cells)
     )
+    # tombstone mask — same contract as probe_ivf_index: the masked
+    # ADC scan equals rebuilding the codes without the deleted rows
+    ts = load_tombstones(spark, path)
+    if ts is not None:
+        encoded = encoded.join(ts, "vec_id", "left_anti")
     raw_vecs = emb.select(
         F.col("vec_id"), F.col("embedding").alias("v")
     )

@@ -505,6 +505,7 @@ def ann_graph_sql(
     dim: int = 64,
     k: int = 10,
     train_src_sql: str | None = None,
+    final_where: str | None = None,
 ) -> str:
     """Twin of ``similarity.nsw_topk``: the ``_kmeans_ctes`` coarse
     walk, the within-cell top-R adjacency, one entry point per cell
@@ -518,7 +519,10 @@ def ann_graph_sql(
     ``train_src_sql`` restricts the Lloyd walk's training set (the
     maintained-index twins train on the pre-existing corpus only);
     assignment, adjacency and the probe always run over the FULL
-    corpus — the frozen-quantizer rebuild."""
+    corpus — the frozen-quantizer rebuild. ``final_where`` filters
+    the candidate set ONLY at the final ranking (the graph tombstone
+    semantic: deleted nodes stay traversable, excluded from
+    results)."""
     last = f"c{iters}"
     parts = [
         f"""{_kmeans_ctes(n_centroids, dim, iters, src_sql=train_src_sql)},
@@ -590,13 +594,14 @@ assign AS (
 )"""
         )
         prev = f"cand{t}"
+    fw = f" WHERE {final_where}" if final_where else ""
     parts.append(
         f"""
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
   SELECT query_id, vec_id, cosine,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, vec_id ASC) AS rank
-  FROM {prev}
+  FROM {prev}{fw}
 ) WHERE rank <= {k}"""
     )
     return "".join(parts)
@@ -9474,3 +9479,128 @@ SELECT CAST(cell AS INT) AS cell,
                          / CAST(sum(n_stored) AS DOUBLE), 6) END
          AS stale_share
 FROM src_stats GROUP BY cell"""
+
+
+def ann_ivf_delete_sql(
+    del_mod: int = 7,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 2,
+    dim: int = 64,
+    k: int = 10,
+) -> str:
+    """Twin of queries.ann_delete_mask: the maintained-IVF state
+    (base-trained quantizer, full corpus assigned) REBUILT WITHOUT
+    the deleted rows — identical to ann_ivf_incremental_sql except
+    scored excludes ``vec_id % del_mod = 0``. A hash match proves the
+    tombstone mask at probe time equals this rebuild exactly."""
+    last = f"c{iters}"
+    return f"""{_ivfinc_ctes(n_centroids, iters, dim)},
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT 5
+), probes AS (
+  SELECT query_id, qvec, cid AS cell FROM (
+    SELECT q.query_id, q.qvec, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({_cosine('q.qvec', 'c.cvec')}, 6) DESC,
+                                       c.cid ASC) AS pr
+    FROM q CROSS JOIN {last} c
+  ) WHERE pr <= {nprobe}
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({_cosine('a.embedding', 'p.qvec')}, 6) AS cosine
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id != p.query_id AND a.vec_id % {del_mod} != 0
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def ivf_live_fraction_sql(
+    del_mod: int = 7,
+    threshold: float = 0.8,
+    n_centroids: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """Twin of queries.ivf_live_fraction: per-cell tombstone density
+    of the maintained+deleted index — exact integers, the unrounded
+    double comparison for the compact flag (identical division in
+    both engines), one 6-dp share."""
+    live = (
+        "CAST(count(*) - sum(CASE WHEN vec_id % "
+        f"{del_mod} = 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+    )
+    return f"""{_ivfinc_ctes(n_centroids, iters, dim)}
+SELECT CAST(cell AS INT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN vec_id % {del_mod} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_deleted,
+       round({live} / CAST(count(*) AS DOUBLE), 6) AS live_frac,
+       {live} / CAST(count(*) AS DOUBLE) < CAST({threshold} AS DOUBLE)
+         AS needs_compaction
+FROM assign GROUP BY cell"""
+
+
+def ann_churn_recall_sql(del_mod: int = 7) -> str:
+    """Twin of queries.ann_churn_recall: recall@10 after CHURN — the
+    maintained index (base-trained quantizer, batch appended) with
+    tombstones masked at probe time, measured against brute force
+    over the SURVIVORS. Both arms replay exactly: the IVF arm scans
+    probed cells minus deleted; the graph arm traverses the full
+    frozen-rebuild graph (tombstoned nodes stay traversable) and
+    drops deleted ids only at the final ranking."""
+    brute = f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_cosine('e.embedding', 'q.qvec')}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id AND e.vec_id % {del_mod} != 0
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id FROM ranked WHERE rank <= 10"""
+    arms = [
+        ("ivf", ann_ivf_delete_sql(del_mod)),
+        (
+            "graph",
+            ann_graph_sql(
+                train_src_sql=ANN_GRAPH_INC_TRAIN_SRC,
+                final_where=f"vec_id % {del_mod} != 0",
+            ),
+        ),
+    ]
+    ctes = ",\n".join(
+        f"{name} AS (SELECT * FROM ({sql}))" for name, sql in arms
+    )
+    cols = ",\n".join(
+        f"""  CAST(sum(CASE WHEN {name}.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS hit_{name},
+  round(sum(CASE WHEN {name}.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS recall_{name}"""
+        for name, _ in arms
+    )
+    joins = "\n".join(
+        f"LEFT JOIN {name} ON b.query_id = {name}.query_id"
+        f" AND b.vec_id = {name}.vec_id"
+        for name, _ in arms
+    )
+    return f"""WITH brute AS (SELECT * FROM ({brute})),
+{ctes}
+SELECT b.query_id,
+  CAST(count(*) AS BIGINT) AS n_true,
+{cols}
+FROM brute b
+{joins}
+GROUP BY b.query_id"""

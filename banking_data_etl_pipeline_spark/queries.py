@@ -4323,3 +4323,116 @@ def graph_index_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
     path = _gidxinc_path(spark, sf_dir)
     return similarity.graph_index_stats(spark, path)
+
+
+def _ivfdel_path(spark: SparkSession, sf_dir: str) -> str:
+    """The full-churn IVF index staged once per corpus snapshot:
+    build on the base split, append the batch with the quantizer
+    frozen, then TOMBSTONE the deletion set (vec_id % 7 == 0 — a
+    deliberately different residue than the %5 append screen, so
+    deletes hit base and batch rows alike)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    def build(d: str) -> None:
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        similarity.build_ivf_index(base, d)
+        similarity.add_to_ivf_index(
+            spark, d, emb.filter(F.col("vec_id") % 5 == 0)
+        )
+        similarity.tombstone_index(
+            spark, d, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+        )
+
+    return _staged_index(sf_dir, "ivfdel", "tombstones", build)
+
+
+def _gidxdel_path(spark: SparkSession, sf_dir: str) -> str:
+    """The full-churn GRAPH index: base build, frozen-quantizer
+    insert, tombstones — the graph half of the churn pair."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    def build(d: str) -> None:
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        similarity.build_graph_index(base, d)
+        similarity.add_to_graph_index(
+            spark, d, emb.filter(F.col("vec_id") % 5 == 0)
+        )
+        similarity.tombstone_index(
+            spark, d, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+        )
+
+    return _staged_index(sf_dir, "gidxdel", "tombstones", build)
+
+
+def ann_delete_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN deletion path (r14 verdict item 3): probe the maintained
+    IVF index with its tombstone set masked at scan time — the probe
+    reads the probed cells minus deleted ids, which IS the
+    frozen-quantizer rebuild-without-deleted. The oracle rebuilds
+    that state from scratch, so a hash match proves delete ==
+    rebuild exactly (the deletion analogue of ann_ivf_incremental's
+    add == rebuild)."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    path = _ivfdel_path(spark, sf_dir)
+    q = similarity.corpus_queries(emb, n=5)
+    return similarity.probe_ivf_index(spark, path, q, k=10)
+
+
+def ivf_live_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell live fraction of the tombstoned IVF index: n_total /
+    n_deleted / live_frac and the compact-when-stale flag — the
+    deletion-side monitor pairing ivf_cell_growth's append side.
+    At 100 TB this decides WHICH cells to compact (rewrite minus
+    tombstones), not whether to retrain."""
+    tune_for_oracle(spark)
+    path = _ivfdel_path(spark, sf_dir)
+    return similarity.ivf_live_stats(spark, path)
+
+
+def ann_churn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 AFTER CHURN (r14 verdict item 3): the maintained
+    indexes (base-trained quantizer, batch appended, tombstones
+    masked at probe) measured against brute force over the
+    SURVIVORS — the number that decides when accumulated churn has
+    cost enough recall to warrant compaction or retrain. IVF masks
+    at scan; the graph arm keeps tombstoned nodes traversable and
+    drops them at the final ranking (the production graph-ANN
+    tombstone semantic). Both arms replay exactly in the twin."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = similarity.corpus_queries(emb, n=5)
+    survivors = emb.filter(F.col("vec_id") % 7 != 0)
+    truth = similarity.brute_force_topk(survivors, q, k=10).select(
+        "query_id", "vec_id"
+    )
+    ivf_path = _ivfdel_path(spark, sf_dir)
+    g_path = _gidxdel_path(spark, sf_dir)
+    arms = {
+        "ivf": similarity.probe_ivf_index(spark, ivf_path, q, k=10),
+        "graph": similarity.nsw_topk(
+            emb,
+            q,
+            k=10,
+            cents=similarity.load_ivf_centroids(spark, g_path),
+            adj=similarity.effective_graph_adjacency(spark, g_path),
+            entries=spark.read.parquet(f"{g_path}/entries"),
+            mask=similarity.load_tombstones(spark, g_path),
+        ),
+    }
+    joined = truth
+    for name, arm in arms.items():
+        joined = joined.join(
+            arm.select("query_id", "vec_id", F.lit(1).alias(f"_{name}")),
+            ["query_id", "vec_id"],
+            "left",
+        )
+    n_true = F.count(F.lit(1))
+    aggs = [n_true.cast("bigint").alias("n_true")]
+    for name in arms:
+        hit = F.sum(F.coalesce(F.col(f"_{name}"), F.lit(0)))
+        aggs.append(hit.cast("bigint").alias(f"hit_{name}"))
+        aggs.append(
+            F.round(hit.cast("double") / n_true, 6).alias(f"recall_{name}")
+        )
+    return joined.groupBy("query_id").agg(*aggs)

@@ -394,6 +394,9 @@ BENCH_QUERIES = [
     # round 15 additions
     "ann_graph_incremental",
     "graph_index_growth",
+    "ann_delete_mask",
+    "ivf_live_fraction",
+    "ann_churn_recall",
 ]
 
 
