@@ -9548,6 +9548,54 @@ SELECT CAST(cell AS INT) AS cell,
 FROM assign GROUP BY cell"""
 
 
+# Twin of multimodal.jpeg.decode_color_jpeg_stats over
+# synthesize_color_jpeg: luma constant per 8x8 block on the 2bw x 2bh
+# luma-block grid, chroma constant per MCU on the bw x bh grid —
+# content on which quantizer-1 baseline 4:2:0 JPEG is exactly
+# lossless per channel, so the twin recomputes the decode stats from
+# the synthesis arithmetic with no byte access; agreement proves the
+# interleaved-MCU entropy decode, the three DC predictor chains, and
+# both table slots round-tripped every pixel of all three planes.
+MEDIA_JPEG_COLOR_Q = """WITH g AS (
+  SELECT doc_id AS media_id,
+         2 + doc_id % 3 AS bw,
+         2 + doc_id % 2 AS bh
+  FROM documents
+), lk AS (
+  SELECT media_id, bw, bh, unnest(range(0, 4 * bw * bh)) AS k FROM g
+), lv AS (
+  SELECT media_id, bw, bh,
+         (media_id * 37 + (k % (2 * bw)) * 11 + (k // (2 * bw)) * 23)
+           % 256 AS val
+  FROM lk
+), la AS (
+  SELECT media_id, min(bw) AS bw, min(bh) AS bh,
+         64 * sum(val) AS sum_y,
+         min(val) AS mn, max(val) AS mx
+  FROM lv GROUP BY media_id
+), ck AS (
+  SELECT media_id, bw, unnest(range(0, bw * bh)) AS k FROM g
+), cv AS (
+  SELECT media_id,
+         (media_id * 41 + (k % bw) * 13 + (k // bw) * 29) % 256 AS cbv,
+         (media_id * 43 + (k % bw) * 17 + (k // bw) * 31) % 256 AS crv
+  FROM ck
+), ca AS (
+  SELECT media_id, 64 * sum(cbv) AS sum_cb, 64 * sum(crv) AS sum_cr
+  FROM cv GROUP BY media_id
+)
+SELECT la.media_id,
+       CAST(16 * bw AS INT) AS width,
+       CAST(16 * bh AS INT) AS height,
+       CAST(256 * bw * bh AS BIGINT) AS n_px,
+       CAST(sum_y AS BIGINT) AS sum_y,
+       CAST(sum_cb AS BIGINT) AS sum_cb,
+       CAST(sum_cr AS BIGINT) AS sum_cr,
+       CAST(mn AS INT) AS min_y,
+       CAST(mx AS INT) AS max_y
+FROM la JOIN ca ON la.media_id = ca.media_id"""
+
+
 def ann_churn_recall_sql(del_mod: int = 7) -> str:
     """Twin of queries.ann_churn_recall: recall@10 after CHURN — the
     maintained index (base-trained quantizer, batch appended) with

