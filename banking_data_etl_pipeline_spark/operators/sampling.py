@@ -755,3 +755,90 @@ def shard_plan(
             F.max(id_col).alias("last_doc"),
         )
     )
+
+
+def pretrain_manifest(
+    docs: DataFrame,
+    shard_tokens: int = 512,
+    max_dup_share: float = 0.5,
+    alpha: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """The curation exports composed END-TO-END (r14 verdict item 5):
+    chunk-level dedup gate → multi-signal quality gate → temperature
+    mixing over the CURATED corpus → token-budget shard plan, in one
+    DataFrame DAG with no driver-side glue between stages.
+
+    Per output shard the manifest reports the rollup a trainer's
+    data loader needs: doc/token counts, the id range, and
+    ``mix_weight`` — the shard's token-weighted mean temperature
+    sampling weight (how hot to sample this shard given the
+    alpha-mix over curated sources).
+
+    Float parity at the one risky seam: the weighted numerator sums
+    ``n_tokens × weight`` in DECIMAL space (weight re-quantized to
+    DECIMAL(18,6) — exact, order-independent addition in both
+    engines), and only the final division happens in doubles; a
+    double summation here would depend on row order. Every stage
+    keeps its own scale shape: banded dedup, map-only quality
+    signals + the one vocab-model join, one groupBy(source) +
+    scalar subqueries for the mix, the distributed prefix sum for
+    shards — composing them adds only the two doc-keyed gate joins."""
+    from . import corpus as corpus_ops, dedup
+
+    dup_ok = (
+        dedup.chunk_dup_rollup(docs, text_col=text_col, id_col=id_col)
+        .filter(F.col("dup_chunk_share") < max_dup_share)
+        .select(id_col)
+    )
+    qual_ok = (
+        corpus_ops.quality_ensemble(docs, text_col, id_col)
+        .filter(F.col("kept"))
+        .select(id_col)
+    )
+    kept = docs.join(dup_ok, id_col).join(qual_ok, id_col)
+    weights = temperature_weights(
+        kept, alpha=alpha, source_col=source_col, text_col=text_col
+    ).select(source_col, "weight")
+    from ..functions import texttools
+
+    per_doc = kept.select(
+        F.col(id_col),
+        F.col(source_col),
+        texttools.token_count(F.col(text_col)).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    cum, _total = _dist_prefix_sum(
+        per_doc, [F.col(id_col).asc()], "n_tokens", "cum_tokens"
+    )
+    wdec = F.col("weight").cast("decimal(18,6)")
+    return (
+        cum.withColumn(
+            "shard_id",
+            F.expr(f"(cum_tokens - n_tokens) DIV {int(shard_tokens)}"),
+        )
+        .join(F.broadcast(weights), source_col)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+            F.sum(F.col("n_tokens") * wdec).alias("_wsum"),
+        )
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            "first_doc",
+            "last_doc",
+            F.round(
+                F.col("_wsum").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("mix_weight"),
+        )
+    )

@@ -9596,6 +9596,61 @@ SELECT la.media_id,
 FROM la JOIN ca ON la.media_id = ca.media_id"""
 
 
+def pretrain_manifest_sql(
+    shard_tokens: int = 512, max_dup_share: float = 0.5
+) -> str:
+    """Twin of queries.pretrain_manifest: the proven chunk-dedup and
+    quality-ensemble twins verbatim as gate subqueries, the
+    temperature-mix arithmetic over the CURATED corpus, the prefix-sum
+    shard assignment (single-partition window here — the Spark side
+    distributes it), and the shard rollup. The mix numerator sums
+    n_tokens × weight in DECIMAL(18,6) space exactly as the Spark
+    side does (order-independent exact addition; only the final
+    division runs in doubles)."""
+    return f"""WITH dupg AS (
+  SELECT doc_id FROM ({chunk_dup_rollup_sql()})
+  WHERE dup_chunk_share < CAST({max_dup_share} AS DOUBLE)
+), qg AS (
+  SELECT doc_id FROM ({QUALITY_ENSEMBLE_Q}) WHERE kept
+), kept AS (
+  SELECT d.doc_id, d.source, CAST(len({TOKS}) AS BIGINT) AS n_tokens
+  FROM documents d
+  JOIN dupg ON d.doc_id = dupg.doc_id
+  JOIN qg ON d.doc_id = qg.doc_id
+), s AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+  FROM kept GROUP BY source
+), t AS (
+  SELECT CAST(sum(src_tokens) AS DOUBLE) AS tt FROM s
+), z AS (
+  SELECT sum(power(CAST(src_tokens AS DOUBLE) / tt, 0.3)) AS z FROM s, t
+), w AS (
+  SELECT source,
+         CAST(round(power(CAST(src_tokens AS DOUBLE) / tt, 0.3) / z, 6)
+              AS DECIMAL(18,6)) AS wdec
+  FROM s, t, z
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM kept
+), sh AS (
+  SELECT c.doc_id, c.n_tokens,
+         (c.cum - c.n_tokens) // {int(shard_tokens)} AS shard_id,
+         w.wdec
+  FROM c JOIN w ON c.source = w.source
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc,
+       round(CAST(sum(n_tokens * wdec) AS DOUBLE)
+             / CAST(sum(n_tokens) AS DOUBLE), 6) AS mix_weight
+FROM sh GROUP BY shard_id"""
+
+
 def ann_churn_recall_sql(del_mod: int = 7) -> str:
     """Twin of queries.ann_churn_recall: recall@10 after CHURN — the
     maintained index (base-trained quantizer, batch appended) with

@@ -4438,6 +4438,20 @@ def ann_churn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("query_id").agg(*aggs)
 
 
+def pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation exports composed end-to-end (r14 verdict item 5):
+    chunk-dedup share gate → quality ensemble → temperature mix over
+    the curated corpus → token-budget shard plan, one DataFrame DAG,
+    one manifest — proves the r14 export ops compose without
+    driver-side glue."""
+    from .operators import sampling
+
+    tune_for_oracle(spark)
+    return sampling.pretrain_manifest(
+        tables.load(spark, sf_dir, "documents")
+    )
+
+
 def media_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL 4:2:0 color-JPEG decode (r14 verdict item 4): interleaved
     16×16 MCUs (four Y data units + Cb + Cr), three DC predictor

@@ -398,6 +398,7 @@ BENCH_QUERIES = [
     "ivf_live_fraction",
     "ann_churn_recall",
     "media_jpeg_color",
+    "pretrain_manifest",
 ]
 
 
