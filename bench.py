@@ -579,6 +579,21 @@ def main() -> None:
         n for n in BENCH_QUERIES
         if n in prev_round and _is_regression(warm[n], prev_round[n])
     ]
+    # NEAR-THRESHOLD bucket (r14 verdict item 6): market_share drifted
+    # 1.49x round-over-round but sat under the absolute-delta cutoffs,
+    # so it was never re-timed and the drift went unadjudicated. Any
+    # query whose round-over-round warm ratio is >= 1.4x now joins the
+    # re-time queue even when the flag rules pass on it, and gets its
+    # own loadavg-stamped verdict (ratio-based: drift vs noise) — so
+    # BENCH_r{N} carries a verdict for EVERY >= 1.4x r-o-r mover, not
+    # just the ones big enough to flag.
+    near_threshold = [
+        n for n in BENCH_QUERIES
+        if n in prev_round
+        and prev_round[n] > 0
+        and warm[n] >= 1.4 * prev_round[n]
+        and n not in flagged_round
+    ]
     # re-time EVERY flagged query (r13 verdict item 3: the 24-entry
     # cap left 26 anchor deltas "unconfirmed (capped)" exactly when
     # the battery was noisiest — the cap is gone; the sub-second
@@ -586,7 +601,10 @@ def main() -> None:
     # Ordering stays largest-delta-first so a manual abort still
     # covers the worst offenders.
     to_retime = sorted(
-        set(flagged_prev) | set(flagged_anchor) | set(flagged_round),
+        set(flagged_prev)
+        | set(flagged_anchor)
+        | set(flagged_round)
+        | set(near_threshold),
         key=lambda n: -max(
             warm[n] - prev.get(n, warm[n]),
             warm[n] - anchor.get(n, warm[n]),
@@ -628,6 +646,27 @@ def main() -> None:
     round_deltas = _delta_section(
         flagged_round, prev_round, "prev_round_close_warm"
     )
+    # near-threshold verdicts are RATIO-based (the bucket exists for
+    # drifts too small for the absolute flag rules): isolated-n3 min
+    # still >= 1.4x the last close -> "confirmed-drift", else noise
+    near_deltas: dict[str, dict] = {}
+    for name in near_threshold:
+        d = {
+            "prev_round_close_warm": prev_round[name],
+            "battery_warm": warm[name],
+            "ratio": round(warm[name] / prev_round[name], 2),
+        }
+        if name in retimed:
+            d["isolated_n3_min"] = retimed[name]
+            d["load_at_retime"] = retime_load[name]
+            d["verdict"] = (
+                "confirmed-drift"
+                if retimed[name] >= 1.4 * prev_round[name]
+                else "noise"
+            )
+        else:
+            d["verdict"] = "unconfirmed (not re-timed)"
+        near_deltas[name] = d
 
     # rows/sec for the flagship against the 1M/252s baseline anchor
     # (cold, like the anchor's single fresh run) PLUS the warm
@@ -669,6 +708,7 @@ def main() -> None:
             "regression_deltas": deltas,
             "round_anchor_deltas": anchor_deltas,
             "round_over_round_deltas": round_deltas,
+            "near_threshold_deltas": near_deltas,
             "round_over_round_baseline": os.path.basename(prev_round_file),
         }
     )
@@ -719,7 +759,13 @@ def main() -> None:
                 "vs_prev_run": len(deltas),
                 "vs_anchor": len(anchor_deltas),
                 "vs_prev_round_close": len(round_deltas),
+                "near_threshold": len(near_deltas),
             },
+            "near_threshold_drift_confirmed": sorted(
+                n
+                for n, d in near_deltas.items()
+                if d.get("verdict") == "confirmed-drift"
+            ),
             # the 8 slowest warm queries — dict-shaped per the driver
             # contract; the FULL 300+-entry map is in bench_result.json
             "queries": slowest,
