@@ -2111,6 +2111,105 @@ def effective_graph_adjacency(
     )
 
 
+def effective_layer1_adjacency(
+    spark, path: str, r1_neighbors: int = 4
+) -> DataFrame:
+    """The maintained layer-1 lists resolved the same way as layer 0
+    (top-R1 per src over base + delta rows), UNIONED with the staged
+    entry grid — exactly the ``adj1`` frame ``hnsw_topk`` expects.
+    The grid needs no merge: it is model-parameter state rewritten
+    wholesale whenever entries change."""
+    w = Window.partitionBy("src").orderBy(
+        F.col("_sim").desc(), F.col("dst").asc()
+    )
+    cell_rows = (
+        spark.read.parquet(f"{path}/adjacency1")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= r1_neighbors)
+        .select("src", "dst", "dvec")
+    )
+    return cell_rows.unionByName(
+        spark.read.parquet(f"{path}/entrygrid")
+    ).dropDuplicates(["src", "dst"])
+
+
+def compact_graph_index(
+    spark,
+    path: str,
+    r_neighbors: int = 8,
+    r1_neighbors: int = 4,
+    n_buckets: int = 16,
+) -> None:
+    """COMPACT phase of the graph-index lifecycle: rewrite both
+    adjacency layers through their effective top-R merges, reclaiming
+    every superseded (entered-then-displaced) delta row. Run it when
+    ``graph_index_stats``' stale_share crosses the rent threshold;
+    afterwards stored == live (each src holds exactly its top-R
+    rows) and probes read minimal files again. Purely about
+    append-only bloat — tombstones are a separate axis (they mask at
+    probe and are reclaimed by a rebuild, since removing a node also
+    changes survivors' neighbor lists).
+
+    The rewrite stages into ``<dir>_compact`` and swaps directories
+    only after the write commits — a reader never sees a
+    half-compacted layout."""
+    import os
+    import shutil
+
+    def swap(sub: str, frame: DataFrame, partition_by=None) -> None:
+        tmp = f"{path}/{sub}_compact"
+        w = frame.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(tmp)
+        old = os.path.join(path, sub)
+        shutil.rmtree(old)
+        os.rename(os.path.join(path, f"{sub}_compact"), old)
+
+    w0 = Window.partitionBy("src").orderBy(
+        F.col("_sim").desc(), F.col("dst").asc()
+    )
+    adj = (
+        spark.read.parquet(f"{path}/adjacency")
+        .withColumn("_r", F.row_number().over(w0))
+        .filter(F.col("_r") <= r_neighbors)
+        .select("src", "dst", "dvec", "_sim")
+        .withColumn("bucket", F.pmod(F.col("src"), F.lit(n_buckets)))
+    )
+    swap("adjacency", adj, "bucket")
+    adj1 = (
+        spark.read.parquet(f"{path}/adjacency1")
+        .withColumn("_r", F.row_number().over(w0))
+        .filter(F.col("_r") <= r1_neighbors)
+        .select("src", "dst", "dvec", "_sim")
+    )
+    swap("adjacency1", adj1)
+
+
+def compact_ivf_index(spark, path: str) -> None:
+    """COMPACT phase of the IVF deletion lifecycle: rewrite the
+    cell-partitioned corpus minus the tombstone set and DROP the
+    tombstones — probes stop paying the mask join and dead-row scan
+    rent. Trigger on ``ivf_live_stats``' needs_compaction flag. The
+    masked probe and the compacted probe are result-identical by
+    construction (the same survivor set scans), so the compacted
+    index shares the delete oracle."""
+    import os
+    import shutil
+
+    ts = load_tombstones(spark, path)
+    if ts is None:
+        return
+    cells = spark.read.parquet(f"{path}/cells").join(
+        ts, "vec_id", "left_anti"
+    )
+    tmp = f"{path}/cells_compact"
+    cells.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    shutil.rmtree(os.path.join(path, "cells"))
+    os.rename(os.path.join(path, "cells_compact"), os.path.join(path, "cells"))
+    shutil.rmtree(os.path.join(path, "tombstones"))
+
+
 def graph_index_stats(
     spark,
     path: str,

@@ -9241,15 +9241,20 @@ def ann_hnsw_sql(
     iters: int = 2,
     dim: int = 64,
     k: int = 10,
+    train_src_sql: str | None = None,
 ) -> str:
     """Twin of ``similarity.hnsw_topk``: the ann_graph_sql machinery
     with a LAYER-1 descent prepended — sampled within-cell top-R1
     lists unioned with the complete cell-entry grid, a single global
     entry (min entry id), ``hops1`` unrolled greedy rounds, then the
-    base-layer beam search seeded by the layer-1 winners."""
+    base-layer beam search seeded by the layer-1 winners.
+    ``train_src_sql`` restricts the Lloyd walk only (the maintained-
+    index twin trains on the base split; both layers, entries and
+    the descent rebuild over the FULL corpus — the frozen-quantizer
+    rebuild)."""
     last = f"c{iters}"
     parts = [
-        f"""{_kmeans_ctes(n_centroids, dim, iters)},
+        f"""{_kmeans_ctes(n_centroids, dim, iters, src_sql=train_src_sql)},
 assign AS (
   SELECT e.vec_id, e.embedding,
          (SELECT c.cid FROM {last} c
@@ -9420,6 +9425,7 @@ def graph_index_growth_sql(
     r_neighbors: int = 8,
     iters: int = 2,
     dim: int = 64,
+    compacted: bool = False,
 ) -> str:
     """Twin of queries.graph_index_growth: rebuilds the maintained
     adjacency's STORED-ROW ledger from first principles — per base
@@ -9428,7 +9434,17 @@ def graph_index_growth_sql(
     rows the enter-top-R screen appends, by the monotone argument in
     ``add_to_graph_index``), per new src its insert-time top-R; live
     rows are the full rebuild's top-R. Cell-level sums + the stale
-    share."""
+    share. ``compacted=True`` twins the POST-COMPACTION readout:
+    stored collapses to live (every superseded row reclaimed), stale
+    share identically zero."""
+    if compacted:
+        stored_expr = "coalesce(f.c, 0)"
+    else:
+        stored_expr = (
+            "CASE WHEN s.vec_id % 5 != 0"
+            " THEN coalesce(b.c, 0) + coalesce(e.c, 0)"
+            " ELSE coalesce(f.c, 0) END"
+        )
     return f"""{_ivfinc_ctes(n_centroids, iters, dim)},
 base_adj AS (
   SELECT src, dst FROM (
@@ -9457,9 +9473,7 @@ base_adj AS (
   SELECT src, count(*) AS c FROM full_adj GROUP BY src
 ), src_stats AS (
   SELECT s.vec_id, s.cell,
-         CASE WHEN s.vec_id % 5 != 0
-              THEN coalesce(b.c, 0) + coalesce(e.c, 0)
-              ELSE coalesce(f.c, 0) END AS n_stored,
+         {stored_expr} AS n_stored,
          coalesce(f.c, 0) AS n_live
   FROM assign s
   LEFT JOIN bsc b ON b.src = s.vec_id

@@ -4325,6 +4325,84 @@ def graph_index_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.graph_index_stats(spark, path)
 
 
+def ann_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HNSW maintenance: the frozen-quantizer insert
+    maintains BOTH layers (layer-1 membership by the same id-residue
+    rule; entries and the entry grid remerged), and the probe
+    resolves each layer through its effective top-R merge. The twin
+    rebuilds the whole two-layer state from scratch with the
+    base-trained quantizer — a hash match proves the hierarchical
+    index is maintained end-to-end, not just layer 0."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    path = _gidxinc_path(spark, sf_dir)
+    q = similarity.corpus_queries(emb, n=5)
+    cents = similarity.load_ivf_centroids(spark, path)
+    return similarity.hnsw_topk(
+        emb,
+        q,
+        k=10,
+        cents=cents,
+        adj0=similarity.effective_graph_adjacency(spark, path),
+        adj1=similarity.effective_layer1_adjacency(spark, path),
+        entries=spark.read.parquet(f"{path}/entries"),
+    )
+
+
+def _gidxcmp_path(spark: SparkSession, sf_dir: str) -> str:
+    """The maintained-then-COMPACTED graph index: the gidxinc build
+    recipe followed by ``compact_graph_index`` — every superseded
+    delta row reclaimed, both layers rewritten to their effective
+    top-R."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    def build(d: str) -> None:
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        similarity.build_graph_index(base, d)
+        similarity.add_to_graph_index(
+            spark, d, emb.filter(F.col("vec_id") % 5 == 0)
+        )
+        similarity.compact_graph_index(spark, d)
+
+    return _staged_index(sf_dir, "gidxcmp", "centroids", build)
+
+
+def graph_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION closes the graph-index lifecycle: after rewriting
+    the append-only layers through their effective top-R merges, the
+    growth readout must show stored == live with stale_share exactly
+    zero in every cell — the twin pins that invariant against the
+    from-scratch ledger (compacted mode)."""
+    tune_for_oracle(spark)
+    path = _gidxcmp_path(spark, sf_dir)
+    return similarity.graph_index_stats(spark, path)
+
+
+def ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF compaction: rewrite the cells minus the tombstone set,
+    drop the tombstones, probe. Result-identical to the masked probe
+    by construction (same survivor scan), so it SHARES
+    ann_delete_mask's rebuild-without-deleted oracle — while the
+    plan no longer contains the mask anti-join at all."""
+    tune_for_oracle(spark)
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    def build(d: str) -> None:
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        similarity.build_ivf_index(base, d)
+        similarity.add_to_ivf_index(
+            spark, d, emb.filter(F.col("vec_id") % 5 == 0)
+        )
+        similarity.tombstone_index(
+            spark, d, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+        )
+        similarity.compact_ivf_index(spark, d)
+
+    path = _staged_index(sf_dir, "ivfcmp", "centroids", build)
+    q = similarity.corpus_queries(emb, n=5)
+    return similarity.probe_ivf_index(spark, path, q, k=10)
+
+
 def _ivfdel_path(spark: SparkSession, sf_dir: str) -> str:
     """The full-churn IVF index staged once per corpus snapshot:
     build on the base split, append the batch with the quantizer

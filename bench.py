@@ -399,6 +399,9 @@ BENCH_QUERIES = [
     "ann_churn_recall",
     "media_jpeg_color",
     "pretrain_manifest",
+    "ann_hnsw_incremental",
+    "graph_compact",
+    "ivf_compact",
 ]
 
 
