@@ -396,8 +396,14 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         "judge_alpha",
         # HNSW's 1-row global entry seed is an intentional tiny
         # broadcast cross join (the cells² entry grid left the probe
-        # plan in r15 — it is staged by build_graph_index now)
+        # plan in r15 — it is staged by build_graph_index now); the
+        # maintained-index probe shares the seed shape
         "ann_hnsw",
+        "ann_hnsw_incremental",
+        # composes brute_force_topk over the survivor set for its
+        # ground truth — the ann_brute intentional broadcast cross
+        # join; both index arms and the recall joins are equi-joins
+        "ann_churn_recall",
     }
     # r12: negative_samples left this allowlist — its draw→interval
     # lookup is now a bucketed-cell BroadcastHashJoin (the production
