@@ -309,6 +309,7 @@ def temperature_weights(
     token_budget: int = 1_000_000,
     source_col: str = "source",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Temperature-scaled source mixing (the mT5/XLM-R alpha-sampling
     rule): sampling weight per source ∝ (token share)^alpha,
@@ -329,16 +330,27 @@ def temperature_weights(
     Returns one row per source: (source, n_docs, n_tokens, p_raw,
     weight, epochs_at_budget), doubles rounded to 6 dp per the oracle
     parity rules.
+
+    ``tokens_col`` lets a caller that ALREADY materialized per-doc
+    token counts (``token_count`` semantics — ``pretrain_manifest``
+    pins exactly that frame for its shard arm) feed them in instead of
+    re-tokenizing ``text_col``: ``sum(tokens_col)`` is bit-identical
+    to ``sum(size(tokens(text)))`` because ``token_count`` IS
+    ``size(tokens(..))``, so the weights are unchanged and the
+    corpus-sized tokenize pass is not paid twice.
     """
     from ..functions import texttools
 
+    n_toks = (
+        F.sum(F.col(tokens_col))
+        if tokens_col is not None
+        else F.sum(F.size(texttools.tokens(F.col(text_col))))
+    )
     per_src = (
         docs.groupBy(source_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(texttools.tokens(F.col(text_col))))
-            .cast("bigint")
-            .alias("n_tokens"),
+            n_toks.cast("bigint").alias("n_tokens"),
         )
         .persist()
     )
@@ -785,8 +797,20 @@ def pretrain_manifest(
     keeps its own scale shape: banded dedup, map-only quality
     signals + the one vocab-model join, one groupBy(source) +
     scalar subqueries for the mix, the distributed prefix sum for
-    shards — composing them adds only the two doc-keyed gate joins."""
+    shards — composing them adds only the two doc-keyed gate joins.
+
+    The gates run ONCE: both downstream arms (the per-source mix and
+    the shard prefix sum) fan out of one PINNED narrow per-doc frame
+    (id, source, n_tokens — fixed-width, never the text), so the
+    banded-dedup + quality DAG is not re-executed per arm; the mix
+    arm feeds ``temperature_weights(tokens_col=..)`` the already-
+    counted tokens (bit-identical weights — ``token_count`` IS
+    ``size(tokens(..))``). At 100 TB the pin is optional (it is a
+    deterministic recompute under LRU eviction); what matters is the
+    frame it caches is id+counts-sized, not corpus-sized."""
     from . import corpus as corpus_ops, dedup
+    from ..functions import texttools
+    from ..session import pin_for_query
 
     dup_ok = (
         dedup.chunk_dup_rollup(docs, text_col=text_col, id_col=id_col)
@@ -799,18 +823,22 @@ def pretrain_manifest(
         .select(id_col)
     )
     kept = docs.join(dup_ok, id_col).join(qual_ok, id_col)
-    weights = temperature_weights(
-        kept, alpha=alpha, source_col=source_col, text_col=text_col
-    ).select(source_col, "weight")
-    from ..functions import texttools
-
-    per_doc = kept.select(
-        F.col(id_col),
-        F.col(source_col),
-        texttools.token_count(F.col(text_col)).cast("bigint").alias(
-            "n_tokens"
-        ),
+    per_doc = pin_for_query(
+        kept.select(
+            F.col(id_col),
+            F.col(source_col),
+            texttools.token_count(F.col(text_col)).cast("bigint").alias(
+                "n_tokens"
+            ),
+        )
     )
+    weights = temperature_weights(
+        per_doc,
+        alpha=alpha,
+        source_col=source_col,
+        text_col=text_col,
+        tokens_col="n_tokens",
+    ).select(source_col, "weight")
     cum, _total = _dist_prefix_sum(
         per_doc, [F.col(id_col).asc()], "n_tokens", "cum_tokens"
     )
