@@ -35,6 +35,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import fan_out
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -115,6 +117,7 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     ``meta.sha256`` is the content hash of the stream BODY (the
     engine-portable identity of the media essence); ``meta.n_bytes``
     is the full container size."""
+    docs = fan_out(docs.select("doc_id", "text"))
     body = F.encode(F.col("text"), "UTF-8")
     nb = F.octet_length(body).cast("bigint")
     h = (F.lit(32) + nb % 97).cast("bigint")
@@ -391,6 +394,7 @@ def synthesize_ppm(docs: DataFrame) -> DataFrame:
     Dims derive from the doc id (w = 8 + d%13, h = 8 + d%11, so
     rasters are 192..3,240 bytes). Everything is built natively —
     sequence/transform/hex/unhex/concat, JVM-side, no UDF."""
+    docs = fan_out(docs.select("doc_id"))
     mid = F.col("doc_id").cast("bigint")
     w = (F.lit(8) + mid % 13).cast("bigint")
     h = (F.lit(8) + mid % 11).cast("bigint")
@@ -757,7 +761,7 @@ def synthesize_png(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    return docs.select("doc_id", "source").mapInPandas(op, SYNTH_PNG_SCHEMA)
+    return fan_out(docs.select("doc_id", "source")).mapInPandas(op, SYNTH_PNG_SCHEMA)
 
 
 SYNTH_PNG_SCHEMA = T.StructType(

@@ -100,3 +100,29 @@ def release_pinned() -> None:
             _PINNED.pop().unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
+
+
+def fan_out(df):
+    """Scale-adaptive parallelism floor ahead of per-row-EXPENSIVE
+    stages (Python codecs, tokenize-heavy scans).
+
+    A small input often arrives as a single scan split (one parquet
+    row group ≪ maxPartitionBytes), so every narrow operator above it
+    — including multi-ms-per-row Arrow codec work — runs on ONE core
+    while the rest of the machine idles (guide §2: stragglers/idle
+    capacity). Round-robin repartition to ``defaultParallelism`` fixes
+    that for the price of shuffling the (small, by construction) rows.
+
+    Scale-adaptive, not local-tuned: when the input already carries at
+    least ``defaultParallelism`` partitions — always true for a 100 TB
+    table — this is a no-op and adds NO exchange; the repartition only
+    fires when the scan is narrower than the machine. Apply it only
+    where per-row work dominates: for cheap relational queries the
+    extra exchange would cost more than the parallelism buys."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if n < target else df
