@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import texttools
+from ..session import fan_out
 
 
 def quality_filtered_corpus(
@@ -124,6 +125,7 @@ def chunk_documents(
     Generate output streams straight into the next operator. Tail
     chunks shorter than ``size`` are kept (standard: the packer, not
     the chunker, decides padding)."""
+    docs = fan_out(docs)
     toks = texttools.tokens(F.col(text_col))
     staged = docs.select(F.col(id_col), toks.alias("_toks")).filter(
         F.size("_toks") > 0
@@ -589,6 +591,7 @@ def quality_ensemble(
     verdict, and the per-reason drop counts (one tiny groupBy
     downstream) give the curation report for free. All cuts compare
     6-dp ROUNDED signals so engine float edges can't flip a verdict."""
+    docs = fan_out(docs)
     rep = texttools.repetition_signals(F.col(text_col))
     # The explode(array(struct(...))) wrapper is load-bearing (same
     # barrier as plans/pipeline.py's from_csv parse): the verdict CASE

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing, texttools, vectors
+from ..session import fan_out
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -62,6 +63,7 @@ def _minhash_banded(
     tree into the plan (Python-side duplication Catalyst can't undo),
     recomputing it per component through interpreted HOFs.
     """
+    docs = fan_out(docs)
     rows = num_hashes // bands
     toks = texttools.tokens(F.col(text_col))
     shingled = docs.select(
@@ -218,6 +220,7 @@ def ngram_jaccard_pairs(
     reducer with a d²/2 pair block. Row-identical either way; the
     oracle twin is the plain join.
     """
+    docs = fan_out(docs)
     toks = texttools.tokens(F.col(text_col))
     # persist the postings: the plan fans out into 4 consumers (df
     # counts, anti-join, per-doc sizes, both self-join sides) and each
@@ -277,6 +280,7 @@ def simhash_fingerprints(
 
     Staged: tokens -> one md5 per token (materialized column) -> n_bits
     cheap substring votes. Empty-token docs are dropped (no signal)."""
+    docs = fan_out(docs)
     toks = F.array_distinct(texttools.tokens(F.col(text_col)))
     with_md5 = docs.select(
         F.col(id_col), F.transform(toks, F.md5).alias("_mds")
@@ -588,6 +592,7 @@ def dup_span_stats(
     point. 64-bit prefix collisions (~n_shingles^2 / 2^65 expected
     false-shared pairs) are the standard accepted fuzz at this scale.
     """
+    docs = fan_out(docs)
     # persist: both the doc-frequency branch and the join-back consume
     # the exploded hashes — without it the tokenize+shingle+md5 scan
     # runs twice (the minhash signature-persist discipline)
@@ -777,6 +782,10 @@ def semdedup(
 
     if n_cells is None:
         n_cells = semdedup_cells_for(emb.count())
+    # fan out AFTER the metadata-cheap count: centroid training,
+    # assignment (the literal-centroid expression is the heavy map
+    # work), and both pair-join sides all read the widened frame
+    emb = fan_out(emb)
     scorer = None
     if train_iterations > 0:
         from . import clustering
@@ -791,7 +800,14 @@ def semdedup(
                 sample_mod=train_sample_mod,
             ),
         )
-    corpus = similarity.assign_cells(emb, n_cells, vec_col, id_col, scorer=scorer)
+    from ..session import pin_for_query
+
+    # pin: the assigned corpus feeds BOTH pair-join sides and the final
+    # kept-join — without it the centroid-scoring projection (the heavy
+    # map work) runs three times
+    corpus = pin_for_query(
+        similarity.assign_cells(emb, n_cells, vec_col, id_col, scorer=scorer)
+    )
     a = corpus.select(
         F.col("cell"),
         F.col("vec_id").alias("id_a"),
@@ -867,6 +883,7 @@ def shared_span_removal(
     do; a long-lived session invoking this repeatedly without that
     accumulates shingle-table-sized storage blocks per call.
     """
+    docs = fan_out(docs)
     toks = texttools.tokens(F.col(text_col))
     base = docs.select(F.col(id_col), toks.alias("_toks")).persist()
     # positional shingles: pos i covers tokens i .. i+n-1 (0-based)
@@ -952,6 +969,7 @@ def containment_pairs(
 
     Returns (id_a, id_b, n_a, n_b, n_inter, c_ab, c_ba, jaccard,
     jaccard_misses), id_a < id_b, 6-dp rounded ratios."""
+    docs = fan_out(docs)
     toks = texttools.tokens(F.col(text_col))
     inv0 = (
         docs.select(
@@ -1107,6 +1125,7 @@ def winnow_pairs(
     Returns (id_a, id_b, n_shared, fp_a, fp_b, overlap) for the
     ``top`` pairs, overlap = shared / least(fp_a, fp_b), ordered by
     n_shared desc, id_a, id_b."""
+    docs = fan_out(docs)
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.posexplode(
@@ -1429,7 +1448,7 @@ def tfidf_allpairs(
     Returns the ``top`` pairs (doc_a, doc_b, common_terms, cosine)."""
     spark = docs.sparkSession
     terms = (
-        docs.select(
+        fan_out(docs).select(
             F.col(id_col).alias("doc"),
             F.explode(
                 texttools.word_shingles(

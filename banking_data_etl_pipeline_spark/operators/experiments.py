@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .relational import ols2_sum_sql
+from ..session import fan_out
 
 # Formula text shared verbatim with oracle.CUPED_Q. All inputs are
 # exact: n counts are BIGINT, the s* sums are DECIMAL-exact doubles,
@@ -240,7 +241,11 @@ def bootstrap_ci(
         " / CAST(4294967296 AS DOUBLE)"
     )
     expanded = (
-        df.select(F.col(id_col).alias("id"), F.col(val_col).alias("value"))
+        # fan_out: the xB explode + per-(row, replica) md5 is the
+        # heavy map work; a single-split scan would run it on one core
+        fan_out(
+            df.select(F.col(id_col).alias("id"), F.col(val_col).alias("value"))
+        )
         .withColumn(
             "b", F.explode(F.sequence(F.lit(0), F.lit(b_replicas - 1)))
         )

@@ -21,7 +21,7 @@ from .multimodal import binaryops
 from .operators import corpus, dedup, relational, similarity, skew
 from .oracle import NORM_COLS, PASS_COLS
 from .plans import pipeline as P
-from .session import tune_for_oracle
+from .session import fan_out, tune_for_oracle
 from .sources import synthetic, tables
 from .streaming import events as EV
 
@@ -3472,7 +3472,7 @@ def judge_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("tercile").alias("rater"),
         F.when(F.col("bucket") != "tail", 1).otherwise(0).alias("value"),
     )
-    c = docs.select(
+    c = fan_out(docs).select(
         F.col("doc_id").alias("unit"),
         F.lit("repetition").alias("rater"),
         texttools.repetition_signals(F.col("text"))[-1]
