@@ -17,6 +17,23 @@ def _to_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
+def lit_doubles(values) -> Column:
+    """Literal ``array<double>`` with cheap construction.
+
+    ``F.lit([...])`` expands Python-side to one py4j round trip per
+    element — a 64-dim centroid costs 64 calls, and the ANN plan
+    builders inline dozens of such vectors, making DataFrame
+    CONSTRUCTION (not execution) a dominant per-query cost. The
+    ndarray path hands the whole vector to the JVM in one call and
+    yields the same folded ``Literal`` node, bit-identical values
+    (Python floats ARE IEEE float64). An expr-string
+    ``array(1.5D, ...)`` form is NOT equivalent: it parses to a
+    dim-wide CreateArray tree whose analysis costs ~2 s per plan."""
+    import numpy as np
+
+    return F.lit(np.asarray(list(values), dtype=np.float64))
+
+
 def dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)

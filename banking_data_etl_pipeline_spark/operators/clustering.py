@@ -23,6 +23,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import vectors
+
 
 def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
             vec_col: str, id_col: str) -> DataFrame:
@@ -36,7 +38,7 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
         *[
             F.struct(
                 F.lit(int(cid)).alias("cid"),
-                F.lit([float(x) for x in vec]).alias("cvec"),
+                vectors.lit_doubles(vec).alias("cvec"),
             )
             for cid, vec in centroids
         ]

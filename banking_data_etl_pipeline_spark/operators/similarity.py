@@ -16,6 +16,32 @@ from pyspark.sql import functions as F
 from ..functions import vectors
 
 
+# Model-parameter literal columns (centroid/codebook arrays) are
+# expensive to CONSTRUCT (py4j round trips per struct) and identical
+# across the cold/warm bench passes and across the arms that share one
+# staged model — memoize the built Column per (application, content).
+# Column objects are immutable expression wrappers, safe to reuse
+# within one SparkContext; the applicationId key drops stale JVM refs
+# if a new context appears.
+_LIT_CACHE: dict = {}
+
+
+def _memo_lit(kind: str, content, builder):
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return builder()
+    key = (sc.applicationId, kind, content)
+    col = _LIT_CACHE.get(key)
+    if col is None:
+        if len(_LIT_CACHE) >= 256:
+            _LIT_CACHE.clear()
+        col = builder()
+        _LIT_CACHE[key] = col
+    return col
+
+
 def _ranked(scored: DataFrame, k: int) -> DataFrame:
     """Two-phase top-k per query.
 
@@ -108,16 +134,23 @@ def _centroid_scorer(emb, n_centroids: int, vec_col: str, id_col: str,
     # struct(s, -cid): array_max / array_sort order by score then -cid,
     # so ties break toward the LOWEST centroid id in both engines
     # one list-literal node per centroid vector — same array<double>
-    # values as element-wise lits, ~dim× smaller expression tree
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r[0])).alias("cid"),
-                F.lit(_py_norm(r[1])).alias("cnorm"),
-                F.lit([float(x) for x in r[1]]).alias("cvec"),
-            )
-            for r in cents
-        ]
+    # values as element-wise lits, ~dim× smaller expression tree —
+    # and the whole array memoized per model content (construction,
+    # not execution, dominated repeat probes)
+    cent_key = tuple((int(r[0]), tuple(float(x) for x in r[1])) for r in cents)
+    cent_arr = _memo_lit(
+        "cents",
+        cent_key,
+        lambda: F.array(
+            *[
+                F.struct(
+                    F.lit(int(r[0])).alias("cid"),
+                    F.lit(_py_norm(r[1])).alias("cnorm"),
+                    vectors.lit_doubles(r[1]).alias("cvec"),
+                )
+                for r in cents
+            ]
+        ),
     )
 
     def scores_for(v, vnorm):
@@ -353,14 +386,19 @@ def _pq_sqdist(a, b):
 def _pq_book_arr(books, j):
     """Literal struct array (code, cvec) for subspace ``j``'s codebook —
     model parameters inlined, the centroid-literal pattern."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("code"),
-                F.lit([float(x) for x in books[j][c]]).alias("cvec"),
-            )
-            for c in range(len(books[j]))
-        ]
+    book_key = (j, tuple(tuple(float(x) for x in bc) for bc in books[j]))
+    return _memo_lit(
+        "book",
+        book_key,
+        lambda: F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("code"),
+                    vectors.lit_doubles(books[j][c]).alias("cvec"),
+                )
+                for c in range(len(books[j]))
+            ]
+        ),
     )
 
 
@@ -417,9 +455,14 @@ def _pq_adc_dist(m: int):
 def _cent_map(cents):
     """Literal cell→centroid-vector map (model parameters, kilobytes)
     for residual computation: rvec = v - centroid[cell]."""
-    return F.map_from_arrays(
-        F.array(*[F.lit(int(cid)) for cid, _ in cents]),
-        F.array(*[F.lit([float(x) for x in vec]) for _, vec in cents]),
+    cent_key = tuple((int(cid), tuple(float(x) for x in vec)) for cid, vec in cents)
+    return _memo_lit(
+        "cent_map",
+        cent_key,
+        lambda: F.map_from_arrays(
+            F.array(*[F.lit(int(cid)) for cid, _ in cents]),
+            F.array(*[vectors.lit_doubles(vec) for _, vec in cents]),
+        ),
     )
 
 
@@ -1209,8 +1252,8 @@ def sq_topk(
     approx column kept deliberately so quantization error is
     observable per hit."""
     lo, step = sq_train_stats(emb, vec_col)
-    lo_arr = F.array(*[F.lit(x) for x in lo])
-    step_arr = F.array(*[F.lit(x) for x in step])
+    lo_arr = vectors.lit_doubles(lo)
+    step_arr = vectors.lit_doubles(step)
     vd = vectors._to_double(F.col(vec_col))
     diff = F.zip_with(vd, lo_arr, lambda x, l: x - l)
     code = F.zip_with(
