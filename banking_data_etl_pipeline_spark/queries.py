@@ -545,7 +545,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle(spark)
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = fan_out(tables.load(spark, sf_dir, "documents"))
     return docs.filter(F.length("text") >= 8).select(
         "doc_id", texttools.fingerprint(F.col("text"), 8).alias("fingerprint")
     )
@@ -1497,7 +1497,7 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     over each doc's own token array) — zero shuffles, the ideal
     100 TB quality-pass shape."""
     tune_for_oracle(spark)
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = fan_out(tables.load(spark, sf_dir, "documents"))
     return docs.select("doc_id", *texttools.repetition_signals(F.col("text")))
 
 

@@ -119,6 +119,8 @@ def fan_out(df):
     fires when the scan is narrower than the machine. Apply it only
     where per-row work dominates: for cheap relational queries the
     extra exchange would cost more than the parallelism buys."""
+    if os.environ.get("SPARK_GRAFT_NO_FANOUT"):  # A/B bisection switch
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
