@@ -375,6 +375,51 @@ def stream_dedup_totals(
     )
 
 
+def _drain_interval_join(
+    spark: SparkSession, joined: DataFrame, name: str, finalize
+) -> DataFrame:
+    """Drain a stream-stream join through an EXECUTOR-SIDE parquet
+    sink and reduce the landed rows with ``finalize`` (a batch
+    aggregation), returning the localCheckpoint-materialized result.
+
+    The earlier memory-sink form collected every JOINED ROW to the
+    driver (~219k rows at sf0.1) before the terminal aggregation — at
+    100 TB that is a driver OOM by construction (guide §5: the driver
+    should do almost no data work). The parquet file sink is the same
+    fault-tolerant, exactly-once sink the checkpoint-recovery proof
+    uses: each micro-batch's join output is written by the join tasks
+    themselves, row-scale data never crosses the driver, and the
+    terminal aggregation runs as an ordinary distributed batch plan
+    over the landed files. The aggregated result (keyed per event —
+    orders of magnitude smaller than the join output) is
+    localCheckpoint-materialized so the scratch dir can be deleted
+    before returning; its blocks live in executor storage, freed by
+    the ContextCleaner once the frame is dropped (bench.py's per-query
+    GC nudge covers the battery)."""
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="spark_graft_ij_")
+    try:
+        sink = os.path.join(work, "sink")
+        ckpt = os.path.join(work, "ckpt")
+        with _state_partitions(spark, 16):
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return finalize(spark.read.parquet(sink)).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def stream_interval_join_counts(
     spark: SparkSession, events_dir: str, name: str, hours: int = 24
 ) -> DataFrame:
@@ -387,7 +432,9 @@ def stream_interval_join_counts(
     feeds, the defining property of a production stream-stream join
     (an unconstrained stream join would buffer forever). Batch twin:
     the inner form of ``relational.range_join_followers`` — the oracle
-    checks the streamed counts equal the batch range join exactly."""
+    checks the streamed counts equal the batch range join exactly.
+    Join output lands through the executor-side parquet sink
+    (``_drain_interval_join``), never the driver."""
     def side(alias: str) -> DataFrame:
         return (
             events_stream(spark, events_dir)
@@ -408,19 +455,13 @@ def stream_interval_join_counts(
         & (F.col("l_id") != F.col("r_id")),
         "inner",
     )
-    with _state_partitions(spark, 16):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return (
-        spark.sql(f"SELECT * FROM {name}")
-        .groupBy(F.col("l_id").alias("event_id"), F.col("l_user").alias("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_followers"))
+    return _drain_interval_join(
+        spark,
+        joined.select("l_id", "l_user"),
+        name,
+        lambda rows: rows.groupBy(
+            F.col("l_id").alias("event_id"), F.col("l_user").alias("user_id")
+        ).agg(F.count(F.lit(1)).alias("n_followers")),
     )
 
 
@@ -642,19 +683,13 @@ def stream_left_interval_join_counts(
         & (F.col("l_id") != F.col("r_id")),
         "left_outer",
     )
-    with _state_partitions(spark, 16):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return (
-        spark.sql(f"SELECT * FROM {name}")
-        .groupBy(F.col("l_id").alias("event_id"), F.col("l_user").alias("user_id"))
-        .agg(F.count(F.col("r_id")).alias("n_followers"))
+    return _drain_interval_join(
+        spark,
+        joined.select("l_id", "l_user", "r_id"),
+        name,
+        lambda rows: rows.groupBy(
+            F.col("l_id").alias("event_id"), F.col("l_user").alias("user_id")
+        ).agg(F.count(F.col("r_id")).alias("n_followers")),
     )
 
 
