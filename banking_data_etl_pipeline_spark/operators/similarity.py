@@ -24,6 +24,7 @@ from ..functions import vectors
 # within one SparkContext; the applicationId key drops stale JVM refs
 # if a new context appears.
 _LIT_CACHE: dict = {}
+_LIT_LOCK = __import__("threading").Lock()
 
 
 def _memo_lit(kind: str, content, builder):
@@ -33,12 +34,23 @@ def _memo_lit(kind: str, content, builder):
     if sc is None:
         return builder()
     key = (sc.applicationId, kind, content)
-    col = _LIT_CACHE.get(key)
+    with _LIT_LOCK:
+        col = _LIT_CACHE.get(key)
     if col is None:
-        if len(_LIT_CACHE) >= 256:
-            _LIT_CACHE.clear()
         col = builder()
-        _LIT_CACHE[key] = col
+        with _LIT_LOCK:
+            if len(_LIT_CACHE) >= 256:
+                # evict dead applications' entries first (they pin
+                # py4j JVM refs + model tuples); only a same-app
+                # overflow clears the live set (r16 ADVICE)
+                stale = [
+                    k for k in _LIT_CACHE if k[0] != sc.applicationId
+                ]
+                for k in stale:
+                    _LIT_CACHE.pop(k, None)
+                if len(_LIT_CACHE) >= 256:
+                    _LIT_CACHE.clear()
+            _LIT_CACHE[key] = col
     return col
 
 

@@ -45,7 +45,7 @@ def main() -> None:
     for name in args.queries:
         spark.sparkContext.setJobDescription(f"qbench:{name}")
         if args.plan_dir:
-            df = qs[name](args and spark, args.sf)
+            df = qs[name](spark, args.sf)
             with open(
                 os.path.join(args.plan_dir, f"{name}.txt"), "w", encoding="utf-8"
             ) as f:

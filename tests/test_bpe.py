@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from banking_data_etl_pipeline_spark.operators import bpe
 
 
@@ -13,6 +15,7 @@ def _corpus(spark):
     )
 
 
+@pytest.mark.slowtier
 def test_learn_bpe_merges_hand_worked(spark):
     # pair counts step 1: 'l o'=5, 'o w'=5 (tie -> lexicographic),
     # then 'lo w'=5, then 'e r'=2 (ties 'low e' lose lexicographically)

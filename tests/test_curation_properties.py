@@ -5,6 +5,8 @@ case is the cost driver, not the property logic)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -214,6 +216,7 @@ def test_salted_self_pair_join_property(spark, key_counts, hot, target):
         min_size=6, max_size=20, unique_by=tuple,
     )
 )
+@pytest.mark.slowtier
 def test_pq_codes_and_adc_property(spark, vecs):
     """PQ encode/ADC invariants on arbitrary vectors: every code
     index in range, ADC distances non-negative, and for m=1 (one

@@ -3,6 +3,8 @@ fixtures and an exact numpy cross-check for brute-force ANN."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 from banking_data_etl_pipeline_spark.operators import dedup, similarity
@@ -169,6 +171,7 @@ def test_ann_recall_vs_brute_force(spark):
     assert recall(similarity.lsh_topk(emb, q, k=10, n_bits=4)) >= 0.3
 
 
+@pytest.mark.slowtier
 def test_ivf_trained_centroids_fix_hot_cell_skew(spark):
     """The reason ivf_topk k-means-trains its centroids: when the
     lowest-id vectors happen to sit in one region (nothing guarantees
@@ -314,6 +317,7 @@ def test_train_centroids_rejects_null_and_ragged(spark):
     assert len(clustering.train_centroids(emb, k=2, iterations=1)) == 2
 
 
+@pytest.mark.slowtier
 def test_pq_topk_recall_and_determinism(spark):
     """PQ/ADC approximate top-10: deterministic under repartitioning
     (trained codebooks + fixed fold order) and recall vs exact L2
@@ -352,6 +356,7 @@ def test_pq_topk_recall_and_determinism(spark):
     assert hits / 50 >= 0.2, hits / 50
 
 
+@pytest.mark.slowtier
 def test_ivf_pq_topk_recall_and_determinism(spark):
     """Composed IVF+PQ+re-rank: deterministic under repartitioning,
     and recall@10 vs brute-force cosine above the measured floor
@@ -707,6 +712,7 @@ def test_span_removal_within_doc_repeat_does_not_self_trigger(spark):
     assert out[1].n_removed == 0
 
 
+@pytest.mark.slowtier
 def test_ann_recall_harness_bounds(spark):
     emb = tables.load(spark, SF_DIR, "embeddings")
     q = similarity.corpus_queries(emb, n=5)
@@ -729,6 +735,7 @@ def test_ann_recall_harness_bounds(spark):
     )
 
 
+@pytest.mark.slowtier
 def test_ivf_pq_residual_determinism_and_recall(spark):
     """residual=True (classic IVFPQ): deterministic under
     repartitioning, recall above the measured floor (0.78 measured at
@@ -758,6 +765,7 @@ def test_ivf_pq_residual_determinism_and_recall(spark):
     assert recall >= 0.5, recall
 
 
+@pytest.mark.slowtier
 def test_ann_recall_shared_models_match_self_trained(spark):
     """The model-sharing hook: passing pre-trained cents/books into
     the arms must be bit-identical to each arm training for itself
@@ -790,6 +798,7 @@ def test_ann_recall_shared_models_match_self_trained(spark):
     assert ivf_self == ivf_inj
 
 
+@pytest.mark.slowtier
 def test_ivf_build_probe_matches_telescoped(spark, tmp_path):
     emb = tables.load(spark, SF_DIR, "embeddings")
     q = similarity.corpus_queries(emb, n=5)

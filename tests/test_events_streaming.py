@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import tempfile
 
@@ -276,6 +278,7 @@ def test_stream_minhash_screen_equals_batch_incremental(spark):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slowtier
 def test_stream_funnel_retroactive_earlier_view(spark, tmp_path):
     # file A arrives first: click@200, purchase@300, view@250 -> a
     # stale-best funnel would lock t1=250 and stay at depth 1.

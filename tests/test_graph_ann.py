@@ -7,6 +7,8 @@ degree/determinism, and telescoped == prebuilt."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import os
 import tempfile
@@ -37,6 +39,7 @@ def _q48(spark):
     )
 
 
+@pytest.mark.slowtier
 def test_beam_search_walks_the_angular_chain(spark):
     emb = _line_corpus(spark)
     # n_centroids=1 -> one cell -> the global top-2 graph; entry point
@@ -63,6 +66,7 @@ def test_beam_search_walks_the_angular_chain(spark):
         assert abs(by_id[i] - math.cos(math.radians(48.0 - 10.0 * i))) < 2e-6
 
 
+@pytest.mark.slowtier
 def test_one_more_hop_reaches_the_chain_end(spark):
     emb = _line_corpus(spark)
     out = similarity.nsw_topk(
@@ -101,6 +105,7 @@ def test_adjacency_degree_capped_and_deterministic(spark):
     assert {(r.src, r.dst) for r in adj2.collect()} == rows
 
 
+@pytest.mark.slowtier
 def test_ivfpq_prebuilt_probe_equals_telescoped(spark):
     emb = tables.load(spark, SF_DIR, "embeddings")
     q = similarity.corpus_queries(emb, n=3)
@@ -118,6 +123,7 @@ def test_ivfpq_prebuilt_probe_equals_telescoped(spark):
     assert sorted(map(tuple, tele_raw)) == sorted(map(tuple, pre_raw))
 
 
+@pytest.mark.slowtier
 def test_prebuilt_probe_equals_telescoped(spark):
     emb = tables.load(spark, SF_DIR, "embeddings")
     q = similarity.corpus_queries(emb, n=3)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from banking_data_etl_pipeline_spark.multimodal import binaryops
@@ -285,6 +287,7 @@ def test_repetition_signals(spark):
     assert not out[4].keep and out[4].dup_trigram_frac > 0.8
 
 
+@pytest.mark.slowtier
 def test_block_mean_hash_is_container_invariant(spark):
     # same text -> same stream body; even id packs it in a PNG, odd in
     # a WAV — the phash must depend on the BODY only, proving the
@@ -348,6 +351,7 @@ def test_validate_media_catches_planted_damage(spark):
     assert any(s == "bad_size" for s in out.values())
 
 
+@pytest.mark.slowtier
 def test_media_validate_oracle_fixture_invariants(spark):
     """MEDIA_VALIDATE_Q predicts 'bad_size' for every %17 audio row and
     'bad_crc' for every %17 image row. Those predictions rest on two

@@ -5,6 +5,8 @@ payload, dimension joins broadcast, top-k never collapses to
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import tempfile
 
@@ -203,6 +205,7 @@ def test_ivf_probe_prunes_nonprobed_cell_files(spark):
     assert read_cells == {f"cell={c}" for c in probed}, read_cells
 
 
+@pytest.mark.slowtier
 def test_graph_probe_prunes_nonfrontier_buckets(spark):
     """The persisted-graph probe must touch only FRONTIER-ADJACENT
     rows: every hop pushes the collected frontier ids as literal
@@ -282,6 +285,7 @@ def test_judge_alpha_reuses_ratings_exchange(spark):
     assert "ReusedExchange" in plan, plan
 
 
+@pytest.mark.slowtier
 def test_no_query_plans_cartesian_or_nested_loop(spark):
     # sweep every registered batch query: the only nested-loop join
     # allowed is ann_brute's intentional broadcast-scoring crossJoin
@@ -422,15 +426,33 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
     # collect ALL violations before asserting: a first-failure abort
     # masks every later name in the sorted sweep (theta_sketch hid
     # behind ann_pq_prebuilt for a full round)
-    bad = []
-    for name, fn in sorted(mod.queries().items()):
-        if name in streaming_or_iterative:
-            continue
+    #
+    # build/plan the ~300 queries from a THREAD POOL: the per-query
+    # cost is driver-side py4j + JVM analysis (no jobs run — eager
+    # queries are excluded above), py4j releases the GIL on every
+    # socket wait, and plan construction for distinct queries shares
+    # no mutable state beyond the pin registry (whose cross-release
+    # is correctness-safe by its documented contract). 8 workers cut
+    # this sweep from ~220 s to ~60 s of the suite's budget.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        name, fn = item
         plan = _plan(fn(spark, SF_DIR))
+        out = []
         if "CartesianProduct" in plan:
-            bad.append(f"{name}: cartesian")
+            out.append(f"{name}: cartesian")
         if name not in allowed_bnlj and "BroadcastNestedLoopJoin" in plan:
-            bad.append(f"{name}: bnlj")
+            out.append(f"{name}: bnlj")
+        return out
+
+    todo = [
+        (name, fn)
+        for name, fn in sorted(mod.queries().items())
+        if name not in streaming_or_iterative
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        bad = [v for out in pool.map(check, todo) for v in out]
     assert not bad, bad
 
 
@@ -444,6 +466,7 @@ def test_zorder_key_interleaves_bits(spark):
     assert df.collect()[0].z == 27
 
 
+@pytest.mark.slowtier
 def test_zorder_layout_bounds_both_dimensions_per_file(spark):
     import glob
     import tempfile

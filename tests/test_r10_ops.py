@@ -8,6 +8,8 @@ bit-identity contract."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from banking_data_etl_pipeline_spark.operators import dedup, similarity
@@ -96,6 +98,7 @@ def test_substr_dedup_max_occ_is_corpus_wide(spark):
 # ------------------------------------------------ staged ANN models
 
 
+@pytest.mark.slowtier
 def test_residual_codebooks_injected_frame_matches_selfbuilt(spark):
     # the r10 regression fix: training from a caller-supplied residual
     # frame must be bit-identical to the standalone path that rebuilds
@@ -125,6 +128,7 @@ def test_residual_codebooks_injected_frame_matches_selfbuilt(spark):
     assert injected == standalone
 
 
+@pytest.mark.slowtier
 def test_ivf_pq_topk_staged_books_match_inplane_training(spark):
     # the telescoped query now injects staged cents/books; pinned here:
     # injection is result-identical to in-plan training (deterministic

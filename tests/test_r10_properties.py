@@ -5,6 +5,8 @@ and t-closeness EMD bounds. One Spark pass per generated example
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from banking_data_etl_pipeline_spark.operators import dedup, expectations
@@ -45,6 +47,7 @@ def _brute_extents(texts: dict[int, str], L: int):
     return out
 
 
+@pytest.mark.slowtier
 @settings(max_examples=8, deadline=None)
 @given(st.lists(_DOC, min_size=2, max_size=8))
 def test_substr_dedup_matches_bruteforce(spark, texts):
@@ -60,6 +63,7 @@ def test_substr_dedup_matches_bruteforce(spark, texts):
     assert got == _brute_extents(tmap, L)
 
 
+@pytest.mark.slowtier
 @settings(max_examples=6, deadline=None)
 @given(st.lists(_DOC, min_size=2, max_size=6))
 def test_substr_dedup_extents_disjoint_and_min_length(spark, texts):
@@ -90,6 +94,7 @@ def test_substr_dedup_extents_disjoint_and_min_length(spark, texts):
         max_size=30,
     )
 )
+@pytest.mark.slowtier
 def test_t_closeness_emd_bounds(spark, rows):
     df = spark.createDataFrame(rows, "grp string, age int")
     out = expectations.t_closeness(df, ["grp"], "age", t=0.2).collect()

@@ -7,6 +7,8 @@ order, always-valid-p monotonicity)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -87,6 +89,7 @@ def test_hits_hand_computed_first_iteration(spark):
     assert hub[1] > hub[2] > 0.0
 
 
+@pytest.mark.slowtier
 def test_hits_l2_normalized_and_partition_invariant(spark):
     pairs = [(c, 10 + (c * j) % 5) for c in range(1, 8) for j in range(1, 4)]
     orders, lineitem = _hits_frames(spark, pairs)
@@ -259,6 +262,7 @@ def test_substr_incremental_extents_clip_to_shared_run(spark):
 # ------------------------------------------------- top principal component
 
 
+@pytest.mark.slowtier
 def test_top_pc_recovers_known_direction(spark):
     from banking_data_etl_pipeline_spark.operators import similarity
 
@@ -389,6 +393,7 @@ def test_bt_strengths_mean_one_normalized(spark):
 # ------------------------------------------------------------- RM3
 
 
+@pytest.mark.slowtier
 def test_rm3_scores_dominate_plain_bm25(spark):
     from banking_data_etl_pipeline_spark.operators import retrieval
 
@@ -413,6 +418,7 @@ def test_rm3_scores_dominate_plain_bm25(spark):
     assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
 
 
+@pytest.mark.slowtier
 def test_rm3_partition_invariant(spark):
     from banking_data_etl_pipeline_spark.operators import retrieval
 

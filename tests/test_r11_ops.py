@@ -4,6 +4,8 @@ corpus) and the staged HITS lifecycle."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import random
 from collections import Counter
@@ -118,6 +120,7 @@ def test_cms_sketch_ranking_dominates_exact_top1(spark):
     assert sk[0].estimate >= ex[0].exact_count
 
 
+@pytest.mark.slowtier
 def test_hits_prebuilt_equals_staged_hits(spark):
     """The dual-orientation probe must reproduce the single-orientation
     staged result exactly (same oracle; this pins Spark-vs-Spark too)."""

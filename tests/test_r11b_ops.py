@@ -5,6 +5,8 @@ reference (the r10 lesson: property tests found 2 real bugs pre-close)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import math
 from collections import Counter
@@ -181,6 +183,7 @@ def _brute_km(subjects, horizon=7):
         max_size=12,
     )
 )
+@pytest.mark.slowtier
 def test_survival_km_matches_brute_force(spark, raw):
     subjects = []
     for s, p in raw:

@@ -4,6 +4,8 @@ TF-IDF cosine — each vs a brute-force Python reference."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import math
 from collections import Counter, defaultdict
@@ -300,6 +302,25 @@ def test_tfidf_allpairs_finds_the_duplicated_doc_first(spark):
     assert got == _brute_tfidf_allpairs(texts)
 
 
+def test_tfidf_allpairs_fan_flag_is_result_invariant(spark):
+    """fan=False (the recall twin's audit-slice mode, r17: skips the
+    fan_out exchange on a ~300-row limit slice) must be a pure plan
+    change — identical rows in identical order."""
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma delta zeta",
+        "alpha beta zeta eta theta",
+        "iota kappa lambda mu nu",
+        "xi omicron pi rho sigma",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    fanned = [tuple(r) for r in dedup.tfidf_allpairs(docs, fan=True).collect()]
+    flat = [tuple(r) for r in dedup.tfidf_allpairs(docs, fan=False).collect()]
+    assert fanned == flat and fanned
+
+
 @settings(max_examples=4, deadline=None)
 @given(
     st.lists(
@@ -312,6 +333,7 @@ def test_tfidf_allpairs_finds_the_duplicated_doc_first(spark):
         max_size=8,
     )
 )
+@pytest.mark.slowtier
 def test_tfidf_allpairs_matches_brute_force(spark, texts):
     docs = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"

@@ -33,6 +33,7 @@ def test_ks_two_sample_hand_computed_with_ties(spark):
     assert row["ks_d"] == pytest.approx(5 / 12)
 
 
+@pytest.mark.slowtier
 def test_mann_whitney_hand_computed_and_symmetry(spark):
     """a = {1,3}, b = {2,3}: U_a = #(a>b) + ties/2 = 1 + 0.5 = 1.5 →
     2U = 3; and U_a + U_b = n_a·n_b exactly (so 2U_a + 2U_b = 2·n_a·n_b)."""

@@ -49,6 +49,7 @@ def test_ppr_mass_concentrates_near_seeds(spark):
     assert seed_mass > n_seeds / n  # above the uniform share
 
 
+@pytest.mark.slowtier
 def test_map_at_k_matches_pure_python_recompute(spark):
     """AP recomputed from the collected run and corpus-wide grades by
     the textbook formula equals the operator output."""

@@ -155,6 +155,7 @@ def test_unigram_segment_key_objective():
     assert segment_key("", vocab) is None
 
 
+@pytest.mark.slowtier
 def test_unigram_train_hand_worked(spark):
     """The full trainer on the module's hand example: seed counts,
     round-1 usage, the 3n/4+chars prune, final vocab."""

@@ -3,6 +3,8 @@ PNG tEXt chunk walk, the double-sweep graph diameter."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from banking_data_etl_pipeline_spark.multimodal import binaryops
@@ -82,6 +84,7 @@ def test_graph_diameter_hand_graph(spark):
     )
 
 
+@pytest.mark.slowtier
 def test_graph_diameter_bounds_bfs(spark):
     li = tables.load(spark, SF_DIR, "lineitem")
     out = graph.graph_diameter(li).collect()[0]

@@ -4,6 +4,8 @@ the add-batch path, the growth/skew monitor, and the staleness
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from banking_data_etl_pipeline_spark.operators import similarity as S
@@ -20,6 +22,7 @@ def _split(spark):
     )
 
 
+@pytest.mark.slowtier
 def test_add_batch_equals_frozen_quantizer_rebuild(spark, tmp_path):
     """The maintained index (build on base + add batch) must hold the
     EXACT same (vec_id, cell) assignment a from-scratch assignment of
@@ -77,6 +80,7 @@ def test_cell_growth_conserves_and_flags_additions(spark, tmp_path):
     assert cells == sorted(set(cells))
 
 
+@pytest.mark.slowtier
 def test_staleness_recall_vs_rebuild(spark, tmp_path):
     """The recall-vs-rebuild check: a maintained index (frozen
     quantizer) may trail a fresh full-corpus rebuild, but must stay a
@@ -158,6 +162,7 @@ def test_chunk_dup_rollup_plans_no_pair_stage(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slowtier
 def test_hnsw_returns_full_topk_and_navigates_cells(spark):
     """Two-layer HNSW: every query — INCLUDING the one that is itself
     the global entry point — gets exactly k results, never itself,
@@ -190,6 +195,7 @@ def test_hnsw_returns_full_topk_and_navigates_cells(spark):
     assert len({cells[r.vec_id] for r in out}) > 1
 
 
+@pytest.mark.slowtier
 def test_hnsw_recall_floor_vs_brute(spark):
     """Sanity floor on these near-random fixture embeddings (graph
     ANN recall is inherently weak when vectors are ~orthogonal): the
@@ -208,6 +214,7 @@ def test_hnsw_recall_floor_vs_brute(spark):
     assert len(got & exact) / len(exact) >= 0.05
 
 
+@pytest.mark.slowtier
 def test_ivfpq_add_batch_equals_frozen_rebuild(spark, tmp_path):
     """The maintained IVFPQ codes (build on base + add batch) must
     equal a from-scratch encode of the full corpus under the SAME

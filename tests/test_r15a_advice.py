@@ -86,6 +86,7 @@ def test_decoder_still_accepts_in_budget_dimensions():
     assert dec is not None and (dec == px).all()
 
 
+@pytest.mark.slowtier
 def test_graph_probe_persists_are_pinned(spark):
     """nsw/hnsw self-built adjacency + final candidate frames register
     with the session pin list, so the next query's tune_for_oracle

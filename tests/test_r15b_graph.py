@@ -33,6 +33,7 @@ def maintained(spark, emb, tmp_path_factory):
     return d
 
 
+@pytest.mark.slowtier
 def test_build_stages_all_artifacts(spark, emb, tmp_path):
     d = str(tmp_path / "g")
     similarity.build_graph_index(emb, d)
@@ -54,6 +55,7 @@ def test_build_stages_all_artifacts(spark, emb, tmp_path):
     )
 
 
+@pytest.mark.slowtier
 def test_hnsw_staged_layer1_matches_self_built(spark, emb, tmp_path):
     d = str(tmp_path / "g2")
     similarity.build_graph_index(emb, d)
@@ -130,6 +132,7 @@ def test_graph_index_stats_invariants(spark, emb, maintained):
     assert sum(r.n_stored for r in rows) >= sum(r.n_live for r in rows)
 
 
+@pytest.mark.slowtier
 def test_second_batch_stays_rebuild_exact(spark, emb, tmp_path):
     """Two sequential inserts: stored rows accumulate append-only,
     yet the effective adjacency still equals the frozen rebuild —

@@ -30,6 +30,7 @@ def test_probe_unchanged_without_tombstones(spark, emb, q, tmp_path):
     assert out.count() == 15
 
 
+@pytest.mark.slowtier
 def test_masked_probe_equals_rebuild_without_deleted(
     spark, emb, q, tmp_path
 ):
@@ -89,6 +90,7 @@ def test_tombstones_accumulate_append_only(spark, emb, tmp_path):
     assert ts == want
 
 
+@pytest.mark.slowtier
 def test_graph_mask_excludes_only_results(spark, emb, q):
     """Graph tombstone semantic: deleted nodes are excluded from the
     RESULT ranking (contiguous ranks over survivors) but remain
@@ -108,6 +110,7 @@ def test_graph_mask_excludes_only_results(spark, emb, q):
     assert all((r.query_id, r.vec_id) in wide for r in masked)
 
 
+@pytest.mark.slowtier
 def test_ivfpq_probe_masks_tombstones(spark, emb, q, tmp_path):
     d = str(tmp_path / "pq")
     similarity.build_ivfpq_index(emb, d)

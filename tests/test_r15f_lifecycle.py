@@ -86,6 +86,7 @@ def test_graph_compaction_reclaims_and_preserves(spark, emb, maintained):
     shutil.rmtree(d)
 
 
+@pytest.mark.slowtier
 def test_ivf_compaction_drops_tombstones_same_results(spark, emb, tmp_path):
     d = str(tmp_path / "ivfc")
     similarity.build_ivf_index(emb, d)

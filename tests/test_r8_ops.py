@@ -7,6 +7,8 @@ cross-check vs a correlated-subquery reference)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from banking_data_etl_pipeline_spark.operators import (
@@ -163,6 +165,7 @@ def test_zipf_fit_shape(spark):
     assert 0 <= r.r2 <= 1
 
 
+@pytest.mark.slowtier
 def test_rank_fusion_ann_differs_only_in_sem_arm(spark):
     from banking_data_etl_pipeline_spark.operators import retrieval
 

@@ -6,6 +6,8 @@ laws, and partitioning-invariance of the hash-armed report."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -43,6 +45,7 @@ def test_market_basket_metrics_match_hand_computation(spark):
     assert r13.lift == round(1 * n_orders / (3 * 2), 6)
 
 
+@pytest.mark.slowtier
 def test_market_basket_pair_counts_conserve_basket_choose2(spark):
     li = tables.load(spark, SF_DIR, "lineitem")
     all_pairs = relational.market_basket(
@@ -292,6 +295,7 @@ def test_textrank_hub_word_outranks_leaves(spark):
     )
 
 
+@pytest.mark.slowtier
 def test_textrank_ignores_stopwords_and_is_repartition_invariant(spark):
     from banking_data_etl_pipeline_spark.operators import corpus
 
@@ -304,6 +308,7 @@ def test_textrank_ignores_stopwords_and_is_repartition_invariant(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+@pytest.mark.slowtier
 def test_pq_prebuilt_probe_equals_telescoped_and_skips_embeddings(
     spark, tmp_path
 ):

@@ -5,6 +5,8 @@ CONTRACTS — bit-identical round-trips and semantics-free reuse."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 
@@ -33,6 +35,7 @@ def test_ann_models_json_roundtrip_is_bit_identical(spark):
     assert all(isinstance(x, float) for _c, v in cents for x in v[:2])
 
 
+@pytest.mark.slowtier
 def test_ann_recall_plan_is_memoized_per_corpus(spark):
     df1 = Q.ann_recall(spark, SF_DIR)
     df2 = Q.ann_recall(spark, SF_DIR)
